@@ -1,0 +1,368 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY.md §2.7).
+  *
+  * The reference engine has no relational layer at all (verified in
+  * SURVEY §2.7 — no SQL, no DataFrame usage); these capabilities come
+  * from Spark SQL itself. Each query here is a `SparkEntry.queries`
+  * entry with a DuckDB oracle, exercising one §2.7 checklist row over
+  * the driver's TPC-H-ish parquet tables.
+  *
+  * Scale notes (100 TB discipline):
+  *  - dimension joins (`region`, `nation`, `supplier`, `customer`) are
+  *    explicitly `broadcast()` so no shuffle of the fact side occurs;
+  *  - aggregations are plain `groupBy().agg()` → partial + final hash
+  *    aggregation with map-side combine, no `groupByKey`;
+  *  - top-k is `orderBy().limit(k)` → `TakeOrderedAndProject`
+  *    (per-partition heap + driver merge), never a global sort;
+  *  - every output is deterministically ordered and doubles are rounded
+  *    so the driver's hash compare is stable across partitionings.
+  */
+object RelationalQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables(spark, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- aggregation: TPC-H Q1 pricing summary (partial+final hash agg) ---
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // --- filter + projection (predicate/column pushdown to parquet scan) ---
+    "q2_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // --- fact-fact join + broadcast dim join + agg + top-k ---
+    "q3_join_topk" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // --- multi-way broadcast dimension join ---
+    "q4_dim_join" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      sup.join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"), col("r_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // --- window functions: rank + running sum per customer ---
+    "q5_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+        .where(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // --- rollup ---
+    "q6_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // --- cube ---
+    "q7_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // --- grouping sets (SQL surface) ---
+    "q8_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(1) AS n
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // --- sort + limit (TakeOrderedAndProject, no global sort) ---
+    "q9_sort_limit" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)
+    }),
+
+    // --- set operations: union / intersect / except ---
+    "q10_setops" -> ((s, dir) => {
+      val ordCust = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val building = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k"))
+      val auto = t(s, dir, "customer").where(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey").as("k"))
+      ordCust.intersect(building).union(auto.except(ordCust.distinct()))
+        .distinct().orderBy(col("k"))
+    }),
+
+    // --- scalar functions: string / date / math / array ---
+    "q11_scalar_funcs" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_up"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_type"), 1, 5).as("type_pfx"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          round(sqrt(col("p_retailprice")), 4).as("price_sqrt"),
+          round(log1p(col("p_retailprice")), 4).as("price_log1p"),
+          pmod(col("p_size"), lit(7)).as("size_mod"),
+          abs(col("p_size") - 25).as("size_dist"),
+          size(split(col("p_name"), " ")).as("name_words"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // --- date/time functions over orders ---
+    "q12_date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // --- distinct aggregates + having ---
+    "q13_distinct_having" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .where(col("n_rows") > 100)
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // --- semi + anti join ---
+    "q14_semi_anti" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders").where(col("o_totalprice") > 200000)
+      val withBig = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_big").as("tag"))
+      val without = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_big").as("tag"))
+      withBig.union(without).orderBy(col("c_custkey"))
+    }),
+
+    // --- tumbling event-time windows (batch form of the streaming agg) ---
+    "q15_events_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("w.start").cast("long").as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // --- sessionization: 30-min-gap sessions per user (gaps-and-islands) ---
+    "q16_events_session" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      t(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(byUser))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("session_start"),
+          max(unix_micros(col("ts"))).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(1) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * l_discount, 4) AS revenue
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q3_join_topk" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q4_dim_join" ->
+      """SELECT s_suppkey, s_name, n_name, r_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q5_window" ->
+      """SELECT o_custkey, o_orderkey, rn, running_total FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        |    round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |  FROM orders) x
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q6_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(1) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q7_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS n, round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q8_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q9_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin,
+
+    "q10_setops" ->
+      """SELECT k FROM (
+        |  SELECT k FROM (
+        |    SELECT o_custkey AS k FROM orders
+        |    INTERSECT
+        |    SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
+        |  UNION
+        |  SELECT k FROM (
+        |    SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |    EXCEPT
+        |    SELECT DISTINCT o_custkey AS k FROM orders))
+        |ORDER BY k""".stripMargin,
+
+    "q11_scalar_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_up,
+        |  length(p_name) AS name_len,
+        |  substring(p_type, 1, 5) AS type_pfx,
+        |  concat_ws('-', p_brand, p_type) AS brand_type,
+        |  round(sqrt(p_retailprice), 4) AS price_sqrt,
+        |  round(ln(1 + p_retailprice), 4) AS price_log1p,
+        |  p_size % 7 AS size_mod,
+        |  abs(p_size - 25) AS size_dist,
+        |  len(string_split(p_name, ' ')) AS name_words
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q12_date_funcs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr,
+        |  month(o_orderdate) AS mo,
+        |  dayofmonth(o_orderdate) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q13_distinct_having" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(1) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |HAVING count(1) > 100
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q14_semi_anti" ->
+      """SELECT c_custkey, 'has_big' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |UNION ALL
+        |SELECT c_custkey, 'no_big' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q15_events_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start, event_type,
+        |  count(1) AS n, round(sum(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    "q16_events_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sessions AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(1) AS n_events,
+        |  min(epoch_us(ts)) AS session_start,
+        |  max(epoch_us(ts)) AS session_end
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin
+  )
+}
