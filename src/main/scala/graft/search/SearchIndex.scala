@@ -1,0 +1,481 @@
+package graft.search
+
+import graft.analysis.{Analyzer, Analyzers}
+import graft.dsl._
+import graft.functions.{SearchExpressions, TopKAgg}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Scoring mode (reference: similarities/ConfigurableBM25Similarity.
+  * scala:7-30 for the tunable k1/b BM25, similarities/
+  * TFIDFWithGlobalIDFSimilarity.scala:14-76 for classic TF-IDF; both
+  * use the corpus-global IDF `log(1 + (N - df + 0.5)/(df + 0.5))`,
+  * utils/IDFUtils.scala:28). */
+sealed trait Similarity extends Serializable
+final case class BM25(k1: Double = 1.2, b: Double = 0.75) extends Similarity
+final case class TFIDF() extends Similarity
+
+/** Index specification (reference analog: impl/LuceneConfig.scala —
+  * analyzer classes, similarity, field mapping; the index-time vs
+  * query-time analyzer split is LuceneConfig.scala:20-52).
+  *
+  * @param keyCol stable unique document key (the engine's `$id`;
+  *   unlike the reference's ephemeral `zipWithUniqueId` ids —
+  *   SearchableRDD.scala:75-83 — a user-supplied stable key survives
+  *   recomputation and repartitioning, which is a hard requirement at
+  *   cluster scale)
+  * @param textFields analyzed full-text fields
+  * @param keywordFields exact-match (un-analyzed) string fields
+  */
+final case class IndexSpec(
+    keyCol: String,
+    textFields: Seq[String],
+    keywordFields: Seq[String] = Nil,
+    indexAnalyzer: String = "default",
+    queryAnalyzer: String = "default",
+    similarity: Similarity = BM25())
+
+/** Per-field corpus statistics gathered at build time. */
+final case class FieldStats(numDocs: Long, avgDl: Double)
+
+/** A distributed inverted index over a DataFrame — the engine's
+  * `SearchableRDD` (reference: SearchableRDD.scala:94-336), built
+  * Spark-first:
+  *
+  *  - `docs`: the corpus with per-field token arrays + doc lengths —
+  *    the "per-partition colocated data" of the reference's
+  *    PartitionsIndexLuceneRDD (layout §1.4a), here simply extra
+  *    columns so Catalyst keeps pruning/pushdown.
+  *  - `postings`: (field, term, key, tf, dl) — the inverted index as
+  *    a DataFrame, repartitioned by term so a query's posting lookup
+  *    shuffles nothing but its own terms (layout §1.4b, the
+  *    "decoupled index" — ours is partition-count-independent).
+  *  - `stats`: (field, term, df, cf) global term statistics; scores
+  *    therefore use corpus-global IDF and are partition-invariant *by
+  *    construction* — the property the reference needed
+  *    GlobalIDFLuceneIndex + a broadcast IDF map for
+  *    (DistributedIndexLuceneRDD.scala:552-587).
+  *
+  * Scale: stats and postings are computed with hash aggregations
+  * (partial+final, map-side combine), never `groupByKey`; per-query
+  * IDF lookup touches only the query's terms; top-k is
+  * `TakeOrderedAndProject` or the bounded [[TopKAgg]].
+  */
+final class SearchIndex private (
+    val spark: SparkSession,
+    val spec: IndexSpec,
+    val docs: DataFrame,
+    val postings: DataFrame,
+    val stats: DataFrame,
+    val fieldStats: Map[String, FieldStats]) extends Serializable {
+
+  import SearchIndex._
+
+  private def analyzer(name: String): Analyzer = Analyzers(name)
+  private def queryAn: Analyzer = analyzer(spec.queryAnalyzer)
+  private def key: Column = col(spec.keyCol)
+
+  private def sim: (Column, Column, Double, Double) => Column = spec.similarity match {
+    case BM25(k1, b) =>
+      (tf, dl, idf, avgdl) =>
+        lit(idf) * (tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(avgdl)))
+    case TFIDF() =>
+      // classic TF-IDF with the same global IDF: sqrt(tf) * idf^2 / sqrt(dl)
+      (tf, dl, idf, _) => sqrt(tf) * lit(idf * idf) / sqrt(dl)
+  }
+
+  // ------------------------------------------------------------------
+  // compilation: AST -> (predicate Column, score Column)
+  // ------------------------------------------------------------------
+
+  /** Collects every (field, analyzed term) pair the query scores on. */
+  private def collectTerms(q: SearchQuery): Set[(String, String)] = q match {
+    case AllDocs => Set.empty
+    case And(l, r) => collectTerms(l) ++ collectTerms(r)
+    case Or(l, r) => collectTerms(l) ++ collectTerms(r)
+    case Not(inner) => collectTerms(inner)
+    case Should(inner) => collectTerms(inner)
+    case MatchTerm(f, t) => Set(f -> t)
+    case MatchText(f, t) => queryAn.analyze(t).map(f -> _).toSet
+    case MatchAllText(f, t) => queryAn.analyze(t).map(f -> _).toSet
+    case MatchPhrase(f, t) => queryAn.analyze(t).map(f -> _).toSet
+    case MatchAllTerms(f, ts) => ts.map(f -> _).toSet
+    case MatchAnyTerms(f, ts) => ts.map(f -> _).toSet
+    case MatchMin(f, _, ts) => ts.map(f -> _).toSet
+    case Parsed(f, s) => collectTerms(Parsed.desugar(f, s))
+    case _: SearchFilter => Set.empty
+  }
+
+  /** Global IDF for the given (field, term) pairs: one tiny action on
+    * the stats table (the engine analog of the reference's broadcast
+    * IDF map, BM25WithGlobalIDFSimilarity.scala:14-76). Terms absent
+    * from the corpus get df=0 → idf = log(1+(N+0.5)/0.5). */
+  def idfFor(pairs: Set[(String, String)]): Map[(String, String), Double] = {
+    if (pairs.isEmpty) return Map.empty
+    val byField = pairs.groupBy(_._1)
+    val found = byField.iterator.flatMap { case (f, ps) =>
+      stats
+        .where(col("field") === f && col("term").isin(ps.map(_._2).toSeq: _*))
+        .select(col("term"), col("df"))
+        .collect()
+        .map(r => (f, r.getString(0)) -> r.getLong(1))
+    }.toMap
+    pairs.iterator.map { p =>
+      val n = fieldStats(p._1).numDocs
+      val df = found.getOrElse(p, 0L).toDouble
+      p -> math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    }.toMap
+  }
+
+  private def tokensCol(field: String): Column = col(tokensColName(field))
+  private def dlCol(field: String): Column = col(dlColName(field))
+
+  /** tf of one term in one field of the current row. */
+  private def tfCol(field: String, term: String): Column =
+    if (spec.textFields.contains(field))
+      call_function("array_count_eq", tokensCol(field), lit(term))
+    else // keyword field: exact value match, tf 1
+      when(col(field) === lit(term), lit(1)).otherwise(lit(0))
+
+  private def termScore(field: String, term: String,
+      idf: Map[(String, String), Double]): (Column, Column) = {
+    val tf = tfCol(field, term)
+    val (dl, avgdl) =
+      if (spec.textFields.contains(field)) (dlCol(field).cast("double"), fieldStats(field).avgDl)
+      else (lit(1.0), 1.0)
+    val s = sim(tf.cast("double"), dl, idf(field -> term), avgdl)
+    (tf > 0, when(tf > 0, s).otherwise(lit(0.0)))
+  }
+
+  /** Compiles the AST to (match predicate, score expression). Both are
+    * pure Column expressions evaluated in whole-stage codegen; the
+    * only data-dependent inputs are the broadcast-small IDF literals. */
+  def compile(q: SearchQuery): (Column, Column) = {
+    val idf = idfFor(collectTerms(q))
+    compileWith(q, idf)
+  }
+
+  private def compileWith(q: SearchQuery,
+      idf: Map[(String, String), Double]): (Column, Column) = q match {
+    case AllDocs => (lit(true), lit(1.0))
+    case And(l, r) =>
+      val (pl, sl) = compileWith(l, idf); val (pr, sr) = compileWith(r, idf)
+      (pl && pr, sl + sr)
+    case Or(l, r) =>
+      val (pl, sl) = compileWith(l, idf); val (pr, sr) = compileWith(r, idf)
+      (pl || pr, sl + sr) // each side's score is already gated on its own match
+    case Not(inner) =>
+      val (p, _) = compileWith(inner, idf)
+      (!p, lit(0.0))
+    case Should(inner) =>
+      val (_, s) = compileWith(inner, idf)
+      (lit(true), s)
+    case MatchTerm(f, t) => termScore(f, t, idf)
+    case MatchText(f, t) => compileWith(MatchAnyTerms(f, queryAn.analyze(t)), idf)
+    case MatchAllText(f, t) => compileWith(MatchAllTerms(f, queryAn.analyze(t)), idf)
+    case MatchPhrase(f, t) =>
+      val terms = queryAn.analyze(t)
+      if (terms.isEmpty) (lit(false), lit(0.0))
+      else {
+        val tf = call_function("phrase_count", tokensCol(f),
+          array(terms.map(lit): _*)).cast("double")
+        val phraseIdf = terms.map(term => idf(f -> term)).sum
+        val s = sim(tf, dlCol(f).cast("double"), phraseIdf, fieldStats(f).avgDl)
+        (tf > 0, when(tf > 0, s).otherwise(lit(0.0)))
+      }
+    case MatchAllTerms(f, ts) =>
+      if (ts.isEmpty) (lit(true), lit(0.0))
+      else {
+        val parts = ts.map(t => termScore(f, t, idf))
+        (parts.map(_._1).reduceLeft(_ && _), parts.map(_._2).reduceLeft(_ + _))
+      }
+    case MatchAnyTerms(f, ts) =>
+      if (ts.isEmpty) (lit(false), lit(0.0))
+      else {
+        val parts = ts.map(t => termScore(f, t, idf))
+        (parts.map(_._1).reduceLeft(_ || _), parts.map(_._2).reduceLeft(_ + _))
+      }
+    case MatchMin(f, min, ts) =>
+      val parts = ts.map(t => termScore(f, t, idf))
+      val nMatched = parts.map(p => when(p._1, 1).otherwise(0)).reduceLeft(_ + _)
+      (nMatched >= min, parts.map(_._2).reduceLeft(_ + _))
+    case Parsed(f, s) => compileWith(Parsed.desugar(f, s), idf)
+    case EqFilter(f, v) => (col(f) === lit(v), lit(0.0))
+    case GtFilter(f, v) => (col(f) > lit(v), lit(0.0))
+    case GeFilter(f, v) => (col(f) >= lit(v), lit(0.0))
+    case LtFilter(f, v) => (col(f) < lit(v), lit(0.0))
+    case LeFilter(f, v) => (col(f) <= lit(v), lit(0.0))
+    case RangeFilter(f, lo, hi) => (col(f).between(lit(lo), lit(hi)), lit(0.0))
+    case InSetFilter(f, vs) => (col(f).isin(vs: _*), lit(0.0))
+    case ExistsFilter(f) => (col(f).isNotNull, lit(0.0))
+    case MissingFilter(f) => (col(f).isNull, lit(0.0))
+  }
+
+  // ------------------------------------------------------------------
+  // search surface (reference: SearchableRDD.scala:117-304)
+  // ------------------------------------------------------------------
+
+  /** Distributed top-k search: result stays a DataFrame (reference
+    * `search`, SearchableRDD.scala:153-156). Plan is scan → codegen'd
+    * predicate+score → TakeOrderedAndProject (per-partition heap +
+    * driver merge — the built-in replacement for the reference's
+    * treeAggregate 2-pointer merge, PartitionsIndexLuceneRDD.scala:
+    * 100-109). Ties break on ascending key for determinism. */
+  def search(q: SearchQuery, k: Int): DataFrame = {
+    val (pred, score) = compile(q)
+    docs
+      .withColumn("score", score)
+      .where(pred)
+      .drop(internalCols(spec): _*)
+      .orderBy(col("score").desc, key.asc)
+      .limit(k)
+  }
+
+  /** Global top-k collected to the driver (reference
+    * `aggregatingSearch`, SearchableRDD.scala:117-120). */
+  def aggregatingSearch(q: SearchQuery, k: Int): Array[(Row, Double)] =
+    search(q, k).collect().map(r => (r, r.getAs[Double]("score")))
+
+  /** Ids-only variant (reference `lightSearch`,
+    * SearchableRDD.scala:139-142; manual column pruning there —
+    * Catalyst's ColumnPruning makes this the same plan minus the
+    * row materialization). */
+  def lightSearch(q: SearchQuery, k: Int): DataFrame =
+    search(q, k).select(key, col("score"))
+
+  /** Early-projection variant (reference
+    * `searchWithResultsTransformer`, SearchableRDD.scala:127-131). */
+  def searchWithResultsTransformer(q: SearchQuery, k: Int, cols: Column*): DataFrame =
+    search(q, k).select(cols :+ col("score"): _*)
+
+  /** Point lookups by key (reference getElement/getElements,
+    * SearchableRDD.scala:301-304 — there a targeted single-partition
+    * runJob; here a key-predicate scan that prunes via min/max
+    * statistics, or O(1) partitions if the corpus is bucketed by key). */
+  def getElements(keys: Seq[Any]): DataFrame =
+    docs.where(key.isin(keys: _*)).drop(internalCols(spec): _*)
+
+  // ------------------------------------------------------------------
+  // corpus statistics (reference: SearchableRDD.scala:310-330)
+  // ------------------------------------------------------------------
+
+  /** Docs-per-field counts (reference getDocumentCounts,
+    * LuceneIndex.scala:129-140). */
+  def getDocumentCounts: DataFrame = {
+    val perField = spec.textFields.map { f =>
+      docs.select(lit(f).as("field"),
+        when(size(tokensCol(f)) > 0, col(spec.keyCol)).as("k"))
+    } ++ spec.keywordFields.map { f =>
+      docs.select(lit(f).as("field"), when(col(f).isNotNull, col(spec.keyCol)).as("k"))
+    }
+    perField.reduceLeft(_ unionAll _)
+      .groupBy(col("field")).agg(count(col("k")).as("n_docs"))
+  }
+
+  /** Full term dictionary with total term frequencies (reference
+    * getTermCounts, LuceneIndex.scala:147-183). */
+  def getTermCounts: DataFrame = stats.select(col("field"), col("term"), col("cf"))
+
+  /** Per-term global IDF (reference getTermIDFs, IDFUtils.scala:9-28). */
+  def getTermIDFs: DataFrame = {
+    val n = fieldStatsDf
+    stats.join(broadcast(n), "field")
+      .select(col("field"), col("term"),
+        log(lit(1.0) + (col("num_docs") - col("df") + 0.5) / (col("df") + 0.5)).as("idf"))
+  }
+
+  /** Index metadata (reference getIndicesInfo, IndicesInfo.scala:6-34). */
+  def getIndicesInfo: DataFrame =
+    stats.groupBy(col("field"))
+      .agg(countDistinct(col("term")).as("num_terms"), sum(col("cf")).as("total_terms"))
+      .join(broadcast(fieldStatsDf), "field")
+      .select(col("field"), col("num_docs"), col("num_terms"), col("total_terms"),
+        round(col("avg_dl"), 6).as("avg_dl"))
+
+  private def fieldStatsDf: DataFrame = {
+    import spark.implicits._
+    fieldStats.toSeq.map { case (f, s) => (f, s.numDocs, s.avgDl) }
+      .toDF("field", "num_docs", "avg_dl")
+  }
+
+  // ------------------------------------------------------------------
+  // batch search + query join (reference: SearchableRDD.scala:194-298)
+  // ------------------------------------------------------------------
+
+  /** Batch search over a DataFrame of flat term queries
+    * (reference batchSearch, SearchableRDD.scala:194-197 — there N
+    * queries probe every index shard; here one postings equi-join
+    * serves all queries in a single shuffle, and per-query top-k is
+    * the bounded [[TopKAgg]] instead of the reference's
+    * `groupByKey` + sort FIXME, DistributedIndexLuceneRDD.scala:160).
+    *
+    * @param queries (qid: long, field: string, terms: array<string>,
+    *   min_match: int) — min_match <= 0 means ALL terms required,
+    *   1 = ANY, n = at least n (MatchMin semantics)
+    * @return (qid, rank, key, score) — rank 1..k by score desc, key asc
+    */
+  def batchSearch(queries: DataFrame, k: Int): DataFrame =
+    batchSearchRaw(queries, k, None)
+
+  /** Query join — the flagship search/similarity join (reference
+    * queryJoin, SearchableRDD.scala:257-298, PartitionsIndexLuceneRDD.
+    * scala:265-400): for each left row, generate a term query and
+    * retrieve its top-k matches from this index.
+    *
+    * The reference ships every query batch to every index shard via
+    * `cartesian` (PartitionsIndexLuceneRDD.scala:273); here queries
+    * flow through the same postings equi-join as [[batchSearch]] — a
+    * plain shuffle join on term, no Q×I blowup, skew handled by AQE.
+    *
+    * @param left left DataFrame
+    * @param qidCol stable key column of `left`
+    * @param termsCol expression producing the query's terms array
+    * @param field indexed field to search
+    * @param excludeSelf drop hits whose key equals the query's qid
+    *   (self-join convention, examples/SearchableRDDExamples.scala:68-74)
+    */
+  def queryJoin(left: DataFrame, qidCol: String, termsCol: Column, field: String,
+      k: Int, minMatch: Int = 1, excludeSelf: Boolean = false): DataFrame = {
+    val queries = left.select(col(qidCol).as("qid"), termsCol.as("terms"))
+      .withColumn("field", lit(field))
+      .withColumn("min_match", lit(minMatch))
+    val hits0 = batchSearchRaw(queries, k, if (excludeSelf) Some(col("qid") =!= col("key")) else None)
+    left.join(hits0, left(qidCol) === hits0("qid")).drop("qid")
+  }
+
+  /** batchSearch with an optional pre-top-k hit predicate. */
+  private def batchSearchRaw(queries: DataFrame, k: Int,
+      hitFilter: Option[Column]): DataFrame = {
+    val base = batchSearchPerDoc(queries)
+    val filtered = hitFilter.map(base.where).getOrElse(base)
+    val topk = TopKAgg.topk(k)
+    filtered
+      .groupBy(col("qid"))
+      .agg(topk(col("key"), col("score")).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("hit.key").as("key"), col("hit.score").as("score"))
+  }
+
+  /** Shared per-(query, doc) scoring stage of the batch path. */
+  private def batchSearchPerDoc(queries: DataFrame): DataFrame = {
+    val qterms = queries
+      .withColumn("n_terms", size(col("terms")))
+      .select(col("qid"), col("field"), col("min_match"), col("n_terms"),
+        explode(col("terms")).as("term"))
+    val withIdf = qterms
+      .join(stats.select(col("field"), col("term"), col("df")), Seq("field", "term"), "left")
+      .na.fill(0L, Seq("df"))
+      .join(broadcast(fieldStatsDf), "field")
+      .withColumn("idf",
+        log(lit(1.0) + (col("num_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .select("qid", "field", "term", "min_match", "n_terms", "idf", "avg_dl")
+    val bm = spec.similarity match {
+      case BM25(k1, b) =>
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avg_dl")))
+      case TFIDF() =>
+        sqrt(col("tf")) * (col("idf") * col("idf")) / sqrt(col("dl"))
+    }
+    postings
+      .join(broadcast(withIdf), Seq("field", "term"))
+      .withColumn("term_score", bm)
+      .groupBy(col("qid"), col("key"))
+      .agg(sum(col("term_score")).as("score"),
+        count(lit(1)).as("n_matched"),
+        first(col("min_match")).as("min_match"),
+        first(col("n_terms")).as("n_terms"))
+      .where(
+        when(col("min_match") <= 0, col("n_matched") === col("n_terms"))
+          .otherwise(col("n_matched") >= col("min_match")))
+      .select(col("qid"), col("key"), col("score"))
+  }
+
+  def unpersist(): Unit = {
+    docs.unpersist()
+    postings.unpersist()
+    stats.unpersist()
+  }
+}
+
+object SearchIndex {
+
+  private[search] def tokensColName(field: String) = s"__tokens_$field"
+  private[search] def dlColName(field: String) = s"__dl_$field"
+  private[search] def internalCols(spec: IndexSpec): Seq[String] =
+    spec.textFields.flatMap(f => Seq(tokensColName(f), dlColName(f)))
+
+  /** Builds the index: tokenized corpus + postings + global term
+    * stats (reference analog: the `apply` factories,
+    * PartitionsIndexLuceneRDD.scala:582-617 /
+    * DistributedIndexLuceneRDD.scala:509-548; the global-stats pass
+    * mirrors fromStoreableWithGlobalIDF,
+    * DistributedIndexLuceneRDD.scala:552-587, done as one DataFrame
+    * aggregation instead of driver-side treeReduce).
+    *
+    * Cost model at scale: one scan to tokenize (cached), one shuffle
+    * to build postings (by field+term+key), one partial-aggregated
+    * shuffle for stats, plus one small collect for per-field numDocs
+    * and avgdl. All downstream queries reuse the cached artifacts.
+    */
+  def build(df: DataFrame, spec: IndexSpec,
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): SearchIndex = {
+    val spark = df.sparkSession
+    SearchExpressions.register(spark)
+    val an = Analyzers(spec.indexAnalyzer)
+
+    var docs = df
+    spec.textFields.foreach { f =>
+      docs = docs
+        .withColumn(tokensColName(f), an.tokensCol(col(f)))
+        .withColumn(dlColName(f), size(col(tokensColName(f))))
+    }
+    docs = docs.persist(storageLevel)
+
+    val perFieldPostings = spec.textFields.map { f =>
+      docs.select(
+        lit(f).as("field"),
+        explode(col(tokensColName(f))).as("term"),
+        col(spec.keyCol).as("key"),
+        col(dlColName(f)).as("dl"))
+    } ++ spec.keywordFields.map { f =>
+      docs.where(col(f).isNotNull).select(
+        lit(f).as("field"),
+        col(f).cast("string").as("term"),
+        col(spec.keyCol).as("key"),
+        lit(1).as("dl"))
+    }
+    val postings = perFieldPostings.reduceLeft(_ unionAll _)
+      .groupBy(col("field"), col("term"), col("key"), col("dl"))
+      .agg(count(lit(1)).cast("int").as("tf"))
+      .persist(storageLevel)
+
+    val stats = postings
+      .groupBy(col("field"), col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .persist(storageLevel)
+
+    // per-field numDocs + avgdl in ONE small action — the analog of
+    // the reference's build-time stats treeReduce
+    // (DistributedIndexLuceneRDD.scala:574-575). N for text-field IDF
+    // is the corpus row count (documented deviation: the reference
+    // uses per-field doc counts; for the corpora here every doc has
+    // the text field, so the two agree).
+    val fieldStats: Map[String, FieldStats] = {
+      val aggExprs: Seq[Column] =
+        Seq(count(lit(1)).as("__n")) ++
+          spec.textFields.map(f =>
+            coalesce(avg(size(col(tokensColName(f)))), lit(0.0)).as(s"__avgdl_$f")) ++
+          spec.keywordFields.map(f => count(col(f)).as(s"__n_$f"))
+      val r = docs.agg(aggExprs.head, aggExprs.tail: _*).head()
+      val n = r.getAs[Long]("__n")
+      val text = spec.textFields.map(f => f -> FieldStats(n, r.getAs[Double](s"__avgdl_$f")))
+      val kw = spec.keywordFields.map(f => f -> FieldStats(r.getAs[Long](s"__n_$f"), 1.0))
+      (text ++ kw).toMap
+    }
+
+    new SearchIndex(spark, spec, docs, postings, stats, fieldStats)
+  }
+}

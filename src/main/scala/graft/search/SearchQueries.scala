@@ -1,0 +1,432 @@
+package graft.search
+
+import graft.dsl._
+import graft.dsl.builders._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SparkEntry query entries for the search surface (SURVEY §2.2/§2.3),
+  * each with a DuckDB oracle that recomputes BM25 from first
+  * principles over the same tokenization
+  * (`lower` + split `[^a-z0-9]+`), so score values hash-match.
+  *
+  * The SearchIndex for a given sf dir is built once and cached
+  * (build-once / query-many, like the reference's persisted
+  * SearchableRDD); Verify/Bench invoke many entries against the same
+  * corpus.
+  */
+object SearchQueries {
+
+  private val K1 = 1.2
+  private val B = 0.75
+
+  private val spec = IndexSpec(
+    keyCol = "doc_id",
+    textFields = Seq("text"),
+    keywordFields = Seq("lang", "source"),
+    similarity = BM25(K1, B))
+
+  private val cache = scala.collection.mutable.Map.empty[String, SearchIndex]
+
+  def indexFor(spark: SparkSession, dir: String): SearchIndex = cache.synchronized {
+    cache.getOrElseUpdate(dir,
+      SearchIndex.build(spark.read.parquet(s"$dir/documents.parquet"), spec))
+  }
+
+  private def topkOut(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), round(col("score"), 4).as("score"))
+
+  // ------------------------------------------------------------------
+  // oracle SQL generation
+  // ------------------------------------------------------------------
+
+  /** Tokenization + corpus stats CTE prefix shared by all oracles. */
+  private val toksCte =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tokens
+      |  FROM documents
+      |), st AS (SELECT count(*) AS n, avg(len(tokens)) AS avgdl FROM toks)""".stripMargin
+
+  private def tfSql(term: String) = s"len(list_filter(tokens, x -> x = '$term'))"
+  private def dfSql(term: String) =
+    s"(SELECT count(*) FROM toks WHERE list_contains(tokens, '$term'))"
+  private def idfSql(dfExpr: String) = s"ln(1 + (n - $dfExpr + 0.5) / ($dfExpr + 0.5))"
+  private def bm25Sql(tf: String, idf: String) =
+    s"CASE WHEN $tf > 0 THEN $idf * ($tf * ${K1 + 1.0}) / ($tf + $K1 * (${1.0 - B} + $B * dl / avgdl)) ELSE 0.0 END"
+
+  /** Oracle for a flat term query over `text`: per-term BM25 columns
+    * summed in fixed order (matching the Spark expression's
+    * left-to-right association), semantics by matched-term count. */
+  private def termQueryOracle(terms: Seq[String], minMatch: Int, k: Int,
+      extraWhere: String = "", extraScore: String = ""): String = {
+    val tfCols = terms.zipWithIndex
+      .map { case (t, i) => s"${tfSql(t)} AS tf_$i" }.mkString(",\n    ")
+    val dfCols = terms.zipWithIndex
+      .map { case (t, i) => s"${dfSql(t)} AS df_$i" }.mkString(",\n    ")
+    val scoreSum = terms.indices
+      .map(i => bm25Sql(s"tf_$i", idfSql(s"df_$i"))).mkString(" + ")
+    val nm = terms.indices.map(i => s"(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    val sem =
+      if (minMatch <= 0) s"nm = ${terms.size}"
+      else s"nm >= $minMatch"
+    s"""$toksCte,
+       |dfs AS (
+       |  SELECT
+       |    $dfCols
+       |  FROM (SELECT 1)
+       |), scored AS (
+       |  SELECT t.doc_id, t.lang, t.source, t.n_chars, len(t.tokens) AS dl, st.n, st.avgdl, dfs.*,
+       |    $tfCols
+       |  FROM toks t, st, dfs
+       |), s2 AS (
+       |  SELECT *, $scoreSum $extraScore AS score, $nm AS nm
+       |  FROM scored
+       |)
+       |SELECT doc_id, round(score, 4) AS score FROM s2
+       |WHERE $sem$extraWhere
+       |ORDER BY score DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // entries
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // single-term BM25 top-k (the README's flagship shape,
+    // reference README.md:127-137)
+    "search_topk" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search("text" matchAny termSet("spark"), 10))),
+
+    // multi-term OR
+    "search_any" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search("text" matchAny termSet("spark", "join", "window"), 10))),
+
+    // all terms required
+    "search_all" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search("text" matchAllText "spark join", 10))),
+
+    // at least 2 of 3
+    "search_min2" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search("text".matchMin(2, termSet("spark", "join", "window")), 10))),
+
+    // positional phrase
+    "search_phrase" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search("text" matchPhrase "batch batch", 10))),
+
+    // scored text match AND'd with non-scoring filters (Occur.FILTER
+    // discipline: score must equal the unfiltered text score)
+    "search_filtered" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search(
+        ("text" matchAny termSet("spark", "join")) &&
+          ("lang" === "en") && ("n_chars" in range(100L, 400L)), 10))),
+
+    // keyword-field scoring: MatchTerm on an un-analyzed field
+    "search_keyword" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search(
+        ("lang" matchTerm "fr") && ("text" matchAny termSet("vector")), 10))),
+
+    // negation: all && not(term) — constant score 1.0
+    "search_negated" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search(all && Not("text" matchTerm "spark"), 20))),
+
+    // mini query-parser syntax: +required optional -excluded
+    "search_raw" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search("text" parseQuery "+spark join -window", 10))),
+
+    // ids-only light search
+    "search_light" -> ((s, dir) =>
+      indexFor(s, dir).lightSearch("text" matchAny termSet("stream"), 10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
+
+    // projection-transformer search
+    "search_transform" -> ((s, dir) =>
+      indexFor(s, dir)
+        .searchWithResultsTransformer("text" matchAny termSet("hash"), 10,
+          col("doc_id"), col("lang"), col("n_chars"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("score"), 4).as("score"))),
+
+    // point lookup
+    "get_elements" -> ((s, dir) =>
+      indexFor(s, dir).getElements(Seq(1L, 5L, 10L, 100L))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    // corpus statistics
+    "doc_counts" -> ((s, dir) =>
+      indexFor(s, dir).getDocumentCounts.orderBy("field")),
+
+    "term_counts" -> ((s, dir) =>
+      indexFor(s, dir).getTermCounts.orderBy("field", "term")),
+
+    "term_idfs" -> ((s, dir) =>
+      indexFor(s, dir).getTermIDFs
+        .select(col("field"), col("term"), round(col("idf"), 6).as("idf"))
+        .orderBy("field", "term")),
+
+    "indices_info" -> ((s, dir) =>
+      indexFor(s, dir).getIndicesInfo.orderBy("field")),
+
+    // batch search: 4 queries in one postings pass + bounded topk_agg
+    "batch_search" -> ((s, dir) => {
+      val idx = indexFor(s, dir)
+      import s.implicits._
+      val queries = Seq(
+        (0L, "text", Seq("spark", "join"), 1),
+        (1L, "text", Seq("window", "batch"), 1),
+        (2L, "text", Seq("merge", "sort", "hash"), 2),
+        (3L, "text", Seq("vector"), 1))
+        .toDF("qid", "field", "terms", "min_match")
+      idx.batchSearch(queries, 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("key"), round(col("score"), 4).as("score"))
+        .orderBy("qid", "rank")
+    }),
+
+    // query join: self similarity join, query = first 5 distinct
+    // tokens of each left doc (reference examples/
+    // SearchableRDDExamples.scala:68-74 shape)
+    "query_join" -> ((s, dir) => {
+      val idx = indexFor(s, dir)
+      val left = idx.docs.where(col("doc_id") < 20)
+      idx.queryJoin(left, "doc_id",
+          array_distinct(slice(col(SearchIndex.tokensColName("text")), 1, 5)),
+          "text", k = 3, minMatch = 1, excludeSelf = true)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("key"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id", "rank")
+    })
+  )
+
+  private val postsCte =
+    """posts AS (
+      |  SELECT doc_id, dl, term, count(*) AS tf
+      |  FROM (SELECT doc_id, len(tokens) AS dl, unnest(tokens) AS term FROM toks)
+      |  GROUP BY 1, 2, 3
+      |), dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term)""".stripMargin
+
+  private def batchOracle(qtValues: String, k: Int, excludeSelf: Boolean,
+      outCols: String): String = {
+    val selfFilter = if (excludeSelf) " AND p.doc_id <> q.qid" else ""
+    s"""$toksCte,
+       |$postsCte,
+       |qt(qid, term, min_match, n_terms) AS (VALUES $qtValues),
+       |scored AS (
+       |  SELECT q.qid, p.doc_id, any_value(q.min_match) AS min_match,
+       |    any_value(q.n_terms) AS n_terms,
+       |    sum(ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) * (p.tf * ${K1 + 1.0})
+       |        / (p.tf + $K1 * (${1.0 - B} + $B * p.dl / st.avgdl))) AS score,
+       |    count(*) AS nm
+       |  FROM qt q
+       |  JOIN posts p USING (term)
+       |  JOIN dfs d USING (term), st
+       |  WHERE 1=1$selfFilter
+       |  GROUP BY 1, 2
+       |), sel AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored
+       |  WHERE CASE WHEN min_match <= 0 THEN nm = n_terms ELSE nm >= min_match END
+       |)
+       |SELECT $outCols, rank, doc_id AS key, round(score, 4) AS score
+       |FROM sel WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "search_topk" -> termQueryOracle(Seq("spark"), 1, 10),
+    "search_any" -> termQueryOracle(Seq("spark", "join", "window"), 1, 10),
+    "search_all" -> termQueryOracle(Seq("spark", "join"), 0, 10),
+    "search_min2" -> termQueryOracle(Seq("spark", "join", "window"), 2, 10),
+
+    "search_phrase" -> {
+      // phrase tf = count of starting positions; phrase idf = sum of
+      // constituent term idfs (2 * idf(batch) here)
+      s"""$toksCte,
+         |dfs AS (SELECT ${dfSql("batch")} AS df_b FROM (SELECT 1)),
+         |scored AS (
+         |  SELECT t.doc_id, len(t.tokens) AS dl, st.n, st.avgdl, dfs.df_b,
+         |    len(list_filter(range(1, len(t.tokens)),
+         |        i -> t.tokens[i] = 'batch' AND t.tokens[i + 1] = 'batch')) AS tf_p
+         |  FROM toks t, st, dfs
+         |), s2 AS (
+         |  SELECT *, CASE WHEN tf_p > 0
+         |    THEN (${idfSql("df_b")} + ${idfSql("df_b")}) * (tf_p * ${K1 + 1.0})
+         |         / (tf_p + $K1 * (${1.0 - B} + $B * dl / avgdl))
+         |    ELSE 0.0 END AS score
+         |  FROM scored
+         |)
+         |SELECT doc_id, round(score, 4) AS score FROM s2
+         |WHERE tf_p > 0
+         |ORDER BY score DESC, doc_id
+         |LIMIT 10""".stripMargin
+    },
+
+    "search_filtered" -> termQueryOracle(Seq("spark", "join"), 1, 10,
+      extraWhere = " AND lang = 'en' AND n_chars BETWEEN 100 AND 400"),
+
+    "search_keyword" -> {
+      // keyword term score = idf over the lang field (tf=1, dl=1,
+      // avgdl=1 → BM25 collapses to idf); text term scored normally;
+      // both required (AND)
+      s"""$toksCte,
+         |kw AS (
+         |  SELECT count(*) AS n_lang,
+         |    (SELECT count(*) FROM documents WHERE lang = 'fr') AS df_fr
+         |  FROM documents WHERE lang IS NOT NULL
+         |), dfs AS (SELECT ${dfSql("vector")} AS df_v FROM (SELECT 1)),
+         |scored AS (
+         |  SELECT t.doc_id, t.lang, len(t.tokens) AS dl, st.n, st.avgdl, dfs.df_v, kw.n_lang, kw.df_fr,
+         |    ${tfSql("vector")} AS tf_v
+         |  FROM toks t, st, dfs, kw
+         |), s2 AS (
+         |  SELECT *,
+         |    (CASE WHEN lang = 'fr' THEN ln(1 + (n_lang - df_fr + 0.5) / (df_fr + 0.5))
+         |      * (1 * ${K1 + 1.0}) / (1 + $K1 * (${1.0 - B} + $B * 1.0 / 1.0)) ELSE 0.0 END)
+         |    + ${bm25Sql("tf_v", idfSql("df_v"))} AS score
+         |  FROM scored
+         |)
+         |SELECT doc_id, round(score, 4) AS score FROM s2
+         |WHERE lang = 'fr' AND tf_v > 0
+         |ORDER BY score DESC, doc_id
+         |LIMIT 10""".stripMargin
+    },
+
+    "search_negated" ->
+      s"""$toksCte
+         |SELECT doc_id, 1.0 AS score FROM toks
+         |WHERE NOT list_contains(tokens, 'spark')
+         |ORDER BY doc_id
+         |LIMIT 20""".stripMargin,
+
+    "search_raw" -> {
+      // +spark join -window: spark required, join optional-scoring,
+      // window excluded
+      s"""$toksCte,
+         |dfs AS (
+         |  SELECT ${dfSql("spark")} AS df_0, ${dfSql("join")} AS df_1 FROM (SELECT 1)
+         |), scored AS (
+         |  SELECT t.doc_id, len(t.tokens) AS dl, st.n, st.avgdl, dfs.*,
+         |    ${tfSql("spark")} AS tf_0, ${tfSql("join")} AS tf_1,
+         |    ${tfSql("window")} AS tf_x
+         |  FROM toks t, st, dfs
+         |), s2 AS (
+         |  SELECT *, ${bm25Sql("tf_0", idfSql("df_0"))} + ${bm25Sql("tf_1", idfSql("df_1"))} AS score
+         |  FROM scored
+         |)
+         |SELECT doc_id, round(score, 4) AS score FROM s2
+         |WHERE tf_0 > 0 AND NOT tf_x > 0
+         |ORDER BY score DESC, doc_id
+         |LIMIT 10""".stripMargin
+    },
+
+    "search_light" -> termQueryOracle(Seq("stream"), 1, 10),
+
+    "search_transform" -> {
+      val inner = termQueryOracle(Seq("hash"), 1, 10)
+      s"""WITH res AS ($inner)
+         |SELECT res.doc_id, d.lang, d.n_chars, res.score
+         |FROM res JOIN documents d USING (doc_id)
+         |ORDER BY res.score DESC, res.doc_id""".stripMargin
+    },
+
+    "get_elements" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (1, 5, 10, 100)
+        |ORDER BY doc_id""".stripMargin,
+
+    "doc_counts" ->
+      s"""$toksCte
+         |SELECT 'lang' AS field, count(lang) AS n_docs FROM documents
+         |UNION ALL
+         |SELECT 'source', count(source) FROM documents
+         |UNION ALL
+         |SELECT 'text', count(*) FROM toks WHERE len(tokens) > 0
+         |ORDER BY field""".stripMargin,
+
+    "term_counts" ->
+      s"""$toksCte
+         |SELECT 'text' AS field, term, count(*) AS cf
+         |FROM (SELECT unnest(tokens) AS term FROM toks) GROUP BY term
+         |UNION ALL
+         |SELECT 'lang', lang, count(*) FROM documents WHERE lang IS NOT NULL GROUP BY lang
+         |UNION ALL
+         |SELECT 'source', source, count(*) FROM documents WHERE source IS NOT NULL GROUP BY source
+         |ORDER BY field, term""".stripMargin,
+
+    "term_idfs" ->
+      s"""$toksCte,
+         |text_df AS (
+         |  SELECT term, count(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, unnest(tokens) AS term FROM toks) GROUP BY term
+         |), lang_df AS (
+         |  SELECT lang AS term, count(*) AS df FROM documents WHERE lang IS NOT NULL GROUP BY lang
+         |), source_df AS (
+         |  SELECT source AS term, count(*) AS df FROM documents WHERE source IS NOT NULL GROUP BY source
+         |), nn AS (
+         |  SELECT (SELECT count(*) FROM documents) AS n_total,
+         |    (SELECT count(lang) FROM documents) AS n_lang,
+         |    (SELECT count(source) FROM documents) AS n_source
+         |)
+         |SELECT field, term, round(idf, 6) AS idf FROM (
+         |  SELECT 'text' AS field, term, ln(1 + (nn.n_total - df + 0.5) / (df + 0.5)) AS idf FROM text_df, nn
+         |  UNION ALL
+         |  SELECT 'lang', term, ln(1 + (nn.n_lang - df + 0.5) / (df + 0.5)) FROM lang_df, nn
+         |  UNION ALL
+         |  SELECT 'source', term, ln(1 + (nn.n_source - df + 0.5) / (df + 0.5)) FROM source_df, nn
+         |)
+         |ORDER BY field, term""".stripMargin,
+
+    "indices_info" ->
+      s"""$toksCte,
+         |text_stats AS (
+         |  SELECT count(DISTINCT term) AS num_terms, count(*) AS total_terms
+         |  FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+         |), tstat AS (SELECT n, avgdl FROM st)
+         |SELECT 'lang' AS field, (SELECT count(lang) FROM documents) AS num_docs,
+         |  (SELECT count(DISTINCT lang) FROM documents) AS num_terms,
+         |  (SELECT count(lang) FROM documents) AS total_terms, 1.0 AS avg_dl
+         |UNION ALL
+         |SELECT 'source', (SELECT count(source) FROM documents),
+         |  (SELECT count(DISTINCT source) FROM documents),
+         |  (SELECT count(source) FROM documents), 1.0
+         |UNION ALL
+         |SELECT 'text', tstat.n, text_stats.num_terms, text_stats.total_terms,
+         |  round(tstat.avgdl, 6)
+         |FROM tstat, text_stats
+         |ORDER BY field""".stripMargin,
+
+    "batch_search" -> batchOracle(
+      "(0, 'spark', 1, 2), (0, 'join', 1, 2), (1, 'window', 1, 2), (1, 'batch', 1, 2), " +
+        "(2, 'merge', 2, 3), (2, 'sort', 2, 3), (2, 'hash', 2, 3), (3, 'vector', 1, 1)",
+      k = 5, excludeSelf = false, outCols = "qid"),
+
+    "query_join" -> {
+      s"""$toksCte,
+         |$postsCte,
+         |lefts AS (SELECT doc_id AS qid, list_distinct(tokens[1:5]) AS qterms FROM toks WHERE doc_id < 20),
+         |qt AS (
+         |  SELECT qid, unnest(qterms) AS term, 1 AS min_match, len(qterms) AS n_terms FROM lefts
+         |),
+         |scored AS (
+         |  SELECT q.qid, p.doc_id, any_value(q.min_match) AS min_match,
+         |    any_value(q.n_terms) AS n_terms,
+         |    sum(ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) * (p.tf * ${K1 + 1.0})
+         |        / (p.tf + $K1 * (${1.0 - B} + $B * p.dl / st.avgdl))) AS score,
+         |    count(*) AS nm
+         |  FROM qt q
+         |  JOIN posts p USING (term)
+         |  JOIN dfs d USING (term), st
+         |  WHERE p.doc_id <> q.qid
+         |  GROUP BY 1, 2
+         |), sel AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored WHERE nm >= min_match
+         |)
+         |SELECT sel.qid AS doc_id, sel.rank, sel.doc_id AS key, round(sel.score, 4) AS score
+         |FROM sel WHERE rank <= 3
+         |ORDER BY sel.qid, sel.rank""".stripMargin
+    }
+  )
+}
