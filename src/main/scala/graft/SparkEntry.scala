@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.RelationalQueries.queries ++
-      search.SearchQueries.queries
+      search.SearchQueries.queries ++
+      pipeline.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.RelationalQueries.oracles ++
-      search.SearchQueries.oracles
+      search.SearchQueries.oracles ++
+      pipeline.PipelineQueries.oracles
 }

@@ -1,0 +1,187 @@
+package graft.pipeline
+
+import graft.analysis.Analyzers
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * No reference analog (the reference is a search engine); these are
+  * the operators the task brief adds on top of SURVEY §2. All are
+  * built shuffle-native for 100 TB:
+  *
+  *  - exact / normalized dedup: one hash `groupBy` (window over the
+  *    hash), never an all-pairs compare;
+  *  - MinHash+LSH: shingle → 16 md5-minhash signatures → 4 bands →
+  *    band-bucket equi-join for candidates → exact Jaccard verify.
+  *    Candidate generation is an equi-join on (band, bucket-hash), so
+  *    cost scales with actual collisions, not n²;
+  *  - n-gram Jaccard: candidates share at least one 5-shingle
+  *    (inverted-index join), verified on the full shingle sets;
+  *  - SimHash: 32-bit fingerprint via postings aggregation; near-dup
+  *    pairs by byte-banding + Hamming-distance verify;
+  *  - embedding near-dup: label-blocked cosine pairs (blocking key
+  *    keeps the join co-partitioned; swap in LSH buckets when no
+  *    natural blocking key exists — see [[Similarity]]).
+  *
+  * Hashes are md5 (Spark's codegen'd `md5`) so DuckDB oracles can
+  * recompute identical signatures.
+  */
+object Dedup {
+
+  private def toks(c: Column): Column = Analyzers.default.tokensCol(c)
+
+  /** Distinct n-token shingles joined by single spaces; empty array
+    * when the doc has fewer than n tokens. */
+  def shingles(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      array_distinct(transform(sequence(lit(1), size(tokens) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(tokens, i + o)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** MinHash signature i of a shingle set: lexicographic min of
+    * md5("<i>:" + shingle). */
+  private def minhashSig(ss: Column, i: Int): Column =
+    array_min(transform(ss, s => md5(concat(lit(s"$i:"), s))))
+
+  private def docTokens(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), toks(col("text")).as("tokens"))
+
+  /** Exact dedup by full-content hash: every doc mapped to the
+    * smallest doc_id sharing its md5(text). */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("h"))
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .select(col("doc_id"), min(col("doc_id")).over(w).as("canonical_id"),
+        count(lit(1)).over(w).as("group_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Normalized ("bag-of-words") dedup: hash of the sorted distinct
+    * token set — catches reordered/duplicated-token copies. */
+  def normalized(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("h"))
+    docTokens(spark, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(col("tokens"))))).as("h"))
+      .select(col("doc_id"), min(col("doc_id")).over(w).as("canonical_id"),
+        count(lit(1)).over(w).as("group_size"))
+      .orderBy("doc_id")
+  }
+
+  /** MinHash+LSH near-dup pairs: 16 signatures, 4 bands x 4 rows,
+    * verified 3-shingle Jaccard >= `threshold`. */
+  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    val sh = docTokens(spark, dir)
+      .select(col("doc_id"), shingles(col("tokens"), 3).as("ss"))
+      .where(size(col("ss")) > 0)
+    val sigCols = (0 until 16).map(i => minhashSig(col("ss"), i).as(s"sig_$i"))
+    val sigs = sh.select(col("doc_id") +: sigCols: _*)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until 4).map(r => col(s"sig_${b * 4 + r}")): _*)).as("bh"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    val a = bands.select(col("doc_id").as("x"), col("band"), col("bh"))
+    val b = bands.select(col("doc_id").as("y"), col("band"), col("bh"))
+    val cand = a.join(b, Seq("band", "bh")).where(col("x") < col("y"))
+      .select("x", "y").distinct()
+    val sa = sh.select(col("doc_id").as("x"), col("ss").as("ssx"))
+    val sb = sh.select(col("doc_id").as("y"), col("ss").as("ssy"))
+    cand.join(sa, "x").join(sb, "y")
+      .withColumn("jaccard",
+        size(array_intersect(col("ssx"), col("ssy"))).cast("double") /
+          size(array_union(col("ssx"), col("ssy"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("x").as("doc_a"), col("y").as("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** n-gram Jaccard near-dup: candidates share >= 1 exact 5-shingle
+    * (posting-style equi-join), verified 5-shingle Jaccard. */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    val sh = docTokens(spark, dir)
+      .select(col("doc_id"), shingles(col("tokens"), 5).as("ss"))
+      .where(size(col("ss")) > 0)
+    val inv = sh.select(col("doc_id"), explode(col("ss")).as("s"))
+    val cand = inv.select(col("doc_id").as("x"), col("s"))
+      .join(inv.select(col("doc_id").as("y"), col("s")), "s")
+      .where(col("x") < col("y"))
+      .select("x", "y").distinct()
+    val sa = sh.select(col("doc_id").as("x"), col("ss").as("ssx"))
+    val sb = sh.select(col("doc_id").as("y"), col("ss").as("ssy"))
+    cand.join(sa, "x").join(sb, "y")
+      .withColumn("jaccard",
+        size(array_intersect(col("ssx"), col("ssy"))).cast("double") /
+          size(array_union(col("ssx"), col("ssy"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("x").as("doc_a"), col("y").as("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 32-bit SimHash fingerprint per document, computed from the
+    * term-frequency postings (one explode + one groupBy with 32
+    * partial-aggregated bit sums — no per-doc UDF state). */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val posts = docTokens(spark, dir)
+      .select(col("doc_id"), explode(col("tokens")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("h", conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"))
+    val bitSums = (0 until 32).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"bs_$j")
+    }
+    posts.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until 32).map(j => when(col(s"bs_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduceLeft[Column](_ + _))
+      .select(col("doc_id"), col("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs: byte-banding (4 bytes; near-dups must
+    * share at least one byte by pigeonhole when Hamming <= 7 in the
+    * colliding byte layout) + Hamming verify <= `maxHamming`. */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
+    val sims = simhash(spark, dir)
+    val byByte = sims.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("byte_pos"),
+            shiftright(col("simhash"), b * 8).bitwiseAND(255).as("byte_val"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.byte_pos").as("byte_pos"), col("bb.byte_val").as("byte_val"))
+    val a = byByte.select(col("doc_id").as("x"), col("simhash").as("sx"),
+      col("byte_pos"), col("byte_val"))
+    val b = byByte.select(col("doc_id").as("y"), col("simhash").as("sy"),
+      col("byte_pos"), col("byte_val"))
+    a.join(b, Seq("byte_pos", "byte_val")).where(col("x") < col("y"))
+      .select("x", "y", "sx", "sy").distinct()
+      .withColumn("hamming", bit_count(col("sx").bitwiseXOR(col("sy"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("x").as("doc_a"), col("y").as("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding near-dup: label-blocked cosine pairs >= `threshold`.
+    * The blocking key turns the n² problem into per-block joins that
+    * co-partition on a shuffle key — at 100 TB the block key would be
+    * an LSH bucket (see [[Similarity.lshBuckets]]). */
+  def embeddingPairs(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+    val a = e.select(col("vec_id").as("x"), col("v").as("vx"), col("label"))
+    val b = e.select(col("vec_id").as("y"), col("v").as("vy"), col("label"))
+    a.join(b, "label").where(col("x") < col("y"))
+      .withColumn("cos", Similarity.cosine(col("vx"), col("vy")))
+      .where(col("cos") >= threshold)
+      .select(col("x").as("vec_a"), col("y").as("vec_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: opaque binary payloads with typed
+  * metadata, decoded/feature-extracted per partition.
+  *
+  * The Spark-side shape is real and tested: a `binary` column flows
+  * through `mapPartitions` in batches, producing a typed struct row
+  * per asset — exactly the schema/partitioning/batch shape an
+  * image/audio decode stage needs. The decode itself is a
+  * clearly-marked deterministic STUB (this container has no imaging
+  * libraries): it derives fake width/height/frame metadata from the
+  * byte length. Swap `stubDecode` for a real codec call (or a Pandas
+  * UDF via mapInPandas from PySpark) without touching the plumbing.
+  */
+object Multimodal {
+
+  /** STUB decoder — deterministic fake metadata from the payload
+    * bytes. Real implementation would parse image/audio headers. */
+  private[pipeline] def stubDecode(bytes: Array[Byte]): (Long, Long, Long, Long) = {
+    val n = bytes.length.toLong
+    // ??? real decode goes here; deterministic fake below
+    val width = n % 640
+    val height = (n * 7) % 480
+    val frames = n % 30 + 1
+    (n, width, height, frames)
+  }
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("n_frames", LongType)))
+
+  /** Treats each document's text bytes as an opaque binary payload and
+    * runs the per-partition decode pipeline over it. */
+  def decodeMeta(spark: SparkSession, dir: String): DataFrame = {
+    val payloads = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(decodedSchema)
+    val decoded = payloads.mapPartitions { rows =>
+      // batch shape: one iterator pass per partition, no per-row task
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (n, w, h, f) = stubDecode(r.getAs[Array[Byte]](1))
+        Row(id, n, w, h, f)
+      }
+    }(enc)
+    decoded.orderBy("doc_id")
+  }
+}

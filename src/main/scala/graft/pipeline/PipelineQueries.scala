@@ -1,0 +1,265 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SparkEntry entries + DuckDB oracles for the LLM-data-pipeline
+  * operators (dedup, similarity search, text analysis, multimodal).
+  * Oracles recompute md5-based signatures/hashes identically in SQL.
+  */
+object PipelineQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
+    "dedup_norm" -> ((s, dir) => Dedup.normalized(s, dir)),
+    "dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
+    "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
+    "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
+    "dedup_embedding" -> ((s, dir) => Dedup.embeddingPairs(s, dir)),
+    "ann_bruteforce" -> ((s, dir) => Similarity.bruteForce(s, dir)),
+    "ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir)),
+    "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
+    "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
+    "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
+    "fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
+    "multimodal_meta" -> ((s, dir) => Multimodal.decodeMeta(s, dir)))
+
+  // ---------------- oracle SQL ----------------
+
+  private val toksCte =
+    """WITH toks AS (
+      |  SELECT doc_id, text, lang,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tokens
+      |  FROM documents
+      |)""".stripMargin
+
+  private def shingleSql(n: Int): String = {
+    val parts = (0 until n).map {
+      case 0 => "tokens[i]"
+      case o => s"tokens[i + $o]"
+    }.mkString(" || ' ' || ")
+    s"list_distinct(list_transform(range(1, len(tokens) - ${n - 2}), i -> $parts))"
+  }
+
+  private val simhashBitsCte: String = {
+    val bitSums = (0 until 32)
+      .map(j => s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN tf ELSE -tf END) AS bs_$j")
+      .mkString(",\n    ")
+    val assemble = (0 until 32)
+      .map(j => s"(CASE WHEN bs_$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""posts AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(tokens) AS term FROM toks) GROUP BY 1, 2
+       |), hv AS (
+       |  SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 8))::BIGINT AS hv FROM posts
+       |), bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM hv GROUP BY doc_id
+       |), sims AS (
+       |  SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits
+       |)""".stripMargin
+  }
+
+  private def jaccardTail(threshold: Double): String =
+    s"""j AS (
+       |  SELECT x, y,
+       |    len(list_intersect(sa.ss, sb.ss))::DOUBLE / len(list_distinct(sa.ss || sb.ss)) AS jaccard
+       |  FROM cand JOIN sh sa ON sa.doc_id = cand.x JOIN sh sb ON sb.doc_id = cand.y
+       |)
+       |SELECT x AS doc_a, y AS doc_b, round(jaccard, 4) AS jaccard FROM j
+       |WHERE jaccard >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val embCte =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+      |)""".stripMargin
+
+  private def annLshPlanesValues: String = {
+    val planes = Similarity.hyperplanes(8, 64)
+    planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+  }
+
+  private val langProfileSql: Seq[(String, String)] = TextAnalysis.LangProfiles.map {
+    case (l, ws) =>
+      l -> s"len(list_filter(tokens, x -> list_contains([${ws.map(w => s"'$w'").mkString(", ")}], x))) AS s_$l"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |  count(*) OVER (PARTITION BY md5(text)) AS group_size
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_norm" ->
+      s"""$toksCte
+         |SELECT doc_id,
+         |  min(doc_id) OVER (PARTITION BY h) AS canonical_id,
+         |  count(*) OVER (PARTITION BY h) AS group_size
+         |FROM (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS h FROM toks)
+         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash" -> {
+      val sigDefs = (0 until 16)
+        .map(i => s"list_min(list_transform(ss, s -> md5('$i:' || s))) AS sig_$i")
+        .mkString(",\n    ")
+      val bandSelects = (0 until 4).map { b =>
+        val cat = (0 until 4).map(r => s"sig_${b * 4 + r}").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""$toksCte,
+         |sh AS (
+         |  SELECT doc_id, ${shingleSql(3)} AS ss FROM toks WHERE len(tokens) >= 3
+         |), sigs AS (
+         |  SELECT doc_id, ss,
+         |    $sigDefs
+         |  FROM sh WHERE len(ss) > 0
+         |), bands AS (
+         |  $bandSelects
+         |), cand AS (
+         |  SELECT a.doc_id AS x, b.doc_id AS y
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |${jaccardTail(0.6)}""".stripMargin
+    },
+
+    "dedup_ngram" ->
+      s"""$toksCte,
+         |sh AS (
+         |  SELECT doc_id, ${shingleSql(5)} AS ss FROM toks WHERE len(tokens) >= 5
+         |), inv AS (
+         |  SELECT doc_id, unnest(ss) AS s FROM sh
+         |), cand AS (
+         |  SELECT a.doc_id AS x, b.doc_id AS y
+         |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |${jaccardTail(0.3)}""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""$toksCte,
+         |$simhashBitsCte
+         |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin,
+
+    "simhash_pairs" -> {
+      val byteMatch = (0 until 4)
+        .map(b => s"((a.simhash >> ${b * 8}) & 255) = ((b.simhash >> ${b * 8}) & 255)")
+        .mkString(" OR ")
+      s"""$toksCte,
+         |$simhashBitsCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id AND ($byteMatch)
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "dedup_embedding" ->
+      s"""$embCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "ann_bruteforce" ->
+      s"""$embCte,
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+         |s AS (
+         |  SELECT q.qid, e.vec_id, list_cosine_similarity(e.v, q.qv) AS cos
+         |  FROM e, q WHERE e.vec_id <> q.qid
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM s
+         |)
+         |SELECT qid, rank, vec_id, round(cos, 4) AS cos FROM r WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+
+    "ann_lsh" ->
+      s"""$embCte,
+         |planes(i, p) AS (VALUES
+         |    $annLshPlanesValues
+         |), bk AS (
+         |  SELECT e.vec_id,
+         |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65), j -> e.v[j] * pl.p[j])) >= 0
+         |      THEN (1::BIGINT << pl.i) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM e, planes pl GROUP BY e.vec_id
+         |), eb AS (
+         |  SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id)
+         |), q AS (
+         |  SELECT vec_id AS qid, v AS qv, bucket FROM eb WHERE vec_id < 5
+         |), s AS (
+         |  SELECT q.qid, eb.vec_id, list_cosine_similarity(eb.v, q.qv) AS cos
+         |  FROM eb JOIN q USING (bucket) WHERE eb.vec_id <> q.qid
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM s
+         |)
+         |SELECT qid, rank, vec_id, round(cos, 4) AS cos FROM r WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+
+    "lang_id" -> {
+      val scores = langProfileSql.map(_._2).mkString(",\n    ")
+      val langs = TextAnalysis.LangProfiles.map(_._1)
+      val caseChain = langs.init.map { l =>
+        val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString("\n    ")
+      s"""$toksCte
+         |SELECT doc_id, actual_lang,
+         |  CASE
+         |    $caseChain
+         |    ELSE '${langs.last}' END AS pred_lang,
+         |  ${langs.map(l => s"s_$l").mkString(", ")}
+         |FROM (
+         |  SELECT doc_id, lang AS actual_lang,
+         |    $scores
+         |  FROM toks
+         |)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "quality_score" ->
+      s"""$toksCte
+         |SELECT doc_id, n_tokens, n_distinct, avg_token_len, ttr, stop_ratio,
+         |  round(least(n_tokens / 100.0, 1.0) * (1 - stop_ratio) * ttr, 4) AS quality
+         |FROM (
+         |  SELECT doc_id, len(tokens) AS n_tokens, len(list_distinct(tokens)) AS n_distinct,
+         |    round(coalesce(list_sum(list_transform(tokens, x -> length(x))), 0)::DOUBLE
+         |      / greatest(len(tokens), 1), 4) AS avg_token_len,
+         |    round(len(list_distinct(tokens))::DOUBLE / greatest(len(tokens), 1), 4) AS ttr,
+         |    round(len(list_filter(tokens, x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], x)))::DOUBLE
+         |      / greatest(len(tokens), 1), 4) AS stop_ratio
+         |  FROM toks
+         |)
+         |ORDER BY doc_id""".stripMargin,
+
+    "token_stats" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_ish_tokens,
+        |  length(text) AS n_chars_utf8
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "fingerprints" ->
+      s"""$toksCte
+         |SELECT doc_id, md5(text) AS fp_full,
+         |  coalesce(
+         |    list_min(list_transform(CASE WHEN len(tokens) >= 5 THEN ${shingleSql(5)} ELSE [] END, s -> md5(s))),
+         |    md5(text)) AS fp_min_shingle,
+         |  md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS fp_bow
+         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  strlen(text)::BIGINT AS n_bytes,
+        |  (strlen(text) % 640)::BIGINT AS width,
+        |  ((strlen(text) * 7) % 480)::BIGINT AS height,
+        |  (strlen(text) % 30 + 1)::BIGINT AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

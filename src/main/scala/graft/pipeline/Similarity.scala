@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import graft.functions.TopKAgg
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Embedding similarity search over an `array<float>` column.
+  *
+  * Two paths, both ending in the bounded [[TopKAgg]]:
+  *  - [[bruteForce]]: exact cosine top-k — the correctness baseline.
+  *    The query set is broadcast (BroadcastNestedLoopJoin), the corpus
+  *    is scanned once; per-query state is O(k). This is the right plan
+  *    even at 100 TB when the query set is small.
+  *  - [[lshTopK]]: random-hyperplane LSH — each vector lands in a
+  *    sign-bit bucket; search only probes the query's bucket. The
+  *    bucket id is a plain column, so the candidate lookup is an
+  *    equi-join (shuffle on bucket), the scale path for large query
+  *    sets. Hyperplanes are derived deterministically from md5 so
+  *    results are reproducible (and oracle-checkable).
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<double> columns; sequential fold
+    * so the floating-point sum order matches the SQL oracle. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane i is
+    * uniform in [-0.5, 0.5), derived from md5("i_j"). */
+  def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { i =>
+      (0 until dim).map { j =>
+        val hex = mdt.digest(s"${i}_$j".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+      }.toArray
+    }.toArray
+  }
+
+  /** Sign-bit LSH bucket id for a vector column. */
+  def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val lits = array(p.map(lit): _*)
+      val dot = aggregate(zip_with(v, lits, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduceLeft[Column](_ + _)
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+
+  /** Exact cosine top-k for each query vector (vec_id < nQueries),
+    * self excluded. Output: (qid, rank, vec_id, cos). */
+  def bruteForce(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val e = corpus(spark, dir)
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("cos"))
+    val topk = TopKAgg.topk(k)
+    scored.groupBy("qid")
+      .agg(topk(col("vec_id"), col("cos")).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("hit.key").as("vec_id"), round(col("hit.score"), 4).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** LSH-bucketed ANN: probe only the query's bucket, exact re-rank
+    * inside it. Recall < 1 by construction (LSH trade-off); the
+    * deterministic hyperplanes make the result reproducible. */
+  def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
+      nPlanes: Int = 8): DataFrame = {
+    val planes = hyperplanes(nPlanes, 64)
+    val e = corpus(spark, dir)
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+    val scored = e.join(q, "bucket")
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("cos"))
+    val topk = TopKAgg.topk(k)
+    scored.groupBy("qid")
+      .agg(topk(col("vec_id"), col("cos")).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("hit.key").as("vec_id"), round(col("hit.score"), 4).as("cos"))
+      .orderBy("qid", "rank")
+  }
+}

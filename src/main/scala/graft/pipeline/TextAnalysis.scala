@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import graft.analysis.Analyzers
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All pure Column
+  * pipelines (codegen-friendly, one scan each, no shuffles except the
+  * final deterministic orderBy for the harness).
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword-
+    * overlap language heuristic. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "eine", "zu", "den", "von"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "del"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "du", "est"),
+    "it" -> Seq("il", "lo", "di", "che", "e", "un", "una", "per", "con", "del"))
+
+  private def toks(c: Column): Column = Analyzers.default.tokensCol(c)
+
+  private def countIn(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isInCollection(words)))
+
+  /** Stopword-overlap language ID. Ties resolve to the first language
+    * in [[LangProfiles]] order (de < en < es < fr < it) via a
+    * first-match-wins >= comparison chain — the same CASE chain the
+    * oracle uses. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang").as("actual_lang"), toks(col("text")).as("tokens"))
+    val scored = LangProfiles.foldLeft(base) { case (df, (l, words)) =>
+      df.withColumn(s"s_$l", countIn(col("tokens"), words))
+    }
+    val langs = LangProfiles.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last)) { (l, rest) =>
+      val geAll = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o")).reduceLeft(_ && _)
+      when(geAll, lit(l)).otherwise(rest)
+    }
+    scored.select(
+        col("doc_id") +: col("actual_lang") +: lit(pred).as("pred_lang") +:
+          langs.map(l => col(s"s_$l")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic document quality score in [0, 1]:
+    * length saturation x (1 - stopword ratio) x type-token ratio. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val en = LangProfiles.toMap.apply("en")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), toks(col("text")).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")))
+      .withColumn("n_distinct", size(array_distinct(col("tokens"))))
+      .withColumn("n_stop", countIn(col("tokens"), en))
+      .withColumn("avg_token_len",
+        round(aggregate(transform(col("tokens"), t => length(t)), lit(0),
+          (acc, x) => acc + x).cast("double") /
+          greatest(col("n_tokens"), lit(1)), 4))
+      .withColumn("ttr",
+        round(col("n_distinct").cast("double") / greatest(col("n_tokens"), lit(1)), 4))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1)), 4))
+      .withColumn("quality",
+        round(least(col("n_tokens").cast("double") / 100.0, lit(1.0)) *
+          (lit(1.0) - col("stop_ratio")) * col("ttr"), 4))
+      .select("doc_id", "n_tokens", "n_distinct", "avg_token_len", "ttr",
+        "stop_ratio", "quality")
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other non-space chars). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        col("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= "")).as("ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).as("bpe_ish_tokens"),
+        length(col("text")).as("n_chars_utf8"))
+      .orderBy("doc_id")
+
+  /** Document fingerprints: full-content md5, winnowing-style minimum
+    * 5-shingle md5 (content-shift tolerant), and bag-of-words md5. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), toks(col("text")).as("tokens"))
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp_full"),
+        coalesce(
+          array_min(transform(Dedup.shingles(col("tokens"), 5), s => md5(s))),
+          md5(col("text"))).as("fp_min_shingle"),
+        md5(concat_ws(" ", array_sort(array_distinct(col("tokens"))))).as("fp_bow"))
+      .orderBy("doc_id")
+}
