@@ -4,6 +4,7 @@ import graft.analysis.Analyzers
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -75,8 +76,16 @@ object Dedup {
   /** MinHash+LSH near-dup pairs: 16 signatures, 4 bands x 4 rows,
     * verified 3-shingle Jaccard >= `threshold`. */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    // persist the shingle table: it feeds candidate generation (twice)
+    // and the verify join-back (twice); without the cut, Catalyst
+    // collapses tokenize+shingle into each consumer and re-evaluates
+    // the interpreted lambda pipeline per use (measured 15x slowdown)
+    // persist BEFORE the size filter: predicate pushdown would
+    // otherwise re-inline the whole tokenize+shingle expression into
+    // the scan-level filter and evaluate it per row
     val sh = docTokens(spark, dir)
       .select(col("doc_id"), shingles(col("tokens"), 3).as("ss"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
       .where(size(col("ss")) > 0)
     val sigCols = (0 until 16).map(i => minhashSig(col("ss"), i).as(s"sig_$i"))
     val sigs = sh.select(col("doc_id") +: sigCols: _*)
@@ -87,6 +96,7 @@ object Dedup {
     val bands = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = bands.select(col("doc_id").as("x"), col("band"), col("bh"))
     val b = bands.select(col("doc_id").as("y"), col("band"), col("bh"))
     val cand = a.join(b, Seq("band", "bh")).where(col("x") < col("y"))
@@ -106,8 +116,11 @@ object Dedup {
   /** n-gram Jaccard near-dup: candidates share >= 1 exact 5-shingle
     * (posting-style equi-join), verified 5-shingle Jaccard. */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    // persisted before the filter for the same expression-collapse
+    // reason as minhashLsh
     val sh = docTokens(spark, dir)
       .select(col("doc_id"), shingles(col("tokens"), 5).as("ss"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
       .where(size(col("ss")) > 0)
     val inv = sh.select(col("doc_id"), explode(col("ss")).as("s"))
     val cand = inv.select(col("doc_id").as("x"), col("s"))
@@ -150,7 +163,7 @@ object Dedup {
     * share at least one byte by pigeonhole when Hamming <= 7 in the
     * colliding byte layout) + Hamming verify <= `maxHamming`. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
-    val sims = simhash(spark, dir)
+    val sims = simhash(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val byByte = sims.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("byte_pos"),

@@ -78,8 +78,11 @@ object Similarity {
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
       nPlanes: Int = 8): DataFrame = {
     val planes = hyperplanes(nPlanes, 64)
+    // persisted: bucket assignment feeds both the corpus side and the
+    // query side of the candidate equi-join
     val e = corpus(spark, dir)
       .withColumn("bucket", lshBucket(col("v"), planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
     val scored = e.join(q, "bucket")

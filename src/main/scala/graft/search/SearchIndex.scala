@@ -342,7 +342,9 @@ final class SearchIndex private (
       .withColumn("field", lit(field))
       .withColumn("min_match", lit(minMatch))
     val hits0 = batchSearchRaw(queries, k, if (excludeSelf) Some(col("qid") =!= col("key")) else None)
-    left.join(hits0, left(qidCol) === hits0("qid")).drop("qid")
+    // hits are at most |left| * k rows of (qid, rank, key, score) —
+    // broadcast them so the corpus-wide left side never shuffles
+    left.join(broadcast(hits0), left(qidCol) === hits0("qid")).drop("qid")
   }
 
   /** batchSearch with an optional pre-top-k hit predicate. */

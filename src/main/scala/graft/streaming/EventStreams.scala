@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Structured Streaming operators over the `events` stream (SURVEY
+  * §2.7 — the reference is batch-only; this is the north-star
+  * streaming surface built on watermarks + windows + typed state).
+  *
+  * Every transform here takes a DataFrame that may be batch or
+  * streaming (`spark.readStream` vs `spark.read`): the same logical
+  * plan serves both, which is how the batch entries in SparkEntry are
+  * oracle-checked while the streaming path is exercised in tests with
+  * MemoryStream.
+  *
+  * Scale: windowed aggregations are partial-aggregated per window key;
+  * watermarks bound state; sessionization uses `session_window` (state
+  * bounded by watermark + gap); incremental per-key stats use
+  * mapGroupsWithState with explicit timeouts.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour windows with a 10-minute watermark: event counts
+    * and value sums per (window, event_type). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding windows: 1 hour long, advancing every 15 minutes. */
+  def slidingAvg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(avg(col("value")).as("avg_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("avg_value"))
+
+  /** Session windows with a 30-minute gap per user. */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Incremental per-user running stats via typed state — the
+    * KeyValueGroupedDataset.mapGroupsWithState path for custom
+    * stateful logic (e.g. incremental index maintenance). */
+  def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          rows.foreach { e => n += 1; total += e.value }
+          val next = UserStats(userId, n, total)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Convenience: run a streaming query over a memory sink until all
+    * available data is processed; returns the sink table name. */
+  def runToMemorySink(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,72 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("array_count_eq counts occurrences (codegen path)") {
+    SearchExpressions.register(spark)
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "c")),
+      (2L, Seq.empty[String]),
+      (3L, Seq("x"))
+    ).toDF("id", "arr")
+    val got = df.select($"id", call_function("array_count_eq", $"arr", lit("a")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 2, 2L -> 0, 3L -> 0))
+  }
+
+  test("array_count_eq works from SQL text") {
+    SearchExpressions.register(spark)
+    Seq((Seq("q", "q", "r"), "q")).toDF("arr", "t").createOrReplaceTempView("ace_t")
+    assert(spark.sql("SELECT array_count_eq(arr, t) FROM ace_t").as[Int].head() == 2)
+  }
+
+  test("phrase_count counts contiguous overlapping occurrences") {
+    SearchExpressions.register(spark)
+    val df = Seq(
+      (1L, Seq("a", "b", "a", "b", "a")),
+      (2L, Seq("a", "a", "a")),
+      (3L, Seq("b"))
+    ).toDF("id", "arr")
+    val ab = df.select($"id",
+      call_function("phrase_count", $"arr", array(lit("a"), lit("b"))).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(ab == Map(1L -> 2, 2L -> 0, 3L -> 0))
+    val aa = df.select($"id",
+      call_function("phrase_count", $"arr", array(lit("a"), lit("a"))).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(aa == Map(1L -> 0, 2L -> 2, 3L -> 0)) // overlapping starts count
+  }
+
+  test("TopKAgg keeps bounded top-k with deterministic order") {
+    val topk = TopKAgg.topk(3)
+    val df = Seq(
+      (1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.7), (1L, 13L, 0.9), (1L, 14L, 0.1),
+      (2L, 20L, 1.0)
+    ).toDF("g", "key", "score")
+    val got = df.groupBy($"g").agg(topk($"key", $"score").as("hits"))
+      .select($"g", $"hits").as[(Long, Seq[(Long, Double)])].collect().toMap
+    // score desc, key asc on ties: 11 (0.9), 13 (0.9), 12 (0.7)
+    assert(got(1L) == Seq((11L, 0.9), (13L, 0.9), (12L, 0.7)))
+    assert(got(2L) == Seq((20L, 1.0)))
+  }
+
+  test("TopKAgg result is partitioning-invariant") {
+    val topk = TopKAgg.topk(2)
+    val data = (1 to 100).map(i => (i % 3L, i.toLong, (i * 37 % 100) / 100.0))
+    for (n <- Seq(1, 4, 8)) {
+      val df = data.toDF("g", "key", "score").repartition(n)
+      val got = df.groupBy($"g").agg(topk($"key", $"score").as("hits"))
+        .select($"g", $"hits").as[(Long, Seq[(Long, Double)])].collect().toMap
+      val want = data.groupBy(_._1).view.mapValues(
+        _.map(t => (t._2, t._3)).sortBy(t => (-t._2, t._1)).take(2).toSeq).toMap
+      got.foreach { case (g, hits) => assert(hits == want(g), s"group $g under $n partitions") }
+    }
+  }
+}

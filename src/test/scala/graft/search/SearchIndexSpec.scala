@@ -1,0 +1,143 @@
+package graft.search
+
+import graft.TestSpark
+import graft.dsl._
+import graft.dsl.builders._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SearchIndexSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en", 100L),
+    (2L, "spark makes big data processing fast and simple", "en", 200L),
+    (3L, "the lazy dog sleeps all day long", "en", 150L),
+    (4L, "spark spark spark everywhere in the cluster", "fr", 120L),
+    (5L, "a quick survey of join algorithms in spark", "fr", 300L),
+    (6L, "dogs and foxes are not the same animal", "de", 250L)
+  ).toDF("doc_id", "text", "lang", "n_chars")
+
+  lazy val spec = IndexSpec("doc_id", Seq("text"), Seq("lang"))
+  lazy val idx = SearchIndex.build(corpus, spec)
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSeq
+
+  test("single term search matches containing docs, scored desc") {
+    val r = idx.search("text" matchAny termSet("spark"), 10)
+    val got = ids(r)
+    assert(got.toSet == Set(2L, 4L, 5L))
+    // doc 4 has tf=3 and short dl -> highest score
+    assert(got.head == 4L)
+  }
+
+  test("matchAllText requires all terms") {
+    assert(ids(idx.search("text" matchAllText "lazy dog", 10)).toSet == Set(1L, 3L))
+  }
+
+  test("matchMin 2 of 3") {
+    val r = ids(idx.search("text".matchMin(2, termSet("quick", "fox", "dog")), 10))
+    assert(r.toSet == Set(1L)) // only doc1 has >= 2 of the terms
+    val r1 = ids(idx.search("text".matchMin(1, termSet("quick", "fox", "dog")), 10))
+    assert(r1.toSet == Set(1L, 3L, 5L)) // doc3 has dog, doc5 has quick
+  }
+
+  test("phrase match is positional") {
+    assert(ids(idx.search("text" matchPhrase "lazy dog", 10)).toSet == Set(1L, 3L))
+    assert(ids(idx.search("text" matchPhrase "dog lazy", 10)).isEmpty)
+  }
+
+  test("boolean and/or/not") {
+    assert(ids(idx.search(("text" matchTerm "spark") && ("text" matchTerm "join"), 10)) == Seq(5L))
+    assert(ids(idx.search(("text" matchTerm "fox") || ("text" matchTerm "foxes"), 10)).toSet == Set(1L, 6L))
+    assert(ids(idx.search(all && Not("text" matchTerm "the"), 10)).toSet == Set(2L, 5L))
+  }
+
+  test("filters do not change scores (Occur.FILTER discipline)") {
+    val unfiltered = idx.search("text" matchAny termSet("spark"), 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val filtered = idx.search(("text" matchAny termSet("spark")) && ("lang" === "fr"), 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(filtered.keySet == Set(4L, 5L))
+    filtered.foreach { case (id, s) => assert(math.abs(s - unfiltered(id)) < 1e-12) }
+  }
+
+  test("range / in-set / exists filters") {
+    assert(ids(idx.search(all && ("n_chars" in range(150L, 260L)), 10)).toSet == Set(2L, 3L, 6L))
+    assert(ids(idx.search(all && ("lang" in valueSet("de", "fr")), 10)).toSet == Set(4L, 5L, 6L))
+    assert(ids(idx.search(all && builders.exists("lang"), 10)).size == 6)
+    assert(ids(idx.search(all && missing("lang"), 10)).isEmpty)
+  }
+
+  test("scores are invariant under repartitioning (global IDF)") {
+    val q = "text" matchAny termSet("spark", "dog")
+    val base = idx.search(q, 10).select("doc_id", "score").as[(Long, Double)].collect().sortBy(_._1)
+    for (n <- Seq(1, 2, 5)) {
+      val idxN = SearchIndex.build(corpus.repartition(n), spec)
+      val got = idxN.search(q, 10).select("doc_id", "score").as[(Long, Double)].collect().sortBy(_._1)
+      assert(got.map(_._1).toSeq == base.map(_._1).toSeq)
+      got.zip(base).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-12) }
+      idxN.unpersist()
+    }
+  }
+
+  test("batchSearch agrees with per-query search") {
+    val queries = Seq(
+      (10L, "text", Seq("spark"), 1),
+      (11L, "text", Seq("lazy", "dog"), 0)
+    ).toDF("qid", "field", "terms", "min_match")
+    val batch = idx.batchSearch(queries, 10)
+      .select("qid", "key", "score").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val single = idx.search("text" matchAny termSet("spark"), 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(batch(10L).keySet == single.keySet)
+    batch(10L).foreach { case (k, s) => assert(math.abs(s - single(k)) < 1e-9) }
+    val allq = idx.search("text" matchAllText "lazy dog", 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(batch(11L).keySet == allq.keySet)
+    batch(11L).foreach { case (k, s) => assert(math.abs(s - allq(k)) < 1e-9) }
+  }
+
+  test("queryJoin returns top-k similar docs excluding self") {
+    val left = idx.docs.where(col("doc_id") === 2L)
+    val r = idx.queryJoin(left, "doc_id",
+      array_distinct(col(SearchIndex.tokensColName("text"))), "text",
+      k = 3, minMatch = 1, excludeSelf = true)
+    val hits = r.select("key").collect().map(_.getLong(0)).toSet
+    assert(!hits.contains(2L))
+    assert(hits.nonEmpty)
+  }
+
+  test("stats: term counts, idfs, doc counts, indices info") {
+    val tc = idx.getTermCounts.where($"field" === "text" && $"term" === "spark")
+      .select("cf").as[Long].head()
+    assert(tc == 5L) // 1 + 3 + 1
+    val n = idx.getDocumentCounts.where($"field" === "text").select("n_docs").as[Long].head()
+    assert(n == 6L)
+    val idf = idx.getTermIDFs.where($"field" === "text" && $"term" === "spark")
+      .select("idf").as[Double].head()
+    assert(math.abs(idf - math.log(1.0 + (6 - 3 + 0.5) / 3.5)) < 1e-12)
+    val info = idx.getIndicesInfo.where($"field" === "text").head()
+    assert(info.getAs[Long]("num_docs") == 6L)
+  }
+
+  test("parsed query: +required optional -excluded") {
+    val r = ids(idx.search("text" parseQuery "+spark -join", 10))
+    assert(r.toSet == Set(2L, 4L))
+  }
+
+  test("light and transformer variants project correctly") {
+    val light = idx.lightSearch("text" matchTerm "spark", 10)
+    assert(light.columns.toSeq == Seq("doc_id", "score"))
+    val tr = idx.searchWithResultsTransformer("text" matchTerm "spark", 10, col("lang"))
+    assert(tr.columns.toSeq == Seq("lang", "score"))
+  }
+
+  test("getElements point lookup") {
+    assert(ids(idx.getElements(Seq(1L, 4L)).orderBy("doc_id")) == Seq(1L, 4L))
+  }
+}

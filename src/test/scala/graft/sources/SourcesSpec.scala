@@ -1,0 +1,102 @@
+package graft.sources
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+class SourcesSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("wikipedia xml dump source reads pages") {
+    val xml =
+      """<mediawiki>
+        |  <page>
+        |    <title>Island</title>
+        |    <ns>0</ns>
+        |    <id>42</id>
+        |    <revision><text>An island is land surrounded by water.</text></revision>
+        |  </page>
+        |  <page>
+        |    <title>Lake</title>
+        |    <ns>0</ns>
+        |    <id>43</id>
+        |    <revision><text>A lake is water surrounded by land.</text></revision>
+        |  </page>
+        |</mediawiki>""".stripMargin
+    val dir = Files.createTempDirectory("wiki-xml")
+    Files.write(dir.resolve("dump.xml"), xml.getBytes(StandardCharsets.UTF_8))
+    val df = WikipediaXml.readPages(spark, dir.resolve("dump.xml").toString)
+    val got = df.select("title", "text", "page_id").as[(String, String, Long)]
+      .collect().sortBy(_._3)
+    assert(got.length == 2)
+    assert(got(0) == (("Island", "An island is land surrounded by water.", 42L)))
+    assert(got(1)._1 == "Lake")
+  }
+
+  test("wikipedia corpus parquet round trip") {
+    val df = Seq(("T", "body text", 0L, 1L)).toDF("title", "text", "ns", "page_id")
+    val out = Files.createTempDirectory("wiki-corpus").resolve("corpus").toString
+    WikipediaXml.writeCorpus(df, out, numFiles = 1)
+    val back = WikipediaXml.readCorpus(spark, out)
+    assert(back.count() == 1)
+    assert(back.columns.toSet == Set("title", "text", "ns", "page_id"))
+  }
+
+  test("warc parser extracts records, headers and bodies") {
+    val body1 = "<html><body><a href=\"http://example.com/x\">x</a></body></html>"
+    val body2 = "warcinfo payload"
+    val warc =
+      s"""WARC/1.0\r
+         |WARC-Type: warcinfo\r
+         |WARC-Record-ID: <urn:uuid:aaa>\r
+         |Content-Type: application/warc-fields\r
+         |Content-Length: ${body2.length}\r
+         |\r
+         |${body2}WARC/1.0\r
+         |WARC-Type: response\r
+         |WARC-Target-URI: http://example.com/\r
+         |WARC-Record-ID: <urn:uuid:bbb>\r
+         |Content-Type: text/html\r
+         |Content-Length: ${body1.length}\r
+         |\r
+         |$body1""".stripMargin
+    val dir = Files.createTempDirectory("warc")
+    Files.write(dir.resolve("test.warc"), warc.getBytes(StandardCharsets.UTF_8))
+    val df = Warc.read(spark, dir.toString)
+    val rows = df.orderBy("record_id").collect()
+    assert(rows.length == 2)
+    val info = rows.head
+    assert(info.getAs[String]("warc_type") == "warcinfo")
+    assert(info.getAs[String]("content") == body2)
+    val resp = rows(1)
+    assert(resp.getAs[String]("warc_type") == "response")
+    assert(resp.getAs[String]("target_uri") == "http://example.com/")
+    assert(resp.getAs[Long]("content_length") == body1.length.toLong)
+
+    val html = Warc.htmlResponses(df).select("outlinks").as[Seq[String]].head()
+    assert(html == Seq("http://example.com/x"))
+  }
+
+  test("warc parser handles gzip files") {
+    val body = "hello"
+    val warc =
+      s"""WARC/0.18\r
+         |WARC-Type: response\r
+         |WARC-Target-URI: http://a/\r
+         |WARC-Record-ID: <urn:uuid:ccc>\r
+         |Content-Length: ${body.length}\r
+         |\r
+         |$body""".stripMargin
+    val dir = Files.createTempDirectory("warcgz")
+    val out = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(dir.resolve("t.warc.gz")))
+    out.write(warc.getBytes(StandardCharsets.UTF_8)); out.close()
+    val df = Warc.read(spark, dir.toString)
+    assert(df.count() == 1)
+    assert(df.select("content").as[String].head() == body)
+  }
+}

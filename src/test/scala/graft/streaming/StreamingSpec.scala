@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minutes: Int): Timestamp =
+    new Timestamp(1700000000000L + minutes * 60000L)
+
+  case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+
+  test("tumbling window aggregation over a real stream (MemoryStream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(ts(0), "click", 1L, 1.0),
+      Ev(ts(10), "click", 1L, 2.0),
+      Ev(ts(70), "view", 2L, 5.0),
+      // sentinel far in the future: advances the watermark so the
+      // earlier windows close and emit in Append mode
+      Ev(ts(100000), "flush", 9L, 0.0))
+    EventStreams.runToMemorySink(
+      EventStreams.tumblingCounts(mem.toDF()), "tumbling_sink", OutputMode.Append())
+    val got = spark.table("tumbling_sink")
+      .where($"event_type" =!= "flush")
+      .select("event_type", "n", "sum_value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+
+  test("session windows split on 30-minute gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(ts(0), "click", 1L, 1.0),
+      Ev(ts(10), "click", 1L, 1.0), // same session
+      Ev(ts(100), "click", 1L, 1.0), // new session
+      Ev(ts(100000), "flush", 9L, 0.0))
+    EventStreams.runToMemorySink(
+      EventStreams.sessionize(mem.toDF()), "session_sink", OutputMode.Append())
+    val got = spark.table("session_sink")
+      .where($"user_id" === 1L)
+      .select("user_id", "n_events").as[(Long, Long)].collect().sorted
+    assert(got.toSeq == Seq((1L, 1L), (1L, 2L)))
+  }
+
+  test("mapGroupsWithState accumulates per-user stats incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.UserEvent]
+    mem.addData(
+      EventStreams.UserEvent(1L, ts(0), 2.0),
+      EventStreams.UserEvent(1L, ts(1), 3.0),
+      EventStreams.UserEvent(2L, ts(2), 10.0))
+    EventStreams.runToMemorySink(
+      EventStreams.runningUserStats(mem.toDS()).toDF(), "state_sink", OutputMode.Update())
+    val got = spark.table("state_sink")
+      .as[EventStreams.UserStats].collect().map(s => s.user_id -> (s.n_events, s.total_value)).toMap
+    assert(got(1L) == ((2L, 5.0)))
+    assert(got(2L) == ((1L, 10.0)))
+  }
+
+  test("sliding windows emit overlapping buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(Ev(ts(20), "click", 1L, 4.0), Ev(ts(100000), "flush", 9L, 0.0))
+    EventStreams.runToMemorySink(
+      EventStreams.slidingAvg(mem.toDF()), "sliding_sink", OutputMode.Append())
+    // a single event at minute 20 falls into 4 hourly windows sliding by 15m
+    assert(spark.table("sliding_sink").where($"event_type" === "click").count() == 4)
+  }
+}
