@@ -16,6 +16,26 @@ sealed trait Similarity extends Serializable
 final case class BM25(k1: Double = 1.2, b: Double = 0.75) extends Similarity
 final case class TFIDF() extends Similarity
 
+/** Physical index layout for the batch/postings query path —
+  * re-expression of the reference's three SearchableRDD layouts
+  * (SURVEY §1.4):
+  *  - the per-partition colocated layout (a)
+  *    (PartitionsIndexLuceneRDD) is [[SearchIndex.search]]'s scan
+  *    path: tokens live next to the rows, each partition evaluates
+  *    its own documents, no data movement;
+  *  - [[DecoupledPostings]] is layout (b) (DistributedIndexLuceneRDD):
+  *    the index is a separate postings DataFrame joined by shuffle —
+  *    partition-count independent, the default at scale;
+  *  - [[BroadcastIndex]] is layout (c) (BroadcastIndexLuceneRDD):
+  *    the postings side is broadcast to every task — right when the
+  *    index fits in executor memory, eliminating the shuffle
+  *    entirely (and unlike the reference, our broadcast layout fully
+  *    supports queryJoin — the reference left it `???`,
+  *    BroadcastIndexLuceneRDD.scala:449-464). */
+sealed trait IndexLayout extends Serializable
+case object DecoupledPostings extends IndexLayout
+case object BroadcastIndex extends IndexLayout
+
 /** Index specification (reference analog: impl/LuceneConfig.scala —
   * analyzer classes, similarity, field mapping; the index-time vs
   * query-time analyzer split is LuceneConfig.scala:20-52).
@@ -34,7 +54,8 @@ final case class IndexSpec(
     keywordFields: Seq[String] = Nil,
     indexAnalyzer: String = "default",
     queryAnalyzer: String = "default",
-    similarity: Similarity = BM25())
+    similarity: Similarity = BM25(),
+    layout: IndexLayout = DecoupledPostings)
 
 /** Per-field corpus statistics gathered at build time. */
 final case class FieldStats(numDocs: Long, avgDl: Double)
@@ -319,6 +340,39 @@ final class SearchIndex private (
   def batchSearch(queries: DataFrame, k: Int): DataFrame =
     batchSearchRaw(queries, k, None)
 
+  /** Batch search over arbitrary DSL queries (reference batchSearch /
+    * batchSearchRaw with full DslQuery support, SearchableRDD.scala:
+    * 194-250): each query compiles to its own scan-path plan and the
+    * per-query top-k results union. Right for small batches of
+    * complex queries; use [[batchSearch]] (single postings join) for
+    * large batches of flat term queries. */
+  def batchSearchDsl(queries: Seq[(Long, SearchQuery)], k: Int): DataFrame =
+    queries.map { case (qid, q) =>
+      lightSearch(q, k)
+        .withColumn("qid", lit(qid))
+        .withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(1)).orderBy(col("score").desc, key.asc)))
+        .select(col("qid"), col("rank"), key.as("key"), col("score"))
+    }.reduceLeft(_ unionAll _)
+
+  /** Persists the index artifacts as parquet (reference analog:
+    * `searchable.saveAsObjectFile`, examples/StoreableExample.scala:
+    * 22-30 — parquet instead of object files so a reload gets schema,
+    * column pruning and predicate pushdown on postings/term).
+    * At cluster scale, write postings bucketed by term
+    * (`bucketBy(n, "term").saveAsTable`) so the per-query posting
+    * lookup prunes buckets instead of scanning. */
+  def save(path: String): Unit = {
+    import spark.implicits._
+    docs.write.mode("overwrite").parquet(s"$path/docs")
+    postings.write.mode("overwrite").parquet(s"$path/postings")
+    stats.write.mode("overwrite").parquet(s"$path/stats")
+    fieldStats.toSeq.map { case (f, s) => (f, s.numDocs, s.avgDl) }
+      .toDF("field", "num_docs", "avg_dl")
+      .write.mode("overwrite").parquet(s"$path/field_stats")
+  }
+
   /** Query join — the flagship search/similarity join (reference
     * queryJoin, SearchableRDD.scala:257-298, PartitionsIndexLuceneRDD.
     * scala:265-400): for each left row, generate a term query and
@@ -381,8 +435,15 @@ final class SearchIndex private (
       case TFIDF() =>
         sqrt(col("tf")) * (col("idf") * col("idf")) / sqrt(col("dl"))
     }
-    postings
-      .join(broadcast(withIdf), Seq("field", "term"))
+    val joined = spec.layout match {
+      case BroadcastIndex =>
+        // layout (c): ship the index to the queries — no shuffle of
+        // either side, index must fit in executor memory
+        broadcast(postings).join(withIdf, Seq("field", "term"))
+      case DecoupledPostings =>
+        postings.join(broadcast(withIdf), Seq("field", "term"))
+    }
+    joined
       .withColumn("term_score", bm)
       .groupBy(col("qid"), col("key"))
       .agg(sum(col("term_score")).as("score"),
@@ -479,5 +540,21 @@ object SearchIndex {
     }
 
     new SearchIndex(spark, spec, docs, postings, stats, fieldStats)
+  }
+
+  /** Reloads a [[save]]d index: the build scan/shuffles are skipped
+    * entirely — postings and stats come straight off parquet
+    * (rebuild-on-load vs serialized-directory trade-off from the
+    * reference, SURVEY §1.5, resolved in favor of columnar reload). */
+  def load(spark: SparkSession, path: String, spec: IndexSpec,
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): SearchIndex = {
+    SearchExpressions.register(spark)
+    val docs = spark.read.parquet(s"$path/docs").persist(storageLevel)
+    val postings = spark.read.parquet(s"$path/postings").persist(storageLevel)
+    val stats = spark.read.parquet(s"$path/stats").persist(storageLevel)
+    val fs = spark.read.parquet(s"$path/field_stats").collect()
+      .map(r => r.getAs[String]("field") ->
+        FieldStats(r.getAs[Long]("num_docs"), r.getAs[Double]("avg_dl"))).toMap
+    new SearchIndex(spark, spec, docs, postings, stats, fs)
   }
 }

@@ -1,0 +1,72 @@
+package graft.search
+
+import graft.TestSpark
+import graft.dsl.builders._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class IndexVariantsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val corpus = Seq(
+    (1L, "alpha beta gamma delta"),
+    (2L, "alpha alpha beta"),
+    (3L, "gamma delta epsilon"),
+    (4L, "zeta eta theta alpha")
+  ).toDF("doc_id", "text")
+
+  test("broadcast layout returns identical batch results to decoupled") {
+    val qs = Seq((0L, "text", Seq("alpha", "gamma"), 1)).toDF("qid", "field", "terms", "min_match")
+    val dec = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
+    val bc = SearchIndex.build(corpus,
+      IndexSpec("doc_id", Seq("text"), layout = BroadcastIndex))
+    val a = dec.batchSearch(qs, 10).select("qid", "rank", "key", "score")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val b = bc.batchSearch(qs, 10).select("qid", "rank", "key", "score")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(a.map(x => (x._1, x._2, x._3)).toSeq == b.map(x => (x._1, x._2, x._3)).toSeq)
+    a.zip(b).foreach { case (x, y) => assert(math.abs(x._4 - y._4) < 1e-9) }
+    dec.unpersist(); bc.unpersist()
+  }
+
+  test("batchSearchDsl agrees with per-query search for complex queries") {
+    val idx = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
+    val q1 = !("text" matchTerm "beta") && ("text" matchTerm "alpha")
+    val q2 = "text" matchPhrase "gamma delta"
+    val got = idx.batchSearchDsl(Seq(100L -> q1, 200L -> q2), 5)
+      .select("qid", "key").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got(100L) == Set(4L))
+    assert(got(200L) == Set(1L, 3L))
+    idx.unpersist()
+  }
+
+  test("save/load round trip preserves search results") {
+    val idx = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
+    val path = Files.createTempDirectory("graft-index").toString
+    idx.save(path)
+    val loaded = SearchIndex.load(spark, path, IndexSpec("doc_id", Seq("text")))
+    val q = "text" matchAny termSet("alpha", "delta")
+    val a = idx.search(q, 10).select("doc_id", "score").as[(Long, Double)].collect().sortBy(_._1)
+    val b = loaded.search(q, 10).select("doc_id", "score").as[(Long, Double)].collect().sortBy(_._1)
+    assert(a.map(_._1).toSeq == b.map(_._1).toSeq)
+    a.zip(b).foreach { case (x, y) => assert(math.abs(x._2 - y._2) < 1e-12) }
+    idx.unpersist()
+  }
+
+  test("index-time vs query-time analyzer split") {
+    val docs = Seq((1L, "the running dogs"), (2L, "a sleeping cat")).toDF("doc_id", "text")
+    val idx = SearchIndex.build(docs,
+      IndexSpec("doc_id", Seq("text"), indexAnalyzer = "english", queryAnalyzer = "english"))
+    // query text analyzed with the english analyzer stems "runs" -> "run",
+    // matching the index-time stem of "running"
+    val hits = idx.search("text" matchText "runs", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(1L))
+    idx.unpersist()
+  }
+}
