@@ -456,6 +456,13 @@ final class SearchIndex private (
       .select(col("qid"), col("key"), col("score"))
   }
 
+  /** Same index, different scoring — postings/stats/docs are
+    * similarity-independent, so swapping BM25(k1,b) / TFIDF is free
+    * (reference analog: ConfigurableSimilarity plugins,
+    * similarities/ConfigurableSimilarity.scala:6-9). */
+  def withSimilarity(sim: Similarity): SearchIndex =
+    new SearchIndex(spark, spec.copy(similarity = sim), docs, postings, stats, fieldStats)
+
   def unpersist(): Unit = {
     docs.unpersist()
     postings.unpersist()

@@ -52,20 +52,23 @@ object SearchQueries {
   private def dfSql(term: String) =
     s"(SELECT count(*) FROM toks WHERE list_contains(tokens, '$term'))"
   private def idfSql(dfExpr: String) = s"ln(1 + (n - $dfExpr + 0.5) / ($dfExpr + 0.5))"
-  private def bm25Sql(tf: String, idf: String) =
-    s"CASE WHEN $tf > 0 THEN $idf * ($tf * ${K1 + 1.0}) / ($tf + $K1 * (${1.0 - B} + $B * dl / avgdl)) ELSE 0.0 END"
+  private def bm25Sql(tf: String, idf: String, k1: Double = K1, b: Double = B) =
+    s"CASE WHEN $tf > 0 THEN $idf * ($tf * ${k1 + 1.0}) / ($tf + $k1 * (${1.0 - b} + $b * dl / avgdl)) ELSE 0.0 END"
+  private def tfidfSql(tf: String, idf: String) =
+    s"CASE WHEN $tf > 0 THEN sqrt($tf) * ($idf * $idf) / sqrt(dl) ELSE 0.0 END"
 
-  /** Oracle for a flat term query over `text`: per-term BM25 columns
+  /** Oracle for a flat term query over `text`: per-term score columns
     * summed in fixed order (matching the Spark expression's
     * left-to-right association), semantics by matched-term count. */
   private def termQueryOracle(terms: Seq[String], minMatch: Int, k: Int,
-      extraWhere: String = "", extraScore: String = ""): String = {
+      extraWhere: String = "", extraScore: String = "",
+      scoreFn: (String, String) => String = (tf, idf) => bm25Sql(tf, idf)): String = {
     val tfCols = terms.zipWithIndex
       .map { case (t, i) => s"${tfSql(t)} AS tf_$i" }.mkString(",\n    ")
     val dfCols = terms.zipWithIndex
       .map { case (t, i) => s"${dfSql(t)} AS df_$i" }.mkString(",\n    ")
     val scoreSum = terms.indices
-      .map(i => bm25Sql(s"tf_$i", idfSql(s"df_$i"))).mkString(" + ")
+      .map(i => scoreFn(s"tf_$i", idfSql(s"df_$i"))).mkString(" + ")
     val nm = terms.indices.map(i => s"(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
     val sem =
       if (minMatch <= 0) s"nm = ${terms.size}"
@@ -147,6 +150,17 @@ object SearchQueries {
           col("doc_id"), col("lang"), col("n_chars"))
         .select(col("doc_id"), col("lang"), col("n_chars"),
           round(col("score"), 4).as("score"))),
+
+    // classic TF-IDF scoring mode on the same index artifacts
+    "search_tfidf" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).withSimilarity(TFIDF())
+        .search("text" matchAny termSet("spark", "join"), 10))),
+
+    // configurable BM25 parameters (reference
+    // ConfigurableBM25Similarity(k1,b))
+    "search_bm25_tuned" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).withSimilarity(BM25(1.5, 0.3))
+        .search("text" matchAny termSet("stream", "batch"), 10))),
 
     // point lookup
     "get_elements" -> ((s, dir) =>
@@ -322,6 +336,12 @@ object SearchQueries {
     },
 
     "search_light" -> termQueryOracle(Seq("stream"), 1, 10),
+
+    "search_tfidf" -> termQueryOracle(Seq("spark", "join"), 1, 10,
+      scoreFn = (tf, idf) => tfidfSql(tf, idf)),
+
+    "search_bm25_tuned" -> termQueryOracle(Seq("stream", "batch"), 1, 10,
+      scoreFn = (tf, idf) => bm25Sql(tf, idf, 1.5, 0.3)),
 
     "search_transform" -> {
       val inner = termQueryOracle(Seq("hash"), 1, 10)
