@@ -70,6 +70,34 @@ object EventStreams {
       }
   }
 
+  /** Incremental index maintenance: term statistics (cf = total term
+    * frequency, df = doc frequency) maintained as streaming state over
+    * a document stream — the streaming counterpart of
+    * [[graft.search.SearchIndex]]'s build-time stats pass (SURVEY §7
+    * Phase 4). Run in Complete/Update mode the state IS the live
+    * term-stats table; the batch and streaming plans are identical.
+    *
+    * State is bounded by vocabulary size (not corpus size): partial
+    * aggregation per micro-batch, merged into the state store. */
+  def incrementalTermStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = graft.analysis.Analyzers.default.tokensCol(col(textCol))
+    docs
+      .select(toks.as("tokens"))
+      .select(explode(col("tokens")).as("term"),
+        size(col("tokens")).as("dl"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cf"))
+  }
+
+  /** Streaming doc-frequency stats (distinct terms per doc). */
+  def incrementalDocFreq(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = graft.analysis.Analyzers.default.tokensCol(col(textCol))
+    docs
+      .select(explode(array_distinct(toks)).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+  }
+
   /** Convenience: run a streaming query over a memory sink until all
     * available data is processed; returns the sink table name. */
   def runToMemorySink(df: DataFrame, name: String, mode: OutputMode): Unit = {

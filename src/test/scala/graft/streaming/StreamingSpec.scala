@@ -67,6 +67,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(2L) == ((1L, 10.0)))
   }
 
+  test("incremental term stats update across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = EventStreams.incrementalTermStats(mem.toDF().toDF("text"))
+      .writeStream.format("memory").queryName("termstats_sink")
+      .outputMode(OutputMode.Complete()).start()
+    mem.addData("a b a")
+    q.processAllAvailable()
+    val after1 = spark.table("termstats_sink").as[(String, Long)].collect().toMap
+    assert(after1 == Map("a" -> 2L, "b" -> 1L))
+    mem.addData("b c")
+    q.processAllAvailable()
+    val after2 = spark.table("termstats_sink").as[(String, Long)].collect().toMap
+    assert(after2 == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+    q.stop()
+  }
+
   test("sliding windows emit overlapping buckets") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
