@@ -124,6 +124,50 @@ case class PhraseCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `vec_dot(a, b)` — dot product of two `array<double>` columns in a
+  * tight codegen loop (sequential accumulation, so results are
+  * bit-identical to a left fold — required for oracle parity). The
+  * hot inner loop of every cosine-similarity operator; an interpreted
+  * higher-order `aggregate(zip_with(...))` is ~10x slower. */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object SearchExpressions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[ArrayCountEq].getName, null, name, usage, "")
@@ -141,5 +185,9 @@ object SearchExpressions {
       FunctionIdentifier("phrase_count"),
       info("phrase_count", "phrase_count(arr, phrase) - contiguous occurrences of phrase in arr"),
       (exprs: Seq[Expression]) => PhraseCount(exprs(0), exprs(1)))
+    reg.registerFunction(
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two double arrays"),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1)))
   }
 }

@@ -187,12 +187,15 @@ object Dedup {
     * co-partition on a shuffle key — at 100 TB the block key would be
     * an LSH bucket (see [[Similarity.lshBuckets]]). */
   def embeddingPairs(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+    graft.functions.SearchExpressions.register(spark)
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
-    val a = e.select(col("vec_id").as("x"), col("v").as("vx"), col("label"))
-    val b = e.select(col("vec_id").as("y"), col("v").as("vy"), col("label"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val a = e.select(col("vec_id").as("x"), col("v").as("vx"), col("nrm").as("nx"), col("label"))
+    val b = e.select(col("vec_id").as("y"), col("v").as("vy"), col("nrm").as("ny"), col("label"))
     a.join(b, "label").where(col("x") < col("y"))
-      .withColumn("cos", Similarity.cosine(col("vx"), col("vy")))
+      .withColumn("cos",
+        call_function("vec_dot", col("vx"), col("vy")) / (col("nx") * col("ny")))
       .where(col("cos") >= threshold)
       .select(col("x").as("vec_a"), col("y").as("vec_b"), round(col("cos"), 4).as("cos"))
       .orderBy("vec_a", "vec_b")

@@ -20,14 +20,17 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Similarity {
 
-  /** Cosine similarity of two array<double> columns; sequential fold
-    * so the floating-point sum order matches the SQL oracle. */
+  /** Cosine similarity of two array<double> columns via the native
+    * codegen [[graft.functions.VecDot]] expression; sequential
+    * accumulation keeps values bit-identical to a left fold (oracle
+    * parity). Caller must have run SearchExpressions.register. */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
-    dot / (na * nb)
+    val dot = call_function("vec_dot", a, b)
+    dot / (norm(a) * norm(b))
   }
+
+  /** L2 norm of an array<double> column. */
+  def norm(v: Column): Column = sqrt(call_function("vec_dot", v, v))
 
   /** Deterministic pseudo-random hyperplanes: component j of plane i is
     * uniform in [-0.5, 0.5), derived from md5("i_j"). */
@@ -45,24 +48,30 @@ object Similarity {
   /** Sign-bit LSH bucket id for a vector column. */
   def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val lits = array(p.map(lit): _*)
-      val dot = aggregate(zip_with(v, lits, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      val dot = call_function("vec_dot", v, array(p.map(lit): _*))
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduceLeft[Column](_ + _)
 
-  private def corpus(spark: SparkSession, dir: String): DataFrame =
+  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SearchExpressions.register(spark)
+    // norm precomputed once per vector: pairwise cosine then costs one
+    // vec_dot instead of three
     spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+      .withColumn("nrm", norm(col("v")))
+  }
 
   /** Exact cosine top-k for each query vector (vec_id < nQueries),
     * self excluded. Output: (qid, rank, vec_id, cos). */
   def bruteForce(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10): DataFrame = {
     val e = corpus(spark, dir)
     val q = e.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = e.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("cos"))
+      .select(col("qid"), col("vec_id"),
+        (call_function("vec_dot", col("v"), col("qv")) /
+          (col("nrm") * col("qnrm"))).as("cos"))
     val topk = TopKAgg.topk(k)
     scored.groupBy("qid")
       .agg(topk(col("vec_id"), col("cos")).as("hits"))
@@ -84,10 +93,12 @@ object Similarity {
       .withColumn("bucket", lshBucket(col("v"), planes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = e.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"), col("bucket"))
     val scored = e.join(q, "bucket")
       .where(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("cos"))
+      .select(col("qid"), col("vec_id"),
+        (call_function("vec_dot", col("v"), col("qv")) /
+          (col("nrm") * col("qnrm"))).as("cos"))
     val topk = TopKAgg.topk(k)
     scored.groupBy("qid")
       .agg(topk(col("vec_id"), col("cos")).as("hits"))

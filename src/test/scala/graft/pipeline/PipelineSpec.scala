@@ -18,6 +18,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("cosine similarity of identical vectors is 1") {
+    graft.functions.SearchExpressions.register(spark)
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0), Seq(-1.0, -2.0, -3.0)))
       .toDF("a", "b", "c")
     val r = df.select(
