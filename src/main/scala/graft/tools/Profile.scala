@@ -18,9 +18,11 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     val df = graft.SparkEntry.queries(name)(spark, dir)
     if (sys.env.get("PROFILE_EXPLAIN").contains("1")) df.explain("formatted")
+    val useNoop = sys.env.get("PROFILE_NOOP").contains("1")
     for (i <- 1 to sys.env.getOrElse("PROFILE_RUNS", "2").toInt) {
       val t0 = System.nanoTime()
-      val n = df.count()
+      val n = if (useNoop) { df.write.format("noop").mode("overwrite").save(); -1L }
+        else df.count()
       println(f"[profile] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()
