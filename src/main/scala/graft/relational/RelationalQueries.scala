@@ -208,6 +208,19 @@ object RelationalQueries {
           min(unix_micros(col("ts"))).as("session_start"),
           max(unix_micros(col("ts"))).as("session_end"))
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // --- native session_window operator (batch form of the streaming
+    //     sessionization; window end = last event + gap) ---
+    "q17_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start"),
+          unix_micros(col("w.end")).as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
     })
   )
 
@@ -363,6 +376,28 @@ object RelationalQueries {
         |  max(epoch_us(ts)) AS session_end
         |FROM sessions
         |GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q17_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sessions AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id,
+        |  min(epoch_us(ts)) AS session_start,
+        |  max(epoch_us(ts)) + 1800 * 1000000 AS session_end,
+        |  count(1) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }

@@ -456,6 +456,20 @@ final class SearchIndex private (
       .select(col("qid"), col("key"), col("score"))
   }
 
+  /** Human-readable configuration summary (reference getConfigInfo,
+    * PartitionsIndexLuceneRDD.scala:537-566). */
+  def getConfigInfo: String = {
+    val simDesc = spec.similarity match {
+      case BM25(k1, b) => s"BM25(k1=$k1, b=$b)"
+      case TFIDF() => "TFIDF"
+    }
+    s"SearchIndex(key=${spec.keyCol}, textFields=${spec.textFields.mkString(",")}, " +
+      s"keywordFields=${spec.keywordFields.mkString(",")}, " +
+      s"indexAnalyzer=${spec.indexAnalyzer}, queryAnalyzer=${spec.queryAnalyzer}, " +
+      s"similarity=$simDesc, layout=${spec.layout}, " +
+      s"fieldStats=${fieldStats.map { case (f, s) => s"$f(n=${s.numDocs}, avgdl=${s.avgDl})" }.mkString("; ")})"
+  }
+
   /** Same index, different scoring — postings/stats/docs are
     * similarity-independent, so swapping BM25(k1,b) / TFIDF is free
     * (reference analog: ConfigurableSimilarity plugins,
