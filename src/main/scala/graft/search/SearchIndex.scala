@@ -563,6 +563,20 @@ object SearchIndex {
     new SearchIndex(spark, spec, docs, postings, stats, fieldStats)
   }
 
+  /** Persists postings bucketed by term (hash-bucketed table): a
+    * query's posting lookup (`term IN (...)`) then reads only the
+    * matching buckets — Spark's bucket pruning — instead of scanning
+    * the whole index, and repeated term-joins are co-partitioned
+    * without a shuffle. This is the on-disk layout for the 100 TB
+    * deployment; [[SearchIndex.save]]'s plain parquet is the
+    * lightweight variant. */
+  def saveBucketed(index: SearchIndex, table: String, nBuckets: Int = 32): Unit =
+    index.postings.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .bucketBy(nBuckets, "term")
+      .sortBy("term")
+      .saveAsTable(table)
+
   /** Reloads a [[save]]d index: the build scan/shuffles are skipped
     * entirely — postings and stats come straight off parquet
     * (rebuild-on-load vs serialized-directory trade-off from the

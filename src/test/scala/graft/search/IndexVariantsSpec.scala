@@ -58,6 +58,34 @@ class IndexVariantsSpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("bucketed postings table prunes buckets on term lookup") {
+    val idx = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
+    spark.sql("DROP TABLE IF EXISTS graft_postings_bucketed")
+    val loc = new java.io.File("spark-warehouse/graft_postings_bucketed")
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+    SearchIndex.saveBucketed(idx, "graft_postings_bucketed", nBuckets = 8)
+    // autoBucketedScan would fall back to a plain scan when no join
+    // needs the bucketing; force the bucketed read so pruning applies
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val posts = spark.table("graft_postings_bucketed")
+    val probe = posts.where(col("term").isin("alpha", "gamma"))
+    val planStr = probe.queryExecution.executedPlan.toString
+    // bucket pruning shows up as SelectedBucketsCount < total
+    assert(planStr.contains("SelectedBucketsCount"), planStr.take(500))
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(planStr)
+    assert(m.isDefined)
+    assert(m.get.group(1).toInt < m.get.group(2).toInt)
+    // and the pruned read still returns the right postings
+    assert(probe.select("key").distinct().as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    idx.unpersist()
+  }
+
   test("index-time vs query-time analyzer split") {
     val docs = Seq((1L, "the running dogs"), (2L, "a sleeping cat")).toDF("doc_id", "text")
     val idx = SearchIndex.build(docs,
