@@ -41,10 +41,27 @@ object Dedup {
         i => concat_ws(" ", (0 until n).map(o => element_at(tokens, i + o)): _*))))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash signature i of a shingle set: lexicographic min of
-    * md5("<i>:" + shingle). */
-  private def minhashSig(ss: Column, i: Int): Column =
-    array_min(transform(ss, s => md5(concat(lit(s"$i:"), s))))
+  /** MinHash machinery: each shingle is hashed ONCE (md5 prefix →
+    * 60-bit int → mod p), then the 16 signatures are affine
+    * permutations `(a_i * h + b_i) mod p` of that single hash — the
+    * classic universal-hashing MinHash construction. 16x less hashing
+    * than hashing per signature, and every step is expressible in the
+    * DuckDB oracle (`('0x' || substr(md5(s),1,15))::BIGINT`). */
+  private[pipeline] val MinhashP = 2147483647L // 2^31 - 1 (prime)
+  private[pipeline] val MinhashA: IndexedSeq[Long] =
+    (0 until 16).map(i => (2654435761L * (i + 1)) % MinhashP)
+  private[pipeline] val MinhashB: IndexedSeq[Long] =
+    (0 until 16).map(i => (40503L * (i + 7) * (i + 7)) % MinhashP)
+
+  /** Base shingle hash column: md5 prefix mod p, one per shingle. */
+  private def shingleHashes(ss: Column): Column =
+    transform(ss, s =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinhashP)
+
+  /** MinHash signature i over the pre-hashed shingle array. */
+  private def minhashSig(hs: Column, i: Int): Column =
+    array_min(transform(hs, h =>
+      (lit(MinhashA(i)) * h + lit(MinhashB(i))) % MinhashP))
 
   private def docTokens(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
@@ -85,9 +102,10 @@ object Dedup {
     // the scan-level filter and evaluate it per row
     val sh = docTokens(spark, dir)
       .select(col("doc_id"), shingles(col("tokens"), 3).as("ss"))
+      .withColumn("hs", shingleHashes(col("ss"))) // hashed once, cached
       .persist(StorageLevel.MEMORY_AND_DISK)
       .where(size(col("ss")) > 0)
-    val sigCols = (0 until 16).map(i => minhashSig(col("ss"), i).as(s"sig_$i"))
+    val sigCols = (0 until 16).map(i => minhashSig(col("hs"), i).as(s"sig_$i"))
     val sigs = sh.select(col("doc_id") +: sigCols: _*)
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),

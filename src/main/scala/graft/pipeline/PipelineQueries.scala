@@ -105,8 +105,9 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash" -> {
+      val p = Dedup.MinhashP
       val sigDefs = (0 until 16)
-        .map(i => s"list_min(list_transform(ss, s -> md5('$i:' || s))) AS sig_$i")
+        .map(i => s"list_min(list_transform(hs, h -> (${Dedup.MinhashA(i)} * h + ${Dedup.MinhashB(i)}) % $p)) AS sig_$i")
         .mkString(",\n    ")
       val bandSelects = (0 until 4).map { b =>
         val cat = (0 until 4).map(r => s"sig_${b * 4 + r}").mkString(" || '|' || ")
@@ -118,7 +119,10 @@ object PipelineQueries {
          |), sigs AS (
          |  SELECT doc_id, ss,
          |    $sigDefs
-         |  FROM sh WHERE len(ss) > 0
+         |  FROM (SELECT doc_id, ss,
+         |          list_transform(ss, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $p) AS hs
+         |        FROM sh)
+         |  WHERE len(ss) > 0
          |), bands AS (
          |  $bandSelects
          |), cand AS (
