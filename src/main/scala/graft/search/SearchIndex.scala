@@ -340,6 +340,28 @@ final class SearchIndex private (
   def batchSearch(queries: DataFrame, k: Int): DataFrame =
     batchSearchRaw(queries, k, None)
 
+  /** Index-probe execution of a flat term query: postings equi-join →
+    * bounded top-k → broadcast join-back of the full rows. Same
+    * semantics as the scan-path [[search]] for MatchAny/MatchAll/
+    * MatchMin shapes (scores equal up to float summation order).
+    *
+    * This is the plan you want at cluster scale for selective
+    * queries: with [[SearchIndex.saveBucketed]] postings, the probe
+    * reads only the query terms' buckets — index-access cost, not a
+    * corpus scan. The scan path wins when the query matches a large
+    * corpus fraction (no join materialization); picking between them
+    * is the engine's "index probe vs table scan" decision, left
+    * explicit here. */
+  def searchViaIndex(field: String, terms: Seq[String], minMatch: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val q = Seq((0L, field, terms, minMatch)).toDF("qid", "field", "terms", "min_match")
+    val hits = batchSearch(q, k).drop("qid", "rank")
+    docs.join(broadcast(hits), key === hits("key"))
+      .drop("key")
+      .drop(internalCols(spec): _*)
+      .orderBy(col("score").desc, key.asc)
+  }
+
   /** Batch search over arbitrary DSL queries (reference batchSearch /
     * batchSearchRaw with full DslQuery support, SearchableRDD.scala:
     * 194-250): each query compiles to its own scan-path plan and the

@@ -86,6 +86,17 @@ class IndexVariantsSpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("searchViaIndex (postings probe) agrees with scan-path search") {
+    val idx = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
+    val scan = idx.search(graft.dsl.MatchMin("text", 1, Seq("alpha", "gamma")), 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val probe = idx.searchViaIndex("text", Seq("alpha", "gamma"), minMatch = 1, k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(probe.keySet == scan.keySet)
+    probe.foreach { case (k, s) => assert(math.abs(s - scan(k)) < 1e-9) }
+    idx.unpersist()
+  }
+
   test("index-time vs query-time analyzer split") {
     val docs = Seq((1L, "the running dogs"), (2L, "a sleeping cat")).toDF("doc_id", "text")
     val idx = SearchIndex.build(docs,
