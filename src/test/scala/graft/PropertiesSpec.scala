@@ -1,0 +1,119 @@
+package graft
+
+import graft.dsl.Parsed
+import graft.functions.{ArrayCountEq, PhraseCount, TopKAgg, ScoredDoc, VecDot}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck property tests for the engine's pure kernels —
+  * expression eval vs naive reference implementations, parser
+  * structure, bounded-top-k semantics. Deterministic seeds (no
+  * scalatestplus bridge in the offline cache): each property is
+  * checked over 100 generated samples.
+  */
+class PropertiesSpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int = 100): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    samples(ga.flatMap(a => gb.map(a -> _))).foreach { case (a, b) => f(a, b) }
+
+  private def forAll[A](ga: Gen[A])(f: A => Unit): Unit =
+    samples(ga).foreach(f)
+
+  private val token: Gen[String] = Gen.oneOf("a", "b", "c", "dd", "e1")
+  private val tokens: Gen[List[String]] = Gen.listOfN(12, token).map(_.take(12))
+
+  private def arrLit(xs: Seq[String]) =
+    Literal(ArrayData.toArrayData(xs.map(UTF8String.fromString).toArray),
+      ArrayType(StringType))
+
+  test("ArrayCountEq equals naive count for arbitrary inputs") {
+    forAll(tokens, token) { (xs, t) =>
+      val got = ArrayCountEq(arrLit(xs), Literal(UTF8String.fromString(t), StringType))
+        .eval(null).asInstanceOf[Int]
+      assert(got == xs.count(_ == t))
+    }
+  }
+
+  test("PhraseCount equals naive sliding-window count") {
+    forAll(tokens, Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, token))) { (xs, p) =>
+      val got = PhraseCount(arrLit(xs), arrLit(p)).eval(null).asInstanceOf[Int]
+      val want =
+        if (p.isEmpty || p.size > xs.size) 0
+        else xs.sliding(p.size).count(_ == p)
+      assert(got == want)
+    }
+  }
+
+  test("VecDot equals naive dot product") {
+    val vec = Gen.listOfN(8, Gen.chooseNum(-10.0, 10.0))
+    forAll(vec, vec) { (a, b) =>
+      val la = Literal(ArrayData.toArrayData(a.toArray),
+        ArrayType(org.apache.spark.sql.types.DoubleType))
+      val lb = Literal(ArrayData.toArrayData(b.toArray),
+        ArrayType(org.apache.spark.sql.types.DoubleType))
+      val got = VecDot(la, lb).eval(null).asInstanceOf[Double]
+      val want = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      assert(got == want) // bit-identical: same fold order
+    }
+  }
+
+  test("TopKAgg reduce/merge semantics equal sort-take-k for any merge tree") {
+    val doc = for {
+      key <- Gen.chooseNum(0L, 50L)
+      score <- Gen.chooseNum(0.0, 1.0)
+    } yield ScoredDoc(key, score)
+    forAll(Gen.listOf(doc), Gen.chooseNum(1, 5)) { (docs, k) =>
+      val agg = new TopKAgg(k)
+      // arbitrary split into partitions, reduce each, merge pairwise
+      val parts = docs.grouped(3).toList
+      val bufs = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      val merged = bufs.foldLeft(agg.zero)(agg.merge)
+      val got = agg.finish(merged).toList
+      val want = docs.sortBy(d => (-d.score, d.key)).take(k)
+      assert(got == want)
+    }
+  }
+
+  test("Parsed.parseClauses classifies occurs and phrases") {
+    val word: Gen[String] = Gen.oneOf("spark", "join", "fast")
+    val clause: Gen[(Char, Boolean, String)] = for {
+      occ <- Gen.oneOf(' ', '+', '-')
+      phrase <- Gen.oneOf(true, false)
+      w1 <- word; w2 <- word
+    } yield (occ, phrase, if (phrase) s"$w1 $w2" else w1)
+    forAll(Gen.listOfN(4, clause)) { cs =>
+      val q = cs.map { case (occ, phrase, text) =>
+        val o = if (occ == ' ') "" else occ.toString
+        if (phrase) s"""$o"$text"""" else s"$o$text"
+      }.mkString(" ")
+      val parsed = Parsed.parseClauses(q)
+      assert(parsed.size == cs.size)
+      parsed.zip(cs).foreach { case (p, (occ, phrase, text)) =>
+        assert(p.occur == occ)
+        assert(p.isPhrase == phrase)
+        assert(p.text == text)
+      }
+    }
+  }
+
+  test("shingle arrays contain only n-token shingles") {
+    import TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    forAll(Gen.listOfN(10, token)) { xs =>
+      val got = Seq(xs).toDF("tokens")
+        .select(graft.pipeline.Dedup.shingles(col("tokens"), 3).as("s"))
+        .as[Seq[String]].head()
+      assert(got.forall(_.split(" ").length == 3))
+      if (xs.size >= 3) assert(got.nonEmpty) else assert(got.isEmpty)
+    }
+  }
+}
