@@ -210,6 +210,19 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // --- JSON scalar extraction (props is a JSON string column);
+    //     regexp-based so the DuckDB oracle needs no JSON extension ---
+    "q18_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k_val",
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k_val")).as("sum_k"),
+          round(avg(col("k_val")), 4).as("avg_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // --- native session_window operator (batch form of the streaming
     //     sessionization; window end = last event + gap) ---
     "q17_session_window" -> ((s, dir) => {
@@ -377,6 +390,14 @@ object RelationalQueries {
         |FROM sessions
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q18_json_extract" ->
+      """SELECT event_type, count(1) AS n,
+        |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(avg(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)), 4) AS avg_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q17_session_window" ->
       """WITH flagged AS (

@@ -33,6 +33,17 @@ object SearchQueries {
       SearchIndex.build(spark.read.parquet(s"$dir/documents.parquet"), spec))
   }
 
+  /** English-analyzer (stop + Porter) index over the same corpus —
+    * exercises the full analyzer pipeline end-to-end. No SQL oracle
+    * (stemming is not DuckDB-expressible), so its entry gets the
+    * driver's rows-only check; semantics are covered by
+    * AnalyzersSpec/PorterStemmerSpec goldens. */
+  def englishIndexFor(spark: SparkSession, dir: String): SearchIndex = cache.synchronized {
+    cache.getOrElseUpdate(s"$dir#english",
+      SearchIndex.build(spark.read.parquet(s"$dir/documents.parquet"),
+        spec.copy(indexAnalyzer = "english", queryAnalyzer = "english")))
+  }
+
   private def topkOut(df: DataFrame): DataFrame =
     df.select(col("doc_id"), round(col("score"), 4).as("score"))
 
@@ -150,6 +161,12 @@ object SearchQueries {
           col("doc_id"), col("lang"), col("n_chars"))
         .select(col("doc_id"), col("lang"), col("n_chars"),
           round(col("score"), 4).as("score"))),
+
+    // english-analyzer pipeline end-to-end (stems + stopwords; the
+    // query text "joining windows" matches stemmed corpus tokens)
+    "search_stemmed" -> ((s, dir) =>
+      topkOut(englishIndexFor(s, dir)
+        .search("text" matchText "sparks joining windows", 10))),
 
     // classic TF-IDF scoring mode on the same index artifacts
     "search_tfidf" -> ((s, dir) =>
