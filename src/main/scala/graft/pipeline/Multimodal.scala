@@ -36,6 +36,22 @@ object Multimodal {
     StructField("height", LongType),
     StructField("n_frames", LongType)))
 
+  /** Frame sampling over the decoded assets: every asset contributes
+    * ceil(n_frames / 4) evenly-spaced frames (a video keyframe-sample
+    * stage). The per-frame "content hash" is the deterministic stub
+    * for the real frame decode. Pure Column pipeline: sequence +
+    * explode, so the fan-out is distributed and codegen'd — the shape
+    * a real frame extractor plugs into. */
+  def frameSample(spark: SparkSession, dir: String, everyNth: Int = 4): DataFrame = {
+    decodeMeta(spark, dir)
+      .withColumn("step", greatest(ceil(col("n_frames") / everyNth).cast("long"), lit(1L)))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("n_frames") - 1, col("step"))))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(concat(col("doc_id"), lit(":"), col("frame_idx"))).as("frame_hash"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Treats each document's text bytes as an opaque binary payload and
     * runs the per-partition decode pipeline over it. */
   def decodeMeta(spark: SparkSession, dir: String): DataFrame = {

@@ -22,7 +22,8 @@ object PipelineQueries {
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
     "fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
-    "multimodal_meta" -> ((s, dir) => Multimodal.decodeMeta(s, dir)))
+    "multimodal_meta" -> ((s, dir) => Multimodal.decodeMeta(s, dir)),
+    "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(s, dir)))
 
   // ---------------- oracle SQL ----------------
 
@@ -257,6 +258,18 @@ object PipelineQueries {
          |    md5(text)) AS fp_min_shingle,
          |  md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS fp_bow
          |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH meta AS (
+        |  SELECT doc_id, CAST(strlen(text) % 30 + 1 AS BIGINT) AS n_frames FROM documents
+        |), stepped AS (
+        |  SELECT doc_id, n_frames,
+        |    greatest(CAST(ceil(n_frames / 4) AS BIGINT), 1) AS step
+        |  FROM meta
+        |)
+        |SELECT doc_id, frame_idx, md5(doc_id || ':' || frame_idx) AS frame_hash
+        |FROM (SELECT doc_id, unnest(range(0, n_frames, step)) AS frame_idx FROM stepped)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id,
