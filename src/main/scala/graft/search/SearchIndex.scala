@@ -534,8 +534,16 @@ object SearchIndex {
 
     var docs = df
     spec.textFields.foreach { f =>
+      // array<string> columns are indexed per element (each element is
+      // a term) — the reference's SeqField flattens arrays to one text
+      // blob (LuceneIndexedPartition.scala:197, lossy); here elements
+      // stay individually addressable
+      val tokens = df.schema(f).dataType match {
+        case org.apache.spark.sql.types.ArrayType(_, _) => col(f).cast("array<string>")
+        case _ => an.tokensCol(col(f))
+      }
       docs = docs
-        .withColumn(tokensColName(f), an.tokensCol(col(f)))
+        .withColumn(tokensColName(f), tokens)
         .withColumn(dlColName(f), size(col(tokensColName(f))))
     }
     docs = docs.persist(storageLevel)

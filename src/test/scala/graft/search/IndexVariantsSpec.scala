@@ -97,6 +97,23 @@ class IndexVariantsSpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("array<string> fields index per element (SeqField analog)") {
+    val docs = Seq(
+      (1L, Seq("red", "green")),
+      (2L, Seq("green", "blue", "green")),
+      (3L, Seq.empty[String])
+    ).toDF("doc_id", "tags")
+    val idx = SearchIndex.build(docs, IndexSpec("doc_id", Seq("tags")))
+    val hits = idx.search(graft.dsl.MatchTerm("tags", "green"), 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(hits.keySet == Set(1L, 2L))
+    // doc 2 has tf=2 but also longer dl; both score positively
+    assert(hits.values.forall(_ > 0))
+    val cf = idx.getTermCounts.where($"term" === "green").select("cf").as[Long].head()
+    assert(cf == 3L)
+    idx.unpersist()
+  }
+
   test("index-time vs query-time analyzer split") {
     val docs = Seq((1L, "the running dogs"), (2L, "a sleeping cat")).toDF("doc_id", "text")
     val idx = SearchIndex.build(docs,
