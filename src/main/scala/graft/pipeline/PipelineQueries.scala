@@ -18,6 +18,9 @@ object PipelineQueries {
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingPairs(s, dir)),
     "ann_bruteforce" -> ((s, dir) => Similarity.bruteForce(s, dir)),
     "ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir)),
+    // rows-only check (KMeans quantizer not SQL-expressible);
+    // recall-vs-exact verified in IvfSpec
+    "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),

@@ -81,6 +81,62 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer partitions the
+    * corpus into nCentroids cells; each query probes its nProbe
+    * nearest cells and exact-reranks inside them. The other canonical
+    * scale path next to [[lshTopK]] — at 100 TB the cell id is a
+    * partition/bucket column, so a probe reads nProbe/nCentroids of
+    * the data. Centroids come from spark-mllib KMeans with a fixed
+    * seed (deterministic for a fixed corpus).
+    *
+    * The per-query probe-cell selection is a driver-side computation
+    * over (nQueries x nCentroids) distances — small by construction;
+    * the candidate scan + rerank stay distributed. */
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = corpus(spark, dir)
+    val withVec = e.withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
+      .fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col("vec_id"), col("v"), col("nrm"), col("prediction").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = model.clusterCenters.map(_.toArray)
+    // driver-side probe-cell selection for the (small) query set
+    val queries = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probeRows = queries.flatMap { case (qid, qv) =>
+      centroids.zipWithIndex
+        .map { case (c, i) =>
+          val d = qv.zip(c).foldLeft(0.0) { case (acc, (a, b)) => acc + (a - b) * (a - b) }
+          (i, d)
+        }
+        .sortBy(_._2).take(nProbe)
+        .map { case (cell, _) => (qid, cell) }
+    }
+    import spark.implicits._
+    val probes = probeRows.toSeq.toDF("qid", "cell")
+    val q = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = assigned
+      .join(broadcast(probes), "cell")
+      .join(broadcast(q), "qid")
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (call_function("vec_dot", col("v"), col("qv")) /
+          (col("nrm") * col("qnrm"))).as("cos"))
+    val topk = TopKAgg.topk(k)
+    scored.groupBy("qid")
+      .agg(topk(col("vec_id"), col("cos")).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("hit.key").as("vec_id"), round(col("hit.score"), 4).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
   /** LSH-bucketed ANN: probe only the query's bucket, exact re-rank
     * inside it. Recall < 1 by construction (LSH trade-off); the
     * deterministic hyperplanes make the result reproducible. */

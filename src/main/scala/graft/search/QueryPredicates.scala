@@ -1,0 +1,72 @@
+package graft.search
+
+import graft.analysis.Analyzers
+import graft.dsl._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Stats-free compilation of a DSL query to a boolean match Column.
+  *
+  * Scoring needs the index's global term statistics, but pure
+  * match/filter semantics do not — which makes this compiler usable
+  * where no index exists yet, in particular on STREAMING DataFrames
+  * (filter a document stream by a standing query; Structured
+  * Streaming cannot consult a batch-built SearchIndex mid-stream).
+  *
+  * Tokenization uses the same analyzer pipeline as index builds, so a
+  * stream filtered by `predicate(q)` admits exactly the documents the
+  * batch index would match.
+  */
+object QueryPredicates {
+
+  /** Match predicate over raw (un-tokenized) text/keyword columns. */
+  def predicate(q: SearchQuery, analyzerName: String = "default",
+      textFields: Set[String] = Set("text")): Column = {
+    val an = Analyzers(analyzerName)
+    def tf(field: String, term: String): Column =
+      if (textFields(field))
+        size(filter(an.tokensCol(col(field)), t => t === lit(term)))
+      else when(col(field) === lit(term), 1).otherwise(0)
+    def compile(q: SearchQuery): Column = q match {
+      case AllDocs => lit(true)
+      case And(l, r) => compile(l) && compile(r)
+      case Or(l, r) => compile(l) || compile(r)
+      case Not(inner) => !compile(inner)
+      case Should(_) => lit(true)
+      case MatchTerm(f, t) => tf(f, t) > 0
+      case MatchText(f, t) => compile(MatchAnyTerms(f, an.analyze(t)))
+      case MatchAllText(f, t) => compile(MatchAllTerms(f, an.analyze(t)))
+      case MatchPhrase(f, t) =>
+        val terms = an.analyze(t)
+        if (terms.isEmpty) lit(false)
+        else {
+          // positional check via the same sliding-window semantics as
+          // the indexed path's phrase_count (no registry dependency)
+          val toks = an.tokensCol(col(f))
+          val m = terms.size
+          exists(
+            sequence(lit(1), greatest(size(toks) - (m - 1), lit(0))),
+            i => terms.zipWithIndex
+              .map { case (term, o) => element_at(toks, i + o) === lit(term) }
+              .reduceLeft(_ && _))
+        }
+      case MatchAllTerms(f, ts) =>
+        if (ts.isEmpty) lit(true) else ts.map(t => tf(f, t) > 0).reduceLeft(_ && _)
+      case MatchAnyTerms(f, ts) =>
+        if (ts.isEmpty) lit(false) else ts.map(t => tf(f, t) > 0).reduceLeft(_ || _)
+      case MatchMin(f, min, ts) =>
+        ts.map(t => when(tf(f, t) > 0, 1).otherwise(0)).reduceLeft(_ + _) >= min
+      case Parsed(f, s) => compile(Parsed.desugar(f, s))
+      case EqFilter(f, v) => col(f) === lit(v)
+      case GtFilter(f, v) => col(f) > lit(v)
+      case GeFilter(f, v) => col(f) >= lit(v)
+      case LtFilter(f, v) => col(f) < lit(v)
+      case LeFilter(f, v) => col(f) <= lit(v)
+      case RangeFilter(f, lo, hi) => col(f).between(lit(lo), lit(hi))
+      case InSetFilter(f, vs) => col(f).isin(vs: _*)
+      case ExistsFilter(f) => col(f).isNotNull
+      case MissingFilter(f) => col(f).isNull
+    }
+    compile(q)
+  }
+}

@@ -1,0 +1,31 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class IvfSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("IVF ANN is deterministic and recalls a good fraction of exact top-k") {
+    val exact = Similarity.bruteForce(spark, dir, nQueries = 3, k = 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf1 = Similarity.ivfTopK(spark, dir, nQueries = 3, k = 10, nCentroids = 8, nProbe = 3)
+      .select("qid", "rank", "vec_id").as[(Long, Long, Long)].collect().toSeq
+    val ivf2 = Similarity.ivfTopK(spark, dir, nQueries = 3, k = 10, nCentroids = 8, nProbe = 3)
+      .select("qid", "rank", "vec_id").as[(Long, Long, Long)].collect().toSeq
+    assert(ivf1.sorted == ivf2.sorted, "IVF must be deterministic (fixed seed)")
+    val byQ = ivf1.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // probing 3/8 cells: expect meaningful but partial recall
+    val recalls = exact.keys.toSeq.map { qid =>
+      val r = byQ.getOrElse(qid, Set.empty)
+      r.intersect(exact(qid)).size.toDouble / exact(qid).size
+    }
+    assert(recalls.sum / recalls.size > 0.2,
+      s"mean recall too low: ${recalls.mkString(",")}")
+  }
+}

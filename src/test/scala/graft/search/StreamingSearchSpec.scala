@@ -1,0 +1,48 @@
+package graft.search
+
+import graft.TestSpark
+import graft.dsl.builders._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSearchSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("stats-free predicate agrees with indexed search matches") {
+    val corpus = Seq(
+      (1L, "spark joins data fast", "en"),
+      (2L, "slow batch merge", "en"),
+      (3L, "spark window functions", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val idx = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text"), Seq("lang")))
+    val queries = Seq(
+      ("text" matchAny termSet("spark", "merge")) && ("lang" === "en"),
+      "text" matchPhrase "spark window",
+      "text".matchMin(2, termSet("spark", "data", "window")),
+      "text" parseQuery "+spark -window")
+    for (q <- queries) {
+      val indexed = idx.search(q, 10).select("doc_id").as[Long].collect().toSet
+      val streamy = corpus.where(QueryPredicates.predicate(q))
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamy == indexed, s"query $q")
+    }
+    idx.unpersist()
+  }
+
+  test("standing query filters a live document stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = docs.where(QueryPredicates.predicate("text" matchAllText "spark stream"))
+      .writeStream.format("memory").queryName("standing_query_sink")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((1L, "spark stream processing"), (2L, "batch only"), (3L, "stream of spark events"))
+    q.processAllAvailable()
+    val got = spark.table("standing_query_sink").select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+    q.stop()
+  }
+}
