@@ -111,12 +111,25 @@ object Analyzers {
     def analyze(text: String): Seq[String] = text.split("\\s+").toSeq.filter(_.nonEmpty)
   }
 
+  /** Per-token Italian pipeline step: elision strip → stopword filter
+    * → light stem; None drops the token. Shared between the Column
+    * expression ([[graft.functions.StemTokens]]) and [[italian.analyze]]. */
+  def italianPerToken(t0: String): Option[String] = {
+    val t = ItalianElisions.collectFirst {
+      case e if t0.startsWith(e + "'") => t0.drop(e.length + 1)
+    }.getOrElse(t0)
+    if (ItalianStopwords.contains(t)) None
+    else {
+      val s = italianLightStem(t)
+      if (s.nonEmpty) Some(s) else None
+    }
+  }
+
   /** English: base + stopwords + Porter stemming. */
   object english extends Analyzer {
     val name = "english"
-    private val stemUdf = udf((ts: Seq[String]) =>
-      ts.filterNot(EnglishStopwords).map(PorterStemmer.stem))
-    def tokensCol(c: Column): Column = stemUdf(baseTokens(c))
+    def tokensCol(c: Column): Column =
+      graft.functions.StemTokens(baseTokens(c), "en")
     def analyze(text: String): Seq[String] =
       baseAnalyze(text).filterNot(EnglishStopwords).map(PorterStemmer.stem)
   }
@@ -124,20 +137,12 @@ object Analyzers {
   /** Italian: base + elision + stopwords + light stemming. */
   object italian extends Analyzer {
     val name = "italian"
-    private def run(ts: Seq[String]): Seq[String] = ts
-      .map { t =>
-        ItalianElisions.collectFirst {
-          case e if t.startsWith(e + "'") => t.drop(e.length + 1)
-        }.getOrElse(t)
-      }
-      .filterNot(ItalianStopwords)
-      .map(italianLightStem)
-      .filter(_.nonEmpty)
-    private val runUdf = udf(run _)
     def tokensCol(c: Column): Column =
-      runUdf(filter(split(lower(c), "[^a-z0-9']+"), t => t =!= ""))
+      graft.functions.StemTokens(
+        filter(split(lower(c), "[^a-z0-9']+"), t => t =!= ""), "it")
     def analyze(text: String): Seq[String] =
-      run(text.toLowerCase.split("[^a-z0-9']+").toSeq.filter(_.nonEmpty))
+      text.toLowerCase.split("[^a-z0-9']+").toSeq.filter(_.nonEmpty)
+        .flatMap(italianPerToken)
   }
 
   /** English Wikipedia: markup strip + english pipeline
@@ -145,12 +150,11 @@ object Analyzers {
     * → possessive → lowercase → stop → PorterStem). */
   object englishWikipedia extends Analyzer {
     val name = "english_wikipedia"
-    private val stemUdf = udf((ts: Seq[String]) =>
-      ts.filterNot(EnglishStopwords).map(PorterStemmer.stem))
     // possessive filter: drop 's before tokenizing (Lucene
     // EnglishPossessiveFilter analog)
     private def stripPoss(c: Column): Column = regexp_replace(c, "'[sS]\\b", "")
-    def tokensCol(c: Column): Column = stemUdf(baseTokens(stripPoss(stripWikiCol(c))))
+    def tokensCol(c: Column): Column =
+      graft.functions.StemTokens(baseTokens(stripPoss(stripWikiCol(c))), "en")
     def analyze(text: String): Seq[String] =
       baseAnalyze(stripWiki(text).replaceAll("'[sS]\\b", ""))
         .filterNot(EnglishStopwords).map(PorterStemmer.stem)
