@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. Three things get in the way by default: (1) forked-process
+// output is routed through sbt's logger and prefixed with "[info] ",
+// (2) sbt appends a "[success] Total time" trailer, (3) Spark logs can
+// interleave after our line. Fix (1) by writing the child's stdout
+// straight through, (2) by disabling the banner, (3) via
+// src/main/resources/log4j2.properties (level=warn) + printing the
+// JSON after spark.stop().
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
