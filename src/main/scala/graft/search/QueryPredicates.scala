@@ -44,11 +44,16 @@ object QueryPredicates {
           // the indexed path's phrase_count (no registry dependency)
           val toks = an.tokensCol(col(f))
           val m = terms.size
-          exists(
-            sequence(lit(1), greatest(size(toks) - (m - 1), lit(0))),
-            i => terms.zipWithIndex
-              .map { case (term, o) => element_at(toks, i + o) === lit(term) }
-              .reduceLeft(_ && _))
+          // Docs shorter than the phrase can't match — and must not
+          // reach the window: sequence(1, size-m+1) yields [1,0] when
+          // the doc is short, and element_at(toks, 0) throws.
+          when(size(toks) >= m,
+            exists(
+              sequence(lit(1), size(toks) - (m - 1)),
+              i => terms.zipWithIndex
+                .map { case (term, o) => element_at(toks, i + o) === lit(term) }
+                .reduceLeft(_ && _))
+          ).otherwise(lit(false))
         }
       case MatchAllTerms(f, ts) =>
         if (ts.isEmpty) lit(true) else ts.map(t => tf(f, t) > 0).reduceLeft(_ && _)

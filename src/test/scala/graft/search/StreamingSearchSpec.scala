@@ -32,6 +32,18 @@ class StreamingSearchSpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("phrase predicate survives docs shorter than the phrase") {
+    val docs = Seq(
+      (1L, "spark window functions shine"),
+      (2L, "spark"), // shorter than the 2-term phrase
+      (3L, ""), // empty text → zero tokens
+      (4L, "window spark")
+    ).toDF("doc_id", "text")
+    val got = docs.where(QueryPredicates.predicate("text" matchPhrase "spark window"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+
   test("standing query filters a live document stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
