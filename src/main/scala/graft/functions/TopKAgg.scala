@@ -1,12 +1,14 @@
 package graft.functions
 
+import scala.reflect.runtime.universe.TypeTag
+
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 import org.apache.spark.sql.{Encoder, SparkSession}
 
 /** One (document, score) pair flowing through [[TopKAgg]]. */
-case class ScoredDoc(key: Long, score: Double)
+case class ScoredDoc[K](key: K, score: Double)
 
 /** Bounded per-group top-k aggregate — the engine's replacement for
   * the reference's unbounded `groupByKey` + full sort per query (its
@@ -20,40 +22,50 @@ case class ScoredDoc(key: Long, score: Double)
   * size — the property that makes batch search / query join safe at
   * 100 TB.
   *
-  * Ordering is deterministic: score descending, then key ascending.
+  * Generic over the document-key type `K` (an IndexSpec key is any
+  * user-supplied stable column — long and string are the common
+  * cases). Ordering is deterministic: score descending, then key
+  * ascending by `K`'s own ordering.
   */
-class TopKAgg(k: Int) extends Aggregator[ScoredDoc, List[ScoredDoc], Array[ScoredDoc]] {
+class TopKAgg[K: TypeTag](k: Int)(implicit ord: Ordering[K])
+    extends Aggregator[ScoredDoc[K], List[ScoredDoc[K]], Array[ScoredDoc[K]]] {
   require(k > 0, "k must be positive")
 
-  override def zero: List[ScoredDoc] = Nil
+  override def zero: List[ScoredDoc[K]] = Nil
 
-  private def bound(xs: List[ScoredDoc]): List[ScoredDoc] =
+  private def bound(xs: List[ScoredDoc[K]]): List[ScoredDoc[K]] =
     xs.sortBy(d => (-d.score, d.key)).take(k)
 
-  override def reduce(buf: List[ScoredDoc], d: ScoredDoc): List[ScoredDoc] = {
+  override def reduce(buf: List[ScoredDoc[K]], d: ScoredDoc[K]): List[ScoredDoc[K]] = {
     // fast reject without sorting when the buffer is full and d is
     // not better than the current worst
     if (buf.lengthCompare(k) >= 0) {
       val worst = buf.last
-      if (d.score < worst.score || (d.score == worst.score && d.key > worst.key)) buf
+      if (d.score < worst.score || (d.score == worst.score && ord.gt(d.key, worst.key))) buf
       else bound(d :: buf)
     } else bound(d :: buf)
   }
 
-  override def merge(a: List[ScoredDoc], b: List[ScoredDoc]): List[ScoredDoc] =
+  override def merge(a: List[ScoredDoc[K]], b: List[ScoredDoc[K]]): List[ScoredDoc[K]] =
     bound(a ::: b)
 
-  override def finish(buf: List[ScoredDoc]): Array[ScoredDoc] = buf.toArray
+  override def finish(buf: List[ScoredDoc[K]]): Array[ScoredDoc[K]] = buf.toArray
 
-  override def bufferEncoder: Encoder[List[ScoredDoc]] = ExpressionEncoder()
-  override def outputEncoder: Encoder[Array[ScoredDoc]] = ExpressionEncoder()
+  override def bufferEncoder: Encoder[List[ScoredDoc[K]]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Array[ScoredDoc[K]]] = ExpressionEncoder()
 }
 
 object TopKAgg {
-  /** Column-API handle: `topk(k)(col("key"), col("score"))` yields
-    * `array<struct<key,score>>` sorted score desc, key asc. */
-  def topk(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udaf(new TopKAgg(k), ExpressionEncoder[ScoredDoc]())
+  /** Typed handle: `of[K](k)(col("key"), col("score"))` yields
+    * `array<struct<key: K, score>>` sorted score desc, key asc. */
+  def of[K: TypeTag: Ordering](k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new TopKAgg[K](k), ExpressionEncoder[ScoredDoc[K]]())
+
+  /** Long-keyed variant (numeric doc ids). */
+  def topk(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction = of[Long](k)
+
+  /** String-keyed variant (e.g. uuid / natural-key doc ids). */
+  def topkString(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction = of[String](k)
 
   /** Optionally expose as a SQL function `topk_agg`. */
   def register(spark: SparkSession, k: Int, name: String = "topk_agg"): Unit =

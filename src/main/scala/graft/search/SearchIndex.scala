@@ -411,16 +411,23 @@ final class SearchIndex private (
     * @param field indexed field to search
     * @param excludeSelf drop hits whose key equals the query's qid
     *   (self-join convention, examples/SearchableRDDExamples.scala:68-74)
-    */
+    * @param broadcastHits force-broadcast the (qid, rank, key, score)
+    *   hits for the join-back. Hits are |left| * k rows, so this is
+    *   only safe when the caller KNOWS left is small (a query batch,
+    *   not the corpus). Default leaves the choice to Catalyst/AQE,
+    *   which broadcasts from runtime stats when the hits fit and
+    *   falls back to a shuffle hash join on qid for a corpus-scale
+    *   self-join — where a forced broadcast would grow linearly with
+    *   the corpus and blow the driver. */
   def queryJoin(left: DataFrame, qidCol: String, termsCol: Column, field: String,
-      k: Int, minMatch: Int = 1, excludeSelf: Boolean = false): DataFrame = {
+      k: Int, minMatch: Int = 1, excludeSelf: Boolean = false,
+      broadcastHits: Boolean = false): DataFrame = {
     val queries = left.select(col(qidCol).as("qid"), termsCol.as("terms"))
       .withColumn("field", lit(field))
       .withColumn("min_match", lit(minMatch))
     val hits0 = batchSearchRaw(queries, k, if (excludeSelf) Some(col("qid") =!= col("key")) else None)
-    // hits are at most |left| * k rows of (qid, rank, key, score) —
-    // broadcast them so the corpus-wide left side never shuffles
-    left.join(broadcast(hits0), left(qidCol) === hits0("qid")).drop("qid")
+    val hits = if (broadcastHits) broadcast(hits0) else hits0
+    left.join(hits, left(qidCol) === hits0("qid")).drop("qid")
   }
 
   /** batchSearch with an optional pre-top-k hit predicate. */
@@ -428,7 +435,17 @@ final class SearchIndex private (
       hitFilter: Option[Column]): DataFrame = {
     val base = batchSearchPerDoc(queries)
     val filtered = hitFilter.map(base.where).getOrElse(base)
-    val topk = TopKAgg.topk(k)
+    // key type follows the corpus keyCol: integral keys aggregate as
+    // long, string keys as string — the IndexSpec contract admits any
+    // stable key, so the batch path must not assume long
+    val topk = base.schema("key").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        TopKAgg.topk(k)
+      case org.apache.spark.sql.types.StringType => TopKAgg.topkString(k)
+      case other => throw new IllegalArgumentException(
+        s"batch search supports integral or string keyCol, got $other for ${spec.keyCol}")
+    }
     filtered
       .groupBy(col("qid"))
       .agg(topk(col("key"), col("score")).as("hits"))

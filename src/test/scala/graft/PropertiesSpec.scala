@@ -71,7 +71,7 @@ class PropertiesSpec extends AnyFunSuite {
       score <- Gen.chooseNum(0.0, 1.0)
     } yield ScoredDoc(key, score)
     forAll(Gen.listOf(doc), Gen.chooseNum(1, 5)) { (docs, k) =>
-      val agg = new TopKAgg(k)
+      val agg = new TopKAgg[Long](k)
       // arbitrary split into partitions, reduce each, merge pairwise
       val parts = docs.grouped(3).toList
       val bufs = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))

@@ -102,6 +102,25 @@ class SearchIndexSpec extends AnyFunSuite {
     batch(11L).foreach { case (k, s) => assert(math.abs(s - allq(k)) < 1e-9) }
   }
 
+  test("string-keyed corpus: batchSearch and queryJoin work end-to-end") {
+    val sCorpus = corpus.withColumn("doc_id", concat(lit("doc-"), col("doc_id")))
+    val sIdx = SearchIndex.build(sCorpus, spec)
+    val queries = Seq((10L, "text", Seq("spark"), 1)).toDF("qid", "field", "terms", "min_match")
+    val batch = sIdx.batchSearch(queries, 10)
+      .select("key", "score").as[(String, Double)].collect().toMap
+    val single = sIdx.search("text" matchAny termSet("spark"), 10)
+      .select("doc_id", "score").as[(String, Double)].collect().toMap
+    assert(batch.keySet == Set("doc-2", "doc-4", "doc-5") && batch.keySet == single.keySet)
+    batch.foreach { case (k, s) => assert(math.abs(s - single(k)) < 1e-9) }
+    val left = sIdx.docs.where(col("doc_id") === "doc-2")
+    val qj = sIdx.queryJoin(left, "doc_id",
+      array_distinct(col(SearchIndex.tokensColName("text"))), "text",
+      k = 3, minMatch = 1, excludeSelf = true)
+    val hits = qj.select("key").as[String].collect().toSet
+    assert(hits.nonEmpty && !hits.contains("doc-2"))
+    sIdx.unpersist()
+  }
+
   test("queryJoin returns top-k similar docs excluding self") {
     val left = idx.docs.where(col("doc_id") === 2L)
     val r = idx.queryJoin(left, "doc_id",
