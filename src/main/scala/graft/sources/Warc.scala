@@ -32,28 +32,53 @@ object Warc {
 
   /** Parses one WARC stream (already decompressed) into records.
     * Handles WARC/1.0 and WARC/0.18 header layouts: a version line,
-    * header lines until blank, then `Content-Length` bytes of body. */
+    * header lines until blank, then `Content-Length` bytes of body.
+    *
+    * Record framing is done over the RAW BYTES (as the reference's
+    * WarcRecord.java does): `Content-Length` is a byte count, so
+    * applying it to a decoded string misframes any record whose body
+    * contains multibyte UTF-8. Headers are ASCII by spec; the body
+    * slice alone is decoded to text. */
   private[sources] def parseStream(path: String, bytes: Array[Byte]): Iterator[Row] = {
-    val text = new String(bytes, StandardCharsets.UTF_8)
+    val magic = "WARC/".getBytes(StandardCharsets.US_ASCII)
+    val crlf2 = "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
+    val lf2 = "\n\n".getBytes(StandardCharsets.US_ASCII)
+    def indexOf(pat: Array[Byte], from: Int): Int = {
+      var i = math.max(from, 0)
+      val last = bytes.length - pat.length
+      while (i <= last) {
+        var j = 0
+        while (j < pat.length && bytes(i + j) == pat(j)) j += 1
+        if (j == pat.length) return i
+        i += 1
+      }
+      -1
+    }
     val recs = scala.collection.mutable.ArrayBuffer.empty[Row]
     var i = 0
-    while (i < text.length) {
-      val start = text.indexOf("WARC/", i)
-      if (start < 0) { i = text.length }
+    while (i < bytes.length) {
+      val start = indexOf(magic, i)
+      if (start < 0) { i = bytes.length }
       else {
-        val headerEnd0 = text.indexOf("\r\n\r\n", start)
-        val headerEnd = if (headerEnd0 < 0) text.indexOf("\n\n", start) else headerEnd0
-        if (headerEnd < 0) { i = text.length }
+        // header ends at the first blank line, whichever EOL style
+        val a = indexOf(crlf2, start)
+        val b = indexOf(lf2, start)
+        val (headerEnd, sepLen) =
+          if (a < 0 && b < 0) (-1, 0)
+          else if (a < 0) (b, lf2.length)
+          else if (b < 0 || a <= b) (a, crlf2.length)
+          else (b, lf2.length)
+        if (headerEnd < 0) { i = bytes.length }
         else {
-          val header = text.substring(start, headerEnd)
+          val header = new String(bytes, start, headerEnd - start, StandardCharsets.UTF_8)
           val fields = header.linesIterator.drop(1).flatMap { l =>
             val c = l.indexOf(':')
             if (c > 0) Some(l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim)
             else None
           }.toMap
           val len = fields.get("content-length").flatMap(s => s.toLongOption).getOrElse(0L)
-          val bodyStart = headerEnd + (if (headerEnd0 < 0) 2 else 4)
-          val bodyEnd = math.min(bodyStart + len.toInt, text.length)
+          val bodyStart = headerEnd + sepLen
+          val bodyEnd = math.min(bodyStart + len, bytes.length.toLong).toInt
           recs += Row(
             path,
             fields.getOrElse("warc-type", fields.getOrElse("warc-record-type", "")),
@@ -61,8 +86,8 @@ object Warc {
             fields.getOrElse("warc-record-id", ""),
             fields.getOrElse("content-type", ""),
             len,
-            text.substring(bodyStart, bodyEnd))
-          i = bodyEnd
+            new String(bytes, bodyStart, bodyEnd - bodyStart, StandardCharsets.UTF_8))
+          i = math.max(bodyEnd, start + 1)
         }
       }
     }

@@ -81,6 +81,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(html == Seq("http://example.com/x"))
   }
 
+  test("warc framing is byte-accurate with multibyte content") {
+    // body1 contains multibyte UTF-8: its byte length (Content-Length)
+    // exceeds its char count, and it embeds a decoy 'WARC/' string —
+    // a char-offset parser would misframe record 2 or emit a phantom
+    val body1 = "café ümläut — WARC/1.0 decoy 日本語"
+    val body2 = "plain second record"
+    val b1 = body1.getBytes(StandardCharsets.UTF_8)
+    assert(b1.length > body1.length) // the test premise: multibyte
+    val rec1 = s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:m1>\r\n" +
+      s"Content-Length: ${b1.length}\r\n\r\n"
+    val rec2 = s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:m2>\r\n" +
+      s"Content-Length: ${body2.length}\r\n\r\n$body2"
+    val bytes = rec1.getBytes(StandardCharsets.UTF_8) ++ b1 ++
+      "\r\n\r\n".getBytes(StandardCharsets.UTF_8) ++ rec2.getBytes(StandardCharsets.UTF_8)
+    val rows = Warc.parseStream("p", bytes).toSeq
+    assert(rows.map(_.getString(3)) == Seq("<urn:uuid:m1>", "<urn:uuid:m2>"))
+    assert(rows.head.getString(6) == body1)
+    assert(rows(1).getString(6) == body2)
+  }
+
   test("warc parser handles gzip files") {
     val body = "hello"
     val warc =
