@@ -177,10 +177,18 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** SimHash near-dup pairs: byte-banding (4 bytes; near-dups must
-    * share at least one byte by pigeonhole when Hamming <= 7 in the
-    * colliding byte layout) + Hamming verify <= `maxHamming`. */
-  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
+  /** SimHash near-dup pairs: byte-banding (4 bands of 8 bits) +
+    * Hamming verify <= `maxHamming`.
+    *
+    * Recall guarantee: with 4 bands, pigeonhole forces a shared
+    * identical byte only when Hamming <= 3 — so the default radius is
+    * 3 and the banded candidate set is EXACT (every Hamming<=3 pair
+    * is found). A larger radius r makes banding approximate: a pair
+    * whose differing bits touch all 4 bytes is missed. To search a
+    * wider radius, widen the fingerprint and band count (e.g. 64-bit
+    * simhash with 8 byte-bands covers Hamming <= 7) rather than
+    * raising `maxHamming` alone. */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val sims = simhash(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val byByte = sims.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b =>
