@@ -18,8 +18,8 @@ object PipelineQueries {
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingPairs(s, dir)),
     "ann_bruteforce" -> ((s, dir) => Similarity.bruteForce(s, dir)),
     "ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir)),
-    // rows-only check (KMeans quantizer not SQL-expressible);
-    // recall-vs-exact verified in IvfSpec
+    // oracle generated at runtime from the fitted centroids (see
+    // ivfOracle below); KMeans quality itself is covered by IvfSpec
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -93,7 +93,55 @@ object PipelineQueries {
       l -> s"len(list_filter(tokens, x -> list_contains([${ws.map(w => s"'$w'").mkString(", ")}], x))) AS s_$l"
   }
 
-  val oracles: Map[String, String] = Map(
+  /** DuckDB replica of [[Similarity.ivfTopK]]'s probe path, generated
+    * AFTER the query ran (Verify dumps oracleSql last): the fitted
+    * centroids are inlined as literals, then assignment (first-min
+    * cell by `|c|^2 - 2 v.c`), probe-cell top-nProbe, and exact
+    * cosine rerank are recomputed in SQL. Verifies everything
+    * downstream of the KMeans fit. */
+  private def ivfOracle: Map[String, String] =
+    Similarity.lastIvfCentroids match {
+      case None => Map.empty
+      case Some(cents) =>
+        val values = cents.zipWithIndex.map { case (c, i) =>
+          val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+          s"($i, [${c.mkString(", ")}]::DOUBLE[], $cc)"
+        }.mkString(",\n    ")
+        Map("ann_ivf" ->
+          s"""$embCte,
+             |cents(i, c, cc) AS (VALUES
+             |    $values
+             |), sc AS (
+             |  SELECT e.vec_id, cents.i,
+             |    cents.cc - 2 * list_sum(list_transform(range(1, 65), j -> e.v[j] * cents.c[j])) AS d
+             |  FROM e, cents
+             |), cells AS (
+             |  SELECT vec_id, i AS cell FROM (
+             |    SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rn FROM sc)
+             |  WHERE rn = 1
+             |), probes AS (
+             |  SELECT vec_id AS qid, i AS cell FROM (
+             |    SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rn
+             |    FROM sc WHERE vec_id < 5)
+             |  WHERE rn <= 4
+             |), s AS (
+             |  SELECT p.qid, c.vec_id, list_cosine_similarity(ev.v, eq.v) AS cos
+             |  FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.qid
+             |  JOIN e ev ON ev.vec_id = c.vec_id
+             |  JOIN e eq ON eq.vec_id = p.qid
+             |), r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM s
+             |)
+             |SELECT qid, rank, vec_id, round(cos, 4) AS cos FROM r WHERE rank <= 10
+             |ORDER BY qid, rank""".stripMargin)
+    }
+
+  /** Static oracles + the runtime-generated IVF oracle. Must be read
+    * AFTER the queries have run (Verify's dump order) for ann_ivf to
+    * be included. */
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle
+
+  private val staticOracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT doc_id,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
@@ -164,7 +212,7 @@ object PipelineQueries {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  bit_count(xor(a.simhash, b.simhash)) AS hamming
          |FROM sims a JOIN sims b ON a.doc_id < b.doc_id AND ($byteMatch)
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 

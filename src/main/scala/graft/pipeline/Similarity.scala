@@ -81,13 +81,31 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Centroids of the most recent [[ivfTopK]] run — consumed by
+    * [[PipelineQueries]] to generate a DuckDB oracle that replicates
+    * the assignment/probe/rerank pipeline against the SAME quantizer
+    * (the only non-SQL-expressible step is the KMeans fit itself,
+    * whose quality is covered by IvfSpec's recall test). */
+  @volatile private[pipeline] var lastIvfCentroids: Option[Array[Array[Double]]] = None
+
+  /** Cell-affinity score for assignment/probing: `argmin_i |v-c_i|^2 =
+    * argmin_i (|c_i|^2 - 2 v.c_i)` — the |v|^2 term is constant per
+    * vector and dropped, leaving one codegen'd dot per centroid (and a
+    * formula DuckDB can replicate term-for-term). */
+  private def cellScore(v: Column, c: Array[Double]): Column = {
+    val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+    lit(cc) - lit(2.0) * call_function("vec_dot", v, array(c.map(lit): _*))
+  }
+
   /** IVF (inverted-file) ANN: k-means coarse quantizer partitions the
     * corpus into nCentroids cells; each query probes its nProbe
     * nearest cells and exact-reranks inside them. The other canonical
     * scale path next to [[lshTopK]] — at 100 TB the cell id is a
     * partition/bucket column, so a probe reads nProbe/nCentroids of
     * the data. Centroids come from spark-mllib KMeans with a fixed
-    * seed (deterministic for a fixed corpus).
+    * seed; cell assignment is recomputed with [[cellScore]] (first
+    * minimum wins) so the full probe path is deterministic and
+    * oracle-replicable.
     *
     * The per-query probe-cell selection is a driver-side computation
     * over (nQueries x nCentroids) distances — small by construction;
@@ -100,10 +118,13 @@ object Similarity {
     val withVec = e.withColumn("features", array_to_vector(col("v")))
     val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
       .fit(withVec)
-    val assigned = model.transform(withVec)
-      .select(col("vec_id"), col("v"), col("nrm"), col("prediction").as("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = model.clusterCenters.map(_.toArray)
+    lastIvfCentroids = Some(centroids)
+    val scores = array(centroids.map(c => cellScore(col("v"), c)): _*)
+    val assigned = e
+      .withColumn("cell", (array_position(scores, array_min(scores)) - 1).cast("int"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // driver-side probe-cell selection for the (small) query set
     val queries = assigned.where(col("vec_id") < nQueries)
       .select(col("vec_id"), col("v")).collect()
@@ -111,8 +132,9 @@ object Similarity {
     val probeRows = queries.flatMap { case (qid, qv) =>
       centroids.zipWithIndex
         .map { case (c, i) =>
-          val d = qv.zip(c).foldLeft(0.0) { case (acc, (a, b)) => acc + (a - b) * (a - b) }
-          (i, d)
+          val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+          val dot = qv.zip(c).foldLeft(0.0) { case (acc, (a, b)) => acc + a * b }
+          (i, cc - 2.0 * dot)
         }
         .sortBy(_._2).take(nProbe)
         .map { case (cell, _) => (qid, cell) }

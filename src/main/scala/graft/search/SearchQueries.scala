@@ -163,7 +163,11 @@ object SearchQueries {
           round(col("score"), 4).as("score"))),
 
     // english-analyzer pipeline end-to-end (stems + stopwords; the
-    // query text "joining windows" matches stemmed corpus tokens)
+    // query text "joining windows" matches stemmed corpus tokens).
+    // Rows-only check: a hash oracle needs Porter stemming in DuckDB,
+    // and DuckDB's stem() lives in the fts extension, which is not
+    // installable in this zero-egress environment. Stemmer parity is
+    // covered by PorterStemmerSpec (30 golden vectors) instead.
     "search_stemmed" -> ((s, dir) =>
       topkOut(englishIndexFor(s, dir)
         .search("text" matchText "sparks joining windows", 10))),
@@ -224,7 +228,8 @@ object SearchQueries {
       val left = idx.docs.where(col("doc_id") < 20)
       idx.queryJoin(left, "doc_id",
           array_distinct(slice(col(SearchIndex.tokensColName("text")), 1, 5)),
-          "text", k = 3, minMatch = 1, excludeSelf = true)
+          "text", k = 3, minMatch = 1, excludeSelf = true,
+          broadcastHits = true) // left is 20 docs — known-small
         .select(col("doc_id"), col("rank").cast("long").as("rank"),
           col("key"), round(col("score"), 4).as("score"))
         .orderBy("doc_id", "rank")
