@@ -116,7 +116,12 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val e = corpus(spark, dir)
     val withVec = e.withColumn("features", array_to_vector(col("v")))
-    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(10)
+    // random init + few iterations: a coarse quantizer only needs
+    // roughly balanced cells, not converged clusters — k-means|| init
+    // alone costs more passes than the whole fit budget here, and
+    // probe recall is the guarded property (IvfSpec), not inertia
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
+      .setInitMode("random")
       .fit(withVec)
     val centroids = model.clusterCenters.map(_.toArray)
     lastIvfCentroids = Some(centroids)
