@@ -246,6 +246,49 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // --- correlated EXISTS subquery (TPC-H Q4 shape): Catalyst
+    //     rewrites the subquery to a left-semi join on l_orderkey ---
+    "q20_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_q20")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q20")
+      s.sql(
+        """SELECT o_orderpriority, count(1) AS n
+          |FROM orders_q20
+          |WHERE EXISTS (
+          |  SELECT 1 FROM lineitem_q20
+          |  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // --- correlated scalar-aggregate subquery (TPC-H Q17 shape):
+    //     per-brand average via subquery → Catalyst plans one
+    //     aggregated build side joined back on the correlation key ---
+    "q21_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part_q21")
+      s.sql(
+        """SELECT p_partkey, p_brand, p_retailprice
+          |FROM part_q21 p
+          |WHERE p_retailprice > 1.1 * (
+          |  SELECT avg(p2.p_retailprice) FROM part_q21 p2 WHERE p2.p_brand = p.p_brand)
+          |ORDER BY p_partkey""".stripMargin)
+    }),
+
+    // --- uncorrelated scalar subquery + NOT EXISTS (TPC-H Q22 shape):
+    //     above-average-balance customers who never ordered ---
+    "q22_anti_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_q22")
+      t(s, dir, "orders").createOrReplaceTempView("orders_q22")
+      s.sql(
+        """SELECT c_mktsegment, count(1) AS n_cust,
+          |  round(sum(c_acctbal), 2) AS total_bal
+          |FROM customer_q22 c
+          |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_q22 WHERE c_acctbal > 0)
+          |  AND NOT EXISTS (SELECT 1 FROM orders_q22 WHERE o_custkey = c_custkey)
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin)
+    }),
+
     // --- native session_window operator (batch form of the streaming
     //     sessionization; window end = last event + gap) ---
     "q17_session_window" -> ((s, dir) => {
@@ -458,6 +501,31 @@ object RelationalQueries {
         |  round(sum(value), 4) AS sum_value
         |FROM sessions
         |GROUP BY user_id, session_id
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q20_exists_subquery" ->
+      """SELECT o_orderpriority, count(1) AS n
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q21_scalar_subquery" ->
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part p
+        |WHERE p_retailprice > 1.1 * (
+        |  SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q22_anti_subquery" ->
+      """SELECT c_mktsegment, count(1) AS n_cust,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -35,6 +35,10 @@ final case class TFIDF() extends Similarity
 sealed trait IndexLayout extends Serializable
 case object DecoupledPostings extends IndexLayout
 case object BroadcastIndex extends IndexLayout
+/** Pick per query from index size: broadcast when the postings fit
+  * comfortably in an executor (the index analog of
+  * `spark.sql.autoBroadcastJoinThreshold`), decoupled otherwise. */
+case object AutoLayout extends IndexLayout
 
 /** Index specification (reference analog: impl/LuceneConfig.scala —
   * analyzer classes, similarity, field mapping; the index-time vs
@@ -474,12 +478,12 @@ final class SearchIndex private (
       case TFIDF() =>
         sqrt(col("tf")) * (col("idf") * col("idf")) / sqrt(col("dl"))
     }
-    val joined = spec.layout match {
+    val joined = effectiveLayout match {
       case BroadcastIndex =>
         // layout (c): ship the index to the queries — no shuffle of
         // either side, index must fit in executor memory
         broadcast(postings).join(withIdf, Seq("field", "term"))
-      case DecoupledPostings =>
+      case _ =>
         postings.join(broadcast(withIdf), Seq("field", "term"))
     }
     joined
@@ -509,6 +513,55 @@ final class SearchIndex private (
       s"fieldStats=${fieldStats.map { case (f, s) => s"$f(n=${s.numDocs}, avgdl=${s.avgDl})" }.mkString("; ")})"
   }
 
+  /** Postings row count, computed once (postings are persisted) —
+    * drives the [[AutoLayout]] broadcast-vs-shuffle decision. */
+  private lazy val postingsCount: Long = postings.count()
+
+  /** Resolves [[AutoLayout]] against the measured index size. */
+  private def effectiveLayout: IndexLayout = spec.layout match {
+    case AutoLayout =>
+      if (postingsCount <= SearchIndex.AutoBroadcastMaxPostings) BroadcastIndex
+      else DecoupledPostings
+    case l => l
+  }
+
+  /** Merges this index with another built under the same spec — the
+    * engine's analog of the reference's index-merge fan-in
+    * (BroadcastIndexLuceneRDD.scala:646-663, treeReduce of
+    * IndexWriter.addIndexes; ours is metadata-light: postings/docs
+    * union, term stats re-summed, field stats weighted). Keys must be
+    * disjoint (same contract as indexing a partitioned corpus).
+    *
+    * Scores on the merged index equal a from-scratch build up to
+    * float summation order (avgdl is a weighted mean): global IDF is
+    * recomputed from the merged df, so the partition-invariance
+    * property survives incremental growth. */
+  def merge(other: SearchIndex): SearchIndex = {
+    require(other.spec == spec, s"index specs differ: $spec vs ${other.spec}")
+    val mDocs = docs.unionByName(other.docs)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val mPostings = postings.unionByName(other.postings)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val mStats = stats.unionByName(other.stats)
+      .groupBy(col("field"), col("term"))
+      .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val mFieldStats = (fieldStats.keySet ++ other.fieldStats.keySet).iterator.map { f =>
+      val a = fieldStats.getOrElse(f, FieldStats(0L, 0.0))
+      val b = other.fieldStats.getOrElse(f, FieldStats(0L, 0.0))
+      val n = a.numDocs + b.numDocs
+      val avg = if (n == 0) 0.0 else (a.numDocs * a.avgDl + b.numDocs * b.avgDl) / n
+      f -> FieldStats(n, avg)
+    }.toMap
+    new SearchIndex(spark, spec, mDocs, mPostings, mStats, mFieldStats)
+  }
+
+  /** Incremental indexing: tokenize + index `df` and merge it in
+    * (reference analog: there is none — SearchableRDDs are immutable;
+    * this is the batch face of the streaming index maintenance in
+    * [[graft.streaming.EventStreams.incrementalTermStats]]). */
+  def addDocuments(df: DataFrame): SearchIndex = merge(SearchIndex.build(df, spec))
+
   /** Same index, different scoring — postings/stats/docs are
     * similarity-independent, so swapping BM25(k1,b) / TFIDF is free
     * (reference analog: ConfigurableSimilarity plugins,
@@ -524,6 +577,11 @@ final class SearchIndex private (
 }
 
 object SearchIndex {
+
+  /** Max postings rows for [[AutoLayout]] to pick the broadcast
+    * layout (~a few hundred MB of (field, term, key, tf, dl) rows —
+    * the same order as a generous autoBroadcastJoinThreshold). */
+  val AutoBroadcastMaxPostings: Long = 2L * 1000 * 1000
 
   private[search] def tokensColName(field: String) = s"__tokens_$field"
   private[search] def dlColName(field: String) = s"__dl_$field"

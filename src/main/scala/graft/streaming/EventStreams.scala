@@ -98,6 +98,23 @@ object EventStreams {
       .agg(count(lit(1)).as("df"))
   }
 
+  /** Streaming exact deduplication of a document stream: key on the
+    * content hash, keep the first arrival, drop later copies. State is
+    * BOUNDED by the watermark — `dropDuplicatesWithinWatermark` evicts
+    * hashes older than the event-time horizon, so state size tracks
+    * the dedup window, not the stream history (the property that
+    * makes continuous ingest dedup viable at 100 TB/day; an unbounded
+    * `dropDuplicates` would grow state forever).
+    *
+    * Near-dup streaming variant: compute a simhash/minhash-band column
+    * the same way and dedup on it — same state bound. */
+  def dedupStream(docs: DataFrame, textCol: String = "text", tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Convenience: run a streaming query over a memory sink until all
     * available data is processed; returns the sink table name. */
   def runToMemorySink(df: DataFrame, name: String, mode: OutputMode): Unit = {

@@ -45,6 +45,48 @@ class IndexVariantsSpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("merged index scores equal a from-scratch build") {
+    val spec = IndexSpec("doc_id", Seq("text"))
+    val full = SearchIndex.build(corpus, spec)
+    val left = SearchIndex.build(corpus.where($"doc_id" <= 2), spec)
+    val right = SearchIndex.build(corpus.where($"doc_id" > 2), spec)
+    val merged = left.merge(right)
+    val q = "text" matchAny termSet("alpha", "delta", "theta")
+    val a = full.search(q, 10).select("doc_id", "score").as[(Long, Double)].collect().sortBy(_._1)
+    val b = merged.search(q, 10).select("doc_id", "score").as[(Long, Double)].collect().sortBy(_._1)
+    assert(a.map(_._1).toSeq == b.map(_._1).toSeq)
+    a.zip(b).foreach { case (x, y) => assert(math.abs(x._2 - y._2) < 1e-9) }
+    // stats fan-in: merged df/cf equal the full build's
+    val sf = full.stats.select("term", "df", "cf").as[(String, Long, Long)].collect().toSet
+    val sm = merged.stats.select("term", "df", "cf").as[(String, Long, Long)].collect().toSet
+    assert(sf == sm)
+    Seq(full, left, right, merged).foreach(_.unpersist())
+  }
+
+  test("addDocuments grows the index incrementally") {
+    val spec = IndexSpec("doc_id", Seq("text"))
+    val idx = SearchIndex.build(corpus.where($"doc_id" <= 3), spec)
+      .addDocuments(corpus.where($"doc_id" > 3))
+    val hits = idx.search("text" matchTerm "theta", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(4L))
+    assert(idx.fieldStats("text").numDocs == 4L)
+    idx.unpersist()
+  }
+
+  test("auto layout picks broadcast for a small index and matches results") {
+    val qs = Seq((0L, "text", Seq("alpha", "gamma"), 1)).toDF("qid", "field", "terms", "min_match")
+    val auto = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text"), layout = AutoLayout))
+    val dec = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
+    val a = auto.batchSearch(qs, 10).select("qid", "rank", "key", "score")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val d = dec.batchSearch(qs, 10).select("qid", "rank", "key", "score")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(a.map(x => (x._1, x._2, x._3)).toSeq == d.map(x => (x._1, x._2, x._3)).toSeq)
+    a.zip(d).foreach { case (x, y) => assert(math.abs(x._4 - y._4) < 1e-9) }
+    auto.unpersist(); dec.unpersist()
+  }
+
   test("save/load round trip preserves search results") {
     val idx = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
     val path = Files.createTempDirectory("graft-index").toString

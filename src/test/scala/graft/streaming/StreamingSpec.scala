@@ -84,6 +84,23 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming dedup keeps first arrival, bounds state by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, text: String, ts: Timestamp)
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = EventStreams.dedupStream(docs)
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((1L, "same text", ts(0)), (2L, "same text", ts(1)), (3L, "other", ts(2)))
+    q.processAllAvailable()
+    mem.addData((4L, "same text", ts(3))) // dup within watermark → dropped
+    q.processAllAvailable()
+    val got = spark.table("dedup_sink").select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+    q.stop()
+  }
+
   test("sliding windows emit overlapping buckets") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
