@@ -25,6 +25,7 @@ object PipelineQueries {
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
     "fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
+    "fingerprint_winnow" -> ((s, dir) => TextAnalysis.winnowing(s, dir)),
     "multimodal_meta" -> ((s, dir) => Multimodal.decodeMeta(s, dir)),
     "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(s, dir)))
 
@@ -309,6 +310,30 @@ object PipelineQueries {
          |    md5(text)) AS fp_min_shingle,
          |  md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS fp_bow
          |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "fingerprint_winnow" ->
+      s"""$toksCte,
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tokens) >= 5
+         |      THEN list_transform(range(1, len(tokens) - 3),
+         |             i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2] || ' ' || tokens[i + 3] || ' ' || tokens[i + 4])
+         |      ELSE [] END AS ss
+         |  FROM toks
+         |), hv AS (
+         |  SELECT doc_id, list_transform(ss, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs FROM sh
+         |), mins AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(hs) >= 4
+         |      THEN list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3]))
+         |      ELSE hs END AS m
+         |  FROM hv
+         |), sel AS (
+         |  SELECT doc_id, list_sort(list_distinct(m)) AS sel FROM mins
+         |)
+         |SELECT doc_id, len(sel) AS n_selected,
+         |  md5(array_to_string(list_transform(sel, h -> h::VARCHAR), ',')) AS fp_winnow
+         |FROM sel ORDER BY doc_id""".stripMargin,
 
     "multimodal_frames" ->
       """WITH meta AS (

@@ -96,4 +96,43 @@ object TextAnalysis {
           md5(col("text"))).as("fp_min_shingle"),
         md5(concat_ws(" ", array_sort(array_distinct(col("tokens"))))).as("fp_bow"))
       .orderBy("doc_id")
+
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * positional n-token shingles → 60-bit md5 hash each → minimum of
+    * every w-hash sliding window → the distinct selected hashes are
+    * the document's fingerprint set. Guarantees any shared run of
+    * n + w - 1 tokens contributes at least one common selected hash,
+    * so partial overlap is detectable from the (much smaller)
+    * fingerprint sets alone.
+    *
+    * Output per doc: selection count + md5 digest of the sorted
+    * selection (all integer/string ops — hash-exact across engines).
+    * Everything is per-row Column work: one scan, no shuffle except
+    * the harness orderBy. */
+  def winnowing(spark: SparkSession, dir: String, n: Int = 5, w: Int = 4): DataFrame = {
+    val tokens = toks(col("text"))
+    // positional shingles (winnowing needs the sequence, so no
+    // array_distinct here, unlike Dedup.shingles)
+    val shingles = when(size(col("tokens")) >= n,
+      transform(sequence(lit(1), size(col("tokens")) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(col("tokens"), i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val hashes = transform(col("shingles"), s =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+    // guard: sequence(1, len-w+1) descends when len < w (yielding
+    // [1, 0]); short docs select every shingle hash instead
+    val mins = when(size(col("hs")) >= w,
+      transform(sequence(lit(1), size(col("hs")) - (w - 1)),
+        i => array_min(slice(col("hs"), i, lit(w)))))
+      .otherwise(col("hs"))
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), tokens.as("tokens"))
+      .withColumn("shingles", shingles)
+      .withColumn("hs", hashes)
+      .withColumn("sel", array_sort(array_distinct(mins)))
+      .select(col("doc_id"),
+        size(col("sel")).as("n_selected"),
+        md5(concat_ws(",", transform(col("sel"), h => h.cast("string")))).as("fp_winnow"))
+      .orderBy("doc_id")
+  }
 }

@@ -40,6 +40,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(n == 11L && w == 11L && h == 77L && f == 12L)
   }
 
+  test("winnowing: shared long runs intersect, short docs still fingerprint") {
+    val common = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    val docs = Seq(
+      (1L, s"intro words here $common"),
+      (2L, s"$common and a completely different tail of text"),
+      (3L, "tiny doc"), // < n tokens → empty selection
+      (4L, "six distinct tokens right here now") // >= n but < n+w-1
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("winnow").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fp = TextAnalysis.winnowing(spark, dir)
+      .select("doc_id", "n_selected").as[(Long, Int)].collect().toMap
+    assert(fp(3L) == 0) // no shingles at all
+    assert(fp(4L) > 0) // shorter than one window: every hash selected
+    // overlap guarantee: docs 1 and 2 share an 11-token run >= n+w-1=8,
+    // so their selected-hash SETS must intersect — check via the
+    // underlying selection rather than the digest
+    val sel = docs.where($"doc_id" <= 2)
+      .select($"doc_id", graft.analysis.Analyzers.default.tokensCol($"text").as("tokens"))
+      .withColumn("ss", transform(sequence(lit(1), size($"tokens") - 4),
+        i => concat_ws(" ", (0 until 5).map(o => element_at($"tokens", i + o)): _*)))
+      .withColumn("hs", transform($"ss", s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+      .withColumn("m", transform(sequence(lit(1), size($"hs") - 3), i => array_min(slice($"hs", i, lit(4)))))
+      .select($"doc_id", array_distinct($"m").as("sel"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sel(1L).toSet.intersect(sel(2L).toSet).nonEmpty)
+  }
+
   test("language profiles are distinct and lowercase") {
     val langs = TextAnalysis.LangProfiles.map(_._1)
     assert(langs == langs.sorted && langs.distinct == langs)
