@@ -52,6 +52,62 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  val featureDim = 16
+
+  /** STUB feature extractor — a deterministic 16-dim embedding from
+    * the payload's byte histogram (occurrences of bytes 'a'..'p',
+    * normalized by payload length). Real implementation would run a
+    * vision/audio encoder over the decoded asset; the batch shape
+    * (per-partition iterator, fixed-dim float vector out) is what that
+    * encoder plugs into. */
+  private[pipeline] def stubFeatures(bytes: Array[Byte]): Array[Double] = {
+    val counts = new Array[Double](featureDim)
+    var i = 0
+    while (i < bytes.length) {
+      val j = bytes(i) - 'a'.toByte
+      if (j >= 0 && j < featureDim) counts(j) += 1.0
+      i += 1
+    }
+    val n = math.max(bytes.length, 1).toDouble
+    counts.map(c => c / n)
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("features", ArrayType(DoubleType))))
+
+  /** Feature extraction over binary payloads: mapPartitions → fixed-
+    * dim vector per asset. The output column is the same
+    * `array<double>` shape [[Similarity]] consumes, so extracted
+    * features flow straight into ANN / dedup (embedding-cosine
+    * near-dup over decoded assets = this + `Dedup.embeddingPairs`). */
+  def featureExtract(spark: SparkSession, dir: String): DataFrame = {
+    val payloads = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(featureSchema)
+    payloads.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getLong(0), stubFeatures(r.getAs[Array[Byte]](1)).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Aspect-preserving resize planning over the decoded metadata (the
+    * geometry stage of an image-resize operator — the pixel work is
+    * the stubbed decode): fit each asset into a `box` x `box` square,
+    * never upscaling. Pure integer/double Column arithmetic. */
+  def resizeMeta(spark: SparkSession, dir: String, box: Int = 224): DataFrame =
+    decodeMeta(spark, dir)
+      .withColumn("scale",
+        when(col("width") > 0 && col("height") > 0,
+          least(lit(box.toDouble) / col("width"), lit(box.toDouble) / col("height"), lit(1.0)))
+          .otherwise(lit(0.0)))
+      .select(col("doc_id"), col("width"), col("height"),
+        floor(col("width") * col("scale")).cast("long").as("out_w"),
+        floor(col("height") * col("scale")).cast("long").as("out_h"))
+      .orderBy("doc_id")
+
   /** Treats each document's text bytes as an opaque binary payload and
     * runs the per-partition decode pipeline over it. */
   def decodeMeta(spark: SparkSession, dir: String): DataFrame = {

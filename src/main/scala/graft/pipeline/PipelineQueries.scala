@@ -27,7 +27,16 @@ object PipelineQueries {
     "fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
     "fingerprint_winnow" -> ((s, dir) => TextAnalysis.winnowing(s, dir)),
     "multimodal_meta" -> ((s, dir) => Multimodal.decodeMeta(s, dir)),
-    "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(s, dir)))
+    "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(s, dir)),
+    "multimodal_features" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Multimodal.featureExtract(s, dir)
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "value")))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"),
+          round(col("value"), 6).as("value"))
+        .orderBy("doc_id", "dim")
+    }),
+    "multimodal_resize" -> ((s, dir) => Multimodal.resizeMeta(s, dir)))
 
   // ---------------- oracle SQL ----------------
 
@@ -346,6 +355,28 @@ object PipelineQueries {
         |SELECT doc_id, frame_idx, md5(doc_id || ':' || frame_idx) AS frame_hash
         |FROM (SELECT doc_id, unnest(range(0, n_frames, step)) AS frame_idx FROM stepped)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id, j AS dim,
+        |  round((strlen(text) - strlen(replace(text, chr(CAST(97 + j AS INTEGER)), '')))::DOUBLE
+        |    / greatest(strlen(text), 1), 6) AS value
+        |FROM documents, range(0, 16) t(j)
+        |ORDER BY doc_id, dim""".stripMargin,
+
+    "multimodal_resize" ->
+      """WITH meta AS (
+        |  SELECT doc_id, (strlen(text) % 640)::BIGINT AS width,
+        |    ((strlen(text) * 7) % 480)::BIGINT AS height
+        |  FROM documents
+        |), scaled AS (
+        |  SELECT *, CASE WHEN width > 0 AND height > 0
+        |    THEN least(224.0 / width, 224.0 / height, 1.0) ELSE 0.0 END AS scale
+        |  FROM meta
+        |)
+        |SELECT doc_id, width, height,
+        |  CAST(floor(width * scale) AS BIGINT) AS out_w,
+        |  CAST(floor(height * scale) AS BIGINT) AS out_h
+        |FROM scaled ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id,

@@ -68,6 +68,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(sel(1L).toSet.intersect(sel(2L).toSet).nonEmpty)
   }
 
+  test("stub features are a normalized byte histogram feeding Similarity") {
+    val f = Multimodal.stubFeatures("aabc".getBytes("UTF-8"))
+    assert(f.length == Multimodal.featureDim)
+    assert(math.abs(f(0) - 0.5) < 1e-12 && math.abs(f(1) - 0.25) < 1e-12)
+    assert(Multimodal.stubFeatures(Array.emptyByteArray).forall(_ == 0.0))
+    // extracted features compose with the similarity operators
+    graft.functions.SearchExpressions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("mmfeat").toString
+    Seq((1L, "aaab"), (2L, "aaba"), (3L, "zzzz"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val feats = Multimodal.featureExtract(spark, dir)
+    val nonZero = feats.where(col("doc_id") < 3L)
+    val pairs = nonZero.as("x").crossJoin(nonZero.as("y"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        Similarity.cosine(col("x.features"), col("y.features")).as("cos"))
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-12) // same histogram
+    // 'z' is outside the histogram range → zero vector
+    val z = feats.where(col("doc_id") === 3L).select("features").as[Seq[Double]].head()
+    assert(z.forall(_ == 0.0))
+  }
+
+  test("resize planning preserves aspect and never upscales") {
+    val dir = java.nio.file.Files.createTempDirectory("mmresize").toString
+    // strlen 300 -> w=300, h=2100%480=180; strlen 100 -> w=100 h=220
+    Seq((1L, "x" * 300), (2L, "y" * 100))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.resizeMeta(spark, dir)
+      .select("doc_id", "width", "height", "out_w", "out_h")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val (_, w1, h1, ow1, oh1) = got(1L)
+    assert(w1 == 300 && h1 == 180 && ow1 == 224 && oh1 == 134) // scale 224/300
+    val (_, w2, h2, ow2, oh2) = got(2L)
+    assert(w2 == 100 && h2 == 220 && ow2 == 100 && oh2 == 220) // no upscale
+  }
+
   test("language profiles are distinct and lowercase") {
     val langs = TextAnalysis.LangProfiles.map(_._1)
     assert(langs == langs.sorted && langs.distinct == langs)
