@@ -289,6 +289,19 @@ object RelationalQueries {
           |ORDER BY c_mktsegment""".stripMargin)
     }),
 
+    // --- salted two-phase aggregation (skew path): identical result
+    //     to a plain groupBy, but one hot key spreads over 8 reducers
+    //     before the final combine — the explicit-salt fallback for
+    //     when AQE's skew handling can't help (pre-aggregation). The
+    //     summed values are small integers in doubles, so the result
+    //     is association-exact and oracle-checkable. ---
+    "q23_skew_agg" -> ((s, dir) =>
+      graft.functions.SkewUtils
+        .saltedSumCount(t(s, dir, "lineitem"), "l_returnflag", "l_quantity", nSalts = 8)
+        .select(col("l_returnflag"), round(col("sum"), 2).as("sum_qty"),
+          col("count").as("n"))
+        .orderBy("l_returnflag")),
+
     // --- native session_window operator (batch form of the streaming
     //     sessionization; window end = last event + gap) ---
     "q17_session_window" -> ((s, dir) => {
@@ -518,6 +531,11 @@ object RelationalQueries {
         |WHERE p_retailprice > 1.1 * (
         |  SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)
         |ORDER BY p_partkey""".stripMargin,
+
+    "q23_skew_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(1) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q22_anti_subquery" ->
       """SELECT c_mktsegment, count(1) AS n_cust,
