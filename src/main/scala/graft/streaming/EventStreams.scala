@@ -98,6 +98,24 @@ object EventStreams {
       .agg(count(lit(1)).as("df"))
   }
 
+  /** Trending terms: windowed term counts over a document stream —
+    * the streaming face of `getTermCounts`. Watermark bounds window
+    * state; counts are partial-aggregated per (window, term). Rank
+    * the closed windows at the sink (`row_number` per window) for the
+    * top-k view: top-k inside a streaming agg would need complete
+    * mode, which is unbounded — ranking closed windows is the
+    * scale-safe shape. */
+  def trendingTerms(docs: DataFrame, textCol: String = "text", tsCol: String = "ts",
+      windowDur: String = "1 hour", watermark: String = "10 minutes"): DataFrame = {
+    val toks = graft.analysis.Analyzers.default.tokensCol(col(textCol))
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), explode(toks).as("term"))
+      .groupBy(window(col(tsCol), windowDur), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("term"), col("n"))
+  }
+
   /** Streaming exact deduplication of a document stream: key on the
     * content hash, keep the first arrival, drop later copies. State is
     * BOUNDED by the watermark — `dropDuplicatesWithinWatermark` evicts

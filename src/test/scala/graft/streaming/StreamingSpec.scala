@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.TestSpark
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -98,6 +99,28 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     val got = spark.table("dedup_sink").select("doc_id").as[Long].collect().toSet
     assert(got == Set(1L, 3L))
+    q.stop()
+  }
+
+  test("trending terms: windowed term counts, ranked at the sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val docs = mem.toDF().toDF("text", "ts")
+    val q = EventStreams.trendingTerms(docs)
+      .writeStream.format("memory").queryName("trending_sink")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      ("spark joins spark", ts(0)),
+      ("spark windows", ts(10)),
+      ("flush", ts(100000)))
+    q.processAllAvailable()
+    import org.apache.spark.sql.expressions.Window
+    val ranked = spark.table("trending_sink")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"win_start").orderBy($"n".desc, $"term")))
+      .where($"rank" === 1 && $"term" =!= "flush")
+      .select("term", "n").as[(String, Long)].collect().toSet
+    assert(ranked == Set(("spark", 3L)))
     q.stop()
   }
 
