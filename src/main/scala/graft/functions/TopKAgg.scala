@@ -56,6 +56,27 @@ class TopKAgg[K: TypeTag](k: Int)(implicit ord: Ordering[K])
 }
 
 object TopKAgg {
+  /** Code-point string ordering == UTF-8 binary order, the order
+    * Spark SQL sorts strings in. Java's natural `String` ordering
+    * compares UTF-16 code units, which ranks supplementary-plane
+    * characters (surrogate pairs, e.g. emoji) BELOW U+E000..U+FFFF —
+    * a tie-break through it would disagree with the scan path's
+    * `orderBy(key.asc)` at the k boundary. */
+  private[functions] val Utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      var i = 0
+      var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i)
+        val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca)
+        j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
+  }
+
   /** Typed handle: `of[K](k)(col("key"), col("score"))` yields
     * `array<struct<key: K, score>>` sorted score desc, key asc. */
   def of[K: TypeTag: Ordering](k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
@@ -64,8 +85,10 @@ object TopKAgg {
   /** Long-keyed variant (numeric doc ids). */
   def topk(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction = of[Long](k)
 
-  /** String-keyed variant (e.g. uuid / natural-key doc ids). */
-  def topkString(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction = of[String](k)
+  /** String-keyed variant (e.g. uuid / natural-key doc ids);
+    * tie-breaks in Spark's UTF-8 binary order. */
+  def topkString(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    of[String](k)(scala.reflect.runtime.universe.typeTag[String], Utf8Ordering)
 
   /** Optionally expose as a SQL function `topk_agg`. */
   def register(spark: SparkSession, k: Int, name: String = "topk_agg"): Unit =

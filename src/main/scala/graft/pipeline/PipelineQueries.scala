@@ -110,10 +110,10 @@ object PipelineQueries {
     * cosine rerank are recomputed in SQL. Verifies everything
     * downstream of the KMeans fit. */
   private def ivfOracle: Map[String, String] =
-    Similarity.lastIvfCentroids match {
+    Similarity.lastIvfRun match {
       case None => Map.empty
-      case Some(cents) =>
-        val values = cents.zipWithIndex.map { case (c, i) =>
+      case Some(run) =>
+        val values = run.centroids.zipWithIndex.map { case (c, i) =>
           val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
           s"($i, [${c.mkString(", ")}]::DOUBLE[], $cc)"
         }.mkString(",\n    ")
@@ -123,7 +123,7 @@ object PipelineQueries {
              |    $values
              |), sc AS (
              |  SELECT e.vec_id, cents.i,
-             |    cents.cc - 2 * list_sum(list_transform(range(1, 65), j -> e.v[j] * cents.c[j])) AS d
+             |    cents.cc - 2 * list_sum(list_transform(range(1, ${run.dim + 1}), j -> e.v[j] * cents.c[j])) AS d
              |  FROM e, cents
              |), cells AS (
              |  SELECT vec_id, i AS cell FROM (
@@ -132,8 +132,8 @@ object PipelineQueries {
              |), probes AS (
              |  SELECT vec_id AS qid, i AS cell FROM (
              |    SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rn
-             |    FROM sc WHERE vec_id < 5)
-             |  WHERE rn <= 4
+             |    FROM sc WHERE vec_id < ${run.nQueries})
+             |  WHERE rn <= ${run.nProbe}
              |), s AS (
              |  SELECT p.qid, c.vec_id, list_cosine_similarity(ev.v, eq.v) AS cos
              |  FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.qid
@@ -142,7 +142,7 @@ object PipelineQueries {
              |), r AS (
              |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM s
              |)
-             |SELECT qid, rank, vec_id, round(cos, 4) AS cos FROM r WHERE rank <= 10
+             |SELECT qid, rank, vec_id, round(cos, 4) AS cos FROM r WHERE rank <= ${run.k}
              |ORDER BY qid, rank""".stripMargin)
     }
 

@@ -81,12 +81,20 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  /** Centroids of the most recent [[ivfTopK]] run — consumed by
-    * [[PipelineQueries]] to generate a DuckDB oracle that replicates
-    * the assignment/probe/rerank pipeline against the SAME quantizer
-    * (the only non-SQL-expressible step is the KMeans fit itself,
-    * whose quality is covered by IvfSpec's recall test). */
-  @volatile private[pipeline] var lastIvfCentroids: Option[Array[Array[Double]]] = None
+  /** Everything the IVF oracle needs to replicate a concrete
+    * [[ivfTopK]] run: the fitted centroids AND the query parameters
+    * they were probed with. Captured together so the generated SQL
+    * can never drift from the parameters the entry actually used. */
+  private[pipeline] final case class IvfRun(
+      centroids: Array[Array[Double]], dim: Int,
+      nQueries: Int, k: Int, nProbe: Int)
+
+  /** The most recent [[ivfTopK]] run — consumed by [[PipelineQueries]]
+    * to generate a DuckDB oracle that replicates the assignment/probe/
+    * rerank pipeline against the SAME quantizer and parameters (the
+    * only non-SQL-expressible step is the KMeans fit itself, whose
+    * quality is covered by IvfSpec's recall test). */
+  @volatile private[pipeline] var lastIvfRun: Option[IvfRun] = None
 
   /** Cell-affinity score for assignment/probing: `argmin_i |v-c_i|^2 =
     * argmin_i (|c_i|^2 - 2 v.c_i)` — the |v|^2 term is constant per
@@ -124,7 +132,8 @@ object Similarity {
       .setInitMode("random")
       .fit(withVec)
     val centroids = model.clusterCenters.map(_.toArray)
-    lastIvfCentroids = Some(centroids)
+    lastIvfRun = Some(IvfRun(centroids, centroids.headOption.map(_.length).getOrElse(0),
+      nQueries, k, nProbe))
     val scores = array(centroids.map(c => cellScore(col("v"), c)): _*)
     val assigned = e
       .withColumn("cell", (array_position(scores, array_min(scores)) - 1).cast("int"))

@@ -535,9 +535,24 @@ final class SearchIndex private (
     * Scores on the merged index equal a from-scratch build up to
     * float summation order (avgdl is a weighted mean): global IDF is
     * recomputed from the merged df, so the partition-invariance
-    * property survives incremental growth. */
-  def merge(other: SearchIndex): SearchIndex = {
+    * property survives incremental growth.
+    *
+    * The inputs stay persisted (caller-owned); unpersist them once
+    * the merged index has materialized if they are no longer queried.
+    *
+    * @param checkDisjoint verify the disjoint-keys contract with an
+    *   intersection probe (one join over the two key columns).
+    *   Overlapping keys would otherwise SILENTLY double-count df/cf
+    *   and numDocs, corrupting every downstream score. Disable only
+    *   when the caller guarantees disjointness (e.g. partitioned
+    *   ingest with non-overlapping key ranges at 100 TB). */
+  def merge(other: SearchIndex, checkDisjoint: Boolean = true): SearchIndex = {
     require(other.spec == spec, s"index specs differ: $spec vs ${other.spec}")
+    if (checkDisjoint) {
+      val dup = docs.select(key).intersect(other.docs.select(key)).limit(1).collect()
+      require(dup.isEmpty,
+        s"merge requires disjoint ${spec.keyCol} sets; found shared key ${dup.headOption.map(_.get(0))}")
+    }
     val mDocs = docs.unionByName(other.docs)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val mPostings = postings.unionByName(other.postings)
@@ -559,8 +574,19 @@ final class SearchIndex private (
   /** Incremental indexing: tokenize + index `df` and merge it in
     * (reference analog: there is none — SearchableRDDs are immutable;
     * this is the batch face of the streaming index maintenance in
-    * [[graft.streaming.EventStreams.incrementalTermStats]]). */
-  def addDocuments(df: DataFrame): SearchIndex = merge(SearchIndex.build(df, spec))
+    * [[graft.streaming.EventStreams.incrementalTermStats]]).
+    *
+    * The temporary index built for `df` is unpersisted before
+    * returning — its caches are unreachable once merged, and a loop
+    * of addDocuments calls would otherwise pin O(N) corpus copies in
+    * storage memory. Cost: the new batch re-tokenizes once when the
+    * merged artifacts first materialize. */
+  def addDocuments(df: DataFrame): SearchIndex = {
+    val tmp = SearchIndex.build(df, spec)
+    val merged = merge(tmp)
+    tmp.unpersist()
+    merged
+  }
 
   /** Same index, different scoring — postings/stats/docs are
     * similarity-independent, so swapping BM25(k1,b) / TFIDF is free

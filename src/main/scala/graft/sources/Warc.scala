@@ -43,9 +43,9 @@ object Warc {
     val magic = "WARC/".getBytes(StandardCharsets.US_ASCII)
     val crlf2 = "\r\n\r\n".getBytes(StandardCharsets.US_ASCII)
     val lf2 = "\n\n".getBytes(StandardCharsets.US_ASCII)
-    def indexOf(pat: Array[Byte], from: Int): Int = {
+    def indexOfUntil(pat: Array[Byte], from: Int, until: Int): Int = {
       var i = math.max(from, 0)
-      val last = bytes.length - pat.length
+      val last = math.min(until, bytes.length) - pat.length
       while (i <= last) {
         var j = 0
         while (j < pat.length && bytes(i + j) == pat(j)) j += 1
@@ -54,15 +54,22 @@ object Warc {
       }
       -1
     }
+    def indexOf(pat: Array[Byte], from: Int): Int =
+      indexOfUntil(pat, from, bytes.length)
     val recs = scala.collection.mutable.ArrayBuffer.empty[Row]
     var i = 0
     while (i < bytes.length) {
       val start = indexOf(magic, i)
       if (start < 0) { i = bytes.length }
       else {
-        // header ends at the first blank line, whichever EOL style
+        // header ends at the first blank line, whichever EOL style.
+        // The LF-only search is bounded by the CRLF hit: an unbounded
+        // scan would walk to stream end for every CRLF-framed record
+        // whose body never contains \n\n (quadratic over the chunk).
         val a = indexOf(crlf2, start)
-        val b = indexOf(lf2, start)
+        val b =
+          if (a < 0) indexOf(lf2, start)
+          else indexOfUntil(lf2, start, a + lf2.length)
         val (headerEnd, sepLen) =
           if (a < 0 && b < 0) (-1, 0)
           else if (a < 0) (b, lf2.length)

@@ -57,6 +57,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(2L) == Seq((20L, 1.0)))
   }
 
+  test("string tie-break matches Spark's UTF-8 binary sort order") {
+    val emoji = new String(Character.toChars(0x1F600)) // supplementary plane
+    val high = "\uFFFD" // high BMP char: UTF-16 sorts it AFTER the
+    // emoji's surrogate pair, UTF-8/code-point order sorts it BEFORE
+    assert(TopKAgg.Utf8Ordering.compare(high, emoji) < 0)
+    assert(Ordering.String.compare(high, emoji) > 0) // the trap, for contrast
+    // end-to-end: aggregator tie-break == Spark orderBy on the key
+    val topk = TopKAgg.topkString(2)
+    val df = Seq((1L, emoji, 0.5), (1L, high, 0.5), (1L, "zz", 0.5)).toDF("g", "key", "score")
+    val agg = df.groupBy($"g").agg(topk($"key", $"score").as("hits"))
+      .select($"hits").as[Seq[(String, Double)]].head().map(_._1)
+    val sql = df.orderBy($"score".desc, $"key".asc).limit(2)
+      .select("key").as[String].collect().toSeq
+    assert(agg == sql)
+  }
+
   test("TopKAgg result is partitioning-invariant") {
     val topk = TopKAgg.topk(2)
     val data = (1 to 100).map(i => (i % 3L, i.toLong, (i * 37 % 100) / 100.0))

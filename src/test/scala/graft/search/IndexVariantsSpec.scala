@@ -63,6 +63,15 @@ class IndexVariantsSpec extends AnyFunSuite {
     Seq(full, left, right, merged).foreach(_.unpersist())
   }
 
+  test("merge refuses overlapping keys (silent stat corruption guard)") {
+    val spec = IndexSpec("doc_id", Seq("text"))
+    val a = SearchIndex.build(corpus.where($"doc_id" <= 2), spec)
+    val b = SearchIndex.build(corpus.where($"doc_id" >= 2), spec) // doc 2 overlaps
+    val e = intercept[IllegalArgumentException](a.merge(b))
+    assert(e.getMessage.contains("disjoint"))
+    a.unpersist(); b.unpersist()
+  }
+
   test("addDocuments grows the index incrementally") {
     val spec = IndexSpec("doc_id", Seq("text"))
     val idx = SearchIndex.build(corpus.where($"doc_id" <= 3), spec)
