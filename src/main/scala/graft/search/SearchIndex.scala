@@ -649,22 +649,33 @@ object SearchIndex {
     }
     docs = docs.persist(storageLevel)
 
+    // postings are built MAP-SIDE: explode the distinct terms of each
+    // doc and count tf per row with the codegen array_count_eq — one
+    // row per (doc, term), no shuffle of the exploded token stream.
+    // (The previous groupBy(field, term, key, dl) shuffled every
+    // token occurrence; at 100 TB that shuffle dwarfs the build.)
+    // Per-doc cost is O(dl * distinct_terms) comparisons, cheap next
+    // to tokenization; downstream term-joins broadcast the query side
+    // (batchSearchPerDoc), so the postings never shuffle at all
+    // unless explicitly repartitioned/bucketed for co-location.
     val perFieldPostings = spec.textFields.map { f =>
       docs.select(
-        lit(f).as("field"),
-        explode(col(tokensColName(f))).as("term"),
-        col(spec.keyCol).as("key"),
-        col(dlColName(f)).as("dl"))
+          lit(f).as("field"),
+          col(spec.keyCol).as("key"),
+          col(dlColName(f)).as("dl"),
+          col(tokensColName(f)).as("__toks"),
+          explode(array_distinct(col(tokensColName(f)))).as("term"))
+        .select(col("field"), col("term"), col("key"), col("dl"),
+          call_function("array_count_eq", col("__toks"), col("term")).as("tf"))
     } ++ spec.keywordFields.map { f =>
       docs.where(col(f).isNotNull).select(
         lit(f).as("field"),
         col(f).cast("string").as("term"),
         col(spec.keyCol).as("key"),
-        lit(1).as("dl"))
+        lit(1).as("dl"),
+        lit(1).as("tf"))
     }
     val postings = perFieldPostings.reduceLeft(_ unionAll _)
-      .groupBy(col("field"), col("term"), col("key"), col("dl"))
-      .agg(count(lit(1)).cast("int").as("tf"))
       .persist(storageLevel)
 
     val stats = postings
