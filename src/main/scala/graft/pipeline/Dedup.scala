@@ -208,6 +208,33 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Embedding near-dup with LSH-bucket blocking — the scale path
+    * when no natural blocking key (label/source/domain) exists: each
+    * vector lands in a sign-bit hyperplane bucket, candidate pairs
+    * come from a bucket equi-join, cosine verifies. Recall < 1 by
+    * construction (near-dups can straddle a hyperplane); raise
+    * recall with fewer planes (bigger buckets) or multiple
+    * independent bucket tables OR-ed together. */
+  def embeddingPairsLsh(spark: SparkSession, dir: String, threshold: Double = 0.4,
+      nPlanes: Int = 8): DataFrame = {
+    graft.functions.SearchExpressions.register(spark)
+    val planes = Similarity.hyperplanes(nPlanes, 64)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .withColumn("bucket", Similarity.lshBucket(col("v"), planes))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = e.select(col("vec_id").as("x"), col("v").as("vx"), col("nrm").as("nx"), col("bucket"))
+    val b = e.select(col("vec_id").as("y"), col("v").as("vy"), col("nrm").as("ny"), col("bucket"))
+    a.join(b, "bucket")
+      .where(col("x") < col("y"))
+      .withColumn("cos",
+        call_function("vec_dot", col("vx"), col("vy")) / (col("nx") * col("ny")))
+      .where(col("cos") >= threshold)
+      .select(col("x").as("vec_a"), col("y").as("vec_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Embedding near-dup: label-blocked cosine pairs >= `threshold`.
     * The blocking key turns the n² problem into per-block joins that
     * co-partition on a shuffle key — at 100 TB the block key would be

@@ -16,6 +16,7 @@ object PipelineQueries {
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingPairs(s, dir)),
+    "dedup_embedding_lsh" -> ((s, dir) => Dedup.embeddingPairsLsh(s, dir)),
     "ann_bruteforce" -> ((s, dir) => Similarity.bruteForce(s, dir)),
     "ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir)),
     // oracle generated at runtime from the fitted centroids (see
@@ -231,6 +232,24 @@ object PipelineQueries {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      s"""$embCte,
+         |planes(i, p) AS (VALUES
+         |    $annLshPlanesValues
+         |), bk AS (
+         |  SELECT e.vec_id,
+         |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65), j -> e.v[j] * pl.p[j])) >= 0
+         |      THEN (1::BIGINT << pl.i) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM e, planes pl GROUP BY e.vec_id
+         |), eb AS (
+         |  SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id)
+         |)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
+         |FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
 

@@ -1,0 +1,63 @@
+package graft
+
+import graft.dsl.builders._
+import graft.search.{IndexSpec, SearchIndex}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape guards for the properties that matter at
+  * cluster scale (PLANS.md). These assert on the executed plan, so a
+  * refactor that silently trades a broadcast for a shuffle, or a
+  * bounded top-k for a global sort, fails here instead of in
+  * production explain output. */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("single-query search ends in TakeOrderedAndProject, never a global sort") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val idx = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
+    val p = plan(idx.search("text" matchTerm "beta", 5))
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(400))
+    idx.unpersist()
+  }
+
+  test("relational filter and projection reach the parquet scan") {
+    val df = relational.RelationalQueries.queries("q2_filter_project")(spark, sf)
+    val p = plan(df)
+    // non-empty PushedFilters (the plan string may truncate the list)
+    assert(p.contains("PushedFilters: [IsNotNull") ||
+      p.contains("PushedFilters: [GreaterThanOrEqual"), p.take(600))
+    assert(p.contains("GreaterThanOrEqual(l_discount"), p.take(600))
+    // projection pruning: the 11-column lineitem scan reads only what
+    // the query needs
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(!read.contains("l_shipdate") || read.count(_ == ',') < 6, read)
+  }
+
+  test("dimension joins broadcast instead of shuffling the fact side") {
+    val p = plan(relational.RelationalQueries.queries("q4_dim_join")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
+  test("batch search broadcasts the query side against the postings") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val idx = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
+    val qs = Seq((0L, "text", Seq("beta"), 1)).toDF("qid", "field", "terms", "min_match")
+    val p = plan(idx.batchSearch(qs, 5))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p.take(600))
+    idx.unpersist()
+  }
+
+  test("exists subquery decorrelates to a semi join") {
+    val p = plan(relational.RelationalQueries.queries("q20_exists_subquery")(spark, sf))
+    assert(p.contains("LeftSemi"), p.take(600))
+  }
+}
