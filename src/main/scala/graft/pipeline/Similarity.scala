@@ -48,7 +48,7 @@ object Similarity {
   /** Sign-bit LSH bucket id for a vector column. */
   def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val dot = call_function("vec_dot", v, array(p.map(lit): _*))
+      val dot = call_function("vec_dot", v, array(p.toIndexedSeq.map(lit): _*))
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduceLeft[Column](_ + _)
 
@@ -102,7 +102,7 @@ object Similarity {
     * formula DuckDB can replicate term-for-term). */
   private def cellScore(v: Column, c: Array[Double]): Column = {
     val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
-    lit(cc) - lit(2.0) * call_function("vec_dot", v, array(c.map(lit): _*))
+    lit(cc) - lit(2.0) * call_function("vec_dot", v, array(c.toIndexedSeq.map(lit): _*))
   }
 
   /** IVF (inverted-file) ANN: k-means coarse quantizer partitions the
@@ -140,7 +140,7 @@ object Similarity {
     val centroids = model.clusterCenters.map(_.toArray)
     lastIvfRun = Some(IvfRun(centroids, centroids.headOption.map(_.length).getOrElse(0),
       nQueries, k, nProbe))
-    val scores = array(centroids.map(c => cellScore(col("v"), c)): _*)
+    val scores = array(centroids.toIndexedSeq.map(c => cellScore(col("v"), c)): _*)
     val assigned = e
       .withColumn("cell", (array_position(scores, array_min(scores)) - 1).cast("int"))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))

@@ -382,6 +382,13 @@ final class SearchIndex private (
         .select(col("qid"), col("rank"), key.as("key"), col("score"))
     }.reduceLeft(_ unionAll _)
 
+  /** Batch search with raw query-syntax strings (reference
+    * batchSearchRaw / lightBatchSearchRaw, SearchableRDD.scala:
+    * 204-218): each string is parsed with the `Parsed` mini-syntax
+    * (`+required optional -excluded "a phrase"`) against `field`. */
+  def batchSearchRaw(queries: Seq[(Long, String)], field: String, k: Int): DataFrame =
+    batchSearchDsl(queries.map { case (qid, s) => qid -> (Parsed(field, s): SearchQuery) }, k)
+
   /** Persists the index artifacts as parquet (reference analog:
     * `searchable.saveAsObjectFile`, examples/StoreableExample.scala:
     * 22-30 — parquet instead of object files so a reload gets schema,

@@ -33,6 +33,16 @@ class IndexVariantsSpec extends AnyFunSuite {
     dec.unpersist(); bc.unpersist()
   }
 
+  test("batchSearchRaw parses query strings per query id") {
+    val idx = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
+    val got = idx.batchSearchRaw(Seq(1L -> "+alpha -beta", 2L -> "\"gamma delta\""), "text", 5)
+      .select("qid", "key").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got(1L) == Set(4L)) // alpha without beta
+    assert(got(2L) == Set(1L, 3L)) // phrase
+    idx.unpersist()
+  }
+
   test("batchSearchDsl agrees with per-query search for complex queries") {
     val idx = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
     val q1 = !("text" matchTerm "beta") && ("text" matchTerm "alpha")
