@@ -302,6 +302,19 @@ object RelationalQueries {
           col("count").as("n"))
         .orderBy("l_returnflag")),
 
+    // --- pivot (wide aggregation): order counts per status x priority;
+    //     oracle uses portable conditional aggregation ---
+    "q24_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderstatus"), col("1-URGENT").as("p1"), col("2-HIGH").as("p2"),
+          col("3-MEDIUM").as("p3"), col("4-NOT SPECIFIED").as("p4"), col("5-LOW").as("p5"))
+        .orderBy("o_orderstatus")),
+
     // --- native session_window operator (batch form of the streaming
     //     sessionization; window end = last event + gap) ---
     "q17_session_window" -> ((s, dir) => {
@@ -536,6 +549,15 @@ object RelationalQueries {
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
         |  count(1) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q24_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(1) FILTER (o_orderpriority = '1-URGENT') AS p1,
+        |  count(1) FILTER (o_orderpriority = '2-HIGH') AS p2,
+        |  count(1) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+        |  count(1) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        |  count(1) FILTER (o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q22_anti_subquery" ->
       """SELECT c_mktsegment, count(1) AS n_cust,

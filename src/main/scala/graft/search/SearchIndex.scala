@@ -595,6 +595,21 @@ final class SearchIndex private (
     merged
   }
 
+  /** Human-readable data + index summary (reference
+    * getDataAndIndicesInfo, PartitionsIndexLuceneRDD.scala:537-566 —
+    * there SizeEstimator over element arrays; here the per-field
+    * metadata rows plus physical layout facts). */
+  def getDataAndIndicesInfo: String = {
+    val infos = getIndicesInfo.collect()
+      .map { r =>
+        s"${r.getAs[String]("field")}(docs=${r.getAs[Long]("num_docs")}, " +
+          s"terms=${r.getAs[Long]("num_terms")}, tokens=${r.getAs[Long]("total_terms")})"
+      }.mkString("; ")
+    s"$getConfigInfo\nindices: $infos\n" +
+      s"docs partitions: ${docs.rdd.getNumPartitions}, " +
+      s"postings partitions: ${postings.rdd.getNumPartitions}"
+  }
+
   /** Same index, different scoring — postings/stats/docs are
     * similarity-independent, so swapping BM25(k1,b) / TFIDF is free
     * (reference analog: ConfigurableSimilarity plugins,

@@ -1,7 +1,8 @@
 package graft.streaming
 
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Structured Streaming operators over the `events` stream (SURVEY
@@ -96,6 +97,41 @@ object EventStreams {
       .select(explode(array_distinct(toks)).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
+  }
+
+  final case class ScoredItem(user_id: Long, item: Long, score: Double)
+  final case class UserTopK(user_id: Long, items: Seq[Long], scores: Seq[Double])
+
+  /** Bounded per-key top-k as a `transformWithState` StatefulProcessor
+    * (the arbitrary-state API that supersedes mapGroupsWithState in
+    * Spark 4; requires the RocksDB state store): state per user is the
+    * O(k) list of best (item, score) pairs — the streaming face of
+    * [[graft.functions.TopKAgg]], same ordering contract (score desc,
+    * key asc). TTL bounds state lifetime for keys that go quiet. */
+  class TopKProcessor(k: Int, ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, ScoredItem, UserTopK] {
+    @transient private var state: ValueState[List[(Long, Double)]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[List[(Long, Double)]](
+        "topk", ExpressionEncoder[List[(Long, Double)]](), ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[ScoredItem],
+        timerValues: TimerValues): Iterator[UserTopK] = {
+      val cur = if (state.exists()) state.get() else Nil
+      val merged = (cur ++ rows.map(r => r.item -> r.score))
+        .sortBy(t => (-t._2, t._1)).take(k)
+      state.update(merged)
+      Iterator.single(UserTopK(key, merged.map(_._1), merged.map(_._2)))
+    }
+  }
+
+  /** Running per-user top-k over a scored item stream. */
+  def runningTopKPerUser(events: Dataset[ScoredItem], k: Int): Dataset[UserTopK] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TopKProcessor(k), TimeMode.None(), OutputMode.Update())
   }
 
   /** Trending terms: windowed term counts over a document stream —

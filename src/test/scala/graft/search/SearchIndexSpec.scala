@@ -144,6 +144,12 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(info.getAs[Long]("num_docs") == 6L)
   }
 
+  test("config and data/indices info summarize the index") {
+    val info = idx.getDataAndIndicesInfo
+    assert(info.contains("key=doc_id") && info.contains("text(docs=6"))
+    assert(info.contains("postings partitions"))
+  }
+
   test("parsed query: +required optional -excluded") {
     val r = ids(idx.search("text" parseQuery "+spark -join", 10))
     assert(r.toSet == Set(2L, 4L))

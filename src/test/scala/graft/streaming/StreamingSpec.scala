@@ -102,6 +102,31 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("transformWithState keeps a bounded running top-k per user") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[EventStreams.ScoredItem]
+      val q = EventStreams.runningTopKPerUser(mem.toDS(), k = 2)
+        .toDF().writeStream.format("memory").queryName("topk_state_sink")
+        .outputMode(OutputMode.Update()).start()
+      mem.addData(
+        EventStreams.ScoredItem(1L, 100L, 0.3),
+        EventStreams.ScoredItem(1L, 101L, 0.9))
+      q.processAllAvailable()
+      mem.addData(EventStreams.ScoredItem(1L, 102L, 0.5)) // evicts 100 (0.3)
+      q.processAllAvailable()
+      val last = spark.table("topk_state_sink")
+        .as[EventStreams.UserTopK].collect().last
+      assert(last.items == Seq(101L, 102L) && last.scores == Seq(0.9, 0.5))
+      q.stop()
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("trending terms: windowed term counts, ranked at the sink") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]
