@@ -441,6 +441,21 @@ final class SearchIndex private (
     left.join(hits, left(qidCol) === hits0("qid")).drop("qid")
   }
 
+  /** Ids-only query join (reference lightQueryJoin,
+    * SearchableRDD.scala:288-298) — Catalyst prunes the unread left
+    * columns either way; this is the explicit narrow surface. */
+  def lightQueryJoin(left: DataFrame, qidCol: String, termsCol: Column, field: String,
+      k: Int, minMatch: Int = 1, excludeSelf: Boolean = false): DataFrame =
+    queryJoin(left, qidCol, termsCol, field, k, minMatch, excludeSelf)
+      .select(col(qidCol), col("rank"), col("key"), col("score"))
+
+  /** Projection-transforming query join (reference
+    * queryJoinWithResultsTransformer, SearchableRDD.scala:276-286). */
+  def queryJoinWithResultsTransformer(left: DataFrame, qidCol: String, termsCol: Column,
+      field: String, k: Int, cols: Column*): DataFrame =
+    queryJoin(left, qidCol, termsCol, field, k)
+      .select(cols :+ col("rank") :+ col("key") :+ col("score"): _*)
+
   /** batchSearch with an optional pre-top-k hit predicate. */
   private def batchSearchRaw(queries: DataFrame, k: Int,
       hitFilter: Option[Column]): DataFrame = {

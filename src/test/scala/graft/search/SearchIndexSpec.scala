@@ -131,6 +131,16 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(hits.nonEmpty)
   }
 
+  test("light and transformer query-join variants project correctly") {
+    val left = idx.docs.where(col("doc_id") <= 2L)
+    val terms = array_distinct(slice(col(SearchIndex.tokensColName("text")), 1, 5))
+    val light = idx.lightQueryJoin(left, "doc_id", terms, "text", k = 2)
+    assert(light.columns.toSeq == Seq("doc_id", "rank", "key", "score"))
+    assert(light.count() > 0)
+    val tr = idx.queryJoinWithResultsTransformer(left, "doc_id", terms, "text", 2, col("lang"))
+    assert(tr.columns.toSeq == Seq("lang", "rank", "key", "score"))
+  }
+
   test("stats: term counts, idfs, doc counts, indices info") {
     val tc = idx.getTermCounts.where($"field" === "text" && $"term" === "spark")
       .select("cf").as[Long].head()
