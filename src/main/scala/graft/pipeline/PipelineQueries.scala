@@ -23,6 +23,7 @@ object PipelineQueries {
     // ivfOracle below); KMeans quality itself is covered by IvfSpec
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
+    "lang_id_ngram" -> ((s, dir) => TextAnalysis.langIdNgram(s, dir)),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
     "fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
@@ -304,6 +305,30 @@ object PipelineQueries {
          |  SELECT doc_id, lang AS actual_lang,
          |    $scores
          |  FROM toks
+         |)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "lang_id_ngram" -> {
+      val langs = TextAnalysis.TrigramProfiles.map(_._1)
+      def esc(g: String) = g.replace("'", "''")
+      val scores = TextAnalysis.TrigramProfiles.map { case (l, gs) =>
+        gs.map(g => s"(length(lower(text)) - length(replace(lower(text), '${esc(g)}', ''))) / 3")
+          .mkString("CAST(", " + ", s" AS BIGINT) AS s_$l")
+      }.mkString(",\n    ")
+      val caseChain = langs.init.map { l =>
+        val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString("\n    ")
+      s"""SELECT doc_id, actual_lang,
+         |  CASE
+         |    $caseChain
+         |    ELSE '${langs.last}' END AS pred_lang,
+         |  ${langs.map(l => s"s_$l").mkString(", ")}
+         |FROM (
+         |  SELECT doc_id, lang AS actual_lang,
+         |    $scores
+         |  FROM documents
          |)
          |ORDER BY doc_id""".stripMargin
     },

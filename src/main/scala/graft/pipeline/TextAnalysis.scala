@@ -47,6 +47,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Distinctive character trigrams per language (with their leading/
+    * trailing spaces as word-boundary markers) for the n-gram
+    * language heuristic. */
+  val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("er ", "der", " de", "ie ", "ein", "sch", "ich", "nde", "die", "und"),
+    "en" -> Seq("he ", "the", " th", "ing", "ng ", "and", " an", "ed ", " of", "ion"),
+    "es" -> Seq("de ", " de", "os ", "la ", " la", "ado", "cio", "es ", "ent", "que"),
+    "fr" -> Seq("es ", " de", "de ", "le ", " le", "ent", "et ", "que", "ion", "eur"),
+    "it" -> Seq("re ", "to ", " di", "di ", "la ", "che", "ion", "zio", "ell", "per"))
+
+  /** n-gram (character trigram) language ID — the classic Cavnar/
+    * Trenkle-style profile-overlap heuristic, next to the stopword
+    * profile of [[langId]]: score per language = occurrences of its
+    * distinctive trigrams in the text; ties resolve to profile order.
+    * Pure Column arithmetic (one regexp-free scan per profile
+    * trigram), SQL-replicable for the oracle. */
+  def langIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    val lowered = lower(col("text"))
+    def count3(g: String): Column =
+      ((length(lowered) - length(replace(lowered, lit(g), lit("")))) / 3).cast("long")
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang").as("actual_lang"), col("text"))
+    val scored = TrigramProfiles.foldLeft(base) { case (df, (l, gs)) =>
+      df.withColumn(s"s_$l", gs.map(count3).reduceLeft(_ + _))
+    }
+    val langs = TrigramProfiles.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last)) { (l, rest) =>
+      val geAll = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o")).reduceLeft(_ && _)
+      when(geAll, lit(l)).otherwise(rest)
+    }
+    scored.select(
+        col("doc_id") +: col("actual_lang") +: pred.as("pred_lang") +:
+          langs.map(l => col(s"s_$l")): _*)
+      .orderBy("doc_id")
+  }
+
   /** Heuristic document quality score in [0, 1]:
     * length saturation x (1 - stopword ratio) x type-token ratio. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {

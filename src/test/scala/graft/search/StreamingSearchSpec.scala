@@ -44,6 +44,31 @@ class StreamingSearchSpec extends AnyFunSuite {
     assert(got == Set(1L))
   }
 
+  test("streaming ingest grows the index incrementally via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val spec = IndexSpec("doc_id", Seq("text"))
+    var idx = SearchIndex.build(
+      Seq((1L, "batch built corpus")).toDF("doc_id", "text"), spec)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) idx = idx.addDocuments(batch)
+      }
+      .start()
+    mem.addData((2L, "streamed corpus addition"), (3L, "another streamed doc"))
+    q.processAllAvailable()
+    q.stop()
+    assert(idx.fieldStats("text").numDocs == 3L)
+    val hits = idx.search("text" matchTerm "streamed", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(2L, 3L))
+    // global IDF reflects the grown corpus: df("corpus")=2, N=3
+    val idf = idx.getTermIDFs.where($"term" === "corpus")
+      .select("idf").as[Double].head()
+    assert(math.abs(idf - math.log(1.0 + (3 - 2 + 0.5) / 2.5)) < 1e-9)
+    idx.unpersist()
+  }
+
   test("standing query filters a live document stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
