@@ -208,13 +208,32 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Shared tail of the embedding near-dup operators: same-block
+    * candidate pairs via equi-join on `blockCol`, cosine verify,
+    * threshold, deterministic order. One definition so the label- and
+    * LSH-blocked variants (and their oracles) cannot drift. */
+  private def blockedCosinePairs(e: DataFrame, blockCol: String,
+      threshold: Double): DataFrame = {
+    val a = e.select(col("vec_id").as("x"), col("v").as("vx"), col("nrm").as("nx"), col(blockCol))
+    val b = e.select(col("vec_id").as("y"), col("v").as("vy"), col("nrm").as("ny"), col(blockCol))
+    a.join(b, blockCol).where(col("x") < col("y"))
+      .withColumn("cos",
+        call_function("vec_dot", col("vx"), col("vy")) / (col("nx") * col("ny")))
+      .where(col("cos") >= threshold)
+      .select(col("x").as("vec_a"), col("y").as("vec_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Embedding near-dup with LSH-bucket blocking — the scale path
     * when no natural blocking key (label/source/domain) exists: each
     * vector lands in a sign-bit hyperplane bucket, candidate pairs
     * come from a bucket equi-join, cosine verifies. Recall < 1 by
     * construction (near-dups can straddle a hyperplane); raise
     * recall with fewer planes (bigger buckets) or multiple
-    * independent bucket tables OR-ed together. */
+    * independent bucket tables OR-ed together. The bucketed corpus
+    * persists for the pair join's two consumers (caller-owned cache,
+    * like every build-once artifact here — small: ids+vectors+one
+    * long). */
   def embeddingPairsLsh(spark: SparkSession, dir: String, threshold: Double = 0.4,
       nPlanes: Int = 8): DataFrame = {
     graft.functions.SearchExpressions.register(spark)
@@ -224,33 +243,18 @@ object Dedup {
       .withColumn("nrm", Similarity.norm(col("v")))
       .withColumn("bucket", Similarity.lshBucket(col("v"), planes))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val a = e.select(col("vec_id").as("x"), col("v").as("vx"), col("nrm").as("nx"), col("bucket"))
-    val b = e.select(col("vec_id").as("y"), col("v").as("vy"), col("nrm").as("ny"), col("bucket"))
-    a.join(b, "bucket")
-      .where(col("x") < col("y"))
-      .withColumn("cos",
-        call_function("vec_dot", col("vx"), col("vy")) / (col("nx") * col("ny")))
-      .where(col("cos") >= threshold)
-      .select(col("x").as("vec_a"), col("y").as("vec_b"), round(col("cos"), 4).as("cos"))
-      .orderBy("vec_a", "vec_b")
+    blockedCosinePairs(e, "bucket", threshold)
   }
 
   /** Embedding near-dup: label-blocked cosine pairs >= `threshold`.
     * The blocking key turns the n² problem into per-block joins that
-    * co-partition on a shuffle key — at 100 TB the block key would be
-    * an LSH bucket (see [[Similarity.lshBuckets]]). */
+    * co-partition on a shuffle key — when no natural key exists, use
+    * [[embeddingPairsLsh]]. */
   def embeddingPairs(spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
     graft.functions.SearchExpressions.register(spark)
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
       .withColumn("nrm", Similarity.norm(col("v")))
-    val a = e.select(col("vec_id").as("x"), col("v").as("vx"), col("nrm").as("nx"), col("label"))
-    val b = e.select(col("vec_id").as("y"), col("v").as("vy"), col("nrm").as("ny"), col("label"))
-    a.join(b, "label").where(col("x") < col("y"))
-      .withColumn("cos",
-        call_function("vec_dot", col("vx"), col("vy")) / (col("nx") * col("ny")))
-      .where(col("cos") >= threshold)
-      .select(col("x").as("vec_a"), col("y").as("vec_b"), round(col("cos"), 4).as("cos"))
-      .orderBy("vec_a", "vec_b")
+    blockedCosinePairs(e, "label", threshold)
   }
 }

@@ -128,15 +128,15 @@ object Similarity {
     // roughly balanced cells, not converged clusters — k-means|| init
     // alone costs more passes than the whole fit budget here, and
     // probe recall is the guarded property (IvfSpec), not inertia
-    // coalesce(1) for the fit only: the sampled corpus is tiny next
-    // to task-launch overhead (each KMeans iteration is a job), and a
-    // single partition also makes the fitted centroids independent of
-    // the input partitioning. At 100 TB, fit on a bounded sample
-    // (.limit(n).coalesce(1)) — quantizer quality needs thousands of
-    // points, not the corpus.
+    // fit on a BOUNDED sample, single partition: quantizer quality
+    // needs thousands of points, not the corpus, so the fit cost is
+    // O(sample) regardless of corpus size; one partition also avoids
+    // per-iteration task-launch overhead (each KMeans iteration is a
+    // job) and makes the centroids partitioning-independent.
+    val fitSample = 4096
     val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
       .setInitMode("random")
-      .fit(withVec.coalesce(1))
+      .fit(withVec.limit(fitSample).coalesce(1))
     val centroids = model.clusterCenters.map(_.toArray)
     lastIvfRun = Some(IvfRun(centroids, centroids.headOption.map(_.length).getOrElse(0),
       nQueries, k, nProbe))

@@ -44,11 +44,16 @@ case object AutoLayout extends IndexLayout
   * analyzer classes, similarity, field mapping; the index-time vs
   * query-time analyzer split is LuceneConfig.scala:20-52).
   *
-  * @param keyCol stable unique document key (the engine's `$id`;
+  * @param keyCol stable UNIQUE document key (the engine's `$id`;
   *   unlike the reference's ephemeral `zipWithUniqueId` ids —
   *   SearchableRDD.scala:75-83 — a user-supplied stable key survives
   *   recomputation and repartitioning, which is a hard requirement at
-  *   cluster scale)
+  *   cluster scale). Uniqueness is a contract, not validated at build
+  *   (a distinct-count pass over 100 TB is not free): duplicate keys
+  *   double-count df and per-key scores. Run exact dedup first
+  *   ([[graft.pipeline.Dedup.exact]]) or check with
+  *   [[SearchIndex.validateUniqueKeys]]; [[SearchIndex.merge]] does
+  *   verify cross-index disjointness by default.
   * @param textFields analyzed full-text fields
   * @param keywordFields exact-match (un-analyzed) string fields
   */
@@ -438,23 +443,34 @@ final class SearchIndex private (
       .withColumn("min_match", lit(minMatch))
     val hits0 = batchSearchRaw(queries, k, if (excludeSelf) Some(col("qid") =!= col("key")) else None)
     val hits = if (broadcastHits) broadcast(hits0) else hits0
-    left.join(hits, left(qidCol) === hits0("qid")).drop("qid")
+    // drop by Column, not name: a left side with its own "qid" column
+    // must keep it
+    left.join(hits, left(qidCol) === hits0("qid")).drop(hits0("qid"))
   }
 
   /** Ids-only query join (reference lightQueryJoin,
-    * SearchableRDD.scala:288-298) — Catalyst prunes the unread left
-    * columns either way; this is the explicit narrow surface. */
+    * SearchableRDD.scala:288-298): skips the join-back entirely —
+    * output is (qid, rank, key, score) regardless of the left schema,
+    * so no column-name collisions are possible. */
   def lightQueryJoin(left: DataFrame, qidCol: String, termsCol: Column, field: String,
-      k: Int, minMatch: Int = 1, excludeSelf: Boolean = false): DataFrame =
-    queryJoin(left, qidCol, termsCol, field, k, minMatch, excludeSelf)
-      .select(col(qidCol), col("rank"), col("key"), col("score"))
+      k: Int, minMatch: Int = 1, excludeSelf: Boolean = false): DataFrame = {
+    val queries = left.select(col(qidCol).as("qid"), termsCol.as("terms"))
+      .withColumn("field", lit(field))
+      .withColumn("min_match", lit(minMatch))
+    batchSearchRaw(queries, k, if (excludeSelf) Some(col("qid") =!= col("key")) else None)
+  }
 
   /** Projection-transforming query join (reference
-    * queryJoinWithResultsTransformer, SearchableRDD.scala:276-286). */
+    * queryJoinWithResultsTransformer, SearchableRDD.scala:276-286):
+    * `cols` are resolved against the joined frame; hit columns are
+    * referenced by Column object so a left side that also has
+    * rank/key/score columns stays unambiguous. */
   def queryJoinWithResultsTransformer(left: DataFrame, qidCol: String, termsCol: Column,
-      field: String, k: Int, cols: Column*): DataFrame =
-    queryJoin(left, qidCol, termsCol, field, k)
-      .select(cols :+ col("rank") :+ col("key") :+ col("score"): _*)
+      field: String, k: Int, cols: Column*): DataFrame = {
+    val hits = lightQueryJoin(left, qidCol, termsCol, field, k)
+    left.join(hits, left(qidCol) === hits("qid")).drop(hits("qid"))
+      .select(cols :+ hits("rank") :+ hits("key") :+ hits("score"): _*)
+  }
 
   /** batchSearch with an optional pre-top-k hit predicate. */
   private def batchSearchRaw(queries: DataFrame, k: Int,
@@ -608,6 +624,15 @@ final class SearchIndex private (
     val merged = merge(tmp)
     tmp.unpersist()
     merged
+  }
+
+  /** Asserts the [[IndexSpec.keyCol]] uniqueness contract (one
+    * aggregation over the corpus) — run where ingest cannot guarantee
+    * it; build() deliberately does not pay this cost. */
+  def validateUniqueKeys(): Unit = {
+    val dup = docs.groupBy(key).count().where(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"duplicate ${spec.keyCol}: ${dup.headOption.map(_.get(0))} — dedup the corpus first")
   }
 
   /** Human-readable data + index summary (reference

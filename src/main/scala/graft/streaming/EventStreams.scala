@@ -107,7 +107,10 @@ object EventStreams {
     * Spark 4; requires the RocksDB state store): state per user is the
     * O(k) list of best (item, score) pairs — the streaming face of
     * [[graft.functions.TopKAgg]], same ordering contract (score desc,
-    * key asc). TTL bounds state lifetime for keys that go quiet. */
+    * key asc). A re-scored item keeps its BEST score (one slot per
+    * item — a rescore must not occupy two ranks). TTL bounds state
+    * lifetime for keys that go quiet; it requires processing-time
+    * mode, which [[runningTopKPerUser]] selects automatically. */
   class TopKProcessor(k: Int, ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, ScoredItem, UserTopK] {
     @transient private var state: ValueState[List[(Long, Double)]] = _
@@ -120,18 +123,25 @@ object EventStreams {
         timerValues: TimerValues): Iterator[UserTopK] = {
       val cur = if (state.exists()) state.get() else Nil
       val merged = (cur ++ rows.map(r => r.item -> r.score))
+        .groupMapReduce(_._1)(_._2)(math.max)
+        .toList
         .sortBy(t => (-t._2, t._1)).take(k)
       state.update(merged)
       Iterator.single(UserTopK(key, merged.map(_._1), merged.map(_._2)))
     }
   }
 
-  /** Running per-user top-k over a scored item stream. */
-  def runningTopKPerUser(events: Dataset[ScoredItem], k: Int): Dataset[UserTopK] = {
+  /** Running per-user top-k over a scored item stream. Pass a TTL to
+    * expire idle users' state (switches to processing-time mode, the
+    * mode state TTL requires). */
+  def runningTopKPerUser(events: Dataset[ScoredItem], k: Int,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[UserTopK] = {
     import events.sparkSession.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     events
       .groupByKey(_.user_id)
-      .transformWithState(new TopKProcessor(k), TimeMode.None(), OutputMode.Update())
+      .transformWithState(new TopKProcessor(k, ttl), timeMode, OutputMode.Update())
   }
 
   /** Trending terms: windowed term counts over a document stream —

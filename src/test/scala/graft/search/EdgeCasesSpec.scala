@@ -64,6 +64,18 @@ class EdgeCasesSpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("validateUniqueKeys enforces the keyCol contract") {
+    val dup = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("doc_id", "text")
+    val idx = SearchIndex.build(dup, IndexSpec("doc_id", Seq("text")))
+    val e = intercept[IllegalArgumentException](idx.validateUniqueKeys())
+    assert(e.getMessage.contains("duplicate doc_id"))
+    idx.unpersist()
+    val ok = SearchIndex.build(Seq((1L, "a")).toDF("doc_id", "text"),
+      IndexSpec("doc_id", Seq("text")))
+    ok.validateUniqueKeys() // no throw
+    ok.unpersist()
+  }
+
   test("unsupported key type fails fast with a clear message") {
     val docs = Seq((1.5, "x")).toDF("doc_id", "text")
     val idx = SearchIndex.build(docs, IndexSpec("doc_id", Seq("text")))

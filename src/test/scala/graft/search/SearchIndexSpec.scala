@@ -135,7 +135,7 @@ class SearchIndexSpec extends AnyFunSuite {
     val left = idx.docs.where(col("doc_id") <= 2L)
     val terms = array_distinct(slice(col(SearchIndex.tokensColName("text")), 1, 5))
     val light = idx.lightQueryJoin(left, "doc_id", terms, "text", k = 2)
-    assert(light.columns.toSeq == Seq("doc_id", "rank", "key", "score"))
+    assert(light.columns.toSeq == Seq("qid", "rank", "key", "score"))
     assert(light.count() > 0)
     val tr = idx.queryJoinWithResultsTransformer(left, "doc_id", terms, "text", 2, col("lang"))
     assert(tr.columns.toSeq == Seq("lang", "rank", "key", "score"))

@@ -49,10 +49,13 @@ class StreamingSearchSpec extends AnyFunSuite {
     val spec = IndexSpec("doc_id", Seq("text"))
     var idx = SearchIndex.build(
       Seq((1L, "batch built corpus")).toDF("doc_id", "text"), spec)
+    // every superseded generation gets unpersisted, mirroring how a
+    // real ingest loop must manage cache lifetime
+    val generations = scala.collection.mutable.ListBuffer(idx)
     val mem = MemoryStream[(Long, String)]
     val q = mem.toDF().toDF("doc_id", "text").writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        if (!batch.isEmpty) idx = idx.addDocuments(batch)
+        if (!batch.isEmpty) { idx = idx.addDocuments(batch); generations += idx; () }
       }
       .start()
     mem.addData((2L, "streamed corpus addition"), (3L, "another streamed doc"))
@@ -66,7 +69,7 @@ class StreamingSearchSpec extends AnyFunSuite {
     val idf = idx.getTermIDFs.where($"term" === "corpus")
       .select("idf").as[Double].head()
     assert(math.abs(idf - math.log(1.0 + (3 - 2 + 0.5) / 2.5)) < 1e-9)
-    idx.unpersist()
+    generations.foreach(_.unpersist())
   }
 
   test("standing query filters a live document stream") {

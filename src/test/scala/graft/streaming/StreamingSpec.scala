@@ -118,9 +118,15 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       mem.addData(EventStreams.ScoredItem(1L, 102L, 0.5)) // evicts 100 (0.3)
       q.processAllAvailable()
+      val mid = spark.table("topk_state_sink")
+        .as[EventStreams.UserTopK].collect().last
+      assert(mid.items == Seq(101L, 102L) && mid.scores == Seq(0.9, 0.5))
+      // rescoring an item must move it, not duplicate it
+      mem.addData(EventStreams.ScoredItem(1L, 102L, 0.95))
+      q.processAllAvailable()
       val last = spark.table("topk_state_sink")
         .as[EventStreams.UserTopK].collect().last
-      assert(last.items == Seq(101L, 102L) && last.scores == Seq(0.9, 0.5))
+      assert(last.items == Seq(102L, 101L) && last.scores == Seq(0.95, 0.9))
       q.stop()
     } finally {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
