@@ -118,33 +118,42 @@ object Similarity {
     * The per-query probe-cell selection is a driver-side computation
     * over (nQueries x nCentroids) distances — small by construction;
     * the candidate scan + rerank stay distributed. */
+  /** Quantizer + assignment cache per (dir, nCentroids): the IVF
+    * index is build-once/query-many like the search index — refitting
+    * KMeans per query would dominate probe latency. */
+  private val ivfCache =
+    scala.collection.mutable.Map.empty[String, (DataFrame, Array[Array[Double]])]
+
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val e = corpus(spark, dir)
-    val withVec = e.withColumn("features", array_to_vector(col("v")))
-    // random init + few iterations: a coarse quantizer only needs
-    // roughly balanced cells, not converged clusters — k-means|| init
-    // alone costs more passes than the whole fit budget here, and
-    // probe recall is the guarded property (IvfSpec), not inertia
-    // fit on a BOUNDED sample, single partition: quantizer quality
-    // needs thousands of points, not the corpus, so the fit cost is
-    // O(sample) regardless of corpus size; one partition also avoids
-    // per-iteration task-launch overhead (each KMeans iteration is a
-    // job) and makes the centroids partitioning-independent.
-    val fitSample = 4096
-    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
-      .setInitMode("random")
-      .fit(withVec.limit(fitSample).coalesce(1))
-    val centroids = model.clusterCenters.map(_.toArray)
+    val (assigned, centroids) = ivfCache.synchronized {
+      ivfCache.getOrElseUpdate(s"$dir#$nCentroids", {
+        val e = corpus(spark, dir)
+        val withVec = e.withColumn("features", array_to_vector(col("v")))
+        // random init + few iterations on a BOUNDED single-partition
+        // sample: a coarse quantizer needs roughly balanced cells from
+        // thousands of points, not converged clusters over the corpus
+        // — fit cost is O(sample) regardless of corpus size, without
+        // per-iteration task-launch overhead (each KMeans iteration
+        // is a job), and the centroids are partitioning-independent.
+        // Probe recall is the guarded property (IvfSpec), not inertia.
+        val fitSample = 4096
+        val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
+          .setInitMode("random")
+          .fit(withVec.limit(fitSample).coalesce(1))
+        val cents = model.clusterCenters.map(_.toArray)
+        val scores = array(cents.toIndexedSeq.map(c => cellScore(col("v"), c)): _*)
+        val assignedDf = e
+          .withColumn("cell", (array_position(scores, array_min(scores)) - 1).cast("int"))
+          .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (assignedDf, cents)
+      })
+    }
     lastIvfRun = Some(IvfRun(centroids, centroids.headOption.map(_.length).getOrElse(0),
       nQueries, k, nProbe))
-    val scores = array(centroids.toIndexedSeq.map(c => cellScore(col("v"), c)): _*)
-    val assigned = e
-      .withColumn("cell", (array_position(scores, array_min(scores)) - 1).cast("int"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // driver-side probe-cell selection for the (small) query set
     val queries = assigned.where(col("vec_id") < nQueries)
       .select(col("vec_id"), col("v")).collect()
