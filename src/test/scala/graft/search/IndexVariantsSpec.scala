@@ -55,6 +55,23 @@ class IndexVariantsSpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("batch-path results are invariant under corpus repartitioning") {
+    val qs = Seq((0L, "text", Seq("alpha", "gamma"), 1), (1L, "text", Seq("beta"), 1))
+      .toDF("qid", "field", "terms", "min_match")
+    val base = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
+      .batchSearch(qs, 10).select("qid", "rank", "key", "score")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    for (n <- Seq(1, 3, 7)) {
+      val idxN = SearchIndex.build(corpus.repartition(n), IndexSpec("doc_id", Seq("text")))
+      val got = idxN.batchSearch(qs, 10).select("qid", "rank", "key", "score")
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      assert(got.map(r => (r._1, r._2, r._3)).toSeq == base.map(r => (r._1, r._2, r._3)).toSeq,
+        s"under $n partitions")
+      got.zip(base).foreach { case (a, b) => assert(math.abs(a._4 - b._4) < 1e-12) }
+      idxN.unpersist()
+    }
+  }
+
   test("merged index scores equal a from-scratch build") {
     val spec = IndexSpec("doc_id", Seq("text"))
     val full = SearchIndex.build(corpus, spec)
