@@ -56,6 +56,12 @@ case object AutoLayout extends IndexLayout
   *   verify cross-index disjointness by default.
   * @param textFields analyzed full-text fields
   * @param keywordFields exact-match (un-analyzed) string fields
+  * @param storedCols the reference's `Storeable` split (Indexable.
+  *   scala:16-19): index everything in text/keyword fields but KEEP
+  *   only these columns (+ key + token internals) in the docs table —
+  *   at 100 TB, storing a 50-byte projection instead of the raw
+  *   document shrinks the cached/scanned corpus by orders of
+  *   magnitude. None = store every input column.
   */
 final case class IndexSpec(
     keyCol: String,
@@ -64,7 +70,8 @@ final case class IndexSpec(
     indexAnalyzer: String = "default",
     queryAnalyzer: String = "default",
     similarity: Similarity = BM25(),
-    layout: IndexLayout = DecoupledPostings)
+    layout: IndexLayout = DecoupledPostings,
+    storedCols: Option[Seq[String]] = None)
 
 /** Per-field corpus statistics gathered at build time. */
 final case class FieldStats(numDocs: Long, avgDl: Double)
@@ -708,6 +715,15 @@ object SearchIndex {
       docs = docs
         .withColumn(tokensColName(f), tokens)
         .withColumn(dlColName(f), size(col(tokensColName(f))))
+    }
+    // Storeable projection: everything above indexed from the full
+    // row; from here on the engine carries only key + stored payload
+    // + keyword scalars + token internals (reference Storeable,
+    // Indexable.scala:16-19 / StoreableExample.scala:13-34)
+    spec.storedCols.foreach { stored =>
+      val keep = (Seq(spec.keyCol) ++ stored ++ spec.keywordFields).distinct ++
+        internalCols(spec)
+      docs = docs.select(keep.map(col): _*)
     }
     docs = docs.persist(storageLevel)
 

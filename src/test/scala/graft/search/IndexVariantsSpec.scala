@@ -192,6 +192,23 @@ class IndexVariantsSpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("storedCols keeps only the projection while indexing everything") {
+    val docs = Seq(
+      (1L, "alpha beta payload", "keep-1", "x" * 50),
+      (2L, "gamma alpha", "keep-2", "y" * 50)
+    ).toDF("doc_id", "text", "title", "huge_payload")
+    val idx = SearchIndex.build(docs,
+      IndexSpec("doc_id", Seq("text"), storedCols = Some(Seq("title"))))
+    // the dropped column is gone from the stored corpus...
+    assert(!idx.docs.columns.contains("huge_payload") && !idx.docs.columns.contains("text"))
+    // ...but the text WAS indexed: search still matches and scores
+    val hits = idx.search("text" matchTerm "alpha", 10)
+    assert(hits.columns.toSeq == Seq("doc_id", "title", "score"))
+    assert(hits.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(idx.getTermCounts.where($"term" === "alpha").select("cf").as[Long].head() == 2L)
+    idx.unpersist()
+  }
+
   test("index-time vs query-time analyzer split") {
     val docs = Seq((1L, "the running dogs"), (2L, "a sleeping cat")).toDF("doc_id", "text")
     val idx = SearchIndex.build(docs,
