@@ -1,0 +1,66 @@
+package graft.examples
+
+import graft.dsl.builders._
+import graft.search.{IndexSpec, SearchIndex}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end walkthrough mirroring the reference's example program
+  * (examples/SearchableRDDExamples.scala:12-85): parse a Wikipedia
+  * dump, build a distributed index, run a top-10 search, inspect
+  * index metadata and top terms, and finish with a self query-join —
+  * the same five stops, Spark-first.
+  *
+  * Run: sbt "runMain graft.examples.Walkthrough <wiki-xml-path>"
+  * (defaults to the bundled test corpus when no dump is given).
+  */
+object Walkthrough {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // 1. corpus: a real dump if given (reference README.md:84-98),
+    // otherwise the driver test corpus
+    val corpus = args.headOption match {
+      case Some(dump) =>
+        graft.sources.WikipediaXml.readPages(spark, dump)
+          .select(col("page_id").as("doc_id"), col("title"), col("text"))
+      case None =>
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .select(col("doc_id"), col("text").as("title"), col("text"))
+    }
+
+    // 2. build (reference README.md:114-123): analyzed text, stored
+    // title-only projection
+    val idx = SearchIndex.build(corpus,
+      IndexSpec("doc_id", Seq("text"), indexAnalyzer = "english",
+        queryAnalyzer = "english", storedCols = Some(Seq("title"))))
+
+    // 3. top-10 search (reference README.md:127-137)
+    println("top-10 for `text matchAll termSet(...)`:")
+    idx.search("text" matchAny termSet("island", "spark", "table"), 10).show(false)
+
+    // 4. metadata + top terms (reference SearchableRDDExamples.scala:47-66)
+    println(idx.getDataAndIndicesInfo)
+    println("top-10 terms by collection frequency:")
+    idx.getTermCounts.orderBy(col("cf").desc, col("term")).show(10, false)
+
+    // 5. self query-join, maxHits 5 (reference
+    // SearchableRDDExamples.scala:68-74: query = title + text prefix)
+    val left = idx.docs.limit(5)
+    idx.queryJoin(left, "doc_id",
+        array_distinct(slice(col(SearchIndex.tokensColName("text")), 1, 8)),
+        "text", k = 5, excludeSelf = true, broadcastHits = true)
+      .select(col("doc_id"), col("rank"), col("key"), round(col("score"), 4).as("score"))
+      .orderBy("doc_id", "rank")
+      .show(25, false)
+
+    idx.unpersist()
+    spark.stop()
+  }
+}

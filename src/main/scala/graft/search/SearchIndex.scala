@@ -678,7 +678,10 @@ object SearchIndex {
     * the same order as a generous autoBroadcastJoinThreshold). */
   val AutoBroadcastMaxPostings: Long = 2L * 1000 * 1000
 
-  private[search] def tokensColName(field: String) = s"__tokens_$field"
+  /** Name of the internal token-array column for `field` — public so
+    * callers can build query-generator expressions over the analyzed
+    * tokens (e.g. queryJoin term sources). */
+  def tokensColName(field: String): String = s"__tokens_$field"
   private[search] def dlColName(field: String) = s"__dl_$field"
   private[search] def internalCols(spec: IndexSpec): Seq[String] =
     spec.textFields.flatMap(f => Seq(tokensColName(f), dlColName(f)))
