@@ -289,6 +289,20 @@ object RelationalQueries {
           |ORDER BY c_mktsegment""".stripMargin)
     }),
 
+    // --- ordered-set aggregates: exact interpolated percentiles
+    //     (Spark `percentile` == DuckDB quantile_cont); the
+    //     approx_percentile sketch is the 100 TB path but is not
+    //     hash-comparable across engines, so the entry pins the exact
+    //     form and rounds to absorb interpolation float noise ---
+    "q25_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))
+        .orderBy("l_returnflag")),
+
     // --- salted two-phase aggregation (skew path): identical result
     //     to a plain groupBy, but one hot key spreads over 8 reducers
     //     before the final combine — the explicit-salt fallback for
@@ -544,6 +558,13 @@ object RelationalQueries {
         |WHERE p_retailprice > 1.1 * (
         |  SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)
         |ORDER BY p_partkey""".stripMargin,
+
+    "q25_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q23_skew_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
