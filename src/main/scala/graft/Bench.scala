@@ -39,7 +39,7 @@ object Bench {
     // the standard steady-state estimate. Each run re-executes the
     // full query (noop write = full materialization, no caching of
     // results between runs beyond what the engine itself persists).
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption).getOrElse(2).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>

@@ -41,9 +41,11 @@ object Walkthrough {
       IndexSpec("doc_id", Seq("text"), indexAnalyzer = "english",
         queryAnalyzer = "english", storedCols = Some(Seq("title"))))
 
-    // 3. top-10 search (reference README.md:127-137)
-    println("top-10 for `text matchAll termSet(...)`:")
-    idx.search("text" matchAny termSet("island", "spark", "table"), 10).show(false)
+    // 3. top-10 search (reference README.md:127-137). matchText runs
+    // the QUERY analyzer over the text, so the terms stem the same
+    // way the index did ("table" -> "tabl" matches indexed tokens).
+    println("top-10 for `text matchText \"island spark table\"` (any-of, analyzed):")
+    idx.search("text" matchText "island spark table", 10).show(false)
 
     // 4. metadata + top terms (reference SearchableRDDExamples.scala:47-66)
     println(idx.getDataAndIndicesInfo)

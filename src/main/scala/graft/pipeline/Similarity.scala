@@ -120,9 +120,21 @@ object Similarity {
     * the candidate scan + rerank stay distributed. */
   /** Quantizer + assignment cache per (dir, nCentroids): the IVF
     * index is build-once/query-many like the search index — refitting
-    * KMeans per query would dominate probe latency. */
+    * KMeans per query would dominate probe latency. Same contract
+    * and caveats as [[graft.search.SearchQueries.indexFor]]: entries
+    * are bound to the building SparkSession and assume the data under
+    * `dir` is immutable for the process lifetime; call
+    * [[clearIvfCache]] after rewriting a corpus dir (the persisted
+    * assignments are unpersisted and refit on next use). */
   private val ivfCache =
     scala.collection.mutable.Map.empty[String, (DataFrame, Array[Array[Double]])]
+
+  /** Drops all cached IVF quantizers (releasing their persisted
+    * assignments) — required after mutating a corpus dir in-place. */
+  def clearIvfCache(): Unit = ivfCache.synchronized {
+    ivfCache.values.foreach { case (df, _) => df.unpersist() }
+    ivfCache.clear()
+  }
 
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {

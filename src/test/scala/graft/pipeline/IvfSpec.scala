@@ -16,9 +16,12 @@ class IvfSpec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val ivf1 = Similarity.ivfTopK(spark, dir, nQueries = 3, k = 10, nCentroids = 8, nProbe = 3)
       .select("qid", "rank", "vec_id").as[(Long, Long, Long)].collect().toSeq
+    // clear the quantizer cache so the second call REFITS — otherwise
+    // this determinism check would compare a cache hit with itself
+    Similarity.clearIvfCache()
     val ivf2 = Similarity.ivfTopK(spark, dir, nQueries = 3, k = 10, nCentroids = 8, nProbe = 3)
       .select("qid", "rank", "vec_id").as[(Long, Long, Long)].collect().toSeq
-    assert(ivf1.sorted == ivf2.sorted, "IVF must be deterministic (fixed seed)")
+    assert(ivf1.sorted == ivf2.sorted, "IVF must be deterministic (fixed seed + fixed sample)")
     val byQ = ivf1.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
     // probing 3/8 cells: expect meaningful but partial recall
     val recalls = exact.keys.toSeq.map { qid =>

@@ -58,9 +58,11 @@ class IndexVariantsSpec extends AnyFunSuite {
   test("batch-path results are invariant under corpus repartitioning") {
     val qs = Seq((0L, "text", Seq("alpha", "gamma"), 1), (1L, "text", Seq("beta"), 1))
       .toDF("qid", "field", "terms", "min_match")
-    val base = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
+    val baseIdx = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
+    val base = baseIdx
       .batchSearch(qs, 10).select("qid", "rank", "key", "score")
       .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    baseIdx.unpersist()
     for (n <- Seq(1, 3, 7)) {
       val idxN = SearchIndex.build(corpus.repartition(n), IndexSpec("doc_id", Seq("text")))
       val got = idxN.batchSearch(qs, 10).select("qid", "rank", "key", "score")
