@@ -22,6 +22,9 @@ run / fork := true
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
 Global / showTiming := false
+// the two keys are read by sbt's command layer, not by tasks — the
+// unused-key lint doesn't see that
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -20,6 +20,10 @@ class PlanShapeSpec extends AnyFunSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("driver contract: flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("single-query search ends in TakeOrderedAndProject, never a global sort") {
     val corpus = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
     val idx = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
