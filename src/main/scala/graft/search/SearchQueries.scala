@@ -99,7 +99,7 @@ object SearchQueries {
        |)
        |SELECT doc_id, round(score, 4) AS score FROM s2
        |WHERE $sem$extraWhere
-       |ORDER BY score DESC, doc_id
+       |ORDER BY s2.score DESC, doc_id
        |LIMIT $k""".stripMargin
   }
 
@@ -295,7 +295,7 @@ object SearchQueries {
          |)
          |SELECT doc_id, round(score, 4) AS score FROM s2
          |WHERE tf_p > 0
-         |ORDER BY score DESC, doc_id
+         |ORDER BY s2.score DESC, doc_id
          |LIMIT 10""".stripMargin
     },
 
@@ -325,7 +325,7 @@ object SearchQueries {
          |)
          |SELECT doc_id, round(score, 4) AS score FROM s2
          |WHERE lang = 'fr' AND tf_v > 0
-         |ORDER BY score DESC, doc_id
+         |ORDER BY s2.score DESC, doc_id
          |LIMIT 10""".stripMargin
     },
 
@@ -353,7 +353,7 @@ object SearchQueries {
          |)
          |SELECT doc_id, round(score, 4) AS score FROM s2
          |WHERE tf_0 > 0 AND NOT tf_x > 0
-         |ORDER BY score DESC, doc_id
+         |ORDER BY s2.score DESC, doc_id
          |LIMIT 10""".stripMargin
     },
 
