@@ -73,7 +73,8 @@ object SearchQueries {
     * left-to-right association), semantics by matched-term count. */
   private def termQueryOracle(terms: Seq[String], minMatch: Int, k: Int,
       extraWhere: String = "", extraScore: String = "",
-      scoreFn: (String, String) => String = (tf, idf) => bm25Sql(tf, idf)): String = {
+      scoreFn: (String, String) => String = (tf, idf) => bm25Sql(tf, idf),
+      exposeRaw: Boolean = false): String = {
     val tfCols = terms.zipWithIndex
       .map { case (t, i) => s"${tfSql(t)} AS tf_$i" }.mkString(",\n    ")
     val dfCols = terms.zipWithIndex
@@ -97,7 +98,7 @@ object SearchQueries {
        |  SELECT *, $scoreSum $extraScore AS score, $nm AS nm
        |  FROM scored
        |)
-       |SELECT doc_id, round(score, 4) AS score FROM s2
+       |SELECT doc_id,${if (exposeRaw) " score AS raw_score," else ""} round(score, 4) AS score FROM s2
        |WHERE $sem$extraWhere
        |ORDER BY s2.score DESC, doc_id
        |LIMIT $k""".stripMargin
@@ -366,11 +367,14 @@ object SearchQueries {
       scoreFn = (tf, idf) => bm25Sql(tf, idf, 1.5, 0.3)),
 
     "search_transform" -> {
-      val inner = termQueryOracle(Seq("hash"), 1, 10)
+      // raw_score carried out of the inner query so the outer orders
+      // by the RAW double like the Spark side (res.score is rounded —
+      // ordering by it can flip tied-at-4-decimals neighbors)
+      val inner = termQueryOracle(Seq("hash"), 1, 10, exposeRaw = true)
       s"""WITH res AS ($inner)
          |SELECT res.doc_id, d.lang, d.n_chars, res.score
          |FROM res JOIN documents d USING (doc_id)
-         |ORDER BY res.score DESC, res.doc_id""".stripMargin
+         |ORDER BY res.raw_score DESC, res.doc_id""".stripMargin
     },
 
     "get_elements" ->
