@@ -82,6 +82,38 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("random DSL ASTs: stats-free predicate matches indexed search (differential)") {
+    import graft.dsl._
+    import graft.search.{IndexSpec, QueryPredicates, SearchIndex}
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c dd"), (2L, "b b e1"), (3L, "c dd a a"),
+      (4L, "e1"), (5L, ""), (6L, "dd dd dd b")
+    ).toDF("doc_id", "text")
+    val idx = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
+    // vocabulary terms + one absent term to exercise empty postings
+    val term: Gen[String] = Gen.oneOf("a", "b", "c", "dd", "e1", "zz")
+    val leaf: Gen[SearchQuery] = Gen.oneOf(
+      term.map(t => MatchTerm("text", t)),
+      Gen.listOfN(2, term).map(ts => MatchAnyTerms("text", ts.distinct)),
+      Gen.listOfN(2, term).map(ts => MatchAllTerms("text", ts.distinct)),
+      Gen.listOfN(2, term).map(ts => MatchPhrase("text", ts.mkString(" "))),
+      Gen.listOfN(3, term).map(ts => MatchMin("text", 2, ts.distinct)))
+    val ast: Gen[SearchQuery] = for {
+      l <- leaf; r <- leaf
+      q <- Gen.oneOf[SearchQuery](l, And(l, r), Or(l, r), And(l, Not(r)))
+    } yield q
+    // 30 sampled ASTs: each check runs two Spark jobs
+    samples(ast, 30).foreach { q =>
+      val indexed = idx.search(q, 100).select("doc_id").as[Long].collect().toSet
+      val predicate = corpus.where(QueryPredicates.predicate(q))
+        .select("doc_id").as[Long].collect().toSet
+      assert(predicate == indexed, s"divergence for AST: $q")
+    }
+    idx.unpersist()
+  }
+
   test("Parsed.parseClauses classifies occurs and phrases") {
     val word: Gen[String] = Gen.oneOf("spark", "join", "fast")
     val clause: Gen[(Char, Boolean, String)] = for {
