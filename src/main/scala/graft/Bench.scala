@@ -53,16 +53,22 @@ object Bench {
             -1.0
         }
       }
-      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
+      val nErr = times.count(_ < 0)
+      (name, if (nErr < runs) times.filter(_ >= 0).min else -1.0, nErr)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // flaky runs (failed some-but-not-all attempts) would otherwise
+    // be invisible in the JSON — the min of the successful times
+    // masks them; make every failure machine-visible
+    val errs = results.collect { case (k, _, n) if n > 0 => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     // stop() BEFORE the println: the JSON must be the final line of
     // stdout (the driver parses it), and Spark's stop/shutdown logging
     // must not land after it.
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errs":$errs,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -33,6 +33,30 @@ object Dedup {
 
   private def toks(c: Column): Column = Analyzers.default.tokensCol(c)
 
+  /** Registry of the build-once persisted intermediates (shingle
+    * tables, band tables, simhash fingerprints, LSH-bucketed
+    * corpora), keyed by operator+dir+params — the same contract as
+    * [[Similarity.clearIvfCache]]: entries are bound to the building
+    * SparkSession and assume the data under `dir` is immutable for
+    * the process lifetime. Repeated calls reuse the persisted frame
+    * instead of leaning on CacheManager plan-dedup, and
+    * [[clearCaches]] releases them all. */
+  private val persistRegistry =
+    scala.collection.mutable.Map.empty[String, DataFrame]
+
+  private def persistOnce(key: String)(build: => DataFrame): DataFrame =
+    persistRegistry.synchronized {
+      persistRegistry.getOrElseUpdate(key, build.persist(StorageLevel.MEMORY_AND_DISK))
+    }
+
+  /** Unpersists every registered dedup intermediate — required after
+    * mutating a corpus dir in-place (mirror of
+    * [[Similarity.clearIvfCache]]). */
+  def clearCaches(): Unit = persistRegistry.synchronized {
+    persistRegistry.values.foreach(_.unpersist())
+    persistRegistry.clear()
+  }
+
   /** Distinct n-token shingles joined by single spaces; empty array
     * when the doc has fewer than n tokens. */
   def shingles(tokens: Column, n: Int): Column =
@@ -100,21 +124,22 @@ object Dedup {
     // persist BEFORE the size filter: predicate pushdown would
     // otherwise re-inline the whole tokenize+shingle expression into
     // the scan-level filter and evaluate it per row
-    val sh = docTokens(spark, dir)
-      .select(col("doc_id"), shingles(col("tokens"), 3).as("ss"))
-      .withColumn("hs", shingleHashes(col("ss"))) // hashed once, cached
-      .persist(StorageLevel.MEMORY_AND_DISK)
-      .where(size(col("ss")) > 0)
+    val sh = persistOnce(s"minhash_sh#$dir") {
+      docTokens(spark, dir)
+        .select(col("doc_id"), shingles(col("tokens"), 3).as("ss"))
+        .withColumn("hs", shingleHashes(col("ss"))) // hashed once, cached
+    }.where(size(col("ss")) > 0)
     val sigCols = (0 until 16).map(i => minhashSig(col("hs"), i).as(s"sig_$i"))
     val sigs = sh.select(col("doc_id") +: sigCols: _*)
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until 4).map(r => col(s"sig_${b * 4 + r}")): _*)).as("bh"))
     }
-    val bands = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
-      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = persistOnce(s"minhash_bands#$dir") {
+      sigs
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
+        .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    }
     val a = bands.select(col("doc_id").as("x"), col("band"), col("bh"))
     val b = bands.select(col("doc_id").as("y"), col("band"), col("bh"))
     val cand = a.join(b, Seq("band", "bh")).where(col("x") < col("y"))
@@ -136,10 +161,10 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
     // persisted before the filter for the same expression-collapse
     // reason as minhashLsh
-    val sh = docTokens(spark, dir)
-      .select(col("doc_id"), shingles(col("tokens"), 5).as("ss"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-      .where(size(col("ss")) > 0)
+    val sh = persistOnce(s"ngram_sh#$dir") {
+      docTokens(spark, dir)
+        .select(col("doc_id"), shingles(col("tokens"), 5).as("ss"))
+    }.where(size(col("ss")) > 0)
     val inv = sh.select(col("doc_id"), explode(col("ss")).as("s"))
     val cand = inv.select(col("doc_id").as("x"), col("s"))
       .join(inv.select(col("doc_id").as("y"), col("s")), "s")
@@ -189,7 +214,7 @@ object Dedup {
     * simhash with 8 byte-bands covers Hamming <= 7) rather than
     * raising `maxHamming` alone. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val sims = simhash(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val sims = persistOnce(s"simhash#$dir")(simhash(spark, dir))
     val byByte = sims.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("byte_pos"),
@@ -231,18 +256,19 @@ object Dedup {
     * construction (near-dups can straddle a hyperplane); raise
     * recall with fewer planes (bigger buckets) or multiple
     * independent bucket tables OR-ed together. The bucketed corpus
-    * persists for the pair join's two consumers (caller-owned cache,
-    * like every build-once artifact here — small: ids+vectors+one
-    * long). */
+    * persists for the pair join's two consumers (registered
+    * build-once artifact, released by [[clearCaches]] — small:
+    * ids+vectors+one long). */
   def embeddingPairsLsh(spark: SparkSession, dir: String, threshold: Double = 0.4,
       nPlanes: Int = 8): DataFrame = {
     graft.functions.SearchExpressions.register(spark)
     val planes = Similarity.hyperplanes(nPlanes, 64)
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", Similarity.norm(col("v")))
-      .withColumn("bucket", Similarity.lshBucket(col("v"), planes))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = persistOnce(s"emb_lsh#$dir#$nPlanes") {
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+        .withColumn("bucket", Similarity.lshBucket(col("v"), planes))
+    }
     blockedCosinePairs(e, "bucket", threshold)
   }
 

@@ -21,7 +21,7 @@ object PipelineQueries {
     "ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir)),
     // oracle generated at runtime from the fitted centroids (see
     // ivfOracle below); KMeans quality itself is covered by IvfSpec
-    "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir, recordAs = Some("ann_ivf"))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "lang_id_ngram" -> ((s, dir) => TextAnalysis.langIdNgram(s, dir)),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -112,7 +112,7 @@ object PipelineQueries {
     * cosine rerank are recomputed in SQL. Verifies everything
     * downstream of the KMeans fit. */
   private def ivfOracle: Map[String, String] =
-    Similarity.lastIvfRun match {
+    Similarity.recordedIvfRun("ann_ivf") match {
       case None => Map.empty
       case Some(run) =>
         val values = run.centroids.zipWithIndex.map { case (c, i) =>

@@ -89,12 +89,20 @@ object Similarity {
       centroids: Array[Array[Double]], dim: Int,
       nQueries: Int, k: Int, nProbe: Int)
 
-  /** The most recent [[ivfTopK]] run — consumed by [[PipelineQueries]]
-    * to generate a DuckDB oracle that replicates the assignment/probe/
-    * rerank pipeline against the SAME quantizer and parameters (the
-    * only non-SQL-expressible step is the KMeans fit itself, whose
-    * quality is covered by IvfSpec's recall test). */
-  @volatile private[pipeline] var lastIvfRun: Option[IvfRun] = None
+  /** Runs recorded by [[ivfTopKWithRun]], keyed by the caller's
+    * chosen tag — consumed by [[PipelineQueries]] to generate a
+    * DuckDB oracle that replicates the assignment/probe/rerank
+    * pipeline against the SAME quantizer and parameters the tagged
+    * entry actually used (the only non-SQL-expressible step is the
+    * KMeans fit itself, whose quality is covered by IvfSpec's recall
+    * test). Keyed, not last-write-wins: an intervening [[ivfTopK]]
+    * call with different parameters cannot clobber an entry's
+    * recorded run. */
+  private val ivfRuns =
+    scala.collection.concurrent.TrieMap.empty[String, IvfRun]
+
+  private[pipeline] def recordedIvfRun(tag: String): Option[IvfRun] =
+    ivfRuns.get(tag)
 
   /** Cell-affinity score for assignment/probing: `argmin_i |v-c_i|^2 =
     * argmin_i (|c_i|^2 - 2 v.c_i)` — the |v|^2 term is constant per
@@ -137,7 +145,7 @@ object Similarity {
   }
 
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCentroids: Int = 16, nProbe: Int = 4, recordAs: Option[String] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val (assigned, centroids) = ivfCache.synchronized {
@@ -164,8 +172,10 @@ object Similarity {
         (assignedDf, cents)
       })
     }
-    lastIvfRun = Some(IvfRun(centroids, centroids.headOption.map(_.length).getOrElse(0),
-      nQueries, k, nProbe))
+    recordAs.foreach { tag =>
+      ivfRuns(tag) = IvfRun(centroids, centroids.headOption.map(_.length).getOrElse(0),
+        nQueries, k, nProbe)
+    }
     // driver-side probe-cell selection for the (small) query set
     val queries = assigned.where(col("vec_id") < nQueries)
       .select(col("vec_id"), col("v")).collect()

@@ -434,21 +434,25 @@ final class SearchIndex private (
     * @param field indexed field to search
     * @param excludeSelf drop hits whose key equals the query's qid
     *   (self-join convention, examples/SearchableRDDExamples.scala:68-74)
-    * @param broadcastHits force-broadcast the (qid, rank, key, score)
-    *   hits for the join-back. Hits are |left| * k rows, so this is
-    *   only safe when the caller KNOWS left is small (a query batch,
-    *   not the corpus). Default leaves the choice to Catalyst/AQE,
-    *   which broadcasts from runtime stats when the hits fit and
-    *   falls back to a shuffle hash join on qid for a corpus-scale
-    *   self-join — where a forced broadcast would grow linearly with
-    *   the corpus and blow the driver. */
+    * @param broadcastHits treat the query batch as SMALL: force-
+    *   broadcast both the exploded query-term frame for the postings
+    *   probe and the (qid, rank, key, score) hits for the join-back.
+    *   Both grow with |left| (terms per row, resp. k hits per row),
+    *   so this is only safe when the caller KNOWS left is small (a
+    *   query batch, not the corpus). The default (false) leaves both
+    *   choices to Catalyst/AQE, which broadcasts from runtime stats
+    *   when a side fits and falls back to shuffle hash joins for a
+    *   corpus-scale self-join — where a forced broadcast would grow
+    *   linearly with the corpus and blow the driver. */
   def queryJoin(left: DataFrame, qidCol: String, termsCol: Column, field: String,
       k: Int, minMatch: Int = 1, excludeSelf: Boolean = false,
       broadcastHits: Boolean = false): DataFrame = {
     val queries = left.select(col(qidCol).as("qid"), termsCol.as("terms"))
       .withColumn("field", lit(field))
       .withColumn("min_match", lit(minMatch))
-    val hits0 = batchSearchRaw(queries, k, if (excludeSelf) Some(col("qid") =!= col("key")) else None)
+    val hits0 = batchSearchRaw(queries, k,
+      if (excludeSelf) Some(col("qid") =!= col("key")) else None,
+      broadcastQueries = broadcastHits)
     val hits = if (broadcastHits) broadcast(hits0) else hits0
     // drop by Column, not name: a left side with its own "qid" column
     // must keep it
@@ -464,7 +468,9 @@ final class SearchIndex private (
     val queries = left.select(col(qidCol).as("qid"), termsCol.as("terms"))
       .withColumn("field", lit(field))
       .withColumn("min_match", lit(minMatch))
-    batchSearchRaw(queries, k, if (excludeSelf) Some(col("qid") =!= col("key")) else None)
+    batchSearchRaw(queries, k,
+      if (excludeSelf) Some(col("qid") =!= col("key")) else None,
+      broadcastQueries = false)
   }
 
   /** Projection-transforming query join (reference
@@ -481,8 +487,8 @@ final class SearchIndex private (
 
   /** batchSearch with an optional pre-top-k hit predicate. */
   private def batchSearchRaw(queries: DataFrame, k: Int,
-      hitFilter: Option[Column]): DataFrame = {
-    val base = batchSearchPerDoc(queries)
+      hitFilter: Option[Column], broadcastQueries: Boolean = true): DataFrame = {
+    val base = batchSearchPerDoc(queries, broadcastQueries)
     val filtered = hitFilter.map(base.where).getOrElse(base)
     // key type follows the corpus keyCol: integral keys aggregate as
     // long, string keys as string — the IndexSpec contract admits any
@@ -503,8 +509,17 @@ final class SearchIndex private (
         col("hit.key").as("key"), col("hit.score").as("score"))
   }
 
-  /** Shared per-(query, doc) scoring stage of the batch path. */
-  private def batchSearchPerDoc(queries: DataFrame): DataFrame = {
+  /** Shared per-(query, doc) scoring stage of the batch path.
+    *
+    * @param broadcastQueries force-broadcast the exploded query-term
+    *   frame onto the postings for the probe join. Right for small
+    *   query batches (one network-free join); must be false when the
+    *   query side scales with the corpus (queryJoin self-joins) — the
+    *   frame is |queries| x terms-per-query rows, so a forced
+    *   broadcast would grow with the corpus. With false, AQE picks
+    *   broadcast vs shuffle from the measured size at runtime. */
+  private def batchSearchPerDoc(queries: DataFrame,
+      broadcastQueries: Boolean = true): DataFrame = {
     val qterms = queries
       .withColumn("n_terms", size(col("terms")))
       .select(col("qid"), col("field"), col("min_match"), col("n_terms"),
@@ -529,7 +544,8 @@ final class SearchIndex private (
         // either side, index must fit in executor memory
         broadcast(postings).join(withIdf, Seq("field", "term"))
       case _ =>
-        postings.join(broadcast(withIdf), Seq("field", "term"))
+        val probe = if (broadcastQueries) broadcast(withIdf) else withIdf
+        postings.join(probe, Seq("field", "term"))
     }
     joined
       .withColumn("term_score", bm)
