@@ -144,6 +144,20 @@ object Similarity {
     ivfCache.clear()
   }
 
+  /** Build-once registry for the LSH bucket assignment ([[lshTopK]]):
+    * without it each call persisted a fresh frame nothing could ever
+    * release. Same contract as [[ivfCache]] / Dedup.persistOnce. */
+  private val lshCache = scala.collection.mutable.Map.empty[String, DataFrame]
+
+  /** Drops all cached LSH bucket assignments. */
+  def clearLshCache(): Unit = lshCache.synchronized {
+    lshCache.values.foreach(_.unpersist())
+    lshCache.clear()
+  }
+
+  /** Releases every similarity-side persisted artifact (IVF + LSH). */
+  def clearCaches(): Unit = { clearIvfCache(); clearLshCache() }
+
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
       nCentroids: Int = 16, nProbe: Int = 4, recordAs: Option[String] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
@@ -217,10 +231,14 @@ object Similarity {
       nPlanes: Int = 8): DataFrame = {
     val planes = hyperplanes(nPlanes, 64)
     // persisted: bucket assignment feeds both the corpus side and the
-    // query side of the candidate equi-join
-    val e = corpus(spark, dir)
-      .withColumn("bucket", lshBucket(col("v"), planes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // query side of the candidate equi-join (registered build-once
+    // artifact, released by [[clearLshCache]])
+    val e = lshCache.synchronized {
+      lshCache.getOrElseUpdate(s"$dir#$nPlanes",
+        corpus(spark, dir)
+          .withColumn("bucket", lshBucket(col("v"), planes))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"), col("bucket"))
     val scored = e.join(q, "bucket")

@@ -28,6 +28,14 @@ object SearchQueries {
 
   private val cache = scala.collection.mutable.Map.empty[String, SearchIndex]
 
+  /** Releases every cached index (docs + postings + stats persists).
+    * Required after rewriting a corpus dir in-place; also used by
+    * Bench to bound peak pinned storage between sections. */
+  def clearCache(): Unit = cache.synchronized {
+    cache.values.foreach(_.unpersist())
+    cache.clear()
+  }
+
   def indexFor(spark: SparkSession, dir: String): SearchIndex = cache.synchronized {
     cache.getOrElseUpdate(dir,
       SearchIndex.build(spark.read.parquet(s"$dir/documents.parquet"), spec))
