@@ -21,12 +21,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.RelationalQueries.queries ++
       search.SearchQueries.queries ++
-      pipeline.PipelineQueries.queries
+      pipeline.PipelineQueries.queries ++
+      sources.SourceQueries.queries ++
+      streaming.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.RelationalQueries.oracles ++
       search.SearchQueries.oracles ++
-      pipeline.PipelineQueries.oracles
+      pipeline.PipelineQueries.oracles ++
+      sources.SourceQueries.oracles ++
+      streaming.StreamQueries.oracles
 }

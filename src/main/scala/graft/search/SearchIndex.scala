@@ -680,6 +680,15 @@ final class SearchIndex private (
   def withSimilarity(sim: Similarity): SearchIndex =
     new SearchIndex(spark, spec.copy(similarity = sim), docs, postings, stats, fieldStats)
 
+  /** Same index, different physical layout for the batch/postings
+    * path — the artifacts are layout-independent (layout only selects
+    * the probe-join strategy in [[batchSearchPerDoc]]), so switching
+    * per query is free (reference analog: choosing among the three
+    * SearchableRDD implementations at build time, SURVEY §1.4 — here
+    * a per-query decision, which a single-build engine can afford). */
+  def withLayout(l: IndexLayout): SearchIndex =
+    new SearchIndex(spark, spec.copy(layout = l), docs, postings, stats, fieldStats)
+
   def unpersist(): Unit = {
     docs.unpersist()
     postings.unpersist()

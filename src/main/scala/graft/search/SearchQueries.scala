@@ -52,6 +52,40 @@ object SearchQueries {
         spec.copy(indexAnalyzer = "english", queryAnalyzer = "english")))
   }
 
+  /** Index exercising two more spec dimensions over the same corpus:
+    *  - index-/query-analyzer SPLIT (reference LuceneConfig.scala:
+    *    20-52): standard index tokens, english query analysis — a
+    *    stemmed query term ("Sparks" -> "spark") hits the unstemmed
+    *    corpus token, which is exactly what the split is for
+    *    (normalize queries harder than documents);
+    *  - a derived NULLABLE keyword field `src_opt` (null iff the
+    *    source name is 4 chars, i.e. src0..src9) so exists/missing
+    *    filters are non-trivially oracle-checked — the driver corpus
+    *    has no natural nulls. */
+  def splitIndexFor(spark: SparkSession, dir: String): SearchIndex = cache.synchronized {
+    cache.getOrElseUpdate(s"$dir#split", {
+      val corpus = spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("src_opt",
+          when(length(col("source")) === 4, lit(null).cast("string"))
+            .otherwise(col("source")))
+      SearchIndex.build(corpus,
+        spec.copy(keywordFields = Seq("lang", "source", "src_opt"),
+          queryAnalyzer = "english"))
+    })
+  }
+
+  /** save()/load() round-trip of the default index (reference analog:
+    * saveAsObjectFile + reload, examples/StoreableExample.scala:22-30):
+    * queries against the reloaded artifacts must match the
+    * from-scratch build — which the shared oracle asserts. */
+  def reloadedIndexFor(spark: SparkSession, dir: String): SearchIndex = cache.synchronized {
+    cache.getOrElseUpdate(s"$dir#reload", {
+      val path = s"/tmp/graft_index_${Integer.toHexString(dir.hashCode)}"
+      indexFor(spark, dir).save(path)
+      SearchIndex.load(spark, path, spec)
+    })
+  }
+
   private def topkOut(df: DataFrame): DataFrame =
     df.select(col("doc_id"), round(col("score"), 4).as("score"))
 
@@ -214,20 +248,63 @@ object SearchQueries {
       indexFor(s, dir).getIndicesInfo.orderBy("field")),
 
     // batch search: 4 queries in one postings pass + bounded topk_agg
-    "batch_search" -> ((s, dir) => {
-      val idx = indexFor(s, dir)
-      import s.implicits._
-      val queries = Seq(
-        (0L, "text", Seq("spark", "join"), 1),
-        (1L, "text", Seq("window", "batch"), 1),
-        (2L, "text", Seq("merge", "sort", "hash"), 2),
-        (3L, "text", Seq("vector"), 1))
-        .toDF("qid", "field", "terms", "min_match")
-      idx.batchSearch(queries, 5)
-        .select(col("qid"), col("rank").cast("long").as("rank"),
-          col("key"), round(col("score"), 4).as("score"))
-        .orderBy("qid", "rank")
-    }),
+    "batch_search" -> ((s, dir) =>
+      runBatch(indexFor(s, dir), s)),
+
+    // same batch under the broadcast index layout (§1.4c): postings
+    // ship to the query side, no shuffle of either input — identical
+    // results by construction, asserted by sharing batch_search's
+    // oracle
+    "batch_search_broadcast" -> ((s, dir) =>
+      runBatch(indexFor(s, dir).withLayout(BroadcastIndex), s)),
+
+    // DSL Or node: two MatchTerm children, either side matches,
+    // matching sides' scores sum
+    "search_or" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search(
+        ("text" matchTerm "filter") || ("text" matchTerm "scan"), 10))),
+
+    // MatchText: query-time analysis (lowercase+split) of free text,
+    // OR over produced terms
+    "search_text" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search("text" matchText "Query TABLE", 10))),
+
+    // gt/ge/lt/le comparison filters, all four in one conjunction
+    // (non-scoring: score must equal the bare term query's)
+    "search_cmp_filters" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search(
+        ("text" matchAny termSet("group")) &&
+          ("n_chars" gt 150L) && ("n_chars" ge 200L) &&
+          ("n_chars" lt 520L) && ("n_chars" le 480L), 10))),
+
+    // valueSet membership filter
+    "search_value_set" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search(
+        ("source" in valueSet("src1", "src3", "src5")) &&
+          ("text" matchAny termSet("data")), 10))),
+
+    // exists filter over the derived nullable keyword field
+    // (src_opt is null iff source is 4 chars — see splitIndexFor)
+    "search_exists" -> ((s, dir) =>
+      topkOut(splitIndexFor(s, dir).search(
+        builders.exists("src_opt") && ("text" matchAny termSet("row")), 10))),
+
+    // missing filter, same nullable field, complementary predicate
+    "search_missing" -> ((s, dir) =>
+      topkOut(splitIndexFor(s, dir).search(
+        missing("src_opt") && ("text" matchAny termSet("key")), 10))),
+
+    // index-/query-analyzer split: english query analysis stems
+    // "Sparks joining" -> [spark, join], hitting the standard-analyzed
+    // corpus tokens — scores equal the plain two-term query's
+    "search_analyzer_split" -> ((s, dir) =>
+      topkOut(splitIndexFor(s, dir).search(
+        "text" matchText "Sparks joining", 10))),
+
+    // save()/load() persistence round-trip: query the RELOADED index
+    "search_reloaded" -> ((s, dir) =>
+      topkOut(reloadedIndexFor(s, dir).search(
+        "text".matchMin(1, termSet("column", "value")), 10))),
 
     // query join: self similarity join, query = first 5 distinct
     // tokens of each left doc (reference examples/
@@ -245,12 +322,34 @@ object SearchQueries {
     })
   )
 
+  /** Shared body of batch_search and its broadcast-layout twin: same
+    * queries, same projection — the layout must be invisible in the
+    * results. */
+  private def runBatch(idx: SearchIndex, s: SparkSession): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      (0L, "text", Seq("spark", "join"), 1),
+      (1L, "text", Seq("window", "batch"), 1),
+      (2L, "text", Seq("merge", "sort", "hash"), 2),
+      (3L, "text", Seq("vector"), 1))
+      .toDF("qid", "field", "terms", "min_match")
+    idx.batchSearch(queries, 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("key"), round(col("score"), 4).as("score"))
+      .orderBy("qid", "rank")
+  }
+
   private val postsCte =
     """posts AS (
       |  SELECT doc_id, dl, term, count(*) AS tf
       |  FROM (SELECT doc_id, len(tokens) AS dl, unnest(tokens) AS term FROM toks)
       |  GROUP BY 1, 2, 3
       |), dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term)""".stripMargin
+
+  private lazy val sharedBatchOracle: String = batchOracle(
+    "(0, 'spark', 1, 2), (0, 'join', 1, 2), (1, 'window', 1, 2), (1, 'batch', 1, 2), " +
+      "(2, 'merge', 2, 3), (2, 'sort', 2, 3), (2, 'hash', 2, 3), (3, 'vector', 1, 1)",
+    k = 5, excludeSelf = false, outCols = "qid")
 
   private def batchOracle(qtValues: String, k: Int, excludeSelf: Boolean,
       outCols: String): String = {
@@ -451,10 +550,27 @@ object SearchQueries {
          |FROM tstat, text_stats
          |ORDER BY field""".stripMargin,
 
-    "batch_search" -> batchOracle(
-      "(0, 'spark', 1, 2), (0, 'join', 1, 2), (1, 'window', 1, 2), (1, 'batch', 1, 2), " +
-        "(2, 'merge', 2, 3), (2, 'sort', 2, 3), (2, 'hash', 2, 3), (3, 'vector', 1, 1)",
-      k = 5, excludeSelf = false, outCols = "qid"),
+    "batch_search" -> sharedBatchOracle,
+    // identical oracle: layout is a physical choice, not a semantic one
+    "batch_search_broadcast" -> sharedBatchOracle,
+
+    "search_or" -> termQueryOracle(Seq("filter", "scan"), 1, 10),
+    "search_text" -> termQueryOracle(Seq("query", "table"), 1, 10),
+    "search_cmp_filters" -> termQueryOracle(Seq("group"), 1, 10,
+      extraWhere = " AND n_chars > 150 AND n_chars >= 200 AND n_chars < 520 AND n_chars <= 480"),
+    "search_value_set" -> termQueryOracle(Seq("data"), 1, 10,
+      extraWhere = " AND source IN ('src1', 'src3', 'src5')"),
+    // src_opt is null iff len(source)=4 (see splitIndexFor), so
+    // exists/missing translate to length predicates on source
+    "search_exists" -> termQueryOracle(Seq("row"), 1, 10,
+      extraWhere = " AND length(source) = 5"),
+    "search_missing" -> termQueryOracle(Seq("key"), 1, 10,
+      extraWhere = " AND length(source) = 4"),
+    // the english QUERY analyzer reduces "Sparks joining" to
+    // [spark, join]; the oracle is the plain two-term query
+    "search_analyzer_split" -> termQueryOracle(Seq("spark", "join"), 1, 10),
+    // reloaded artifacts must reproduce the from-scratch scores
+    "search_reloaded" -> termQueryOracle(Seq("column", "value"), 1, 10),
 
     "query_join" -> {
       s"""$toksCte,

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SparkEntry entry for the Structured Streaming surface (SURVEY
+  * §2.7): the tumbling-window aggregation actually executed AS A
+  * STREAM — `readStream` over the events parquet, AvailableNow
+  * trigger, memory sink — and hash-checked against the same DuckDB
+  * oracle as its batch twin `q15_events_window`. Complete output mode
+  * so end-of-stream windows still inside the watermark are emitted
+  * too (a bounded replay must produce the full batch answer).
+  */
+object StreamQueries {
+
+  private val sinkId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_counts" -> ((s, dir) => {
+      // FileStreamSource requires a DIRECTORY; the testdata table is a
+      // single file — stage it into one (copied once per process)
+      val path = {
+        val d = java.nio.file.Paths.get(
+          s"/tmp/graft_fixtures/events_${Integer.toHexString(dir.hashCode)}")
+        StreamQueries.synchronized {
+          java.nio.file.Files.createDirectories(d)
+          val tgt = d.resolve("events.parquet")
+          if (!java.nio.file.Files.exists(tgt))
+            java.nio.file.Files.copy(
+              java.nio.file.Paths.get(s"$dir/events.parquet"), tgt)
+        }
+        d.toString
+      }
+      // streaming sources need an explicit schema; ts arrives as
+      // nanosecond LongType under legacy.parquet.nanosAsLong and is
+      // normalized to TimestampType exactly like relational.Tables
+      val schema = s.read.parquet(path).schema
+      val raw = s.readStream.schema(schema).parquet(path)
+      val events =
+        if (raw.schema("ts").dataType == LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val name = s"stream_tumbling_${sinkId.incrementAndGet()}"
+      EventStreams.runToMemorySink(
+        EventStreams.tumblingCounts(events), name, OutputMode.Complete())
+      s.table(name)
+        .select(col("win_start").cast("long").as("win_start"), col("event_type"),
+          col("n"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("win_start", "event_type")
+    }))
+
+  /** Identical to the batch twin's oracle: a bounded stream replay
+    * must reproduce the batch aggregation bit-for-bit. */
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling_counts" ->
+      graft.relational.RelationalQueries.oracles("q15_events_window"))
+}
