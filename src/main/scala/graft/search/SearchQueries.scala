@@ -116,7 +116,7 @@ object SearchQueries {
   private def termQueryOracle(terms: Seq[String], minMatch: Int, k: Int,
       extraWhere: String = "", extraScore: String = "",
       scoreFn: (String, String) => String = (tf, idf) => bm25Sql(tf, idf),
-      exposeRaw: Boolean = false): String = {
+      exposeRaw: Boolean = false, prefix: String = toksCte): String = {
     val tfCols = terms.zipWithIndex
       .map { case (t, i) => s"${tfSql(t)} AS tf_$i" }.mkString(",\n    ")
     val dfCols = terms.zipWithIndex
@@ -127,7 +127,7 @@ object SearchQueries {
     val sem =
       if (minMatch <= 0) s"nm = ${terms.size}"
       else s"nm >= $minMatch"
-    s"""$toksCte,
+    s"""$prefix,
        |dfs AS (
        |  SELECT
        |    $dfCols
@@ -206,14 +206,20 @@ object SearchQueries {
           round(col("score"), 4).as("score"))),
 
     // english-analyzer pipeline end-to-end (stems + stopwords; the
-    // query text "joining windows" matches stemmed corpus tokens).
-    // Rows-only check: a hash oracle needs Porter stemming in DuckDB,
-    // and DuckDB's stem() lives in the fts extension, which is not
-    // installable in this zero-egress environment. Stemmer parity is
-    // covered by PorterStemmerSpec (30 golden vectors) instead.
-    "search_stemmed" -> ((s, dir) =>
+    // query text "sparks joining windows" matches stemmed corpus
+    // tokens). DuckDB has no Porter stemmer (fts extension is not
+    // installable offline), so the oracle is generated at entry time
+    // from a (term -> stem) dictionary: the corpus vocabulary run
+    // through the repo's PorterStemmer — itself pinned by the
+    // published Porter test vocabulary in PorterStemmerSpec — which
+    // verifies the whole pipeline downstream of the stemmer with the
+    // stemmer independently gold-checked (same capture pattern as
+    // ann_ivf's centroids).
+    "search_stemmed" -> ((s, dir) => {
+      captureStemDict(s, dir)
       topkOut(englishIndexFor(s, dir)
-        .search("text" matchText "sparks joining windows", 10))),
+        .search("text" matchText "sparks joining windows", 10))
+    }),
 
     // classic TF-IDF scoring mode on the same index artifacts
     "search_tfidf" -> ((s, dir) =>
@@ -378,7 +384,58 @@ object SearchQueries {
        |ORDER BY qid, rank""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  /** (corpus term -> stem) rows recorded when search_stemmed runs —
+    * consumed by [[stemmedOracle]]. Terms are guaranteed [a-z0-9]+
+    * (the standard tokenizer splits on everything else), so inlining
+    * them into VALUES needs no escaping. */
+  @volatile private var stemDict: Option[Seq[(String, String)]] = None
+
+  private def captureStemDict(s: SparkSession, dir: String): Unit = {
+    val vocab = indexFor(s, dir).stats
+      .where(col("field") === "text").select("term")
+      .collect().map(_.getString(0))
+    val an = graft.analysis.Analyzers("english")
+    stemDict = Some(vocab.toSeq.sorted.flatMap { t =>
+      an.analyze(t) match {
+        case Seq(stem) => Some(t -> stem)
+        case _ => None // stopword — removed by the analyzer
+      }
+    })
+  }
+
+  /** english-pipeline BM25 oracle: re-tokenize standard, map tokens
+    * through the captured stem dictionary (dropping stopwords, which
+    * have no dict row), then run the shared term-query oracle over the
+    * stemmed token arrays. Docs whose every token is a stopword keep
+    * an empty array (LEFT JOIN) so n and avgdl match the index's
+    * field stats. */
+  private def stemmedOracle: Map[String, String] = stemDict match {
+    case None => Map.empty
+    case Some(dict) =>
+      val qTerms = graft.analysis.Analyzers("english").analyze("sparks joining windows")
+      val values = dict.map { case (t, st) => s"('$t', '$st')" }.mkString(", ")
+      val prefix =
+        s"""WITH dict(term, stem) AS (VALUES $values),
+           |toks0 AS (
+           |  SELECT doc_id, lang, source, n_chars,
+           |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tokens
+           |  FROM documents
+           |), stem_lists AS (
+           |  SELECT t.doc_id, list(d.stem) AS tokens
+           |  FROM (SELECT doc_id, unnest(tokens) AS term FROM toks0) t
+           |  JOIN dict d USING (term)
+           |  GROUP BY t.doc_id
+           |), toks AS (
+           |  SELECT t0.doc_id, t0.lang, t0.source, t0.n_chars,
+           |    coalesce(s.tokens, CAST([] AS VARCHAR[])) AS tokens
+           |  FROM toks0 t0 LEFT JOIN stem_lists s USING (doc_id)
+           |), st AS (SELECT count(*) AS n, avg(len(tokens)) AS avgdl FROM toks)""".stripMargin
+      Map("search_stemmed" -> termQueryOracle(qTerms, 1, 10, prefix = prefix))
+  }
+
+  def oracles: Map[String, String] = staticOracles ++ stemmedOracle
+
+  private val staticOracles: Map[String, String] = Map(
     "search_topk" -> termQueryOracle(Seq("spark"), 1, 10),
     "search_any" -> termQueryOracle(Seq("spark", "join", "window"), 1, 10),
     "search_all" -> termQueryOracle(Seq("spark", "join"), 0, 10),
