@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -168,6 +168,108 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `array_count_in(tokens, words)` — number of elements of `tokens`
+  * that appear in the (small, literal) `words` array. Replaces the
+  * interpreted `size(filter(tokens, isInCollection(words)))` HOF in
+  * the language-ID/quality hot paths: HOFs evaluate per element via
+  * the interpreter, this stays inside whole-stage codegen. Null
+  * elements don't count (same as the HOF: a null predicate result is
+  * filtered out). */
+case class ArrayCountIn(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "array_count_in"
+
+  override protected def nullSafeEval(arr: Any, words: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val w = words.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val m = w.numElements()
+    var count = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val t = a.getUTF8String(i)
+        var j = 0
+        var found = false
+        while (!found && j < m) {
+          if (!w.isNullAt(j) && w.getUTF8String(j).equals(t)) found = true
+          j += 1
+        }
+        if (found) count += 1
+      }
+      i += 1
+    }
+    count
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr, words) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val found = ctx.freshName("found")
+      val cnt = ctx.freshName("cnt")
+      val t = ctx.freshName("t")
+      s"""
+         |int $cnt = 0;
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    UTF8String $t = $arr.getUTF8String($i);
+         |    boolean $found = false;
+         |    for (int $j = 0; !$found && $j < $words.numElements(); $j++) {
+         |      if (!$words.isNullAt($j) && $words.getUTF8String($j).equals($t)) $found = true;
+         |    }
+         |    if ($found) $cnt++;
+         |  }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayCountIn =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `array_total_strlen(tokens)` — sum of the character lengths of an
+  * `array<string>` column's elements. Replaces the interpreted
+  * `aggregate(transform(tokens, length), ...)` HOF pair in the
+  * quality-score hot path with one codegen loop. Null elements add 0. */
+case class ArrayTotalStrLen(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "array_total_strlen"
+
+  override protected def nullSafeEval(arr: Any): Any = {
+    val a = arr.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var total = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) total += a.getUTF8String(i).numChars()
+      i += 1
+    }
+    total
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i")
+      val total = ctx.freshName("total")
+      s"""
+         |int $total = 0;
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  if (!$arr.isNullAt($i)) $total += $arr.getUTF8String($i).numChars();
+         |}
+         |${ev.value} = $total;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayTotalStrLen =
+    copy(child = newChild)
+}
+
 object SearchExpressions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[ArrayCountEq].getName, null, name, usage, "")
@@ -189,5 +291,13 @@ object SearchExpressions {
       FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two double arrays"),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1)))
+    reg.registerFunction(
+      FunctionIdentifier("array_count_in"),
+      info("array_count_in", "array_count_in(arr, words) - count of arr elements present in words"),
+      (exprs: Seq[Expression]) => ArrayCountIn(exprs(0), exprs(1)))
+    reg.registerFunction(
+      FunctionIdentifier("array_total_strlen"),
+      info("array_total_strlen", "array_total_strlen(arr) - total char length of arr elements"),
+      (exprs: Seq[Expression]) => ArrayTotalStrLen(exprs(0)))
   }
 }

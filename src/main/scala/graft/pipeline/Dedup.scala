@@ -157,8 +157,20 @@ object Dedup {
   }
 
   /** n-gram Jaccard near-dup: candidates share >= 1 exact 5-shingle
-    * (posting-style equi-join), verified 5-shingle Jaccard. */
-  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    * (posting-style equi-join), verified 5-shingle Jaccard.
+    *
+    * `maxShingleDf` is the hot-shingle cap (standard common-shingle
+    * filter): shingles occurring in more than that many docs are
+    * dropped BEFORE the candidate join. Without it one boilerplate
+    * shingle (header/footer text) shared by df docs contributes df^2
+    * candidate pairs — the quadratic blowup that kills this operator
+    * on real corpora at scale. A true near-dup pair loses candidacy
+    * only if ALL its shared shingles are corpus-boilerplate, in which
+    * case minhash banding (df-independent) is the right recall
+    * backstop. The verify stage still uses the FULL shingle sets, so
+    * surviving pairs' Jaccard values are uncapped. */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.3,
+      maxShingleDf: Int = 100): DataFrame = {
     // persisted before the filter for the same expression-collapse
     // reason as minhashLsh
     val sh = persistOnce(s"ngram_sh#$dir") {
@@ -166,8 +178,13 @@ object Dedup {
         .select(col("doc_id"), shingles(col("tokens"), 5).as("ss"))
     }.where(size(col("ss")) > 0)
     val inv = sh.select(col("doc_id"), explode(col("ss")).as("s"))
-    val cand = inv.select(col("doc_id").as("x"), col("s"))
-      .join(inv.select(col("doc_id").as("y"), col("s")), "s")
+    // df per shingle (shingles are distinct per doc, so count = df),
+    // keep only cool shingles; semi join keeps the posting list lean
+    val cool = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxShingleDf).select("s")
+    val capped = inv.join(cool, Seq("s"), "left_semi")
+    val cand = capped.select(col("doc_id").as("x"), col("s"))
+      .join(capped.select(col("doc_id").as("y"), col("s")), "s")
       .where(col("x") < col("y"))
       .select("x", "y").distinct()
     val sa = sh.select(col("doc_id").as("x"), col("ss").as("ssx"))
@@ -182,50 +199,68 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 32-bit SimHash fingerprint per document, computed from the
-    * term-frequency postings (one explode + one groupBy with 32
-    * partial-aggregated bit sums — no per-doc UDF state). */
+  /** 64-bit SimHash fingerprint per document, computed from the
+    * term-frequency postings (one explode + one groupBy with 64
+    * partial-aggregated bit sums — no per-doc UDF state).
+    *
+    * The 64-bit term hash is taken as two 32-bit md5 prefix halves
+    * (bits 0-31 from hex chars 9-16, bits 32-63 from chars 1-8) so
+    * the DuckDB oracle can replicate it without 64-bit hex→int
+    * conversion edge cases. Bit 63's weight is Long.MinValue; the
+    * assemble sum adds it last (ascending j), so every partial sum
+    * stays in range under ANSI arithmetic. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val posts = docTokens(spark, dir)
       .select(col("doc_id"), explode(col("tokens")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("h", conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"))
-    val bitSums = (0 until 32).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("tf"))
-        .otherwise(-col("tf"))).as(s"bs_$j")
+      .withColumn("h_hi", conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"))
+      .withColumn("h_lo", conv(substring(md5(col("term")), 9, 8), 16, 10).cast("long"))
+    def bitOf(j: Int): Column =
+      if (j < 32) shiftright(col("h_lo"), j).bitwiseAND(1)
+      else shiftright(col("h_hi"), j - 32).bitwiseAND(1)
+    val bitSums = (0 until 64).map { j =>
+      sum(when(bitOf(j) === 1, col("tf")).otherwise(-col("tf"))).as(s"bs_$j")
     }
     posts.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .withColumn("simhash",
-        (0 until 32).map(j => when(col(s"bs_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        (0 until 64).map(j => when(col(s"bs_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduceLeft[Column](_ + _))
       .select(col("doc_id"), col("simhash"))
       .orderBy("doc_id")
   }
 
-  /** SimHash near-dup pairs: byte-banding (4 bands of 8 bits) +
-    * Hamming verify <= `maxHamming`.
+  /** SimHash near-dup pairs: banding (4 bands of 16 bits) + Hamming
+    * verify <= `maxHamming`.
     *
     * Recall guarantee: with 4 bands, pigeonhole forces a shared
-    * identical byte only when Hamming <= 3 — so the default radius is
+    * identical band only when Hamming <= 3 — so the default radius is
     * 3 and the banded candidate set is EXACT (every Hamming<=3 pair
     * is found). A larger radius r makes banding approximate: a pair
-    * whose differing bits touch all 4 bytes is missed. To search a
-    * wider radius, widen the fingerprint and band count (e.g. 64-bit
-    * simhash with 8 byte-bands covers Hamming <= 7) rather than
-    * raising `maxHamming` alone. */
+    * whose differing bits touch all 4 bands is missed. To search a
+    * wider radius, raise the band count (8 8-bit bands of the same
+    * 64-bit fingerprint cover Hamming <= 7) rather than `maxHamming`
+    * alone.
+    *
+    * Bucket sizing at scale: each (band_pos, band_val) bucket holds
+    * ~n/2^16 docs under a uniform fingerprint model, and the verify
+    * join is quadratic INSIDE a bucket — at 10^9 docs that is ~15k
+    * docs/bucket (~10^8 candidate pairs per band before the cheap
+    * bit_count verify), the workable edge. The previous 8-bit bands
+    * put 4M docs in a bucket at that scale (10^13 pairs — unrunnable);
+    * 16-bit bands buy 256x smaller buckets at zero recall cost. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val sims = persistOnce(s"simhash#$dir")(simhash(spark, dir))
-    val byByte = sims.select(col("doc_id"), col("simhash"),
+    val byBand = sims.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b =>
-          struct(lit(b).as("byte_pos"),
-            shiftright(col("simhash"), b * 8).bitwiseAND(255).as("byte_val"))): _*)).as("bb"))
+          struct(lit(b).as("band_pos"),
+            shiftright(col("simhash"), b * 16).bitwiseAND(65535).as("band_val"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
-        col("bb.byte_pos").as("byte_pos"), col("bb.byte_val").as("byte_val"))
-    val a = byByte.select(col("doc_id").as("x"), col("simhash").as("sx"),
-      col("byte_pos"), col("byte_val"))
-    val b = byByte.select(col("doc_id").as("y"), col("simhash").as("sy"),
-      col("byte_pos"), col("byte_val"))
-    a.join(b, Seq("byte_pos", "byte_val")).where(col("x") < col("y"))
+        col("bb.band_pos").as("band_pos"), col("bb.band_val").as("band_val"))
+    val a = byBand.select(col("doc_id").as("x"), col("simhash").as("sx"),
+      col("band_pos"), col("band_val"))
+    val b = byBand.select(col("doc_id").as("y"), col("simhash").as("sy"),
+      col("band_pos"), col("band_val"))
+    a.join(b, Seq("band_pos", "band_val")).where(col("x") < col("y"))
       .select("x", "y", "sx", "sy").distinct()
       .withColumn("hamming", bit_count(col("sx").bitwiseXOR(col("sy"))))
       .where(col("hamming") <= maxHamming)

@@ -58,17 +58,26 @@ object PipelineQueries {
   }
 
   private val simhashBitsCte: String = {
-    val bitSums = (0 until 32)
-      .map(j => s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN tf ELSE -tf END) AS bs_$j")
+    // 64-bit fingerprint from two 32-bit md5-prefix halves, mirroring
+    // Dedup.simhash. Bit 63's weight is long-min, which DuckDB cannot
+    // parse as a single literal (the unary minus overflows first) —
+    // spelled (-(2^63-1) - 1) instead.
+    def bitExpr(j: Int) = if (j < 32) s"(hv_lo >> $j) & 1" else s"(hv_hi >> ${j - 32}) & 1"
+    def weight(j: Int) = if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
+    val bitSums = (0 until 64)
+      .map(j => s"sum(CASE WHEN ${bitExpr(j)} = 1 THEN tf ELSE -tf END) AS bs_$j")
       .mkString(",\n    ")
-    val assemble = (0 until 32)
-      .map(j => s"(CASE WHEN bs_$j > 0 THEN ${1L << j} ELSE 0 END)")
+    val assemble = (0 until 64)
+      .map(j => s"(CASE WHEN bs_$j > 0 THEN ${weight(j)} ELSE 0 END)")
       .mkString(" + ")
     s"""posts AS (
        |  SELECT doc_id, term, count(*) AS tf
        |  FROM (SELECT doc_id, unnest(tokens) AS term FROM toks) GROUP BY 1, 2
        |), hv AS (
-       |  SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 8))::BIGINT AS hv FROM posts
+       |  SELECT doc_id, tf,
+       |    ('0x' || substr(md5(term), 1, 8))::BIGINT AS hv_hi,
+       |    ('0x' || substr(md5(term), 9, 8))::BIGINT AS hv_lo
+       |  FROM posts
        |), bits AS (
        |  SELECT doc_id,
        |    $bitSums
@@ -197,12 +206,18 @@ object PipelineQueries {
          |${jaccardTail(0.6)}""".stripMargin
     },
 
+    // hot-shingle cap mirrored from Dedup.ngramJaccard: shingles with
+    // df > 100 are dropped before candidate generation
     "dedup_ngram" ->
       s"""$toksCte,
          |sh AS (
          |  SELECT doc_id, ${shingleSql(5)} AS ss FROM toks WHERE len(tokens) >= 5
-         |), inv AS (
+         |), inv0 AS (
          |  SELECT doc_id, unnest(ss) AS s FROM sh
+         |), cool AS (
+         |  SELECT s FROM inv0 GROUP BY s HAVING count(*) <= 100
+         |), inv AS (
+         |  SELECT inv0.doc_id, inv0.s FROM inv0 JOIN cool USING (s)
          |), cand AS (
          |  SELECT a.doc_id AS x, b.doc_id AS y
          |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -217,7 +232,7 @@ object PipelineQueries {
 
     "simhash_pairs" -> {
       val byteMatch = (0 until 4)
-        .map(b => s"((a.simhash >> ${b * 8}) & 255) = ((b.simhash >> ${b * 8}) & 255)")
+        .map(b => s"((a.simhash >> ${b * 16}) & 65535) = ((b.simhash >> ${b * 16}) & 65535)")
         .mkString(" OR ")
       s"""$toksCte,
          |$simhashBitsCte

@@ -22,14 +22,20 @@ object TextAnalysis {
 
   private def toks(c: Column): Column = Analyzers.default.tokensCol(c)
 
+  /** Occurrences of `words` members in a token array — the native
+    * codegen [[graft.functions.ArrayCountIn]]; the equivalent
+    * `size(filter(tokens, isInCollection(words)))` HOF evaluates
+    * interpreted per element and dominated the langId/quality scans.
+    * Caller must have run SearchExpressions.register. */
   private def countIn(tokens: Column, words: Seq[String]): Column =
-    size(filter(tokens, t => t.isInCollection(words)))
+    call_function("array_count_in", tokens, array(words.map(lit): _*))
 
   /** Stopword-overlap language ID. Ties resolve to the first language
     * in [[LangProfiles]] order (de < en < es < fr < it) via a
     * first-match-wins >= comparison chain — the same CASE chain the
     * oracle uses. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SearchExpressions.register(spark)
     val base = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("lang").as("actual_lang"), toks(col("text")).as("tokens"))
     val scored = LangProfiles.foldLeft(base) { case (df, (l, words)) =>
@@ -87,6 +93,7 @@ object TextAnalysis {
   /** Heuristic document quality score in [0, 1]:
     * length saturation x (1 - stopword ratio) x type-token ratio. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SearchExpressions.register(spark)
     val en = LangProfiles.toMap.apply("en")
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), toks(col("text")).as("tokens"))
@@ -94,8 +101,7 @@ object TextAnalysis {
       .withColumn("n_distinct", size(array_distinct(col("tokens"))))
       .withColumn("n_stop", countIn(col("tokens"), en))
       .withColumn("avg_token_len",
-        round(aggregate(transform(col("tokens"), t => length(t)), lit(0),
-          (acc, x) => acc + x).cast("double") /
+        round(call_function("array_total_strlen", col("tokens")).cast("double") /
           greatest(col("n_tokens"), lit(1)), 4))
       .withColumn("ttr",
         round(col("n_distinct").cast("double") / greatest(col("n_tokens"), lit(1)), 4))

@@ -27,6 +27,42 @@ class FunctionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT array_count_eq(arr, t) FROM ace_t").as[Int].head() == 2)
   }
 
+  test("array_count_in matches the filter+isInCollection HOF") {
+    SearchExpressions.register(spark)
+    val words = Seq("the", "and", "of")
+    val df = Seq(
+      (1L, Seq("the", "cat", "and", "the", "dog")),
+      (2L, Seq.empty[String]),
+      (3L, Seq("xyz"))
+    ).toDF("id", "arr")
+    val native = df.select($"id",
+      call_function("array_count_in", $"arr", array(words.map(lit): _*)).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(native == Map(1L -> 3, 2L -> 0, 3L -> 0))
+    // differential vs the HOF it replaces
+    val hof = df.select($"id",
+      size(filter($"arr", t => t.isInCollection(words))).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(native == hof)
+  }
+
+  test("array_total_strlen matches aggregate(transform(length)) HOF") {
+    SearchExpressions.register(spark)
+    val df = Seq(
+      (1L, Seq("ab", "cde", "")),
+      (2L, Seq.empty[String]),
+      (3L, Seq("日本語")) // multibyte: numChars, not bytes
+    ).toDF("id", "arr")
+    val native = df.select($"id",
+      call_function("array_total_strlen", $"arr").as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(native == Map(1L -> 5, 2L -> 0, 3L -> 3))
+    val hof = df.select($"id",
+      aggregate(transform($"arr", t => length(t)), lit(0), (a, x) => a + x).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(native == hof)
+  }
+
   test("phrase_count counts contiguous overlapping occurrences") {
     SearchExpressions.register(spark)
     val df = Seq(

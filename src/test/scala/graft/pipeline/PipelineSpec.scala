@@ -17,6 +17,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2) == Nil)
   }
 
+  test("ngramJaccard hot-shingle cap bounds boilerplate candidates") {
+    val dir = java.nio.file.Files.createTempDirectory("ngramcap").toString
+    // 12 docs sharing ONE boilerplate shingle (plus unique filler) and
+    // one genuinely duplicated pair of rare docs
+    val docs = (0 until 12).map(i =>
+      (i.toLong, s"b1 b2 b3 b4 b5 u${i}a u${i}b u${i}c u${i}d u${i}e")) ++
+      Seq((100L, "r1 r2 r3 r4 r5 r6"), (101L, "r1 r2 r3 r4 r5 r6"))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    try {
+      // without the cap every boilerplate pair is a candidate AND
+      // passes a low verify threshold: 66 junk pairs + the real one
+      val uncapped = Dedup.ngramJaccard(spark, dir, threshold = 0.01,
+        maxShingleDf = 1000).count()
+      assert(uncapped == 12L * 11 / 2 + 1)
+      // with the cap (df(b1..b5) = 12 > 10) only the real pair remains
+      val capped = Dedup.ngramJaccard(spark, dir, threshold = 0.01, maxShingleDf = 10)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(capped == Set((100L, 101L)))
+    } finally Dedup.clearCaches()
+  }
+
   test("cosine similarity of identical vectors is 1") {
     graft.functions.SearchExpressions.register(spark)
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0), Seq(-1.0, -2.0, -3.0)))
