@@ -459,6 +459,41 @@ final class SearchIndex private (
     left.join(hits, left(qidCol) === hits0("qid")).drop(hits0("qid"))
   }
 
+  /** Query join with an ARBITRARY query generator — the reference's
+    * `queryJoin(other, queryGenerator: T => DslQuery, ...)`
+    * (SearchableRDD.scala:257-298): each left row generates any DSL
+    * AST (phrase, boolean, filtered...), not just a flat term set.
+    *
+    * Execution: the query batch is collected to the driver and each
+    * AST compiles to its own scan-path plan ([[batchSearchDsl]]),
+    * so this is for DRIVER-SMALL query batches (hundreds) of complex
+    * queries — the same regime where the reference materializes the
+    * query array into a batch per shard (PartitionsIndexLuceneRDD.
+    * scala:273). Corpus-scale joins on flat term queries belong on
+    * [[queryJoin]], whose postings equi-join never collects.
+    *
+    * @param queryGen driver-side function from a left Row to the
+    *   query AST; reads whatever columns the caller selected into
+    *   `left`
+    * @param excludeSelf drop hits whose key equals the query's qid;
+    *   per-query top-k is re-ranked after the exclusion so each query
+    *   still yields up to k hits */
+  def queryJoinDsl(left: DataFrame, qidCol: String, queryGen: Row => SearchQuery,
+      k: Int, excludeSelf: Boolean = false): DataFrame = {
+    val queries = left.collect().toSeq.map(r => r.getAs[Number](qidCol).longValue() ->
+      queryGen(r))
+    val raw = batchSearchDsl(queries, if (excludeSelf) k + 1 else k)
+    val hits0 =
+      if (!excludeSelf) raw
+      else raw.where(col("qid") =!= col("key"))
+        .withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid")).orderBy(col("score").desc, col("key").asc)))
+        .where(col("rank") <= k)
+    val hits = broadcast(hits0) // bounded: |left| x k rows, left is driver-small
+    left.join(hits, left(qidCol) === hits0("qid")).drop(hits0("qid"))
+  }
+
   /** Ids-only query join (reference lightQueryJoin,
     * SearchableRDD.scala:288-298): skips the join-back entirely —
     * output is (qid, rank, key, score) regardless of the left schema,

@@ -312,6 +312,25 @@ object SearchQueries {
       topkOut(reloadedIndexFor(s, dir).search(
         "text".matchMin(1, termSet("column", "value")), 10))),
 
+    // query join with an ARBITRARY query generator (reference
+    // queryGenerator: T => DslQuery, SearchableRDD.scala:257-298):
+    // each left doc generates a positional PHRASE query from its
+    // first two tokens — an AST the flat-terms queryJoin cannot
+    // express
+    "query_join_dsl" -> ((s, dir) => {
+      val idx = indexFor(s, dir)
+      val left = idx.docs
+        .where(col("doc_id") < 10 &&
+          size(col(SearchIndex.tokensColName("text"))) >= 2)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col(SearchIndex.tokensColName("text")), 1, 2)).as("phrase"))
+      idx.queryJoinDsl(left, "doc_id",
+          r => MatchPhrase("text", r.getAs[String]("phrase")), k = 3, excludeSelf = true)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("key"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // query join: self similarity join, query = first 5 distinct
     // tokens of each left doc (reference examples/
     // SearchableRDDExamples.scala:68-74 shape)
@@ -628,6 +647,41 @@ object SearchQueries {
     "search_analyzer_split" -> termQueryOracle(Seq("spark", "join"), 1, 10),
     // reloaded artifacts must reproduce the from-scratch scores
     "search_reloaded" -> termQueryOracle(Seq("column", "value"), 1, 10),
+
+    "query_join_dsl" -> {
+      // per-left-doc phrase query: tf = positional phrase count,
+      // phrase idf = idf(t1) + idf(t2) (same association order as the
+      // Spark-side terms.map(idf).sum)
+      s"""$toksCte,
+         |$postsCte,
+         |lefts AS (
+         |  SELECT doc_id AS qid, tokens[1] AS t1, tokens[2] AS t2
+         |  FROM toks WHERE doc_id < 10 AND len(tokens) >= 2
+         |), scored AS (
+         |  SELECT l.qid, t.doc_id,
+         |    len(list_filter(range(1, len(t.tokens)),
+         |        i -> t.tokens[i] = l.t1 AND t.tokens[i + 1] = l.t2)) AS tf_p,
+         |    len(t.tokens) AS dl,
+         |    (ln(1 + (st.n - d1.df + 0.5) / (d1.df + 0.5))
+         |      + ln(1 + (st.n - d2.df + 0.5) / (d2.df + 0.5))) AS p_idf,
+         |    st.avgdl
+         |  FROM lefts l
+         |  CROSS JOIN toks t
+         |  CROSS JOIN st
+         |  JOIN dfs d1 ON d1.term = l.t1
+         |  JOIN dfs d2 ON d2.term = l.t2
+         |  WHERE t.doc_id <> l.qid
+         |), s2 AS (
+         |  SELECT qid, doc_id, ${bm25Sql("tf_p", "p_idf")} AS score
+         |  FROM scored WHERE tf_p > 0
+         |), sel AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+         |  FROM s2
+         |)
+         |SELECT sel.qid AS doc_id, sel.rank, sel.doc_id AS key, round(sel.score, 4) AS score
+         |FROM sel WHERE rank <= 3
+         |ORDER BY sel.qid, sel.rank""".stripMargin
+    },
 
     "query_join" -> {
       s"""$toksCte,
