@@ -145,41 +145,90 @@ object Parsed {
   private[graft] final case class Clause(
     occur: Char, // '+', '-', ' '
     isPhrase: Boolean,
-    text: String)
+    text: String,
+    field: Option[String] = None) // `field:term` / `field:"phrase"` scoping
 
-  /** Tokenizes the mini query syntax into clauses. */
-  private[graft] def parseClauses(q: String): Seq[Clause] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Clause]
+  // ---------------- lexer ----------------
+
+  private[graft] sealed trait Lex
+  private[graft] case object LParen extends Lex
+  private[graft] case object RParen extends Lex
+  private[graft] case object AndOp extends Lex
+  private[graft] case object OrOp extends Lex
+  private[graft] case object NotOp extends Lex
+  private[graft] final case class ClauseLex(c: Clause) extends Lex
+
+  /** Tokenizes the query syntax (reference: ParsedQuery via Lucene's
+    * QueryParser, dsl/DslQuery.scala:122-129): whitespace-separated
+    * clauses with `+`/`-` occur prefixes, `"a phrase"`, `field:term`,
+    * `field:"a phrase"`, parentheses, and the uppercase boolean
+    * keywords AND / OR / NOT. */
+  private[graft] def lexAll(q: String): Seq[Lex] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Lex]
     var i = 0
     val n = q.length
+    def readPhrase(): String = { // caller sits on the opening quote
+      val end = q.indexOf('"', i + 1)
+      val stop = if (end < 0) n else end
+      val s = q.substring(i + 1, stop)
+      i = if (end < 0) n else end + 1
+      s
+    }
     while (i < n) {
       while (i < n && q.charAt(i).isWhitespace) i += 1
-      if (i < n) {
-        var occur = ' '
-        if (q.charAt(i) == '+' || q.charAt(i) == '-') { occur = q.charAt(i); i += 1 }
-        if (i < n && q.charAt(i) == '"') {
-          val end = q.indexOf('"', i + 1)
-          val stop = if (end < 0) n else end
-          out += Clause(occur, isPhrase = true, q.substring(i + 1, stop))
-          i = if (end < 0) n else end + 1
-        } else {
-          val start = i
-          while (i < n && !q.charAt(i).isWhitespace) i += 1
-          if (i > start) out += Clause(occur, isPhrase = false, q.substring(start, i))
-        }
+      if (i < n) q.charAt(i) match {
+        case '(' => out += LParen; i += 1
+        case ')' => out += RParen; i += 1
+        case _ =>
+          var occur = ' '
+          if (q.charAt(i) == '+' || q.charAt(i) == '-') { occur = q.charAt(i); i += 1 }
+          if (i < n && q.charAt(i) == '"') {
+            out += ClauseLex(Clause(occur, isPhrase = true, readPhrase()))
+          } else {
+            val start = i
+            while (i < n && !q.charAt(i).isWhitespace &&
+              q.charAt(i) != '(' && q.charAt(i) != ')' && q.charAt(i) != ':') i += 1
+            val word = q.substring(start, i)
+            if (i < n && q.charAt(i) == ':') { // field-scoped clause
+              i += 1
+              if (i < n && q.charAt(i) == '"')
+                out += ClauseLex(Clause(occur, isPhrase = true, readPhrase(), Some(word)))
+              else {
+                val ts = i
+                while (i < n && !q.charAt(i).isWhitespace &&
+                  q.charAt(i) != '(' && q.charAt(i) != ')') i += 1
+                if (i > ts)
+                  out += ClauseLex(Clause(occur, isPhrase = false, q.substring(ts, i), Some(word)))
+              }
+            } else if (word.nonEmpty && occur == ' ') word match {
+              case "AND" => out += AndOp
+              case "OR" => out += OrOp
+              case "NOT" => out += NotOp
+              case _ => out += ClauseLex(Clause(occur, isPhrase = false, word))
+            } else if (word.nonEmpty)
+              out += ClauseLex(Clause(occur, isPhrase = false, word))
+          }
       }
     }
     out.toSeq
   }
 
-  /** Desugars the parsed clauses to the core AST. */
-  def desugar(field: String, queryString: String): SearchQuery = {
-    val clauses = parseClauses(queryString)
-    def leaf(c: Clause): SearchQuery =
-      if (c.isPhrase) MatchPhrase(field, c.text) else MatchText(field, c.text)
-    val must = clauses.filter(_.occur == '+').map(leaf)
-    val mustNot = clauses.filter(_.occur == '-').map(leaf)
-    val should = clauses.filter(_.occur == ' ').map(leaf)
+  /** Legacy surface: the flat clause list (no boolean operators). */
+  private[graft] def parseClauses(q: String): Seq[Clause] =
+    lexAll(q).collect { case ClauseLex(c) => c }
+
+  private def leaf(defaultField: String, c: Clause): SearchQuery = {
+    val f = c.field.getOrElse(defaultField)
+    if (c.isPhrase) MatchPhrase(f, c.text) else MatchText(f, c.text)
+  }
+
+  /** Flat-clause semantics (no boolean keywords): `+` terms required
+    * (AND), bare terms optional-scoring (SHOULD) or the whole match
+    * when nothing is required, `-` terms excluded. */
+  private def desugarClauses(field: String, clauses: Seq[Clause]): SearchQuery = {
+    val must = clauses.filter(_.occur == '+').map(leaf(field, _))
+    val mustNot = clauses.filter(_.occur == '-').map(leaf(field, _))
+    val should = clauses.filter(_.occur == ' ').map(leaf(field, _))
     val positives =
       if (must.nonEmpty) {
         val base = must.reduceLeft(And)
@@ -188,5 +237,63 @@ object Parsed {
       } else if (should.nonEmpty) should.reduceLeft(Or)
       else AllDocs
     mustNot.foldLeft(positives)((acc, q) => And(acc, Not(q)))
+  }
+
+  /** Recursive-descent boolean grammar (QueryParser basics):
+    * `or := and ((OR | adjacency) and)*` — adjacency is implicit OR,
+    * Lucene's default operator; `and := unary (AND unary)*`;
+    * `unary := NOT unary | '-'clause | primary`;
+    * `primary := '(' or ')' | clause`. */
+  private final class BoolParser(defaultField: String, toks: Seq[Lex]) {
+    private var pos = 0
+    private def peek: Option[Lex] = if (pos < toks.length) Some(toks(pos)) else None
+    private def startsUnary(l: Lex): Boolean = l match {
+      case LParen | NotOp | ClauseLex(_) => true
+      case _ => false
+    }
+    def orExpr(): SearchQuery = {
+      var acc = andExpr()
+      var continue = true
+      while (continue) peek match {
+        case Some(OrOp) => pos += 1; acc = Or(acc, andExpr())
+        case Some(l) if startsUnary(l) => acc = Or(acc, andExpr()) // adjacency
+        case _ => continue = false
+      }
+      acc
+    }
+    private def andExpr(): SearchQuery = {
+      var acc = unary()
+      while (peek.contains(AndOp)) { pos += 1; acc = And(acc, unary()) }
+      acc
+    }
+    private def unary(): SearchQuery = peek match {
+      case Some(NotOp) => pos += 1; Not(unary())
+      case _ => primary()
+    }
+    private def primary(): SearchQuery = peek match {
+      case Some(LParen) =>
+        pos += 1
+        val inner = orExpr()
+        if (peek.contains(RParen)) pos += 1 // unbalanced close tolerated
+        inner
+      case Some(ClauseLex(c)) =>
+        pos += 1
+        if (c.occur == '-') Not(leaf(defaultField, c)) else leaf(defaultField, c)
+      case _ => AllDocs // trailing operator / empty group
+    }
+  }
+
+  /** Desugars a query string to the core AST. Queries using boolean
+    * keywords or parentheses parse with the [[BoolParser]] grammar;
+    * plain clause lists keep the legacy `+`/`-`/SHOULD semantics
+    * (so `+spark join -window` means what it always did). */
+  def desugar(field: String, queryString: String): SearchQuery = {
+    val toks = lexAll(queryString)
+    val hasBool = toks.exists {
+      case AndOp | OrOp | NotOp | LParen | RParen => true
+      case _ => false
+    }
+    if (!hasBool) desugarClauses(field, toks.collect { case ClauseLex(c) => c })
+    else new BoolParser(field, toks).orExpr()
   }
 }

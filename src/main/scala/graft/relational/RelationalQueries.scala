@@ -303,6 +303,28 @@ object RelationalQueries {
           round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))
         .orderBy("l_returnflag")),
 
+    // --- approx_percentile: the 100 TB path next to q25's exact form
+    //     (bounded GK sketch state instead of buffering every value
+    //     per group). The sketch values differ across engines, so the
+    //     entry materializes the accuracy CONTRACT instead: each
+    //     approx quantile must sit within tolerance of the exact one
+    //     (|Δ| <= 1.0 for the discrete 1..50 quantity; 1% relative
+    //     for the continuous price tail — both far above the rank-
+    //     epsilon bound of accuracy=10000), and the oracle pins those
+    //     booleans TRUE per group. ---
+    "q26_approx_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("ap50"),
+          expr("percentile(l_quantity, 0.5)").as("ep50"),
+          expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("ap95"),
+          expr("percentile(l_extendedprice, 0.95)").as("ep95"))
+        .select(col("l_returnflag"),
+          (abs(col("ap50") - col("ep50")) <= 1.0).as("p50_ok"),
+          (abs(col("ap95") / col("ep95") - 1.0) <= 0.01).as("p95_ok"))
+        .orderBy("l_returnflag")),
+
     // --- salted two-phase aggregation (skew path): identical result
     //     to a plain groupBy, but one hot key spreads over 8 reducers
     //     before the final combine — the explicit-salt fallback for
@@ -564,6 +586,13 @@ object RelationalQueries {
         |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
         |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
         |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the accuracy contract: every approx quantile within tolerance
+    // of exact (the Spark side computes the booleans; here they must
+    // all be TRUE)
+    "q26_approx_percentiles" ->
+      """SELECT l_returnflag, TRUE AS p50_ok, TRUE AS p95_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q23_skew_agg" ->

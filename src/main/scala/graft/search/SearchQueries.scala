@@ -116,7 +116,8 @@ object SearchQueries {
   private def termQueryOracle(terms: Seq[String], minMatch: Int, k: Int,
       extraWhere: String = "", extraScore: String = "",
       scoreFn: (String, String) => String = (tf, idf) => bm25Sql(tf, idf),
-      exposeRaw: Boolean = false, prefix: String = toksCte): String = {
+      exposeRaw: Boolean = false, prefix: String = toksCte,
+      semOverride: Option[String] = None): String = {
     val tfCols = terms.zipWithIndex
       .map { case (t, i) => s"${tfSql(t)} AS tf_$i" }.mkString(",\n    ")
     val dfCols = terms.zipWithIndex
@@ -124,9 +125,9 @@ object SearchQueries {
     val scoreSum = terms.indices
       .map(i => scoreFn(s"tf_$i", idfSql(s"df_$i"))).mkString(" + ")
     val nm = terms.indices.map(i => s"(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
-    val sem =
+    val sem = semOverride.getOrElse(
       if (minMatch <= 0) s"nm = ${terms.size}"
-      else s"nm >= $minMatch"
+      else s"nm >= $minMatch")
     s"""$prefix,
        |dfs AS (
        |  SELECT
@@ -191,6 +192,20 @@ object SearchQueries {
     // mini query-parser syntax: +required optional -excluded
     "search_raw" -> ((s, dir) =>
       topkOut(indexFor(s, dir).search("text" parseQuery "+spark join -window", 10))),
+
+    // QueryParser boolean grammar: parentheses + AND/OR keywords.
+    // Scoring note: every matched term contributes score mass (an
+    // unmatched AND branch's matched term still scores under the OR —
+    // our Or sums each side's self-gated score), and the oracle
+    // mirrors exactly that
+    "search_raw_bool" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search(
+        "text" parseQuery "(spark AND join) OR window", 10))),
+
+    // QueryParser field scoping: `lang:fr` targets the keyword field;
+    // compiles to the same AST as the explicit-builder search_keyword
+    "search_raw_field" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search("text" parseQuery "+lang:fr +vector", 10))),
 
     // ids-only light search
     "search_light" -> ((s, dir) =>
@@ -371,6 +386,33 @@ object SearchQueries {
       |  GROUP BY 1, 2, 3
       |), dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY term)""".stripMargin
 
+  /** keyword term score = idf over the lang field (tf=1, dl=1,
+    * avgdl=1 → BM25 collapses to idf); text term scored normally;
+    * both required (AND). Shared by search_keyword and the
+    * field-scoped parser entry search_raw_field. */
+  private lazy val keywordFrVectorOracle: String =
+    s"""$toksCte,
+       |kw AS (
+       |  SELECT count(*) AS n_lang,
+       |    (SELECT count(*) FROM documents WHERE lang = 'fr') AS df_fr
+       |  FROM documents WHERE lang IS NOT NULL
+       |), dfs AS (SELECT ${dfSql("vector")} AS df_v FROM (SELECT 1)),
+       |scored AS (
+       |  SELECT t.doc_id, t.lang, len(t.tokens) AS dl, st.n, st.avgdl, dfs.df_v, kw.n_lang, kw.df_fr,
+       |    ${tfSql("vector")} AS tf_v
+       |  FROM toks t, st, dfs, kw
+       |), s2 AS (
+       |  SELECT *,
+       |    (CASE WHEN lang = 'fr' THEN ln(1 + (n_lang - df_fr + 0.5) / (df_fr + 0.5))
+       |      * (1 * ${K1 + 1.0}) / (1 + $K1 * (${1.0 - B} + $B * 1.0 / 1.0)) ELSE 0.0 END)
+       |    + ${bm25Sql("tf_v", idfSql("df_v"))} AS score
+       |  FROM scored
+       |)
+       |SELECT doc_id, round(score, 4) AS score FROM s2
+       |WHERE lang = 'fr' AND tf_v > 0
+       |ORDER BY s2.score DESC, doc_id
+       |LIMIT 10""".stripMargin
+
   private lazy val sharedBatchOracle: String = batchOracle(
     "(0, 'spark', 1, 2), (0, 'join', 1, 2), (1, 'window', 1, 2), (1, 'batch', 1, 2), " +
       "(2, 'merge', 2, 3), (2, 'sort', 2, 3), (2, 'hash', 2, 3), (3, 'vector', 1, 1)",
@@ -486,32 +528,15 @@ object SearchQueries {
     "search_filtered" -> termQueryOracle(Seq("spark", "join"), 1, 10,
       extraWhere = " AND lang = 'en' AND n_chars BETWEEN 100 AND 400"),
 
-    "search_keyword" -> {
-      // keyword term score = idf over the lang field (tf=1, dl=1,
-      // avgdl=1 → BM25 collapses to idf); text term scored normally;
-      // both required (AND)
-      s"""$toksCte,
-         |kw AS (
-         |  SELECT count(*) AS n_lang,
-         |    (SELECT count(*) FROM documents WHERE lang = 'fr') AS df_fr
-         |  FROM documents WHERE lang IS NOT NULL
-         |), dfs AS (SELECT ${dfSql("vector")} AS df_v FROM (SELECT 1)),
-         |scored AS (
-         |  SELECT t.doc_id, t.lang, len(t.tokens) AS dl, st.n, st.avgdl, dfs.df_v, kw.n_lang, kw.df_fr,
-         |    ${tfSql("vector")} AS tf_v
-         |  FROM toks t, st, dfs, kw
-         |), s2 AS (
-         |  SELECT *,
-         |    (CASE WHEN lang = 'fr' THEN ln(1 + (n_lang - df_fr + 0.5) / (df_fr + 0.5))
-         |      * (1 * ${K1 + 1.0}) / (1 + $K1 * (${1.0 - B} + $B * 1.0 / 1.0)) ELSE 0.0 END)
-         |    + ${bm25Sql("tf_v", idfSql("df_v"))} AS score
-         |  FROM scored
-         |)
-         |SELECT doc_id, round(score, 4) AS score FROM s2
-         |WHERE lang = 'fr' AND tf_v > 0
-         |ORDER BY s2.score DESC, doc_id
-         |LIMIT 10""".stripMargin
-    },
+    "search_keyword" -> keywordFrVectorOracle,
+    // parseQuery "+lang:fr +vector" compiles to the same AST as
+    // search_keyword's explicit builders — shared oracle asserts it
+    "search_raw_field" -> keywordFrVectorOracle,
+
+    // predicate (spark AND join) OR window; score = sum of the three
+    // self-gated term scores (see the entry's scoring note)
+    "search_raw_bool" -> termQueryOracle(Seq("spark", "join", "window"), 1, 10,
+      semOverride = Some("(tf_0 > 0 AND tf_1 > 0) OR tf_2 > 0")),
 
     "search_negated" ->
       s"""$toksCte

@@ -64,4 +64,38 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan(relational.RelationalQueries.queries("q20_exists_subquery")(spark, sf))
     assert(p.contains("LeftSemi"), p.take(600))
   }
+
+  test("getElements on a key-bucketed corpus prunes buckets") {
+    // the reference's point lookup targets ONE partition via
+    // sc.runJob (PartitionsIndexLuceneRDD.scala:403-450); our analog
+    // is bucket pruning — an 8-bucket corpus keyed by doc_id must
+    // scan only the buckets holding the requested keys
+    val docs = (0L until 64L).map(i => (i, s"token$i body")).toDF("doc_id", "text")
+    // in-memory catalog forgets the table between JVMs but leaves the
+    // warehouse directory behind — clear both before recreating
+    spark.sql("DROP TABLE IF EXISTS plan_shape_bucketed_corpus")
+    val loc = java.nio.file.Paths.get("spark-warehouse/plan_shape_bucketed_corpus")
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    docs.write.mode("overwrite").bucketBy(8, "doc_id").sortBy("doc_id")
+      .saveAsTable("plan_shape_bucketed_corpus")
+    val idx = SearchIndex.build(
+      spark.table("plan_shape_bucketed_corpus"), IndexSpec("doc_id", Seq("text")))
+    idx.unpersist() // expose the file scan: a cached plan hides pruning
+    // the planner's DisableUnnecessaryBucketedScan would turn the
+    // bucketed read off for a bare filter (no join/agg wants the
+    // distribution) and with it the pruning — pin it on, as a
+    // deployment doing point lookups would
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val p = plan(idx.getElements(Seq(3L, 11L)))
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+      assert(sel.isDefined, p.take(800))
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt, sel.get.matched)
+    } finally
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.dsl.Parsed
+import graft.dsl.{And, MatchPhrase, MatchText, Not, Or, Parsed, Should}
 import graft.functions.{ArrayCountEq, PhraseCount, TopKAgg, ScoredDoc, VecDot}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -134,6 +134,26 @@ class PropertiesSpec extends AnyFunSuite {
         assert(p.text == text)
       }
     }
+  }
+
+  test("Parsed boolean grammar: field scoping, AND/OR/NOT, parens") {
+    def p(q: String) = Parsed.desugar("text", q)
+    def t(w: String) = MatchText("text", w)
+    assert(p("(spark AND join) OR window") == Or(And(t("spark"), t("join")), t("window")))
+    assert(p("lang:fr AND vector") == And(MatchText("lang", "fr"), t("vector")))
+    assert(p("NOT spark") == Not(t("spark")))
+    assert(p("a OR NOT (b AND c)") == Or(t("a"), Not(And(t("b"), t("c")))))
+    assert(p("title:\"big data\" OR spark") ==
+      Or(MatchPhrase("title", "big data"), t("spark")))
+    // adjacency inside boolean mode is implicit OR (Lucene default op)
+    assert(p("spark join OR window") == Or(Or(t("spark"), t("join")), t("window")))
+    // '-' inside boolean mode negates its clause
+    assert(p("(spark AND -join)") == And(t("spark"), Not(t("join"))))
+    // legacy flat-clause mode is untouched...
+    assert(p("+spark join -window") ==
+      And(And(t("spark"), Should(t("join"))), Not(t("window"))))
+    // ...and supports field scoping too
+    assert(p("+lang:fr +vector") == And(MatchText("lang", "fr"), t("vector")))
   }
 
   test("shingle arrays contain only n-token shingles") {
