@@ -351,10 +351,18 @@ final class SearchIndex private (
     * @param queries (qid: long, field: string, terms: array<string>,
     *   min_match: int) — min_match <= 0 means ALL terms required,
     *   1 = ANY, n = at least n (MatchMin semantics)
+    * @param broadcastQueries force-broadcast the exploded query-term
+    *   frame onto the postings (default true: a batch of user queries
+    *   is small by construction). Pass false when the query frame
+    *   scales with the data — e.g. machine-generated per-document
+    *   query batches — so Catalyst/AQE picks broadcast vs shuffle
+    *   from runtime stats instead (same contract as queryJoin's
+    *   broadcastHits, which plumbs through to here).
     * @return (qid, rank, key, score) — rank 1..k by score desc, key asc
     */
-  def batchSearch(queries: DataFrame, k: Int): DataFrame =
-    batchSearchRaw(queries, k, None)
+  def batchSearch(queries: DataFrame, k: Int,
+      broadcastQueries: Boolean = true): DataFrame =
+    batchSearchRaw(queries, k, None, broadcastQueries)
 
   /** Index-probe execution of a flat term query: postings equi-join →
     * bounded top-k → broadcast join-back of the full rows. Same
