@@ -62,6 +62,12 @@ case object AutoLayout extends IndexLayout
   *   at 100 TB, storing a 50-byte projection instead of the raw
   *   document shrinks the cached/scanned corpus by orders of
   *   magnitude. None = store every input column.
+  * @param storePositions the reference's NoPositionsTextField knob
+  *   (NoPositionsTextField.java:42-49): false drops the per-doc token
+  *   arrays after the postings/stats build, shrinking the stored
+  *   corpus to key + payload + doc lengths. Flat term queries then
+  *   run through the postings probe (frequencies survive); phrase
+  *   queries throw, exactly the reference trade-off.
   */
 final case class IndexSpec(
     keyCol: String,
@@ -71,7 +77,8 @@ final case class IndexSpec(
     queryAnalyzer: String = "default",
     similarity: Similarity = BM25(),
     layout: IndexLayout = DecoupledPostings,
-    storedCols: Option[Seq[String]] = None)
+    storedCols: Option[Seq[String]] = None,
+    storePositions: Boolean = true)
 
 /** Per-field corpus statistics gathered at build time. */
 final case class FieldStats(numDocs: Long, avgDl: Double)
@@ -260,14 +267,68 @@ final class SearchIndex private (
     * driver merge — the built-in replacement for the reference's
     * treeAggregate 2-pointer merge, PartitionsIndexLuceneRDD.scala:
     * 100-109). Ties break on ascending key for determinism. */
-  def search(q: SearchQuery, k: Int): DataFrame = {
-    val (pred, score) = compile(q)
-    docs
-      .withColumn("score", score)
-      .where(pred)
-      .drop(internalCols(spec): _*)
-      .orderBy(col("score").desc, key.asc)
-      .limit(k)
+  def search(q: SearchQuery, k: Int): DataFrame =
+    if (spec.storePositions) {
+      val (pred, score) = compile(q)
+      docs
+        .withColumn("score", score)
+        .where(pred)
+        .drop(internalCols(spec): _*)
+        .orderBy(col("score").desc, key.asc)
+        .limit(k)
+    } else postingsSearch(q, k)
+
+  /** Scan-free search for a no-positions index: the flat term part of
+    * the query probes the postings (tf survives without positions),
+    * non-scoring filters apply on the joined docs BEFORE the top-k.
+    * Phrase and nested-boolean queries need the token arrays the
+    * spec dropped — they throw, like a Lucene field indexed without
+    * positions (reference NoPositionsTextField.java:42-49). */
+  private def postingsSearch(q: SearchQuery, k: Int): DataFrame = {
+    import spark.implicits._
+    def unsupported(what: String) = throw new UnsupportedOperationException(
+      s"$what requires storePositions=true (tokens are not stored on this index)")
+    // split top-level AND into one flat text query + non-scoring filters
+    def split(x: SearchQuery): (Option[SearchQuery], Seq[SearchFilter]) = x match {
+      case And(l, r) =>
+        val (tl, fl) = split(l); val (tr, fr) = split(r)
+        (tl, tr) match {
+          case (t, None) => (t, fl ++ fr)
+          case (None, t) => (t, fl ++ fr)
+          case _ => unsupported("nested boolean text query")
+        }
+      case f: SearchFilter => (None, Seq(f))
+      case AllDocs => (None, Nil)
+      case other => (Some(other), Nil)
+    }
+    val (textQ, filters) = split(q)
+    val filterPred = filters.map(f => compileWith(f, Map.empty)._1)
+      .foldLeft(lit(true))(_ && _)
+    textQ match {
+      case None => // pure filter query: constant score, no postings needed
+        docs.withColumn("score", lit(1.0)).where(filterPred)
+          .drop(internalCols(spec): _*)
+          .orderBy(col("score").desc, key.asc).limit(k)
+      case Some(tq) =>
+        val (field, terms, minMatch) = tq match {
+          case MatchTerm(f, t) => (f, Seq(t), 0)
+          case MatchAnyTerms(f, ts) => (f, ts, 1)
+          case MatchAllTerms(f, ts) => (f, ts, 0)
+          case MatchMin(f, m, ts) => (f, ts, m)
+          case MatchText(f, t) => (f, queryAn.analyze(t), 1)
+          case MatchAllText(f, t) => (f, queryAn.analyze(t), 0)
+          case _: MatchPhrase => unsupported("phrase query")
+          case other => unsupported(s"query shape $other")
+        }
+        val q0 = Seq((0L, field, terms, minMatch)).toDF("qid", "field", "terms", "min_match")
+        val scored = batchSearchPerDoc(q0).select(col("key").as("__hit_key"), col("score"))
+        docs.join(scored, key === col("__hit_key"))
+          .where(filterPred)
+          .drop("__hit_key")
+          .drop(internalCols(spec): _*)
+          .orderBy(col("score").desc, key.asc)
+          .limit(k)
+    }
   }
 
   /** Global top-k collected to the driver (reference
@@ -300,16 +361,22 @@ final class SearchIndex private (
 
   /** Docs-per-field counts (reference getDocumentCounts,
     * LuceneIndex.scala:129-140). */
-  def getDocumentCounts: DataFrame = {
-    val perField = spec.textFields.map { f =>
-      docs.select(lit(f).as("field"),
-        when(size(tokensCol(f)) > 0, col(spec.keyCol)).as("k"))
-    } ++ spec.keywordFields.map { f =>
-      docs.select(lit(f).as("field"), when(col(f).isNotNull, col(spec.keyCol)).as("k"))
+  def getDocumentCounts: DataFrame =
+    if (!spec.storePositions)
+      // no token arrays to scan — derive from the postings instead
+      // (a doc counts for a field iff it produced >= 1 posting, the
+      // same predicate the scan path evaluates)
+      postings.groupBy(col("field")).agg(countDistinct(col("key")).as("n_docs"))
+    else {
+      val perField = spec.textFields.map { f =>
+        docs.select(lit(f).as("field"),
+          when(size(tokensCol(f)) > 0, col(spec.keyCol)).as("k"))
+      } ++ spec.keywordFields.map { f =>
+        docs.select(lit(f).as("field"), when(col(f).isNotNull, col(spec.keyCol)).as("k"))
+      }
+      perField.reduceLeft(_ unionAll _)
+        .groupBy(col("field")).agg(count(col("k")).as("n_docs"))
     }
-    perField.reduceLeft(_ unionAll _)
-      .groupBy(col("field")).agg(count(col("k")).as("n_docs"))
-  }
 
   /** Full term dictionary with total term frequencies (reference
     * getTermCounts, LuceneIndex.scala:147-183). */
@@ -849,6 +916,20 @@ object SearchIndex {
       val text = spec.textFields.map(f => f -> FieldStats(n, r.getAs[Double](s"__avgdl_$f")))
       val kw = spec.keywordFields.map(f => f -> FieldStats(r.getAs[Long](s"__n_$f"), 1.0))
       (text ++ kw).toMap
+    }
+
+    if (!spec.storePositions) {
+      // NoPositions trade-off: materialize postings + stats while the
+      // tokenized corpus is still cached, then swap the stored docs
+      // for the token-free projection (doc lengths kept — they cost
+      // one long per field). The build pays one extra cache pass;
+      // the stored corpus drops to key + payload.
+      stats.count()
+      val slim = docs.drop(spec.textFields.map(tokensColName): _*)
+        .persist(storageLevel)
+      slim.count() // copy out of the parent cache before releasing it
+      docs.unpersist()
+      docs = slim
     }
 
     new SearchIndex(spark, spec, docs, postings, stats, fieldStats)

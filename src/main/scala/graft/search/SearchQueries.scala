@@ -74,6 +74,15 @@ object SearchQueries {
     })
   }
 
+  /** No-positions index (reference NoPositionsTextField): token
+    * arrays dropped after the postings build; flat term queries run
+    * through the postings probe, phrase queries throw. */
+  def noPositionsIndexFor(spark: SparkSession, dir: String): SearchIndex = cache.synchronized {
+    cache.getOrElseUpdate(s"$dir#nopos",
+      SearchIndex.build(spark.read.parquet(s"$dir/documents.parquet"),
+        spec.copy(storePositions = false)))
+  }
+
   /** save()/load() round-trip of the default index (reference analog:
     * saveAsObjectFile + reload, examples/StoreableExample.scala:22-30):
     * queries against the reloaded artifacts must match the
@@ -326,6 +335,13 @@ object SearchQueries {
     "search_reloaded" -> ((s, dir) =>
       topkOut(reloadedIndexFor(s, dir).search(
         "text".matchMin(1, termSet("column", "value")), 10))),
+
+    // no-positions index: same flat query, postings-probe execution,
+    // scores must equal the positional scan path's (2-term sums are
+    // association-exact)
+    "search_no_positions" -> ((s, dir) =>
+      topkOut(noPositionsIndexFor(s, dir).search(
+        "text" matchAny termSet("spark", "join"), 10))),
 
     // query join with an ARBITRARY query generator (reference
     // queryGenerator: T => DslQuery, SearchableRDD.scala:257-298):
@@ -672,6 +688,8 @@ object SearchQueries {
     "search_analyzer_split" -> termQueryOracle(Seq("spark", "join"), 1, 10),
     // reloaded artifacts must reproduce the from-scratch scores
     "search_reloaded" -> termQueryOracle(Seq("column", "value"), 1, 10),
+    // postings-probe scores must equal the scan path's
+    "search_no_positions" -> termQueryOracle(Seq("spark", "join"), 1, 10),
 
     "query_join_dsl" -> {
       // per-left-doc phrase query: tf = positional phrase count,

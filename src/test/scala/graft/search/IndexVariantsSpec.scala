@@ -33,6 +33,33 @@ class IndexVariantsSpec extends AnyFunSuite {
     dec.unpersist(); bc.unpersist()
   }
 
+  test("no-positions index: flat queries match the positional index, phrases throw") {
+    val pos = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
+    val nopos = SearchIndex.build(corpus,
+      IndexSpec("doc_id", Seq("text"), storePositions = false))
+    // the stored corpus really dropped the token arrays
+    assert(!nopos.docs.columns.contains(SearchIndex.tokensColName("text")))
+    assert(pos.docs.columns.contains(SearchIndex.tokensColName("text")))
+    // flat term query: identical hits and scores via the postings probe
+    val q = "text".matchMin(1, termSet("alpha", "gamma"))
+    val a = pos.search(q, 10).select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val b = nopos.search(q, 10).select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (id, s) => assert(math.abs(s - b(id)) < 1e-12) }
+    // filters still apply (docs carry the payload columns)
+    val f = nopos.search(("text" matchTerm "alpha") && ("doc_id" lt 3L), 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(f == Set(1L, 2L))
+    // doc counts survive without token arrays
+    val counts = nopos.getDocumentCounts.as[(String, Long)].collect().toMap
+    assert(counts("text") == 4L)
+    // positional semantics are gone
+    intercept[UnsupportedOperationException] {
+      nopos.search("text" matchPhrase "alpha beta", 5).collect()
+    }
+    pos.unpersist(); nopos.unpersist()
+  }
+
   test("batchSearchRaw parses query strings per query id") {
     val idx = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
     val got = idx.batchSearchRaw(Seq(1L -> "+alpha -beta", 2L -> "\"gamma delta\""), "text", 5)
