@@ -957,6 +957,15 @@ object SearchIndex {
       storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): SearchIndex = {
     SearchExpressions.register(spark)
     val docs = spark.read.parquet(s"$path/docs").persist(storageLevel)
+    if (spec.storePositions) {
+      // fail fast on a spec/artifact mismatch: a no-positions save has
+      // no token arrays, and the positional scan path would otherwise
+      // die later with an unresolved-column error mid-query
+      val missing = spec.textFields.map(tokensColName).filterNot(docs.columns.contains)
+      require(missing.isEmpty,
+        s"saved index at $path has no stored positions (missing ${missing.mkString(", ")}); " +
+          "load it with IndexSpec(storePositions = false)")
+    }
     val postings = spark.read.parquet(s"$path/postings").persist(storageLevel)
     val stats = spark.read.parquet(s"$path/stats").persist(storageLevel)
     val fs = spark.read.parquet(s"$path/field_stats").collect()

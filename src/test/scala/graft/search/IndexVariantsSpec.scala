@@ -60,6 +60,25 @@ class IndexVariantsSpec extends AnyFunSuite {
     pos.unpersist(); nopos.unpersist()
   }
 
+  test("no-positions index survives save/load; positional reload fails fast") {
+    val spec0 = IndexSpec("doc_id", Seq("text"), storePositions = false)
+    val nopos = SearchIndex.build(corpus, spec0)
+    val dir = java.nio.file.Files.createTempDirectory("nopos_idx").toString
+    nopos.save(dir)
+    val reloaded = SearchIndex.load(spark, dir, spec0)
+    val q = "text".matchMin(1, termSet("alpha", "gamma"))
+    val a = nopos.search(q, 10).select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val b = reloaded.search(q, 10).select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(a == b)
+    // loading token-free artifacts under a positional spec must not
+    // defer the failure to first query
+    val err = intercept[IllegalArgumentException] {
+      SearchIndex.load(spark, dir, IndexSpec("doc_id", Seq("text")))
+    }
+    assert(err.getMessage.contains("storePositions"))
+    nopos.unpersist(); reloaded.unpersist()
+  }
+
   test("batchSearchRaw parses query strings per query id") {
     val idx = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
     val got = idx.batchSearchRaw(Seq(1L -> "+alpha -beta", 2L -> "\"gamma delta\""), "text", 5)
