@@ -178,11 +178,14 @@ object Dedup {
         .select(col("doc_id"), shingles(col("tokens"), 5).as("ss"))
     }.where(size(col("ss")) > 0)
     val inv = sh.select(col("doc_id"), explode(col("ss")).as("s"))
-    // df per shingle (shingles are distinct per doc, so count = df),
-    // keep only cool shingles; semi join keeps the posting list lean
-    val cool = inv.groupBy("s").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxShingleDf).select("s")
-    val capped = inv.join(cool, Seq("s"), "left_semi")
+    // df per shingle (shingles are distinct per doc, so count = df).
+    // Anti-join against the HOT set rather than semi-join against the
+    // cool set: hot shingles (df > cap) are a tiny fraction of the
+    // dictionary, so AQE broadcasts the build side and the posting
+    // list never re-shuffles for the cap.
+    val hot = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxShingleDf).select("s")
+    val capped = inv.join(hot, Seq("s"), "left_anti")
     val cand = capped.select(col("doc_id").as("x"), col("s"))
       .join(capped.select(col("doc_id").as("y"), col("s")), "s")
       .where(col("x") < col("y"))
@@ -198,6 +201,76 @@ object Dedup {
         round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Resolves near-duplicate PAIRS into duplicate CLUSTERS: each doc
+    * connected (transitively) through the pair graph maps to its
+    * component's minimum id — the canonical survivor a training-data
+    * pipeline keeps. This is the step after any pair generator
+    * ([[minhashLsh]], [[simhashPairs]], [[embeddingPairsLsh]]):
+    * without it, transitive groups (a~b, b~c) keep the wrong docs.
+    *
+    * Min-label propagation over bidirectional edges: every round each
+    * node takes the min of its own component label and its
+    * neighbours', one equi-join + partial-aggregated `min` per round,
+    * converging in O(graph diameter) rounds. Dup clusters are shallow
+    * (a near-dup of a near-dup is usually itself a near-dup), so
+    * 3-5 rounds cover web-scale corpora; `maxIters` bounds the
+    * adversarial chain case. At 10^9+ docs swap in large-star/
+    * small-star (same join shape, O(log n) rounds). The per-round
+    * driver work is one emptiness probe (limit-1, no collect of
+    * labels); each round's labels persist and the previous round's
+    * unpersist, so peak storage is 2 label tables + the edge list.
+    *
+    * Output: (doc_id, canonical) for every doc that appears in at
+    * least one pair; singletons are their own canonical and are
+    * omitted (join back with a left join + coalesce to cover them).
+    */
+  def resolveClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIters: Int = 20): DataFrame = {
+    val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // `pinned` is the frame actually in the cache (it carries the
+    // previous label for the convergence probe); `labels` is its
+    // 2-column view fed to the next round's join
+    var pinned = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = pinned
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("id")).agg(min(col("comp")).as("nbr_comp"))
+      val next = labels.withColumnRenamed("comp", "prev")
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("prev"),
+          least(col("prev"), coalesce(col("nbr_comp"), col("prev"))).as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next.where(col("comp") < col("prev")).isEmpty
+      pinned.unpersist()
+      pinned = next
+      labels = next.select("id", "comp")
+      it += 1
+    }
+    // localCheckpoint materializes the fixpoint and cuts the iteration
+    // lineage, so the working caches can be released before returning
+    val out = labels.select(col("id").as("doc_id"), col("comp").as("canonical"))
+      .localCheckpoint(true)
+    pinned.unpersist(); edges.unpersist()
+    out.orderBy("doc_id")
+  }
+
+  /** Keeps one document per duplicate cluster: drops every doc whose
+    * cluster canonical is a different doc (anti join — corpus-sized
+    * side never builds a hash table; the dropped-ids side is ≤ the
+    * pair count). Singletons and cluster minima survive. */
+  def dropClusteredDuplicates(corpus: DataFrame, clusters: DataFrame,
+      keyCol: String): DataFrame =
+    corpus.join(
+      clusters.where(col("doc_id") =!= col("canonical"))
+        .select(col("doc_id").as("__dup_id")),
+      corpus(keyCol) === col("__dup_id"), "left_anti")
 
   /** 64-bit SimHash fingerprint per document, computed from the
     * term-frequency postings (one explode + one groupBy with 64

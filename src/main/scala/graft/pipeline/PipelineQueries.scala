@@ -13,6 +13,10 @@ object PipelineQueries {
     "dedup_norm" -> ((s, dir) => Dedup.normalized(s, dir)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
+    // pair graph → connected components → canonical per cluster (the
+    // keep-one step after any near-dup pair generator)
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.resolveClusters(Dedup.minhashLsh(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingPairs(s, dir)),
@@ -162,6 +166,38 @@ object PipelineQueries {
     * be included. */
   def oracles: Map[String, String] = staticOracles ++ ivfOracle
 
+  /** MinHash+LSH near-dup pairs (mirror of [[Dedup.minhashLsh]]) —
+    * shared by the `dedup_minhash` oracle and, as a nested CTE, by
+    * the `dedup_clusters` connected-components oracle. */
+  private def minhashPairsSql: String = {
+    val p = Dedup.MinhashP
+    val sigDefs = (0 until 16)
+      .map(i => s"list_min(list_transform(hs, h -> (${Dedup.MinhashA(i)} * h + ${Dedup.MinhashB(i)}) % $p)) AS sig_$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until 4).map { b =>
+      val cat = (0 until 4).map(r => s"sig_${b * 4 + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$toksCte,
+       |sh AS (
+       |  SELECT doc_id, ${shingleSql(3)} AS ss FROM toks WHERE len(tokens) >= 3
+       |), sigs AS (
+       |  SELECT doc_id, ss,
+       |    $sigDefs
+       |  FROM (SELECT doc_id, ss,
+       |          list_transform(ss, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $p) AS hs
+       |        FROM sh)
+       |  WHERE len(ss) > 0
+       |), bands AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT a.doc_id AS x, b.doc_id AS y
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |${jaccardTail(0.6)}""".stripMargin
+  }
+
   private val staticOracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT doc_id,
@@ -177,34 +213,26 @@ object PipelineQueries {
          |FROM (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS h FROM toks)
          |ORDER BY doc_id""".stripMargin,
 
-    "dedup_minhash" -> {
-      val p = Dedup.MinhashP
-      val sigDefs = (0 until 16)
-        .map(i => s"list_min(list_transform(hs, h -> (${Dedup.MinhashA(i)} * h + ${Dedup.MinhashB(i)}) % $p)) AS sig_$i")
-        .mkString(",\n    ")
-      val bandSelects = (0 until 4).map { b =>
-        val cat = (0 until 4).map(r => s"sig_${b * 4 + r}").mkString(" || '|' || ")
-        s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sigs"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""$toksCte,
-         |sh AS (
-         |  SELECT doc_id, ${shingleSql(3)} AS ss FROM toks WHERE len(tokens) >= 3
-         |), sigs AS (
-         |  SELECT doc_id, ss,
-         |    $sigDefs
-         |  FROM (SELECT doc_id, ss,
-         |          list_transform(ss, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $p) AS hs
-         |        FROM sh)
-         |  WHERE len(ss) > 0
-         |), bands AS (
-         |  $bandSelects
-         |), cand AS (
-         |  SELECT a.doc_id AS x, b.doc_id AS y
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |),
-         |${jaccardTail(0.6)}""".stripMargin
-    },
+    "dedup_minhash" -> minhashPairsSql,
+
+    // connected components over the minhash pair graph by recursive
+    // reachability: a doc's canonical is the min id it can reach
+    // through bidirectional dup edges — exactly the fixpoint
+    // Dedup.resolveClusters' label propagation converges to
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  $minhashPairsSql
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+         |)
+         |SELECT id AS doc_id, min(r) AS canonical FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // hot-shingle cap mirrored from Dedup.ngramJaccard: shingles with
     // df > 100 are dropped before candidate generation

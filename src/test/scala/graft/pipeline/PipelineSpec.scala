@@ -38,6 +38,27 @@ class PipelineSpec extends AnyFunSuite {
     } finally Dedup.clearCaches()
   }
 
+  test("resolveClusters: transitive groups collapse to the min id") {
+    // two components — a 6-node CHAIN (diameter 5, forces several
+    // propagation rounds) and a 2-node pair — plus untouched node ids
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (7L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.resolveClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((10L to 15L).forall(got(_) == 10L))
+    assert(got(3L) == 3L && got(7L) == 3L)
+    assert(got.size == 8) // singletons don't appear
+    // keep-one: canonical survivors + docs outside any pair
+    val corpus = (1L to 16L).toDF("doc_id")
+    val kept = Dedup.dropClusteredDuplicates(corpus,
+      Dedup.resolveClusters(pairs), "doc_id").as[Long].collect().toSet
+    assert(kept == (1L to 16L).toSet -- Set(11L, 12L, 13L, 14L, 15L, 7L))
+    // empty pair set: no clusters, nothing dropped
+    val none = Dedup.resolveClusters(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(none.count() == 0)
+  }
+
   test("cosine similarity of identical vectors is 1") {
     graft.functions.SearchExpressions.register(spark)
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0), Seq(-1.0, -2.0, -3.0)))
