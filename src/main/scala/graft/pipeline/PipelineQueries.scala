@@ -29,6 +29,7 @@ object PipelineQueries {
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "lang_id_ngram" -> ((s, dir) => TextAnalysis.langIdNgram(s, dir)),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
+    "repetition_signals" -> ((s, dir) => TextAnalysis.repetitionSignals(s, dir)),
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
     "fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
     "fingerprint_winnow" -> ((s, dir) => TextAnalysis.winnowing(s, dir)),
@@ -52,6 +53,16 @@ object PipelineQueries {
       |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tokens
       |  FROM documents
       |)""".stripMargin
+
+  /** Non-distinct variant of [[shingleSql]] — repetition signals need
+    * gram multiplicity. */
+  private def ngramAllSql(n: Int): String = {
+    val parts = (0 until n).map {
+      case 0 => "tokens[i]"
+      case o => s"tokens[i + $o]"
+    }.mkString(" || ' ' || ")
+    s"list_transform(range(1, len(tokens) - ${n - 2}), i -> $parts)"
+  }
 
   private def shingleSql(n: Int): String = {
     val parts = (0 until n).map {
@@ -252,6 +263,44 @@ object PipelineQueries {
          |  GROUP BY 1, 2
          |),
          |${jaccardTail(0.3)}""".stripMargin,
+
+    // Gopher-style repetition: line dup fraction (one scan), top-
+    // 2-gram and dup-5-gram character coverage (unnest + grouped
+    // counts, mirroring TextAnalysis.repetitionSignals' shuffles)
+    "repetition_signals" ->
+      s"""$toksCte,
+         |base AS (
+         |  SELECT doc_id, length(text)::DOUBLE AS n_chars,
+         |    len(string_split(text, chr(10)))::BIGINT AS n_lines,
+         |    round((len(string_split(text, chr(10))) -
+         |           len(list_distinct(string_split(text, chr(10)))))::DOUBLE /
+         |          len(string_split(text, chr(10))), 4) AS dup_line_frac
+         |  FROM documents
+         |), c2 AS (
+         |  SELECT doc_id, g, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(${ngramAllSql(2)}) AS g FROM toks)
+         |  GROUP BY 1, 2
+         |), top2 AS (
+         |  SELECT doc_id, (c * length(g))::DOUBLE AS top2_chars,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY c DESC, length(g) DESC, g DESC) AS rn
+         |  FROM c2
+         |), c5 AS (
+         |  SELECT doc_id, g, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(${ngramAllSql(5)}) AS g FROM toks)
+         |  GROUP BY 1, 2
+         |), dup5 AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)::DOUBLE AS dup5_chars
+         |  FROM c5 GROUP BY doc_id
+         |)
+         |SELECT b.doc_id, b.n_lines, b.dup_line_frac,
+         |  round(coalesce(t.top2_chars, 0) / b.n_chars, 4) AS top_2gram_frac,
+         |  round(coalesce(d.dup5_chars, 0) / b.n_chars, 4) AS dup_5gram_frac
+         |FROM base b
+         |LEFT JOIN (SELECT doc_id, top2_chars FROM top2 WHERE rn = 1) t USING (doc_id)
+         |LEFT JOIN dup5 d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""$toksCte,

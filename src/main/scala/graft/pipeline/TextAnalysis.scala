@@ -115,6 +115,66 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Contiguous n-grams WITH multiplicity (unlike [[Dedup.shingles]],
+    * which dedups for set-Jaccard) — repetition measurement needs the
+    * duplicates. */
+  private def ngramsAll(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(sequence(lit(1), size(tokens) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(tokens, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", app. A1.1 repetition filters — public):
+    *
+    *  - `dup_line_frac`: repeated line slots / total lines
+    *    (newline-split; single-line docs score 0);
+    *  - `top_2gram_frac`: characters covered by the most frequent
+    *    2-gram (count x gram length, joining space included) over the
+    *    document's character length;
+    *  - `dup_5gram_frac`: characters covered by 5-grams occurring
+    *    more than once, over the character length (overlapping grams
+    *    each count — the ratio can exceed 1 for degenerate loops,
+    *    which is exactly the signal).
+    *
+    * The line signal is one scan; each gram signal is one explode +
+    * one (doc_id, gram)-keyed partial-aggregated count — the same
+    * keyed-shuffle shape as the postings build, no per-doc state
+    * beyond the combiner. Ties for the top gram break on (length,
+    * gram) descending so both engines pick the same winner. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), toks(col("text")).as("tokens"))
+    val lines = split(col("text"), "\n")
+    val base = d.select(
+      col("doc_id"),
+      length(col("text")).cast("double").as("n_chars"),
+      size(lines).cast("long").as("n_lines"),
+      round((size(lines) - size(array_distinct(lines))).cast("double") /
+        size(lines), 4).as("dup_line_frac"))
+    def gramCounts(n: Int) = d
+      .select(col("doc_id"), explode(ngramsAll(col("tokens"), n)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val top2 = gramCounts(2)
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("c").desc, length(col("g")).desc, col("g").desc)))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), (col("c") * length(col("g"))).cast("double").as("top2_chars"))
+    val dup5 = gramCounts(5)
+      .groupBy("doc_id")
+      .agg(sum(when(col("c") > 1, col("c") * length(col("g"))).otherwise(0L))
+        .cast("double").as("dup5_chars"))
+    base.join(top2, Seq("doc_id"), "left").join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"), col("dup_line_frac"),
+        round(coalesce(col("top2_chars"), lit(0.0)) / col("n_chars"), 4)
+          .as("top_2gram_frac"),
+        round(coalesce(col("dup5_chars"), lit(0.0)) / col("n_chars"), 4)
+          .as("dup_5gram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs / digit runs / single other non-space chars). */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =

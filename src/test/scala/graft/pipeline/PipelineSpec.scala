@@ -59,6 +59,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("repetition signals: line dups and n-gram loops are caught") {
+    val dir = java.nio.file.Files.createTempDirectory("repsig").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // no repetition
+      (2L, "spam ham spam ham spam ham spam ham spam ham"),  // 2-gram loop
+      (3L, "line one\nline two\nline one\nline three"))      // one dup line of 4
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.repetitionSignals(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getDouble(2) == 0.0)                      // dup_line_frac
+    assert(got(1L).getDouble(4) == 0.0)                      // dup_5gram_frac
+    // doc 2: 44 chars; top 2-gram "spam ham" x5 covers 40 chars; both
+    // 5-gram values repeat 3x (22 + 21 chars) -> 129/44 = 2.9318, the
+    // >1 degenerate-loop reading the scaladoc documents
+    assert(got(2L).getDouble(3) == 0.9091)                   // top_2gram_frac
+    assert(got(2L).getDouble(4) == 2.9318)
+    assert(got(3L).getLong(1) == 4L)                         // n_lines
+    assert(got(3L).getDouble(2) == 0.25)
+  }
+
   test("cosine similarity of identical vectors is 1") {
     graft.functions.SearchExpressions.register(spark)
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0), Seq(-1.0, -2.0, -3.0)))
