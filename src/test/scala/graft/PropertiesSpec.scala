@@ -114,6 +114,33 @@ class PropertiesSpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("resolveClusters equals brute-force union-find on random graphs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.choose(0, 14).flatMap(n => Gen.listOfN(n,
+        for { a <- Gen.choose(0L, 11L); b <- Gen.choose(0L, 11L) if a != b } yield (a, b)))
+    def naive(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    // 8 sampled graphs: each check runs an iterative Spark fixpoint
+    samples(edgeGen, 8).foreach { edges =>
+      val got = graft.pipeline.Dedup
+        .resolveClusters(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == naive(edges), s"divergence for edges: $edges")
+    }
+  }
+
   test("Parsed.parseClauses classifies occurs and phrases") {
     val word: Gen[String] = Gen.oneOf("spark", "join", "fast")
     val clause: Gen[(Char, Boolean, String)] = for {
