@@ -252,14 +252,31 @@ object Parsed {
       case _ => false
     }
     def orExpr(): SearchQuery = {
-      var acc = andExpr()
+      // Collect the OR/adjacency-separated chunks first: a '+'-
+      // prefixed chunk is REQUIRED (Lucene occur semantics), and if
+      // any chunk at this level is required, the others demote to
+      // optional scoring (Should) — the same split desugarClauses
+      // applies to flat clause lists. With no '+' anywhere this is
+      // the plain adjacency-is-OR fold.
+      def leadRequired: Boolean = peek match {
+        case Some(ClauseLex(c)) => c.occur == '+'
+        case _ => false
+      }
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[(Boolean, SearchQuery)]
+      chunks += { val r = leadRequired; (r, andExpr()) }
       var continue = true
       while (continue) peek match {
-        case Some(OrOp) => pos += 1; acc = Or(acc, andExpr())
-        case Some(l) if startsUnary(l) => acc = Or(acc, andExpr()) // adjacency
+        case Some(OrOp) => pos += 1; chunks += { val r = leadRequired; (r, andExpr()) }
+        case Some(l) if startsUnary(l) => chunks += { val r = leadRequired; (r, andExpr()) }
         case _ => continue = false
       }
-      acc
+      val must = chunks.collect { case (true, q) => q }
+      val rest = chunks.collect { case (false, q) => q }
+      if (must.isEmpty) rest.reduceLeft(Or)
+      else {
+        val base = must.reduceLeft(And)
+        if (rest.isEmpty) base else And(base, Should(rest.reduceLeft(Or)))
+      }
     }
     private def andExpr(): SearchQuery = {
       var acc = unary()

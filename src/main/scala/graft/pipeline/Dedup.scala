@@ -209,17 +209,19 @@ object Dedup {
     * ([[minhashLsh]], [[simhashPairs]], [[embeddingPairsLsh]]):
     * without it, transitive groups (a~b, b~c) keep the wrong docs.
     *
-    * Min-label propagation over bidirectional edges: every round each
-    * node takes the min of its own component label and its
-    * neighbours', one equi-join + partial-aggregated `min` per round,
-    * converging in O(graph diameter) rounds. Dup clusters are shallow
-    * (a near-dup of a near-dup is usually itself a near-dup), so
-    * 3-5 rounds cover web-scale corpora; `maxIters` bounds the
-    * adversarial chain case. At 10^9+ docs swap in large-star/
-    * small-star (same join shape, O(log n) rounds). The per-round
-    * driver work is one emptiness probe (limit-1, no collect of
-    * labels); each round's labels persist and the previous round's
-    * unpersist, so peak storage is 2 label tables + the edge list.
+    * Min-label propagation + pointer jumping over bidirectional
+    * edges: every round each node takes the min of its own component
+    * label and its neighbours' (one equi-join + partial-aggregated
+    * `min`), then jumps to its label's label (one more equi-join) —
+    * the jump halves the remaining label-chain depth, so convergence
+    * is O(log diameter) rounds: `maxIters` = 20 covers any realistic
+    * component. Each round eagerly localCheckpoints its labels —
+    * materializing them AND truncating the plan, without which the
+    * jump's self-join doubles the lineage every round — and the only
+    * driver work is a changed-row count; peak storage is ~2 label
+    * tables + the edge list (superseded checkpoints are GC-reclaimed).
+    * If the bound is ever hit anyway, the unconverged fixpoint is
+    * flagged on stderr rather than returned silently.
     *
     * Output: (doc_id, canonical) for every doc that appears in at
     * least one pair; singletons are their own canonical and are
@@ -230,34 +232,43 @@ object Dedup {
     val e0 = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val edges = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    // `pinned` is the frame actually in the cache (it carries the
-    // previous label for the convergence probe); `labels` is its
-    // 2-column view fed to the next round's join
-    var pinned = edges.select(col("src").as("id")).distinct()
+    // Each round ends in an EAGER localCheckpoint: it materializes
+    // the round's labels AND truncates the logical plan. Without the
+    // truncation the jump's self-join doubles the plan every round
+    // (2^rounds nodes — the classic iterative-algorithm lineage
+    // blowup); superseded checkpoint blocks are reclaimed by the
+    // ContextCleaner once the next round rebinds `labels`.
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = pinned
+      .localCheckpoint(true)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(edges("src").as("id")).agg(min(col("comp")).as("nbr_comp"))
-      val next = labels.withColumnRenamed("comp", "prev")
+      val prop = labels.withColumnRenamed("comp", "prev")
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("prev"),
           least(col("prev"), coalesce(col("nbr_comp"), col("prev"))).as("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next.where(col("comp") < col("prev")).isEmpty
-      pinned.unpersist()
-      pinned = next
+      // pointer jump: comp := comp(comp). Every label is itself a
+      // node id present in `prop`, so the left join always resolves;
+      // the jump is what makes convergence logarithmic in diameter.
+      val lookup = prop.select(col("id").as("__jid"), col("comp").as("__jcomp"))
+      val next = prop.join(lookup, prop("comp") === col("__jid"), "left")
+        .select(prop("id"), prop("prev"),
+          coalesce(col("__jcomp"), prop("comp")).as("comp"))
+        .localCheckpoint(true)
+      converged = next.where(col("comp") < col("prev")).count() == 0L
       labels = next.select("id", "comp")
       it += 1
     }
-    // localCheckpoint materializes the fixpoint and cuts the iteration
-    // lineage, so the working caches can be released before returning
+    if (!converged)
+      System.err.println(s"[graft] resolveClusters: fixpoint not reached after " +
+        s"$maxIters rounds — component labels may be split; raise maxIters")
+    // the fixpoint is already checkpointed (no lineage back through
+    // the rounds), so the edge cache can be released before returning
     val out = labels.select(col("id").as("doc_id"), col("comp").as("canonical"))
-      .localCheckpoint(true)
-    pinned.unpersist(); edges.unpersist()
+    edges.unpersist()
     out.orderBy("doc_id")
   }
 

@@ -157,8 +157,12 @@ final class SearchIndex private (
     * IDF map, BM25WithGlobalIDFSimilarity.scala:14-76). Terms absent
     * from the corpus get df=0 → idf = log(1+(N+0.5)/0.5). */
   def idfFor(pairs: Set[(String, String)]): Map[(String, String), Double] = {
-    if (pairs.isEmpty) return Map.empty
-    val byField = pairs.groupBy(_._1)
+    // unknown fields (possible via parsed `field:term` syntax) never
+    // match — they are dropped here and short-circuited in compileWith,
+    // the Lucene QueryParser behavior for a nonexistent field
+    val known = pairs.filter(p => isIndexedField(p._1))
+    if (known.isEmpty) return Map.empty
+    val byField = known.groupBy(_._1)
     val found = byField.iterator.flatMap { case (f, ps) =>
       stats
         .where(col("field") === f && col("term").isin(ps.map(_._2).toSeq: _*))
@@ -166,12 +170,18 @@ final class SearchIndex private (
         .collect()
         .map(r => (f, r.getString(0)) -> r.getLong(1))
     }.toMap
-    pairs.iterator.map { p =>
+    known.iterator.map { p =>
       val n = fieldStats(p._1).numDocs
       val df = found.getOrElse(p, 0L).toDouble
       p -> math.log(1.0 + (n - df + 0.5) / (df + 0.5))
     }.toMap
   }
+
+  /** Is `f` a field this index built postings for? Queries against
+    * any other name match nothing (instead of crashing on a missing
+    * stats entry or an unresolved token column). */
+  private def isIndexedField(f: String): Boolean =
+    spec.textFields.contains(f) || spec.keywordFields.contains(f)
 
   private def tokensCol(field: String): Column = col(tokensColName(field))
   private def dlCol(field: String): Column = col(dlColName(field))
@@ -201,8 +211,20 @@ final class SearchIndex private (
     compileWith(q, idf)
   }
 
+  private val noMatch: (Column, Column) = (lit(false), lit(0.0))
+
   private def compileWith(q: SearchQuery,
       idf: Map[(String, String), Double]): (Column, Column) = q match {
+    // text queries against a field this index never built: no hits
+    // (Lucene QueryParser behavior) — reachable via parsed
+    // `field:term` syntax with a typo'd or foreign field name
+    case MatchTerm(f, _) if !isIndexedField(f) => noMatch
+    case MatchText(f, _) if !isIndexedField(f) => noMatch
+    case MatchAllText(f, _) if !isIndexedField(f) => noMatch
+    case MatchPhrase(f, _) if !isIndexedField(f) => noMatch
+    case MatchAllTerms(f, _) if !isIndexedField(f) => noMatch
+    case MatchAnyTerms(f, _) if !isIndexedField(f) => noMatch
+    case MatchMin(f, _, _) if !isIndexedField(f) => noMatch
     case AllDocs => (lit(true), lit(1.0))
     case And(l, r) =>
       val (pl, sl) = compileWith(l, idf); val (pr, sr) = compileWith(r, idf)
@@ -288,25 +310,29 @@ final class SearchIndex private (
     import spark.implicits._
     def unsupported(what: String) = throw new UnsupportedOperationException(
       s"$what requires storePositions=true (tokens are not stored on this index)")
-    // split top-level AND into one flat text query + non-scoring filters
-    def split(x: SearchQuery): (Option[SearchQuery], Seq[SearchFilter]) = x match {
+    // split top-level AND into one flat text query + non-scoring
+    // filters + a constant base score (1.0 per AllDocs leaf — the
+    // scan path's And sums side scores, so parity needs the offset)
+    def split(x: SearchQuery): (Option[SearchQuery], Seq[SearchFilter], Double) = x match {
       case And(l, r) =>
-        val (tl, fl) = split(l); val (tr, fr) = split(r)
+        val (tl, fl, bl) = split(l); val (tr, fr, br) = split(r)
         (tl, tr) match {
-          case (t, None) => (t, fl ++ fr)
-          case (None, t) => (t, fl ++ fr)
+          case (t, None) => (t, fl ++ fr, bl + br)
+          case (None, t) => (t, fl ++ fr, bl + br)
           case _ => unsupported("nested boolean text query")
         }
-      case f: SearchFilter => (None, Seq(f))
-      case AllDocs => (None, Nil)
-      case other => (Some(other), Nil)
+      case f: SearchFilter => (None, Seq(f), 0.0)
+      case AllDocs => (None, Nil, 1.0)
+      case other => (Some(other), Nil, 0.0)
     }
-    val (textQ, filters) = split(q)
+    val (textQ, filters, base) = split(q)
     val filterPred = filters.map(f => compileWith(f, Map.empty)._1)
       .foldLeft(lit(true))(_ && _)
     textQ match {
-      case None => // pure filter query: constant score, no postings needed
-        docs.withColumn("score", lit(1.0)).where(filterPred)
+      case None =>
+        // filter/AllDocs-only query: constant score identical to the
+        // scan path's, no postings needed
+        docs.withColumn("score", lit(base)).where(filterPred)
           .drop(internalCols(spec): _*)
           .orderBy(col("score").desc, key.asc).limit(k)
       case Some(tq) =>
@@ -321,7 +347,8 @@ final class SearchIndex private (
           case other => unsupported(s"query shape $other")
         }
         val q0 = Seq((0L, field, terms, minMatch)).toDF("qid", "field", "terms", "min_match")
-        val scored = batchSearchPerDoc(q0).select(col("key").as("__hit_key"), col("score"))
+        val scored = batchSearchPerDoc(q0)
+          .select(col("key").as("__hit_key"), (col("score") + lit(base)).as("score"))
         docs.join(scored, key === col("__hit_key"))
           .where(filterPred)
           .drop("__hit_key")
@@ -362,12 +389,18 @@ final class SearchIndex private (
   /** Docs-per-field counts (reference getDocumentCounts,
     * LuceneIndex.scala:129-140). */
   def getDocumentCounts: DataFrame =
-    if (!spec.storePositions)
+    if (!spec.storePositions) {
       // no token arrays to scan — derive from the postings instead
       // (a doc counts for a field iff it produced >= 1 posting, the
-      // same predicate the scan path evaluates)
-      postings.groupBy(col("field")).agg(countDistinct(col("key")).as("n_docs"))
-    else {
+      // same predicate the scan path evaluates); left-join against
+      // the spec's field list so all-empty fields still report 0
+      // like the scan path does
+      import spark.implicits._
+      (spec.textFields ++ spec.keywordFields).toDF("field")
+        .join(postings.groupBy(col("field"))
+          .agg(countDistinct(col("key")).as("__n")), Seq("field"), "left")
+        .select(col("field"), coalesce(col("__n"), lit(0L)).as("n_docs"))
+    } else {
       val perField = spec.textFields.map { f =>
         docs.select(lit(f).as("field"),
           when(size(tokensCol(f)) > 0, col(spec.keyCol)).as("k"))
@@ -460,7 +493,15 @@ final class SearchIndex private (
     * complex queries; use [[batchSearch]] (single postings join) for
     * large batches of flat term queries. */
   def batchSearchDsl(queries: Seq[(Long, SearchQuery)], k: Int): DataFrame =
-    queries.map { case (qid, q) =>
+    if (queries.isEmpty)
+      // zero queries (e.g. a queryJoinDsl left that filtered to no
+      // rows): an empty frame with the contract schema, not an
+      // empty.reduceLeft crash
+      lightSearch(AllDocs, 1)
+        .withColumn("qid", lit(0L)).withColumn("rank", lit(1))
+        .select(col("qid"), col("rank"), key.as("key"), col("score"))
+        .where(lit(false))
+    else queries.map { case (qid, q) =>
       lightSearch(q, k)
         .withColumn("qid", lit(qid))
         .withColumn("rank",

@@ -29,10 +29,13 @@ object SourceQueries {
   private val warcBody1 = "<html><body><a href=\"http://example.com/x\">x</a></body></html>"
   private val warcBody2 = "software: graft-fixture/1.0"
 
-  private def writeOnce(name: String, content: Array[Byte]): String = synchronized {
+  private def writeFixture(name: String, content: Array[Byte]): String = synchronized {
     val p = Paths.get(s"/tmp/graft_fixtures/$name")
     Files.createDirectories(p.getParent)
-    if (!Files.exists(p)) Files.write(p, content)
+    // unconditional: a stale /tmp file from a previous build would
+    // otherwise mask edits to the in-code fixture constants (the
+    // oracle SQL regenerates from the constants; the file must too)
+    Files.write(p, content)
     p.toString
   }
 
@@ -40,7 +43,7 @@ object SourceQueries {
     val xml = "<mediawiki>" + wikiPages.map { case (id, t, x) =>
       s"<page><title>$t</title><ns>0</ns><id>$id</id><revision><text>$x</text></revision></page>"
     }.mkString("\n") + "</mediawiki>"
-    writeOnce("wiki/dump.xml", xml.getBytes(UTF_8))
+    writeFixture("wiki/dump.xml", xml.getBytes(UTF_8))
   }
 
   private def warcDirPath: String = {
@@ -59,7 +62,7 @@ object SourceQueries {
          |Content-Length: ${warcBody1.getBytes(UTF_8).length}\r
          |\r
          |$warcBody1""".stripMargin
-    val f = writeOnce("warc/fixture.warc", warc.getBytes(UTF_8))
+    val f = writeFixture("warc/fixture.warc", warc.getBytes(UTF_8))
     Paths.get(f).getParent.toString
   }
 

@@ -22,14 +22,21 @@ object StreamQueries {
       // FileStreamSource requires a DIRECTORY; the testdata table is a
       // single file — stage it into one (copied once per process)
       val path = {
+        val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+        // stage-dir key includes the source's (size, mtime): a
+        // regenerated corpus at the SAME path gets a fresh copy
+        // instead of silently streaming the previous process's data
+        val attrs = java.nio.file.Files.readAttributes(
+          src, classOf[java.nio.file.attribute.BasicFileAttributes])
+        val tag = java.lang.Long.toHexString(
+          attrs.size() * 31L + attrs.lastModifiedTime().toMillis)
         val d = java.nio.file.Paths.get(
-          s"/tmp/graft_fixtures/events_${Integer.toHexString(dir.hashCode)}")
+          s"/tmp/graft_fixtures/events_${Integer.toHexString(dir.hashCode)}_$tag")
         StreamQueries.synchronized {
           java.nio.file.Files.createDirectories(d)
           val tgt = d.resolve("events.parquet")
           if (!java.nio.file.Files.exists(tgt))
-            java.nio.file.Files.copy(
-              java.nio.file.Paths.get(s"$dir/events.parquet"), tgt)
+            java.nio.file.Files.copy(src, tgt)
         }
         d.toString
       }

@@ -176,6 +176,13 @@ class PropertiesSpec extends AnyFunSuite {
     assert(p("spark join OR window") == Or(Or(t("spark"), t("join")), t("window")))
     // '-' inside boolean mode negates its clause
     assert(p("(spark AND -join)") == And(t("spark"), Not(t("join"))))
+    // '+' inside boolean mode is REQUIRED (Lucene occur semantics):
+    // bare adjacent chunks demote to optional scoring, never OR away
+    // the requirement
+    assert(p("+error (warn fatal)") ==
+      And(t("error"), Should(Or(t("warn"), t("fatal")))))
+    assert(p("(warn fatal) +error") ==
+      And(t("error"), Should(Or(t("warn"), t("fatal")))))
     // legacy flat-clause mode is untouched...
     assert(p("+spark join -window") ==
       And(And(t("spark"), Should(t("join"))), Not(t("window"))))

@@ -57,6 +57,11 @@ class PipelineSpec extends AnyFunSuite {
     // empty pair set: no clusters, nothing dropped
     val none = Dedup.resolveClusters(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
     assert(none.count() == 0)
+    // 60-node chain (diameter 59): pointer jumping must converge well
+    // inside the default 20-round bound
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cgot = Dedup.resolveClusters(chain).as[(Long, Long)].collect().toMap
+    assert(cgot.size == 60 && cgot.values.forall(_ == 0L))
   }
 
   test("repetition signals: line dups and n-gram loops are caught") {

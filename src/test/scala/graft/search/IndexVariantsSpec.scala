@@ -2,6 +2,7 @@ package graft.search
 
 import graft.TestSpark
 import graft.dsl.builders._
+import graft.dsl.{MatchTerm, Parsed}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -77,6 +78,23 @@ class IndexVariantsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("storePositions"))
     nopos.unpersist(); reloaded.unpersist()
+  }
+
+  test("unknown-field queries match nothing instead of crashing") {
+    val idx = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
+    // colon in a term lexes as field scoping; a URL or time must not
+    // blow up with a missing-stats or unresolved-column error
+    val hits = idx.search(Parsed("text", "alpha http://example.com"), 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits.nonEmpty) // the "alpha" clause still matches
+    assert(idx.search(Parsed("text", "12:30"), 10).count() == 0)
+    // explicit AST against a bogus field: no hits, no crash
+    assert(idx.search(MatchTerm("bogus", "alpha"), 10).count() == 0)
+    // empty DSL batch returns an empty frame with the contract schema
+    val empty = idx.batchSearchDsl(Seq.empty, 5)
+    assert(empty.columns.toSeq == Seq("qid", "rank", "key", "score"))
+    assert(empty.count() == 0)
+    idx.unpersist()
   }
 
   test("batchSearchRaw parses query strings per query id") {
