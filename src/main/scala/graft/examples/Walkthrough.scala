@@ -62,6 +62,21 @@ object Walkthrough {
       .orderBy("doc_id", "rank")
       .show(25, false)
 
+    // 6. the training-data pipeline face (no reference analog): near-
+    // dup pairs -> connected-component clusters -> keep one per
+    // cluster, then repetition-based quality filtering
+    val dir = "/root/testdata/sf0.001"
+    val clusters = graft.pipeline.Dedup.resolveClusters(
+      graft.pipeline.Dedup.minhashLsh(spark, dir))
+    val kept = graft.pipeline.Dedup.dropClusteredDuplicates(
+      spark.read.parquet(s"$dir/documents.parquet"), clusters, "doc_id")
+    println(s"near-dup clusters: ${clusters.count()} clustered docs, " +
+      s"${kept.count()} docs kept")
+    println("most repetitive docs (top-2-gram coverage):")
+    graft.pipeline.TextAnalysis.repetitionSignals(spark, dir)
+      .orderBy(col("top_2gram_frac").desc).show(5, false)
+    graft.pipeline.Dedup.clearCaches()
+
     idx.unpersist()
     spark.stop()
   }
