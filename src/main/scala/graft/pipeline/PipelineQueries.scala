@@ -17,6 +17,12 @@ object PipelineQueries {
     // keep-one step after any near-dup pair generator)
     "dedup_clusters" -> ((s, dir) =>
       Dedup.resolveClusters(Dedup.minhashLsh(s, dir))),
+    // the surviving corpus: cluster minima + singletons
+    "dedup_keep" -> ((s, dir) =>
+      Dedup.dropClusteredDuplicates(
+          s.read.parquet(s"$dir/documents.parquet"),
+          Dedup.resolveClusters(Dedup.minhashLsh(s, dir)), "doc_id")
+        .select("doc_id").orderBy("doc_id")),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingPairs(s, dir)),
@@ -209,6 +215,21 @@ object PipelineQueries {
        |${jaccardTail(0.6)}""".stripMargin
   }
 
+  /** Recursive connected-components CTE chain over the MinHash pair
+    * graph — shared by `dedup_clusters` and `dedup_keep`. */
+  private def clusterCtes: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  $minhashPairsSql
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+       |)""".stripMargin
+
   private val staticOracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT doc_id,
@@ -231,19 +252,20 @@ object PipelineQueries {
     // through bidirectional dup edges — exactly the fixpoint
     // Dedup.resolveClusters' label propagation converges to
     "dedup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (
-         |  $minhashPairsSql
-         |), edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION
-         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
-         |), reach(id, r) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
-         |)
+      s"""$clusterCtes
          |SELECT id AS doc_id, min(r) AS canonical FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // keep-one-per-cluster: drop every doc whose cluster canonical is
+    // a different doc (mirrors Dedup.dropClusteredDuplicates)
+    "dedup_keep" ->
+      s"""$clusterCtes,
+         |clusters AS (
+         |  SELECT id, min(r) AS canonical FROM reach GROUP BY id
+         |)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> canonical)
+         |ORDER BY doc_id""".stripMargin,
 
     // hot-shingle cap mirrored from Dedup.ngramJaccard: shingles with
     // df > 100 are dropped before candidate generation
