@@ -272,6 +272,13 @@ object Dedup {
     out.orderBy("doc_id")
   }
 
+  /** MinHash-pair clusters for a corpus dir, computed once per
+    * process (registry contract of [[clearCaches]]) — the fixpoint is
+    * iterative, so callers sharing a corpus (cluster listing + the
+    * kept-set derivation) should not each re-run it. */
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    persistOnce(s"clusters#$dir")(resolveClusters(minhashLsh(spark, dir)))
+
   /** Keeps one document per duplicate cluster: drops every doc whose
     * cluster canonical is a different doc (anti join — corpus-sized
     * side never builds a hash table; the dropped-ids side is ≤ the

@@ -15,13 +15,12 @@ object PipelineQueries {
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     // pair graph → connected components → canonical per cluster (the
     // keep-one step after any near-dup pair generator)
-    "dedup_clusters" -> ((s, dir) =>
-      Dedup.resolveClusters(Dedup.minhashLsh(s, dir))),
+    "dedup_clusters" -> ((s, dir) => Dedup.clusters(s, dir)),
     // the surviving corpus: cluster minima + singletons
     "dedup_keep" -> ((s, dir) =>
       Dedup.dropClusteredDuplicates(
           s.read.parquet(s"$dir/documents.parquet"),
-          Dedup.resolveClusters(Dedup.minhashLsh(s, dir)), "doc_id")
+          Dedup.clusters(s, dir), "doc_id")
         .select("doc_id").orderBy("doc_id")),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
