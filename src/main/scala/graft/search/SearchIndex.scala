@@ -610,6 +610,71 @@ final class SearchIndex private (
     left.join(hits, left(qidCol) === hits0("qid")).drop(hits0("qid"))
   }
 
+  /** Data-driven PHRASE query join: each left row contributes a
+    * phrase (a string column, analyzed with the query-time analyzer)
+    * and the whole batch runs as ONE distributed plan — candidate
+    * docs from the postings (every distinct phrase term present),
+    * adjacency verified with the native `phrase_count` over the
+    * stored token arrays, scores identical to `MatchPhrase`'s scan
+    * path. Unlike [[queryJoinDsl]] (arbitrary ASTs, driver-collected
+    * batch, one plan branch per query) nothing is collected and the
+    * plan size is constant in |left| — the corpus-scale path for the
+    * reference's phrase-generating `queryGenerator`
+    * (SearchableRDD.scala:257-298). Output is (qid, rank, key, score)
+    * like [[lightQueryJoin]]. */
+  def queryJoinPhrase(left: DataFrame, qidCol: String, phraseCol: Column, field: String,
+      k: Int, excludeSelf: Boolean = false): DataFrame = {
+    require(spec.storePositions,
+      "queryJoinPhrase needs stored positions (storePositions = true)")
+    require(spec.textFields.contains(field), s"$field is not an indexed text field")
+    val fs = fieldStats(field)
+    val queries = left
+      .select(col(qidCol).cast("long").as("qid"), queryAn.tokensCol(phraseCol).as("terms"))
+      .where(size(col("terms")) > 0)
+    val qterms = queries.select(col("qid"), explode(col("terms")).as("term"))
+    // per-query phrase IDF: sum of per-occurrence term IDFs (the scan
+    // path's terms.map(idf).sum) — absent terms get df=0 like idfFor
+    val qidf = qterms
+      .join(stats.where(col("field") === lit(field))
+        .select(col("term"), col("df")), Seq("term"), "left")
+      .na.fill(0L, Seq("df"))
+      .withColumn("idf", log(lit(1.0) +
+        (lit(fs.numDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+      .groupBy(col("qid"))
+      .agg(sum(col("idf")).as("p_idf"), countDistinct(col("term")).as("n_distinct"))
+    // candidates: docs that contain EVERY distinct term of the phrase
+    // (necessary for adjacency) — a keyed postings equi-join, so cost
+    // scales with true term matches, never |left| x |corpus|
+    val cand = qterms.distinct()
+      .join(postings.where(col("field") === lit(field))
+        .select(col("term"), col("key")), Seq("term"))
+      .groupBy(col("qid"), col("key"))
+      .agg(count(lit(1)).as("n_matched"))
+      .join(qidf, Seq("qid"))
+      .where(col("n_matched") === col("n_distinct"))
+      .select(col("qid"), col("key"), col("p_idf"))
+    // adjacency + scoring on the stored token arrays of candidates
+    val docSide = docs.select(key.as("__doc_key"),
+      tokensCol(field).as("__tokens"), dlCol(field).cast("double").as("__dl"))
+    val simScore = spec.similarity match {
+      case BM25(k1, b) =>
+        col("p_idf") * (col("__tf") * lit(k1 + 1.0)) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / lit(fs.avgDl)))
+      case TFIDF() =>
+        sqrt(col("__tf")) * (col("p_idf") * col("p_idf")) / sqrt(col("__dl"))
+    }
+    val scored = cand
+      .join(docSide, cand("key") === col("__doc_key"))
+      .join(queries, Seq("qid"))
+      .withColumn("__tf",
+        call_function("phrase_count", col("__tokens"), col("terms")).cast("double"))
+      .where(col("__tf") > 0)
+      .withColumn("score", simScore)
+      .select(col("qid"), col("key"), col("score"))
+    perQueryTopK(
+      if (excludeSelf) scored.where(col("qid") =!= col("key")) else scored, k)
+  }
+
   /** Ids-only query join (reference lightQueryJoin,
     * SearchableRDD.scala:288-298): skips the join-back entirely —
     * output is (qid, rank, key, score) regardless of the left schema,
@@ -640,11 +705,16 @@ final class SearchIndex private (
   private def batchSearchRaw(queries: DataFrame, k: Int,
       hitFilter: Option[Column], broadcastQueries: Boolean = true): DataFrame = {
     val base = batchSearchPerDoc(queries, broadcastQueries)
-    val filtered = hitFilter.map(base.where).getOrElse(base)
-    // key type follows the corpus keyCol: integral keys aggregate as
-    // long, string keys as string — the IndexSpec contract admits any
-    // stable key, so the batch path must not assume long
-    val topk = base.schema("key").dataType match {
+    perQueryTopK(hitFilter.map(base.where).getOrElse(base), k)
+  }
+
+  /** Bounded per-query top-k over a (qid, key, score) frame — the
+    * TopKAgg partial/merge pipeline shared by every batch path. Key
+    * type follows the corpus keyCol: integral keys aggregate as long,
+    * string keys as string — the IndexSpec contract admits any stable
+    * key, so the batch path must not assume long. */
+  private def perQueryTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = scored.schema("key").dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
         TopKAgg.topk(k)
@@ -652,7 +722,7 @@ final class SearchIndex private (
       case other => throw new IllegalArgumentException(
         s"batch search supports integral or string keyCol, got $other for ${spec.keyCol}")
     }
-    filtered
+    scored
       .groupBy(col("qid"))
       .agg(topk(col("key"), col("score")).as("hits"))
       .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))

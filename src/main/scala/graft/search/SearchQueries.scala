@@ -362,6 +362,23 @@ object SearchQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // the same phrase self-join as query_join_dsl but DATA-DRIVEN:
+    // one distributed plan (postings candidates + phrase_count
+    // verify), no driver collect, plan size constant in |left| — must
+    // produce the identical result set
+    "query_join_phrase" -> ((s, dir) => {
+      val idx = indexFor(s, dir)
+      val left = idx.docs
+        .where(col("doc_id") < 10 &&
+          size(col(SearchIndex.tokensColName("text"))) >= 2)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col(SearchIndex.tokensColName("text")), 1, 2)).as("phrase"))
+      idx.queryJoinPhrase(left, "doc_id", col("phrase"), "text", k = 3, excludeSelf = true)
+        .select(col("qid").as("doc_id"), col("rank").cast("long").as("rank"),
+          col("key"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // query join: self similarity join, query = first 5 distinct
     // tokens of each left doc (reference examples/
     // SearchableRDDExamples.scala:68-74 shape)
@@ -510,7 +527,10 @@ object SearchQueries {
       Map("search_stemmed" -> termQueryOracle(qTerms, 1, 10, prefix = prefix))
   }
 
-  def oracles: Map[String, String] = staticOracles ++ stemmedOracle
+  def oracles: Map[String, String] = staticOracles ++ stemmedOracle +
+    // same query shape and output as query_join_dsl — the data-driven
+    // phrase join must reproduce the scan path's result exactly
+    ("query_join_phrase" -> staticOracles("query_join_dsl"))
 
   private val staticOracles: Map[String, String] = Map(
     "search_topk" -> termQueryOracle(Seq("spark"), 1, 10),

@@ -2,7 +2,7 @@ package graft.search
 
 import graft.TestSpark
 import graft.dsl.builders._
-import graft.dsl.{MatchTerm, Parsed}
+import graft.dsl.{MatchPhrase, MatchTerm, Parsed}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -78,6 +78,27 @@ class IndexVariantsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("storePositions"))
     nopos.unpersist(); reloaded.unpersist()
+  }
+
+  test("queryJoinPhrase equals the driver-collected DSL phrase join") {
+    val idx = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
+    val left = idx.docs
+      .where(size(col(SearchIndex.tokensColName("text"))) >= 2)
+      .select(col("doc_id"), concat_ws(" ",
+        slice(col(SearchIndex.tokensColName("text")), 1, 2)).as("phrase"))
+    val dataDriven = idx
+      .queryJoinPhrase(left, "doc_id", col("phrase"), "text", 5, excludeSelf = true)
+      .select("qid", "key", "score").as[(Long, Long, Double)].collect()
+      .map { case (q, h, s) => (q, h) -> s }.toMap
+    val scanPath = idx.queryJoinDsl(left, "doc_id",
+        r => MatchPhrase("text", r.getAs[String]("phrase")), 5, excludeSelf = true)
+      .select(col("doc_id"), col("key"), col("score"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, h, s) => (q, h) -> s }.toMap
+    assert(dataDriven.keySet == scanPath.keySet)
+    assert(dataDriven.nonEmpty)
+    dataDriven.foreach { case (kk, s) => assert(math.abs(s - scanPath(kk)) < 1e-9) }
+    idx.unpersist()
   }
 
   test("unknown-field queries match nothing instead of crashing") {
