@@ -252,31 +252,43 @@ object Parsed {
       case _ => false
     }
     def orExpr(): SearchQuery = {
-      // Collect the OR/adjacency-separated chunks first: a '+'-
-      // prefixed chunk is REQUIRED (Lucene occur semantics), and if
-      // any chunk at this level is required, the others demote to
-      // optional scoring (Should) — the same split desugarClauses
-      // applies to flat clause lists. With no '+' anywhere this is
-      // the plain adjacency-is-OR fold.
+      // Collect the OR/adjacency-separated chunks first, then apply
+      // Lucene occur semantics ACROSS adjacency (the same split
+      // desugarClauses applies to flat clause lists): a '+'-prefixed
+      // adjacency chunk is REQUIRED; an adjacency chunk that parses
+      // to a pure negation ('-term' or 'NOT ...') is an EXCLUSION
+      // (so `a NOT b` / `a -b` mean a AND NOT b, never a OR NOT b);
+      // remaining chunks are optional — demoted to scoring-only when
+      // anything is required. Chunks after an EXPLICIT `OR` keep
+      // plain OR semantics. With no occurs anywhere this degenerates
+      // to the adjacency-is-OR fold (Lucene's default operator).
       def leadRequired: Boolean = peek match {
         case Some(ClauseLex(c)) => c.occur == '+'
         case _ => false
       }
-      val chunks = scala.collection.mutable.ArrayBuffer.empty[(Boolean, SearchQuery)]
-      chunks += { val r = leadRequired; (r, andExpr()) }
+      // (explicitOr, required, query)
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Boolean, SearchQuery)]
+      chunks += { val r = leadRequired; (false, r, andExpr()) }
       var continue = true
       while (continue) peek match {
-        case Some(OrOp) => pos += 1; chunks += { val r = leadRequired; (r, andExpr()) }
-        case Some(l) if startsUnary(l) => chunks += { val r = leadRequired; (r, andExpr()) }
+        case Some(OrOp) => pos += 1; chunks += { val r = leadRequired; (true, r, andExpr()) }
+        case Some(l) if startsUnary(l) => chunks += { val r = leadRequired; (false, r, andExpr()) }
         case _ => continue = false
       }
-      val must = chunks.collect { case (true, q) => q }
-      val rest = chunks.collect { case (false, q) => q }
-      if (must.isEmpty) rest.reduceLeft(Or)
-      else {
-        val base = must.reduceLeft(And)
-        if (rest.isEmpty) base else And(base, Should(rest.reduceLeft(Or)))
+      val must = chunks.collect { case (false, true, q) => q }
+      val excl = chunks.collect { case (false, false, n: Not) => n }
+      val rest = chunks.collect {
+        case (true, _, q) => q // explicit OR keeps plain OR semantics
+        case (false, false, q) if !q.isInstanceOf[Not] => q
       }
+      val positives =
+        if (must.nonEmpty) {
+          val base = must.reduceLeft(And)
+          if (rest.nonEmpty) And(base, Should(rest.reduceLeft(Or))) else base
+        } else if (rest.nonEmpty) rest.reduceLeft(Or)
+        else if (excl.nonEmpty) return excl.reduceLeft(And) // pure-negative query
+        else AllDocs
+      excl.foldLeft(positives)((acc, n) => And(acc, n))
     }
     private def andExpr(): SearchQuery = {
       var acc = unary()

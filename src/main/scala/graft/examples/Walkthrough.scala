@@ -64,14 +64,15 @@ object Walkthrough {
 
     // 6. the training-data pipeline face (no reference analog): near-
     // dup pairs -> connected-component clusters -> keep one per
-    // cluster, then repetition-based quality filtering
+    // cluster, then repetition-based quality filtering. These
+    // operators read a parquet corpus DIR, so this stop always runs
+    // on the bundled test corpus (a user-supplied dump fed steps 1-5).
     val dir = "/root/testdata/sf0.001"
-    val clusters = graft.pipeline.Dedup.resolveClusters(
-      graft.pipeline.Dedup.minhashLsh(spark, dir))
+    val clusters = graft.pipeline.Dedup.clusters(spark, dir)
     val kept = graft.pipeline.Dedup.dropClusteredDuplicates(
       spark.read.parquet(s"$dir/documents.parquet"), clusters, "doc_id")
-    println(s"near-dup clusters: ${clusters.count()} clustered docs, " +
-      s"${kept.count()} docs kept")
+    println(s"near-dup clusters (bundled sf0.001 corpus): " +
+      s"${clusters.count()} clustered docs, ${kept.count()} docs kept")
     println("most repetitive docs (top-2-gram coverage):")
     graft.pipeline.TextAnalysis.repetitionSignals(spark, dir)
       .orderBy(col("top_2gram_frac").desc).show(5, false)

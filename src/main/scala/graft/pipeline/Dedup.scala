@@ -218,9 +218,15 @@ object Dedup {
     * component. Each round eagerly localCheckpoints its labels —
     * materializing them AND truncating the plan, without which the
     * jump's self-join doubles the lineage every round — and the only
-    * driver work is a changed-row count; peak storage is ~2 label
-    * tables + the edge list (superseded checkpoints are GC-reclaimed).
-    * If the bound is ever hit anyway, the unconverged fixpoint is
+    * driver work is a changed-row count. Storage: superseded rounds'
+    * checkpoints are reclaimed by GC + ContextCleaner, not
+    * synchronously, so worst-case pinned storage is one label table
+    * per executed round — acceptable because a label row is two
+    * longs per PAIRED doc (orders of magnitude under the corpus) and
+    * rounds are log(diameter), 2-4 in practice. localCheckpoint also
+    * trades executor-loss recomputability for bounded plans — on an
+    * unreliable cluster, rerun the operator (it is deterministic).
+    * If the iteration bound is ever hit, the unconverged fixpoint is
     * flagged on stderr rather than returned silently.
     *
     * Output: (doc_id, canonical) for every doc that appears in at

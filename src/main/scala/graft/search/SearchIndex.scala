@@ -221,7 +221,11 @@ final class SearchIndex private (
     case MatchTerm(f, _) if !isIndexedField(f) => noMatch
     case MatchText(f, _) if !isIndexedField(f) => noMatch
     case MatchAllText(f, _) if !isIndexedField(f) => noMatch
-    case MatchPhrase(f, _) if !isIndexedField(f) => noMatch
+    // phrases additionally need token positions, which only text
+    // fields store — a phrase on a keyword field matches nothing
+    // (it has no adjacency to satisfy) instead of dying on the
+    // unresolved __tokens_ column
+    case MatchPhrase(f, _) if !spec.textFields.contains(f) => noMatch
     case MatchAllTerms(f, _) if !isIndexedField(f) => noMatch
     case MatchAnyTerms(f, _) if !isIndexedField(f) => noMatch
     case MatchMin(f, _, _) if !isIndexedField(f) => noMatch
@@ -628,9 +632,15 @@ final class SearchIndex private (
       "queryJoinPhrase needs stored positions (storePositions = true)")
     require(spec.textFields.contains(field), s"$field is not an indexed text field")
     val fs = fieldStats(field)
+    // persisted: three plan branches read this frame (IDF aggregate,
+    // candidate probe, phrase_count join) and would otherwise each
+    // re-run the left derivation + analyzer. Lifetime is tied to the
+    // returned plan — once the caller drops the result, the
+    // ContextCleaner reclaims the cache.
     val queries = left
       .select(col(qidCol).cast("long").as("qid"), queryAn.tokensCol(phraseCol).as("terms"))
       .where(size(col("terms")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val qterms = queries.select(col("qid"), explode(col("terms")).as("term"))
     // per-query phrase IDF: sum of per-occurrence term IDFs (the scan
     // path's terms.map(idf).sum) — absent terms get df=0 like idfFor

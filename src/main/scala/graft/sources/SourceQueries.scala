@@ -32,10 +32,16 @@ object SourceQueries {
   private def writeFixture(name: String, content: Array[Byte]): String = synchronized {
     val p = Paths.get(s"/tmp/graft_fixtures/$name")
     Files.createDirectories(p.getParent)
-    // unconditional: a stale /tmp file from a previous build would
-    // otherwise mask edits to the in-code fixture constants (the
-    // oracle SQL regenerates from the constants; the file must too)
-    Files.write(p, content)
+    // unconditional (a stale /tmp file from a previous build would
+    // otherwise mask edits to the in-code fixture constants), but via
+    // temp-file + atomic move: an in-place truncate-and-rewrite could
+    // expose a partial file to a concurrently executing Spark task
+    if (!Files.exists(p) || !java.util.Arrays.equals(Files.readAllBytes(p), content)) {
+      val tmp = Files.createTempFile(p.getParent, p.getFileName.toString, ".tmp")
+      Files.write(tmp, content)
+      Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     p.toString
   }
 

@@ -30,9 +30,23 @@ object StreamQueries {
           src, classOf[java.nio.file.attribute.BasicFileAttributes])
         val tag = java.lang.Long.toHexString(
           attrs.size() * 31L + attrs.lastModifiedTime().toMillis)
-        val d = java.nio.file.Paths.get(
-          s"/tmp/graft_fixtures/events_${Integer.toHexString(dir.hashCode)}_$tag")
+        val base = s"events_${Integer.toHexString(dir.hashCode)}"
+        val root = java.nio.file.Paths.get("/tmp/graft_fixtures")
+        val d = root.resolve(s"${base}_$tag")
         StreamQueries.synchronized {
+          // drop superseded copies of this corpus (older size+mtime
+          // tags) so repeated regeneration can't fill /tmp
+          if (java.nio.file.Files.isDirectory(root)) {
+            val stale = java.nio.file.Files.list(root).iterator()
+            while (stale.hasNext) {
+              val s0 = stale.next()
+              if (s0.getFileName.toString.startsWith(base + "_") && s0 != d) {
+                val files = java.nio.file.Files.walk(s0).sorted(
+                  java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()
+                while (files.hasNext) java.nio.file.Files.deleteIfExists(files.next())
+              }
+            }
+          }
           java.nio.file.Files.createDirectories(d)
           val tgt = d.resolve("events.parquet")
           if (!java.nio.file.Files.exists(tgt))
