@@ -67,11 +67,38 @@ final case class MatchMin(field: String, min: Int, terms: Seq[String]) extends S
   * alongside MUST). Produced by [[Parsed.desugar]]. */
 final case class Should(query: SearchQuery) extends SearchQuery
 
+/** Score multiplier — Lucene's `q^factor` boost (QueryParser boost
+  * syntax; the reference inherits it through ParsedQuery,
+  * DslQuery.scala:122-129). Match predicate is the inner query's;
+  * only the score mass scales. */
+final case class Boost(query: SearchQuery, factor: Double) extends SearchQuery
+
+/** Wildcard term query: `*` matches any run of characters, `?`
+  * exactly one (Lucene WildcardQuery via QueryParser syntax).
+  * Executes as Lucene's multi-term CONSTANT_SCORE rewrite: the
+  * pattern expands against the index's term dictionary and a
+  * matching document scores a constant 1.0 (× any boost) — not a
+  * per-term BM25 sum. */
+final case class MatchWildcard(field: String, pattern: String) extends SearchQuery
+
+/** Fuzzy term query: matches documents containing any dictionary
+  * term within `maxEdits` Levenshtein distance of `term` (Lucene
+  * FuzzyQuery, `term~N` syntax, default N=2). Constant-score like
+  * [[MatchWildcard]]; plain Levenshtein (no transposition credit),
+  * a documented deviation from Lucene's Damerau-style automaton. */
+final case class MatchFuzzy(field: String, term: String, maxEdits: Int) extends SearchQuery
+
 /** Mini query-parser syntax (reference: ParsedQuery/QueryParser,
   * DslQuery.scala:122-129, and RawQuery via the pluggable
   * QueryConstructor, queries/DefaultQueryConstructor.scala:10-17):
   * whitespace-separated clauses; `+term` = required, `-term` =
-  * excluded, `"a b"` = phrase, bare terms = SHOULD. */
+  * excluded, `"a b"` = phrase, bare terms = SHOULD. Also understands
+  * QueryParser extras: `field:term`, parentheses, AND/OR/NOT,
+  * boosts (`term^2`, `(a b)^0.5`), wildcards (`te*t`, `jo?n`),
+  * fuzzy terms (`spark~1`), and ranges (`f:[a TO b]`, `f:{a TO *}`
+  * — square bracket inclusive, curly exclusive, `*` unbounded).
+  * A `~N` after a phrase is Lucene slop syntax: parsed, but matched
+  * as the exact phrase (slop 0), a documented deviation. */
 final case class Parsed(field: String, queryString: String) extends SearchQuery
 
 // ---------------- non-scoring filters (Occur.FILTER) ----------------
@@ -146,7 +173,11 @@ object Parsed {
     occur: Char, // '+', '-', ' '
     isPhrase: Boolean,
     text: String,
-    field: Option[String] = None) // `field:term` / `field:"phrase"` scoping
+    field: Option[String] = None, // `field:term` / `field:"phrase"` scoping
+    fuzzy: Option[Int] = None, // `term~N` (None = not fuzzy; phrase slop is parsed here too but ignored)
+    boost: Double = 1.0, // `clause^f`
+    // `field:[lo TO hi]` — (lo, hi, loInclusive, hiInclusive); "*" = unbounded end
+    range: Option[(String, String, Boolean, Boolean)] = None)
 
   // ---------------- lexer ----------------
 
@@ -157,6 +188,8 @@ object Parsed {
   private[graft] case object OrOp extends Lex
   private[graft] case object NotOp extends Lex
   private[graft] final case class ClauseLex(c: Clause) extends Lex
+  /** `)^f` — boost applied to the group just closed. */
+  private[graft] final case class GroupBoost(factor: Double) extends Lex
 
   /** Tokenizes the query syntax (reference: ParsedQuery via Lucene's
     * QueryParser, dsl/DslQuery.scala:122-129): whitespace-separated
@@ -174,39 +207,97 @@ object Parsed {
       i = if (end < 0) n else end + 1
       s
     }
+    // `~N` / `^f` after a clause (either order, as QueryParser
+    // tolerates `term~2^3` and `term^3~2`). Malformed numbers keep
+    // the defaults rather than failing the whole query.
+    def readSuffixes(): (Option[Int], Double) = {
+      var fuzzy: Option[Int] = None
+      var boost = 1.0
+      var progressed = true
+      while (progressed && i < n) {
+        progressed = false
+        if (q.charAt(i) == '~' && fuzzy.isEmpty) {
+          i += 1; progressed = true
+          val ds = i
+          while (i < n && q.charAt(i).isDigit) i += 1
+          fuzzy = Some(if (i > ds) q.substring(ds, i).toInt else 2) // Lucene default edits
+        } else if (q.charAt(i) == '^' && boost == 1.0) {
+          i += 1; progressed = true
+          val ds = i
+          while (i < n && (q.charAt(i).isDigit || q.charAt(i) == '.')) i += 1
+          if (i > ds) boost = try q.substring(ds, i).toDouble catch { case _: NumberFormatException => 1.0 }
+        }
+      }
+      (fuzzy, boost)
+    }
+    def isWordChar(c: Char): Boolean = !c.isWhitespace &&
+      c != '(' && c != ')' && c != ':' && c != '~' && c != '^'
     while (i < n) {
       while (i < n && q.charAt(i).isWhitespace) i += 1
       if (i < n) q.charAt(i) match {
         case '(' => out += LParen; i += 1
-        case ')' => out += RParen; i += 1
+        case ')' =>
+          out += RParen; i += 1
+          if (i < n && q.charAt(i) == '^') { // `(...)^f` group boost
+            val (_, b) = readSuffixes()
+            if (b != 1.0) out += GroupBoost(b)
+          }
         case _ =>
           var occur = ' '
           if (q.charAt(i) == '+' || q.charAt(i) == '-') { occur = q.charAt(i); i += 1 }
           if (i < n && q.charAt(i) == '"') {
-            out += ClauseLex(Clause(occur, isPhrase = true, readPhrase()))
+            val text = readPhrase()
+            val (fz, b) = readSuffixes() // phrase `~N` = slop, parsed but exact-matched
+            out += ClauseLex(Clause(occur, isPhrase = true, text, None, fz, b))
           } else {
             val start = i
-            while (i < n && !q.charAt(i).isWhitespace &&
-              q.charAt(i) != '(' && q.charAt(i) != ')' && q.charAt(i) != ':') i += 1
+            while (i < n && isWordChar(q.charAt(i))) i += 1
             val word = q.substring(start, i)
             if (i < n && q.charAt(i) == ':') { // field-scoped clause
               i += 1
-              if (i < n && q.charAt(i) == '"')
-                out += ClauseLex(Clause(occur, isPhrase = true, readPhrase(), Some(word)))
-              else {
+              if (i < n && q.charAt(i) == '"') {
+                val text = readPhrase()
+                val (fz, b) = readSuffixes()
+                out += ClauseLex(Clause(occur, isPhrase = true, text, Some(word), fz, b))
+              } else if (i < n && (q.charAt(i) == '[' || q.charAt(i) == '{')) {
+                // range clause `field:[lo TO hi]` / `{..}` — mixed
+                // open/close brackets allowed, `*` = unbounded end
+                val loInc = q.charAt(i) == '['
+                val close = math.min(
+                  { val x = q.indexOf(']', i); if (x < 0) n else x },
+                  { val x = q.indexOf('}', i); if (x < 0) n else x })
+                val hiInc = close < n && q.charAt(close) == ']'
+                val body = q.substring(i + 1, close)
+                i = if (close < n) close + 1 else n
+                val (_, b) = readSuffixes()
+                body.trim.split("\\s+").toSeq match {
+                  case Seq(lo, to, hi) if to.equalsIgnoreCase("TO") =>
+                    out += ClauseLex(Clause(occur, isPhrase = false, "",
+                      Some(word), None, b, Some((lo, hi, loInc, hiInc))))
+                  case _ => // malformed range: drop the clause, like an empty field value
+                }
+              } else {
                 val ts = i
-                while (i < n && !q.charAt(i).isWhitespace &&
-                  q.charAt(i) != '(' && q.charAt(i) != ')') i += 1
-                if (i > ts)
-                  out += ClauseLex(Clause(occur, isPhrase = false, q.substring(ts, i), Some(word)))
+                while (i < n && isWordChar(q.charAt(i))) i += 1
+                if (i > ts) {
+                  val text = q.substring(ts, i)
+                  val (fz, b) = readSuffixes()
+                  out += ClauseLex(Clause(occur, isPhrase = false, text, Some(word), fz, b))
+                }
               }
+            } else if (word.nonEmpty && occur == ' ' && i < n && !isWordChar(q.charAt(i)) &&
+              (q.charAt(i) == '~' || q.charAt(i) == '^')) {
+              val (fz, b) = readSuffixes()
+              out += ClauseLex(Clause(occur, isPhrase = false, word, None, fz, b))
             } else if (word.nonEmpty && occur == ' ') word match {
               case "AND" => out += AndOp
               case "OR" => out += OrOp
               case "NOT" => out += NotOp
               case _ => out += ClauseLex(Clause(occur, isPhrase = false, word))
-            } else if (word.nonEmpty)
-              out += ClauseLex(Clause(occur, isPhrase = false, word))
+            } else if (word.nonEmpty) {
+              val (fz, b) = readSuffixes()
+              out += ClauseLex(Clause(occur, isPhrase = false, word, None, fz, b))
+            }
           }
       }
     }
@@ -219,7 +310,44 @@ object Parsed {
 
   private def leaf(defaultField: String, c: Clause): SearchQuery = {
     val f = c.field.getOrElse(defaultField)
-    if (c.isPhrase) MatchPhrase(f, c.text) else MatchText(f, c.text)
+    val base: SearchQuery = c.range match {
+      case Some((lo, hi, loInc, hiInc)) => rangeLeaf(f, lo, hi, loInc, hiInc)
+      case None =>
+        if (c.isPhrase) MatchPhrase(f, c.text) // `~N` on a phrase = slop; matched exact (see Parsed doc)
+        else if (c.fuzzy.isDefined) MatchFuzzy(f, c.text.toLowerCase, c.fuzzy.get)
+        else if (c.text.exists(ch => ch == '*' || ch == '?'))
+          MatchWildcard(f, c.text.toLowerCase)
+        else MatchText(f, c.text)
+    }
+    if (c.boost != 1.0) Boost(base, c.boost) else base
+  }
+
+  /** `field:[lo TO hi]` to filter nodes. Both bounds numeric →
+    * numeric comparison (Long if both integral, else Double);
+    * otherwise lexicographic on the raw strings. `*` = unbounded. */
+  private def rangeLeaf(f: String, lo: String, hi: String,
+      loInc: Boolean, hiInc: Boolean): SearchQuery = {
+    def long(s: String): Option[Long] = s.toLongOption
+    def dbl(s: String): Option[Double] = s.toDoubleOption
+    def coerce(a: String, b: String): (Any, Any) = (long(a), long(b)) match {
+      case (Some(x), Some(y)) => (x, y)
+      case _ => (dbl(a), dbl(b)) match {
+        case (Some(x), Some(y)) => (x, y)
+        case _ => (a, b)
+      }
+    }
+    def one(s: String): Any = long(s).orElse(dbl(s)).getOrElse(s)
+    (lo == "*", hi == "*") match {
+      case (true, true) => ExistsFilter(f)
+      case (true, false) => if (hiInc) LeFilter(f, one(hi)) else LtFilter(f, one(hi))
+      case (false, true) => if (loInc) GeFilter(f, one(lo)) else GtFilter(f, one(lo))
+      case (false, false) =>
+        val (l, h) = coerce(lo, hi)
+        if (loInc && hiInc) RangeFilter(f, l, h)
+        else And(
+          if (loInc) GeFilter(f, l) else GtFilter(f, l),
+          if (hiInc) LeFilter(f, h) else LtFilter(f, h))
+    }
   }
 
   /** Flat-clause semantics (no boolean keywords): `+` terms required
@@ -304,7 +432,10 @@ object Parsed {
         pos += 1
         val inner = orExpr()
         if (peek.contains(RParen)) pos += 1 // unbalanced close tolerated
-        inner
+        peek match {
+          case Some(GroupBoost(f)) => pos += 1; Boost(inner, f)
+          case _ => inner
+        }
       case Some(ClauseLex(c)) =>
         pos += 1
         if (c.occur == '-') Not(leaf(defaultField, c)) else leaf(defaultField, c)

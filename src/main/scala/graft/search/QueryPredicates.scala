@@ -62,6 +62,23 @@ object QueryPredicates {
       case MatchMin(f, min, ts) =>
         ts.map(t => when(tf(f, t) > 0, 1).otherwise(0)).reduceLeft(_ + _) >= min
       case Parsed(f, s) => compile(Parsed.desugar(f, s))
+      case Boost(inner, _) => compile(inner) // boost moves score only, never the match set
+      // No dictionary exists here, so multi-term queries match the
+      // pattern per token instead of via expansion — same match set
+      // as the indexed path (expansion is over exactly these tokens),
+      // acceptable per-row cost for a standing stream filter.
+      case MatchWildcard(f, pat) =>
+        val sql = pat.flatMap {
+          case '*' => "%"; case '?' => "_"
+          case '%' => "\\%"; case '_' => "\\_"; case '\\' => "\\\\"
+          case c => c.toString
+        }
+        if (textFields(f)) exists(an.tokensCol(col(f)), t => t.like(sql))
+        else col(f).like(sql)
+      case MatchFuzzy(f, t, maxEdits) =>
+        if (textFields(f))
+          exists(an.tokensCol(col(f)), tok => levenshtein(tok, lit(t)) <= maxEdits)
+        else levenshtein(col(f), lit(t)) <= maxEdits
       case EqFilter(f, v) => col(f) === lit(v)
       case GtFilter(f, v) => col(f) > lit(v)
       case GeFilter(f, v) => col(f) >= lit(v)

@@ -149,6 +149,10 @@ final class SearchIndex private (
     case MatchAnyTerms(f, ts) => ts.map(f -> _).toSet
     case MatchMin(f, _, ts) => ts.map(f -> _).toSet
     case Parsed(f, s) => collectTerms(Parsed.desugar(f, s))
+    case Boost(inner, _) => collectTerms(inner)
+    // multi-term queries are constant-score: their dictionary
+    // expansion never needs IDF
+    case _: MatchWildcard | _: MatchFuzzy => Set.empty
     case _: SearchFilter => Set.empty
   }
 
@@ -193,6 +197,52 @@ final class SearchIndex private (
     else // keyword field: exact value match, tf 1
       when(col(field) === lit(term), lit(1)).otherwise(lit(0))
 
+  /** Multi-term (wildcard/fuzzy) rewrite, the Lucene MultiTermQuery
+    * discipline: expand the pattern against the term DICTIONARY
+    * (stats — |vocab| rows, already persisted), then match documents
+    * with ordinary codegen'd term predicates. The dictionary probe is
+    * one tiny driver action per compile, the same cost class as
+    * [[idfFor]]; the alternative — a LIKE/levenshtein higher-order
+    * function over every document's token array — evaluates
+    * interpreted per token per doc and cannot use the dictionary's
+    * small size. Expansion is capped like Lucene's maxClauseCount;
+    * terms are taken in dictionary order for determinism. */
+  private val maxExpansions = 1024
+  private def expandDict(field: String, pred: Column): Seq[String] = {
+    val ts = stats
+      .where(col("field") === field && pred)
+      .select("term").orderBy("term").limit(maxExpansions + 1)
+      .collect().map(_.getString(0)).toSeq
+    if (ts.length > maxExpansions) {
+      System.err.println(s"[graft] multi-term expansion on '$field' " +
+        s"capped at $maxExpansions terms (Lucene maxClauseCount discipline)")
+      ts.take(maxExpansions)
+    } else ts
+  }
+
+  /** `*`/`?` glob to SQL LIKE, escaping LIKE's own metacharacters. */
+  private def likePattern(glob: String): String = glob.flatMap {
+    case '*' => "%"
+    case '?' => "_"
+    case '%' => "\\%"
+    case '_' => "\\_"
+    case '\\' => "\\\\"
+    case c => c.toString
+  }
+
+  /** Constant-score any-of-terms: the compiled form of an expanded
+    * multi-term query (Lucene CONSTANT_SCORE rewrite — matching docs
+    * score 1.0 regardless of tf/idf). */
+  private def constScoreAny(field: String, terms: Seq[String]): (Column, Column) =
+    if (terms.isEmpty) noMatch
+    else {
+      val pred =
+        if (spec.textFields.contains(field))
+          arrays_overlap(tokensCol(field), array(terms.map(lit): _*))
+        else col(field).isin(terms: _*)
+      (pred, when(pred, lit(1.0)).otherwise(lit(0.0)))
+    }
+
   private def termScore(field: String, term: String,
       idf: Map[(String, String), Double]): (Column, Column) = {
     val tf = tfCol(field, term)
@@ -229,7 +279,16 @@ final class SearchIndex private (
     case MatchAllTerms(f, _) if !isIndexedField(f) => noMatch
     case MatchAnyTerms(f, _) if !isIndexedField(f) => noMatch
     case MatchMin(f, _, _) if !isIndexedField(f) => noMatch
+    case MatchWildcard(f, _) if !isIndexedField(f) => noMatch
+    case MatchFuzzy(f, _, _) if !isIndexedField(f) => noMatch
     case AllDocs => (lit(true), lit(1.0))
+    case Boost(inner, factor) =>
+      val (p, s) = compileWith(inner, idf)
+      (p, s * lit(factor))
+    case MatchWildcard(f, pat) =>
+      constScoreAny(f, expandDict(f, col("term").like(likePattern(pat))))
+    case MatchFuzzy(f, t, maxEdits) =>
+      constScoreAny(f, expandDict(f, levenshtein(col("term"), lit(t)) <= maxEdits))
     case And(l, r) =>
       val (pl, sl) = compileWith(l, idf); val (pr, sr) = compileWith(r, idf)
       (pl && pr, sl + sr)

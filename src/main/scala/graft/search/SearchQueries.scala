@@ -126,13 +126,18 @@ object SearchQueries {
       extraWhere: String = "", extraScore: String = "",
       scoreFn: (String, String) => String = (tf, idf) => bm25Sql(tf, idf),
       exposeRaw: Boolean = false, prefix: String = toksCte,
-      semOverride: Option[String] = None): String = {
+      semOverride: Option[String] = None,
+      weights: Seq[Double] = Nil): String = {
     val tfCols = terms.zipWithIndex
       .map { case (t, i) => s"${tfSql(t)} AS tf_$i" }.mkString(",\n    ")
     val dfCols = terms.zipWithIndex
       .map { case (t, i) => s"${dfSql(t)} AS df_$i" }.mkString(",\n    ")
     val scoreSum = terms.indices
-      .map(i => scoreFn(s"tf_$i", idfSql(s"df_$i"))).mkString(" + ")
+      .map { i =>
+        val s = scoreFn(s"tf_$i", idfSql(s"df_$i"))
+        val w = if (weights.isEmpty) 1.0 else weights(i)
+        if (w == 1.0) s else s"$w * ($s)" // `term^w` boost
+      }.mkString(" + ")
     val nm = terms.indices.map(i => s"(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
     val sem = semOverride.getOrElse(
       if (minMatch <= 0) s"nm = ${terms.size}"
@@ -215,6 +220,31 @@ object SearchQueries {
     // compiles to the same AST as the explicit-builder search_keyword
     "search_raw_field" -> ((s, dir) =>
       topkOut(indexFor(s, dir).search("text" parseQuery "+lang:fr +vector", 10))),
+
+    // QueryParser boosts: `term^w` scales the clause's score mass
+    // without changing the match set
+    "search_boosted" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search(
+        "text" parseQuery "spark^2 join^0.5 window", 10))),
+
+    // QueryParser wildcards: dictionary expansion + constant-score
+    // rewrite (s*a* → scan/small/spark/stream, jo?n → join); each
+    // matched wildcard clause contributes exactly 1.0
+    "search_wildcard" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search("text" parseQuery "s*a* jo?n", 10))),
+
+    // QueryParser fuzzy: required `spakr~2` expands to dictionary
+    // terms within Levenshtein 2 (constant score), plus an optional
+    // scoring term
+    "search_fuzzy" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search("text" parseQuery "+spakr~2 window", 10))),
+
+    // QueryParser range syntax with mixed bounds: [inclusive TO
+    // exclusive} on a numeric doc field, as a required non-scoring
+    // clause beside a required scored term
+    "search_range_syntax" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search(
+        "text" parseQuery "+group +n_chars:[200 TO 480}", 10))),
 
     // ids-only light search
     "search_light" -> ((s, dir) =>
@@ -601,6 +631,58 @@ object SearchQueries {
          |ORDER BY s2.score DESC, doc_id
          |LIMIT 10""".stripMargin
     },
+
+    // spark^2 join^0.5 window: same match set as the unboosted
+    // 3-term OR, per-term score mass scaled by the boosts
+    "search_boosted" -> termQueryOracle(Seq("spark", "join", "window"), 1, 10,
+      weights = Seq(2.0, 0.5, 1.0)),
+
+    // wildcard clauses score a constant 1.0 each (Lucene
+    // CONSTANT_SCORE multi-term rewrite); the oracle applies the
+    // glob directly per token — the engine's dictionary expansion
+    // must produce the identical match set
+    "search_wildcard" ->
+      s"""$toksCte,
+         |scored AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN len(list_filter(tokens, x -> x LIKE 's%a%')) > 0 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN len(list_filter(tokens, x -> x LIKE 'jo_n')) > 0 THEN 1.0 ELSE 0.0 END) AS score
+         |  FROM toks
+         |)
+         |SELECT doc_id, round(score, 4) AS score FROM scored
+         |WHERE score > 0
+         |ORDER BY score DESC, doc_id
+         |LIMIT 10""".stripMargin,
+
+    // +spakr~2 window: the oracle recomputes the fuzzy expansion
+    // itself (DuckDB levenshtein over the corpus vocabulary — plain
+    // Levenshtein in both engines), so the dictionary probe is
+    // verified, not assumed; score = 1.0 (required fuzzy, constant)
+    // + optional-scoring bm25(window)
+    "search_fuzzy" ->
+      s"""$toksCte,
+         |fzm AS (
+         |  SELECT list(term) AS ts FROM (
+         |    SELECT DISTINCT unnest(tokens) AS term FROM toks
+         |  ) WHERE levenshtein(term, 'spakr') <= 2
+         |), dfs AS (SELECT ${dfSql("window")} AS df_w FROM (SELECT 1)),
+         |scored AS (
+         |  SELECT t.doc_id, len(t.tokens) AS dl, st.n, st.avgdl, dfs.df_w,
+         |    len(list_intersect(t.tokens, fzm.ts)) AS n_fz,
+         |    ${tfSql("window")} AS tf_w
+         |  FROM toks t, st, dfs, fzm
+         |), s2 AS (
+         |  SELECT *, 1.0 + ${bm25Sql("tf_w", idfSql("df_w"))} AS score
+         |  FROM scored WHERE n_fz > 0
+         |)
+         |SELECT doc_id, round(score, 4) AS score FROM s2
+         |ORDER BY s2.score DESC, doc_id
+         |LIMIT 10""".stripMargin,
+
+    // +group +n_chars:[200 TO 480}: required term + mixed-bound
+    // range filter (inclusive low, exclusive high), non-scoring
+    "search_range_syntax" -> termQueryOracle(Seq("group"), 0, 10,
+      extraWhere = " AND n_chars >= 200 AND n_chars < 480"),
 
     "search_light" -> termQueryOracle(Seq("stream"), 1, 10),
 

@@ -1,6 +1,7 @@
 package graft
 
-import graft.dsl.{And, MatchPhrase, MatchText, Not, Or, Parsed, Should}
+import graft.dsl.{And, Boost, GeFilter, GtFilter, LtFilter, MatchFuzzy,
+  MatchPhrase, MatchText, MatchWildcard, Not, Or, Parsed, RangeFilter, Should}
 import graft.functions.{ArrayCountEq, PhraseCount, TopKAgg, ScoredDoc, VecDot}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -99,10 +100,15 @@ class PropertiesSpec extends AnyFunSuite {
       Gen.listOfN(2, term).map(ts => MatchAnyTerms("text", ts.distinct)),
       Gen.listOfN(2, term).map(ts => MatchAllTerms("text", ts.distinct)),
       Gen.listOfN(2, term).map(ts => MatchPhrase("text", ts.mkString(" "))),
-      Gen.listOfN(3, term).map(ts => MatchMin("text", 2, ts.distinct)))
+      Gen.listOfN(3, term).map(ts => MatchMin("text", 2, ts.distinct)),
+      // multi-term leaves: indexed path expands the dictionary,
+      // stats-free path matches per token — same match set required
+      Gen.oneOf("?", "d*", "e?", "*d", "z*").map(p => MatchWildcard("text", p)),
+      for { t <- term; e <- Gen.choose(0, 2) } yield MatchFuzzy("text", t, e))
     val ast: Gen[SearchQuery] = for {
       l <- leaf; r <- leaf
-      q <- Gen.oneOf[SearchQuery](l, And(l, r), Or(l, r), And(l, Not(r)))
+      q <- Gen.oneOf[SearchQuery](l, And(l, r), Or(l, r), And(l, Not(r)),
+        Boost(l, 2.0)) // boost must never change the match set
     } yield q
     // 30 sampled ASTs: each check runs two Spark jobs
     samples(ast, 30).foreach { q =>
@@ -188,6 +194,42 @@ class PropertiesSpec extends AnyFunSuite {
       And(And(t("spark"), Should(t("join"))), Not(t("window"))))
     // ...and supports field scoping too
     assert(p("+lang:fr +vector") == And(MatchText("lang", "fr"), t("vector")))
+  }
+
+  test("Parsed QueryParser extras: boost, fuzzy, wildcard, ranges") {
+    def p(q: String) = Parsed.desugar("text", q)
+    def t(w: String) = MatchText("text", w)
+    // clause boosts, on bare, occur-prefixed, and field-scoped clauses
+    assert(p("spark^2 join") == Or(Boost(t("spark"), 2.0), t("join")))
+    assert(p("+spark^2 join") ==
+      And(Boost(t("spark"), 2.0), Should(t("join"))))
+    assert(p("lang:fr^3 AND vector") ==
+      And(Boost(MatchText("lang", "fr"), 3.0), t("vector")))
+    // group boost
+    assert(p("(spark AND join)^0.5 OR window") ==
+      Or(Boost(And(t("spark"), t("join")), 0.5), t("window")))
+    // fuzzy: explicit edits, default edits, suffix order ~N^f
+    assert(p("spakr~1") == MatchFuzzy("text", "spakr", 1))
+    assert(p("spakr~") == MatchFuzzy("text", "spakr", 2))
+    assert(p("spakr~1^2") == Boost(MatchFuzzy("text", "spakr", 1), 2.0))
+    // wildcards, lowercased like QueryParser's default normalization
+    assert(p("Spa*") == MatchWildcard("text", "spa*"))
+    assert(p("jo?n AND spark") == And(MatchWildcard("text", "jo?n"), t("spark")))
+    // phrase slop parses but matches exact (documented deviation)
+    assert(p("\"big data\"~2") == MatchPhrase("text", "big data"))
+    // ranges: inclusive, exclusive, mixed, open-ended, numeric coercion
+    assert(p("n_chars:[200 TO 480]") == RangeFilter("n_chars", 200L, 480L))
+    assert(p("n_chars:{200 TO 480}") ==
+      And(GtFilter("n_chars", 200L), LtFilter("n_chars", 480L)))
+    assert(p("n_chars:[200 TO 480}") ==
+      And(GeFilter("n_chars", 200L), LtFilter("n_chars", 480L)))
+    assert(p("n_chars:[200 TO *]") == GeFilter("n_chars", 200L))
+    assert(p("lang:[aa TO fr]") == RangeFilter("lang", "aa", "fr"))
+    assert(p("score:[0.5 TO 1.5]") == RangeFilter("score", 0.5, 1.5))
+    // occur prefixes compose with the new leaves
+    assert(p("+n_chars:[200 TO 480] +group") ==
+      And(RangeFilter("n_chars", 200L, 480L), t("group")))
+    assert(p("-spa* +join") == And(t("join"), Not(MatchWildcard("text", "spa*"))))
   }
 
   test("shingle arrays contain only n-token shingles") {
