@@ -190,6 +190,9 @@ object Parsed {
   private[graft] final case class ClauseLex(c: Clause) extends Lex
   /** `)^f` — boost applied to the group just closed. */
   private[graft] final case class GroupBoost(factor: Double) extends Lex
+  /** `+(` / `-(` — occur prefix attached to the group that follows
+    * (Lucene required/prohibited-group semantics). */
+  private[graft] final case class OccurMark(occur: Char) extends Lex
 
   /** Tokenizes the query syntax (reference: ParsedQuery via Lucene's
     * QueryParser, dsl/DslQuery.scala:122-129): whitespace-separated
@@ -220,7 +223,9 @@ object Parsed {
           i += 1; progressed = true
           val ds = i
           while (i < n && q.charAt(i).isDigit) i += 1
-          fuzzy = Some(if (i > ds) q.substring(ds, i).toInt else 2) // Lucene default edits
+          // toIntOption: digit runs overflowing Int (`term~99999999999`)
+          // keep the default instead of failing the whole query
+          fuzzy = Some(q.substring(ds, i).toIntOption.getOrElse(2)) // Lucene default edits
         } else if (q.charAt(i) == '^' && boost == 1.0) {
           i += 1; progressed = true
           val ds = i
@@ -245,7 +250,11 @@ object Parsed {
         case _ =>
           var occur = ' '
           if (q.charAt(i) == '+' || q.charAt(i) == '-') { occur = q.charAt(i); i += 1 }
-          if (i < n && q.charAt(i) == '"') {
+          if (occur != ' ' && i < n && q.charAt(i) == '(') {
+            // `+(a b)` / `-(a b)`: carry the occur onto the group; the
+            // '(' itself lexes as LParen on the next loop pass
+            out += OccurMark(occur)
+          } else if (i < n && q.charAt(i) == '"') {
             val text = readPhrase()
             val (fz, b) = readSuffixes() // phrase `~N` = slop, parsed but exact-matched
             out += ClauseLex(Clause(occur, isPhrase = true, text, None, fz, b))
@@ -297,6 +306,12 @@ object Parsed {
             } else if (word.nonEmpty) {
               val (fz, b) = readSuffixes()
               out += ClauseLex(Clause(occur, isPhrase = false, word, None, fz, b))
+            } else if (i < n) {
+              // empty word and nothing above consumed the character — a
+              // dangling '~' / '^' with no preceding term. Drop it and
+              // advance (as Lucene's QueryParser effectively does);
+              // without this the lexer would loop forever on e.g. "a ~ b".
+              i += 1
             }
           }
       }
@@ -376,7 +391,7 @@ object Parsed {
     private var pos = 0
     private def peek: Option[Lex] = if (pos < toks.length) Some(toks(pos)) else None
     private def startsUnary(l: Lex): Boolean = l match {
-      case LParen | NotOp | ClauseLex(_) => true
+      case LParen | NotOp | ClauseLex(_) | OccurMark(_) => true
       case _ => false
     }
     def orExpr(): SearchQuery = {
@@ -392,6 +407,7 @@ object Parsed {
       // to the adjacency-is-OR fold (Lucene's default operator).
       def leadRequired: Boolean = peek match {
         case Some(ClauseLex(c)) => c.occur == '+'
+        case Some(OccurMark(oc)) => oc == '+' // `+(...)` — required group
         case _ => false
       }
       // (explicitOr, required, query)
@@ -414,7 +430,9 @@ object Parsed {
           val base = must.reduceLeft(And)
           if (rest.nonEmpty) And(base, Should(rest.reduceLeft(Or))) else base
         } else if (rest.nonEmpty) rest.reduceLeft(Or)
-        else if (excl.nonEmpty) return excl.reduceLeft(And) // pure-negative query
+        // pure-negative query: fold the exclusions over AllDocs below so
+        // matching docs score 1.0, exactly like the legacy flat grammar
+        // desugars "-a -b" (And(AllDocs, Not(...)))
         else AllDocs
       excl.foldLeft(positives)((acc, n) => And(acc, n))
     }
@@ -425,6 +443,12 @@ object Parsed {
     }
     private def unary(): SearchQuery = peek match {
       case Some(NotOp) => pos += 1; Not(unary())
+      case Some(OccurMark(oc)) =>
+        pos += 1
+        val inner = unary()
+        // '+' required-ness is handled by leadRequired in orExpr;
+        // '-' is a prohibited group → negate it here
+        if (oc == '-') Not(inner) else inner
       case _ => primary()
     }
     private def primary(): SearchQuery = peek match {

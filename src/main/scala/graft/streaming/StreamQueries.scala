@@ -37,13 +37,19 @@ object StreamQueries {
           // drop superseded copies of this corpus (older size+mtime
           // tags) so repeated regeneration can't fill /tmp
           if (java.nio.file.Files.isDirectory(root)) {
-            val stale = java.nio.file.Files.list(root).iterator()
-            while (stale.hasNext) {
-              val s0 = stale.next()
-              if (s0.getFileName.toString.startsWith(base + "_") && s0 != d) {
-                val files = java.nio.file.Files.walk(s0).sorted(
-                  java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()
-                while (files.hasNext) java.nio.file.Files.deleteIfExists(files.next())
+            // Files.list/walk streams hold open directory handles —
+            // close them (Using) or repeated invocations leak FDs
+            scala.util.Using.resource(java.nio.file.Files.list(root)) { ls =>
+              val stale = ls.iterator()
+              while (stale.hasNext) {
+                val s0 = stale.next()
+                if (s0.getFileName.toString.startsWith(base + "_") && s0 != d) {
+                  scala.util.Using.resource(java.nio.file.Files.walk(s0)) { w =>
+                    val files = w.sorted(
+                      java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()
+                    while (files.hasNext) java.nio.file.Files.deleteIfExists(files.next())
+                  }
+                }
               }
             }
           }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.dsl.{And, Boost, GeFilter, GtFilter, LtFilter, MatchFuzzy,
+import graft.dsl.{AllDocs, And, Boost, GeFilter, GtFilter, LtFilter, MatchFuzzy,
   MatchPhrase, MatchText, MatchWildcard, Not, Or, Parsed, RangeFilter, Should}
 import graft.functions.{ArrayCountEq, PhraseCount, TopKAgg, ScoredDoc, VecDot}
 import org.apache.spark.sql.catalyst.expressions.Literal
@@ -174,7 +174,9 @@ class PropertiesSpec extends AnyFunSuite {
     def t(w: String) = MatchText("text", w)
     assert(p("(spark AND join) OR window") == Or(And(t("spark"), t("join")), t("window")))
     assert(p("lang:fr AND vector") == And(MatchText("lang", "fr"), t("vector")))
-    assert(p("NOT spark") == Not(t("spark")))
+    // pure-negative queries fold over AllDocs so matching docs score
+    // 1.0, consistent with the legacy flat grammar's "-spark"
+    assert(p("NOT spark") == And(AllDocs, Not(t("spark"))))
     assert(p("a OR NOT (b AND c)") == Or(t("a"), Not(And(t("b"), t("c")))))
     assert(p("title:\"big data\" OR spark") ==
       Or(MatchPhrase("title", "big data"), t("spark")))
@@ -230,6 +232,27 @@ class PropertiesSpec extends AnyFunSuite {
     assert(p("+n_chars:[200 TO 480] +group") ==
       And(RangeFilter("n_chars", 200L, 480L), t("group")))
     assert(p("-spa* +join") == And(t("join"), Not(MatchWildcard("text", "spa*"))))
+  }
+
+  test("Parsed malformed-input hardening: dangling operators, overflow, occur groups") {
+    def p(q: String) = Parsed.desugar("text", q)
+    def t(w: String) = MatchText("text", w)
+    // dangling '~' / '^' tokens are dropped, never loop the lexer
+    assert(p("~") == AllDocs)
+    assert(p("^") == AllDocs)
+    assert(p("spark ~ join") == Or(t("spark"), t("join")))
+    assert(p("a ^ b") == Or(t("a"), t("b")))
+    assert(p("+~") == AllDocs)
+    // fuzzy edit counts overflowing Int keep the Lucene default (2)
+    assert(p("spark~99999999999") == MatchFuzzy("text", "spark", 2))
+    // occur prefix on a group carries Lucene required/prohibited
+    // semantics instead of silently degrading to a plain group
+    assert(p("+(warn fatal) error") ==
+      And(Or(t("warn"), t("fatal")), Should(t("error"))))
+    assert(p("-(warn fatal) error") ==
+      And(t("error"), Not(Or(t("warn"), t("fatal")))))
+    // boolean-mode pure-negative matches the flat grammar's AST exactly
+    assert(p("(-a -b)") == p("-a -b"))
   }
 
   test("shingle arrays contain only n-token shingles") {
