@@ -1,0 +1,154 @@
+package graft.pipeline
+
+import graft.analysis.Analyzers
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Corpus-curation operators for training-data pipelines, beyond the
+  * reference's search surface: eval-set decontamination, stratified
+  * sampling, context-window sequence packing, and vocabulary-coverage
+  * analysis. Each is designed for the 100 TB shape first:
+  *
+  *  - [[decontaminate]]: the eval set is tiny by construction, so its
+  *    n-gram dictionary broadcasts; the train side stays one scan +
+  *    one doc_id-keyed partial aggregation (no shuffle of the corpus
+  *    against itself).
+  *  - [[stratifiedSample]]: pure map-side filter on a deterministic
+  *    md5 bucket — zero shuffles, trivially parallel, reproducible
+  *    across runs and engines (no RNG state).
+  *  - [[packSequences]]: concat-and-chunk packing (the standard
+  *    pretraining batching step) over (lang, shard) streams; sharding
+  *    by a hash of doc_id bounds every window partition so the running
+  *    sum never serializes the whole corpus through one task.
+  *  - [[vocabCoverage]]: the vocabulary is a df-ranked top-V
+  *    aggregation (bounded driver collect of V rows), then a map-side
+  *    codegen count per document.
+  */
+object Curation {
+
+  private def toks(c: Column): Column = Analyzers.default.tokensCol(c)
+
+  /** Deterministic [0, mod) bucket from md5 of the id's decimal string
+    * — reproducible in any engine, unlike RNG-based `sample()`. */
+  private def md5Bucket(id: Column, mod: Int): Column =
+    (conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % mod)
+
+  /** Train/eval decontamination (the overlap filter every published
+    * LLM data pipeline runs before training; e.g. the 13-gram overlap
+    * scan described in Brown et al. 2020 §4, "Language Models are
+    * Few-Shot Learners" — public): documents whose doc_id % 20 == 0
+    * stand in for the benchmark/eval split; every remaining (train)
+    * document reports how many of its distinct `n`-token shingles
+    * also occur anywhere in the eval split.
+    *
+    * Plan shape at scale: the eval split's gram dictionary is orders
+    * of magnitude smaller than the corpus → `broadcast()` it and the
+    * probe is a map-side semi join; the only shuffle is the
+    * doc_id-keyed hit count (partial-aggregated). */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), toks(col("text")).as("tokens"))
+      .select(col("doc_id"), Dedup.shingles(col("tokens"), n).as("grams"))
+    val isEval = col("doc_id") % 20 === 0
+    val evalGrams = docs.where(isEval)
+      .select(explode(col("grams")).as("g")).distinct()
+    val train = docs.where(!isEval)
+    val hits = train.select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    train.join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("grams")).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          greatest(size(col("grams")), lit(1)), 4).as("contam_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language sampling rates (percent kept): downsample the
+    * overrepresented language, keep the rest — corpus rebalancing. */
+  val SampleRates: Seq[(String, Int)] =
+    Seq("de" -> 100, "en" -> 30, "es" -> 100, "fr" -> 100, "zh" -> 60)
+
+  /** Deterministic stratified sampling: keep a document iff its md5
+    * bucket (0-99) falls under its language's rate. A pure map-side
+    * filter — no shuffle, no RNG, identical output on any cluster
+    * size, and the same expression replays in SQL for the oracle.
+    * Unknown languages default to keep-all (rate 100). */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = SampleRates.foldRight(lit(100): Column) { case ((l, r), rest) =>
+      when(col("lang") === l, lit(r)).otherwise(rest)
+    }
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), md5Bucket(col("doc_id"), 100).as("bucket"))
+      .where(col("bucket") < rate)
+      .orderBy("doc_id")
+  }
+
+  /** Concat-and-chunk sequence packing (how pretraining batches are
+    * actually formed: documents are concatenated into a token stream
+    * and split every `budget` tokens; a document spanning a boundary
+    * belongs to every window it touches). Streams are keyed by
+    * (lang, shard) with shard = md5(doc_id) % `shards`, ordered by
+    * doc_id — at 100 TB the shard count scales with the cluster so no
+    * window partition (and thus no single task) ever holds more than
+    * corpus/|streams| tokens; the assignment stays deterministic and
+    * engine-reproducible.
+    *
+    * Output per document: its stream, token count, start offset in
+    * the stream, and the first/last pack (context window) it lands
+    * in. Empty documents occupy zero tokens and stay in the pack at
+    * their offset. */
+  def packSequences(spark: SparkSession, dir: String,
+      budget: Int = 256, shards: Int = 4): DataFrame = {
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        md5Bucket(col("doc_id"), shards).as("shard"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_offset", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(
+        col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        col("start_offset"),
+        floor(col("start_offset") / budget).as("start_pack"),
+        floor((col("start_offset") + greatest(col("n_tokens"), lit(1L)) - 1) / budget)
+          .as("end_pack"))
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary coverage / OOV analysis: rank the corpus vocabulary
+    * by document frequency, keep the top `vocabSize` terms (ties
+    * break on the term itself so both engines pick the same set),
+    * then score every document's out-of-vocabulary token fraction —
+    * the tokenizer-coverage check run before committing to a vocab.
+    *
+    * The vocabulary is a full-corpus aggregation but its RESULT is
+    * `vocabSize` rows — collected to the driver (bounded) and pushed
+    * back down as a literal array, so the per-document pass is one
+    * codegen'd map-side scan, no join. */
+  def vocabCoverage(spark: SparkSession, dir: String, vocabSize: Int = 20): DataFrame = {
+    graft.functions.SearchExpressions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), toks(col("text")).as("tokens"))
+    val vocab: Seq[String] = docs
+      .select(col("doc_id"), explode(array_distinct(col("tokens"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(vocabSize)
+      .select("term").collect().map(_.getString(0)).toSeq
+    docs
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+      .withColumn("n_in_vocab",
+        call_function("array_count_in", col("tokens"),
+          array(vocab.map(lit): _*)).cast("long"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - col("n_in_vocab")).as("n_oov"),
+        round((col("n_tokens") - col("n_in_vocab")).cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 4).as("oov_frac"))
+      .orderBy("doc_id")
+  }
+}

@@ -31,6 +31,10 @@ object PipelineQueries {
     // oracle generated at runtime from the fitted centroids (see
     // ivfOracle below); KMeans quality itself is covered by IvfSpec
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir, recordAs = Some("ann_ivf"))),
+    "decontaminate" -> ((s, dir) => Curation.decontaminate(s, dir)),
+    "sample_stratified" -> ((s, dir) => Curation.stratifiedSample(s, dir)),
+    "pack_sequences" -> ((s, dir) => Curation.packSequences(s, dir)),
+    "vocab_coverage" -> ((s, dir) => Curation.vocabCoverage(s, dir)),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "lang_id_ngram" -> ((s, dir) => TextAnalysis.langIdNgram(s, dir)),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -229,7 +233,79 @@ object PipelineQueries {
        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
        |)""".stripMargin
 
+  /** Mirror of Curation.md5Bucket: deterministic [0, mod) bucket from
+    * the md5 of the id's decimal string. */
+  private def md5BucketSql(idExpr: String, mod: Int): String =
+    s"(('0x' || substr(md5($idExpr::VARCHAR), 1, 8))::BIGINT % $mod)"
+
   private val staticOracles: Map[String, String] = Map(
+    "decontaminate" ->
+      s"""$toksCte,
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tokens) >= 5 THEN ${shingleSql(5)} ELSE [] END AS ss
+         |  FROM toks
+         |), eval_grams AS (
+         |  SELECT DISTINCT unnest(ss) AS g FROM sh WHERE doc_id % 20 = 0
+         |), train AS (
+         |  SELECT doc_id, ss FROM sh WHERE doc_id % 20 <> 0
+         |), hits AS (
+         |  SELECT t.doc_id, count(*) AS n_hit
+         |  FROM (SELECT doc_id, unnest(ss) AS g FROM train) t
+         |  JOIN eval_grams e USING (g)
+         |  GROUP BY 1
+         |)
+         |SELECT t.doc_id, len(t.ss) AS n_grams, coalesce(h.n_hit, 0) AS n_hit,
+         |  round(coalesce(h.n_hit, 0)::DOUBLE / greatest(len(t.ss), 1), 4) AS contam_frac
+         |FROM train t LEFT JOIN hits h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" -> {
+      val rateCase = Curation.SampleRates
+        .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+        .mkString("CASE ", " ", " ELSE 100 END")
+      s"""SELECT doc_id, lang, ${md5BucketSql("doc_id", 100)} AS bucket
+         |FROM documents
+         |WHERE ${md5BucketSql("doc_id", 100)} < $rateCase
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "pack_sequences" ->
+      s"""$toksCte
+         |SELECT doc_id, lang, shard, n_tokens, start_offset,
+         |  CAST(floor(start_offset / 256) AS BIGINT) AS start_pack,
+         |  CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 256) AS BIGINT) AS end_pack
+         |FROM (
+         |  SELECT doc_id, lang, shard, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      - n_tokens AS start_offset
+         |  FROM (
+         |    SELECT doc_id, lang, ${md5BucketSql("doc_id", 4)} AS shard,
+         |      len(tokens)::BIGINT AS n_tokens
+         |    FROM toks
+         |  )
+         |)
+         |ORDER BY doc_id""".stripMargin,
+
+    "vocab_coverage" ->
+      s"""$toksCte,
+         |vocab AS (
+         |  SELECT term FROM (
+         |    SELECT term, count(*) AS df
+         |    FROM (SELECT doc_id, unnest(list_distinct(tokens)) AS term FROM toks)
+         |    GROUP BY term
+         |  )
+         |  ORDER BY df DESC, term
+         |  LIMIT 20
+         |), v AS (SELECT list(term) AS vlist FROM vocab)
+         |SELECT doc_id, len(tokens)::BIGINT AS n_tokens,
+         |  (len(tokens) - len(list_filter(tokens, x -> list_contains(v.vlist, x))))::BIGINT AS n_oov,
+         |  round((len(tokens) - len(list_filter(tokens, x -> list_contains(v.vlist, x))))::DOUBLE
+         |    / greatest(len(tokens), 1), 4) AS oov_frac
+         |FROM toks, v
+         |ORDER BY doc_id""".stripMargin,
+
     "dedup_exact" ->
       """SELECT doc_id,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("decontaminate: eval docs excluded, hit counts bounded by gram counts") {
+    val out = Curation.decontaminate(spark, dir)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (id, _, _, _) => id % 20 != 0 }, "eval split must not appear")
+    assert(out.forall { case (_, nGrams, nHit, frac) =>
+      nHit <= nGrams && frac >= 0.0 && frac <= 1.0
+    })
+    // a train doc sharing ALL its grams with itself is impossible; but a
+    // doc with zero grams must report frac 0, not NaN
+    assert(out.filter(_._2 == 0).forall(_._4 == 0.0))
+  }
+
+  test("decontaminate flags a duplicated eval document") {
+    // doc 0 is in the eval split (0 % 20 == 0); any exact dup of it in
+    // the train split must report contam_frac 1.0. The sf0.001 corpus
+    // may not contain one, so check the invariant differentially: every
+    // train doc's hit grams must be a subset of the eval gram set.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), graft.analysis.Analyzers.default.tokensCol(col("text")).as("tokens"))
+      .select(col("doc_id"), Dedup.shingles(col("tokens"), 5).as("grams"))
+    val evalGrams = docs.where(col("doc_id") % 20 === 0)
+      .select(explode(col("grams")).as("g")).distinct()
+      .as[String].collect().toSet
+    val out = Curation.decontaminate(spark, dir).as[(Long, Int, Long, Double)].collect()
+    val trainGrams = docs.where(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), col("grams")).as[(Long, Seq[String])].collect().toMap
+    out.foreach { case (id, _, nHit, _) =>
+      val expected = trainGrams(id).count(evalGrams.contains)
+      assert(nHit == expected, s"doc $id: expected $expected hits, got $nHit")
+    }
+  }
+
+  test("stratifiedSample: deterministic, respects per-language rates") {
+    val a = Curation.stratifiedSample(spark, dir).as[(Long, String, Long)].collect()
+    val b = Curation.stratifiedSample(spark, dir).as[(Long, String, Long)].collect()
+    assert(a.toSeq == b.toSeq, "hash sampling must be deterministic")
+    val rates = Curation.SampleRates.toMap
+    a.foreach { case (_, lang, bucket) =>
+      assert(bucket >= 0 && bucket < 100)
+      assert(bucket < rates.getOrElse(lang, 100), s"$lang bucket $bucket over rate")
+    }
+    // the downsampled language must actually be downsampled
+    val total = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = a.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(kept.getOrElse("en", 0L) < total("en"), "en must lose rows at rate 30")
+    assert(kept.getOrElse("de", 0L) == total("de"), "de keeps all rows at rate 100")
+  }
+
+  test("packSequences: offsets are contiguous per stream, packs consistent") {
+    val out = Curation.packSequences(spark, dir)
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(r => (r._2, r._3)).foreach { case (stream, rows) =>
+      val sorted = rows.sortBy(_._1)
+      var expect = 0L
+      sorted.foreach { case (id, _, _, nTok, start, sp, ep) =>
+        assert(start == expect, s"stream $stream doc $id: offset $start != $expect")
+        assert(sp == start / 256, s"doc $id start_pack")
+        assert(ep == (start + math.max(nTok, 1) - 1) / 256, s"doc $id end_pack")
+        assert(ep >= sp)
+        expect += nTok
+      }
+    }
+  }
+
+  test("vocabCoverage: oov fraction consistent with a driver-side recount") {
+    import org.apache.spark.sql.functions._
+    val out = Curation.vocabCoverage(spark, dir).as[(Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // recompute the top-20 df vocabulary on the driver and respot 5 docs
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), graft.analysis.Analyzers.default.tokensCol(col("text")).as("tokens"))
+      .as[(Long, Seq[String])].collect()
+    val df = toks.flatMap { case (_, ts) => ts.distinct }.groupBy(identity)
+      .view.mapValues(_.length).toSeq
+    val vocab = df.sortBy { case (t, d) => (-d, t) }.take(20).map(_._1).toSet
+    val byId = toks.toMap
+    out.take(5).foreach { case (id, nTok, nOov, frac) =>
+      val ts = byId(id)
+      assert(nTok == ts.length)
+      val oov = ts.count(t => !vocab.contains(t))
+      assert(nOov == oov, s"doc $id: oov $oov vs $nOov")
+      assert(math.abs(frac - oov.toDouble / math.max(ts.length, 1)) < 1e-3)
+    }
+  }
+}
