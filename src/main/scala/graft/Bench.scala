@@ -54,7 +54,7 @@ object Bench {
       if (!sectioned) 0
       else if (n.startsWith("ann_") || n.startsWith("dedup_") ||
         n.startsWith("simhash")) 0 // Dedup + Similarity registries
-      else if (n.matches("^(lang_|quality_|repetition_|token_|fingerprint|multimodal_|source_|stream_).*")) 1 // cache-free
+      else if (n.matches("^(lang_|quality_|repetition_|token_|fingerprint|multimodal_|source_|stream_|decontaminate|sample_|pack_|vocab_).*")) 1 // cache-free
       else if (n.matches("^q\\d.*")) 2 // relational, cache-free
       else 3 // search-index cohort (search_*, batch, query_join, stats)
     def clearSection(s: Int): Unit = if (sectioned) s match {

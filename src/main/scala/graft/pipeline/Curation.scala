@@ -53,17 +53,21 @@ object Curation {
     val isEval = col("doc_id") % 20 === 0
     val evalGrams = docs.where(isEval)
       .select(explode(col("grams")).as("g")).distinct()
-    val train = docs.where(!isEval)
-    val hits = train.select(col("doc_id"), explode(col("grams")).as("g"))
-      .join(broadcast(evalGrams), Seq("g"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    train.join(hits, Seq("doc_id"), "left")
+    // single train-side scan: carry n_grams through the explode
+    // (explode_outer keeps gram-less short docs) and mark hits with a
+    // broadcast left join, so the corpus is tokenized+shingled once
+    val exploded = docs.where(!isEval)
+      .select(col("doc_id"), size(col("grams")).as("n_grams"),
+        explode_outer(col("grams")).as("g"))
+    exploded
+      .join(broadcast(evalGrams.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(first("n_grams").as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .select(
-        col("doc_id"),
-        size(col("grams")).as("n_grams"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
-          greatest(size(col("grams")), lit(1)), 4).as("contam_frac"))
+        col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") /
+          greatest(col("n_grams"), lit(1)), 4).as("contam_frac"))
       .orderBy("doc_id")
   }
 

@@ -65,6 +65,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p.take(600))
   }
 
+  test("decontaminate broadcasts the eval gram dictionary, semi-joins the corpus") {
+    val p = plan(pipeline.Curation.decontaminate(spark, sf))
+    // the corpus-side probe must be a broadcast join — a shuffled join
+    // here would re-shuffle the whole corpus at 100 TB
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("stratified sampling is a pure map-side filter: no shuffle before the harness sort") {
+    val df = pipeline.Curation.stratifiedSample(spark, sf)
+    val p = plan(df)
+    // exactly one Exchange, and it is the final orderBy's range
+    // partitioning — the sampling itself must not shuffle
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")), exchanges.toString)
+  }
+
   test("getElements on a key-bucketed corpus prunes buckets") {
     // the reference's point lookup targets ONE partition via
     // sc.runJob (PartitionsIndexLuceneRDD.scala:403-450); our analog

@@ -255,6 +255,19 @@ class PropertiesSpec extends AnyFunSuite {
     assert(p("(-a -b)") == p("-a -b"))
   }
 
+  test("Parsed.desugar total: any operator soup terminates without throwing") {
+    // fuzz the full query-syntax charset — every character the lexer
+    // treats specially plus word chars; desugar must terminate and
+    // produce SOME ast for all of them (user-supplied query strings
+    // reach this via parseQuery, so non-termination hangs the driver)
+    val special = Gen.oneOf("+-\"():~^[]{}*? \t.ABCDEFandorNOT059".toSeq)
+    forAll(Gen.listOf(special)) { cs =>
+      val q = cs.mkString
+      val ast = Parsed.desugar("text", q) // must not throw or hang
+      assert(ast != null)
+    }
+  }
+
   test("shingle arrays contain only n-token shingles") {
     import TestSpark.spark
     import spark.implicits._
