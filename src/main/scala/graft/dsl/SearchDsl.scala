@@ -98,7 +98,11 @@ final case class MatchFuzzy(field: String, term: String, maxEdits: Int) extends 
   * fuzzy terms (`spark~1`), and ranges (`f:[a TO b]`, `f:{a TO *}`
   * — square bracket inclusive, curly exclusive, `*` unbounded).
   * A `~N` after a phrase is Lucene slop syntax: parsed, but matched
-  * as the exact phrase (slop 0), a documented deviation. */
+  * as the exact phrase (slop 0), a documented deviation.
+  * Backslash escapes follow Lucene: `\x` joins the word with no
+  * structural meaning (`foo\:bar` is one term, `\AND` is a literal
+  * word, escaped `\*`/`\?` never form wildcards, `\"` embeds a quote
+  * in a phrase). */
 final case class Parsed(field: String, queryString: String) extends SearchQuery
 
 // ---------------- non-scoring filters (Occur.FILTER) ----------------
@@ -177,7 +181,10 @@ object Parsed {
     fuzzy: Option[Int] = None, // `term~N` (None = not fuzzy; phrase slop is parsed here too but ignored)
     boost: Double = 1.0, // `clause^f`
     // `field:[lo TO hi]` — (lo, hi, loInclusive, hiInclusive); "*" = unbounded end
-    range: Option[(String, String, Boolean, Boolean)] = None)
+    range: Option[(String, String, Boolean, Boolean)] = None,
+    // the word contained `\x` escapes: its '*'/'?' are literal, and it
+    // can never be an AND/OR/NOT keyword (Lucene escape semantics)
+    escaped: Boolean = false)
 
   // ---------------- lexer ----------------
 
@@ -204,11 +211,16 @@ object Parsed {
     var i = 0
     val n = q.length
     def readPhrase(): String = { // caller sits on the opening quote
-      val end = q.indexOf('"', i + 1)
-      val stop = if (end < 0) n else end
-      val s = q.substring(i + 1, stop)
-      i = if (end < 0) n else end + 1
-      s
+      val sb = new java.lang.StringBuilder
+      i += 1
+      var closed = false
+      while (!closed && i < n) {
+        val c = q.charAt(i)
+        if (c == '\\' && i + 1 < n) { sb.append(q.charAt(i + 1)); i += 2 } // `\"` etc.
+        else if (c == '"') { closed = true; i += 1 }
+        else { sb.append(c); i += 1 } // unterminated phrase: consume to end
+      }
+      sb.toString
     }
     // `~N` / `^f` after a clause (either order, as QueryParser
     // tolerates `term~2^3` and `term^3~2`). Malformed numbers keep
@@ -237,6 +249,21 @@ object Parsed {
     }
     def isWordChar(c: Char): Boolean = !c.isWhitespace &&
       c != '(' && c != ')' && c != ':' && c != '~' && c != '^'
+    // word reader with Lucene `\x` escapes: an escaped character joins
+    // the word with no structural meaning (`foo\:bar` is one term, not
+    // a field prefix). Returns (word, sawEscape).
+    def readWord(): (String, Boolean) = {
+      val sb = new java.lang.StringBuilder
+      var esc = false
+      var reading = true
+      while (reading && i < n) {
+        val c = q.charAt(i)
+        if (c == '\\' && i + 1 < n) { sb.append(q.charAt(i + 1)); esc = true; i += 2 }
+        else if (isWordChar(c)) { sb.append(c); i += 1 }
+        else reading = false
+      }
+      (sb.toString, esc)
+    }
     while (i < n) {
       while (i < n && q.charAt(i).isWhitespace) i += 1
       if (i < n) q.charAt(i) match {
@@ -259,9 +286,7 @@ object Parsed {
             val (fz, b) = readSuffixes() // phrase `~N` = slop, parsed but exact-matched
             out += ClauseLex(Clause(occur, isPhrase = true, text, None, fz, b))
           } else {
-            val start = i
-            while (i < n && isWordChar(q.charAt(i))) i += 1
-            val word = q.substring(start, i)
+            val (word, wordEsc) = readWord()
             if (i < n && q.charAt(i) == ':') { // field-scoped clause
               i += 1
               if (i < n && q.charAt(i) == '"') {
@@ -286,26 +311,28 @@ object Parsed {
                   case _ => // malformed range: drop the clause, like an empty field value
                 }
               } else {
-                val ts = i
-                while (i < n && isWordChar(q.charAt(i))) i += 1
-                if (i > ts) {
-                  val text = q.substring(ts, i)
+                val (text, textEsc) = readWord()
+                if (text.nonEmpty) {
                   val (fz, b) = readSuffixes()
-                  out += ClauseLex(Clause(occur, isPhrase = false, text, Some(word), fz, b))
+                  out += ClauseLex(Clause(occur, isPhrase = false, text, Some(word), fz, b,
+                    escaped = textEsc))
                 }
               }
             } else if (word.nonEmpty && occur == ' ' && i < n && !isWordChar(q.charAt(i)) &&
               (q.charAt(i) == '~' || q.charAt(i) == '^')) {
               val (fz, b) = readSuffixes()
-              out += ClauseLex(Clause(occur, isPhrase = false, word, None, fz, b))
-            } else if (word.nonEmpty && occur == ' ') word match {
+              out += ClauseLex(Clause(occur, isPhrase = false, word, None, fz, b,
+                escaped = wordEsc))
+            } else if (word.nonEmpty && occur == ' ' && !wordEsc) word match {
+              // an escaped word (`\AND`) is always a literal term
               case "AND" => out += AndOp
               case "OR" => out += OrOp
               case "NOT" => out += NotOp
               case _ => out += ClauseLex(Clause(occur, isPhrase = false, word))
             } else if (word.nonEmpty) {
               val (fz, b) = readSuffixes()
-              out += ClauseLex(Clause(occur, isPhrase = false, word, None, fz, b))
+              out += ClauseLex(Clause(occur, isPhrase = false, word, None, fz, b,
+                escaped = wordEsc))
             } else if (i < n) {
               // empty word and nothing above consumed the character — a
               // dangling '~' / '^' with no preceding term. Drop it and
@@ -330,7 +357,9 @@ object Parsed {
       case None =>
         if (c.isPhrase) MatchPhrase(f, c.text) // `~N` on a phrase = slop; matched exact (see Parsed doc)
         else if (c.fuzzy.isDefined) MatchFuzzy(f, c.text.toLowerCase, c.fuzzy.get)
-        else if (c.text.exists(ch => ch == '*' || ch == '?'))
+        // escaped words (`wild\*card`) never parse as wildcards —
+        // their '*'/'?' are literal characters (Lucene escape rules)
+        else if (!c.escaped && c.text.exists(ch => ch == '*' || ch == '?'))
           MatchWildcard(f, c.text.toLowerCase)
         else MatchText(f, c.text)
     }

@@ -47,9 +47,15 @@ object Curation {
     * probe is a map-side semi join; the only shuffle is the
     * doc_id-keyed hit count (partial-aggregated). */
   def decontaminate(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    // grams travel as 60-bit md5-prefix hashes, not strings: the
+    // broadcast eval dictionary shrinks ~6x (8-byte longs vs ~40-char
+    // shingles) and the probe compares longs — at 10^9 eval grams the
+    // string dictionary would not broadcast, the hashed one does
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), toks(col("text")).as("tokens"))
-      .select(col("doc_id"), Dedup.shingles(col("tokens"), n).as("grams"))
+      .select(col("doc_id"),
+        transform(Dedup.shingles(col("tokens"), n),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("grams"))
     val isEval = col("doc_id") % 20 === 0
     val evalGrams = docs.where(isEval)
       .select(explode(col("grams")).as("g")).distinct()

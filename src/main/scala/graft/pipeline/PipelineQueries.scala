@@ -239,11 +239,15 @@ object PipelineQueries {
     s"(('0x' || substr(md5($idExpr::VARCHAR), 1, 8))::BIGINT % $mod)"
 
   private val staticOracles: Map[String, String] = Map(
+    // grams compare as 60-bit md5-prefix hashes, mirroring
+    // Curation.decontaminate's broadcast-dictionary representation
     "decontaminate" ->
       s"""$toksCte,
          |sh AS (
          |  SELECT doc_id,
-         |    CASE WHEN len(tokens) >= 5 THEN ${shingleSql(5)} ELSE [] END AS ss
+         |    list_transform(
+         |      CASE WHEN len(tokens) >= 5 THEN ${shingleSql(5)} ELSE [] END,
+         |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS ss
          |  FROM toks
          |), eval_grams AS (
          |  SELECT DISTINCT unnest(ss) AS g FROM sh WHERE doc_id % 20 = 0

@@ -255,12 +255,32 @@ class PropertiesSpec extends AnyFunSuite {
     assert(p("(-a -b)") == p("-a -b"))
   }
 
+  test("Parsed backslash escapes follow Lucene rules") {
+    def p(q: String) = Parsed.desugar("text", q)
+    def t(w: String) = MatchText("text", w)
+    // escaped ':' joins the term — no field split
+    assert(p("foo\\:bar") == t("foo:bar"))
+    // escaped wildcard chars are literal, never MatchWildcard
+    assert(p("wild\\*card") == t("wild*card"))
+    assert(p("who\\?") == t("who?"))
+    // escaped keyword is a literal term, not an operator
+    assert(p("a \\AND b") == Or(Or(t("a"), t("AND")), t("b")))
+    // escaped quote embeds in a phrase
+    assert(p("\"a \\\"b\\\" c\"") == MatchPhrase("text", "a \"b\" c"))
+    // escaped '~' suppresses fuzzy parsing
+    assert(p("spark\\~2") == t("spark~2"))
+    // escapes work in field values too
+    assert(p("lang:a\\:b") == MatchText("lang", "a:b"))
+    // unescaped behavior is untouched
+    assert(p("spa*") == MatchWildcard("text", "spa*"))
+  }
+
   test("Parsed.desugar total: any operator soup terminates without throwing") {
     // fuzz the full query-syntax charset — every character the lexer
     // treats specially plus word chars; desugar must terminate and
     // produce SOME ast for all of them (user-supplied query strings
     // reach this via parseQuery, so non-termination hangs the driver)
-    val special = Gen.oneOf("+-\"():~^[]{}*? \t.ABCDEFandorNOT059".toSeq)
+    val special = Gen.oneOf("+-\"():~^[]{}*?\\ \t.ABCDEFandorNOT059".toSeq)
     forAll(Gen.listOf(special)) { cs =>
       val q = cs.mkString
       val ast = Parsed.desugar("text", q) // must not throw or hang
