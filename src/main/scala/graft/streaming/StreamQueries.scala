@@ -5,82 +5,99 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** SparkEntry entry for the Structured Streaming surface (SURVEY
-  * §2.7): the tumbling-window aggregation actually executed AS A
-  * STREAM — `readStream` over the events parquet, AvailableNow
-  * trigger, memory sink — and hash-checked against the same DuckDB
-  * oracle as its batch twin `q15_events_window`. Complete output mode
-  * so end-of-stream windows still inside the watermark are emitted
-  * too (a bounded replay must produce the full batch answer).
+/** SparkEntry entries for the Structured Streaming surface (SURVEY
+  * §2.7): windowed aggregations actually executed AS STREAMS —
+  * `readStream` over the events parquet, AvailableNow trigger, memory
+  * sink — and hash-checked against the same DuckDB oracles as their
+  * batch twins (`q15_events_window` / `q17_session_window`). Complete
+  * output mode so end-of-stream windows still inside the watermark
+  * are emitted too (a bounded replay must produce the full batch
+  * answer).
   */
 object StreamQueries {
 
   private val sinkId = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_tumbling_counts" -> ((s, dir) => {
-      // FileStreamSource requires a DIRECTORY; the testdata table is a
-      // single file — stage it into one (copied once per process)
-      val path = {
-        val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-        // stage-dir key includes the source's (size, mtime): a
-        // regenerated corpus at the SAME path gets a fresh copy
-        // instead of silently streaming the previous process's data
-        val attrs = java.nio.file.Files.readAttributes(
-          src, classOf[java.nio.file.attribute.BasicFileAttributes])
-        val tag = java.lang.Long.toHexString(
-          attrs.size() * 31L + attrs.lastModifiedTime().toMillis)
-        val base = s"events_${Integer.toHexString(dir.hashCode)}"
-        val root = java.nio.file.Paths.get("/tmp/graft_fixtures")
-        val d = root.resolve(s"${base}_$tag")
-        StreamQueries.synchronized {
-          // drop superseded copies of this corpus (older size+mtime
-          // tags) so repeated regeneration can't fill /tmp
-          if (java.nio.file.Files.isDirectory(root)) {
-            // Files.list/walk streams hold open directory handles —
-            // close them (Using) or repeated invocations leak FDs
-            scala.util.Using.resource(java.nio.file.Files.list(root)) { ls =>
-              val stale = ls.iterator()
-              while (stale.hasNext) {
-                val s0 = stale.next()
-                if (s0.getFileName.toString.startsWith(base + "_") && s0 != d) {
-                  scala.util.Using.resource(java.nio.file.Files.walk(s0)) { w =>
-                    val files = w.sorted(
-                      java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()
-                    while (files.hasNext) java.nio.file.Files.deleteIfExists(files.next())
-                  }
+  /** FileStreamSource requires a DIRECTORY; the testdata table is a
+    * single file — stage it into one (copied once per process) and
+    * return the normalized streaming events frame. */
+  private def stagedEvents(s: SparkSession, dir: String): DataFrame = {
+    val path = {
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      // stage-dir key includes the source's (size, mtime): a
+      // regenerated corpus at the SAME path gets a fresh copy
+      // instead of silently streaming the previous process's data
+      val attrs = java.nio.file.Files.readAttributes(
+        src, classOf[java.nio.file.attribute.BasicFileAttributes])
+      val tag = java.lang.Long.toHexString(
+        attrs.size() * 31L + attrs.lastModifiedTime().toMillis)
+      val base = s"events_${Integer.toHexString(dir.hashCode)}"
+      val root = java.nio.file.Paths.get("/tmp/graft_fixtures")
+      val d = root.resolve(s"${base}_$tag")
+      StreamQueries.synchronized {
+        // drop superseded copies of this corpus (older size+mtime
+        // tags) so repeated regeneration can't fill /tmp
+        if (java.nio.file.Files.isDirectory(root)) {
+          // Files.list/walk streams hold open directory handles —
+          // close them (Using) or repeated invocations leak FDs
+          scala.util.Using.resource(java.nio.file.Files.list(root)) { ls =>
+            val stale = ls.iterator()
+            while (stale.hasNext) {
+              val s0 = stale.next()
+              if (s0.getFileName.toString.startsWith(base + "_") && s0 != d) {
+                scala.util.Using.resource(java.nio.file.Files.walk(s0)) { w =>
+                  val files = w.sorted(
+                    java.util.Comparator.reverseOrder[java.nio.file.Path]()).iterator()
+                  while (files.hasNext) java.nio.file.Files.deleteIfExists(files.next())
                 }
               }
             }
           }
-          java.nio.file.Files.createDirectories(d)
-          val tgt = d.resolve("events.parquet")
-          if (!java.nio.file.Files.exists(tgt))
-            java.nio.file.Files.copy(src, tgt)
         }
-        d.toString
+        java.nio.file.Files.createDirectories(d)
+        val tgt = d.resolve("events.parquet")
+        if (!java.nio.file.Files.exists(tgt))
+          java.nio.file.Files.copy(src, tgt)
       }
-      // streaming sources need an explicit schema; ts arrives as
-      // nanosecond LongType under legacy.parquet.nanosAsLong and is
-      // normalized to TimestampType exactly like relational.Tables
-      val schema = s.read.parquet(path).schema
-      val raw = s.readStream.schema(schema).parquet(path)
-      val events =
-        if (raw.schema("ts").dataType == LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
+      d.toString
+    }
+    // streaming sources need an explicit schema; ts arrives as
+    // nanosecond LongType under legacy.parquet.nanosAsLong and is
+    // normalized to TimestampType exactly like relational.Tables
+    val schema = s.read.parquet(path).schema
+    val raw = s.readStream.schema(schema).parquet(path)
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_counts" -> ((s, dir) => {
       val name = s"stream_tumbling_${sinkId.incrementAndGet()}"
       EventStreams.runToMemorySink(
-        EventStreams.tumblingCounts(events), name, OutputMode.Complete())
+        EventStreams.tumblingCounts(stagedEvents(s, dir)), name, OutputMode.Complete())
       s.table(name)
         .select(col("win_start").cast("long").as("win_start"), col("event_type"),
           col("n"), round(col("sum_value"), 4).as("sum_value"))
         .orderBy("win_start", "event_type")
+    }),
+    "stream_session_counts" -> ((s, dir) => {
+      val name = s"stream_session_${sinkId.incrementAndGet()}"
+      EventStreams.runToMemorySink(
+        EventStreams.sessionize(stagedEvents(s, dir)), name, OutputMode.Complete())
+      s.table(name)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start"),
+          unix_micros(col("session_end")).as("session_end"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("user_id", "session_start")
     }))
 
-  /** Identical to the batch twin's oracle: a bounded stream replay
+  /** Identical to the batch twins' oracles: a bounded stream replay
     * must reproduce the batch aggregation bit-for-bit. */
   val oracles: Map[String, String] = Map(
     "stream_tumbling_counts" ->
-      graft.relational.RelationalQueries.oracles("q15_events_window"))
+      graft.relational.RelationalQueries.oracles("q15_events_window"),
+    "stream_session_counts" ->
+      graft.relational.RelationalQueries.oracles("q17_session_window"))
 }
