@@ -81,6 +81,15 @@ object StreamQueries {
           col("n"), round(col("sum_value"), 4).as("sum_value"))
         .orderBy("win_start", "event_type")
     }),
+    "stream_sliding_avg" -> ((s, dir) => {
+      val name = s"stream_sliding_${sinkId.incrementAndGet()}"
+      EventStreams.runToMemorySink(
+        EventStreams.slidingAvg(stagedEvents(s, dir)), name, OutputMode.Complete())
+      s.table(name)
+        .select(col("win_start").cast("long").as("win_start"), col("event_type"),
+          round(col("avg_value"), 4).as("avg_value"))
+        .orderBy("win_start", "event_type")
+    }),
     "stream_session_counts" -> ((s, dir) => {
       val name = s"stream_session_${sinkId.incrementAndGet()}"
       EventStreams.runToMemorySink(
@@ -99,5 +108,16 @@ object StreamQueries {
     "stream_tumbling_counts" ->
       graft.relational.RelationalQueries.oracles("q15_events_window"),
     "stream_session_counts" ->
-      graft.relational.RelationalQueries.oracles("q17_session_window"))
+      graft.relational.RelationalQueries.oracles("q17_session_window"),
+    // first-principles sliding-window replay: a 1h window sliding by
+    // 15min puts every event in exactly window/slide = 4 windows whose
+    // epoch-aligned starts are (floor(t/slide) - j) * slide, j in 0..3
+    "stream_sliding_avg" ->
+      """SELECT win_start, event_type, round(avg(value), 4) AS avg_value
+        |FROM (
+        |  SELECT (epoch_us(ts) // 900000000 - j) * 900 AS win_start, event_type, value
+        |  FROM events, range(0, 4) t(j)
+        |)
+        |GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin)
 }
