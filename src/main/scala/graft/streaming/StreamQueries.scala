@@ -18,12 +18,12 @@ object StreamQueries {
 
   private val sinkId = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** FileStreamSource requires a DIRECTORY; the testdata table is a
-    * single file — stage it into one (copied once per process) and
-    * return the normalized streaming events frame. */
-  private def stagedEvents(s: SparkSession, dir: String): DataFrame = {
+  /** FileStreamSource requires a DIRECTORY; the testdata tables are
+    * single files — stage one into a directory (copied once per
+    * process) and return the raw streaming frame. */
+  private def stagedTable(s: SparkSession, dir: String, table: String): DataFrame = {
     val path = {
-      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val src = java.nio.file.Paths.get(s"$dir/$table.parquet")
       // stage-dir key includes the source's (size, mtime): a
       // regenerated corpus at the SAME path gets a fresh copy
       // instead of silently streaming the previous process's data
@@ -31,7 +31,7 @@ object StreamQueries {
         src, classOf[java.nio.file.attribute.BasicFileAttributes])
       val tag = java.lang.Long.toHexString(
         attrs.size() * 31L + attrs.lastModifiedTime().toMillis)
-      val base = s"events_${Integer.toHexString(dir.hashCode)}"
+      val base = s"${table}_${Integer.toHexString(dir.hashCode)}"
       val root = java.nio.file.Paths.get("/tmp/graft_fixtures")
       val d = root.resolve(s"${base}_$tag")
       StreamQueries.synchronized {
@@ -55,21 +55,38 @@ object StreamQueries {
           }
         }
         java.nio.file.Files.createDirectories(d)
-        val tgt = d.resolve("events.parquet")
+        val tgt = d.resolve(s"$table.parquet")
         if (!java.nio.file.Files.exists(tgt))
           java.nio.file.Files.copy(src, tgt)
       }
       d.toString
     }
-    // streaming sources need an explicit schema; ts arrives as
-    // nanosecond LongType under legacy.parquet.nanosAsLong and is
-    // normalized to TimestampType exactly like relational.Tables
+    // streaming sources need an explicit schema
     val schema = s.read.parquet(path).schema
-    val raw = s.readStream.schema(schema).parquet(path)
+    s.readStream.schema(schema).parquet(path)
+  }
+
+  /** Events stream with `ts` normalized to TimestampType: it arrives
+    * as nanosecond LongType under legacy.parquet.nanosAsLong and is
+    * converted exactly like relational.Tables. */
+  private def stagedEvents(s: SparkSession, dir: String): DataFrame = {
+    val raw = stagedTable(s, dir, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
+
+  /** Documents stream with a synthetic, deterministic event time
+    * (doc_id minutes from an hour-aligned 2023 base) — the documents
+    * table carries no timestamp, and the stateful streaming ops need
+    * one. The base must be AFTER epoch 0: Spark's event-time
+    * watermark initializes to 0, and a row with ts exactly at the
+    * epoch is discarded as late by stateful operators. */
+  private[streaming] val DocsTsBaseSec = 1699999200L // divisible by 3600
+  private def stagedDocs(s: SparkSession, dir: String): DataFrame =
+    stagedTable(s, dir, "documents")
+      .withColumn("ts",
+        timestamp_micros(lit(DocsTsBaseSec * 1000000L) + col("doc_id") * 60L * 1000000L))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_counts" -> ((s, dir) => {
@@ -100,6 +117,25 @@ object StreamQueries {
           unix_micros(col("session_end")).as("session_end"),
           col("n_events"), round(col("sum_value"), 4).as("sum_value"))
         .orderBy("user_id", "session_start")
+    }),
+    // streaming exact dedup: one survivor per content hash. The
+    // watermark horizon is set to cover the whole bounded replay so
+    // the result equals a global dedup (in production the horizon is
+    // the dedup window and state stays bounded — see dedupStream doc)
+    "stream_dedup_docs" -> ((s, dir) => {
+      val name = s"stream_dedup_${sinkId.incrementAndGet()}"
+      EventStreams.runToMemorySink(
+        EventStreams.dedupStream(stagedDocs(s, dir), watermark = "3650 days"),
+        name, OutputMode.Append())
+      s.table(name).select(col("content_hash")).orderBy("content_hash")
+    }),
+    "stream_trending_terms" -> ((s, dir) => {
+      val name = s"stream_trending_${sinkId.incrementAndGet()}"
+      EventStreams.runToMemorySink(
+        EventStreams.trendingTerms(stagedDocs(s, dir)), name, OutputMode.Complete())
+      s.table(name)
+        .select(col("win_start").cast("long").as("win_start"), col("term"), col("n"))
+        .orderBy("win_start", "term")
     }))
 
   /** Identical to the batch twins' oracles: a bounded stream replay
@@ -119,5 +155,21 @@ object StreamQueries {
         |  FROM events, range(0, 4) t(j)
         |)
         |GROUP BY 1, 2
-        |ORDER BY win_start, event_type""".stripMargin)
+        |ORDER BY win_start, event_type""".stripMargin,
+    // a bounded dedup replay keeps exactly one survivor per hash
+    "stream_dedup_docs" ->
+      """SELECT DISTINCT md5(text) AS content_hash
+        |FROM documents ORDER BY content_hash""".stripMargin,
+    // synthetic event time = base + doc_id minutes → 1h windows hold
+    // 60 docs; the base is hour-aligned so windows start on it
+    "stream_trending_terms" ->
+      s"""SELECT $DocsTsBaseSec + (doc_id // 60) * 3600 AS win_start, term, count(*) AS n
+        |FROM (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents
+        |)
+        |GROUP BY 1, 2
+        |ORDER BY win_start, term""".stripMargin)
 }
