@@ -136,6 +136,40 @@ object StreamQueries {
       s.table(name)
         .select(col("win_start").cast("long").as("win_start"), col("term"), col("n"))
         .orderBy("win_start", "term")
+    }),
+    // mapGroupsWithState running per-user totals (Update mode). The
+    // sink holds one update row per (user, micro-batch); n_events is
+    // monotone, so the final state is the max-n row per user — robust
+    // to however AvailableNow batches the input.
+    "stream_user_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val ev = stagedEvents(s, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[EventStreams.UserEvent]
+      val name = s"stream_userstats_${sinkId.incrementAndGet()}"
+      EventStreams.runToMemorySink(
+        EventStreams.runningUserStats(ev).toDF(), name, OutputMode.Update())
+      val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
+      s.table(name)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("user_id"), col("n_events"),
+          round(col("total_value"), 4).as("total_value"))
+        .orderBy("user_id")
+    }),
+    // incremental index maintenance: the live term-stats table as
+    // streaming state (the streaming face of SearchIndex's stats pass)
+    "stream_term_stats" -> ((s, dir) => {
+      val name = s"stream_termstats_${sinkId.incrementAndGet()}"
+      EventStreams.runToMemorySink(
+        EventStreams.incrementalTermStats(stagedDocs(s, dir)), name, OutputMode.Complete())
+      s.table(name).select(col("term"), col("cf")).orderBy("term")
+    }),
+    "stream_doc_freq" -> ((s, dir) => {
+      val name = s"stream_docfreq_${sinkId.incrementAndGet()}"
+      EventStreams.runToMemorySink(
+        EventStreams.incrementalDocFreq(stagedDocs(s, dir)), name, OutputMode.Complete())
+      s.table(name).select(col("term"), col("df")).orderBy("term")
     }))
 
   /** Identical to the batch twins' oracles: a bounded stream replay
@@ -171,5 +205,25 @@ object StreamQueries {
         |  FROM documents
         |)
         |GROUP BY 1, 2
-        |ORDER BY win_start, term""".stripMargin)
+        |ORDER BY win_start, term""".stripMargin,
+    // a bounded replay of running per-user state ends at the totals
+    "stream_user_stats" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "stream_term_stats" ->
+      """SELECT term, count(*) AS cf
+        |FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '')) AS term
+        |  FROM documents
+        |)
+        |GROUP BY term ORDER BY term""".stripMargin,
+    "stream_doc_freq" ->
+      """SELECT term, count(*) AS df
+        |FROM (
+        |  SELECT unnest(list_distinct(list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS term
+        |  FROM documents
+        |)
+        |GROUP BY term ORDER BY term""".stripMargin)
 }
