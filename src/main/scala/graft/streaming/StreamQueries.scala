@@ -170,6 +170,34 @@ object StreamQueries {
       EventStreams.runToMemorySink(
         EventStreams.incrementalDocFreq(stagedDocs(s, dir)), name, OutputMode.Complete())
       s.table(name).select(col("term"), col("df")).orderBy("term")
+    }),
+    // transformWithState bounded per-user top-k (RocksDB state store).
+    // The single-file source replays in one micro-batch, so the sink
+    // holds exactly the final top-k row per user.
+    "stream_topk_items" -> ((s, dir) => {
+      import s.implicits._
+      val ev = stagedEvents(s, dir)
+        .select(col("user_id"), col("event_id").as("item"), col("value").as("score"))
+        .as[EventStreams.ScoredItem]
+      val name = s"stream_topk_${sinkId.incrementAndGet()}"
+      // transformWithState requires the RocksDB state store provider;
+      // scope it to this query and restore the session default after
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try EventStreams.runToMemorySink(
+        EventStreams.runningTopKPerUser(ev, 5).toDF(), name, OutputMode.Update())
+      finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+      s.table(name)
+        .select(col("user_id"),
+          posexplode(arrays_zip(col("items"), col("scores"))).as(Seq("pos", "z")))
+        .select(col("user_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("z.items").as("item"), round(col("z.scores"), 4).as("score"))
+        .orderBy("user_id", "rank")
     }))
 
   /** Identical to the batch twins' oracles: a bounded stream replay
@@ -225,5 +253,16 @@ object StreamQueries {
         |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS term
         |  FROM documents
         |)
-        |GROUP BY term ORDER BY term""".stripMargin)
+        |GROUP BY term ORDER BY term""".stripMargin,
+    // TopKProcessor orders (score desc, item asc) — same contract
+    "stream_topk_items" ->
+      """SELECT user_id, rank, item, round(score, 4) AS score
+        |FROM (
+        |  SELECT user_id, event_id AS item, value AS score,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rank
+        |  FROM events
+        |)
+        |WHERE rank <= 5
+        |ORDER BY user_id, rank""".stripMargin)
 }
