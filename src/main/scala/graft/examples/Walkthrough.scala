@@ -78,6 +78,16 @@ object Walkthrough {
       .orderBy(col("top_2gram_frac").desc).show(5, false)
     graft.pipeline.Dedup.clearCaches()
 
+    // 7. curation before training: eval-set decontamination, language
+    // rebalancing, and context-window packing
+    println("train docs sharing 5-grams with the eval split:")
+    graft.pipeline.Curation.decontaminate(spark, dir)
+      .where(col("n_hit") > 0).show(5, false)
+    val sampled = graft.pipeline.Curation.stratifiedSample(spark, dir)
+    println(s"stratified sample keeps ${sampled.count()} docs")
+    println("context-window packing (256-token windows):")
+    graft.pipeline.Curation.packSequences(spark, dir).show(5, false)
+
     idx.unpersist()
     spark.stop()
   }
