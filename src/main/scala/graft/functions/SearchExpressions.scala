@@ -270,6 +270,123 @@ case class ArrayTotalStrLen(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `winnow_fingerprint(tokens, n, w)` — the full winnowing selection
+  * (Schleimer/Wilkerson/Aiken, SIGMOD'03) in one pass: positional
+  * n-token shingles → 60-bit md5-prefix hash each → minimum of every
+  * w-hash window (O(len) monotone deque) → distinct sorted selection
+  * → `struct(n_selected, fp_winnow)` where fp_winnow is the md5 of
+  * the comma-joined selection.
+  *
+  * Exists because the equivalent Column pipeline is three nested
+  * higher-order `transform`s — each evaluates its lambda interpreted
+  * per element and per consuming expression. This runs as one static
+  * call inside whole-stage codegen. Hash formats match the SQL
+  * building blocks exactly (md5 hex, first-15-hex-chars-as-long,
+  * decimal join), so the DuckDB oracle is unchanged. */
+case class WinnowFingerprint(child: Expression, n: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = WinnowFingerprint.OutType
+  override def prettyName: String = "winnow_fingerprint"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    WinnowFingerprint.compute(arr.asInstanceOf[ArrayData], n, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.WinnowFingerprint.compute($arr, $n, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+}
+
+object WinnowFingerprint {
+  val OutType: StructType = StructType(Seq(
+    StructField("n_selected", IntegerType, nullable = false),
+    StructField("fp_winnow", StringType, nullable = false)))
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Static so generated code can call it directly. */
+  def compute(tokens: ArrayData, n: Int, w: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val len = tokens.numElements()
+    val numSh = len - n + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = if (numSh > 0) {
+      val arr = new Array[Long](numSh)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < numSh) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          if (!tokens.isNullAt(i + j)) sb.append(tokens.getUTF8String(i + j).toString)
+          j += 1
+        }
+        // first 15 hex chars of the md5 = top 60 bits, as conv(_,16,10)
+        val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var b = 0
+        while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        arr(i) = (h << 4) | ((d(7) & 0xf0L) >>> 4)
+        i += 1
+      }
+      arr
+    } else new Array[Long](0)
+    // sliding-window minima via monotone index deque — O(len), vs the
+    // O(len*w) slice/array_min pipeline; short docs select every hash
+    val mins = if (hashes.length >= w) {
+      val out = new Array[Long](hashes.length - w + 1)
+      val dq = new Array[Int](hashes.length)
+      var head = 0
+      var tail = 0 // window indices in [head, tail)
+      var i = 0
+      while (i < hashes.length) {
+        while (tail > head && hashes(dq(tail - 1)) >= hashes(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) out(i - w + 1) = hashes(dq(head))
+        i += 1
+      }
+      out
+    } else hashes
+    val sel = {
+      java.util.Arrays.sort(mins)
+      var uniq = 0
+      var i = 0
+      while (i < mins.length) {
+        if (i == 0 || mins(i) != mins(i - 1)) { mins(uniq) = mins(i); uniq += 1 }
+        i += 1
+      }
+      java.util.Arrays.copyOf(mins, uniq)
+    }
+    val joined = {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < sel.length) {
+        if (i > 0) sb.append(',')
+        sb.append(sel(i))
+        i += 1
+      }
+      sb.toString
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      sel.length, UTF8String.fromString(md5Hex(joined)))
+  }
+}
+
 object SearchExpressions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[ArrayCountEq].getName, null, name, usage, "")
@@ -299,5 +416,11 @@ object SearchExpressions {
       FunctionIdentifier("array_total_strlen"),
       info("array_total_strlen", "array_total_strlen(arr) - total char length of arr elements"),
       (exprs: Seq[Expression]) => ArrayTotalStrLen(exprs(0)))
+    reg.registerFunction(
+      FunctionIdentifier("winnow_fingerprint"),
+      info("winnow_fingerprint",
+        "winnow_fingerprint(tokens, n, w) - winnowing selection struct(n_selected, fp_winnow)"),
+      (exprs: Seq[Expression]) => WinnowFingerprint(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
   }
 }

@@ -210,9 +210,25 @@ object TextAnalysis {
     *
     * Output per doc: selection count + md5 digest of the sorted
     * selection (all integer/string ops — hash-exact across engines).
-    * Everything is per-row Column work: one scan, no shuffle except
-    * the harness orderBy. */
+    * One scan, no shuffle except the harness orderBy; the whole
+    * selection runs in the native [[graft.functions.WinnowFingerprint]]
+    * expression (the three nested `transform` HOFs of
+    * [[winnowingViaColumns]] evaluate interpreted — measured ~3x
+    * slower at sf0.1 — and the deque is O(len) vs O(len*w)). */
   def winnowing(spark: SparkSession, dir: String, n: Int = 5, w: Int = 4): DataFrame = {
+    graft.functions.SearchExpressions.register(spark)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        call_function("winnow_fingerprint", toks(col("text")), lit(n), lit(w)).as("wf"))
+      .select(col("doc_id"),
+        col("wf.n_selected").as("n_selected"), col("wf.fp_winnow").as("fp_winnow"))
+      .orderBy("doc_id")
+  }
+
+  /** Column-pipeline winnowing — kept as the differential-testing
+    * reference for [[winnowing]]'s native expression. */
+  private[pipeline] def winnowingViaColumns(
+      spark: SparkSession, dir: String, n: Int = 5, w: Int = 4): DataFrame = {
     val tokens = toks(col("text"))
     // positional shingles (winnowing needs the sequence, so no
     // array_distinct here, unlike Dedup.shingles)

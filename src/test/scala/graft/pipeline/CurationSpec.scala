@@ -78,6 +78,20 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing native expression equals the Column pipeline") {
+    val fast = TextAnalysis.winnowing(spark, dir)
+      .as[(Long, Int, String)].collect().toSeq
+    val ref = TextAnalysis.winnowingViaColumns(spark, dir)
+      .as[(Long, Int, String)].collect().toSeq
+    assert(fast == ref)
+    // and with non-default window/shingle sizes, incl. w > doc length
+    val fast2 = TextAnalysis.winnowing(spark, dir, n = 3, w = 7)
+      .as[(Long, Int, String)].collect().toSeq
+    val ref2 = TextAnalysis.winnowingViaColumns(spark, dir, n = 3, w = 7)
+      .as[(Long, Int, String)].collect().toSeq
+    assert(fast2 == ref2)
+  }
+
   test("vocabCoverage: oov fraction consistent with a driver-side recount") {
     import org.apache.spark.sql.functions._
     val out = Curation.vocabCoverage(spark, dir).as[(Long, Long, Long, Double)].collect()
