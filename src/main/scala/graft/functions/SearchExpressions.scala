@@ -387,6 +387,77 @@ object WinnowFingerprint {
   }
 }
 
+/** `min_shingle_md5(tokens, n)` — minimum md5 hex digest over the
+  * document's n-token shingles (the winnowing-style shift-tolerant
+  * fingerprint of [[graft.pipeline.TextAnalysis.fingerprints]]).
+  * NULL when the document has fewer than n tokens, mirroring
+  * `array_min` over an empty array. One codegen'd pass, no shingle
+  * array / hash array materialization — the Column equivalent
+  * `array_min(transform(shingles(tokens), md5))` evaluates its
+  * lambdas interpreted. Hex-string comparison equals unsigned digest
+  * comparison, so the SQL oracle (`list_min(list_transform(...))`)
+  * is unchanged. */
+case class MinShingleMd5(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "min_shingle_md5"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    MinShingleMd5.compute(arr.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val out = ctx.freshName("minSh")
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"""
+         |UTF8String $out = graft.functions.MinShingleMd5.compute($arr, $n);
+         |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinShingleMd5 =
+    copy(child = newChild)
+}
+
+object MinShingleMd5 {
+  /** Static so generated code can call it directly; null when fewer
+    * than n tokens. */
+  def compute(tokens: ArrayData, n: Int): UTF8String = {
+    val len = tokens.numElements()
+    val numSh = len - n + 1
+    if (numSh <= 0) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder
+    var best: Array[Byte] = null
+    var i = 0
+    while (i < numSh) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        if (!tokens.isNullAt(i + j)) sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // unsigned byte-wise comparison == hex-string lexicographic min
+      if (best == null || {
+        var k = 0
+        var cmp = 0
+        while (cmp == 0 && k < 16) { cmp = (d(k) & 0xff) - (best(k) & 0xff); k += 1 }
+        cmp < 0
+      }) best = d
+      i += 1
+    }
+    val hex = new java.lang.StringBuilder(32)
+    var k = 0
+    while (k < 16) {
+      hex.append(Character.forDigit((best(k) >> 4) & 0xf, 16))
+      hex.append(Character.forDigit(best(k) & 0xf, 16))
+      k += 1
+    }
+    UTF8String.fromString(hex.toString)
+  }
+}
+
 object SearchExpressions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[ArrayCountEq].getName, null, name, usage, "")
@@ -422,5 +493,11 @@ object SearchExpressions {
         "winnow_fingerprint(tokens, n, w) - winnowing selection struct(n_selected, fp_winnow)"),
       (exprs: Seq[Expression]) => WinnowFingerprint(exprs(0),
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
+    reg.registerFunction(
+      FunctionIdentifier("min_shingle_md5"),
+      info("min_shingle_md5",
+        "min_shingle_md5(tokens, n) - minimum md5 hex over n-token shingles, NULL if < n tokens"),
+      (exprs: Seq[Expression]) => MinShingleMd5(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]))
   }
 }

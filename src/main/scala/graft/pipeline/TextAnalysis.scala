@@ -187,8 +187,27 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   /** Document fingerprints: full-content md5, winnowing-style minimum
-    * 5-shingle md5 (content-shift tolerant), and bag-of-words md5. */
-  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    * 5-shingle md5 (content-shift tolerant, via the native
+    * [[graft.functions.MinShingleMd5]] — the Column form
+    * `array_min(transform(shingles, md5))` evaluates interpreted),
+    * and bag-of-words md5. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SearchExpressions.register(spark)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), toks(col("text")).as("tokens"))
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp_full"),
+        coalesce(
+          call_function("min_shingle_md5", col("tokens"), lit(5)),
+          md5(col("text"))).as("fp_min_shingle"),
+        md5(concat_ws(" ", array_sort(array_distinct(col("tokens"))))).as("fp_bow"))
+      .orderBy("doc_id")
+  }
+
+  /** Column-pipeline fingerprints — differential-testing reference
+    * for [[fingerprints]]' native min-shingle expression. */
+  private[pipeline] def fingerprintsViaColumns(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"), toks(col("text")).as("tokens"))
       .select(

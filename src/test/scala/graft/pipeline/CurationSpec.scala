@@ -92,6 +92,14 @@ class CurationSpec extends AnyFunSuite {
     assert(fast2 == ref2)
   }
 
+  test("fingerprints native min-shingle equals the Column pipeline") {
+    val fast = TextAnalysis.fingerprints(spark, dir)
+      .as[(Long, String, String, String)].collect().toSeq
+    val ref = TextAnalysis.fingerprintsViaColumns(spark, dir)
+      .as[(Long, String, String, String)].collect().toSeq
+    assert(fast == ref)
+  }
+
   test("vocabCoverage: oov fraction consistent with a driver-side recount") {
     import org.apache.spark.sql.functions._
     val out = Curation.vocabCoverage(spark, dir).as[(Long, Long, Long, Double)].collect()
