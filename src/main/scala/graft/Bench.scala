@@ -84,19 +84,50 @@ object Bench {
       val nErr = times.count(_ < 0)
       acc :+ ((name, if (nErr < runs) times.filter(_ >= 0).min else -1.0, nErr))
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // flaky runs (failed some-but-not-all attempts) would otherwise
     // be invisible in the JSON — the min of the successful times
     // masks them; make every failure machine-visible
     val errs = results.collect { case (k, _, n) if n > 0 => "\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    // The harness that consumes this output keeps only the LAST ~2000
+    // characters of stdout; a full per-query map over 100+ queries is
+    // ~3000 chars, so the parseable line would be truncated mid-JSON
+    // (that is exactly what happened to the r5 run). Two outputs:
+    //  1. the complete full-precision map → BENCH_FULL.json on disk,
+    //  2. ONE final stdout line with the total plus as many of the
+    //     SLOWEST queries as fit a 1850-char budget (slowest-first is
+    //     the subset that matters for performance grading; `omitted` /
+    //     `omitted_sec` keep the line reconcilable against the total).
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errs":$errs,"sf":"$sfDir"}"""
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullOut),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] full dump failed: $e") }
+    val byTime = results.sortBy { case (_, v, _) => -v }
+    val budget = 1850
+    def render(kept: Vector[(String, Double, Int)]): String = {
+      val qs = kept.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val omitted = results.size - kept.size
+      val omittedSec = fmt(total - kept.collect { case (_, v, _) if v >= 0 => v }.sum)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        s""""omitted":$omitted,"omitted_sec":$omittedSec,"errs":$errs,"sf":"$sfDir"}"""
+    }
+    val kept = byTime.indices.foldLeft(Vector.empty[(String, Double, Int)]) { (acc, i) =>
+      val cand = acc :+ byTime(i)
+      if (render(cand).length <= budget) cand else acc
+    }
     // stop() BEFORE the println: the JSON must be the final line of
     // stdout (the driver parses it), and Spark's stop/shutdown logging
     // must not land after it.
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errs":$errs,"sf":"$sfDir"}""")
+    println(render(kept))
     System.out.flush()
   }
 }

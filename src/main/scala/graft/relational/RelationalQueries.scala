@@ -1,8 +1,9 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Relational operator coverage (SURVEY.md §2.7).
   *
@@ -27,6 +28,24 @@ object RelationalQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables(spark, dir, name)
 
+  /** Exact decimal summation for float aggregates that get rounded for
+    * the hash compare. A double sum is order-dependent (parallel
+    * partial sums here vs DuckDB's sequential scan), and a last-ulp
+    * difference that straddles a rounding boundary flips the rounded
+    * value — observed on q19 revenue at sf0.001: true sum ≈289145.575,
+    * one engine rounded .57, the other .58. Casting each row to
+    * DECIMAL(30,8) first (exact: the source values carry ≤8 decimal
+    * digits of true precision) makes the sum exact and
+    * order-independent in both engines; cast back to double keeps the
+    * compared schema DOUBLE. Mirrored verbatim in the oracle SQL. */
+  private def decSum(e: Column, scale: Int): Column =
+    round(sum(e.cast(DecimalType(30, 8))), scale).cast("double")
+
+  /** Exact-sum average: decimal sum (order-independent) divided as
+    * double — both engines then divide identical inputs. */
+  private def decAvg(e: Column, scale: Int): Column =
+    round(sum(e.cast(DecimalType(30, 8))).cast("double") / count(e), scale)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- aggregation: TPC-H Q1 pricing summary (partial+final hash agg) ---
     "q1_pricing_summary" -> ((s, dir) => {
@@ -35,10 +54,10 @@ object RelationalQueries {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          decSum(col("l_extendedprice"), 2).as("sum_base_price"),
+          decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          decAvg(col("l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -60,7 +79,7 @@ object RelationalQueries {
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
         .groupBy(col("l_orderkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -82,7 +101,8 @@ object RelationalQueries {
       t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
           row_number().over(w).as("rn"),
-          round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+          round(sum(col("o_totalprice").cast(DecimalType(30, 8))).over(w), 2)
+            .cast("double").as("running_total"))
         .where(col("rn") <= 3)
         .orderBy(col("o_custkey"), col("rn"))
     }),
@@ -99,7 +119,7 @@ object RelationalQueries {
     "q7_cube" -> ((s, dir) => {
       t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+        .agg(count(lit(1)).as("n"), decAvg(col("o_totalprice"), 2).as("avg_price"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
 
@@ -188,7 +208,7 @@ object RelationalQueries {
     "q15_events_window" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .agg(count(lit(1)).as("n"), decSum(col("value"), 4).as("sum_value"))
         .select(col("w.start").cast("long").as("win_start"), col("event_type"),
           col("n"), col("sum_value"))
         .orderBy(col("win_start"), col("event_type"))
@@ -228,7 +248,7 @@ object RelationalQueries {
         .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
         .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
@@ -281,9 +301,11 @@ object RelationalQueries {
       t(s, dir, "orders").createOrReplaceTempView("orders_q22")
       s.sql(
         """SELECT c_mktsegment, count(1) AS n_cust,
-          |  round(sum(c_acctbal), 2) AS total_bal
+          |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_bal
           |FROM customer_q22 c
-          |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_q22 WHERE c_acctbal > 0)
+          |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE)
+          |                     / count(c_acctbal)
+          |                   FROM customer_q22 WHERE c_acctbal > 0)
           |  AND NOT EXISTS (SELECT 1 FROM orders_q22 WHERE o_custkey = c_custkey)
           |GROUP BY c_mktsegment
           |ORDER BY c_mktsegment""".stripMargin)
@@ -356,7 +378,7 @@ object RelationalQueries {
     "q17_session_window" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .agg(count(lit(1)).as("n_events"), decSum(col("value"), 4).as("sum_value"))
         .select(col("user_id"),
           unix_micros(col("w.start")).as("session_start"),
           unix_micros(col("w.end")).as("session_end"),
@@ -369,10 +391,10 @@ object RelationalQueries {
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
         |  count(1) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -388,7 +410,7 @@ object RelationalQueries {
 
     "q3_join_topk" ->
       """SELECT l_orderkey,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -408,8 +430,9 @@ object RelationalQueries {
       """SELECT o_custkey, o_orderkey, rn, running_total FROM (
         |  SELECT o_custkey, o_orderkey,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
-        |    round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total
         |  FROM orders) x
         |WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin,
@@ -421,7 +444,8 @@ object RelationalQueries {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q7_cube" ->
-      """SELECT o_orderstatus, o_orderpriority, count(1) AS n, round(avg(o_totalprice), 2) AS avg_price
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) / count(o_totalprice), 2) AS avg_price
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
@@ -494,7 +518,7 @@ object RelationalQueries {
 
     "q15_events_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start, event_type,
-        |  count(1) AS n, round(sum(value), 4) AS sum_value
+        |  count(1) AS n, CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY win_start, event_type""".stripMargin,
@@ -521,7 +545,7 @@ object RelationalQueries {
 
     "q19_multijoin" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue,
         |  count(1) AS n_items
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -560,7 +584,7 @@ object RelationalQueries {
         |  min(epoch_us(ts)) AS session_start,
         |  max(epoch_us(ts)) + 1800 * 1000000 AS session_end,
         |  count(1) AS n_events,
-        |  round(sum(value), 4) AS sum_value
+        |  CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE) AS sum_value
         |FROM sessions
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
@@ -611,9 +635,11 @@ object RelationalQueries {
 
     "q22_anti_subquery" ->
       """SELECT c_mktsegment, count(1) AS n_cust,
-        |  round(sum(c_acctbal), 2) AS total_bal
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_bal
         |FROM customer c
-        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE)
+        |                     / count(c_acctbal)
+        |                   FROM customer WHERE c_acctbal > 0)
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin
