@@ -53,7 +53,7 @@ object Dedup {
     * mutating a corpus dir in-place (mirror of
     * [[Similarity.clearIvfCache]]). */
   def clearCaches(): Unit = persistRegistry.synchronized {
-    persistRegistry.values.foreach(_.unpersist())
+    persistRegistry.values.foreach(_.unpersist(blocking = true))
     persistRegistry.clear()
   }
 

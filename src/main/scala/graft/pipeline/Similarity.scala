@@ -140,7 +140,7 @@ object Similarity {
   /** Drops all cached IVF quantizers (releasing their persisted
     * assignments) — required after mutating a corpus dir in-place. */
   def clearIvfCache(): Unit = ivfCache.synchronized {
-    ivfCache.values.foreach { case (df, _) => df.unpersist() }
+    ivfCache.values.foreach { case (df, _) => df.unpersist(blocking = true) }
     ivfCache.clear()
   }
 
@@ -151,7 +151,7 @@ object Similarity {
 
   /** Drops all cached LSH bucket assignments. */
   def clearLshCache(): Unit = lshCache.synchronized {
-    lshCache.values.foreach(_.unpersist())
+    lshCache.values.foreach(_.unpersist(blocking = true))
     lshCache.clear()
   }
 

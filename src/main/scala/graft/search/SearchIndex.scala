@@ -979,10 +979,13 @@ final class SearchIndex private (
   def withLayout(l: IndexLayout): SearchIndex =
     new SearchIndex(spark, spec.copy(layout = l), docs, postings, stats, fieldStats)
 
-  def unpersist(): Unit = {
-    docs.unpersist()
-    postings.unpersist()
-    stats.unpersist()
+  /** Blocking so a caller tearing down one index (bench section
+    * transitions, corpus replacement) doesn't leave block removal
+    * racing with its next query's tasks. */
+  def unpersist(blocking: Boolean = true): Unit = {
+    docs.unpersist(blocking)
+    postings.unpersist(blocking)
+    stats.unpersist(blocking)
   }
 }
 

@@ -32,7 +32,7 @@ object SearchQueries {
     * Required after rewriting a corpus dir in-place; also used by
     * Bench to bound peak pinned storage between sections. */
   def clearCache(): Unit = cache.synchronized {
-    cache.values.foreach(_.unpersist())
+    cache.values.foreach(_.unpersist(blocking = true))
     cache.clear()
   }
 
