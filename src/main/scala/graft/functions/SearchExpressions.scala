@@ -387,6 +387,70 @@ object WinnowFingerprint {
   }
 }
 
+/** `shingle_hashes(tokens, n)` — sorted distinct 60-bit md5-prefix
+  * hashes of the document's n-token shingles, as `array<long>`; empty
+  * array when the document has fewer than n tokens. One codegen'd
+  * pass replacing the interpreted
+  * `transform(shingles(tokens), g => conv(substring(md5(g),1,15),16,10))`
+  * pipeline, and downstream operators (explode + join) move longs
+  * instead of shingle strings. The hash equals
+  * `conv(substring(md5(shingle),1,15),16,10)` so SQL oracles can
+  * reproduce it with `('0x' || substr(md5(s),1,15))::BIGINT`. */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    ShingleHashes.compute(arr.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.ShingleHashes.compute($arr, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  /** Static so generated code can call it directly. */
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    val numSh = len - n + 1
+    if (numSh <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Long](0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder
+    val hs = new Array[Long](numSh)
+    var i = 0
+    while (i < numSh) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        if (!tokens.isNullAt(i + j)) sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // top 60 bits of the digest == conv(substring(hex,1,15),16,10)
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      hs(i) = (h << 4) | ((d(7) & 0xf0L) >>> 4)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var uniq = 0
+    i = 0
+    while (i < numSh) {
+      if (i == 0 || hs(i) != hs(i - 1)) { hs(uniq) = hs(i); uniq += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(hs, uniq))
+  }
+}
+
 /** `min_shingle_md5(tokens, n)` — minimum md5 hex digest over the
   * document's n-token shingles (the winnowing-style shift-tolerant
   * fingerprint of [[graft.pipeline.TextAnalysis.fingerprints]]).
@@ -493,6 +557,12 @@ object SearchExpressions {
         "winnow_fingerprint(tokens, n, w) - winnowing selection struct(n_selected, fp_winnow)"),
       (exprs: Seq[Expression]) => WinnowFingerprint(exprs(0),
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
+    reg.registerFunction(
+      FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "shingle_hashes(tokens, n) - sorted distinct 60-bit md5-prefix hashes of n-token shingles"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]))
     reg.registerFunction(
       FunctionIdentifier("min_shingle_md5"),
       info("min_shingle_md5",

@@ -51,26 +51,26 @@ object Curation {
     // broadcast eval dictionary shrinks ~6x (8-byte longs vs ~40-char
     // shingles) and the probe compares longs — at 10^9 eval grams the
     // string dictionary would not broadcast, the hashed one does.
-    // The hash is applied AFTER the explode, on a flat string column:
-    // inside `transform` it would run as an interpreted lambda per
-    // element (and once per consuming expression) — measured 8x slower
-    // at sf0.1; on the exploded scalar it is whole-stage-codegen'd.
-    def gramHash(g: Column): Column =
-      conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+    // The whole tokens→distinct-hashes step is the native
+    // [[graft.functions.ShingleHashes]] expression: one codegen'd pass
+    // per document, and everything downstream (explode, join, agg)
+    // moves 8-byte longs, never shingle strings. A doc's gram set is
+    // distinct-by-hash (matching the oracle's list_distinct over
+    // hashes), so a 60-bit in-document collision cannot desync the
+    // two engines.
+    graft.functions.SearchExpressions.register(spark)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), toks(col("text")).as("tokens"))
-      .select(col("doc_id"), Dedup.shingles(col("tokens"), n).as("grams"))
+      .select(col("doc_id"),
+        call_function("shingle_hashes", toks(col("text")), lit(n)).as("grams"))
     val isEval = col("doc_id") % 20 === 0
     val evalGrams = docs.where(isEval)
-      .select(explode(col("grams")).as("gs"))
-      .select(gramHash(col("gs")).as("g")).distinct()
+      .select(explode(col("grams")).as("g")).distinct()
     // single train-side scan: carry n_grams through the explode
     // (explode_outer keeps gram-less short docs) and mark hits with a
     // broadcast left join, so the corpus is tokenized+shingled once
     val exploded = docs.where(!isEval)
       .select(col("doc_id"), size(col("grams")).as("n_grams"),
-        explode_outer(col("grams")).as("gs"))
-      .select(col("doc_id"), col("n_grams"), gramHash(col("gs")).as("g"))
+        explode_outer(col("grams")).as("g"))
     exploded
       .join(broadcast(evalGrams.withColumn("hit", lit(1L))), Seq("g"), "left")
       .groupBy("doc_id")

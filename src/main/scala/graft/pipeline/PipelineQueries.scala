@@ -240,14 +240,15 @@ object PipelineQueries {
 
   private val staticOracles: Map[String, String] = Map(
     // grams compare as 60-bit md5-prefix hashes, mirroring
-    // Curation.decontaminate's broadcast-dictionary representation
+    // Curation.decontaminate's broadcast-dictionary representation;
+    // list_distinct matches ShingleHashes' distinct-by-hash gram sets
     "decontaminate" ->
       s"""$toksCte,
          |sh AS (
          |  SELECT doc_id,
-         |    list_transform(
+         |    list_distinct(list_transform(
          |      CASE WHEN len(tokens) >= 5 THEN ${shingleSql(5)} ELSE [] END,
-         |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS ss
+         |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS ss
          |  FROM toks
          |), eval_grams AS (
          |  SELECT DISTINCT unnest(ss) AS g FROM sh WHERE doc_id % 20 = 0
