@@ -135,6 +135,104 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF keyword extraction: the top `k` terms of every document
+    * ranked by tf × idf (idf = ln(N/df)) — per-document keyword
+    * tagging, the curation step behind topic bucketing and
+    * source-quality dashboards.
+    *
+    * Scale shape: term document-frequencies are a corpus aggregation
+    * whose result is |vocab| rows → broadcast; the per-document side
+    * is one explode + one (doc_id, term) count + a bounded
+    * [[graft.functions.TopKAgg]] per doc (O(k) state per group, no
+    * full sort, no window shuffle).
+    *
+    * Cross-engine determinism: the score is an EXACT decimal —
+    * `tf × CAST(ln(N/df) AS DECIMAL(18,6))` — so mathematically equal
+    * scores (e.g. tf=2 against idf x vs tf=1 against idf 2x) tie
+    * exactly in both engines and break on the term; ranking through
+    * raw doubles would let a last-ulp libm difference reorder them. */
+  def keywordsTfidf(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), toks(col("text")).as("tokens"))
+    val nDocs = docs.count()
+    val df = docs.select(col("doc_id"), explode(array_distinct(col("tokens"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        log(lit(nDocs.toDouble) / col("df").cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+    val tf = docs.select(col("doc_id"), explode(col("tokens")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val scored = tf.join(broadcast(df), Seq("term"))
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast(org.apache.spark.sql.types.DecimalType(12, 0)) * col("idf"))
+          .as("score_d"))
+    val topk = graft.functions.TopKAgg.topkString(k)
+    scored.groupBy("doc_id")
+      .agg(topk(col("term"), col("score_d").cast("double")).as("kw"))
+      .select(col("doc_id"), posexplode(col("kw")).as(Seq("pos", "kw")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("kw.key").as("term"), round(col("kw.score"), 4).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Cross-source contamination matrix: for every source pair, how
+    * many distinct `n`-gram hashes occur in both — the "is my new
+    * crawl already inside an existing source" check run before adding
+    * a corpus slice (gram-level, so it catches partial/quoted overlap
+    * that exact-content hashing misses).
+    *
+    * Scale shape: grams dedupe to (gram_hash, source) first — one
+    * [[graft.functions.ShingleHashes]] pass + explode + distinct —
+    * then a self equi-join on the hash: bucketed by the join key,
+    * never all-pairs; the `<` on sources keeps each unordered pair
+    * once. A gram present in S sources emits C(S,2) pair rows —
+    * bounded by the (small) source count squared, not by corpus size;
+    * with thousands of sources, apply a gram document-frequency cap
+    * first like [[Dedup.ngramJaccard]] does. */
+  def sourceOverlap(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    graft.functions.SearchExpressions.register(spark)
+    val gs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"),
+        explode(call_function("shingle_hashes", toks(col("text")), lit(n))).as("g"))
+      .distinct()
+    val a = gs.select(col("g"), col("source").as("source_a"))
+    val b = gs.select(col("g"), col("source").as("source_b"))
+    a.join(b, Seq("g")).where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Unigram language-model score per document: mean negative log
+    * probability of its tokens under the corpus's own unigram
+    * distribution — the LM-perplexity quality filter of CCNet /
+    * Wenzek et al. 2020 ("CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data", public), reduced to the unigram
+    * case so the two engines can replicate it exactly. Low scores =
+    * typical text, high = rare-token soup.
+    *
+    * Scale shape: the unigram table is |vocab| rows → broadcast; the
+    * document side is one explode + one doc_id-keyed partial
+    * aggregation. Per-token logprobs are summed as DECIMAL(18,8) so
+    * the mean is order-independent across engines. */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), toks(col("text")).as("tokens"))
+    val freq = docs.select(explode(col("tokens")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum("cnt")).head().getLong(0)
+    val lp = freq.select(col("term"),
+      (-log(col("cnt").cast("double") / lit(total.toDouble)))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("lp"))
+    docs.select(col("doc_id"), explode(col("tokens")).as("term"))
+      .join(broadcast(lp), Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("lp_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("lp_sum").cast("double") / col("n_tokens"), 4).as("mean_neg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary coverage / OOV analysis: rank the corpus vocabulary
     * by document frequency, keep the top `vocabSize` terms (ties
     * break on the term itself so both engines pick the same set),

@@ -35,6 +35,9 @@ object PipelineQueries {
     "sample_stratified" -> ((s, dir) => Curation.stratifiedSample(s, dir)),
     "pack_sequences" -> ((s, dir) => Curation.packSequences(s, dir)),
     "vocab_coverage" -> ((s, dir) => Curation.vocabCoverage(s, dir)),
+    "keywords_tfidf" -> ((s, dir) => Curation.keywordsTfidf(s, dir)),
+    "source_overlap" -> ((s, dir) => Curation.sourceOverlap(s, dir)),
+    "unigram_logprob" -> ((s, dir) => Curation.unigramLogprob(s, dir)),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "lang_id_ngram" -> ((s, dir) => TextAnalysis.langIdNgram(s, dir)),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -264,6 +267,64 @@ object PipelineQueries {
          |  round(coalesce(h.n_hit, 0)::DOUBLE / greatest(len(t.ss), 1), 4) AS contam_frac
          |FROM train t LEFT JOIN hits h USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // score is an exact decimal (tf * CAST(ln(N/df) AS DECIMAL(18,6)))
+    // in both engines so rank ties resolve identically — see
+    // Curation.keywordsTfidf
+    "keywords_tfidf" ->
+      s"""$toksCte,
+         |tok AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df
+         |       FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+         |scored AS (
+         |  SELECT doc_id, term,
+         |    CAST(tf AS DECIMAL(12,0)) *
+         |      CAST(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df)
+         |        AS DECIMAL(18,6)) AS score
+         |  FROM tf JOIN df USING (term)
+         |)
+         |SELECT doc_id, rank, term, round(CAST(score AS DOUBLE), 4) AS score
+         |FROM (SELECT doc_id, term, score,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+         |      FROM scored) r
+         |WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
+
+    // gram hashes mirror ShingleHashes' 60-bit md5 prefixes; distinct
+    // (gram, source) before the self-join, as in Curation.sourceOverlap
+    "source_overlap" ->
+      s"""$toksCte,
+         |gs AS (
+         |  SELECT DISTINCT source,
+         |    unnest(list_transform(
+         |      CASE WHEN len(tokens) >= 5 THEN ${shingleSql(5)} ELSE [] END,
+         |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS g
+         |  FROM (SELECT source, tokens FROM toks JOIN documents USING (doc_id))
+         |)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  count(*) AS n_shared_grams
+         |FROM gs a JOIN gs b ON a.g = b.g AND a.source < b.source
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
+
+    // per-token logprobs sum as DECIMAL(18,8) (order-independent);
+    // see Curation.unigramLogprob
+    "unigram_logprob" ->
+      s"""$toksCte,
+         |tok AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+         |freq AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+         |lp AS (
+         |  SELECT term,
+         |    CAST(-ln(CAST(cnt AS DOUBLE) /
+         |      CAST((SELECT sum(cnt) FROM freq) AS DOUBLE)) AS DECIMAL(18,8)) AS lp
+         |  FROM freq
+         |)
+         |SELECT t.doc_id, count(*) AS n_tokens,
+         |  round(CAST(sum(l.lp) AS DOUBLE) / count(*), 4) AS mean_neg_logprob
+         |FROM tok t JOIN lp l USING (term)
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
 
     "sample_stratified" -> {
       val rateCase = Curation.SampleRates

@@ -100,6 +100,70 @@ class CurationSpec extends AnyFunSuite {
     assert(fast == ref)
   }
 
+  test("keywordsTfidf: ranks bounded, scores descending, spot-check vs driver recount") {
+    import org.apache.spark.sql.functions._
+    val out = Curation.keywordsTfidf(spark, dir).as[(Long, Long, String, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, r, _, _) => r >= 1 && r <= 3 })
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1L to byRank.length).toSeq, s"doc $id rank gap")
+      assert(byRank.map(_._4).toSeq == byRank.map(_._4).sortBy(-(_: Double)).toSeq,
+        s"doc $id scores not descending")
+    }
+    // driver-side recount for one doc: top term by tf*ln(N/df)
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), graft.analysis.Analyzers.default.tokensCol(col("text")).as("tokens"))
+      .as[(Long, Seq[String])].collect()
+    val n = toks.length.toDouble
+    val df = toks.flatMap { case (_, ts) => ts.distinct }.groupBy(identity)
+      .view.mapValues(_.length).toMap
+    val (id0, ts0) = toks.find(_._2.nonEmpty).get
+    val best = ts0.groupBy(identity).view.mapValues(_.length).toSeq
+      .map { case (t, tf) =>
+        (t, tf * BigDecimal(math.log(n / df(t))).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      }
+      .sortBy { case (t, s) => (-s, t) }.head._1
+    assert(out.filter(r => r._1 == id0 && r._2 == 1L).head._3 == best)
+  }
+
+  test("sourceOverlap: symmetric-free pair matrix with plausible bounds") {
+    import org.apache.spark.sql.functions._
+    val out = Curation.sourceOverlap(spark, dir).as[(String, String, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (a, b, n) => a < b && n > 0 })
+    assert(out.map { case (a, b, _) => (a, b) }.distinct.length == out.length)
+    // each pair's shared-gram count can't exceed the smaller source's
+    // distinct gram count
+    val perSource = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"),
+        explode(org.apache.spark.sql.functions.call_function("shingle_hashes",
+          graft.analysis.Analyzers.default.tokensCol(col("text")), lit(5))).as("g"))
+      .distinct().groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    out.foreach { case (a, b, n) =>
+      assert(n <= math.min(perSource(a), perSource(b)), s"pair ($a,$b)")
+    }
+  }
+
+  test("unigramLogprob: positive scores, spot-check one doc against driver recount") {
+    import org.apache.spark.sql.functions._
+    val out = Curation.unigramLogprob(spark, dir).as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, nTok, s) => nTok > 0 && s > 0.0 })
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), graft.analysis.Analyzers.default.tokensCol(col("text")).as("tokens"))
+      .as[(Long, Seq[String])].collect()
+    val cnt = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = cnt.values.sum.toDouble
+    val (id0, ts0) = toks.find(_._2.nonEmpty).get
+    val expect = ts0.map(t =>
+        BigDecimal(-math.log(cnt(t) / total)).setScale(8, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble / ts0.length
+    val got = out.find(_._1 == id0).get._3
+    assert(math.abs(got - expect) < 5e-4, s"doc $id0: $got vs $expect")
+  }
+
   test("vocabCoverage: oov fraction consistent with a driver-side recount") {
     import org.apache.spark.sql.functions._
     val out = Curation.vocabCoverage(spark, dir).as[(Long, Long, Long, Double)].collect()
