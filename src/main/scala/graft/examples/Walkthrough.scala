@@ -88,6 +88,17 @@ object Walkthrough {
     println("context-window packing (256-token windows):")
     graft.pipeline.Curation.packSequences(spark, dir).show(5, false)
 
+    // 8. corpus analytics: per-doc keywords, cross-source gram
+    // contamination, and unigram-LM quality scores
+    println("per-document tf-idf keywords:")
+    graft.pipeline.Curation.keywordsTfidf(spark, dir).show(6, false)
+    println("most contaminated source pairs (shared 5-grams):")
+    graft.pipeline.Curation.sourceOverlap(spark, dir)
+      .orderBy(col("n_shared_grams").desc).show(5, false)
+    println("rare-token soup (highest unigram neg-logprob):")
+    graft.pipeline.Curation.unigramLogprob(spark, dir)
+      .orderBy(col("mean_neg_logprob").desc).show(5, false)
+
     idx.unpersist()
     spark.stop()
   }
