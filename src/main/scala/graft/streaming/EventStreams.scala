@@ -180,14 +180,30 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("content_hash")
 
   /** Convenience: run a streaming query over a memory sink until all
-    * available data is processed; returns the sink table name. */
-  def runToMemorySink(df: DataFrame, name: String, mode: OutputMode): Unit = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    * available data is processed; returns the sink table name.
+    *
+    * State-store partition count: a stream pins its shuffle-partition
+    * count (and thus its state-store instance count) at first start —
+    * it does not AQE-coalesce like batch. Size it to the stream's
+    * load, not the session's batch default: every state partition
+    * costs a provider + maintenance task + per-batch commit whatever
+    * its size. `streamPartitions` bounds it for these bounded-replay
+    * runs (a production deployment would set it to match ingest
+    * volume); the session's batch setting is restored after start. */
+  def runToMemorySink(df: DataFrame, name: String, mode: OutputMode,
+      streamPartitions: Int = 8): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    val q = try {
+      spark.conf.set(key, streamPartitions.toString)
+      df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set(key, saved)
     q.awaitTermination()
   }
 }
