@@ -82,6 +82,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges.forall(_.contains("rangepartitioning")), exchanges.toString)
   }
 
+  test("keywordsTfidf broadcasts the df stats and bounds per-doc state") {
+    val p = plan(pipeline.Curation.keywordsTfidf(spark, sf))
+    // vocab-side df stats must broadcast — shuffling the corpus
+    // against a |vocab|-row table would be the wrong plan at 100 TB
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // per-doc top-k is the bounded TopKAgg (ObjectHashAggregate), not
+    // a window over a full sort
+    assert(p.contains("ObjectHashAggregate"), p.take(800))
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "), p.take(800))
+  }
+
+  test("sourceOverlap self-joins on the gram hash, not all-pairs") {
+    val p = plan(pipeline.Curation.sourceOverlap(spark, sf))
+    // equi-join on g — never a cartesian/BNLJ over the corpus
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("unigramLogprob broadcasts the unigram table against the token stream") {
+    val p = plan(pipeline.Curation.unigramLogprob(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   test("getElements on a key-bucketed corpus prunes buckets") {
     // the reference's point lookup targets ONE partition via
     // sc.runJob (PartitionsIndexLuceneRDD.scala:403-450); our analog
