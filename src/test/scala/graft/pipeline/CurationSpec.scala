@@ -100,6 +100,32 @@ class CurationSpec extends AnyFunSuite {
     assert(fast == ref)
   }
 
+  test("shingle_hashes equals distinct md5-prefix hashes of the Column shingle pipeline") {
+    import org.apache.spark.sql.functions._
+    graft.functions.SearchExpressions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), graft.analysis.Analyzers.default.tokensCol(col("text")).as("tokens"))
+    val native = docs
+      .select(col("doc_id"),
+        call_function("shingle_hashes", col("tokens"), lit(5)).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaColumns = docs
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(Dedup.shingles(col("tokens"), 5),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native.keySet == viaColumns.keySet)
+    native.foreach { case (id, hs) =>
+      assert(hs == viaColumns(id), s"doc $id")
+      assert(hs == hs.sorted && hs.distinct == hs, s"doc $id not sorted-distinct")
+    }
+    // short docs (< n tokens) yield an empty array, not null
+    val short = Seq((1L, Seq("a", "b"))).toDF("doc_id", "tokens")
+      .select(call_function("shingle_hashes", col("tokens"), lit(5)).as("hs"))
+      .as[Seq[Long]].head()
+    assert(short.isEmpty)
+  }
+
   test("keywordsTfidf: ranks bounded, scores descending, spot-check vs driver recount") {
     import org.apache.spark.sql.functions._
     val out = Curation.keywordsTfidf(spark, dir).as[(Long, Long, String, Double)].collect()
