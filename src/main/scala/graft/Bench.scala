@@ -54,7 +54,7 @@ object Bench {
       if (!sectioned) 0
       else if (n.startsWith("ann_") || n.startsWith("dedup_") ||
         n.startsWith("simhash")) 0 // Dedup + Similarity registries
-      else if (n.matches("^(lang_|quality_|repetition_|token_|fingerprint|multimodal_|source_|stream_|decontaminate|sample_|pack_|vocab_).*")) 1 // cache-free
+      else if (n.matches("^(lang_|quality_|repetition_|token_|fingerprint|multimodal_|source_|stream_|decontaminate|sample_|pack_|vocab_|keywords_|unigram_).*")) 1 // cache-free
       else if (n.matches("^q\\d.*")) 2 // relational, cache-free
       else 3 // search-index cohort (search_*, batch, query_join, stats)
     def clearSection(s: Int): Unit = if (sectioned) s match {
@@ -86,9 +86,16 @@ object Bench {
     }
     // flaky runs (failed some-but-not-all attempts) would otherwise
     // be invisible in the JSON — the min of the successful times
-    // masks them; make every failure machine-visible
-    val errs = results.collect { case (k, _, n) if n > 0 => "\"" + k + "\":" + n }
-      .mkString("{", ",", "}")
+    // masks them; make every failure machine-visible. Bounded to 10
+    // entries + an overflow count so a mass-failure run can't push
+    // the final line past the harness tail window by itself.
+    val errs = {
+      val all = results.collect { case (k, _, n) if n > 0 => "\"" + k + "\":" + n }
+      val shown = all.take(10)
+      val over = if (all.size > shown.size) Seq("\"_more\":" + (all.size - shown.size))
+        else Nil
+      (shown ++ over).mkString("{", ",", "}")
+    }
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     // The harness that consumes this output keeps only the LAST ~2000
     // characters of stdout; a full per-query map over 100+ queries is
@@ -115,7 +122,11 @@ object Bench {
       val qs = kept.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val omitted = results.size - kept.size
-      val omittedSec = fmt(total - kept.collect { case (_, v, _) if v >= 0 => v }.sum)
+      // clamp: with nothing omitted the difference is a tiny negative
+      // float residue, which would otherwise render as the -1 error
+      // marker
+      val omittedSec = fmt(math.max(0.0,
+        total - kept.collect { case (_, v, _) if v >= 0 => v }.sum))
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""omitted":$omitted,"omitted_sec":$omittedSec,"errs":$errs,"sf":"$sfDir"}"""
     }

@@ -182,9 +182,14 @@ object Parsed {
     boost: Double = 1.0, // `clause^f`
     // `field:[lo TO hi]` — (lo, hi, loInclusive, hiInclusive); "*" = unbounded end
     range: Option[(String, String, Boolean, Boolean)] = None,
-    // the word contained `\x` escapes: its '*'/'?' are literal, and it
-    // can never be an AND/OR/NOT keyword (Lucene escape semantics)
-    escaped: Boolean = false)
+    // the word contained `\x` escapes: it can never be an AND/OR/NOT
+    // keyword (Lucene escape semantics)
+    escaped: Boolean = false,
+    // the word contained an UNESCAPED '*' or '?'. Tracked per
+    // character, not per word: in `path\\*` the backslash is escaped
+    // but the '*' is live, so the clause is still a wildcard — a
+    // word-level escape flag would silently demote it to a literal
+    wildcard: Boolean = false)
 
   // ---------------- lexer ----------------
 
@@ -251,18 +256,25 @@ object Parsed {
       c != '(' && c != ')' && c != ':' && c != '~' && c != '^'
     // word reader with Lucene `\x` escapes: an escaped character joins
     // the word with no structural meaning (`foo\:bar` is one term, not
-    // a field prefix). Returns (word, sawEscape).
-    def readWord(): (String, Boolean) = {
+    // a field prefix). Returns (word, sawEscape, sawLiveWildcard) —
+    // the wildcard flag is per character so escaped '*'/'?' stay
+    // literal while unescaped ones keep wildcard semantics even in a
+    // word that also contains escapes.
+    def readWord(): (String, Boolean, Boolean) = {
       val sb = new java.lang.StringBuilder
       var esc = false
+      var wild = false
       var reading = true
       while (reading && i < n) {
         val c = q.charAt(i)
         if (c == '\\' && i + 1 < n) { sb.append(q.charAt(i + 1)); esc = true; i += 2 }
-        else if (isWordChar(c)) { sb.append(c); i += 1 }
+        else if (isWordChar(c)) {
+          if (c == '*' || c == '?') wild = true
+          sb.append(c); i += 1
+        }
         else reading = false
       }
-      (sb.toString, esc)
+      (sb.toString, esc, wild)
     }
     while (i < n) {
       while (i < n && q.charAt(i).isWhitespace) i += 1
@@ -286,7 +298,7 @@ object Parsed {
             val (fz, b) = readSuffixes() // phrase `~N` = slop, parsed but exact-matched
             out += ClauseLex(Clause(occur, isPhrase = true, text, None, fz, b))
           } else {
-            val (word, wordEsc) = readWord()
+            val (word, wordEsc, wordWild) = readWord()
             if (i < n && q.charAt(i) == ':') { // field-scoped clause
               i += 1
               if (i < n && q.charAt(i) == '"') {
@@ -311,28 +323,29 @@ object Parsed {
                   case _ => // malformed range: drop the clause, like an empty field value
                 }
               } else {
-                val (text, textEsc) = readWord()
+                val (text, textEsc, textWild) = readWord()
                 if (text.nonEmpty) {
                   val (fz, b) = readSuffixes()
                   out += ClauseLex(Clause(occur, isPhrase = false, text, Some(word), fz, b,
-                    escaped = textEsc))
+                    escaped = textEsc, wildcard = textWild))
                 }
               }
             } else if (word.nonEmpty && occur == ' ' && i < n && !isWordChar(q.charAt(i)) &&
               (q.charAt(i) == '~' || q.charAt(i) == '^')) {
               val (fz, b) = readSuffixes()
               out += ClauseLex(Clause(occur, isPhrase = false, word, None, fz, b,
-                escaped = wordEsc))
+                escaped = wordEsc, wildcard = wordWild))
             } else if (word.nonEmpty && occur == ' ' && !wordEsc) word match {
               // an escaped word (`\AND`) is always a literal term
               case "AND" => out += AndOp
               case "OR" => out += OrOp
               case "NOT" => out += NotOp
-              case _ => out += ClauseLex(Clause(occur, isPhrase = false, word))
+              case _ => out += ClauseLex(Clause(occur, isPhrase = false, word,
+                wildcard = wordWild))
             } else if (word.nonEmpty) {
               val (fz, b) = readSuffixes()
               out += ClauseLex(Clause(occur, isPhrase = false, word, None, fz, b,
-                escaped = wordEsc))
+                escaped = wordEsc, wildcard = wordWild))
             } else if (i < n) {
               // empty word and nothing above consumed the character — a
               // dangling '~' / '^' with no preceding term. Drop it and
@@ -357,10 +370,10 @@ object Parsed {
       case None =>
         if (c.isPhrase) MatchPhrase(f, c.text) // `~N` on a phrase = slop; matched exact (see Parsed doc)
         else if (c.fuzzy.isDefined) MatchFuzzy(f, c.text.toLowerCase, c.fuzzy.get)
-        // escaped words (`wild\*card`) never parse as wildcards —
-        // their '*'/'?' are literal characters (Lucene escape rules)
-        else if (!c.escaped && c.text.exists(ch => ch == '*' || ch == '?'))
-          MatchWildcard(f, c.text.toLowerCase)
+        // wildcard iff the word carried an UNESCAPED '*'/'?' (per-char
+        // tracking in readWord): `wild\*card` is a literal term, but
+        // `path\\*` keeps its live wildcard (Lucene escape rules)
+        else if (c.wildcard) MatchWildcard(f, c.text.toLowerCase)
         else MatchText(f, c.text)
     }
     if (c.boost != 1.0) Boost(base, c.boost) else base

@@ -300,15 +300,41 @@ case class WinnowFingerprint(child: Expression, n: Int, w: Int)
     copy(child = newChild)
 }
 
-object WinnowFingerprint {
-  val OutType: StructType = StructType(Seq(
-    StructField("n_selected", IntegerType, nullable = false),
-    StructField("fp_winnow", StringType, nullable = false)))
+/** The one definition of the gram-hash contract every DuckDB oracle
+  * replicates (`('0x' || substr(md5(s),1,15))::BIGINT` /
+  * `list_min(list_transform(...))`): shingle string = tokens joined by
+  * single spaces (null tokens contribute nothing but keep their
+  * separator), digest = md5, 60-bit form = the first 15 hex chars.
+  * WinnowFingerprint / ShingleHashes / MinShingleMd5 all go through
+  * here — a change to one copy of this logic silently desyncing the
+  * others from the oracles is the failure mode this object removes. */
+private[functions] object ShingleDigest {
 
-  private def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val sb = new java.lang.StringBuilder(32)
+  /** Writes the space-joined n-token shingle at `i` into `sb`. */
+  def appendShingle(sb: java.lang.StringBuilder, tokens: ArrayData, i: Int, n: Int): Unit = {
+    sb.setLength(0)
+    var j = 0
+    while (j < n) {
+      if (j > 0) sb.append(' ')
+      if (!tokens.isNullAt(i + j)) sb.append(tokens.getUTF8String(i + j).toString)
+      j += 1
+    }
+  }
+
+  def digest(md: java.security.MessageDigest, sb: java.lang.StringBuilder): Array[Byte] =
+    md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** First 15 hex chars of the digest as a long —
+    * `conv(substring(md5(s),1,15),16,10)`. */
+  def top60(d: Array[Byte]): Long = {
+    var h = 0L
+    var b = 0
+    while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  def hex(d: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(2 * d.length)
     var i = 0
     while (i < d.length) {
       sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
@@ -317,6 +343,12 @@ object WinnowFingerprint {
     }
     sb.toString
   }
+}
+
+object WinnowFingerprint {
+  val OutType: StructType = StructType(Seq(
+    StructField("n_selected", IntegerType, nullable = false),
+    StructField("fp_winnow", StringType, nullable = false)))
 
   /** Static so generated code can call it directly. */
   def compute(tokens: ArrayData, n: Int, w: Int): org.apache.spark.sql.catalyst.InternalRow = {
@@ -328,19 +360,8 @@ object WinnowFingerprint {
       val sb = new java.lang.StringBuilder
       var i = 0
       while (i < numSh) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          if (!tokens.isNullAt(i + j)) sb.append(tokens.getUTF8String(i + j).toString)
-          j += 1
-        }
-        // first 15 hex chars of the md5 = top 60 bits, as conv(_,16,10)
-        val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        var h = 0L
-        var b = 0
-        while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
-        arr(i) = (h << 4) | ((d(7) & 0xf0L) >>> 4)
+        ShingleDigest.appendShingle(sb, tokens, i, n)
+        arr(i) = ShingleDigest.top60(ShingleDigest.digest(md, sb))
         i += 1
       }
       arr
@@ -383,7 +404,8 @@ object WinnowFingerprint {
       sb.toString
     }
     org.apache.spark.sql.catalyst.InternalRow(
-      sel.length, UTF8String.fromString(md5Hex(joined)))
+      sel.length, UTF8String.fromString(ShingleDigest.hex(
+        md.digest(joined.getBytes(java.nio.charset.StandardCharsets.UTF_8)))))
   }
 }
 
@@ -424,19 +446,8 @@ object ShingleHashes {
     val hs = new Array[Long](numSh)
     var i = 0
     while (i < numSh) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        if (!tokens.isNullAt(i + j)) sb.append(tokens.getUTF8String(i + j).toString)
-        j += 1
-      }
-      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // top 60 bits of the digest == conv(substring(hex,1,15),16,10)
-      var h = 0L
-      var b = 0
-      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
-      hs(i) = (h << 4) | ((d(7) & 0xf0L) >>> 4)
+      ShingleDigest.appendShingle(sb, tokens, i, n)
+      hs(i) = ShingleDigest.top60(ShingleDigest.digest(md, sb))
       i += 1
     }
     java.util.Arrays.sort(hs)
@@ -465,6 +476,10 @@ case class MinShingleMd5(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "min_shingle_md5"
+  // null for sub-n-token docs even when the input is non-nullable —
+  // without this Catalyst would simplify away callers' null guards
+  // (the coalesce fallback in TextAnalysis.fingerprints)
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(arr: Any): Any =
     MinShingleMd5.compute(arr.asInstanceOf[ArrayData], n)
@@ -494,14 +509,8 @@ object MinShingleMd5 {
     var best: Array[Byte] = null
     var i = 0
     while (i < numSh) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        if (!tokens.isNullAt(i + j)) sb.append(tokens.getUTF8String(i + j).toString)
-        j += 1
-      }
-      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ShingleDigest.appendShingle(sb, tokens, i, n)
+      val d = ShingleDigest.digest(md, sb)
       // unsigned byte-wise comparison == hex-string lexicographic min
       if (best == null || {
         var k = 0
@@ -511,14 +520,7 @@ object MinShingleMd5 {
       }) best = d
       i += 1
     }
-    val hex = new java.lang.StringBuilder(32)
-    var k = 0
-    while (k < 16) {
-      hex.append(Character.forDigit((best(k) >> 4) & 0xf, 16))
-      hex.append(Character.forDigit(best(k) & 0xf, 16))
-      k += 1
-    }
-    UTF8String.fromString(hex.toString)
+    UTF8String.fromString(ShingleDigest.hex(best))
   }
 }
 

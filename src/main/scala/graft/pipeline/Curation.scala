@@ -216,14 +216,27 @@ object Curation {
     * aggregation. Per-token logprobs are summed as DECIMAL(18,8) so
     * the mean is order-independent across engines. */
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, StringType, StructField, StructType}
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), toks(col("text")).as("tokens"))
-    val freq = docs.select(explode(col("tokens")).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
-    val total = freq.agg(sum("cnt")).head().getLong(0)
-    val lp = freq.select(col("term"),
-      (-log(col("cnt").cast("double") / lit(total.toDouble)))
-        .cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("lp"))
+    // ONE corpus aggregation: the freq table is |vocab|-bounded, so
+    // collect it and derive both the total and the logprob dictionary
+    // on the driver (it is about to be broadcast anyway); computing
+    // `total` as a separate Spark action would re-aggregate the whole
+    // corpus. Math.log here is the same function Spark's codegen
+    // calls, and HALF_UP setScale matches Cast-to-decimal rounding.
+    val freqRows = docs.select(explode(col("tokens")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt")).collect()
+    val total = freqRows.iterator.map(_.getLong(1)).sum.toDouble
+    val lpRows = freqRows.toSeq.map { r =>
+      org.apache.spark.sql.Row(r.getString(0),
+        BigDecimal(-math.log(r.getLong(1) / total))
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val lp = spark.createDataFrame(
+      spark.sparkContext.parallelize(lpRows, 1),
+      StructType(Seq(StructField("term", StringType, nullable = false),
+        StructField("lp", DecimalType(18, 8), nullable = false))))
     docs.select(col("doc_id"), explode(col("tokens")).as("term"))
       .join(broadcast(lp), Seq("term"))
       .groupBy("doc_id")

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Structured Streaming operators over the `events` stream (SURVEY
@@ -22,35 +23,52 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object EventStreams {
 
+  /** Value sums accumulate as DECIMAL(30,8) — exact, so the result is
+    * independent of micro-batch boundaries and partitioning, and
+    * matches the decimal-exact batch/oracle sums (see
+    * RelationalQueries.decSum: a double sum's order-dependent last
+    * ulp can straddle a rounding boundary). */
+  private def decValue = col("value").cast(DecimalType(30, 8))
+
   /** Tumbling 1-hour windows with a 10-minute watermark: event counts
     * and value sums per (window, event_type). */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(decValue).as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
-  /** Sliding windows: 1 hour long, advancing every 15 minutes. */
+  /** Sliding windows: 1 hour long, advancing every 15 minutes. The
+    * mean is an exact decimal sum divided as double, so both engines
+    * divide identical inputs (RelationalQueries.decAvg pattern). */
   def slidingAvg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-      .agg(avg(col("value")).as("avg_value"))
-      .select(col("window.start").as("win_start"), col("event_type"), col("avg_value"))
+      .agg(sum(decValue).as("sv"), count(col("value")).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        (col("sv").cast("double") / col("n")).as("avg_value"))
 
   /** Session windows with a 30-minute gap per user. */
   def sessionize(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), sum(decValue).as("sum_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+  /** Internal accumulator: the value total as a scaled long
+    * (units of 1e-8) so state addition is exact and
+    * arrival-order-independent — the typed-state counterpart of the
+    * DECIMAL(30,8) sums in the windowed aggregations above.
+    * (`private` would hide the constructor from the state encoder's
+    * generated code.) */
+  private[streaming] final case class UserStatsAcc(n_events: Long, total_scaled: Long)
 
   /** Incremental per-user running stats via typed state — the
     * KeyValueGroupedDataset.mapGroupsWithState path for custom
@@ -59,15 +77,17 @@ object EventStreams {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout()) {
-        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserStats]) =>
-          val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0))
+      .mapGroupsWithState[UserStatsAcc, UserStats](GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserStatsAcc]) =>
+          val prev = state.getOption.getOrElse(UserStatsAcc(0L, 0L))
           var n = prev.n_events
-          var total = prev.total_value
-          rows.foreach { e => n += 1; total += e.value }
-          val next = UserStats(userId, n, total)
-          state.update(next)
-          next
+          var total = prev.total_scaled
+          // quantize per event to 8 decimals (== the oracle's
+          // CAST(value AS DECIMAL(18,8)), modulo the value*1e8 double
+          // product's last ulp); long addition is then exact
+          rows.foreach { e => n += 1; total += math.round(e.value * 1e8) }
+          state.update(UserStatsAcc(n, total))
+          UserStats(userId, n, total / 1e8)
       }
   }
 
@@ -100,7 +120,12 @@ object EventStreams {
   }
 
   final case class ScoredItem(user_id: Long, item: Long, score: Double)
-  final case class UserTopK(user_id: Long, items: Seq[Long], scores: Seq[Double])
+  /** `n_seen` counts every input row merged so far — monotone across
+    * micro-batches, so an Update-mode sink's final state per user is
+    * its max-`n_seen` row (the same batch-count defense
+    * runningUserStats gets from its monotone `n_events`). */
+  final case class UserTopK(user_id: Long, items: Seq[Long], scores: Seq[Double],
+      n_seen: Long)
 
   /** Bounded per-key top-k as a `transformWithState` StatefulProcessor
     * (the arbitrary-state API that supersedes mapGroupsWithState in
@@ -113,21 +138,22 @@ object EventStreams {
     * mode, which [[runningTopKPerUser]] selects automatically. */
   class TopKProcessor(k: Int, ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, ScoredItem, UserTopK] {
-    @transient private var state: ValueState[List[(Long, Double)]] = _
+    @transient private var state: ValueState[(List[(Long, Double)], Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[List[(Long, Double)]](
-        "topk", ExpressionEncoder[List[(Long, Double)]](), ttl)
+      state = getHandle.getValueState[(List[(Long, Double)], Long)](
+        "topk", ExpressionEncoder[(List[(Long, Double)], Long)](), ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[ScoredItem],
         timerValues: TimerValues): Iterator[UserTopK] = {
-      val cur = if (state.exists()) state.get() else Nil
-      val merged = (cur ++ rows.map(r => r.item -> r.score))
+      val (cur, seen) = if (state.exists()) state.get() else (Nil, 0L)
+      var nIn = 0L
+      val merged = (cur ++ rows.map { r => nIn += 1; r.item -> r.score })
         .groupMapReduce(_._1)(_._2)(math.max)
         .toList
         .sortBy(t => (-t._2, t._1)).take(k)
-      state.update(merged)
-      Iterator.single(UserTopK(key, merged.map(_._1), merged.map(_._2)))
+      state.update((merged, seen + nIn))
+      Iterator.single(UserTopK(key, merged.map(_._1), merged.map(_._2), seen + nIn))
     }
   }
 

@@ -95,7 +95,7 @@ object StreamQueries {
         EventStreams.tumblingCounts(stagedEvents(s, dir)), name, OutputMode.Complete())
       s.table(name)
         .select(col("win_start").cast("long").as("win_start"), col("event_type"),
-          col("n"), round(col("sum_value"), 4).as("sum_value"))
+          col("n"), round(col("sum_value"), 4).cast("double").as("sum_value"))
         .orderBy("win_start", "event_type")
     }),
     "stream_sliding_avg" -> ((s, dir) => {
@@ -115,7 +115,7 @@ object StreamQueries {
         .select(col("user_id"),
           unix_micros(col("session_start")).as("session_start"),
           unix_micros(col("session_end")).as("session_end"),
-          col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+          col("n_events"), round(col("sum_value"), 4).cast("double").as("sum_value"))
         .orderBy("user_id", "session_start")
     }),
     // streaming exact dedup: one survivor per content hash. The
@@ -172,9 +172,12 @@ object StreamQueries {
       s.table(name).select(col("term"), col("df")).orderBy("term")
     }),
     // transformWithState bounded per-user top-k (RocksDB state store).
-    // The single-file source replays in one micro-batch, so the sink
-    // holds exactly the final top-k row per user.
+    // The sink holds one Update row per (user, micro-batch); n_seen is
+    // monotone, so the final state is the max-n_seen row per user —
+    // robust to however AvailableNow batches the input (same defense
+    // as stream_user_stats).
     "stream_topk_items" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       import s.implicits._
       val ev = stagedEvents(s, dir)
         .select(col("user_id"), col("event_id").as("item"), col("value").as("score"))
@@ -192,7 +195,9 @@ object StreamQueries {
         case Some(p) => s.conf.set(key, p)
         case None => s.conf.unset(key)
       }
+      val w = Window.partitionBy("user_id").orderBy(col("n_seen").desc)
       s.table(name)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
         .select(col("user_id"),
           posexplode(arrays_zip(col("items"), col("scores"))).as(Seq("pos", "z")))
         .select(col("user_id"), (col("pos") + 1).cast("long").as("rank"),
@@ -211,7 +216,9 @@ object StreamQueries {
     // 15min puts every event in exactly window/slide = 4 windows whose
     // epoch-aligned starts are (floor(t/slide) - j) * slide, j in 0..3
     "stream_sliding_avg" ->
-      """SELECT win_start, event_type, round(avg(value), 4) AS avg_value
+      """SELECT win_start, event_type,
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / count(value), 4)
+        |    AS avg_value
         |FROM (
         |  SELECT (epoch_us(ts) // 900000000 - j) * 900 AS win_start, event_type, value
         |  FROM events, range(0, 4) t(j)
@@ -235,8 +242,10 @@ object StreamQueries {
         |GROUP BY 1, 2
         |ORDER BY win_start, term""".stripMargin,
     // a bounded replay of running per-user state ends at the totals
+    // decimal sum mirrors runningUserStats' exact scaled-long state
     "stream_user_stats" ->
-      """SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+      """SELECT user_id, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,8))) AS DOUBLE), 4) AS total_value
         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
     "stream_term_stats" ->
       """SELECT term, count(*) AS cf

@@ -217,6 +217,10 @@ class PropertiesSpec extends AnyFunSuite {
     // wildcards, lowercased like QueryParser's default normalization
     assert(p("Spa*") == MatchWildcard("text", "spa*"))
     assert(p("jo?n AND spark") == And(MatchWildcard("text", "jo?n"), t("spark")))
+    // escapes are per CHARACTER: an escaped '*' is literal, but a live
+    // '*' after some other escape keeps wildcard semantics
+    assert(p("wild\\*card") == t("wild*card"))
+    assert(p("path\\\\*") == MatchWildcard("text", "path\\*"))
     // phrase slop parses but matches exact (documented deviation)
     assert(p("\"big data\"~2") == MatchPhrase("text", "big data"))
     // ranges: inclusive, exclusive, mixed, open-ended, numeric coercion

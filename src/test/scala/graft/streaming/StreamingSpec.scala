@@ -32,7 +32,7 @@ class StreamingSpec extends AnyFunSuite {
       EventStreams.tumblingCounts(mem.toDF()), "tumbling_sink", OutputMode.Append())
     val got = spark.table("tumbling_sink")
       .where($"event_type" =!= "flush")
-      .select("event_type", "n", "sum_value")
+      .select($"event_type", $"n", $"sum_value".cast("double"))
       .as[(String, Long, Double)].collect().toSet
     assert(got == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
