@@ -78,7 +78,7 @@ object Curation {
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .select(
         col("doc_id"), col("n_grams"), col("n_hit"),
-        round(col("n_hit").cast("double") /
+        graft.functions.Rounding.roundEven(col("n_hit").cast("double") /
           greatest(col("n_grams"), lit(1)), 4).as("contam_frac"))
       .orderBy("doc_id")
   }
@@ -171,7 +171,7 @@ object Curation {
       .agg(topk(col("term"), col("score_d").cast("double")).as("kw"))
       .select(col("doc_id"), posexplode(col("kw")).as(Seq("pos", "kw")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("kw.key").as("term"), round(col("kw.score"), 4).as("score"))
+        col("kw.key").as("term"), graft.functions.Rounding.roundEven(col("kw.score"), 4).as("score"))
       .orderBy("doc_id", "rank")
   }
 
@@ -242,7 +242,7 @@ object Curation {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("lp_sum"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("lp_sum").cast("double") / col("n_tokens"), 4).as("mean_neg_logprob"))
+        graft.functions.Rounding.roundEven(col("lp_sum").cast("double") / col("n_tokens"), 4).as("mean_neg_logprob"))
       .orderBy("doc_id")
   }
 
@@ -274,7 +274,7 @@ object Curation {
       .select(
         col("doc_id"), col("n_tokens"),
         (col("n_tokens") - col("n_in_vocab")).as("n_oov"),
-        round((col("n_tokens") - col("n_in_vocab")).cast("double") /
+        graft.functions.Rounding.roundEven((col("n_tokens") - col("n_in_vocab")).cast("double") /
           greatest(col("n_tokens"), lit(1L)), 4).as("oov_frac"))
       .orderBy("doc_id")
   }

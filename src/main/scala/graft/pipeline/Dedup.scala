@@ -152,7 +152,7 @@ object Dedup {
           size(array_union(col("ssx"), col("ssy"))))
       .where(col("jaccard") >= threshold)
       .select(col("x").as("doc_a"), col("y").as("doc_b"),
-        round(col("jaccard"), 4).as("jaccard"))
+        graft.functions.Rounding.roundEven(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -198,7 +198,7 @@ object Dedup {
           size(array_union(col("ssx"), col("ssy"))))
       .where(col("jaccard") >= threshold)
       .select(col("x").as("doc_a"), col("y").as("doc_b"),
-        round(col("jaccard"), 4).as("jaccard"))
+        graft.functions.Rounding.roundEven(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -120,7 +120,7 @@ object PipelineQueries {
        |    len(list_intersect(sa.ss, sb.ss))::DOUBLE / len(list_distinct(sa.ss || sb.ss)) AS jaccard
        |  FROM cand JOIN sh sa ON sa.doc_id = cand.x JOIN sh sb ON sb.doc_id = cand.y
        |)
-       |SELECT x AS doc_a, y AS doc_b, round(jaccard, 4) AS jaccard FROM j
+       |SELECT x AS doc_a, y AS doc_b, round_even((jaccard) * 1e4, 0) / 1e4 AS jaccard FROM j
        |WHERE jaccard >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
@@ -264,7 +264,7 @@ object PipelineQueries {
          |  GROUP BY 1
          |)
          |SELECT t.doc_id, len(t.ss) AS n_grams, coalesce(h.n_hit, 0) AS n_hit,
-         |  round(coalesce(h.n_hit, 0)::DOUBLE / greatest(len(t.ss), 1), 4) AS contam_frac
+         |  round_even((coalesce(h.n_hit, 0)::DOUBLE / greatest(len(t.ss), 1)) * 1e4, 0) / 1e4 AS contam_frac
          |FROM train t LEFT JOIN hits h USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
@@ -284,7 +284,7 @@ object PipelineQueries {
          |        AS DECIMAL(18,6)) AS score
          |  FROM tf JOIN df USING (term)
          |)
-         |SELECT doc_id, rank, term, round(CAST(score AS DOUBLE), 4) AS score
+         |SELECT doc_id, rank, term, round_even((CAST(score AS DOUBLE)) * 1e4, 0) / 1e4 AS score
          |FROM (SELECT doc_id, term, score,
          |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
          |      FROM scored) r
@@ -321,7 +321,7 @@ object PipelineQueries {
          |  FROM freq
          |)
          |SELECT t.doc_id, count(*) AS n_tokens,
-         |  round(CAST(sum(l.lp) AS DOUBLE) / count(*), 4) AS mean_neg_logprob
+         |  round_even((CAST(sum(l.lp) AS DOUBLE) / count(*)) * 1e4, 0) / 1e4 AS mean_neg_logprob
          |FROM tok t JOIN lp l USING (term)
          |GROUP BY 1
          |ORDER BY 1""".stripMargin,
@@ -367,8 +367,8 @@ object PipelineQueries {
          |), v AS (SELECT list(term) AS vlist FROM vocab)
          |SELECT doc_id, len(tokens)::BIGINT AS n_tokens,
          |  (len(tokens) - len(list_filter(tokens, x -> list_contains(v.vlist, x))))::BIGINT AS n_oov,
-         |  round((len(tokens) - len(list_filter(tokens, x -> list_contains(v.vlist, x))))::DOUBLE
-         |    / greatest(len(tokens), 1), 4) AS oov_frac
+         |  round_even(((len(tokens) - len(list_filter(tokens, x -> list_contains(v.vlist, x))))::DOUBLE
+         |    / greatest(len(tokens), 1)) * 1e4, 0) / 1e4 AS oov_frac
          |FROM toks, v
          |ORDER BY doc_id""".stripMargin,
 
@@ -435,9 +435,9 @@ object PipelineQueries {
          |base AS (
          |  SELECT doc_id, length(text)::DOUBLE AS n_chars,
          |    len(string_split(text, chr(10)))::BIGINT AS n_lines,
-         |    round((len(string_split(text, chr(10))) -
+         |    round_even(((len(string_split(text, chr(10))) -
          |           len(list_distinct(string_split(text, chr(10)))))::DOUBLE /
-         |          len(string_split(text, chr(10))), 4) AS dup_line_frac
+         |          len(string_split(text, chr(10)))) * 1e4, 0) / 1e4 AS dup_line_frac
          |  FROM documents
          |), c2 AS (
          |  SELECT doc_id, g, count(*) AS c
@@ -458,8 +458,8 @@ object PipelineQueries {
          |  FROM c5 GROUP BY doc_id
          |)
          |SELECT b.doc_id, b.n_lines, b.dup_line_frac,
-         |  round(coalesce(t.top2_chars, 0) / b.n_chars, 4) AS top_2gram_frac,
-         |  round(coalesce(d.dup5_chars, 0) / b.n_chars, 4) AS dup_5gram_frac
+         |  round_even((coalesce(t.top2_chars, 0) / b.n_chars) * 1e4, 0) / 1e4 AS top_2gram_frac,
+         |  round_even((coalesce(d.dup5_chars, 0) / b.n_chars) * 1e4, 0) / 1e4 AS dup_5gram_frac
          |FROM base b
          |LEFT JOIN (SELECT doc_id, top2_chars FROM top2 WHERE rn = 1) t USING (doc_id)
          |LEFT JOIN dup5 d USING (doc_id)
@@ -591,14 +591,14 @@ object PipelineQueries {
     "quality_score" ->
       s"""$toksCte
          |SELECT doc_id, n_tokens, n_distinct, avg_token_len, ttr, stop_ratio,
-         |  round(least(n_tokens / 100.0, 1.0) * (1 - stop_ratio) * ttr, 4) AS quality
+         |  round_even((least(n_tokens / 100.0, 1.0) * (1 - stop_ratio) * ttr) * 1e4, 0) / 1e4 AS quality
          |FROM (
          |  SELECT doc_id, len(tokens) AS n_tokens, len(list_distinct(tokens)) AS n_distinct,
-         |    round(coalesce(list_sum(list_transform(tokens, x -> length(x))), 0)::DOUBLE
-         |      / greatest(len(tokens), 1), 4) AS avg_token_len,
-         |    round(len(list_distinct(tokens))::DOUBLE / greatest(len(tokens), 1), 4) AS ttr,
-         |    round(len(list_filter(tokens, x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], x)))::DOUBLE
-         |      / greatest(len(tokens), 1), 4) AS stop_ratio
+         |    round_even((coalesce(list_sum(list_transform(tokens, x -> length(x))), 0)::DOUBLE
+         |      / greatest(len(tokens), 1)) * 1e4, 0) / 1e4 AS avg_token_len,
+         |    round_even((len(list_distinct(tokens))::DOUBLE / greatest(len(tokens), 1)) * 1e4, 0) / 1e4 AS ttr,
+         |    round_even((len(list_filter(tokens, x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], x)))::DOUBLE
+         |      / greatest(len(tokens), 1)) * 1e4, 0) / 1e4 AS stop_ratio
          |  FROM toks
          |)
          |ORDER BY doc_id""".stripMargin,

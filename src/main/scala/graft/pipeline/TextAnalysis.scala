@@ -101,14 +101,14 @@ object TextAnalysis {
       .withColumn("n_distinct", size(array_distinct(col("tokens"))))
       .withColumn("n_stop", countIn(col("tokens"), en))
       .withColumn("avg_token_len",
-        round(call_function("array_total_strlen", col("tokens")).cast("double") /
+        graft.functions.Rounding.roundEven(call_function("array_total_strlen", col("tokens")).cast("double") /
           greatest(col("n_tokens"), lit(1)), 4))
       .withColumn("ttr",
-        round(col("n_distinct").cast("double") / greatest(col("n_tokens"), lit(1)), 4))
+        graft.functions.Rounding.roundEven(col("n_distinct").cast("double") / greatest(col("n_tokens"), lit(1)), 4))
       .withColumn("stop_ratio",
-        round(col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1)), 4))
+        graft.functions.Rounding.roundEven(col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1)), 4))
       .withColumn("quality",
-        round(least(col("n_tokens").cast("double") / 100.0, lit(1.0)) *
+        graft.functions.Rounding.roundEven(least(col("n_tokens").cast("double") / 100.0, lit(1.0)) *
           (lit(1.0) - col("stop_ratio")) * col("ttr"), 4))
       .select("doc_id", "n_tokens", "n_distinct", "avg_token_len", "ttr",
         "stop_ratio", "quality")
@@ -152,7 +152,7 @@ object TextAnalysis {
       col("doc_id"),
       length(col("text")).cast("double").as("n_chars"),
       size(lines).cast("long").as("n_lines"),
-      round((size(lines) - size(array_distinct(lines))).cast("double") /
+      graft.functions.Rounding.roundEven((size(lines) - size(array_distinct(lines))).cast("double") /
         size(lines), 4).as("dup_line_frac"))
     def gramCounts(n: Int) = d
       .select(col("doc_id"), explode(ngramsAll(col("tokens"), n)).as("g"))
@@ -168,9 +168,9 @@ object TextAnalysis {
         .cast("double").as("dup5_chars"))
     base.join(top2, Seq("doc_id"), "left").join(dup5, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_lines"), col("dup_line_frac"),
-        round(coalesce(col("top2_chars"), lit(0.0)) / col("n_chars"), 4)
+        graft.functions.Rounding.roundEven(coalesce(col("top2_chars"), lit(0.0)) / col("n_chars"), 4)
           .as("top_2gram_frac"),
-        round(coalesce(col("dup5_chars"), lit(0.0)) / col("n_chars"), 4)
+        graft.functions.Rounding.roundEven(coalesce(col("dup5_chars"), lit(0.0)) / col("n_chars"), 4)
           .as("dup_5gram_frac"))
       .orderBy("doc_id")
   }

@@ -44,7 +44,8 @@ object RelationalQueries {
   /** Exact-sum average: decimal sum (order-independent) divided as
     * double — both engines then divide identical inputs. */
   private def decAvg(e: Column, scale: Int): Column =
-    round(sum(e.cast(DecimalType(30, 8))).cast("double") / count(e), scale)
+    graft.functions.Rounding.roundEven(
+      sum(e.cast(DecimalType(30, 8))).cast("double") / count(e), scale)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- aggregation: TPC-H Q1 pricing summary (partial+final hash agg) ---
@@ -56,7 +57,7 @@ object RelationalQueries {
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           decSum(col("l_extendedprice"), 2).as("sum_base_price"),
           decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          graft.functions.Rounding.roundEven(avg(col("l_quantity")), 4).as("avg_qty"),
           decAvg(col("l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -262,7 +263,7 @@ object RelationalQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("k_val")).as("sum_k"),
-          round(avg(col("k_val")), 4).as("avg_k"))
+          graft.functions.Rounding.roundEven(avg(col("k_val")), 4).as("avg_k"))
         .orderBy(col("event_type"))
     }),
 
@@ -393,8 +394,8 @@ object RelationalQueries {
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_base_price,
         |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(CAST(sum(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
+        |  round_even((avg(l_quantity)) * 1e4, 0) / 1e4 AS avg_qty,
+        |  round_even((CAST(sum(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) / count(l_discount)) * 1e4, 0) / 1e4 AS avg_disc,
         |  count(1) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -445,7 +446,7 @@ object RelationalQueries {
 
     "q7_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
-        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) / count(o_totalprice), 2) AS avg_price
+        |  round_even((CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) / count(o_totalprice)) * 1e2, 0) / 1e2 AS avg_price
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
@@ -562,7 +563,7 @@ object RelationalQueries {
     "q18_json_extract" ->
       """SELECT event_type, count(1) AS n,
         |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
-        |  round(avg(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)), 4) AS avg_k
+        |  round_even((avg(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT))) * 1e4, 0) / 1e4 AS avg_k
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,

@@ -104,7 +104,7 @@ object StreamQueries {
         EventStreams.slidingAvg(stagedEvents(s, dir)), name, OutputMode.Complete())
       s.table(name)
         .select(col("win_start").cast("long").as("win_start"), col("event_type"),
-          round(col("avg_value"), 4).as("avg_value"))
+          graft.functions.Rounding.roundEven(col("avg_value"), 4).as("avg_value"))
         .orderBy("win_start", "event_type")
     }),
     "stream_session_counts" -> ((s, dir) => {
@@ -217,7 +217,7 @@ object StreamQueries {
     // epoch-aligned starts are (floor(t/slide) - j) * slide, j in 0..3
     "stream_sliding_avg" ->
       """SELECT win_start, event_type,
-        |  round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / count(value), 4)
+        |  round_even((CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / count(value)) * 1e4, 0) / 1e4
         |    AS avg_value
         |FROM (
         |  SELECT (epoch_us(ts) // 900000000 - j) * 900 AS win_start, event_type, value
