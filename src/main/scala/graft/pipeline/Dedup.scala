@@ -171,11 +171,18 @@ object Dedup {
     * surviving pairs' Jaccard values are uncapped. */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.3,
       maxShingleDf: Int = 100): DataFrame = {
-    // persisted before the filter for the same expression-collapse
-    // reason as minhashLsh
+    // shingles travel as 60-bit md5-prefix hashes (the native
+    // [[graft.functions.ShingleHashes]] pass — one codegen'd scan, and
+    // the inverted index / candidate join / verify arrays move 8-byte
+    // longs, never ~40-char shingle strings; at corpus scale that is
+    // ~6x less shuffle). Sets are distinct-by-hash in BOTH engines, so
+    // a collision cannot desync the Jaccard counts. Persisted before
+    // the filter for the same expression-collapse reason as minhashLsh.
+    graft.functions.SearchExpressions.register(spark)
     val sh = persistOnce(s"ngram_sh#$dir") {
       docTokens(spark, dir)
-        .select(col("doc_id"), shingles(col("tokens"), 5).as("ss"))
+        .select(col("doc_id"),
+          call_function("shingle_hashes", col("tokens"), lit(5)).as("ss"))
     }.where(size(col("ss")) > 0)
     val inv = sh.select(col("doc_id"), explode(col("ss")).as("s"))
     // df per shingle (shingles are distinct per doc, so count = df).

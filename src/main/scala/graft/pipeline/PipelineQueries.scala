@@ -409,11 +409,16 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin,
 
     // hot-shingle cap mirrored from Dedup.ngramJaccard: shingles with
-    // df > 100 are dropped before candidate generation
+    // df > 100 are dropped before candidate generation. Shingle sets
+    // are 60-bit md5-prefix hashes (distinct-by-hash), mirroring the
+    // native ShingleHashes pass.
     "dedup_ngram" ->
       s"""$toksCte,
          |sh AS (
-         |  SELECT doc_id, ${shingleSql(5)} AS ss FROM toks WHERE len(tokens) >= 5
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(${shingleSql(5)},
+         |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS ss
+         |  FROM toks WHERE len(tokens) >= 5
          |), inv0 AS (
          |  SELECT doc_id, unnest(ss) AS s FROM sh
          |), cool AS (
