@@ -528,48 +528,49 @@ object SearchExpressions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[ArrayCountEq].getName, null, name, usage, "")
 
+  /** The full native-function surface as (identifier, info, builder)
+    * triples — the single source both [[register]] (runtime
+    * registration) and [[graft.GraftExtensions]] (the
+    * `spark.sql.extensions` deployment path) install from. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("array_count_eq"),
+      info("array_count_eq", "array_count_eq(arr, term) - occurrences of term in arr"),
+      (exprs: Seq[Expression]) => ArrayCountEq(exprs(0), exprs(1))),
+    (FunctionIdentifier("phrase_count"),
+      info("phrase_count", "phrase_count(arr, phrase) - contiguous occurrences of phrase in arr"),
+      (exprs: Seq[Expression]) => PhraseCount(exprs(0), exprs(1))),
+    (FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two double arrays"),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))),
+    (FunctionIdentifier("array_count_in"),
+      info("array_count_in", "array_count_in(arr, words) - count of arr elements present in words"),
+      (exprs: Seq[Expression]) => ArrayCountIn(exprs(0), exprs(1))),
+    (FunctionIdentifier("array_total_strlen"),
+      info("array_total_strlen", "array_total_strlen(arr) - total char length of arr elements"),
+      (exprs: Seq[Expression]) => ArrayTotalStrLen(exprs(0))),
+    (FunctionIdentifier("winnow_fingerprint"),
+      info("winnow_fingerprint",
+        "winnow_fingerprint(tokens, n, w) - winnowing selection struct(n_selected, fp_winnow)"),
+      (exprs: Seq[Expression]) => WinnowFingerprint(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "shingle_hashes(tokens, n) - sorted distinct 60-bit md5-prefix hashes of n-token shingles"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("min_shingle_md5"),
+      info("min_shingle_md5",
+        "min_shingle_md5(tokens, n) - minimum md5 hex over n-token shingles, NULL if < n tokens"),
+      (exprs: Seq[Expression]) => MinShingleMd5(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])))
+
   /** Registers the expressions in the session's FunctionRegistry so
     * they are callable from both `functions.call_function` and SQL
     * text (SURVEY §7 Phase 3). Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.registerFunction(
-      FunctionIdentifier("array_count_eq"),
-      info("array_count_eq", "array_count_eq(arr, term) - occurrences of term in arr"),
-      (exprs: Seq[Expression]) => ArrayCountEq(exprs(0), exprs(1)))
-    reg.registerFunction(
-      FunctionIdentifier("phrase_count"),
-      info("phrase_count", "phrase_count(arr, phrase) - contiguous occurrences of phrase in arr"),
-      (exprs: Seq[Expression]) => PhraseCount(exprs(0), exprs(1)))
-    reg.registerFunction(
-      FunctionIdentifier("vec_dot"),
-      info("vec_dot", "vec_dot(a, b) - dot product of two double arrays"),
-      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1)))
-    reg.registerFunction(
-      FunctionIdentifier("array_count_in"),
-      info("array_count_in", "array_count_in(arr, words) - count of arr elements present in words"),
-      (exprs: Seq[Expression]) => ArrayCountIn(exprs(0), exprs(1)))
-    reg.registerFunction(
-      FunctionIdentifier("array_total_strlen"),
-      info("array_total_strlen", "array_total_strlen(arr) - total char length of arr elements"),
-      (exprs: Seq[Expression]) => ArrayTotalStrLen(exprs(0)))
-    reg.registerFunction(
-      FunctionIdentifier("winnow_fingerprint"),
-      info("winnow_fingerprint",
-        "winnow_fingerprint(tokens, n, w) - winnowing selection struct(n_selected, fp_winnow)"),
-      (exprs: Seq[Expression]) => WinnowFingerprint(exprs(0),
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
-    reg.registerFunction(
-      FunctionIdentifier("shingle_hashes"),
-      info("shingle_hashes",
-        "shingle_hashes(tokens, n) - sorted distinct 60-bit md5-prefix hashes of n-token shingles"),
-      (exprs: Seq[Expression]) => ShingleHashes(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]))
-    reg.registerFunction(
-      FunctionIdentifier("min_shingle_md5"),
-      info("min_shingle_md5",
-        "min_shingle_md5(tokens, n) - minimum md5 hex over n-token shingles, NULL if < n tokens"),
-      (exprs: Seq[Expression]) => MinShingleMd5(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]))
+    functions.foreach { case (id, fnInfo, builder) =>
+      reg.registerFunction(id, fnInfo, builder)
+    }
   }
 }
