@@ -31,6 +31,18 @@ object PipelineQueries {
     // oracle generated at runtime from the fitted centroids (see
     // ivfOracle below); KMeans quality itself is covered by IvfSpec
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir, recordAs = Some("ann_ivf"))),
+    // int8 codes pinned per vector by an md5 digest + L1 (arrays
+    // themselves stay out of the compare; scalars hash stably)
+    "emb_quantize" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      Similarity.quantizeInt8(s, dir)
+        .select(col("vec_id"), col("scale_r"),
+          md5(concat_ws(",", col("q").cast("array<string>"))).as("q_md5"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x)).as("q_l1"),
+          col("max_abs_err"))
+        .orderBy("vec_id")
+    }),
+    "ann_quantized" -> ((s, dir) => Similarity.quantizedTopK(s, dir)),
     "decontaminate" -> ((s, dir) => Curation.decontaminate(s, dir)),
     "sample_stratified" -> ((s, dir) => Curation.stratifiedSample(s, dir)),
     "pack_sequences" -> ((s, dir) => Curation.packSequences(s, dir)),
@@ -241,7 +253,53 @@ object PipelineQueries {
   private def md5BucketSql(idExpr: String, mod: Int): String =
     s"(('0x' || substr(md5($idExpr::VARCHAR), 1, 8))::BIGINT % $mod)"
 
+  /** Shared int8-quantization CTEs (mirror of Similarity.quantizeInt8):
+    * scale = max|x|/127, codes = half-even(v/scale). */
+  private val quantCte =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |), s AS (
+      |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e
+      |), qq AS (
+      |  SELECT vec_id, v, scale,
+      |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+      |         ELSE list_transform(v, x -> CAST(round_even(x / scale, 0) AS INTEGER))
+      |    END AS q
+      |  FROM s
+      |)""".stripMargin
+
   private val staticOracles: Map[String, String] = Map(
+    "emb_quantize" ->
+      s"""$quantCte
+         |SELECT vec_id,
+         |  round_even((scale) * 1e6, 0) / 1e6 AS scale_r,
+         |  md5(array_to_string(q, ',')) AS q_md5,
+         |  list_sum(list_transform(q, x -> abs(x)))::BIGINT AS q_l1,
+         |  round_even((list_max(list_transform(range(1, len(v) + 1),
+         |    i -> abs(v[i] - q[i] * scale)))) * 1e6, 0) / 1e6 AS max_abs_err
+         |FROM qq
+         |ORDER BY vec_id""".stripMargin,
+
+    "ann_quantized" ->
+      s"""$quantCte, qn AS (
+         |  SELECT vec_id, q,
+         |    sqrt(list_sum(list_transform(q, x -> (x * x)::DOUBLE))) AS nrm
+         |  FROM qq
+         |  WHERE list_sum(list_transform(q, x -> (x * x)::DOUBLE)) > 0
+         |), scored AS (
+         |  SELECT b.vec_id AS qid, a.vec_id,
+         |    list_sum(list_transform(range(1, len(a.q) + 1),
+         |      i -> (a.q[i] * b.q[i])::DOUBLE)) / (a.nrm * b.nrm) AS cos
+         |  FROM qn a, qn b
+         |  WHERE b.vec_id < 5 AND a.vec_id <> b.vec_id
+         |)
+         |SELECT qid, rank, vec_id, round_even((cos) * 1e4, 0) / 1e4 AS cos
+         |FROM (SELECT qid, vec_id, cos,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+         |      FROM scored) r
+         |WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+
     // grams compare as 60-bit md5-prefix hashes, mirroring
     // Curation.decontaminate's broadcast-dictionary representation;
     // list_distinct matches ShingleHashes' distinct-by-hash gram sets

@@ -254,4 +254,63 @@ object Similarity {
         col("hit.key").as("vec_id"), round(col("hit.score"), 4).as("cos"))
       .orderBy("qid", "rank")
   }
+
+  /** Symmetric per-vector int8 quantization: scale = max|x|/127,
+    * q_i = half-even(v_i / scale) ∈ [-127, 127] — the standard 4x
+    * embedding-storage reduction for ANN at corpus scale (float32 →
+    * int8 keeps recall within a point for cosine retrieval). Pure
+    * map-side transform, no shuffle; the zero vector quantizes to
+    * zeros with scale 0. Rounding is half-even so the oracle's
+    * `round_even` reproduces every code exactly
+    * ([[graft.functions.Rounding]] rationale).
+    *
+    * Output per vector: the int8 codes, the scale, and the
+    * max absolute reconstruction error (exact from the codes). */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val scale = array_max(transform(col("v"), x => abs(x))) / lit(127.0)
+    e.withColumn("scale", scale)
+      .withColumn("q", when(col("scale") === 0.0,
+          transform(col("v"), _ => lit(0).cast("int")))
+        .otherwise(transform(col("v"), x => rint(x / col("scale")).cast("int"))))
+      .select(
+        col("vec_id"),
+        graft.functions.Rounding.roundEven(col("scale"), 6).as("scale_r"),
+        col("q"),
+        graft.functions.Rounding.roundEven(
+          array_max(zip_with(col("v"), col("q"),
+            (x, qc) => abs(x - qc.cast("double") * col("scale")))), 6).as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
+  /** Brute-force cosine top-k over the int8-quantized vectors —
+    * the memory-bound retrieval path: integer dot products over 4x
+    * smaller codes, norms from the same codes. All arithmetic on the
+    * codes is integer-exact, so the two engines agree bit-for-bit
+    * before the final rounding. Same query set and plan shape as
+    * [[bruteForce]] (broadcast queries + bounded TopKAgg). */
+  def quantizedTopK(spark: SparkSession, dir: String,
+      nQueries: Int = 5, k: Int = 10): DataFrame = {
+    graft.functions.SearchExpressions.register(spark)
+    val q8 = quantizeInt8(spark, dir)
+      .select(col("vec_id"), col("q").cast("array<double>").as("qd"))
+      .withColumn("nrm", sqrt(call_function("vec_dot", col("qd"), col("qd"))))
+      .where(col("nrm") > 0)
+    val queries = q8.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qd").as("qqd"), col("nrm").as("qnrm"))
+    val scored = q8.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (call_function("vec_dot", col("qd"), col("qqd")) /
+          (col("nrm") * col("qnrm"))).as("cos"))
+    val topk = TopKAgg.topk(k)
+    scored.groupBy("qid")
+      .agg(topk(col("vec_id"), col("cos")).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("hit.key").as("vec_id"),
+        graft.functions.Rounding.roundEven(col("hit.score"), 4).as("cos"))
+      .orderBy("qid", "rank")
+  }
 }

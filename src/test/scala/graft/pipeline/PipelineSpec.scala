@@ -173,6 +173,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(w2 == 100 && h2 == 220 && ow2 == 100 && oh2 == 220) // no upscale
   }
 
+  test("int8 quantization: codes bounded, reconstruction within half-step, recall holds") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val q8 = Similarity.quantizeInt8(spark, dir)
+      .select(col("vec_id"), col("scale_r"), col("q"), col("max_abs_err"))
+      .as[(Long, Double, Seq[Int], Double)].collect()
+    assert(q8.nonEmpty)
+    q8.foreach { case (id, scale, codes, err) =>
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec $id codes out of range")
+      // half-even rounding keeps each coordinate within half a step
+      // (plus the rounding slack on the reported scale)
+      assert(err <= scale / 2 + 1e-6, s"vec $id err $err > ${scale / 2}")
+    }
+    // retrieval survives quantization — measured as containment in the
+    // exact HEAD, not exact top-10 overlap: the synthetic corpus packs
+    // dozens of candidates within ~0.01 cosine of the k-boundary, and
+    // int8 noise (~0.5/127 per coordinate) legitimately reorders those
+    // near-ties. The invariant that holds (and matters) is that every
+    // quantized top-10 hit is a true top-30 candidate.
+    val exactHead = Similarity.bruteForce(spark, dir, k = 30)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val quant = Similarity.quantizedTopK(spark, dir)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(quant.keySet == exactHead.keySet)
+    // keys is a Set — map to a Seq first or equal ratios collapse
+    val contained = exactHead.keys.toSeq.map { q =>
+      (exactHead(q) & quant(q)).size.toDouble / quant(q).size
+    }.sum / exactHead.size
+    assert(contained >= 0.9, s"int8 top-10-in-exact-top-30 $contained below 0.9")
+  }
+
   test("language profiles are distinct and lowercase") {
     val langs = TextAnalysis.LangProfiles.map(_._1)
     assert(langs == langs.sorted && langs.distinct == langs)
