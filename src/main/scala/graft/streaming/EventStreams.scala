@@ -60,6 +60,43 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment join: the events stream against a
+    * broadcast dimension (customer segment), then a per-(segment,
+    * event_type) aggregate. The static side is read once and
+    * broadcast to every micro-batch — the standard pattern for
+    * dimension lookup in a pipeline ingesting 100 TB/day; no stream
+    * state beyond the aggregation itself. */
+  def enrichWithSegments(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(org.apache.spark.sql.functions.broadcast(
+        customers.select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))), Seq("user_id"))
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(decValue).as("sum_value"))
+
+  /** Stream-stream interval join: each click matched to the same
+    * user's purchases within `horizon` AFTER it. Both sides carry
+    * watermarks and the join condition bounds event time on both
+    * ends, so Spark can expire join state — the property that keeps a
+    * stream-stream join runnable forever (an unbounded-time join
+    * would accumulate every row). Inner join: matches emit as soon as
+    * both sides arrive. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
   /** Internal accumulator: the value total as a scaled long

@@ -118,6 +118,29 @@ object StreamQueries {
           col("n_events"), round(col("sum_value"), 4).cast("double").as("sum_value"))
         .orderBy("user_id", "session_start")
     }),
+    // stream-static broadcast enrichment join + aggregate
+    "stream_enrich" -> ((s, dir) => {
+      val name = s"stream_enrich_${sinkId.incrementAndGet()}"
+      EventStreams.runToMemorySink(
+        EventStreams.enrichWithSegments(stagedEvents(s, dir),
+          s.read.parquet(s"$dir/customer.parquet")),
+        name, OutputMode.Complete())
+      s.table(name)
+        .select(col("segment"), col("event_type"), col("n"),
+          round(col("sum_value"), 4).cast("double").as("sum_value"))
+        .orderBy("segment", "event_type")
+    }),
+    // stream-stream interval join (watermarked both sides)
+    "stream_join_clicks" -> ((s, dir) => {
+      val name = s"stream_join_${sinkId.incrementAndGet()}"
+      val ev1 = stagedEvents(s, dir).where(col("event_type") === "click")
+      val ev2 = stagedEvents(s, dir).where(col("event_type") === "purchase")
+      EventStreams.runToMemorySink(
+        EventStreams.clickToPurchase(ev1, ev2), name, OutputMode.Append())
+      s.table(name)
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
     // streaming exact dedup: one survivor per content hash. The
     // watermark horizon is set to cover the whole bounded replay so
     // the result equals a global dedup (in production the horizon is
@@ -225,6 +248,19 @@ object StreamQueries {
         |)
         |GROUP BY 1, 2
         |ORDER BY win_start, event_type""".stripMargin,
+    "stream_enrich" ->
+      """SELECT c_mktsegment AS segment, event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "stream_join_clicks" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin,
     // a bounded dedup replay keeps exactly one survivor per hash
     "stream_dedup_docs" ->
       """SELECT DISTINCT md5(text) AS content_hash

@@ -164,4 +164,47 @@ class StreamingSpec extends AnyFunSuite {
     // a single event at minute 20 falls into 4 hourly windows sliding by 15m
     assert(spark.table("sliding_sink").where($"event_type" === "click").count() == 4)
   }
+
+  test("stream-static enrichment joins the broadcast dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(ts(0), "click", 1L, 1.5), Ev(ts(1), "click", 2L, 2.5),
+      Ev(ts(2), "view", 1L, 3.0))
+    val dim = Seq((1L, "BUILDING"), (2L, "AUTOMOBILE"))
+      .toDF("c_custkey", "c_mktsegment")
+    EventStreams.runToMemorySink(
+      EventStreams.enrichWithSegments(mem.toDF(), dim),
+      "enrich_sink", OutputMode.Complete())
+    val got = spark.table("enrich_sink")
+      .select($"segment", $"event_type", $"n", $"sum_value".cast("double"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("BUILDING", "click", 1L, 1.5),
+      ("BUILDING", "view", 1L, 3.0),
+      ("AUTOMOBILE", "click", 1L, 2.5)))
+  }
+
+  test("stream-stream interval join matches purchases within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    // Ev has no event_id slot — carry the id in `value` and cast it out
+    val cdf = clicks.toDF()
+      .select(col("user_id"), (col("value")).cast("long").as("event_id"), col("ts"))
+    val pdf = purchases.toDF()
+      .select(col("user_id"), (col("value")).cast("long").as("event_id"), col("ts"))
+    clicks.addData(
+      Ev(ts(0), "click", 1L, 100), // matched by purchase 200 (30 min later)
+      Ev(ts(0), "click", 2L, 101)) // user 2 purchase is 2h later: no match
+    purchases.addData(
+      Ev(ts(30), "purchase", 1L, 200),
+      Ev(ts(120), "purchase", 2L, 201),
+      Ev(ts(100000), "purchase", 9L, 999)) // watermark flush
+    EventStreams.runToMemorySink(
+      EventStreams.clickToPurchase(cdf, pdf), "sjoin_sink", OutputMode.Append())
+    val got = spark.table("sjoin_sink")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L, 200L)))
+  }
 }
