@@ -93,10 +93,12 @@ final case class MatchFuzzy(field: String, term: String, maxEdits: Int) extends 
   * QueryConstructor, queries/DefaultQueryConstructor.scala:10-17):
   * whitespace-separated clauses; `+term` = required, `-term` =
   * excluded, `"a b"` = phrase, bare terms = SHOULD. Also understands
-  * QueryParser extras: `field:term`, parentheses, AND/OR/NOT,
-  * boosts (`term^2`, `(a b)^0.5`), wildcards (`te*t`, `jo?n`),
-  * fuzzy terms (`spark~1`), and ranges (`f:[a TO b]`, `f:{a TO *}`
-  * — square bracket inclusive, curly exclusive, `*` unbounded).
+  * QueryParser extras: `field:term`, parentheses, field-scoped
+  * groups (`title:(+a "b c")` — leaves inside default to `title`),
+  * AND/OR/NOT, boosts (`term^2`, `(a b)^0.5`), wildcards (`te*t`,
+  * `jo?n`), fuzzy terms (`spark~1`), and ranges (`f:[a TO b]`,
+  * `f:{a TO *}` — square bracket inclusive, curly exclusive, `*`
+  * unbounded).
   * A `~N` after a phrase is Lucene slop syntax: parsed, but matched
   * as the exact phrase (slop 0), a documented deviation.
   * Backslash escapes follow Lucene: `\x` joins the word with no
@@ -205,6 +207,11 @@ object Parsed {
   /** `+(` / `-(` — occur prefix attached to the group that follows
     * (Lucene required/prohibited-group semantics). */
   private[graft] final case class OccurMark(occur: Char) extends Lex
+  /** `field:(` — the group that follows is field-scoped: its leaves
+    * default to `field` instead of the query's default field (Lucene
+    * `title:(+return +"pink panther")` semantics). The '(' itself
+    * lexes as LParen on the next pass, like OccurMark. */
+  private[graft] final case class FieldScope(field: String) extends Lex
 
   /** Tokenizes the query syntax (reference: ParsedQuery via Lucene's
     * QueryParser, dsl/DslQuery.scala:122-129): whitespace-separated
@@ -301,7 +308,12 @@ object Parsed {
             val (word, wordEsc, wordWild) = readWord()
             if (i < n && q.charAt(i) == ':') { // field-scoped clause
               i += 1
-              if (i < n && q.charAt(i) == '"') {
+              if (i < n && q.charAt(i) == '(') {
+                // `field:(...)`: scope the group; carry any occur onto
+                // it; '(' lexes as LParen on the next loop pass
+                if (occur != ' ') out += OccurMark(occur)
+                out += FieldScope(word)
+              } else if (i < n && q.charAt(i) == '"') {
                 val text = readPhrase()
                 val (fz, b) = readSuffixes()
                 out += ClauseLex(Clause(occur, isPhrase = true, text, Some(word), fz, b))
@@ -431,9 +443,13 @@ object Parsed {
     * `primary := '(' or ')' | clause`. */
   private final class BoolParser(defaultField: String, toks: Seq[Lex]) {
     private var pos = 0
+    // innermost `field:(...)` scope; leaves inside default to it
+    // (clause-level `field:term` still wins via c.field)
+    private var fieldStack: List[String] = List(defaultField)
+    private def curField: String = fieldStack.head
     private def peek: Option[Lex] = if (pos < toks.length) Some(toks(pos)) else None
     private def startsUnary(l: Lex): Boolean = l match {
-      case LParen | NotOp | ClauseLex(_) | OccurMark(_) => true
+      case LParen | NotOp | ClauseLex(_) | OccurMark(_) | FieldScope(_) => true
       case _ => false
     }
     def orExpr(): SearchQuery = {
@@ -494,6 +510,11 @@ object Parsed {
       case _ => primary()
     }
     private def primary(): SearchQuery = peek match {
+      case Some(FieldScope(f)) =>
+        pos += 1
+        fieldStack = f :: fieldStack
+        try primary() // the LParen group that follows, field-scoped
+        finally fieldStack = fieldStack.tail
       case Some(LParen) =>
         pos += 1
         val inner = orExpr()
@@ -504,7 +525,7 @@ object Parsed {
         }
       case Some(ClauseLex(c)) =>
         pos += 1
-        if (c.occur == '-') Not(leaf(defaultField, c)) else leaf(defaultField, c)
+        if (c.occur == '-') Not(leaf(curField, c)) else leaf(curField, c)
       case _ => AllDocs // trailing operator / empty group
     }
   }

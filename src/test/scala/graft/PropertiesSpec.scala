@@ -221,6 +221,14 @@ class PropertiesSpec extends AnyFunSuite {
     // '*' after some other escape keeps wildcard semantics
     assert(p("wild\\*card") == t("wild*card"))
     assert(p("path\\\\*") == MatchWildcard("text", "path\\*"))
+    // field-scoped groups: leaves inside default to the scope field;
+    // an inner explicit field still wins; occur prefixes carry over
+    assert(p("lang:(en fr)") == Or(MatchText("lang", "en"), MatchText("lang", "fr")))
+    assert(p("lang:(body:x y)") == Or(MatchText("body", "x"), MatchText("lang", "y")))
+    assert(p("+lang:(en fr) spark") ==
+      And(Or(MatchText("lang", "en"), MatchText("lang", "fr")), Should(t("spark"))))
+    assert(p("title:(a b) window") ==
+      Or(Or(MatchText("title", "a"), MatchText("title", "b")), t("window")))
     // phrase slop parses but matches exact (documented deviation)
     assert(p("\"big data\"~2") == MatchPhrase("text", "big data"))
     // ranges: inclusive, exclusive, mixed, open-ended, numeric coercion
