@@ -154,14 +154,17 @@ object Curation {
   def keywordsTfidf(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), toks(col("text")).as("tokens"))
-    val nDocs = docs.count()
-    val df = docs.select(col("doc_id"), explode(array_distinct(col("tokens"))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // metadata-only count: no tokenization, parquet row-group counts
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    // ONE tokenize+explode pass: tf per (doc, term); df derives from
+    // the tf table (a |postings|-row input, already aggregated), not
+    // from a second corpus scan
+    val tf = docs.select(col("doc_id"), explode(col("tokens")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("idf",
         log(lit(nDocs.toDouble) / col("df").cast("double"))
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-    val tf = docs.select(col("doc_id"), explode(col("tokens")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val scored = tf.join(broadcast(df), Seq("term"))
       .select(col("doc_id"), col("term"),
         (col("tf").cast(org.apache.spark.sql.types.DecimalType(12, 0)) * col("idf"))
@@ -219,12 +222,16 @@ object Curation {
     import org.apache.spark.sql.types.{DecimalType, StringType, StructField, StructType}
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), toks(col("text")).as("tokens"))
-    // ONE corpus aggregation: the freq table is |vocab|-bounded, so
-    // collect it and derive both the total and the logprob dictionary
-    // on the driver (it is about to be broadcast anyway); computing
-    // `total` as a separate Spark action would re-aggregate the whole
-    // corpus. Math.log here is the same function Spark's codegen
-    // calls, and HALF_UP setScale matches Cast-to-decimal rounding.
+    // The unigram table is ONE corpus aggregation whose result is
+    // |vocab|-bounded — collect it and derive both the total and the
+    // logprob dictionary on the driver (it is about to be broadcast
+    // anyway; a separate Spark action for `total` would re-aggregate
+    // the corpus). The scoring pass then joins the RAW token stream
+    // map-side against the broadcast dictionary and aggregates once
+    // by doc_id — going through a (doc, term) tf aggregation first
+    // costs an extra shuffle and is slower (measured). Math.log here
+    // is the same function Spark's codegen calls, and HALF_UP
+    // setScale matches Cast-to-decimal rounding.
     val freqRows = docs.select(explode(col("tokens")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt")).collect()
     val total = freqRows.iterator.map(_.getLong(1)).sum.toDouble
