@@ -257,6 +257,16 @@ class PropertiesSpec extends AnyFunSuite {
     assert(p("+~") == AllDocs)
     // fuzzy edit counts overflowing Int keep the Lucene default (2)
     assert(p("spark~99999999999") == MatchFuzzy("text", "spark", 2))
+    // malformed field-group forms stay total: dangling open scope,
+    // empty group, nested scopes, boost after the scoped group
+    assert(p("lang:(") == AllDocs)
+    assert(p("lang:()") == AllDocs)
+    assert(p("lang:(a") == MatchText("lang", "a")) // unbalanced close tolerated
+    assert(p("a:(b:(c d))") == Or(MatchText("b", "c"), MatchText("b", "d")))
+    // inner scope pops: e is back under the outer scope
+    assert(p("a:(b:(c) e)") == Or(MatchText("b", "c"), MatchText("a", "e")))
+    assert(p("lang:(en fr)^2") ==
+      Boost(Or(MatchText("lang", "en"), MatchText("lang", "fr")), 2.0))
     // occur prefix on a group carries Lucene required/prohibited
     // semantics instead of silently degrading to a plain group
     assert(p("+(warn fatal) error") ==
