@@ -253,6 +253,40 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** PII patterns shared by the scrubber and its oracle — written in
+    * the dialect subset Java regex and RE2 agree on (no lookaround,
+    * no backreferences; `\b` and bounded repetition are fine in
+    * both). Order matters for redaction: emails first (their local
+    * part can contain digits a later pattern would eat), then IPs,
+    * then phone-like digit runs. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "[EMAIL]"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("phone", "\\+?\\d[\\d\\- ]{7,}\\d", "[PHONE]"))
+
+  /** PII scrubbing (the redaction pass every published LLM data
+    * pipeline runs before training): per-document match counts for
+    * email / IPv4 / phone-shaped spans and the md5 of the redacted
+    * text (counts on the ORIGINAL text, replacements applied in
+    * [[PiiPatterns]] order). Pure map-side columns — one scan, no
+    * shuffle, codegen regex. On the synthetic corpus the counts are
+    * zero and the fingerprint equals md5(text) — the expression chain
+    * still runs end-to-end in both engines; CurationSpec drives the
+    * patterns with real PII-shaped fixtures. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(col("text")) { case (c, (_, re, tok)) =>
+      regexp_replace(c, re, tok)
+    }
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id") +:
+        PiiPatterns.map { case (name, re, _) =>
+          regexp_count(col("text"), lit(re)).cast("long").as(s"n_$name")
+        } :+
+        md5(redacted).as("fp_redacted") :+
+        length(redacted).cast("long").as("n_chars_redacted"): _*)
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary coverage / OOV analysis: rank the corpus vocabulary
     * by document frequency, keep the top `vocabSize` terms (ties
     * break on the term itself so both engines pick the same set),

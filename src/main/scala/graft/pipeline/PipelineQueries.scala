@@ -50,6 +50,7 @@ object PipelineQueries {
     "keywords_tfidf" -> ((s, dir) => Curation.keywordsTfidf(s, dir)),
     "source_overlap" -> ((s, dir) => Curation.sourceOverlap(s, dir)),
     "unigram_logprob" -> ((s, dir) => Curation.unigramLogprob(s, dir)),
+    "pii_scrub" -> ((s, dir) => Curation.piiScrub(s, dir)),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "lang_id_ngram" -> ((s, dir) => TextAnalysis.langIdNgram(s, dir)),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -383,6 +384,26 @@ object PipelineQueries {
          |FROM tok t JOIN lp l USING (term)
          |GROUP BY 1
          |ORDER BY 1""".stripMargin,
+
+    // patterns come from the same Curation.PiiPatterns table the
+    // Spark side folds over (counts on the raw text, replacements in
+    // declaration order; DuckDB needs the 'g' flag for global replace)
+    "pii_scrub" -> {
+      val redacted = Curation.PiiPatterns.foldLeft("text") { case (e, (_, re, tok)) =>
+        s"regexp_replace($e, '$re', '$tok', 'g')"
+      }
+      val counts = Curation.PiiPatterns
+        .map { case (name, re, _) =>
+          s"len(regexp_extract_all(text, '$re'))::BIGINT AS n_$name"
+        }
+        .mkString(",\n         |  ")
+      s"""SELECT doc_id,
+         |  $counts,
+         |  md5($redacted) AS fp_redacted,
+         |  length($redacted)::BIGINT AS n_chars_redacted
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "sample_stratified" -> {
       val rateCase = Curation.SampleRates

@@ -190,6 +190,39 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(got - expect) < 5e-4, s"doc $id0: $got vs $expect")
   }
 
+  test("piiScrub: detects and redacts PII-shaped spans; corpus entry runs clean") {
+    import org.apache.spark.sql.functions._
+    // synthetic fixtures exercise the patterns the corpus lacks
+    val fixtures = Seq(
+      (1L, "contact alice.smith+x@example.co.uk or bob@test.io today"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255 responded"),
+      (3L, "call +1 555-123-4567 or 02-1234-5678 now"),
+      (4L, "no pii here at all"),
+      (5L, "mix: a@b.de from 8.8.8.8 dials 0123456789"))
+    val dirTmp = java.nio.file.Files.createTempDirectory("pii").toString
+    fixtures.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dirTmp/documents.parquet")
+    val out = Curation.piiScrub(spark, dirTmp)
+      .as[(Long, Long, Long, Long, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 2 && out(1L)._3 == 0 && out(1L)._4 == 0) // two emails
+    assert(out(2L)._3 == 2) // two IPs
+    assert(out(3L)._4 >= 2) // two phone-shaped runs
+    assert(out(4L)._2 == 0 && out(4L)._3 == 0 && out(4L)._4 == 0)
+    assert(out(5L)._2 == 1 && out(5L)._3 == 1 && out(5L)._4 >= 1)
+    // a clean doc's fingerprint is the plain content hash; a dirty
+    // doc's differs and its redaction shrinks or reshapes the text
+    val cleanFp = spark.sql("SELECT md5('no pii here at all')").head().getString(0)
+    assert(out(4L)._5 == cleanFp)
+    assert(out(1L)._5 != cleanFp)
+    // corpus entry: single scan, deterministic, and (synthetic corpus)
+    // finds nothing — fingerprint equals the raw content hash
+    val corpus = Curation.piiScrub(spark, dir)
+      .as[(Long, Long, Long, Long, String, Long)].collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.forall(r => r._2 == 0 && r._3 == 0))
+  }
+
   test("vocabCoverage: oov fraction consistent with a driver-side recount") {
     import org.apache.spark.sql.functions._
     val out = Curation.vocabCoverage(spark, dir).as[(Long, Long, Long, Double)].collect()
