@@ -308,9 +308,12 @@ object Parsed {
             val (word, wordEsc, wordWild) = readWord()
             if (i < n && q.charAt(i) == ':') { // field-scoped clause
               i += 1
-              if (i < n && q.charAt(i) == '(') {
+              if (i < n && q.charAt(i) == '(' && word.nonEmpty) {
                 // `field:(...)`: scope the group; carry any occur onto
-                // it; '(' lexes as LParen on the next loop pass
+                // it; '(' lexes as LParen on the next loop pass. The
+                // word.nonEmpty guard keeps a bare `:(` (emoticon
+                // before a parenthetical) parsing as a plain group
+                // under the default field, not a ""-scoped one.
                 if (occur != ' ') out += OccurMark(occur)
                 out += FieldScope(word)
               } else if (i < n && q.charAt(i) == '"') {

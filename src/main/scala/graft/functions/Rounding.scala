@@ -25,13 +25,12 @@ import org.apache.spark.sql.functions.rint
   */
 object Rounding {
   /** Half-even round of a ratio-valued double column to `scale`
-    * decimals, bit-identical across engines. */
+    * decimals, bit-identical across engines. The oracle SQL mirror is
+    * spelled inline at each oracle site (the strings live inside
+    * larger SQL literals) and MUST stay exactly
+    * `round_even((<expr>) * 1e<scale>, 0) / 1e<scale>`. */
   def roundEven(c: Column, scale: Int): Column = {
     val f = math.pow(10, scale)
     rint(c * f) / f
   }
-
-  /** The DuckDB mirror of [[roundEven]] for oracle SQL builders. */
-  def roundEvenSql(expr: String, scale: Int): String =
-    s"round_even(($expr) * 1e$scale, 0) / 1e$scale"
 }

@@ -275,7 +275,7 @@ object PipelineQueries {
          |SELECT vec_id,
          |  round_even((scale) * 1e6, 0) / 1e6 AS scale_r,
          |  md5(array_to_string(q, ',')) AS q_md5,
-         |  list_sum(list_transform(q, x -> abs(x)))::BIGINT AS q_l1,
+         |  coalesce(list_sum(list_transform(q, x -> abs(x))), 0)::BIGINT AS q_l1,
          |  round_even((list_max(list_transform(range(1, len(v) + 1),
          |    i -> abs(v[i] - q[i] * scale)))) * 1e6, 0) / 1e6 AS max_abs_err
          |FROM qq

@@ -281,7 +281,10 @@ object Similarity {
         graft.functions.Rounding.roundEven(
           array_max(zip_with(col("v"), col("q"),
             (x, qc) => abs(x - qc.cast("double") * col("scale")))), 6).as("max_abs_err"))
-      .orderBy("vec_id")
+    // no orderBy here: this is an intermediate builder — quantizedTopK
+    // destroys any ordering immediately (crossJoin + aggregate), and
+    // terminal entries sort for themselves; an internal sort would be
+    // a wasted corpus-wide range-partition exchange
   }
 
   /** Brute-force cosine top-k over the int8-quantized vectors —

@@ -265,6 +265,10 @@ class PropertiesSpec extends AnyFunSuite {
     assert(p("a:(b:(c d))") == Or(MatchText("b", "c"), MatchText("b", "d")))
     // inner scope pops: e is back under the outer scope
     assert(p("a:(b:(c) e)") == Or(MatchText("b", "c"), MatchText("a", "e")))
+    // a bare `:(` (empty field name) is NOT a field scope: the group
+    // parses under the default field, as it did before field groups
+    assert(p("hello :(sad face)") ==
+      Or(t("hello"), Or(t("sad"), t("face"))))
     assert(p("lang:(en fr)^2") ==
       Boost(Or(MatchText("lang", "en"), MatchText("lang", "fr")), 2.0))
     // occur prefix on a group carries Lucene required/prohibited
