@@ -190,14 +190,26 @@ object Curation {
     * never all-pairs; the `<` on sources keeps each unordered pair
     * once. A gram present in S sources emits C(S,2) pair rows —
     * bounded by the (small) source count squared, not by corpus size;
-    * with thousands of sources, apply a gram document-frequency cap
-    * first like [[Dedup.ngramJaccard]] does. */
-  def sourceOverlap(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    * with thousands of sources, set `maxGramSources` to drop grams
+    * present in more than that many sources BEFORE the pair join
+    * (the common-shingle filter of [[Dedup.ngramJaccard]]): universal
+    * boilerplate contributes C(S,2) pairs per gram and no signal. */
+  def sourceOverlap(spark: SparkSession, dir: String, n: Int = 5,
+      maxGramSources: Int = Int.MaxValue): DataFrame = {
     graft.functions.SearchExpressions.register(spark)
-    val gs = spark.read.parquet(s"$dir/documents.parquet")
+    val gs0 = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("source"),
         explode(call_function("shingle_hashes", toks(col("text")), lit(n))).as("g"))
       .distinct()
+    val gs =
+      if (maxGramSources == Int.MaxValue) gs0
+      else {
+        // anti-join against the (tiny) hot set, as in ngramJaccard:
+        // AQE broadcasts it, the gram table never re-shuffles
+        val hot = gs0.groupBy("g").agg(count(lit(1)).as("nsrc"))
+          .where(col("nsrc") > maxGramSources).select("g")
+        gs0.join(hot, Seq("g"), "left_anti")
+      }
     val a = gs.select(col("g"), col("source").as("source_a"))
     val b = gs.select(col("g"), col("source").as("source_b"))
     a.join(b, Seq("g")).where(col("source_a") < col("source_b"))

@@ -172,6 +172,18 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("sourceOverlap gram cap drops hot grams from the pair counts") {
+    val uncapped = Curation.sourceOverlap(spark, dir)
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // cap at 2 sources: any gram in 3+ sources stops contributing, so
+    // every pair count can only shrink (or the pair disappears)
+    val capped = Curation.sourceOverlap(spark, dir, maxGramSources = 2)
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(capped.keySet.subsetOf(uncapped.keySet))
+    assert(capped.forall { case (k, v) => v <= uncapped(k) })
+    assert(capped.values.sum < uncapped.values.sum, "cap removed nothing at k=2")
+  }
+
   test("unigramLogprob: positive scores, spot-check one doc against driver recount") {
     import org.apache.spark.sql.functions._
     val out = Curation.unigramLogprob(spark, dir).as[(Long, Long, Double)].collect()
