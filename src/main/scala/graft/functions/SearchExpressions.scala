@@ -462,6 +462,79 @@ object ShingleHashes {
   }
 }
 
+/** `repetition_stats(tokens)` — per-document n-gram repetition
+  * signals in ONE in-row pass: `top2_chars` = (count × char length)
+  * of the most frequent 2-gram (ties break on count desc, length
+  * desc, gram desc — the order both engines' SQL uses), and
+  * `dup5_chars` = Σ count × length over 5-grams occurring more than
+  * once. These are DOC-LOCAL statistics: computing them via
+  * explode + (doc_id, gram) groupBy shuffles the entire gram stream
+  * of the corpus for values each row already determines — at corpus
+  * scale that shuffle dwarfs the scan. Here the whole computation
+  * stays inside whole-stage codegen with no exchange at all. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = RepetitionStats.OutType
+  override def prettyName: String = "repetition_stats"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    RepetitionStats.compute(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.RepetitionStats.compute($arr);")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  val OutType: StructType = StructType(Seq(
+    StructField("top2_chars", DoubleType, nullable = false),
+    StructField("dup5_chars", DoubleType, nullable = false)))
+
+  private def gramCounts(tokens: ArrayData, n: Int): java.util.HashMap[String, Int] = {
+    val len = tokens.numElements()
+    val m = new java.util.HashMap[String, Int]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= len - n) {
+      ShingleDigest.appendShingle(sb, tokens, i, n)
+      val g = sb.toString
+      m.merge(g, 1, (a, b) => a + b)
+      i += 1
+    }
+    m
+  }
+
+  /** Static so generated code can call it directly. */
+  def compute(tokens: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    // top 2-gram by (count desc, length desc, gram desc) — the same
+    // deterministic winner the SQL row_number ordering picks
+    var bestG: String = null
+    var bestC = 0
+    val it2 = gramCounts(tokens, 2).entrySet().iterator()
+    while (it2.hasNext) {
+      val e = it2.next()
+      val g = e.getKey
+      val c = e.getValue
+      if (bestG == null || c > bestC ||
+        (c == bestC && (g.length > bestG.length ||
+          (g.length == bestG.length && g.compareTo(bestG) > 0)))) {
+        bestG = g; bestC = c
+      }
+    }
+    val top2 = if (bestG == null) 0.0 else bestC.toDouble * bestG.length
+    var dup5 = 0.0
+    val it5 = gramCounts(tokens, 5).entrySet().iterator()
+    while (it5.hasNext) {
+      val e = it5.next()
+      if (e.getValue > 1) dup5 += e.getValue.toDouble * e.getKey.length
+    }
+    org.apache.spark.sql.catalyst.InternalRow(top2, dup5)
+  }
+}
+
 /** `min_shingle_md5(tokens, n)` — minimum md5 hex digest over the
   * document's n-token shingles (the winnowing-style shift-tolerant
   * fingerprint of [[graft.pipeline.TextAnalysis.fingerprints]]).
@@ -558,6 +631,10 @@ object SearchExpressions {
         "shingle_hashes(tokens, n) - sorted distinct 60-bit md5-prefix hashes of n-token shingles"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("repetition_stats"),
+      info("repetition_stats",
+        "repetition_stats(tokens) - struct(top2_chars, dup5_chars) repetition signals"),
+      (exprs: Seq[Expression]) => RepetitionStats(exprs(0))),
     (FunctionIdentifier("min_shingle_md5"),
       info("min_shingle_md5",
         "min_shingle_md5(tokens, n) - minimum md5 hex over n-token shingles, NULL if < n tokens"),

@@ -138,12 +138,36 @@ object TextAnalysis {
     *    each count — the ratio can exceed 1 for degenerate loops,
     *    which is exactly the signal).
     *
-    * The line signal is one scan; each gram signal is one explode +
-    * one (doc_id, gram)-keyed partial-aggregated count — the same
-    * keyed-shuffle shape as the postings build, no per-doc state
-    * beyond the combiner. Ties for the top gram break on (length,
-    * gram) descending so both engines pick the same winner. */
+    * These are DOC-LOCAL statistics, so the whole computation runs
+    * in-row through the native [[graft.functions.RepetitionStats]]
+    * expression — one scan, no shuffle except the harness orderBy.
+    * The previous explode + (doc_id, gram) groupBy shape shuffled the
+    * corpus's entire gram stream for values each row determines by
+    * itself. Ties for the top gram break on (count, length, gram)
+    * descending so both engines pick the same winner. */
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SearchExpressions.register(spark)
+    val lines = split(col("text"), "\n")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        length(col("text")).cast("double").as("n_chars"),
+        size(lines).cast("long").as("n_lines"),
+        graft.functions.Rounding.roundEven(
+          (size(lines) - size(array_distinct(lines))).cast("double") /
+            size(lines), 4).as("dup_line_frac"),
+        call_function("repetition_stats", toks(col("text"))).as("rs"))
+      .select(col("doc_id"), col("n_lines"), col("dup_line_frac"),
+        graft.functions.Rounding.roundEven(col("rs.top2_chars") / col("n_chars"), 4)
+          .as("top_2gram_frac"),
+        graft.functions.Rounding.roundEven(col("rs.dup5_chars") / col("n_chars"), 4)
+          .as("dup_5gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Shuffle-based repetition signals — kept as the differential-
+    * testing reference for [[repetitionSignals]]' native expression. */
+  private[pipeline] def repetitionSignalsViaShuffle(
+      spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"), toks(col("text")).as("tokens"))

@@ -126,6 +126,14 @@ class CurationSpec extends AnyFunSuite {
     assert(short.isEmpty)
   }
 
+  test("repetitionSignals native expression equals the shuffle pipeline") {
+    val fast = TextAnalysis.repetitionSignals(spark, dir)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    val ref = TextAnalysis.repetitionSignalsViaShuffle(spark, dir)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(fast == ref)
+  }
+
   test("keywordsTfidf: ranks bounded, scores descending, spot-check vs driver recount") {
     import org.apache.spark.sql.functions._
     val out = Curation.keywordsTfidf(spark, dir).as[(Long, Long, String, Double)].collect()
