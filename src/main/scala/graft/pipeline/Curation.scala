@@ -152,15 +152,22 @@ object Curation {
     * exactly in both engines and break on the term; ranking through
     * raw doubles would let a last-ulp libm difference reorder them. */
   def keywordsTfidf(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.functions.SearchExpressions.register(spark)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), toks(col("text")).as("tokens"))
     // metadata-only count: no tokenization, parquet row-group counts
     val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
-    // ONE tokenize+explode pass: tf per (doc, term); df derives from
-    // the tf table (a |postings|-row input, already aggregated), not
-    // from a second corpus scan
-    val tf = docs.select(col("doc_id"), explode(col("tokens")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf is DOC-LOCAL: explode the distinct terms and count each
+    // in-row with the codegen array_count_eq probe (the index-build
+    // trick, SearchIndex postings pass) — no (doc, term) shuffle of
+    // the token stream. The only shuffles left are the vocab-sized df
+    // aggregation and the doc-keyed bounded top-k.
+    val tf = docs
+      .select(col("doc_id"), col("tokens"),
+        explode(array_distinct(col("tokens"))).as("term"))
+      .select(col("doc_id"), col("term"),
+        call_function("array_count_eq", col("tokens"), col("term"))
+          .cast("long").as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("idf",
         log(lit(nDocs.toDouble) / col("df").cast("double"))
