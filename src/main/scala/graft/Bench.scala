@@ -53,8 +53,9 @@ object Bench {
     def section(n: String): Int =
       if (!sectioned) 0
       else if (n.startsWith("ann_") || n.startsWith("dedup_") ||
+        n.startsWith("emb_") || // emb_quantize shares the Similarity cohort
         n.startsWith("simhash")) 0 // Dedup + Similarity registries
-      else if (n.matches("^(lang_|quality_|repetition_|token_|fingerprint|multimodal_|source_|stream_|decontaminate|sample_|pack_|vocab_|keywords_|unigram_).*")) 1 // cache-free
+      else if (n.matches("^(lang_|quality_|repetition_|token_|fingerprint|multimodal_|source_|stream_|decontaminate|sample_|pack_|vocab_|keywords_|unigram_|pii_).*")) 1 // cache-free
       else if (n.matches("^q\\d.*")) 2 // relational, cache-free
       else 3 // search-index cohort (search_*, batch, query_join, stats)
     def clearSection(s: Int): Unit = if (sectioned) s match {
@@ -130,9 +131,20 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""omitted":$omitted,"omitted_sec":$omittedSec,"errs":$errs,"sf":"$sfDir"}"""
     }
-    val kept = byTime.indices.foldLeft(Vector.empty[(String, Double, Int)]) { (acc, i) =>
-      val cand = acc :+ byTime(i)
-      if (render(cand).length <= budget) cand else acc
+    // strict slowest-first prefix: stop at the FIRST over-budget
+    // candidate rather than continuing to pack shorter-named faster
+    // queries past a skipped slow one — the stdout line should be
+    // exactly "the slowest N", as the comment above promises.
+    val kept = {
+      var acc = Vector.empty[(String, Double, Int)]
+      var i = 0
+      var full = false
+      while (i < byTime.length && !full) {
+        val cand = acc :+ byTime(i)
+        if (render(cand).length <= budget) acc = cand else full = true
+        i += 1
+      }
+      acc
     }
     // stop() BEFORE the println: the JSON must be the final line of
     // stdout (the driver parses it), and Spark's stop/shutdown logging

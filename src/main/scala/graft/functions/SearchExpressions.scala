@@ -507,29 +507,40 @@ object RepetitionStats {
     m
   }
 
+  /** Code-POINT length — Spark `length()` counts code points, not
+    * UTF-16 units; String.length would desync *_chars for any gram
+    * containing supplementary-plane characters (emoji etc.). */
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
   /** Static so generated code can call it directly. */
   def compute(tokens: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     // top 2-gram by (count desc, length desc, gram desc) — the same
-    // deterministic winner the SQL row_number ordering picks
+    // deterministic winner the SQL row_number ordering picks. Length
+    // is code points and the gram tie-break is code-point order
+    // (= UTF-8 binary order, what Spark/DuckDB string DESC uses):
+    // String.compareTo is UTF-16 code-unit order, which disagrees
+    // above the BMP — see TopKAgg.Utf8Ordering.
     var bestG: String = null
     var bestC = 0
+    var bestLen = 0
     val it2 = gramCounts(tokens, 2).entrySet().iterator()
     while (it2.hasNext) {
       val e = it2.next()
       val g = e.getKey
       val c = e.getValue
+      lazy val gLen = cpLen(g)
       if (bestG == null || c > bestC ||
-        (c == bestC && (g.length > bestG.length ||
-          (g.length == bestG.length && g.compareTo(bestG) > 0)))) {
-        bestG = g; bestC = c
+        (c == bestC && (gLen > bestLen ||
+          (gLen == bestLen && TopKAgg.Utf8Ordering.compare(g, bestG) > 0)))) {
+        bestG = g; bestC = c; bestLen = gLen
       }
     }
-    val top2 = if (bestG == null) 0.0 else bestC.toDouble * bestG.length
+    val top2 = if (bestG == null) 0.0 else bestC.toDouble * bestLen
     var dup5 = 0.0
     val it5 = gramCounts(tokens, 5).entrySet().iterator()
     while (it5.hasNext) {
       val e = it5.next()
-      if (e.getValue > 1) dup5 += e.getValue.toDouble * e.getKey.length
+      if (e.getValue > 1) dup5 += e.getValue.toDouble * cpLen(e.getKey)
     }
     org.apache.spark.sql.catalyst.InternalRow(top2, dup5)
   }

@@ -119,10 +119,18 @@ object EventStreams {
           val prev = state.getOption.getOrElse(UserStatsAcc(0L, 0L))
           var n = prev.n_events
           var total = prev.total_scaled
-          // quantize per event to 8 decimals (== the oracle's
-          // CAST(value AS DECIMAL(18,8)), modulo the value*1e8 double
-          // product's last ulp); long addition is then exact
-          rows.foreach { e => n += 1; total += math.round(e.value * 1e8) }
+          // quantize per event to 8 decimals exactly as the oracle's
+          // CAST(value AS DECIMAL(18,8)) does: BigDecimal from the
+          // double's shortest decimal representation, HALF_UP at
+          // scale 8. math.round(e.value * 1e8) would round the
+          // *binary product* half-up-toward-+inf (round(-0.5)=0),
+          // desyncing negative half-points; long addition stays exact
+          rows.foreach { e =>
+            n += 1
+            total += BigDecimal(e.value)
+              .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+              .underlying().unscaledValue().longValueExact()
+          }
           state.update(UserStatsAcc(n, total))
           UserStats(userId, n, total / 1e8)
       }

@@ -84,6 +84,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L).getDouble(2) == 0.25)
   }
 
+  test("repetition signals: supplementary-plane chars match the shuffle reference") {
+    // emoji are 2 UTF-16 units but 1 code point: String.length-based
+    // char counts and String.compareTo tie-breaks would desync from
+    // Spark length()/binary string ordering here (ADVICE r6)
+    val dir = java.nio.file.Files.createTempDirectory("repsup").toString
+    Seq(
+      (1L, "😀a b 😀a b 😀a b filler one two"), // emoji 2-gram loop
+      // 2-grams "😀 x" / "！ x" tie at count 2 and code-point length
+      // 3, but order OPPOSITELY under UTF-16 code units (surrogate
+      // 0xD83D < 0xFF01) vs code points (U+1F600 > U+FF01) — the tie
+      // winner and its char count both hinge on the fixed comparison
+      (2L, "😀 x 😀 x ！ x ！ x pad"),
+      (3L, "plain words with no repeats at all"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val native = TextAnalysis.repetitionSignals(spark, dir).collect().map(_.toSeq)
+    val ref = TextAnalysis.repetitionSignalsViaShuffle(spark, dir).collect().map(_.toSeq)
+    assert(native.toSeq == ref.toSeq)
+  }
+
   test("cosine similarity of identical vectors is 1") {
     graft.functions.SearchExpressions.register(spark)
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0), Seq(-1.0, -2.0, -3.0)))
