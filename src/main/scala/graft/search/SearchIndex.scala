@@ -744,6 +744,128 @@ final class SearchIndex private (
       if (excludeSelf) scored.where(col("qid") =!= col("key")) else scored, k)
   }
 
+  /** Data-driven BOOLEAN query join — the corpus-scale path for the
+    * reference's arbitrary `queryGenerator: T => DslQuery`
+    * (SearchableRDD.scala:257-298) when the generated AST is a
+    * boolean query: each left row carries MUST / SHOULD / MUST_NOT
+    * term arrays (Lucene BooleanQuery clause roles; the DSL's
+    * `And` / `matchMin` / `Not` shape) plus an optional numeric range
+    * filter, and the WHOLE batch runs as ONE distributed plan: a
+    * single postings equi-join with per-role verification in the
+    * aggregate. Unlike [[queryJoinDsl]] nothing is collected and the
+    * plan size is constant in |left| — a left of millions of rows is
+    * fine.
+    *
+    * Match rule (BooleanQuery semantics): a doc matches iff it
+    * contains EVERY required term, NO excluded term, and at least
+    * `max(minOptMatch, 1 if required is empty)` optional terms — a
+    * SHOULD-only query needs one positive clause, as in Lucene. The
+    * score sums the BM25/TFIDF term scores of the matched
+    * required+optional occurrences (excluded terms never score).
+    * Role arrays are deduplicated per role; the caller keeps roles
+    * DISJOINT per query (a term both required and excluded matches
+    * nothing, exactly as the boolean algebra says).
+    *
+    * @param attrFilter optional (docAttrCol, loCol, hiCol): keep hits
+    *   whose doc-side `docAttrCol` value lies in the left row's
+    *   [lo, hi]; null bounds are unbounded. Evaluated per (query,
+    *   candidate) after verification — one keyed equi-join against
+    *   the corpus attributes, no extra shuffle of the postings.
+    * Output is (qid, rank, key, score) like [[lightQueryJoin]]. */
+  def queryJoinBool(left: DataFrame, qidCol: String,
+      requiredCol: Column, optionalCol: Column, excludedCol: Column,
+      field: String, k: Int, minOptMatch: Int = 0,
+      attrFilter: Option[(String, Column, Column)] = None,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(spec.textFields.contains(field), s"$field is not an indexed text field")
+    val fs = fieldStats(field)
+    val empty = array().cast("array<string>")
+    val (loSel, hiSel) = attrFilter match {
+      case Some((_, lo, hi)) => (lo.cast("double").as("__lo"), hi.cast("double").as("__hi"))
+      case None => (lit(null).cast("double").as("__lo"), lit(null).cast("double").as("__hi"))
+    }
+    // canonical query rows: role arrays sorted+deduped so textually
+    // different but equal queries share a shape. Persisted: two plan
+    // branches read it (shape dedup + fan-out join); lifetime is tied
+    // to the returned plan, as in queryJoinPhrase.
+    val canon = left.select(
+        col(qidCol).cast("long").as("qid"),
+        sort_array(array_distinct(coalesce(requiredCol, empty))).as("__req"),
+        sort_array(array_distinct(coalesce(optionalCol, empty))).as("__opt"),
+        sort_array(array_distinct(coalesce(excludedCol, empty))).as("__exc"),
+        loSel, hiSel)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // QUERY DEDUPLICATION: generated queries repeat (many left rows
+    // produce the same clause sets — the data-driven analog of a
+    // query cache), so the postings probe, scoring and verification
+    // run once per DISTINCT shape; results fan back out to every qid
+    // by a keyed join. Candidate volume is then
+    // |distinct shapes| x df, not |left| x df — on a left whose
+    // generator has bounded range this is the difference between a
+    // linear and a quadratic join.
+    val shapes = canon.groupBy("__req", "__opt", "__exc").agg(min(col("qid")).as("sid"))
+    val qterms = shapes
+      .select(col("sid"), size(col("__req")).as("n_req"),
+        explode(concat(
+          transform(col("__req"), t => struct(t.as("term"), lit(1).as("role"))),
+          transform(col("__opt"), t => struct(t.as("term"), lit(0).as("role"))),
+          transform(col("__exc"), t => struct(t.as("term"), lit(-1).as("role"))))).as("qt"))
+      .select(col("sid"), col("n_req"),
+        col("qt.term").as("term"), col("qt.role").as("role"))
+    // absent terms keep df=0 so required-term queries with an unknown
+    // term simply match nothing (n_req_matched < n_req), like idfFor
+    val withIdf = qterms
+      .join(stats.where(col("field") === lit(field)).select(col("term"), col("df")),
+        Seq("term"), "left")
+      .na.fill(0L, Seq("df"))
+      .withColumn("idf", log(lit(1.0) +
+        (lit(fs.numDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+    val termScore = spec.similarity match {
+      case BM25(k1, b) =>
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(fs.avgDl)))
+      case TFIDF() =>
+        sqrt(col("tf")) * (col("idf") * col("idf")) / sqrt(col("dl"))
+    }
+    // the same keyed postings probe as batchSearch — AQE broadcasts
+    // the query side when it fits, shuffle-joins a corpus-sized one
+    val verified = postings.where(col("field") === lit(field))
+      .select(col("term"), col("key"), col("tf"), col("dl"))
+      .join(withIdf, Seq("term"))
+      .groupBy(col("sid"), col("key"))
+      .agg(
+        sum(when(col("role") >= 0, termScore).otherwise(lit(0.0))).as("score"),
+        sum(when(col("role") === 1, 1L).otherwise(0L)).as("n_req_matched"),
+        sum(when(col("role") === 0, 1L).otherwise(0L)).as("n_opt_matched"),
+        max(when(col("role") === -1, 1).otherwise(0)).as("has_excluded"),
+        first(col("n_req")).as("n_req"))
+      .where(col("n_req_matched") === col("n_req") &&
+        col("has_excluded") === 0 &&
+        col("n_opt_matched") >= greatest(lit(minOptMatch),
+          when(col("n_req") === 0, lit(1)).otherwise(lit(0))))
+    // doc-side attribute joins at SHAPE level (before fan-out — fewer
+    // rows); the per-query bounds apply after
+    val withAttr = attrFilter match {
+      case Some((attrField, _, _)) =>
+        verified
+          .join(docs.select(key.as("__doc_key"), col(attrField).cast("double").as("__attr")),
+            verified("key") === col("__doc_key"))
+          .drop("__doc_key")
+      case None => verified
+    }
+    val fan = canon.join(shapes, Seq("__req", "__opt", "__exc"))
+      .select(col("qid"), col("sid"), col("__lo"), col("__hi"))
+    val joined = withAttr.join(fan, Seq("sid"))
+    val filtered =
+      if (attrFilter.isDefined)
+        joined.where((col("__lo").isNull || col("__attr") >= col("__lo")) &&
+          (col("__hi").isNull || col("__attr") <= col("__hi")))
+      else joined
+    val scored = filtered.select(col("qid"), col("key"), col("score"))
+    perQueryTopK(
+      if (excludeSelf) scored.where(col("qid") =!= col("key")) else scored, k)
+  }
+
   /** Ids-only query join (reference lightQueryJoin,
     * SearchableRDD.scala:288-298): skips the join-back entirely —
     * output is (qid, rank, key, score) regardless of the left schema,

@@ -422,6 +422,34 @@ object SearchQueries {
         .select(col("doc_id"), col("rank").cast("long").as("rank"),
           col("key"), round(col("score"), 4).as("score"))
         .orderBy("doc_id", "rank")
+    }),
+
+    // BOOLEAN query join with a corpus-PROPORTIONAL left (every 10th
+    // doc is a query — the regime queryJoinDsl's driver collect
+    // cannot reach; the left grows with the corpus, unlike
+    // query_join's fixed 20): each doc requires its first token,
+    // prefers its 2nd-3rd, excludes its 4th, and filters hits to docs
+    // no longer than itself. One distributed plan, size constant in
+    // |left|. The 10x sample keeps the BENCH bounded on this
+    // synthetic corpus: its 31-term vocabulary makes every query
+    // match ~77% of all docs (median df 3862/5000 at sf0.1), so an
+    // all-docs left scores ~19M (query, doc) pairs REGARDLESS of plan
+    // — a density no real Zipfian corpus has.
+    "query_join_bool" -> ((s, dir) => {
+      val idx = indexFor(s, dir)
+      val tk = col(SearchIndex.tokensColName("text"))
+      val req = array(element_at(tk, 1))
+      val opt = array_except(array_distinct(slice(tk, 2, 2)), req)
+      val left = idx.docs.where(size(tk) >= 4 && col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("n_chars"), req.as("req"), opt.as("opt"),
+          array_except(array(element_at(tk, 4)), concat(req, opt)).as("exc"))
+      idx.queryJoinBool(left, "doc_id", col("req"), col("opt"), col("exc"),
+          "text", k = 3,
+          attrFilter = Some(("n_chars", lit(null).cast("long"), col("n_chars"))),
+          excludeSelf = true)
+        .select(col("qid").as("doc_id"), col("rank").cast("long").as("rank"),
+          col("key"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id", "rank")
     })
   )
 
@@ -849,6 +877,51 @@ object SearchQueries {
          |), sel AS (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
          |  FROM scored WHERE nm >= min_match
+         |)
+         |SELECT sel.qid AS doc_id, sel.rank, sel.doc_id AS key, round(sel.score, 4) AS score
+         |FROM sel WHERE rank <= 3
+         |ORDER BY sel.qid, sel.rank""".stripMargin
+    },
+
+    "query_join_bool" -> {
+      // roles: required tokens[1] / optional distinct tokens[2:3]
+      // minus required / excluded tokens[4] minus both; verify =
+      // all-required AND no-excluded AND n_chars <= query doc's;
+      // score sums BM25 over matched required+optional terms only
+      s"""$toksCte,
+         |$postsCte,
+         |lefts AS (
+         |  SELECT doc_id AS qid, n_chars AS max_chars, tokens[1] AS rq,
+         |    list_filter(list_distinct(tokens[2:3]), x -> x <> tokens[1]) AS opt
+         |  FROM toks WHERE len(tokens) >= 4 AND doc_id % 10 = 0
+         |), lefts2 AS (
+         |  SELECT l.*, list_filter([t.tokens[4]],
+         |      x -> x <> l.rq AND NOT list_contains(l.opt, x)) AS exc
+         |  FROM lefts l JOIN toks t ON t.doc_id = l.qid
+         |), qt AS (
+         |  SELECT qid, max_chars, rq AS term, 1 AS role FROM lefts2
+         |  UNION ALL
+         |  SELECT qid, max_chars, unnest(opt) AS term, 0 AS role FROM lefts2
+         |  UNION ALL
+         |  SELECT qid, max_chars, unnest(exc) AS term, -1 AS role FROM lefts2
+         |), scored AS (
+         |  SELECT q.qid, p.doc_id, any_value(q.max_chars) AS max_chars,
+         |    sum(CASE WHEN q.role >= 0
+         |      THEN ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) * (p.tf * ${K1 + 1.0})
+         |        / (p.tf + $K1 * (${1.0 - B} + $B * p.dl / st.avgdl))
+         |      ELSE 0 END) AS score,
+         |    sum(CASE WHEN q.role = 1 THEN 1 ELSE 0 END) AS n_req_m,
+         |    max(CASE WHEN q.role = -1 THEN 1 ELSE 0 END) AS has_exc
+         |  FROM qt q JOIN posts p USING (term) JOIN dfs d USING (term), st
+         |  WHERE p.doc_id <> q.qid
+         |  GROUP BY 1, 2
+         |), ver AS (
+         |  SELECT s.qid, s.doc_id, s.score
+         |  FROM scored s JOIN toks t ON t.doc_id = s.doc_id
+         |  WHERE s.n_req_m = 1 AND s.has_exc = 0 AND t.n_chars <= s.max_chars
+         |), sel AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+         |  FROM ver
          |)
          |SELECT sel.qid AS doc_id, sel.rank, sel.doc_id AS key, round(sel.score, 4) AS score
          |FROM sel WHERE rank <= 3

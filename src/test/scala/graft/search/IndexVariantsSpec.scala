@@ -3,6 +3,7 @@ package graft.search
 import graft.TestSpark
 import graft.dsl.builders._
 import graft.dsl.{MatchPhrase, MatchTerm, Parsed}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -98,6 +99,64 @@ class IndexVariantsSpec extends AnyFunSuite {
     assert(dataDriven.keySet == scanPath.keySet)
     assert(dataDriven.nonEmpty)
     dataDriven.foreach { case (kk, s) => assert(math.abs(s - scanPath(kk)) < 1e-9) }
+    idx.unpersist()
+  }
+
+  test("queryJoinBool: role semantics, SHOULD-only rule, numeric filter, flat equivalence") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", 10L),
+      (2L, "alpha beta delta", 20L),
+      (3L, "alpha gamma gamma", 30L),
+      (4L, "beta gamma delta", 40L)
+    ).toDF("doc_id", "text", "weight")
+    val idx = SearchIndex.build(docs, IndexSpec("doc_id", Seq("text")))
+    def run(req: Seq[String], opt: Seq[String], exc: Seq[String],
+        minOpt: Int = 0,
+        attr: Option[(String, Column, Column)] = None): Set[Long] = {
+      val left = Seq(0L).toDF("qid")
+        .select(col("qid"), typedLit(req).as("r"), typedLit(opt).as("o"), typedLit(exc).as("e"))
+      idx.queryJoinBool(left, "qid", col("r"), col("o"), col("e"), "text", 10,
+          minOptMatch = minOpt, attrFilter = attr)
+        .select("key").as[Long].collect().toSet
+    }
+    // MUST: every required term
+    assert(run(Seq("alpha", "beta"), Nil, Nil) == Set(1L, 2L))
+    // MUST_NOT: excluded kills, and never scores
+    assert(run(Seq("alpha"), Nil, Seq("gamma")) == Set(2L))
+    // SHOULD-only: at least one optional must match (Lucene rule)
+    assert(run(Nil, Seq("delta", "gamma"), Nil) == Set(1L, 2L, 3L, 4L))
+    // minOptMatch raises the SHOULD bar
+    assert(run(Nil, Seq("delta", "gamma"), Nil, minOpt = 2) == Set(4L))
+    // unknown required term matches nothing (df=0 path, no crash)
+    assert(run(Seq("nosuchterm"), Nil, Nil) == Set.empty[Long])
+    // numeric range filter: weight in [15, 35]
+    assert(run(Seq("alpha"), Nil, Nil,
+      attr = Some(("weight", lit(15L), lit(35L)))) == Set(2L, 3L))
+    // null bounds are unbounded
+    assert(run(Seq("alpha"), Nil, Nil,
+      attr = Some(("weight", lit(null).cast("long"), lit(null).cast("long")))) ==
+      Set(1L, 2L, 3L))
+    // optional terms ADD to the score: doc 1 (alpha+beta+gamma, dl=3)
+    // outranks doc 2 (alpha+beta, dl=3) when gamma is optional
+    val left2 = Seq(7L).toDF("qid").select(col("qid"),
+      typedLit(Seq("alpha")).as("r"), typedLit(Seq("gamma")).as("o"),
+      typedLit(Seq.empty[String]).as("e"))
+    val ranked = idx.queryJoinBool(left2, "qid", col("r"), col("o"), col("e"), "text", 10)
+      .orderBy("rank").select("key").as[Long].collect().toSeq
+    assert(ranked.head == 3L || ranked.head == 1L) // gamma matchers first
+    assert(ranked.indexOf(2L) > ranked.indexOf(1L))
+    // flat equivalence: required-only boolean == lightQueryJoin with
+    // minMatch=0 (all terms), scores identical
+    val leftF = Seq((0L, Seq("alpha", "beta"))).toDF("qid", "terms")
+    val boolSide = idx.queryJoinBool(
+        leftF.select(col("qid"), col("terms").as("r"),
+          typedLit(Seq.empty[String]).as("o"), typedLit(Seq.empty[String]).as("e")),
+        "qid", col("r"), col("o"), col("e"), "text", 10)
+      .select("key", "score").as[(Long, Double)].collect().toMap
+    val flatSide = idx.lightQueryJoin(leftF, "qid", col("terms"), "text", 10, minMatch = 0)
+      .select("key", "score").as[(Long, Double)].collect().toMap
+    assert(boolSide.keySet == flatSide.keySet && boolSide.nonEmpty)
+    boolSide.foreach { case (kk, s) => assert(math.abs(s - flatSide(kk)) < 1e-9) }
     idx.unpersist()
   }
 
