@@ -49,8 +49,14 @@ final case class MatchText(field: String, text: String) extends SearchQuery
 final case class MatchAllText(field: String, text: String) extends SearchQuery
 
 /** Positional phrase over analyzed text (DslQuery.scala:116-120);
-  * phrase idf is the sum of constituent term idfs. */
-final case class MatchPhrase(field: String, text: String) extends SearchQuery
+  * phrase idf is the sum of constituent term idfs. `slop` is the
+  * Lucene `"a b"~N` proximity budget: the phrase matches wherever its
+  * terms occur IN ORDER with at most `slop` total extra positions
+  * between first and last (slop 0 = exact adjacency). Deviation from
+  * Lucene: matches are ordered-only — Lucene's slop>=2 admits
+  * transpositions; an in-order window is what span_near(in_order)
+  * does and keeps tf well-defined as a count of start positions. */
+final case class MatchPhrase(field: String, text: String, slop: Int = 0) extends SearchQuery
 
 /** All terms of the set required (DslQuery.scala:78-86). */
 final case class MatchAllTerms(field: String, terms: Seq[String]) extends SearchQuery
@@ -99,8 +105,9 @@ final case class MatchFuzzy(field: String, term: String, maxEdits: Int) extends 
   * `jo?n`), fuzzy terms (`spark~1`), and ranges (`f:[a TO b]`,
   * `f:{a TO *}` — square bracket inclusive, curly exclusive, `*`
   * unbounded).
-  * A `~N` after a phrase is Lucene slop syntax: parsed, but matched
-  * as the exact phrase (slop 0), a documented deviation.
+  * A `~N` after a phrase is Lucene slop syntax: the terms may occur
+  * in order with up to N extra positions between first and last
+  * ([[MatchPhrase]]'s ordered-window semantics).
   * Backslash escapes follow Lucene: `\x` joins the word with no
   * structural meaning (`foo\:bar` is one term, `\AND` is a literal
   * word, escaped `\*`/`\?` never form wildcards, `\"` embeds a quote
@@ -159,6 +166,7 @@ object builders {
     def matchText(text: String): SearchQuery = MatchText(field, text)
     def matchAllText(text: String): SearchQuery = MatchAllText(field, text)
     def matchPhrase(text: String): SearchQuery = MatchPhrase(field, text)
+    def matchPhrase(text: String, slop: Int): SearchQuery = MatchPhrase(field, text, slop)
     def matchAll(ts: TermSet): SearchQuery = MatchAllTerms(field, ts.terms)
     def matchAny(ts: TermSet): SearchQuery = MatchAnyTerms(field, ts.terms)
     def matchMin(min: Int, ts: TermSet): SearchQuery = MatchMin(field, min, ts.terms)
@@ -180,7 +188,7 @@ object Parsed {
     isPhrase: Boolean,
     text: String,
     field: Option[String] = None, // `field:term` / `field:"phrase"` scoping
-    fuzzy: Option[Int] = None, // `term~N` (None = not fuzzy; phrase slop is parsed here too but ignored)
+    fuzzy: Option[Int] = None, // `term~N` edit budget; on a phrase, the `~N` slop
     boost: Double = 1.0, // `clause^f`
     // `field:[lo TO hi]` — (lo, hi, loInclusive, hiInclusive); "*" = unbounded end
     range: Option[(String, String, Boolean, Boolean)] = None,
@@ -302,7 +310,7 @@ object Parsed {
             out += OccurMark(occur)
           } else if (i < n && q.charAt(i) == '"') {
             val text = readPhrase()
-            val (fz, b) = readSuffixes() // phrase `~N` = slop, parsed but exact-matched
+            val (fz, b) = readSuffixes() // phrase `~N` = slop
             out += ClauseLex(Clause(occur, isPhrase = true, text, None, fz, b))
           } else {
             val (word, wordEsc, wordWild) = readWord()
@@ -383,7 +391,7 @@ object Parsed {
     val base: SearchQuery = c.range match {
       case Some((lo, hi, loInc, hiInc)) => rangeLeaf(f, lo, hi, loInc, hiInc)
       case None =>
-        if (c.isPhrase) MatchPhrase(f, c.text) // `~N` on a phrase = slop; matched exact (see Parsed doc)
+        if (c.isPhrase) MatchPhrase(f, c.text, c.fuzzy.getOrElse(0)) // `~N` = slop
         else if (c.fuzzy.isDefined) MatchFuzzy(f, c.text.toLowerCase, c.fuzzy.get)
         // wildcard iff the word carried an UNESCAPED '*'/'?' (per-char
         // tracking in readWord): `wild\*card` is a literal term, but

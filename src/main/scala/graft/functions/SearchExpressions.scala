@@ -58,70 +58,71 @@ case class ArrayCountEq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** `phrase_count(tokens, phrase)` — number of starting positions where
-  * the `phrase` array occurs contiguously inside `tokens` (overlapping
-  * occurrences each count, matching positional phrase freq semantics;
-  * reference analog: MatchPhraseQuery via Lucene createPhraseQuery,
-  * dsl/DslQuery.scala:116-120). */
-case class PhraseCount(left: Expression, right: Expression)
+/** `phrase_count(tokens, phrase[, slop])` — number of starting
+  * positions where the `phrase` array occurs inside `tokens` with at
+  * most `slop` extra positions between first and last matched term,
+  * IN ORDER (overlapping occurrences each count; slop 0 = exact
+  * contiguity, matching positional phrase freq semantics; reference
+  * analog: MatchPhraseQuery via Lucene createPhraseQuery,
+  * dsl/DslQuery.scala:116-129 — Lucene's slop>=2 transposition
+  * allowance is deliberately NOT replicated, see
+  * [[graft.dsl.MatchPhrase]]).
+  *
+  * A start position i counts iff tokens(i) == phrase(0) and the
+  * remaining terms match greedily (each at its earliest position
+  * after the previous) with final span <= m + slop. Greedy-earliest
+  * minimizes the span of an in-order match, so existence under the
+  * budget is exact, not a heuristic. O(m * slop) scan per start. */
+case class PhraseCount(left: Expression, right: Expression, slop: Int = 0)
     extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "phrase_count"
 
-  override protected def nullSafeEval(arr: Any, phr: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
-    val p = phr.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(arr: Any, phr: Any): Any =
+    PhraseCount.compute(arr.asInstanceOf[ArrayData], phr.asInstanceOf[ArrayData], slop)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr, phr) =>
+      s"${ev.value} = graft.functions.PhraseCount.compute($arr, $phr, $slop);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PhraseCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object PhraseCount {
+  /** Static so generated code can call it directly. */
+  def compute(a: ArrayData, p: ArrayData, slop: Int): Int = {
     val n = a.numElements()
     val m = p.numElements()
     if (m == 0 || m > n) return 0
     var count = 0
     var i = 0
     while (i <= n - m) {
-      var j = 0
-      var ok = true
-      while (ok && j < m) {
-        if (a.isNullAt(i + j) || p.isNullAt(j) ||
-          !a.getUTF8String(i + j).equals(p.getUTF8String(j))) ok = false
-        j += 1
+      if (!a.isNullAt(i) && !p.isNullAt(0) &&
+        a.getUTF8String(i).equals(p.getUTF8String(0))) {
+        // greedy: next term at its earliest position after the
+        // previous one; position of term t may not exceed i+t+slop
+        // (a later position could never keep the final span in
+        // budget)
+        var pos = i
+        var t = 1
+        var ok = true
+        while (ok && t < m) {
+          val limit = math.min(i + t + slop, n - 1)
+          var q = pos + 1
+          while (q <= limit && (a.isNullAt(q) || p.isNullAt(t) ||
+            !a.getUTF8String(q).equals(p.getUTF8String(t)))) q += 1
+          if (q > limit) ok = false else pos = q
+          t += 1
+        }
+        if (ok) count += 1
       }
-      if (ok) count += 1
       i += 1
     }
     count
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (arr, phr) => {
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val ok = ctx.freshName("ok")
-      val cnt = ctx.freshName("cnt")
-      val n = ctx.freshName("n")
-      val m = ctx.freshName("m")
-      s"""
-         |int $cnt = 0;
-         |int $n = $arr.numElements();
-         |int $m = $phr.numElements();
-         |if ($m > 0 && $m <= $n) {
-         |  for (int $i = 0; $i <= $n - $m; $i++) {
-         |    boolean $ok = true;
-         |    for (int $j = 0; $ok && $j < $m; $j++) {
-         |      if ($arr.isNullAt($i + $j) || $phr.isNullAt($j) ||
-         |          !$arr.getUTF8String($i + $j).equals($phr.getUTF8String($j))) {
-         |        $ok = false;
-         |      }
-         |    }
-         |    if ($ok) $cnt++;
-         |  }
-         |}
-         |${ev.value} = $cnt;
-       """.stripMargin
-    })
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): PhraseCount =
-    copy(left = newLeft, right = newRight)
 }
 
 /** `vec_dot(a, b)` — dot product of two `array<double>` columns in a
@@ -621,8 +622,18 @@ object SearchExpressions {
       info("array_count_eq", "array_count_eq(arr, term) - occurrences of term in arr"),
       (exprs: Seq[Expression]) => ArrayCountEq(exprs(0), exprs(1))),
     (FunctionIdentifier("phrase_count"),
-      info("phrase_count", "phrase_count(arr, phrase) - contiguous occurrences of phrase in arr"),
-      (exprs: Seq[Expression]) => PhraseCount(exprs(0), exprs(1))),
+      info("phrase_count", "phrase_count(arr, phrase[, slop]) - in-order occurrences of phrase in arr within slop extra positions"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, p) => PhraseCount(a, p)
+        case Seq(a, p, s) => PhraseCount(a, p, s.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"phrase_count slop must be a foldable integer, got $other")
+        })
+        case _ => throw new IllegalArgumentException(
+          "phrase_count takes 2 or 3 arguments")
+      }),
     (FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two double arrays"),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))),

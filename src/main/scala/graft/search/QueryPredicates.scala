@@ -36,7 +36,7 @@ object QueryPredicates {
       case MatchTerm(f, t) => tf(f, t) > 0
       case MatchText(f, t) => compile(MatchAnyTerms(f, an.analyze(t)))
       case MatchAllText(f, t) => compile(MatchAllTerms(f, an.analyze(t)))
-      case MatchPhrase(f, t) =>
+      case MatchPhrase(f, t, slop) =>
         val terms = an.analyze(t)
         if (terms.isEmpty) lit(false)
         else {
@@ -47,13 +47,30 @@ object QueryPredicates {
           // Docs shorter than the phrase can't match — and must not
           // reach the window: sequence(1, size-m+1) yields [1,0] when
           // the doc is short, and element_at(toks, 0) throws.
-          when(size(toks) >= m,
-            exists(
-              sequence(lit(1), size(toks) - (m - 1)),
-              i => terms.zipWithIndex
-                .map { case (term, o) => element_at(toks, i + o) === lit(term) }
-                .reduceLeft(_ && _))
-          ).otherwise(lit(false))
+          val hit =
+            if (slop == 0)
+              exists(
+                sequence(lit(1), size(toks) - (m - 1)),
+                i => terms.zipWithIndex
+                  .map { case (term, o) => element_at(toks, i + o) === lit(term) }
+                  .reduceLeft(_ && _))
+            else {
+              // sloppy: nested exists, term t at a position in
+              // (prev, start + t + slop] — existential choice equals
+              // phrase_count's greedy-minimal-span check. Bounds live
+              // in the predicate (sequence(a, b) DESCENDS when a > b,
+              // so computed ranges are unsafe). O(n^m) per row worst
+              // case — fine for a standing stream filter.
+              def rest(start: Column, prev: Column, t: Int): Column =
+                if (t == m) lit(true)
+                else exists(sequence(lit(1), size(toks)), j =>
+                  j > prev && j <= start + lit(t + slop) &&
+                    element_at(toks, j) === lit(terms(t)) && rest(start, j, t + 1))
+              exists(
+                sequence(lit(1), size(toks) - (m - 1)),
+                i => element_at(toks, i) === lit(terms.head) && rest(i, i, 1))
+            }
+          when(size(toks) >= m, hit).otherwise(lit(false))
         }
       case MatchAllTerms(f, ts) =>
         if (ts.isEmpty) lit(true) else ts.map(t => tf(f, t) > 0).reduceLeft(_ && _)

@@ -144,7 +144,7 @@ final class SearchIndex private (
     case MatchTerm(f, t) => Set(f -> t)
     case MatchText(f, t) => queryAn.analyze(t).map(f -> _).toSet
     case MatchAllText(f, t) => queryAn.analyze(t).map(f -> _).toSet
-    case MatchPhrase(f, t) => queryAn.analyze(t).map(f -> _).toSet
+    case MatchPhrase(f, t, _) => queryAn.analyze(t).map(f -> _).toSet
     case MatchAllTerms(f, ts) => ts.map(f -> _).toSet
     case MatchAnyTerms(f, ts) => ts.map(f -> _).toSet
     case MatchMin(f, _, ts) => ts.map(f -> _).toSet
@@ -275,7 +275,7 @@ final class SearchIndex private (
     // fields store — a phrase on a keyword field matches nothing
     // (it has no adjacency to satisfy) instead of dying on the
     // unresolved __tokens_ column
-    case MatchPhrase(f, _) if !spec.textFields.contains(f) => noMatch
+    case MatchPhrase(f, _, _) if !spec.textFields.contains(f) => noMatch
     case MatchAllTerms(f, _) if !isIndexedField(f) => noMatch
     case MatchAnyTerms(f, _) if !isIndexedField(f) => noMatch
     case MatchMin(f, _, _) if !isIndexedField(f) => noMatch
@@ -304,12 +304,12 @@ final class SearchIndex private (
     case MatchTerm(f, t) => termScore(f, t, idf)
     case MatchText(f, t) => compileWith(MatchAnyTerms(f, queryAn.analyze(t)), idf)
     case MatchAllText(f, t) => compileWith(MatchAllTerms(f, queryAn.analyze(t)), idf)
-    case MatchPhrase(f, t) =>
+    case MatchPhrase(f, t, slop) =>
       val terms = queryAn.analyze(t)
       if (terms.isEmpty) (lit(false), lit(0.0))
       else {
         val tf = call_function("phrase_count", tokensCol(f),
-          array(terms.map(lit): _*)).cast("double")
+          array(terms.map(lit): _*), lit(slop)).cast("double")
         val phraseIdf = terms.map(term => idf(f -> term)).sum
         val s = sim(tf, dlCol(f).cast("double"), phraseIdf, fieldStats(f).avgDl)
         (tf > 0, when(tf > 0, s).otherwise(lit(0.0)))
@@ -686,7 +686,7 @@ final class SearchIndex private (
     * (SearchableRDD.scala:257-298). Output is (qid, rank, key, score)
     * like [[lightQueryJoin]]. */
   def queryJoinPhrase(left: DataFrame, qidCol: String, phraseCol: Column, field: String,
-      k: Int, excludeSelf: Boolean = false): DataFrame = {
+      k: Int, excludeSelf: Boolean = false, slop: Int = 0): DataFrame = {
     require(spec.storePositions,
       "queryJoinPhrase needs stored positions (storePositions = true)")
     require(spec.textFields.contains(field), s"$field is not an indexed text field")
@@ -736,7 +736,7 @@ final class SearchIndex private (
       .join(docSide, cand("key") === col("__doc_key"))
       .join(queries, Seq("qid"))
       .withColumn("__tf",
-        call_function("phrase_count", col("__tokens"), col("terms")).cast("double"))
+        call_function("phrase_count", col("__tokens"), col("terms"), lit(slop)).cast("double"))
       .where(col("__tf") > 0)
       .withColumn("score", simScore)
       .select(col("qid"), col("key"), col("score"))

@@ -187,6 +187,12 @@ object SearchQueries {
     "search_phrase" -> ((s, dir) =>
       topkOut(indexFor(s, dir).search("text" matchPhrase "batch batch", 10))),
 
+    // sloppy phrase via the parser's `~N` syntax: terms in order
+    // within 2 extra positions; tf counts start positions
+    "search_phrase_slop" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search(
+        "text" parseQuery "\"batch join\"~2", 10))),
+
     // scored text match AND'd with non-scoring filters (Occur.FILTER
     // discipline: score must equal the unfiltered text score)
     "search_filtered" -> ((s, dir) =>
@@ -609,6 +615,32 @@ object SearchQueries {
          |), s2 AS (
          |  SELECT *, CASE WHEN tf_p > 0
          |    THEN (${idfSql("df_b")} + ${idfSql("df_b")}) * (tf_p * ${K1 + 1.0})
+         |         / (tf_p + $K1 * (${1.0 - B} + $B * dl / avgdl))
+         |    ELSE 0.0 END AS score
+         |  FROM scored
+         |)
+         |SELECT doc_id, round(score, 4) AS score FROM s2
+         |WHERE tf_p > 0
+         |ORDER BY s2.score DESC, doc_id
+         |LIMIT 10""".stripMargin
+    },
+
+    "search_phrase_slop" -> {
+      // tf = start positions i with tokens[i]='batch' and a 'join'
+      // within the next 1+slop positions (ordered window, slop 2 →
+      // j <= i+3); phrase idf = idf(batch) + idf(join), as exact
+      s"""$toksCte,
+         |dfs AS (SELECT ${dfSql("batch")} AS df_1, ${dfSql("join")} AS df_2 FROM (SELECT 1)),
+         |scored AS (
+         |  SELECT t.doc_id, len(t.tokens) AS dl, st.n, st.avgdl, dfs.df_1, dfs.df_2,
+         |    len(list_filter(range(1, len(t.tokens) + 1),
+         |      i -> t.tokens[i] = 'batch' AND
+         |        len(list_filter(range(i + 1, least(i + 4, len(t.tokens) + 1)),
+         |          j -> t.tokens[j] = 'join')) > 0)) AS tf_p
+         |  FROM toks t, st, dfs
+         |), s2 AS (
+         |  SELECT *, CASE WHEN tf_p > 0
+         |    THEN (${idfSql("df_1")} + ${idfSql("df_2")}) * (tf_p * ${K1 + 1.0})
          |         / (tf_p + $K1 * (${1.0 - B} + $B * dl / avgdl))
          |    ELSE 0.0 END AS score
          |  FROM scored

@@ -100,6 +100,10 @@ class PropertiesSpec extends AnyFunSuite {
       Gen.listOfN(2, term).map(ts => MatchAnyTerms("text", ts.distinct)),
       Gen.listOfN(2, term).map(ts => MatchAllTerms("text", ts.distinct)),
       Gen.listOfN(2, term).map(ts => MatchPhrase("text", ts.mkString(" "))),
+      // sloppy phrases: indexed phrase_count vs stats-free nested
+      // exists must agree on the match set
+      for { ts <- Gen.listOfN(2, term); s <- Gen.choose(0, 2) }
+        yield MatchPhrase("text", ts.mkString(" "), s),
       Gen.listOfN(3, term).map(ts => MatchMin("text", 2, ts.distinct)),
       // multi-term leaves: indexed path expands the dictionary,
       // stats-free path matches per token — same match set required
@@ -229,8 +233,9 @@ class PropertiesSpec extends AnyFunSuite {
       And(Or(MatchText("lang", "en"), MatchText("lang", "fr")), Should(t("spark"))))
     assert(p("title:(a b) window") ==
       Or(Or(MatchText("title", "a"), MatchText("title", "b")), t("window")))
-    // phrase slop parses but matches exact (documented deviation)
-    assert(p("\"big data\"~2") == MatchPhrase("text", "big data"))
+    // phrase slop carries into the AST (ordered-window matching)
+    assert(p("\"big data\"~2") == MatchPhrase("text", "big data", 2))
+    assert(p("\"big data\"") == MatchPhrase("text", "big data"))
     // ranges: inclusive, exclusive, mixed, open-ended, numeric coercion
     assert(p("n_chars:[200 TO 480]") == RangeFilter("n_chars", 200L, 480L))
     assert(p("n_chars:{200 TO 480}") ==

@@ -80,6 +80,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(aa == Map(1L -> 0, 2L -> 2, 3L -> 0)) // overlapping starts count
   }
 
+  test("phrase_count slop: ordered window with greedy-minimal span") {
+    SearchExpressions.register(spark)
+    def n(tokens: Seq[String], phrase: Seq[String], slop: Int): Int =
+      Seq(Tuple1(tokens)).toDF("arr").select(
+        call_function("phrase_count", $"arr",
+          array(phrase.map(lit): _*), lit(slop)).as("n"))
+        .as[Int].head()
+    // one gap needs slop 1
+    assert(n(Seq("a", "x", "b"), Seq("a", "b"), 0) == 0)
+    assert(n(Seq("a", "x", "b"), Seq("a", "b"), 1) == 1)
+    // budget is TOTAL extra positions across the whole phrase
+    assert(n(Seq("a", "x", "b", "y", "c"), Seq("a", "b", "c"), 1) == 0)
+    assert(n(Seq("a", "x", "b", "y", "c"), Seq("a", "b", "c"), 2) == 1)
+    // order still required: reversed terms never match
+    assert(n(Seq("b", "x", "a"), Seq("a", "b"), 5) == 0)
+    // slop 0 equals the exact-adjacency semantics
+    assert(n(Seq("a", "b", "a", "b", "a"), Seq("a", "b"), 0) == 2)
+    // overlapping sloppy starts each count
+    assert(n(Seq("a", "a", "b"), Seq("a", "b"), 1) == 2)
+    // greedy earliest is minimal-span exact: a-b at distance 2 when a
+    // nearer non-matching token intervenes
+    assert(n(Seq("a", "c", "b"), Seq("a", "b"), 1) == 1)
+    // repeated phrase terms
+    assert(n(Seq("a", "x", "a"), Seq("a", "a"), 1) == 1)
+    assert(n(Seq("a", "x", "a"), Seq("a", "a"), 0) == 0)
+  }
+
   test("TopKAgg keeps bounded top-k with deterministic order") {
     val topk = TopKAgg.topk(3)
     val df = Seq(
