@@ -94,6 +94,16 @@ final case class MatchWildcard(field: String, pattern: String) extends SearchQue
   * a documented deviation from Lucene's Damerau-style automaton. */
 final case class MatchFuzzy(field: String, term: String, maxEdits: Int) extends SearchQuery
 
+/** Regex term query: matches documents containing any dictionary
+  * term the pattern matches IN FULL (Lucene RegexpQuery, QueryParser
+  * `/re/` syntax — Lucene anchors the pattern to the whole term).
+  * Constant-score multi-term rewrite like [[MatchWildcard]]. The
+  * pattern dialect is Java regex (what Spark `rlike` evaluates), a
+  * documented deviation from Lucene's more restricted RegExp class;
+  * patterns are matched against the index's (analyzer-normalized,
+  * typically lowercase) term dictionary as-is. */
+final case class MatchRegex(field: String, pattern: String) extends SearchQuery
+
 /** Mini query-parser syntax (reference: ParsedQuery/QueryParser,
   * DslQuery.scala:122-129, and RawQuery via the pluggable
   * QueryConstructor, queries/DefaultQueryConstructor.scala:10-17):
@@ -102,7 +112,9 @@ final case class MatchFuzzy(field: String, term: String, maxEdits: Int) extends 
   * QueryParser extras: `field:term`, parentheses, field-scoped
   * groups (`title:(+a "b c")` — leaves inside default to `title`),
   * AND/OR/NOT, boosts (`term^2`, `(a b)^0.5`), wildcards (`te*t`,
-  * `jo?n`), fuzzy terms (`spark~1`), and ranges (`f:[a TO b]`,
+  * `jo?n`), fuzzy terms (`spark~1`), regex terms (`/sp.rk/`,
+  * `field:/re/` — Java-regex dialect, anchored to the whole term,
+  * `\/` embeds a slash), and ranges (`f:[a TO b]`,
   * `f:{a TO *}` — square bracket inclusive, curly exclusive, `*`
   * unbounded).
   * A `~N` after a phrase is Lucene slop syntax: the terms may occur
@@ -170,6 +182,7 @@ object builders {
     def matchAll(ts: TermSet): SearchQuery = MatchAllTerms(field, ts.terms)
     def matchAny(ts: TermSet): SearchQuery = MatchAnyTerms(field, ts.terms)
     def matchMin(min: Int, ts: TermSet): SearchQuery = MatchMin(field, min, ts.terms)
+    def matchRegex(pattern: String): SearchQuery = MatchRegex(field, pattern)
     def parseQuery(q: String): SearchQuery = Parsed(field, q)
     def ===(v: Any): SearchQuery = EqFilter(field, v)
     def equalTo(v: Any): SearchQuery = EqFilter(field, v)
@@ -195,6 +208,8 @@ object Parsed {
     // the word contained `\x` escapes: it can never be an AND/OR/NOT
     // keyword (Lucene escape semantics)
     escaped: Boolean = false,
+    // `/re/` clause: text is the raw pattern body
+    isRegex: Boolean = false,
     // the word contained an UNESCAPED '*' or '?'. Tracked per
     // character, not per word: in `path\\*` the backslash is escaped
     // but the '*' is live, so the clause is still a wildcard — a
@@ -239,6 +254,21 @@ object Parsed {
         if (c == '\\' && i + 1 < n) { sb.append(q.charAt(i + 1)); i += 2 } // `\"` etc.
         else if (c == '"') { closed = true; i += 1 }
         else { sb.append(c); i += 1 } // unterminated phrase: consume to end
+      }
+      sb.toString
+    }
+    def readRegex(): String = { // caller sits on the opening '/'
+      val sb = new java.lang.StringBuilder
+      i += 1
+      var closed = false
+      while (!closed && i < n) {
+        val c = q.charAt(i)
+        // `\/` embeds a slash; every other escape stays intact for
+        // the regex engine (`\d`, `\.`, ...)
+        if (c == '\\' && i + 1 < n && q.charAt(i + 1) == '/') { sb.append('/'); i += 2 }
+        else if (c == '\\' && i + 1 < n) { sb.append(c).append(q.charAt(i + 1)); i += 2 }
+        else if (c == '/') { closed = true; i += 1 }
+        else { sb.append(c); i += 1 } // unterminated regex: consume to end
       }
       sb.toString
     }
@@ -312,6 +342,12 @@ object Parsed {
             val text = readPhrase()
             val (fz, b) = readSuffixes() // phrase `~N` = slop
             out += ClauseLex(Clause(occur, isPhrase = true, text, None, fz, b))
+          } else if (i < n && q.charAt(i) == '/') {
+            val pat = readRegex()
+            val (_, b) = readSuffixes() // `~` is meaningless on a regex
+            if (pat.nonEmpty)
+              out += ClauseLex(Clause(occur, isPhrase = false, pat, None, None, b,
+                isRegex = true))
           } else {
             val (word, wordEsc, wordWild) = readWord()
             if (i < n && q.charAt(i) == ':') { // field-scoped clause
@@ -328,6 +364,13 @@ object Parsed {
                 val text = readPhrase()
                 val (fz, b) = readSuffixes()
                 out += ClauseLex(Clause(occur, isPhrase = true, text, Some(word), fz, b))
+              } else if (i < n && q.charAt(i) == '/' && word.nonEmpty) {
+                // `field:/re/` — field-scoped regex term query
+                val pat = readRegex()
+                val (_, b) = readSuffixes()
+                if (pat.nonEmpty)
+                  out += ClauseLex(Clause(occur, isPhrase = false, pat, Some(word), None, b,
+                    isRegex = true))
               } else if (i < n && (q.charAt(i) == '[' || q.charAt(i) == '{')) {
                 // range clause `field:[lo TO hi]` / `{..}` — mixed
                 // open/close brackets allowed, `*` = unbounded end
@@ -392,6 +435,7 @@ object Parsed {
       case Some((lo, hi, loInc, hiInc)) => rangeLeaf(f, lo, hi, loInc, hiInc)
       case None =>
         if (c.isPhrase) MatchPhrase(f, c.text, c.fuzzy.getOrElse(0)) // `~N` = slop
+        else if (c.isRegex) MatchRegex(f, c.text)
         else if (c.fuzzy.isDefined) MatchFuzzy(f, c.text.toLowerCase, c.fuzzy.get)
         // wildcard iff the word carried an UNESCAPED '*'/'?' (per-char
         // tracking in readWord): `wild\*card` is a literal term, but

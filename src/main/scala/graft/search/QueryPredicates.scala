@@ -96,6 +96,10 @@ object QueryPredicates {
         if (textFields(f))
           exists(an.tokensCol(col(f)), tok => levenshtein(tok, lit(t)) <= maxEdits)
         else levenshtein(col(f), lit(t)) <= maxEdits
+      case MatchRegex(f, pat) =>
+        val re = "^(?:" + pat + ")$" // whole-term match, as the indexed path
+        if (textFields(f)) exists(an.tokensCol(col(f)), tok => tok.rlike(re))
+        else col(f).rlike(re)
       case EqFilter(f, v) => col(f) === lit(v)
       case GtFilter(f, v) => col(f) > lit(v)
       case GeFilter(f, v) => col(f) >= lit(v)

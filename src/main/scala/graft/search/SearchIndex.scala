@@ -152,7 +152,7 @@ final class SearchIndex private (
     case Boost(inner, _) => collectTerms(inner)
     // multi-term queries are constant-score: their dictionary
     // expansion never needs IDF
-    case _: MatchWildcard | _: MatchFuzzy => Set.empty
+    case _: MatchWildcard | _: MatchFuzzy | _: MatchRegex => Set.empty
     case _: SearchFilter => Set.empty
   }
 
@@ -281,6 +281,7 @@ final class SearchIndex private (
     case MatchMin(f, _, _) if !isIndexedField(f) => noMatch
     case MatchWildcard(f, _) if !isIndexedField(f) => noMatch
     case MatchFuzzy(f, _, _) if !isIndexedField(f) => noMatch
+    case MatchRegex(f, _) if !isIndexedField(f) => noMatch
     case AllDocs => (lit(true), lit(1.0))
     case Boost(inner, factor) =>
       val (p, s) = compileWith(inner, idf)
@@ -289,6 +290,10 @@ final class SearchIndex private (
       constScoreAny(f, expandDict(f, col("term").like(likePattern(pat))))
     case MatchFuzzy(f, t, maxEdits) =>
       constScoreAny(f, expandDict(f, levenshtein(col("term"), lit(t)) <= maxEdits))
+    case MatchRegex(f, pat) =>
+      // Lucene RegexpQuery matches the WHOLE term — anchor, since
+      // rlike is a substring search
+      constScoreAny(f, expandDict(f, col("term").rlike("^(?:" + pat + ")$")))
     case And(l, r) =>
       val (pl, sl) = compileWith(l, idf); val (pr, sr) = compileWith(r, idf)
       (pl && pr, sl + sr)

@@ -245,6 +245,12 @@ object SearchQueries {
     "search_fuzzy" -> ((s, dir) =>
       topkOut(indexFor(s, dir).search("text" parseQuery "+spakr~2 window", 10))),
 
+    // QueryParser regex `/re/`: anchored dictionary expansion
+    // (s.a(n|rk) → scan/spark), constant score per matched clause,
+    // plus an optional scoring term for rank diversity
+    "search_regex" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search("text" parseQuery "/s.a(n|rk)/ merge", 10))),
+
     // QueryParser range syntax with mixed bounds: [inclusive TO
     // exclusive} on a numeric doc field, as a required non-scoring
     // clause beside a required scored term
@@ -734,6 +740,30 @@ object SearchQueries {
          |), s2 AS (
          |  SELECT *, 1.0 + ${bm25Sql("tf_w", idfSql("df_w"))} AS score
          |  FROM scored WHERE n_fz > 0
+         |)
+         |SELECT doc_id, round(score, 4) AS score FROM s2
+         |ORDER BY s2.score DESC, doc_id
+         |LIMIT 10""".stripMargin,
+
+    // /s.a(n|rk)/ merge: the oracle recomputes the anchored regex
+    // expansion over the corpus vocabulary (scan/spark); the matched
+    // regex clause contributes a constant 1.0 beside the scored term
+    "search_regex" ->
+      s"""$toksCte,
+         |rxm AS (
+         |  SELECT list(term) AS ts FROM (
+         |    SELECT DISTINCT unnest(tokens) AS term FROM toks
+         |  ) WHERE regexp_matches(term, '^(?:s.a(n|rk))$$')
+         |), dfs AS (SELECT ${dfSql("merge")} AS df_m FROM (SELECT 1)),
+         |scored AS (
+         |  SELECT t.doc_id, len(t.tokens) AS dl, st.n, st.avgdl, dfs.df_m,
+         |    len(list_intersect(t.tokens, rxm.ts)) AS n_rx,
+         |    ${tfSql("merge")} AS tf_m
+         |  FROM toks t, st, dfs, rxm
+         |), s2 AS (
+         |  SELECT *, (CASE WHEN n_rx > 0 THEN 1.0 ELSE 0.0 END)
+         |    + ${bm25Sql("tf_m", idfSql("df_m"))} AS score
+         |  FROM scored WHERE n_rx > 0 OR tf_m > 0
          |)
          |SELECT doc_id, round(score, 4) AS score FROM s2
          |ORDER BY s2.score DESC, doc_id

@@ -1,7 +1,7 @@
 package graft
 
 import graft.dsl.{AllDocs, And, Boost, GeFilter, GtFilter, LtFilter, MatchFuzzy,
-  MatchPhrase, MatchText, MatchWildcard, Not, Or, Parsed, RangeFilter, Should}
+  MatchPhrase, MatchRegex, MatchText, MatchWildcard, Not, Or, Parsed, RangeFilter, Should}
 import graft.functions.{ArrayCountEq, PhraseCount, TopKAgg, ScoredDoc, VecDot}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -108,6 +108,9 @@ class PropertiesSpec extends AnyFunSuite {
       // multi-term leaves: indexed path expands the dictionary,
       // stats-free path matches per token — same match set required
       Gen.oneOf("?", "d*", "e?", "*d", "z*").map(p => MatchWildcard("text", p)),
+      // regex leaves: indexed dictionary expansion vs per-token rlike
+      Gen.oneOf(".", "d+", "e.", ".*d.*", "a|b", "[cd]d?")
+        .map(p => MatchRegex("text", p)),
       for { t <- term; e <- Gen.choose(0, 2) } yield MatchFuzzy("text", t, e))
     val ast: Gen[SearchQuery] = for {
       l <- leaf; r <- leaf
@@ -236,6 +239,13 @@ class PropertiesSpec extends AnyFunSuite {
     // phrase slop carries into the AST (ordered-window matching)
     assert(p("\"big data\"~2") == MatchPhrase("text", "big data", 2))
     assert(p("\"big data\"") == MatchPhrase("text", "big data"))
+    // regex terms: bare, field-scoped, escaped slash, occur prefix
+    assert(p("/sp.rk/") == MatchRegex("text", "sp.rk"))
+    assert(p("lang:/en|fr/") == MatchRegex("lang", "en|fr"))
+    assert(p("/a\\/b/") == MatchRegex("text", "a/b"))
+    assert(p("+/jo.n/ spark") ==
+      And(MatchRegex("text", "jo.n"), Should(t("spark"))))
+    assert(p("/d\\d+/") == MatchRegex("text", "d\\d+")) // regex escapes survive
     // ranges: inclusive, exclusive, mixed, open-ended, numeric coercion
     assert(p("n_chars:[200 TO 480]") == RangeFilter("n_chars", 200L, 480L))
     assert(p("n_chars:{200 TO 480}") ==
