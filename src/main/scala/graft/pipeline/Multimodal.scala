@@ -10,31 +10,70 @@ import org.apache.spark.sql.types._
   * The Spark-side shape is real and tested: a `binary` column flows
   * through `mapPartitions` in batches, producing a typed struct row
   * per asset — exactly the schema/partitioning/batch shape an
-  * image/audio decode stage needs. The decode itself is a
-  * clearly-marked deterministic STUB (this container has no imaging
-  * libraries): it derives fake width/height/frame metadata from the
-  * byte length. Swap `stubDecode` for a real codec call (or a Pandas
-  * UDF via mapInPandas from PySpark) without touching the plumbing.
+  * image/audio decode stage needs. IMAGE payloads (PNG/JPEG/BMP/GIF —
+  * whatever the JDK's `javax.imageio` readers recognize) decode for
+  * REAL: width/height/format come from the actual bytes via a
+  * header-only ImageIO read. Payloads no reader recognizes (audio,
+  * video, arbitrary blobs — this container has no native codecs)
+  * fall back to a clearly-marked deterministic STUB that derives
+  * fake metadata from the byte length; swap `stubDecode` for a codec
+  * call (or a Pandas UDF via mapInPandas from PySpark) without
+  * touching the plumbing.
   */
 object Multimodal {
 
-  /** STUB decoder — deterministic fake metadata from the payload
-    * bytes. Real implementation would parse image/audio headers. */
+  /** Real image header decode via the JDK's ImageIO: width, height
+    * and format name from the actual bytes, WITHOUT decoding pixel
+    * data (reader.getWidth/getHeight are header reads — the right
+    * cost model for a metadata pass over billions of assets). None
+    * when no installed reader recognizes the payload. */
+  private[pipeline] def imageDecode(bytes: Array[Byte]): Option[(Long, Long, String)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          Some((reader.getWidth(0).toLong, reader.getHeight(0).toLong,
+            reader.getFormatName.toLowerCase))
+        } catch {
+          case _: java.io.IOException => None // truncated/corrupt header
+        } finally reader.dispose()
+      }
+    } finally if (iis != null) iis.close()
+  }
+
+  /** STUB decoder for codec-less payloads — deterministic fake
+    * metadata from the payload bytes. A real deployment would plug an
+    * audio/video demuxer here. */
   private[pipeline] def stubDecode(bytes: Array[Byte]): (Long, Long, Long, Long) = {
     val n = bytes.length.toLong
-    // ??? real decode goes here; deterministic fake below
     val width = n % 640
     val height = (n * 7) % 480
     val frames = n % 30 + 1
     (n, width, height, frames)
   }
 
+  /** Decode dispatch: real ImageIO metadata for recognized images
+    * (single frame, real format name), stub otherwise. */
+  private[pipeline] def decode(bytes: Array[Byte]): (Long, Long, Long, Long, String) =
+    imageDecode(bytes) match {
+      case Some((w, h, fmt)) => (bytes.length.toLong, w, h, 1L, fmt)
+      case None =>
+        val (n, w, h, f) = stubDecode(bytes)
+        (n, w, h, f, "raw")
+    }
+
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("n_bytes", LongType),
     StructField("width", LongType),
     StructField("height", LongType),
-    StructField("n_frames", LongType)))
+    StructField("n_frames", LongType),
+    StructField("format", StringType)))
 
   /** Frame sampling over the decoded assets: every asset contributes
     * ceil(n_frames / 4) evenly-spaced frames (a video keyframe-sample
@@ -119,10 +158,61 @@ object Multimodal {
       // batch shape: one iterator pass per partition, no per-row task
       rows.map { r =>
         val id = r.getLong(0)
-        val (n, w, h, f) = stubDecode(r.getAs[Array[Byte]](1))
-        Row(id, n, w, h, f)
+        val (n, w, h, f, fmt) = decode(r.getAs[Array[Byte]](1))
+        Row(id, n, w, h, f, fmt)
       }
     }(enc)
     decoded.orderBy("doc_id")
+  }
+
+  /** Deterministic synthetic PNG: a `w` x `h` RGB image whose pixels
+    * are a fixed function of their coordinates, encoded with the
+    * JDK's PNG writer. Used to drive the REAL image-decode path with
+    * genuine image bytes in environments (like this one) whose test
+    * corpus has no binary image columns. */
+  private[pipeline] def syntheticPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((x * 31 + y * 7) & 0xFFFFFF))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** End-to-end REAL image decode: synthesizes one PNG per document
+    * (dimensions a fixed arithmetic function of doc metadata, so an
+    * engine without ImageIO can still predict them), then recovers
+    * width/height/format FROM THE BYTES via [[imageDecode]]. The
+    * encode-then-decode round trip means a green result proves the
+    * decoder reads real image headers, not the stub arithmetic. */
+  def decodePngMeta(spark: SparkSession, dir: String): DataFrame = {
+    val metaSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("format", StringType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(metaSchema)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val nc = r.getLong(1)
+          val png = syntheticPng((nc % 64 + 1).toInt, (id % 48 + 1).toInt)
+          decode(png) match {
+            case (_, w, h, _, fmt) => Row(id, w, h, fmt)
+          }
+        }
+      }(enc)
+      .orderBy("doc_id")
   }
 }

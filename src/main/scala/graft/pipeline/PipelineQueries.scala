@@ -59,6 +59,7 @@ object PipelineQueries {
     "fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
     "fingerprint_winnow" -> ((s, dir) => TextAnalysis.winnowing(s, dir)),
     "multimodal_meta" -> ((s, dir) => Multimodal.decodeMeta(s, dir)),
+    "multimodal_decode_png" -> ((s, dir) => Multimodal.decodePngMeta(s, dir)),
     "multimodal_frames" -> ((s, dir) => Multimodal.frameSample(s, dir)),
     "multimodal_features" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
@@ -761,12 +762,25 @@ object PipelineQueries {
         |  CAST(floor(height * scale) AS BIGINT) AS out_h
         |FROM scaled ORDER BY doc_id""".stripMargin,
 
+    // text payloads are codec-less → the stub path, format 'raw'
     "multimodal_meta" ->
       """SELECT doc_id,
         |  strlen(text)::BIGINT AS n_bytes,
         |  (strlen(text) % 640)::BIGINT AS width,
         |  ((strlen(text) * 7) % 480)::BIGINT AS height,
-        |  (strlen(text) % 30 + 1)::BIGINT AS n_frames
+        |  (strlen(text) % 30 + 1)::BIGINT AS n_frames,
+        |  'raw' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // REAL decode: the Spark side round-trips synthetic PNG bytes
+    // through javax.imageio; the oracle predicts the dimensions from
+    // the same arithmetic the synthesizer used — a hash match proves
+    // the decoder recovered them from actual image headers
+    "multimodal_decode_png" ->
+      """SELECT doc_id,
+        |  (n_chars % 64 + 1)::BIGINT AS width,
+        |  (doc_id % 48 + 1)::BIGINT AS height,
+        |  'png' AS format
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -126,6 +126,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(n == 11L && w == 11L && h == 77L && f == 12L)
   }
 
+  test("image decode reads real PNG/BMP headers; garbage falls back to stub") {
+    // PNG round-trip: dimensions from actual bytes
+    val png = Multimodal.syntheticPng(17, 9)
+    assert(Multimodal.imageDecode(png) == Some((17L, 9L, "png")))
+    // a second JDK codec (BMP) through the same dispatch
+    val img = new java.awt.image.BufferedImage(5, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    assert(Multimodal.imageDecode(out.toByteArray) == Some((5L, 3L, "bmp")))
+    // non-image bytes: no reader claims them → deterministic stub
+    val junk = "hello world".getBytes("UTF-8")
+    assert(Multimodal.imageDecode(junk).isEmpty)
+    assert(Multimodal.decode(junk) == ((11L, 11L, 77L, 12L, "raw")))
+    // truncated PNG header: recognized prefix but unreadable → stub,
+    // not a task failure
+    assert(Multimodal.decode(png.take(12)) ne null)
+  }
+
   test("winnowing: shared long runs intersect, short docs still fingerprint") {
     val common = "the quick brown fox jumps over the lazy sleeping dog tonight"
     val docs = Seq(
