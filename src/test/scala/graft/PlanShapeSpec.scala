@@ -123,6 +123,57 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ReusedExchange"), p.take(2000))
   }
 
+  /** Executes the query and returns shuffleRecordsWritten per
+    * exchange — the runtime evidence that a plan's shuffle volume
+    * scales with the corpus, not with some squared blowup. Walks
+    * through AQE wrappers and query stages. */
+  private def shuffleRecords(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    df.collect()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case s: ShuffleExchangeLike =>
+        s.metrics.get("shuffleRecordsWritten").foreach(m => buf += m.value)
+        s.children.foreach(walk)
+      case other => other.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    buf.toSeq
+  }
+
+  test("curation cohort: every shuffle is bounded by the corpus token stream") {
+    // grams/terms per doc are bounded by its token count, so NO
+    // exchange in any curation entry may move more than ~|total
+    // tokens| records — a (doc x gram) or (gram x gram) blowup
+    // shuffles orders of magnitude more and fails here long before a
+    // 100 TB run would
+    val totalTokens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(sum(size(split(lower(col("text")), "[^a-z0-9]+"))))
+      .head().getLong(0)
+    val bound = totalTokens * 2 // partial-agg + final-agg headroom
+    for ((name, fn) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+      "keywords_tfidf" -> (() => pipeline.Curation.keywordsTfidf(spark, sf)),
+      "unigram_logprob" -> (() => pipeline.Curation.unigramLogprob(spark, sf)),
+      "source_overlap" -> (() => pipeline.Curation.sourceOverlap(spark, sf)),
+      "decontaminate" -> (() => pipeline.Curation.decontaminate(spark, sf)),
+      "pack_sequences" -> (() => pipeline.Curation.packSequences(spark, sf)),
+      "vocab_coverage" -> (() => pipeline.Curation.vocabCoverage(spark, sf)))) {
+      val recs = shuffleRecords(fn())
+      assert(recs.forall(_ <= bound),
+        s"$name shuffles ${recs.max} records > bound $bound (per-exchange: $recs)")
+    }
+  }
+
+  test("piiScrub is map-side only: no shuffle before the harness sort") {
+    val p = plan(pipeline.Curation.piiScrub(spark, sf))
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")), exchanges.toString)
+  }
+
   test("getElements on a key-bucketed corpus prunes buckets") {
     // the reference's point lookup targets ONE partition via
     // sc.runJob (PartitionsIndexLuceneRDD.scala:403-450); our analog

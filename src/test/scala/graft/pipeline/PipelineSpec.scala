@@ -121,6 +121,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.flatten.forall(v => v >= -0.5 && v < 0.5))
   }
 
+  test("embeddingPairsLsh is non-vacuous: planted near-dups are found") {
+    // the driver corpus yields 0 pairs at small SFs (a green 0-row
+    // entry proves schema, not behavior) — plant true near-dups and
+    // assert the LSH-blocked path emits them
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    def vec(): Seq[Double] = Seq.fill(dim)(rnd.nextGaussian())
+    val base = vec()
+    val nearDup = base.zipWithIndex.map { case (v, i) =>
+      if (i == 0) v + 1e-3 else v } // cosine ~ 1, same sign pattern
+    val rows = Seq(
+      (100L, base, "x"), (101L, nearDup, "x"),
+      (200L, base.map(-_), "x")) ++ // antipode: same |cos| but negative — must NOT pair
+      (0L until 20L).map(i => (i, vec(), "x"))
+    val dir = java.nio.file.Files.createTempDirectory("emblsh").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    try {
+      val pairs = Dedup.embeddingPairsLsh(spark, dir, threshold = 0.95)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((100L, 101L)), s"planted near-dup not found: $pairs")
+      assert(!pairs.exists(p => p._1 == 200L || p._2 == 200L),
+        s"antipodal vector must not pair: $pairs")
+    } finally Dedup.clearCaches()
+  }
+
   test("multimodal stub decode is deterministic and length-derived") {
     val (n, w, h, f) = Multimodal.stubDecode("hello world".getBytes("UTF-8"))
     assert(n == 11L && w == 11L && h == 77L && f == 12L)
