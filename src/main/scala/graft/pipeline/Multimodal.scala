@@ -173,15 +173,14 @@ object Multimodal {
   private[pipeline] def syntheticPng(w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) {
-        img.setRGB(x, y, ((x * 31 + y * 7) & 0xFFFFFF))
-        x += 1
-      }
+      while (x < w) { px(y * w + x) = (x * 31 + y * 7) & 0xFFFFFF; x += 1 }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w) // bulk raster write, not per-pixel
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray

@@ -834,20 +834,27 @@ final class SearchIndex private (
     }
     // the same keyed postings probe as batchSearch — AQE broadcasts
     // the query side when it fits, shuffle-joins a corpus-sized one
+    // role counters PACK into one long (required: bits 0-19,
+    // optional: 20-39, excluded: 40+) — the aggregation runs over the
+    // candidate set, the biggest row stream of the whole plan, and
+    // halving its buffer width measurably cuts the (sid, key) hash
+    // aggregate + shuffle that dominates dense corpora
+    val mask = (1L << 20) - 1
     val verified = postings.where(col("field") === lit(field))
       .select(col("term"), col("key"), col("tf"), col("dl"))
       .join(withIdf, Seq("term"))
       .groupBy(col("sid"), col("key"))
       .agg(
         sum(when(col("role") >= 0, termScore).otherwise(lit(0.0))).as("score"),
-        sum(when(col("role") === 1, 1L).otherwise(0L)).as("n_req_matched"),
-        sum(when(col("role") === 0, 1L).otherwise(0L)).as("n_opt_matched"),
-        max(when(col("role") === -1, 1).otherwise(0)).as("has_excluded"),
+        sum(when(col("role") === 1, lit(1L))
+          .when(col("role") === 0, lit(1L << 20))
+          .otherwise(lit(1L << 40))).as("__flags"),
         first(col("n_req")).as("n_req"))
-      .where(col("n_req_matched") === col("n_req") &&
-        col("has_excluded") === 0 &&
-        col("n_opt_matched") >= greatest(lit(minOptMatch),
-          when(col("n_req") === 0, lit(1)).otherwise(lit(0))))
+      .where(col("__flags").bitwiseAND(lit(mask)) === col("n_req") &&
+        shiftright(col("__flags"), 40) === 0 &&
+        shiftright(col("__flags"), 20).bitwiseAND(lit(mask)) >=
+          greatest(lit(minOptMatch.toLong),
+            when(col("n_req") === 0, lit(1L)).otherwise(lit(0L))))
     // doc-side attribute joins at SHAPE level (before fan-out — fewer
     // rows); the per-query bounds apply after
     val withAttr = attrFilter match {
