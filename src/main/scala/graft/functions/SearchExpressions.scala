@@ -609,6 +609,103 @@ object MinShingleMd5 {
   }
 }
 
+/** `bool_query_score(tokens, terms, roles, idfs, kind, k1, b, avgdl)`
+  * — one-pass boolean verification + scoring of a document's token
+  * array against a query's clause set (reference analog: Lucene's
+  * BooleanScorer walking the non-lead clauses per candidate doc,
+  * driven from SearchableRDD.scala:257-298's query-generator join).
+  * `terms`/`roles`/`idfs` are ALIGNED arrays (role 1=MUST, 0=SHOULD,
+  * -1=MUST_NOT); `kind` 0=BM25(k1,b,avgdl), 1=TF-IDF. Returns
+  * struct(score, req, opt, exc) where score sums the per-term
+  * similarity of PRESENT role>=0 terms (tf read from the token array,
+  * dl = its length — both identical to the postings the index
+  * derives from the same array) and req/opt/exc count the present
+  * terms per role. The caller applies the boolean rule
+  * (req == n_req, exc == 0, opt >= minOptMatch) as Column filters.
+  * One codegen'd pass; the aggregate equivalent shuffles Sum(df)
+  * postings rows into a |queries| x |corpus|-group hash aggregate. */
+case class BoolQueryScore(tokens: Expression, terms: Expression,
+    roles: Expression, idfs: Expression,
+    kind: Int, k1: Double, b: Double, avgdl: Double)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def first: Expression = tokens
+  override def second: Expression = terms
+  override def third: Expression = roles
+  override def fourth: Expression = idfs
+  override def dataType: DataType = BoolQueryScore.OutType
+  override def prettyName: String = "bool_query_score"
+
+  override def nullSafeEval(tok: Any, tms: Any, rls: Any, ids: Any): Any =
+    BoolQueryScore.compute(tok.asInstanceOf[ArrayData], tms.asInstanceOf[ArrayData],
+      rls.asInstanceOf[ArrayData], ids.asInstanceOf[ArrayData], kind, k1, b, avgdl)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (tok, tms, rls, ids) =>
+      s"${ev.value} = graft.functions.BoolQueryScore.compute(" +
+        s"$tok, $tms, $rls, $ids, $kind, ${k1}D, ${b}D, ${avgdl}D);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression, newFourth: Expression): BoolQueryScore =
+    copy(tokens = newFirst, terms = newSecond, roles = newThird, idfs = newFourth)
+}
+
+object BoolQueryScore {
+  val OutType: StructType = StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("req", IntegerType, nullable = false),
+    StructField("opt", IntegerType, nullable = false),
+    StructField("exc", IntegerType, nullable = false)))
+
+  /** Static so generated code can call it directly. Operation order
+    * inside each term's similarity matches the Column formulation of
+    * the postings scorer (SearchIndex termScore) exactly; the final
+    * sum runs in the aligned-array order, which is deterministic
+    * (the arrays are sort_array'd at build), so results are
+    * partitioning-independent. */
+  def compute(tokens: ArrayData, terms: ArrayData, roles: ArrayData,
+      idfs: ArrayData, kind: Int, k1: Double, b: Double, avgdl: Double)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val m = terms.numElements()
+    val n = tokens.numElements()
+    val tfs = new Array[Int](m)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val tok = tokens.getUTF8String(i)
+        var j = 0
+        while (j < m) {
+          if (!terms.isNullAt(j) && tok.equals(terms.getUTF8String(j))) tfs(j) += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val dl = n.toDouble
+    var score = 0.0
+    var req = 0
+    var opt = 0
+    var exc = 0
+    var j = 0
+    while (j < m) {
+      if (tfs(j) > 0) {
+        val role = roles.getInt(j)
+        if (role < 0) exc += 1
+        else {
+          val idf = idfs.getDouble(j)
+          val tf = tfs(j).toDouble
+          score += (if (kind == 0)
+            idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+          else math.sqrt(tf) * (idf * idf) / math.sqrt(dl))
+          if (role == 1) req += 1 else opt += 1
+        }
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(score, req, opt, exc)
+  }
+}
+
 object SearchExpressions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[ArrayCountEq].getName, null, name, usage, "")
@@ -661,7 +758,20 @@ object SearchExpressions {
       info("min_shingle_md5",
         "min_shingle_md5(tokens, n) - minimum md5 hex over n-token shingles, NULL if < n tokens"),
       (exprs: Seq[Expression]) => MinShingleMd5(exprs(0),
-        exprs(1).eval().asInstanceOf[Int])))
+        exprs(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("bool_query_score"),
+      info("bool_query_score",
+        "bool_query_score(tokens, terms, roles, idfs, kind, k1, b, avgdl) - struct(score, req, opt, exc) boolean clause verification + similarity over a token array"),
+      (exprs: Seq[Expression]) => BoolQueryScore(exprs(0), exprs(1), exprs(2), exprs(3),
+        exprs(4).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"bool_query_score kind must be a foldable integer, got $other")
+        },
+        exprs(5).eval().asInstanceOf[Double],
+        exprs(6).eval().asInstanceOf[Double],
+        exprs(7).eval().asInstanceOf[Double])))
 
   /** Registers the expressions in the session's FunctionRegistry so
     * they are callable from both `functions.call_function` and SQL

@@ -755,11 +755,26 @@ final class SearchIndex private (
     * boolean query: each left row carries MUST / SHOULD / MUST_NOT
     * term arrays (Lucene BooleanQuery clause roles; the DSL's
     * `And` / `matchMin` / `Not` shape) plus an optional numeric range
-    * filter, and the WHOLE batch runs as ONE distributed plan: a
-    * single postings equi-join with per-role verification in the
-    * aggregate. Unlike [[queryJoinDsl]] nothing is collected and the
-    * plan size is constant in |left| — a left of millions of rows is
-    * fine.
+    * filter, and the WHOLE batch runs as ONE distributed plan.
+    * Unlike [[queryJoinDsl]] nothing is collected and the plan size
+    * is constant in |left| — a left of millions of rows is fine.
+    *
+    * Plan (the [[queryJoinPhrase]] technique — postings candidates +
+    * in-row verify, which is also Lucene's BooleanScorer shape: drive
+    * from the RAREST required clause's postings, verify the remaining
+    * clauses per candidate): the probe joins postings on ONE term per
+    * query — the minimum-df required term (all optional terms, made
+    * distinct, when the query has no required clause) — so candidate
+    * volume is Sum(min-df), not Sum(df) over every clause; candidates
+    * then join the corpus token arrays once (AQE broadcasts the
+    * smaller side) and a single codegen'd pass per (query, candidate)
+    * — [[graft.functions.BoolQueryScore]] — computes role counts and
+    * the BM25/TFIDF score from the token array itself. No
+    * (query, doc)-grained hash aggregate exists anywhere in the plan;
+    * the old aggregate formulation shuffled every clause's postings
+    * into a |queries| x |matched docs| group-by, which measured 3-4x
+    * slower at sf0.1 and scales with total clause df instead of
+    * rarest-clause df.
     *
     * Match rule (BooleanQuery semantics): a doc matches iff it
     * contains EVERY required term, NO excluded term, and at least
@@ -818,56 +833,80 @@ final class SearchIndex private (
       .select(col("sid"), col("n_req"),
         col("qt.term").as("term"), col("qt.role").as("role"))
     // absent terms keep df=0 so required-term queries with an unknown
-    // term simply match nothing (n_req_matched < n_req), like idfFor
+    // term simply match nothing (req < n_req — the probe term's empty
+    // postings yield no candidates, and the in-row verify would
+    // reject any candidate anyway), like idfFor
     val withIdf = qterms
       .join(stats.where(col("field") === lit(field)).select(col("term"), col("df")),
         Seq("term"), "left")
       .na.fill(0L, Seq("df"))
       .withColumn("idf", log(lit(1.0) +
         (lit(fs.numDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
-    val termScore = spec.similarity match {
-      case BM25(k1, b) =>
-        col("idf") * (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(fs.avgDl)))
-      case TFIDF() =>
-        sqrt(col("tf")) * (col("idf") * col("idf")) / sqrt(col("dl"))
-    }
-    // the same keyed postings probe as batchSearch — AQE broadcasts
-    // the query side when it fits, shuffle-joins a corpus-sized one
-    // role counters PACK into one long (required: bits 0-19,
-    // optional: 20-39, excluded: 40+) — the aggregation runs over the
-    // candidate set, the biggest row stream of the whole plan, and
-    // halving its buffer width measurably cuts the (sid, key) hash
-    // aggregate + shuffle that dominates dense corpora
-    val mask = (1L << 20) - 1
-    val verified = postings.where(col("field") === lit(field))
-      .select(col("term"), col("key"), col("tf"), col("dl"))
-      .join(withIdf, Seq("term"))
-      .groupBy(col("sid"), col("key"))
+    // per-shape clause info: ALIGNED term/role/idf arrays (sorted —
+    // deterministic score summation order) + the probe term set:
+    // the minimum-df required term (Lucene: lead with the rarest
+    // MUST clause), or every optional term when no clause is
+    // required. Persisted like canon: |shapes| rows, read by both
+    // probe branches — without it each branch re-runs the
+    // collect_list aggregate and its upstream stats join.
+    val qinfo = withIdf
+      .groupBy(col("sid"))
       .agg(
-        sum(when(col("role") >= 0, termScore).otherwise(lit(0.0))).as("score"),
-        sum(when(col("role") === 1, lit(1L))
-          .when(col("role") === 0, lit(1L << 20))
-          .otherwise(lit(1L << 40))).as("__flags"),
-        first(col("n_req")).as("n_req"))
-      .where(col("__flags").bitwiseAND(lit(mask)) === col("n_req") &&
-        shiftright(col("__flags"), 40) === 0 &&
-        shiftright(col("__flags"), 20).bitwiseAND(lit(mask)) >=
-          greatest(lit(minOptMatch.toLong),
-            when(col("n_req") === 0, lit(1L)).otherwise(lit(0L))))
-    // doc-side attribute joins at SHAPE level (before fan-out — fewer
-    // rows); the per-query bounds apply after
-    val withAttr = attrFilter match {
-      case Some((attrField, _, _)) =>
-        verified
-          .join(docs.select(key.as("__doc_key"), col(attrField).cast("double").as("__attr")),
-            verified("key") === col("__doc_key"))
-          .drop("__doc_key")
-      case None => verified
+        sort_array(collect_list(struct(col("term"), col("role"), col("idf")))).as("__q"),
+        first(col("n_req")).as("n_req"),
+        min(when(col("role") === 1, struct(col("df"), col("term")))).as("__rarest"),
+        collect_list(when(col("role") === 0, col("term"))).as("__optTerms"))
+      .select(col("sid"), col("n_req"),
+        transform(col("__q"), x => x.getField("term")).as("__terms"),
+        transform(col("__q"), x => x.getField("role")).as("__roles"),
+        transform(col("__q"), x => x.getField("idf")).as("__idfs"),
+        when(col("n_req") > 0, array(col("__rarest.term")))
+          .otherwise(col("__optTerms")).as("__probes"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val posts = postings.where(col("field") === lit(field))
+      .select(col("term"), col("key"))
+    // candidate generation: one postings probe per shape on the
+    // rarest required term — (sid, key) is unique by construction, no
+    // aggregate. The clause arrays ride along on the BROADCAST query
+    // side of the probe join, so candidates leave the join carrying
+    // everything the verifier needs — no second candidate-sized join.
+    // SHOULD-only shapes probe every optional term and pay a
+    // distinct; the branch is empty (and AQE-pruned) when every query
+    // has a required clause.
+    val probes = qinfo.select(col("sid"), col("n_req"), col("__terms"),
+      col("__roles"), col("__idfs"), explode(col("__probes")).as("term"))
+    val reqCand = probes.where(col("n_req") > 0)
+      .join(posts, Seq("term")).drop("term")
+    val optCand = probes.where(col("n_req") === 0)
+      .join(posts, Seq("term")).drop("term")
+      .dropDuplicates("sid", "key")
+    val cands = reqCand.unionByName(optCand)
+    // in-row verification + scoring: join the candidates' token
+    // arrays (and the attr column, same join — no second corpus
+    // join) and run one codegen'd pass per (query, candidate)
+    val attrSel = attrFilter match {
+      case Some((attrField, _, _)) => Seq(col(attrField).cast("double").as("__attr"))
+      case None => Seq.empty
     }
+    val docSide = docs.select(
+      (Seq(key.as("__doc_key"), tokensCol(field).as("__tokens")) ++ attrSel): _*)
+    val (kind, k1, b) = spec.similarity match {
+      case BM25(k1v, bv) => (0, k1v, bv)
+      case TFIDF() => (1, 0.0, 0.0)
+    }
+    val verified = cands
+      .join(docSide, cands("key") === col("__doc_key"))
+      .withColumn("__bq", call_function("bool_query_score",
+        col("__tokens"), col("__terms"), col("__roles"), col("__idfs"),
+        lit(kind), lit(k1), lit(b), lit(fs.avgDl)))
+      .where(col("__bq.req") === col("n_req") && col("__bq.exc") === 0 &&
+        col("__bq.opt") >= greatest(lit(minOptMatch),
+          when(col("n_req") === 0, lit(1)).otherwise(lit(0))))
+      .select((Seq(col("sid"), col("key"), col("__bq.score").as("score")) ++
+        attrSel.map(_ => col("__attr"))): _*)
     val fan = canon.join(shapes, Seq("__req", "__opt", "__exc"))
       .select(col("qid"), col("sid"), col("__lo"), col("__hi"))
-    val joined = withAttr.join(fan, Seq("sid"))
+    val joined = verified.join(fan, Seq("sid"))
     val filtered =
       if (attrFilter.isDefined)
         joined.where((col("__lo").isNull || col("__attr") >= col("__lo")) &&
