@@ -275,6 +275,53 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3: score
+    * every document with a language model, split each language into
+    * equal-mass head / middle / tail buckets, train on the head):
+    * per-language tercile thresholds of [[unigramLogprob]]'s
+    * mean-neg-logprob are fitted on a deterministic md5-bucket SAMPLE
+    * and every document is then bucketed map-side against its
+    * language's thresholds — low scores (typical text) land in
+    * `head`.
+    *
+    * Scale shape: CCNet itself fits thresholds on a held-out sample,
+    * and that is what keeps the plan scale-safe — the EXACT
+    * percentile aggregate buffers its group's values, so its input
+    * must be bounded, and the bound is the sample rate
+    * (`samplePct`/100). The threshold table is |languages| rows; the
+    * corpus-wide pass is the same token-stream aggregation
+    * unigramLogprob runs plus one broadcast-sized join and a CASE.
+    * `samplePct` = 20 keeps the fit statistically sane at the test
+    * scale factors; a web-scale corpus would use a fraction of a
+    * percent — same plan, smaller sample.
+    *
+    * Cross-engine determinism: thresholds interpolate between
+    * 4-decimal-rounded scores and are themselves re-rounded with the
+    * shared half-even rule before the `<=` comparisons, so both
+    * engines compare the same 1e-4-grid doubles. A language absent
+    * from the sample would drop out (inner threshold join) —
+    * identically in both engines. */
+  def ccnetBuckets(spark: SparkSession, dir: String, samplePct: Int = 20): DataFrame = {
+    val scored = unigramLogprob(spark, dir)
+      .select(col("doc_id"), col("mean_neg_logprob"))
+      .join(spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+    val thr = scored
+      .where(md5Bucket(col("doc_id"), 100) < samplePct)
+      .groupBy(col("lang"))
+      .agg(percentile(col("mean_neg_logprob"),
+        array(lit(1.0 / 3), lit(2.0 / 3))).as("__t"))
+      .select(col("lang"),
+        graft.functions.Rounding.roundEven(element_at(col("__t"), 1), 4).as("__t1"),
+        graft.functions.Rounding.roundEven(element_at(col("__t"), 2), 4).as("__t2"))
+    scored.join(thr, Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("mean_neg_logprob"),
+        when(col("mean_neg_logprob") <= col("__t1"), lit("head"))
+          .when(col("mean_neg_logprob") <= col("__t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** PII patterns shared by the scrubber and its oracle — written in
     * the dialect subset Java regex and RE2 agree on (no lookaround,
     * no backreferences; `\b` and bounded repetition are fine in

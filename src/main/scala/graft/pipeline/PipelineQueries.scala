@@ -50,6 +50,7 @@ object PipelineQueries {
     "keywords_tfidf" -> ((s, dir) => Curation.keywordsTfidf(s, dir)),
     "source_overlap" -> ((s, dir) => Curation.sourceOverlap(s, dir)),
     "unigram_logprob" -> ((s, dir) => Curation.unigramLogprob(s, dir)),
+    "ccnet_buckets" -> ((s, dir) => Curation.ccnetBuckets(s, dir)),
     "pii_scrub" -> ((s, dir) => Curation.piiScrub(s, dir)),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "lang_id_ngram" -> ((s, dir) => TextAnalysis.langIdNgram(s, dir)),
@@ -385,6 +386,41 @@ object PipelineQueries {
          |FROM tok t JOIN lp l USING (term)
          |GROUP BY 1
          |ORDER BY 1""".stripMargin,
+
+    // per-lang tercile thresholds fitted on the md5-bucket sample,
+    // rounded to the shared 1e-4 half-even grid before the <=
+    // comparisons; see Curation.ccnetBuckets. quantile_cont matches
+    // Spark percentile (linear interpolation at p*(n-1)).
+    "ccnet_buckets" ->
+      s"""$toksCte,
+         |tok AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+         |freq AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+         |lp AS (
+         |  SELECT term,
+         |    CAST(-ln(CAST(cnt AS DOUBLE) /
+         |      CAST((SELECT sum(cnt) FROM freq) AS DOUBLE)) AS DECIMAL(18,8)) AS lp
+         |  FROM freq
+         |),
+         |sc AS (
+         |  SELECT t.doc_id,
+         |    round_even((CAST(sum(l.lp) AS DOUBLE) / count(*)) * 1e4, 0) / 1e4 AS s
+         |  FROM tok t JOIN lp l USING (term)
+         |  GROUP BY 1
+         |),
+         |sl AS (SELECT sc.doc_id, d.lang, sc.s FROM sc JOIN documents d USING (doc_id)),
+         |thr AS (
+         |  SELECT lang,
+         |    round_even(quantile_cont(s, ${1.0 / 3}) * 1e4, 0) / 1e4 AS t1,
+         |    round_even(quantile_cont(s, ${2.0 / 3}) * 1e4, 0) / 1e4 AS t2
+         |  FROM sl WHERE ${md5BucketSql("doc_id", 100)} < 20
+         |  GROUP BY 1
+         |)
+         |SELECT sl.doc_id, sl.lang, sl.s AS mean_neg_logprob,
+         |  CASE WHEN sl.s <= t.t1 THEN 'head'
+         |       WHEN sl.s <= t.t2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM sl JOIN thr t USING (lang)
+         |ORDER BY sl.doc_id""".stripMargin,
 
     // patterns come from the same Curation.PiiPatterns table the
     // Spark side folds over (counts on the raw text, replacements in

@@ -931,6 +931,57 @@ final class SearchIndex private (
       broadcastQueries = false)
   }
 
+  /** More-like-this query join (Lucene's public MoreLikeThis: pick a
+    * document's most characteristic terms by tf x idf, search with
+    * them as an OR query — the "similar documents" feature; the
+    * reference exposes the same regime through its
+    * `queryGenerator: T => DslQuery` join,
+    * SearchableRDD.scala:257-298): each left row names an INDEXED
+    * document by key; its top `topTerms` terms are selected per query
+    * doc by tf × idf and fed to [[lightQueryJoin]] as one distributed
+    * batch.
+    *
+    * Term selection follows the keyword-extraction convention
+    * (pipeline keywordsTfidf): score = tf × CAST(ln(N/df) AS
+    * DECIMAL(18,6)) so mathematically equal scores tie EXACTLY and
+    * break on the term (UTF-8 order) in any engine; selection state
+    * is a bounded [[TopKAgg]] per query doc — O(topTerms) per group,
+    * no window sort. Everything downstream is the standard postings
+    * probe, so the whole chain is corpus-scale: per-query work is
+    * bounded by the query doc's distinct terms, candidates by the
+    * selected terms' postings. Output (qid, rank, key, score). */
+  def moreLikeThis(left: DataFrame, qidCol: String, field: String,
+      topTerms: Int = 5, k: Int = 10, minMatch: Int = 1,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(spec.textFields.contains(field), s"$field is not an indexed text field")
+    import org.apache.spark.sql.types.DecimalType
+    val fs = fieldStats(field)
+    val qdocs = docs
+      .join(left.select(col(qidCol).as("__qid")).distinct(), key === col("__qid"))
+      .select(col("__qid").as("qid"), tokensCol(field).as("__toks"))
+    // doc-local tf via the codegen array probe (no token-stream
+    // shuffle); df/idf from the index's stats table
+    val tf = qdocs
+      .select(col("qid"), col("__toks"),
+        explode(array_distinct(col("__toks"))).as("term"))
+      .select(col("qid"), col("term"),
+        call_function("array_count_eq", col("__toks"), col("term"))
+          .cast("long").as("tf"))
+    val scored = tf
+      .join(stats.where(col("field") === lit(field)).select(col("term"), col("df")),
+        Seq("term"))
+      .select(col("qid"), col("term"),
+        (col("tf").cast(DecimalType(12, 0)) *
+          log(lit(fs.numDocs.toDouble) / col("df").cast("double"))
+            .cast(DecimalType(18, 6))).cast("double").as("__s"))
+    val topm = TopKAgg.topkString(topTerms)
+    val qterms = scored.groupBy(col("qid"))
+      .agg(topm(col("term"), col("__s")).as("__kw"))
+      .select(col("qid"),
+        transform(col("__kw"), x => x.getField("key")).as("terms"))
+    lightQueryJoin(qterms, "qid", col("terms"), field, k, minMatch, excludeSelf)
+  }
+
   /** Projection-transforming query join (reference
     * queryJoinWithResultsTransformer, SearchableRDD.scala:276-286):
     * `cols` are resolved against the joined frame; hit columns are

@@ -447,6 +447,19 @@ object SearchQueries {
     // match ~77% of all docs (median df 3862/5000 at sf0.1), so an
     // all-docs left scores ~19M (query, doc) pairs REGARDLESS of plan
     // — a density no real Zipfian corpus has.
+    // more-like-this: top-5 tf×idf terms of each query doc run as an
+    // OR query (Lucene MoreLikeThis); doc_id < 15 keeps the BENCH
+    // bounded — the plan itself is corpus-proportional-safe (bounded
+    // TopKAgg term selection + the standard postings probe)
+    "search_more_like_this" -> ((s, dir) => {
+      val idx = indexFor(s, dir)
+      val left = idx.docs.where(col("doc_id") < 15).select(col("doc_id"))
+      idx.moreLikeThis(left, "doc_id", "text", topTerms = 5, k = 3)
+        .select(col("qid").as("doc_id"), col("rank").cast("long").as("rank"),
+          col("key"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
     "query_join_bool" -> ((s, dir) => {
       val idx = indexFor(s, dir)
       val tk = col(SearchIndex.tokensColName("text"))
@@ -944,6 +957,43 @@ object SearchQueries {
          |FROM sel WHERE rank <= 3
          |ORDER BY sel.qid, sel.rank""".stripMargin
     },
+
+    // MLT term selection mirrors the keywords_tfidf convention
+    // (decimal-exact tf×idf, term tie-break); the search stage is the
+    // query_join oracle with the selected terms
+    "search_more_like_this" ->
+      s"""$toksCte,
+         |$postsCte,
+         |lq AS (SELECT doc_id AS qid, term, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(tokens) AS term FROM toks WHERE doc_id < 15)
+         |       GROUP BY 1, 2),
+         |mltsc AS (
+         |  SELECT qid, term,
+         |    CAST(tf AS DECIMAL(12,0)) *
+         |      CAST(ln(CAST((SELECT n FROM st) AS DOUBLE) / df) AS DECIMAL(18,6)) AS s
+         |  FROM lq JOIN dfs USING (term)
+         |),
+         |qt AS (
+         |  SELECT qid, term FROM (
+         |    SELECT qid, term,
+         |      row_number() OVER (PARTITION BY qid ORDER BY s DESC, term) AS r
+         |    FROM mltsc) ranked WHERE r <= 5
+         |),
+         |scored AS (
+         |  SELECT q.qid, p.doc_id,
+         |    sum(ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) * (p.tf * ${K1 + 1.0})
+         |        / (p.tf + $K1 * (${1.0 - B} + $B * p.dl / st.avgdl))) AS score,
+         |    count(*) AS nm
+         |  FROM qt q JOIN posts p USING (term) JOIN dfs d USING (term), st
+         |  WHERE p.doc_id <> q.qid
+         |  GROUP BY 1, 2
+         |), sel AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored WHERE nm >= 1
+         |)
+         |SELECT sel.qid AS doc_id, sel.rank, sel.doc_id AS key, round(sel.score, 4) AS score
+         |FROM sel WHERE rank <= 3
+         |ORDER BY sel.qid, sel.rank""".stripMargin,
 
     "query_join_bool" -> {
       // roles: required tokens[1] / optional distinct tokens[2:3]

@@ -161,6 +161,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "source_overlap" -> (() => pipeline.Curation.sourceOverlap(spark, sf)),
       "decontaminate" -> (() => pipeline.Curation.decontaminate(spark, sf)),
       "pack_sequences" -> (() => pipeline.Curation.packSequences(spark, sf)),
+      "ccnet_buckets" -> (() => pipeline.Curation.ccnetBuckets(spark, sf)),
       "vocab_coverage" -> (() => pipeline.Curation.vocabCoverage(spark, sf)))) {
       val recs = shuffleRecords(fn())
       assert(recs.forall(_ <= bound),

@@ -210,6 +210,38 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(got - expect) < 5e-4, s"doc $id0: $got vs $expect")
   }
 
+  test("ccnetBuckets: per-lang buckets are ordered, exhaustive and roughly balanced") {
+    import org.apache.spark.sql.functions._
+    val out = Curation.ccnetBuckets(spark, dir)
+      .as[(Long, String, Double, String)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => Set("head", "middle", "tail").contains(r._4)))
+    // every scored doc is bucketed (threshold join drops nothing at
+    // this SF — all languages appear in the md5 sample)
+    assert(out.length == Curation.unigramLogprob(spark, dir).count())
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val byBucket = rows.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      // bucket boundaries are strict: a head score can never exceed a
+      // middle score of the same language, nor middle exceed tail
+      for {
+        h <- byBucket.get("head"); m <- byBucket.get("middle")
+      } assert(h.max < m.min, s"$lang: head/middle overlap")
+      for {
+        m <- byBucket.get("middle"); t <- byBucket.get("tail")
+      } assert(m.max < t.min, s"$lang: middle/tail overlap")
+      // sample-fitted terciles are approximate by design (a ~14-doc
+      // sample for the smallest sf0.001 language): assert sanity, not
+      // exact thirds — every bucket present with a non-degenerate
+      // share
+      assert(byBucket.keySet == Set("head", "middle", "tail"), s"$lang buckets")
+      val n = rows.length.toDouble
+      byBucket.foreach { case (b, ss) =>
+        val frac = ss.length / n
+        assert(frac > 0.03 && frac < 0.85, s"$lang/$b fraction $frac")
+      }
+    }
+  }
+
   test("piiScrub: detects and redacts PII-shaped spans; corpus entry runs clean") {
     import org.apache.spark.sql.functions._
     // synthetic fixtures exercise the patterns the corpus lacks

@@ -160,6 +160,37 @@ class IndexVariantsSpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("moreLikeThis: tf-idf term selection with term tie-break, flat equivalence") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta delta"),
+      (3L, "alpha gamma gamma"),
+      (4L, "beta gamma delta")
+    ).toDF("doc_id", "text")
+    val idx = SearchIndex.build(docs, IndexSpec("doc_id", Seq("text")))
+    // doc 1's terms all have df=3 -> equal tf x idf scores; the
+    // deterministic tie-break keeps the UTF-8-smallest terms, so
+    // topTerms=2 selects exactly {alpha, beta}
+    val left = Seq(1L).toDF("doc_id")
+    val mlt = idx.moreLikeThis(left, "doc_id", "text", topTerms = 2, k = 10)
+      .select("key", "score").as[(Long, Double)].collect().toMap
+    val flat = idx.lightQueryJoin(
+        Seq((1L, Seq("alpha", "beta"))).toDF("qid", "terms"),
+        "qid", col("terms"), "text", 10, minMatch = 1, excludeSelf = true)
+      .select("key", "score").as[(Long, Double)].collect().toMap
+    assert(mlt.keySet == flat.keySet && mlt.nonEmpty)
+    mlt.foreach { case (kk, s) => assert(math.abs(s - flat(kk)) < 1e-9) }
+    assert(!mlt.contains(1L)) // self excluded
+    // higher-tf rare terms outrank common ones: doc 3's doubled gamma
+    // (tf=2) beats its single alpha, so topTerms=1 queries gamma and
+    // doc 2 (no gamma) is not a hit
+    val mlt3 = idx.moreLikeThis(Seq(3L).toDF("doc_id"), "doc_id", "text",
+        topTerms = 1, k = 10)
+      .select("key").as[Long].collect().toSet
+    assert(mlt3 == Set(1L, 4L))
+    idx.unpersist()
+  }
+
   test("unknown-field queries match nothing instead of crashing") {
     val idx = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
     // colon in a term lexes as field scoping; a URL or time must not
