@@ -54,6 +54,7 @@ object Bench {
       if (!sectioned) 0
       else if (n.startsWith("ann_") || n.startsWith("dedup_") ||
         n.startsWith("emb_") || // emb_quantize shares the Similarity cohort
+        n == "decontaminate_fuzzy" || // shares the MinHash shingle/band caches
         n.startsWith("simhash")) 0 // Dedup + Similarity registries
       else if (n.matches("^(lang_|quality_|repetition_|token_|fingerprint|multimodal_|source_|stream_|decontaminate|sample_|pack_|vocab_|keywords_|unigram_|pii_).*")) 1 // cache-free
       else if (n.matches("^q\\d.*")) 2 // relational, cache-free

@@ -116,30 +116,41 @@ object Dedup {
 
   /** MinHash+LSH near-dup pairs: 16 signatures, 4 bands x 4 rows,
     * verified 3-shingle Jaccard >= `threshold`. */
-  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
-    // persist the shingle table: it feeds candidate generation (twice)
-    // and the verify join-back (twice); without the cut, Catalyst
-    // collapses tokenize+shingle into each consumer and re-evaluates
-    // the interpreted lambda pipeline per use (measured 15x slowdown)
-    // persist BEFORE the size filter: predicate pushdown would
-    // otherwise re-inline the whole tokenize+shingle expression into
-    // the scan-level filter and evaluate it per row
-    val sh = persistOnce(s"minhash_sh#$dir") {
+  /** Persisted (doc_id, shingle set, shingle hashes) table — shared
+    * by every MinHash consumer. Persisted because it feeds candidate
+    * generation and the verify join-back (twice each); without the
+    * cut, Catalyst collapses tokenize+shingle into each consumer and
+    * re-evaluates the interpreted lambda pipeline per use (measured
+    * 15x slowdown). Persist BEFORE the size filter: predicate
+    * pushdown would otherwise re-inline the whole tokenize+shingle
+    * expression into the scan-level filter and evaluate it per row. */
+  private def shingleTable(spark: SparkSession, dir: String): DataFrame =
+    persistOnce(s"minhash_sh#$dir") {
       docTokens(spark, dir)
         .select(col("doc_id"), shingles(col("tokens"), 3).as("ss"))
         .withColumn("hs", shingleHashes(col("ss"))) // hashed once, cached
     }.where(size(col("ss")) > 0)
+
+  /** Persisted LSH band table (doc_id, band, band hash): 16
+    * signatures in 4 bands x 4 rows over [[shingleTable]]. */
+  private def bandTable(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleTable(spark, dir)
     val sigCols = (0 until 16).map(i => minhashSig(col("hs"), i).as(s"sig_$i"))
     val sigs = sh.select(col("doc_id") +: sigCols: _*)
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until 4).map(r => col(s"sig_${b * 4 + r}")): _*)).as("bh"))
     }
-    val bands = persistOnce(s"minhash_bands#$dir") {
+    persistOnce(s"minhash_bands#$dir") {
       sigs
         .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
         .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
     }
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    val sh = shingleTable(spark, dir)
+    val bands = bandTable(spark, dir)
     val a = bands.select(col("doc_id").as("x"), col("band"), col("bh"))
     val b = bands.select(col("doc_id").as("y"), col("band"), col("bh"))
     val cand = a.join(b, Seq("band", "bh")).where(col("x") < col("y"))
@@ -154,6 +165,50 @@ object Dedup {
       .select(col("x").as("doc_a"), col("y").as("doc_b"),
         graft.functions.Rounding.roundEven(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Fuzzy train/eval decontamination: MinHash-LSH restricted to
+    * TRAIN x EVAL candidate pairs — the document-level fuzzy
+    * complement of [[Curation.decontaminate]]'s exact n-gram overlap
+    * (a paraphrased or lightly-edited benchmark document shares few
+    * exact 5-grams but most of its 3-shingle set; near-dup detection
+    * against the eval split is how published pipelines catch it).
+    * Same split convention as decontaminate (doc_id % 20 == 0 is
+    * eval), same signatures/bands as [[minhashLsh]] — the persisted
+    * shingle and band tables are SHARED with the self-join dedup, so
+    * a pipeline running both pays the hashing once.
+    *
+    * Scale shape: band-bucket equi-join (never all-pairs), candidate
+    * volume additionally bounded by |eval| x bucket collision rate —
+    * the eval side of a real pipeline is tiny and broadcastable, and
+    * the output aggregate is keyed by train doc with O(1) state
+    * (count / max / min — no pair list retained).
+    *
+    * Output per CONTAMINATED train doc: how many eval docs it
+    * near-duplicates at `threshold`, the maximum verified Jaccard,
+    * and the smallest matching eval id (deterministic witness). */
+  def crossDecontaminate(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingleTable(spark, dir)
+    val bands = bandTable(spark, dir)
+    val tb = bands.where(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id").as("train_id"), col("band"), col("bh"))
+    val eb = bands.where(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("eval_id"), col("band"), col("bh"))
+    val cand = tb.join(eb, Seq("band", "bh"))
+      .select("train_id", "eval_id").distinct()
+    val st = sh.select(col("doc_id").as("train_id"), col("ss").as("sst"))
+    val se = sh.select(col("doc_id").as("eval_id"), col("ss").as("sse"))
+    cand.join(st, "train_id").join(se, "eval_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sst"), col("sse"))).cast("double") /
+          size(array_union(col("sst"), col("sse"))))
+      .where(col("jaccard") >= threshold)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_eval_matches"),
+        graft.functions.Rounding.roundEven(max(col("jaccard")), 4).as("max_jaccard"),
+        min(col("eval_id")).as("first_eval_id"))
+      .orderBy("train_id")
   }
 
   /** n-gram Jaccard near-dup: candidates share >= 1 exact 5-shingle

@@ -44,6 +44,8 @@ object PipelineQueries {
     }),
     "ann_quantized" -> ((s, dir) => Similarity.quantizedTopK(s, dir)),
     "decontaminate" -> ((s, dir) => Curation.decontaminate(s, dir)),
+    // fuzzy doc-level complement of the exact n-gram decontaminate
+    "decontaminate_fuzzy" -> ((s, dir) => Dedup.crossDecontaminate(s, dir)),
     "sample_stratified" -> ((s, dir) => Curation.stratifiedSample(s, dir)),
     "pack_sequences" -> ((s, dir) => Curation.packSequences(s, dir)),
     "vocab_coverage" -> ((s, dir) => Curation.vocabCoverage(s, dir)),
@@ -207,7 +209,9 @@ object PipelineQueries {
   /** MinHash+LSH near-dup pairs (mirror of [[Dedup.minhashLsh]]) —
     * shared by the `dedup_minhash` oracle and, as a nested CTE, by
     * the `dedup_clusters` connected-components oracle. */
-  private def minhashPairsSql: String = {
+  /** Shared MinHash CTE prefix (toks → sh → sigs → bands), mirroring
+    * Dedup's signature construction exactly. */
+  private def minhashCtePrefix: String = {
     val p = Dedup.MinhashP
     val sigDefs = (0 until 16)
       .map(i => s"list_min(list_transform(hs, h -> (${Dedup.MinhashA(i)} * h + ${Dedup.MinhashB(i)}) % $p)) AS sig_$i")
@@ -228,13 +232,16 @@ object PipelineQueries {
        |  WHERE len(ss) > 0
        |), bands AS (
        |  $bandSelects
-       |), cand AS (
+       |)""".stripMargin
+  }
+
+  private def minhashPairsSql: String =
+    s"""$minhashCtePrefix, cand AS (
        |  SELECT a.doc_id AS x, b.doc_id AS y
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |),
        |${jaccardTail(0.6)}""".stripMargin
-  }
 
   /** Recursive connected-components CTE chain over the MinHash pair
     * graph — shared by `dedup_clusters` and `dedup_keep`. */
@@ -503,6 +510,29 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash" -> minhashPairsSql,
+
+    // TRAIN x EVAL band-bucket candidates, verified 3-shingle Jaccard,
+    // grouped per contaminated train doc; see Dedup.crossDecontaminate
+    "decontaminate_fuzzy" ->
+      s"""$minhashCtePrefix, cand AS (
+         |  SELECT a.doc_id AS train_id, b.doc_id AS eval_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |  WHERE a.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+         |  GROUP BY 1, 2
+         |), j AS (
+         |  SELECT train_id, eval_id,
+         |    len(list_intersect(sa.ss, sb.ss))::DOUBLE /
+         |      len(list_distinct(sa.ss || sb.ss)) AS jaccard
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = cand.train_id
+         |  JOIN sh sb ON sb.doc_id = cand.eval_id
+         |)
+         |SELECT train_id, count(*)::BIGINT AS n_eval_matches,
+         |  round_even(max(jaccard) * 1e4, 0) / 1e4 AS max_jaccard,
+         |  min(eval_id) AS first_eval_id
+         |FROM j WHERE jaccard >= 0.5
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin,
 
     // connected components over the minhash pair graph by recursive
     // reachability: a doc's canonical is the min id it can reach

@@ -147,6 +147,33 @@ class PipelineSpec extends AnyFunSuite {
     } finally Dedup.clearCaches()
   }
 
+  test("crossDecontaminate flags planted eval near-dups, train-only output") {
+    // 20 is eval (20 % 20 == 0); 21 is a train near-copy with a
+    // DIFFERENT text but the IDENTICAL 3-shingle set (a period-3
+    // repeat extended by one period — fuzzy-identical, Jaccard 1.0,
+    // so every LSH band collides BY CONSTRUCTION; a partial-overlap
+    // plant can deterministically miss all 4 bands); 22 is unrelated
+    // train
+    val evalText = "alpha beta gamma alpha beta gamma alpha beta"
+    val nearCopy = "alpha beta gamma alpha beta gamma alpha beta gamma alpha beta"
+    val rows = Seq(
+      (20L, evalText), (21L, nearCopy), (22L, "one two three four five six seven")) ++
+      (1L to 15L).map(i => (i, s"filler$i word$i text$i more$i tokens$i"))
+    val dir = java.nio.file.Files.createTempDirectory("xdecont").toString
+    rows.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    try {
+      val out = Dedup.crossDecontaminate(spark, dir, threshold = 0.5)
+        .as[(Long, Long, Double, Long)].collect()
+      assert(out.forall(_._1 % 20 != 0), "output must be train docs only")
+      assert(out.forall(_._4 % 20 == 0), "witness must be an eval doc")
+      assert(out.forall(r => r._3 >= 0.5 && r._3 <= 1.0))
+      val hit = out.find(_._1 == 21L)
+      assert(hit.isDefined, s"planted near-copy of eval doc not flagged: ${out.toSeq}")
+      assert(hit.get._4 == 20L)
+      assert(!out.exists(_._1 == 22L), "unrelated train doc must not be flagged")
+    } finally Dedup.clearCaches()
+  }
+
   test("multimodal stub decode is deterministic and length-derived") {
     val (n, w, h, f) = Multimodal.stubDecode("hello world".getBytes("UTF-8"))
     assert(n == 11L && w == 11L && h == 77L && f == 12L)
