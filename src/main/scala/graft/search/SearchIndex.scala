@@ -1203,13 +1203,113 @@ final class SearchIndex private (
   def withLayout(l: IndexLayout): SearchIndex =
     new SearchIndex(spark, spec.copy(layout = l), docs, postings, stats, fieldStats)
 
+  // ------------------------------------------------------------------
+  // incremental maintenance
+  // ------------------------------------------------------------------
+
+  /** Incremental document ADDITION — index refresh without
+    * re-tokenizing the existing corpus (a capability the reference
+    * lacks: its RDD layouts rebuild per corpus,
+    * SearchableRDD.scala:94-120; Lucene itself supports segment
+    * appends, which this mirrors at the DataFrame level). Only the
+    * NEW documents are analyzed (one delta build); the merged corpus
+    * and postings are unions of persisted frames, term statistics
+    * merge with one vocab-sized aggregation, and the per-field
+    * numDocs/avgdl update from exact integer token-count sums — the
+    * merged index scores IDENTICALLY to a from-scratch build of the
+    * union (doc lengths are integers, so every partial sum is exact
+    * in a double below 2^52 tokens and the reconstructed corpus
+    * totals are bit-equal to a fresh aggregation).
+    *
+    * The caller owns the lifecycle: the delta's frames and the merged
+    * stats are persisted like [[SearchIndex.build]]'s; `unpersist()`
+    * on the returned index cascades to the base index and every
+    * intermediate frame. */
+  def addDocuments(newDocs: DataFrame,
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): SearchIndex = {
+    val delta = SearchIndex.build(newDocs, spec, storageLevel)
+    val mergedStats = stats.unionByName(delta.stats)
+      .groupBy(col("field"), col("term"))
+      .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
+      .persist(storageLevel)
+    val mergedFs = fieldStats.map { case (f, FieldStats(n1, a1)) =>
+      val FieldStats(n2, a2) = delta.fieldStats(f)
+      val n = n1 + n2
+      val avg =
+        if (!spec.textFields.contains(f)) 1.0
+        else if (n == 0) 0.0
+        else (math.rint(a1 * n1) + math.rint(a2 * n2)) / n
+      f -> FieldStats(n, avg)
+    }
+    val merged = new SearchIndex(spark, spec, docs.unionByName(delta.docs),
+      postings.unionByName(delta.postings), mergedStats, mergedFs)
+    merged.parents = Seq(this, delta)
+    merged
+  }
+
+  /** Incremental document REMOVAL — the delete side of
+    * [[addDocuments]]: anti-joins on the removed keys (broadcast when
+    * the removal set is small, shuffle otherwise — AQE's call) and
+    * SUBTRACTS the removed documents' term/length statistics, so no
+    * corpus-wide token statistic is recomputed; the two delta
+    * aggregations scan only the removed documents' postings and
+    * lengths. Terms whose df reaches 0 drop out of the stats table,
+    * exactly as a fresh build of the survivor set would have it. */
+  def removeDocuments(removeKeys: DataFrame,
+      storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): SearchIndex = {
+    val rk = removeKeys
+      .select(col(removeKeys.columns.head).as("__rm_key")).distinct()
+      .persist(storageLevel)
+    val remDelta = postings.join(rk, col("key") === col("__rm_key"), "left_semi")
+      .groupBy(col("field"), col("term"))
+      .agg(count(lit(1)).as("__rdf"), sum(col("tf")).as("__rcf"))
+    val newStats = stats.join(remDelta, Seq("field", "term"), "left")
+      .na.fill(0L, Seq("__rdf", "__rcf"))
+      .select(col("field"), col("term"),
+        (col("df") - col("__rdf")).as("df"), (col("cf") - col("__rcf")).as("cf"))
+      .where(col("df") > 0)
+      .persist(storageLevel)
+    val aggExprs: Seq[Column] =
+      Seq(count(lit(1)).as("__n")) ++
+        spec.textFields.map(f =>
+          coalesce(sum(col(dlColName(f)).cast("long")), lit(0L)).as(s"__dl_$f")) ++
+        spec.keywordFields.map(f => count(col(f)).as(s"__n_$f"))
+    val r = docs.join(rk, key === col("__rm_key"), "left_semi")
+      .agg(aggExprs.head, aggExprs.tail: _*).head()
+    val rN = r.getAs[Long]("__n")
+    val newFs = fieldStats.map { case (f, FieldStats(n1, a1)) =>
+      if (spec.textFields.contains(f)) {
+        val n = n1 - rN
+        val total = math.rint(a1 * n1) - r.getAs[Long](s"__dl_$f")
+        f -> FieldStats(n, if (n == 0) 0.0 else total / n)
+      } else f -> FieldStats(n1 - r.getAs[Long](s"__n_$f"), 1.0)
+    }
+    val pruned = new SearchIndex(spark, spec,
+      docs.join(rk, key === col("__rm_key"), "left_anti"),
+      postings.join(rk, col("key") === col("__rm_key"), "left_anti"),
+      newStats, newFs)
+    pruned.parents = Seq(this)
+    pruned.extraFrames = Seq(rk)
+    pruned
+  }
+
+  /** Lifecycle links of an incrementally-derived index: the base (and
+    * delta) indices whose persisted frames the derived plans read,
+    * plus helper frames (the removal key set). */
+  private var parents: Seq[SearchIndex] = Nil
+  private var extraFrames: Seq[DataFrame] = Nil
+
   /** Blocking so a caller tearing down one index (bench section
     * transitions, corpus replacement) doesn't leave block removal
-    * racing with its next query's tasks. */
+    * racing with its next query's tasks. Cascades through
+    * incrementally-derived lineage ([[addDocuments]] /
+    * [[removeDocuments]]). */
   def unpersist(blocking: Boolean = true): Unit = {
     docs.unpersist(blocking)
     postings.unpersist(blocking)
     stats.unpersist(blocking)
+    extraFrames.foreach(_.unpersist(blocking))
+    parents.foreach(_.unpersist(blocking))
   }
 }
 

@@ -41,6 +41,22 @@ object SearchQueries {
       SearchIndex.build(spark.read.parquet(s"$dir/documents.parquet"), spec))
   }
 
+  /** Incrementally-maintained index: built on 90% of the corpus
+    * (doc_id % 10 != 9), the last tenth ADDED via
+    * [[SearchIndex.addDocuments]], every 7th doc REMOVED via
+    * [[SearchIndex.removeDocuments]] — only the added slice is ever
+    * re-analyzed, yet the final index must score EXACTLY like a fresh
+    * build over the survivor corpus (doc_id % 7 != 0), which is what
+    * the oracle searches directly. */
+  def incrementalIndexFor(spark: SparkSession, dir: String): SearchIndex = cache.synchronized {
+    cache.getOrElseUpdate(s"$dir#incremental", {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      SearchIndex.build(docs.where(col("doc_id") % 10 =!= 9), spec)
+        .addDocuments(docs.where(col("doc_id") % 10 === 9))
+        .removeDocuments(docs.where(col("doc_id") % 7 === 0).select("doc_id"))
+    })
+  }
+
   /** English-analyzer (stop + Porter) index over the same corpus —
     * exercises the full analyzer pipeline end-to-end. No SQL oracle
     * (stemming is not DuckDB-expressible), so its entry gets the
@@ -384,6 +400,13 @@ object SearchQueries {
     "search_no_positions" -> ((s, dir) =>
       topkOut(noPositionsIndexFor(s, dir).search(
         "text" matchAny termSet("spark", "join"), 10))),
+
+    // incrementally-maintained index (build 90% + add 10% - remove
+    // every 7th): must score exactly like a fresh build of the
+    // survivor corpus, which is what the oracle searches
+    "search_incremental" -> ((s, dir) =>
+      topkOut(incrementalIndexFor(s, dir).search(
+        "text".matchMin(1, termSet("window", "merge")), 10))),
 
     // query join with an ARBITRARY query generator (reference
     // queryGenerator: T => DslQuery, SearchableRDD.scala:257-298):
@@ -893,6 +916,11 @@ object SearchQueries {
     "search_analyzer_split" -> termQueryOracle(Seq("spark", "join"), 1, 10),
     // reloaded artifacts must reproduce the from-scratch scores
     "search_reloaded" -> termQueryOracle(Seq("column", "value"), 1, 10),
+    // the incremental add/remove chain must equal a fresh index over
+    // the survivor corpus: same oracle, corpus filtered to survivors
+    "search_incremental" -> termQueryOracle(Seq("window", "merge"), 1, 10,
+      prefix = toksCte.replace("FROM documents",
+        "FROM documents WHERE doc_id % 7 <> 0")),
     // postings-probe scores must equal the scan path's
     "search_no_positions" -> termQueryOracle(Seq("spark", "join"), 1, 10),
 

@@ -191,6 +191,49 @@ class IndexVariantsSpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("incremental add/remove equals a fresh build of the survivor corpus") {
+    val all = Seq(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "alpha beta delta", "en"),
+      (3L, "alpha gamma gamma", "fr"),
+      (4L, "beta gamma delta", "en"),
+      (5L, "delta delta epsilon", "fr"),
+      (6L, "alpha epsilon zeta", "en"),
+      (7L, "zeta zeta beta", "fr"),
+      (8L, "gamma epsilon alpha beta", "en")
+    ).toDF("doc_id", "text", "lang")
+    val spec = IndexSpec("doc_id", Seq("text"), keywordFields = Seq("lang"))
+    val inc = SearchIndex
+      .build(all.where(col("doc_id") <= 5), spec)
+      .addDocuments(all.where(col("doc_id") > 5))
+      .removeDocuments(Seq(2L, 7L).toDF("doc_id"))
+    val fresh = SearchIndex.build(
+      all.where(col("doc_id") =!= 2 && col("doc_id") =!= 7), spec)
+    // identical term statistics (df AND cf; removed-only terms gone)
+    val si = inc.stats.select("field", "term", "df", "cf")
+      .as[(String, String, Long, Long)].collect().toSet
+    val sf = fresh.stats.select("field", "term", "df", "cf")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(si == sf)
+    // identical field stats — the exact-integer dl bookkeeping must
+    // reproduce the fresh aggregation bit-for-bit, not approximately
+    assert(inc.fieldStats == fresh.fieldStats)
+    // identical search results + scores on a query touching added,
+    // removed and surviving docs
+    for (q <- Seq("text" matchAny termSet("alpha", "zeta"),
+        "text".matchMin(2, termSet("alpha", "beta", "gamma")))) {
+      val a = inc.search(q, 10).select("doc_id", "score")
+        .as[(Long, Double)].collect().toMap
+      val b = fresh.search(q, 10).select("doc_id", "score")
+        .as[(Long, Double)].collect().toMap
+      assert(a.keySet == b.keySet && a.nonEmpty)
+      a.foreach { case (kk, s) => assert(s == b(kk), s"doc $kk: $s vs ${b(kk)}") }
+      assert(!a.contains(2L) && !a.contains(7L))
+    }
+    inc.unpersist()
+    fresh.unpersist()
+  }
+
   test("unknown-field queries match nothing instead of crashing") {
     val idx = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
     // colon in a term lexes as field scoping; a URL or time must not
