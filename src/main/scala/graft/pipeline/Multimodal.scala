@@ -186,12 +186,23 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Memo cache for [[syntheticPng]]: the entry's dimension domain is
+    * 64 x 48 pairs, so each executor JVM encodes every distinct size
+    * once instead of once per row — ImageIO writer setup dominates
+    * the encode at ~1 ms per call. Bounded by the distinct-size
+    * count; the bytes are a pure function of (w, h). */
+  private val pngCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]]()
+  private def syntheticPngCached(w: Int, h: Int): Array[Byte] =
+    pngCache.computeIfAbsent((w.toLong << 32) | h, _ => syntheticPng(w, h))
+
   /** End-to-end REAL image decode: synthesizes one PNG per document
     * (dimensions a fixed arithmetic function of doc metadata, so an
     * engine without ImageIO can still predict them), then recovers
     * width/height/format FROM THE BYTES via [[imageDecode]]. The
     * encode-then-decode round trip means a green result proves the
-    * decoder reads real image headers, not the stub arithmetic. */
+    * decoder reads real image headers, not the stub arithmetic (the
+    * DECODE runs per row; only the fixture encoding is memoized). */
   def decodePngMeta(spark: SparkSession, dir: String): DataFrame = {
     val metaSchema = StructType(Seq(
       StructField("doc_id", LongType),
@@ -206,7 +217,7 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val nc = r.getLong(1)
-          val png = syntheticPng((nc % 64 + 1).toInt, (id % 48 + 1).toInt)
+          val png = syntheticPngCached((nc % 64 + 1).toInt, (id % 48 + 1).toInt)
           decode(png) match {
             case (_, w, h, _, fmt) => Row(id, w, h, fmt)
           }
