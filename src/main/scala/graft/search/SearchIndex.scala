@@ -431,6 +431,81 @@ final class SearchIndex private (
   def aggregatingSearch(q: SearchQuery, k: Int): Array[(Row, Double)] =
     search(q, k).collect().map(r => (r, r.getAs[Double]("score")))
 
+  /** Faceted counts over the query's FULL match set (Lucene/Solr
+    * faceting, public API surface — not in the reference, which
+    * returns only top-k rows): matching-document counts per value of
+    * each facet field. ONE corpus scan and ONE shuffle regardless of
+    * facet count — the (field, value) pairs explode in-row and
+    * aggregate with map-side partials; output cardinality is bounded
+    * by Sum(|distinct values|), never by the corpus. */
+  def facetCounts(q: SearchQuery, facetFields: Seq[String]): DataFrame = {
+    require(facetFields.nonEmpty, "facetCounts needs at least one facet field")
+    val (pred, _) = compile(q)
+    docs.where(pred)
+      .select(explode(array(facetFields.map(f =>
+        struct(lit(f).as("facet"), col(f).cast("string").as("value"))): _*)).as("fv"))
+      .select(col("fv.facet").as("facet"), col("fv.value").as("value"))
+      .groupBy(col("facet"), col("value"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Cursor ("search_after") pagination, the Elasticsearch/Lucene
+    * deep-paging API: page N+1 is everything strictly after the
+    * cursor — the (score, key) of page N's last row — in the result
+    * order (score desc, key asc). The cursor becomes a PREDICATE, so
+    * no page ever sorts more than its own top-k: OFFSET-style paging
+    * re-sorts (and at the reference's driver, re-collects) the whole
+    * prefix; this stays one codegen'd filter + bounded top-k per
+    * page at any depth. */
+  def searchAfter(q: SearchQuery, k: Int,
+      afterScore: Double, afterKey: Any): DataFrame = {
+    require(spec.storePositions,
+      "searchAfter requires storePositions=true (scan-path scoring)")
+    val (pred, score) = compile(q)
+    docs
+      .withColumn("score", score)
+      .where(pred && (col("score") < lit(afterScore) ||
+        (col("score") === lit(afterScore) && key > lit(afterKey))))
+      .drop(internalCols(spec): _*)
+      .orderBy(col("score").desc, key.asc)
+      .limit(k)
+  }
+
+  /** Hit highlighting (Lucene Highlighter, public API surface): for
+    * each top-k hit, the position of the FIRST occurrence of any of
+    * the given query terms in the field's token array and a
+    * `window`-token snippet centred on it. Pure per-row Column work
+    * on the already-ranked top-k — positions from `array_position`,
+    * snippet via `slice` + join; no extra scan or shuffle beyond the
+    * search itself. */
+  def highlight(q: SearchQuery, k: Int, field: String, terms: Seq[String],
+      window: Int = 3): DataFrame = {
+    require(spec.textFields.contains(field), s"$field is not an indexed text field")
+    require(spec.storePositions, "highlight requires stored token arrays")
+    val toks = tokensCol(field)
+    // array_position returns 0 for absent terms — lift to null so
+    // `least` skips them (it ignores nulls), then the earliest match
+    val positions = terms.map(t =>
+      when(array_position(toks, t) > 0, array_position(toks, t)))
+    val firstPos = least(positions: _*)
+    val (pred, score) = compile(q)
+    // top-k FIRST (bounded TakeOrderedAndProject), snippets computed
+    // on the k survivors only — the token columns are still in scope
+    // because the internal-column drop happens after
+    docs
+      .withColumn("score", score)
+      .where(pred)
+      .orderBy(col("score").desc, key.asc)
+      .limit(k)
+      .withColumn("hit_pos", firstPos)
+      .withColumn("snippet",
+        when(col("hit_pos").isNotNull,
+          concat_ws(" ",
+            slice(toks, greatest(col("hit_pos") - window, lit(1)).cast("int"),
+              lit(2 * window + 1)))))
+      .drop(internalCols(spec): _*)
+  }
+
   /** Ids-only variant (reference `lightSearch`,
     * SearchableRDD.scala:139-142; manual column pruning there —
     * Catalyst's ColumnPruning makes this the same plan minus the

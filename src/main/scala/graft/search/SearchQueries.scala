@@ -143,7 +143,8 @@ object SearchQueries {
       scoreFn: (String, String) => String = (tf, idf) => bm25Sql(tf, idf),
       exposeRaw: Boolean = false, prefix: String = toksCte,
       semOverride: Option[String] = None,
-      weights: Seq[Double] = Nil): String = {
+      weights: Seq[Double] = Nil,
+      offset: Int = 0): String = {
     val tfCols = terms.zipWithIndex
       .map { case (t, i) => s"${tfSql(t)} AS tf_$i" }.mkString(",\n    ")
     val dfCols = terms.zipWithIndex
@@ -174,7 +175,7 @@ object SearchQueries {
        |SELECT doc_id,${if (exposeRaw) " score AS raw_score," else ""} round(score, 4) AS score FROM s2
        |WHERE $sem$extraWhere
        |ORDER BY s2.score DESC, doc_id
-       |LIMIT $k""".stripMargin
+       |LIMIT $k${if (offset > 0) s" OFFSET $offset" else ""}""".stripMargin
   }
 
   // ------------------------------------------------------------------
@@ -407,6 +408,34 @@ object SearchQueries {
     "search_incremental" -> ((s, dir) =>
       topkOut(incrementalIndexFor(s, dir).search(
         "text".matchMin(1, termSet("window", "merge")), 10))),
+
+    // faceted counts over the FULL match set (Lucene/Solr faceting):
+    // one scan, one shuffle, counts per keyword-field value
+    "search_facets" -> ((s, dir) =>
+      indexFor(s, dir)
+        .facetCounts("text" matchAny termSet("spark", "join"), Seq("lang", "source"))
+        .orderBy("facet", "value")),
+
+    // cursor pagination: page 2 strictly after page 1's (score, key)
+    // cursor — a predicate, not an OFFSET re-sort; oracle is the same
+    // ranking with OFFSET 10
+    "search_after" -> ((s, dir) => {
+      val idx = indexFor(s, dir)
+      val q = "text".matchMin(1, termSet("window", "merge"))
+      val last = idx.search(q, 10).select(col("doc_id"), col("score"))
+        .collect().last // search() output is ordered; cursor = last row
+      topkOut(idx.searchAfter(q, 10, last.getDouble(1), last.getLong(0)))
+    }),
+
+    // hit highlighting: earliest matched-term position + a 7-token
+    // snippet around it, computed on the top-k survivors only
+    "search_highlight" -> ((s, dir) =>
+      indexFor(s, dir)
+        .highlight("text" matchAny termSet("vector", "stream"), 10,
+          "text", Seq("vector", "stream"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"),
+          col("hit_pos"), col("snippet"))
+        .orderBy("doc_id")),
 
     // query join with an ARBITRARY query generator (reference
     // queryGenerator: T => DslQuery, SearchableRDD.scala:257-298):
@@ -921,6 +950,48 @@ object SearchQueries {
     "search_incremental" -> termQueryOracle(Seq("window", "merge"), 1, 10,
       prefix = toksCte.replace("FROM documents",
         "FROM documents WHERE doc_id % 7 <> 0")),
+
+    "search_facets" ->
+      s"""$toksCte,
+         |matched AS (
+         |  SELECT lang, source FROM toks
+         |  WHERE list_contains(tokens, 'spark') OR list_contains(tokens, 'join')
+         |), sel AS (
+         |  SELECT 'lang' AS facet, lang AS value, count(*) AS n FROM matched GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'source' AS facet, source AS value, count(*) AS n FROM matched GROUP BY 2
+         |)
+         |SELECT facet, value, n FROM sel ORDER BY facet, value""".stripMargin,
+
+    // page 2 of the incremental-free ranking = OFFSET 10 of the same
+    // deterministic (score DESC, doc_id) order the cursor predicate walks
+    "search_after" -> termQueryOracle(Seq("window", "merge"), 1, 10, offset = 10),
+
+    // earliest matched position via list_position (NULL-skipping
+    // least), snippet = 7 tokens centred on it, clamped at the start
+    "search_highlight" ->
+      s"""$toksCte,
+         |dfs AS (
+         |  SELECT ${dfSql("vector")} AS df_0, ${dfSql("stream")} AS df_1 FROM (SELECT 1)
+         |), scored AS (
+         |  SELECT t.doc_id, t.tokens, len(t.tokens) AS dl, st.n, st.avgdl, dfs.*,
+         |    ${tfSql("vector")} AS tf_0, ${tfSql("stream")} AS tf_1
+         |  FROM toks t, st, dfs
+         |), s2 AS (
+         |  SELECT *, ${bm25Sql("tf_0", idfSql("df_0"))} + ${bm25Sql("tf_1", idfSql("df_1"))} AS score,
+         |    (CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS nm
+         |  FROM scored
+         |), sel AS (
+         |  SELECT * FROM s2 WHERE nm >= 1 ORDER BY score DESC, doc_id LIMIT 10
+         |), pos AS (
+         |  SELECT doc_id, score, tokens,
+         |    least(list_position(tokens, 'vector'), list_position(tokens, 'stream'))::BIGINT AS hit_pos
+         |  FROM sel
+         |)
+         |SELECT doc_id, round(score, 4) AS score, hit_pos,
+         |  array_to_string(tokens[greatest(hit_pos - 3, 1):greatest(hit_pos - 3, 1) + 6], ' ') AS snippet
+         |FROM pos
+         |ORDER BY doc_id""".stripMargin,
     // postings-probe scores must equal the scan path's
     "search_no_positions" -> termQueryOracle(Seq("spark", "join"), 1, 10),
 

@@ -175,4 +175,48 @@ class SearchIndexSpec extends AnyFunSuite {
   test("getElements point lookup") {
     assert(ids(idx.getElements(Seq(1L, 4L)).orderBy("doc_id")) == Seq(1L, 4L))
   }
+
+  test("facetCounts: per-value counts over the full match set") {
+    val fc = idx.facetCounts("text" matchTerm "spark", Seq("lang"))
+      .as[(String, String, Long)].collect()
+      .map { case (_, v, n) => v -> n }.toMap
+    // spark matches docs 2 (en), 4 (fr), 5 (fr)
+    assert(fc == Map("en" -> 1L, "fr" -> 2L))
+    // facet counts sum to the match-set size, per facet field
+    val both = idx.facetCounts("text" matchTerm "spark", Seq("lang", "n_chars"))
+      .as[(String, String, Long)].collect()
+    assert(both.filter(_._1 == "lang").map(_._3).sum ==
+      both.filter(_._1 == "n_chars").map(_._3).sum)
+  }
+
+  test("searchAfter pages are disjoint and union to the top of the ranking") {
+    val q = "text" matchAny termSet("spark", "dog", "quick", "lazy")
+    val all = idx.search(q, 100).select("doc_id", "score")
+      .as[(Long, Double)].collect()
+    assert(all.length >= 4)
+    val page1 = all.take(2)
+    val cursor = page1.last
+    val page2 = idx.searchAfter(q, 2, cursor._2, cursor._1)
+      .select("doc_id", "score").as[(Long, Double)].collect()
+    assert(page2.toSeq == all.slice(2, 4).toSeq,
+      s"page2 ${page2.toSeq} vs expected ${all.slice(2, 4).toSeq}")
+    assert(page1.map(_._1).toSet.intersect(page2.map(_._1).toSet).isEmpty)
+  }
+
+  test("highlight: earliest matched position, snippet window contains the term") {
+    val hits = idx.highlight("text" matchAny termSet("spark", "lazy"), 10,
+        "text", Seq("spark", "lazy"), window = 2)
+      .select("doc_id", "hit_pos", "snippet")
+      .as[(Long, Long, String)].collect()
+    assert(hits.nonEmpty)
+    hits.foreach { case (id, pos, snip) =>
+      val toks = corpus.where(col("doc_id") === id)
+        .select("text").as[String].head().toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val matched = toks(pos.toInt - 1) // 1-based position
+      assert(Set("spark", "lazy").contains(matched), s"doc $id pos $pos -> $matched")
+      assert(snip.split(" ").contains(matched))
+      // earliest: no earlier occurrence of either term
+      assert(!toks.take(pos.toInt - 1).exists(Set("spark", "lazy").contains))
+    }
+  }
 }
