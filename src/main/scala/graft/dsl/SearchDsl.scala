@@ -104,6 +104,18 @@ final case class MatchFuzzy(field: String, term: String, maxEdits: Int) extends 
   * typically lowercase) term dictionary as-is. */
 final case class MatchRegex(field: String, pattern: String) extends SearchQuery
 
+/** Unordered two-term proximity (Lucene SpanNearQuery with
+  * inOrder=false over two term clauses; the ordered case is
+  * [[MatchPhrase]]'s slop): matches documents where `a` and `b`
+  * occur within `dist` token positions of each other, in either
+  * order. tf = the number of (position-of-a, position-of-b) pairs
+  * with |i - j| <= dist (i < j when a == b), so repeated
+  * co-occurrences score higher, mirroring phrase tf as a count of
+  * matching configurations; idf = idf(a) + idf(b), like a phrase's
+  * summed constituent idfs. */
+final case class MatchNear(field: String, a: String, b: String, dist: Int)
+    extends SearchQuery
+
 /** Mini query-parser syntax (reference: ParsedQuery/QueryParser,
   * DslQuery.scala:122-129, and RawQuery via the pluggable
   * QueryConstructor, queries/DefaultQueryConstructor.scala:10-17):
@@ -183,6 +195,8 @@ object builders {
     def matchAny(ts: TermSet): SearchQuery = MatchAnyTerms(field, ts.terms)
     def matchMin(min: Int, ts: TermSet): SearchQuery = MatchMin(field, min, ts.terms)
     def matchRegex(pattern: String): SearchQuery = MatchRegex(field, pattern)
+    def matchNear(a: String, b: String, dist: Int): SearchQuery =
+      MatchNear(field, a, b, dist)
     def parseQuery(q: String): SearchQuery = Parsed(field, q)
     def ===(v: Any): SearchQuery = EqFilter(field, v)
     def equalTo(v: Any): SearchQuery = EqFilter(field, v)

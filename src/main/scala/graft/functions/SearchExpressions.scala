@@ -609,6 +609,59 @@ object MinShingleMd5 {
   }
 }
 
+/** `near_count(tokens, a, b, dist)` — number of unordered proximity
+  * pairs: positions (i, j) with tokens(i)=a, tokens(j)=b and
+  * |i - j| <= dist (i < j when a = b, so a pair is never a token
+  * with itself and is counted once). The tf of
+  * [[graft.dsl.MatchNear]], one codegen'd pass collecting both
+  * position lists then an O(|a| x |b|) pair count — position lists
+  * are per-document tiny. */
+case class NearCount(tokens: Expression, a: Expression, b: Expression, dist: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = tokens
+  override def second: Expression = a
+  override def third: Expression = b
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "near_count"
+
+  override protected def nullSafeEval(toks: Any, ta: Any, tb: Any): Any =
+    NearCount.compute(toks.asInstanceOf[ArrayData],
+      ta.asInstanceOf[UTF8String], tb.asInstanceOf[UTF8String], dist)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (toks, ta, tb) =>
+      s"${ev.value} = graft.functions.NearCount.compute($toks, $ta, $tb, $dist);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): NearCount =
+    copy(tokens = newFirst, a = newSecond, b = newThird)
+}
+
+object NearCount {
+  /** Static so generated code can call it directly. */
+  def compute(tokens: ArrayData, a: UTF8String, b: UTF8String, dist: Int): Int = {
+    val n = tokens.numElements()
+    val same = a.equals(b)
+    var count = 0
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i) && tokens.getUTF8String(i).equals(a)) {
+        val lo = math.max(0, i - dist)
+        val hi = math.min(n - 1, i + dist)
+        var j = if (same) i + 1 else lo
+        while (j <= hi) {
+          if (j != i && !tokens.isNullAt(j) && tokens.getUTF8String(j).equals(b))
+            count += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    count
+  }
+}
+
 /** `bool_query_score(tokens, terms, roles, idfs, kind, k1, b, avgdl)`
   * — one-pass boolean verification + scoring of a document's token
   * array against a query's clause set (reference analog: Lucene's
@@ -759,6 +812,16 @@ object SearchExpressions {
         "min_shingle_md5(tokens, n) - minimum md5 hex over n-token shingles, NULL if < n tokens"),
       (exprs: Seq[Expression]) => MinShingleMd5(exprs(0),
         exprs(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("near_count"),
+      info("near_count",
+        "near_count(tokens, a, b, dist) - unordered proximity pairs of a and b within dist positions"),
+      (exprs: Seq[Expression]) => NearCount(exprs(0), exprs(1), exprs(2),
+        exprs(3).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"near_count dist must be a foldable integer, got $other")
+        })),
     (FunctionIdentifier("bool_query_score"),
       info("bool_query_score",
         "bool_query_score(tokens, terms, roles, idfs, kind, k1, b, avgdl) - struct(score, req, opt, exc) boolean clause verification + similarity over a token array"),

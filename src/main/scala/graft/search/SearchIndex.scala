@@ -145,6 +145,7 @@ final class SearchIndex private (
     case MatchText(f, t) => queryAn.analyze(t).map(f -> _).toSet
     case MatchAllText(f, t) => queryAn.analyze(t).map(f -> _).toSet
     case MatchPhrase(f, t, _) => queryAn.analyze(t).map(f -> _).toSet
+    case MatchNear(f, a, b, _) => Set(f -> a, f -> b)
     case MatchAllTerms(f, ts) => ts.map(f -> _).toSet
     case MatchAnyTerms(f, ts) => ts.map(f -> _).toSet
     case MatchMin(f, _, ts) => ts.map(f -> _).toSet
@@ -276,6 +277,7 @@ final class SearchIndex private (
     // (it has no adjacency to satisfy) instead of dying on the
     // unresolved __tokens_ column
     case MatchPhrase(f, _, _) if !spec.textFields.contains(f) => noMatch
+    case MatchNear(f, _, _, _) if !spec.textFields.contains(f) => noMatch
     case MatchAllTerms(f, _) if !isIndexedField(f) => noMatch
     case MatchAnyTerms(f, _) if !isIndexedField(f) => noMatch
     case MatchMin(f, _, _) if !isIndexedField(f) => noMatch
@@ -319,6 +321,14 @@ final class SearchIndex private (
         val s = sim(tf, dlCol(f).cast("double"), phraseIdf, fieldStats(f).avgDl)
         (tf > 0, when(tf > 0, s).otherwise(lit(0.0)))
       }
+    case MatchNear(f, a, b, dist) =>
+      // span-near scoring mirrors the phrase case: tf = proximity
+      // pair count, idf = summed constituent idfs
+      val tf = call_function("near_count", tokensCol(f),
+        lit(a), lit(b), lit(dist)).cast("double")
+      val nearIdf = idf(f -> a) + idf(f -> b)
+      val s = sim(tf, dlCol(f).cast("double"), nearIdf, fieldStats(f).avgDl)
+      (tf > 0, when(tf > 0, s).otherwise(lit(0.0)))
     case MatchAllTerms(f, ts) =>
       if (ts.isEmpty) (lit(true), lit(0.0))
       else {

@@ -409,6 +409,11 @@ object SearchQueries {
       topkOut(incrementalIndexFor(s, dir).search(
         "text".matchMin(1, termSet("window", "merge")), 10))),
 
+    // unordered proximity (SpanNear inOrder=false): sort/hash within
+    // 3 positions, either order; tf = proximity pair count
+    "search_near" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search("text".matchNear("sort", "hash", 3), 10))),
+
     // faceted counts over the FULL match set (Lucene/Solr faceting):
     // one scan, one shuffle, counts per keyword-field value
     "search_facets" -> ((s, dir) =>
@@ -950,6 +955,32 @@ object SearchQueries {
     "search_incremental" -> termQueryOracle(Seq("window", "merge"), 1, 10,
       prefix = toksCte.replace("FROM documents",
         "FROM documents WHERE doc_id % 7 <> 0")),
+
+    // tf = unordered (i, j) pair count within the window, idf = summed
+    // constituent idfs — the span-near analog of the phrase oracle
+    "search_near" ->
+      s"""$toksCte,
+         |dfs AS (SELECT ${dfSql("sort")} AS df_a, ${dfSql("hash")} AS df_b FROM (SELECT 1)),
+         |scored AS (
+         |  SELECT t.doc_id, len(t.tokens) AS dl, st.n, st.avgdl, dfs.*,
+         |    list_sum(list_transform(
+         |      list_filter(range(1, len(t.tokens) + 1), i -> t.tokens[i] = 'sort'),
+         |      i -> len(list_filter(
+         |        list_filter(range(1, len(t.tokens) + 1), j -> t.tokens[j] = 'hash'),
+         |        j -> abs(i - j) <= 3)))) AS tf_n
+         |  FROM toks t, st, dfs
+         |), s2 AS (
+         |  SELECT doc_id, tf_n,
+         |    CASE WHEN tf_n > 0
+         |      THEN (${idfSql("df_a")} + ${idfSql("df_b")}) * (tf_n * ${K1 + 1.0})
+         |        / (tf_n + $K1 * (${1.0 - B} + $B * dl / avgdl))
+         |      ELSE 0.0 END AS score
+         |  FROM scored
+         |)
+         |SELECT doc_id, round(score, 4) AS score FROM s2
+         |WHERE tf_n > 0
+         |ORDER BY score DESC, doc_id
+         |LIMIT 10""".stripMargin,
 
     "search_facets" ->
       s"""$toksCte,

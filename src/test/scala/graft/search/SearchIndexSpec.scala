@@ -176,6 +176,39 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(ids(idx.getElements(Seq(1L, 4L)).orderBy("doc_id")) == Seq(1L, 4L))
   }
 
+  test("matchNear: unordered proximity with exact pair-count tf") {
+    val docs = Seq(
+      (1L, "alpha x x beta"), // distance 3
+      (2L, "beta x alpha"), // distance 2, reversed order
+      (3L, "alpha x x x beta"), // distance 4 — outside dist=3
+      (4L, "alpha beta alpha"), // two pairs within 2
+      (5L, "gamma gamma x gamma") // same-term pairs: (1,2),(2,4) at dist 2
+    ).toDF("doc_id", "text")
+    val nidx = SearchIndex.build(docs, IndexSpec("doc_id", Seq("text")))
+    def hits(q: SearchQuery) = nidx.search(q, 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits("text".matchNear("alpha", "beta", 3)) == Set(1L, 2L, 4L))
+    assert(hits("text".matchNear("beta", "alpha", 3)) == Set(1L, 2L, 4L), "symmetric")
+    assert(hits("text".matchNear("alpha", "beta", 4)) == Set(1L, 2L, 3L, 4L))
+    // pair-count tf: doc 4 has two pairs -> higher score than doc 2
+    // (same dl would be needed for a strict comparison; check tf via
+    // the registered function directly)
+    val tfs = docs
+      .select(col("doc_id"), call_function("near_count",
+        graft.analysis.Analyzers.default.tokensCol(col("text")),
+        lit("alpha"), lit("beta"), lit(2)).as("tf"))
+      .as[(Long, Int)].collect().toMap
+    assert(tfs(4L) == 2 && tfs(2L) == 1 && tfs(1L) == 0)
+    // same-term proximity counts i < j pairs once, never self-pairs
+    val sameTf = docs
+      .select(col("doc_id"), call_function("near_count",
+        graft.analysis.Analyzers.default.tokensCol(col("text")),
+        lit("gamma"), lit("gamma"), lit(2)).as("tf"))
+      .as[(Long, Int)].collect().toMap
+    assert(sameTf(5L) == 2, s"expected pairs (1,2),(2,4): ${sameTf(5L)}")
+    nidx.unpersist()
+  }
+
   test("facetCounts: per-value counts over the full match set") {
     val fc = idx.facetCounts("text" matchTerm "spark", Seq("lang"))
       .as[(String, String, Long)].collect()
