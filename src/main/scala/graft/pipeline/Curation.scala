@@ -322,6 +322,39 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Source-mixing weights (the "data mixture" step of every
+    * published pretraining pipeline — e.g. the per-dataset sampling
+    * rates of GPT-3 §2.2 / The Pile §1; DoReMi learns them, this
+    * computes the deterministic reweight-to-target form): given a
+    * target share per source (uniform here), the per-source sampling
+    * rate that downsamples over-represented sources to the target
+    * token share, capped at 1 (upsampling is a repeat policy, not a
+    * filter, and stays out of scope).
+    *
+    * Scale shape: one token-count aggregation keyed by source
+    * (|sources| rows — partial aggs map-side), a single-row total,
+    * and per-source arithmetic. Nothing scales with the corpus except
+    * the one count pass. */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), size(toks(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("__total"),
+      count(lit(1)).as("__n_sources"))
+    perSource.crossJoin(broadcast(totals)) // one row — exact broadcast
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        graft.functions.Rounding.roundEven(
+          col("n_tokens").cast("double") / col("__total").cast("double"), 6)
+          .as("natural_share"),
+        graft.functions.Rounding.roundEven(
+          least(lit(1.0),
+            (col("__total").cast("double") / col("__n_sources").cast("double"))
+              / col("n_tokens").cast("double")), 6).as("rate"))
+      .orderBy("source")
+  }
+
   /** PII patterns shared by the scrubber and its oracle — written in
     * the dialect subset Java regex and RE2 agree on (no lookaround,
     * no backreferences; `\b` and bounded repetition are fine in

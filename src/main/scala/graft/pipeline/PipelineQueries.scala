@@ -53,6 +53,7 @@ object PipelineQueries {
     "source_overlap" -> ((s, dir) => Curation.sourceOverlap(s, dir)),
     "unigram_logprob" -> ((s, dir) => Curation.unigramLogprob(s, dir)),
     "ccnet_buckets" -> ((s, dir) => Curation.ccnetBuckets(s, dir)),
+    "mix_weights" -> ((s, dir) => Curation.mixWeights(s, dir)),
     "pii_scrub" -> ((s, dir) => Curation.piiScrub(s, dir)),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "lang_id_ngram" -> ((s, dir) => TextAnalysis.langIdNgram(s, dir)),
@@ -428,6 +429,22 @@ object PipelineQueries {
          |       ELSE 'tail' END AS bucket
          |FROM sl JOIN thr t USING (lang)
          |ORDER BY sl.doc_id""".stripMargin,
+
+    // per-source token shares + downsample-to-uniform-target rates;
+    // see Curation.mixWeights
+    "mix_weights" ->
+      s"""$toksCte,
+         |ps AS (
+         |  SELECT d.source, count(*) AS n_docs, sum(len(t.tokens))::BIGINT AS n_tokens
+         |  FROM toks t JOIN documents d USING (doc_id)
+         |  GROUP BY 1
+         |), tot AS (SELECT sum(n_tokens) AS total, count(*) AS n_sources FROM ps)
+         |SELECT source, n_docs, n_tokens,
+         |  round_even((CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6, 0) / 1e6 AS natural_share,
+         |  round_even(least(1.0,
+         |    (CAST(total AS DOUBLE) / CAST(n_sources AS DOUBLE)) / CAST(n_tokens AS DOUBLE)) * 1e6, 0) / 1e6 AS rate
+         |FROM ps, tot
+         |ORDER BY source""".stripMargin,
 
     // patterns come from the same Curation.PiiPatterns table the
     // Spark side folds over (counts on the raw text, replacements in

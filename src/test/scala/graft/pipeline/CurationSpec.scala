@@ -210,6 +210,22 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(got - expect) < 5e-4, s"doc $id0: $got vs $expect")
   }
 
+  test("mixWeights: shares sum to 1, rates cap at 1 and downsample the over-represented") {
+    val out = Curation.mixWeights(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(out.nonEmpty)
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-4)
+    assert(out.forall(r => r._5 > 0.0 && r._5 <= 1.0))
+    val target = 1.0 / out.length
+    out.foreach { case (s, _, _, share, rate) =>
+      if (share > target * 1.001) assert(rate < 1.0, s"$s over target but uncapped")
+      // a source at or under target keeps everything
+      if (share <= target) assert(rate == 1.0, s"$s under target but downsampled: $rate")
+      // the rate hits the target share: share * rate == target (when capped)
+      if (rate < 1.0) assert(math.abs(share * rate - target) < 1e-4)
+    }
+  }
+
   test("ccnetBuckets: per-lang buckets are ordered, exhaustive and roughly balanced") {
     import org.apache.spark.sql.functions._
     val out = Curation.ccnetBuckets(spark, dir)
