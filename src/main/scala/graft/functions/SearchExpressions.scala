@@ -609,6 +609,75 @@ object MinShingleMd5 {
   }
 }
 
+/** `simhash64(tokens)` — the document's 64-bit SimHash fingerprint in
+  * ONE in-row pass: per-distinct-term tf, md5-derived 64-bit term
+  * hash (two 32-bit hex halves, exactly the split the SQL oracle
+  * replicates), signed bit sums, sign assembly. The aggregate
+  * formulation shuffles the corpus twice ((doc, term) tf then a
+  * 64-column doc aggregate); a document's fingerprint is doc-local
+  * state, so it belongs in a map-side expression — this is what makes
+  * SimHash usable in a STREAM (stateless map; the only stateful
+  * operator left is whatever consumes the fingerprint). */
+case class Simhash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    Simhash64.compute(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.Simhash64.compute($arr);")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash64 =
+    copy(child = newChild)
+}
+
+object Simhash64 {
+  /** Static so generated code can call it directly. Bit weights sum
+    * with wrapping long addition (commutative), so any summation
+    * order equals the Column/SQL formulation, bit 63's Long.MinValue
+    * weight included. */
+  def compute(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val tf = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) tf.merge(tokens.getUTF8String(i).toString, 1, (a, b) => a + b)
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sums = new Array[Long](64)
+    val it = tf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      md.reset()
+      val d = md.digest(e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 8 hex chars = bytes 0-3, chars 9-16 = bytes 4-7 —
+      // identical to conv(substring(md5(term), ...), 16, 10)
+      val hHi = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val hLo = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      val t = e.getValue.toLong
+      var j = 0
+      while (j < 64) {
+        val bit = if (j < 32) (hLo >>> j) & 1L else (hHi >>> (j - 32)) & 1L
+        sums(j) += (if (bit == 1L) t else -t)
+        j += 1
+      }
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (sums(j) > 0) fp += (1L << j)
+      j += 1
+    }
+    fp
+  }
+}
+
 /** `near_count(tokens, a, b, dist)` — number of unordered proximity
   * pairs: positions (i, j) with tokens(i)=a, tokens(j)=b and
   * |i - j| <= dist (i < j when a = b, so a pair is never a token
@@ -812,6 +881,10 @@ object SearchExpressions {
         "min_shingle_md5(tokens, n) - minimum md5 hex over n-token shingles, NULL if < n tokens"),
       (exprs: Seq[Expression]) => MinShingleMd5(exprs(0),
         exprs(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("simhash64"),
+      info("simhash64",
+        "simhash64(tokens) - 64-bit SimHash fingerprint of the token array, one in-row pass"),
+      (exprs: Seq[Expression]) => Simhash64(exprs(0))),
     (FunctionIdentifier("near_count"),
       info("near_count",
         "near_count(tokens, a, b, dist) - unordered proximity pairs of a and b within dist positions"),

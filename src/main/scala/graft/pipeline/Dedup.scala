@@ -369,22 +369,16 @@ object Dedup {
     * assemble sum adds it last (ascending j), so every partial sum
     * stays in range under ANSI arithmetic. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val posts = docTokens(spark, dir)
-      .select(col("doc_id"), explode(col("tokens")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("h_hi", conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"))
-      .withColumn("h_lo", conv(substring(md5(col("term")), 9, 8), 16, 10).cast("long"))
-    def bitOf(j: Int): Column =
-      if (j < 32) shiftright(col("h_lo"), j).bitwiseAND(1)
-      else shiftright(col("h_hi"), j - 32).bitwiseAND(1)
-    val bitSums = (0 until 64).map { j =>
-      sum(when(bitOf(j) === 1, col("tf")).otherwise(-col("tf"))).as(s"bs_$j")
-    }
-    posts.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("simhash",
-        (0 until 64).map(j => when(col(s"bs_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduceLeft[Column](_ + _))
-      .select(col("doc_id"), col("simhash"))
+    // a fingerprint is doc-local state: the codegen'd simhash64
+    // expression computes it in ONE map-side pass (same tf model,
+    // same md5 hex-half hashes, same sign assembly — the SQL oracle
+    // is unchanged). The previous aggregate formulation shuffled the
+    // corpus twice: a (doc, term) tf group-by, then a 64-column
+    // per-doc bit-sum aggregate.
+    graft.functions.SearchExpressions.register(spark)
+    docTokens(spark, dir)
+      .select(col("doc_id"),
+        call_function("simhash64", col("tokens")).as("simhash"))
       .orderBy("doc_id")
   }
 

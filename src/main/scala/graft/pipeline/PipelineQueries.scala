@@ -77,7 +77,7 @@ object PipelineQueries {
 
   // ---------------- oracle SQL ----------------
 
-  private val toksCte =
+  private[graft] val toksCte =
     """WITH toks AS (
       |  SELECT doc_id, text, lang,
       |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tokens
@@ -102,7 +102,7 @@ object PipelineQueries {
     s"list_distinct(list_transform(range(1, len(tokens) - ${n - 2}), i -> $parts))"
   }
 
-  private val simhashBitsCte: String = {
+  private[graft] val simhashBitsCte: String = {
     // 64-bit fingerprint from two 32-bit md5-prefix halves, mirroring
     // Dedup.simhash. Bit 63's weight is long-min, which DuckDB cannot
     // parse as a single literal (the unary minus overflows first) —

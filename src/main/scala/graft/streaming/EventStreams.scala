@@ -250,6 +250,53 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming NEAR-duplicate pair detection — continuous-ingest
+    * SimHash: every arriving document's 64-bit fingerprint is
+    * computed MAP-SIDE by the codegen'd `simhash64` expression (a
+    * fingerprint is doc-local state, so the stream side stays
+    * stateless), exploded into 4 16-bit LSH bands, and self-joined
+    * stream-to-stream on band equality with an event-time bound —
+    * exactly the batch [[graft.pipeline.Dedup.simhashPairs]]
+    * candidate generation, running as ONE stateful operator whose
+    * state the watermark + `horizon` bound evicts (the shape that
+    * keeps a self-join runnable forever on a real ingest; an
+    * unbounded self-join would retain every band row). Hamming <= 3
+    * is pigeonhole-exact for 4 bands, as in the batch operator.
+    *
+    * Output: one row per (band_pos, earlier doc, later doc) verified
+    * pair — per-band rows, so the result set is deterministic without
+    * a stateful distinct. */
+  def nearDupPairsStream(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", horizon: String = "2 hours",
+      watermark: String = "10 minutes", maxHamming: Int = 3): DataFrame = {
+    graft.functions.SearchExpressions.register(docs.sparkSession)
+    val toks = graft.analysis.Analyzers.default.tokensCol(col(textCol))
+    val bands = docs
+      .select(col(tsCol).as("__ts"), col("doc_id"),
+        call_function("simhash64", toks).as("fp"))
+      .select(col("__ts"), col("doc_id"), col("fp"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band_pos"),
+            shiftright(col("fp"), b * 16).bitwiseAND(65535).as("band_val"))): _*)).as("bb"))
+      .select(col("__ts"), col("doc_id"), col("fp"),
+        col("bb.band_pos").as("band_pos"), col("bb.band_val").as("band_val"))
+    val a = bands.select(col("__ts").as("ts_a"), col("doc_id").as("doc_a"),
+      col("fp").as("fp_a"), col("band_pos"), col("band_val"))
+      .withWatermark("ts_a", watermark)
+    val b = bands.select(col("__ts").as("ts_b"), col("doc_id").as("doc_b"),
+      col("fp").as("fp_b"), col("band_pos").as("band_pos_b"),
+      col("band_val").as("band_val_b"))
+      .withWatermark("ts_b", watermark)
+    a.join(b,
+        col("band_pos") === col("band_pos_b") &&
+          col("band_val") === col("band_val_b") &&
+          col("ts_b") > col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr(s"INTERVAL $horizon"))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("band_pos"), col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Convenience: run a streaming query over a memory sink until all
     * available data is processed; returns the sink table name.
     *

@@ -152,6 +152,20 @@ object StreamQueries {
         name, OutputMode.Append())
       s.table(name).select(col("content_hash")).orderBy("content_hash")
     }),
+    // streaming SimHash near-dup pairs: map-side fingerprints,
+    // band-bucketed stream-stream self-join; horizon/watermark wide
+    // open for the bounded replay (production sets a real dedup
+    // horizon — the eviction machinery is in the plan either way)
+    "stream_simhash_pairs" -> ((s, dir) => {
+      val name = s"stream_simhash_${sinkId.incrementAndGet()}"
+      EventStreams.runToMemorySink(
+        EventStreams.nearDupPairsStream(stagedDocs(s, dir),
+          horizon = "3650 days", watermark = "3650 days"),
+        name, OutputMode.Append())
+      s.table(name)
+        .select(col("band_pos"), col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy("band_pos", "doc_a", "doc_b")
+    }),
     "stream_trending_terms" -> ((s, dir) => {
       val name = s"stream_trending_${sinkId.incrementAndGet()}"
       EventStreams.runToMemorySink(
@@ -265,6 +279,24 @@ object StreamQueries {
     "stream_dedup_docs" ->
       """SELECT DISTINCT md5(text) AS content_hash
         |FROM documents ORDER BY content_hash""".stripMargin,
+    // batch replay of the banded self-join: event time is monotone in
+    // doc_id, so "later than" = larger id; per-band rows, no distinct
+    "stream_simhash_pairs" ->
+      s"""${graft.pipeline.PipelineQueries.toksCte},
+         |${graft.pipeline.PipelineQueries.simhashBitsCte},
+         |bands AS (
+         |  SELECT doc_id, simhash, bx.bp AS band_pos,
+         |    (simhash >> (bx.bp * 16)) & 65535 AS band_val
+         |  FROM sims, (VALUES (0), (1), (2), (3)) bx(bp)
+         |)
+         |SELECT a.band_pos, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM bands a JOIN bands b
+         |  ON a.band_pos = b.band_pos AND a.band_val = b.band_val
+         |  AND b.doc_id > a.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY a.band_pos, doc_a, doc_b""".stripMargin,
+
     // synthetic event time = base + doc_id minutes → 1h windows hold
     // 60 docs; the base is hour-aligned so windows start on it
     "stream_trending_terms" ->

@@ -102,6 +102,29 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming simhash pairs flag a later near-copy, not unrelated docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = EventStreams.nearDupPairsStream(docs,
+        horizon = "2 hours", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("simhash_sink")
+      .outputMode(OutputMode.Append()).start()
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    mem.addData(
+      (1L, base, ts(0)),
+      (2L, base, ts(5)), // exact copy -> hamming 0, all 4 bands collide
+      (3L, "one two three four five six seven eight", ts(10)))
+    q.processAllAvailable()
+    val got = spark.table("simhash_sink")
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Int)].collect()
+    // identical fingerprints collide in every band: 4 per-band rows
+    assert(got.count(r => r._1 == 1L && r._2 == 2L && r._3 == 0) == 4, got.toSeq)
+    assert(!got.exists(r => r._1 == 3L || r._2 == 3L), s"unrelated doc paired: ${got.toSeq}")
+    q.stop()
+  }
+
   test("transformWithState keeps a bounded running top-k per user") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState requires the RocksDB state store provider
