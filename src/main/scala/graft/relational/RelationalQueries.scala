@@ -385,6 +385,45 @@ object RelationalQueries {
           unix_micros(col("w.end")).as("session_end"),
           col("n_events"), col("sum_value"))
         .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // --- as-of join (point-in-time lookup): each purchase joined to
+    //     the user's latest click at or before it — union + window,
+    //     ONE shuffle, no join node, no row amplification
+    //     (TemporalJoins scaladoc has the scale argument). Clicks are
+    //     pre-deduped to one per (user, ts) so the at-instant winner
+    //     is engine-independent. ---
+    "asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      TemporalJoins.asofJoin(purchases, clicks, Seq("user_id"), "ts",
+          valueCols = Seq("click_id"), rightOrd = "click_id")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("asof_click_id"))
+        .orderBy("event_id")
+    }),
+
+    // --- interval aggregate (range join + count, joinlessly): clicks
+    //     per user within the hour before each purchase, via a RANGE
+    //     frame over the unioned event stream — the inequality-join
+    //     formulation amplifies rows and plans as a nested loop;
+    //     this is one shuffle and zero amplification. ---
+    "range_join_count" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      TemporalJoins.rangeCount(purchases, clicks, Seq("user_id"), "ts",
+          horizonMicros = 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("n_right").as("n_clicks_1h"), col("last_right_us").as("last_click_us"))
+        .orderBy("event_id")
     })
   )
 
@@ -643,6 +682,37 @@ object RelationalQueries {
         |                   FROM customer WHERE c_acctbal > 0)
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_mktsegment
-        |ORDER BY c_mktsegment""".stripMargin
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN is the oracle for the union+window
+    // as-of; clicks pre-deduped per (user, ts) in both engines so the
+    // at-instant winner is engine-independent
+    "asof_join" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        |), clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |)
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  c.click_id AS asof_click_id
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "range_join_count" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        |), clicks AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'click'
+        |)
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  count(c.user_id) AS n_clicks_1h,
+        |  max(epoch_us(c.ts)) AS last_click_us
+        |FROM purchases p LEFT JOIN clicks c
+        |  ON c.user_id = p.user_id
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |GROUP BY 1, 2, 3
+        |ORDER BY event_id""".stripMargin
   )
 }
