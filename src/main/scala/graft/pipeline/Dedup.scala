@@ -148,6 +148,40 @@ object Dedup {
     }
   }
 
+  /** The persisted static-corpus LSH tables (bands, shingles) — the
+    * "index" side of ingest-time dedup: a stream of arriving
+    * documents joins these to find which corpus documents each new
+    * arrival near-duplicates ([[graft.streaming.EventStreams
+    * .nearDupVsCorpusStream]]). At 100 TB these are corpus-sized
+    * DataFrames; persisting keeps micro-batches from rebuilding
+    * them, and a production deployment would additionally bucket
+    * them by the join key ((band, bh) / doc_id) on disk so each
+    * micro-batch's equi-join shuffles only the arriving slice. */
+  def corpusLshTables(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    (bandTable(spark, dir), shingleTable(spark, dir))
+
+  /** Map-side MinHash banding of a (possibly streaming) document
+    * frame: doc_id, shingle set, and one row per (band, band-hash) —
+    * the SAME shingle/signature/band construction as the batch
+    * tables, shared so stream- and corpus-side signatures agree by
+    * construction. Stateless (fingerprinting is doc-local), so it
+    * keeps the stream side of an ingest-dedup join watermark-free. */
+  def streamBands(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), shingles(toks(col(textCol)), 3).as("ss"))
+      .where(size(col("ss")) > 0)
+      .withColumn("hs", shingleHashes(col("ss")))
+    val sigCols = (0 until 16).map(i => minhashSig(col("hs"), i).as(s"sig_$i"))
+    val sigs = base.select(col("doc_id") +: col("ss") +: sigCols: _*)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until 4).map(r => col(s"sig_${b * 4 + r}")): _*)).as("bh"))
+    }
+    sigs
+      .select(col("doc_id"), col("ss"), explode(array(bandStructs: _*)).as("bd"))
+      .select(col("doc_id"), col("ss"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+  }
+
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
     val sh = shingleTable(spark, dir)
     val bands = bandTable(spark, dir)

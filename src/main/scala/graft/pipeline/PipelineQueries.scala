@@ -212,7 +212,7 @@ object PipelineQueries {
     * the `dedup_clusters` connected-components oracle. */
   /** Shared MinHash CTE prefix (toks → sh → sigs → bands), mirroring
     * Dedup's signature construction exactly. */
-  private def minhashCtePrefix: String = {
+  private[graft] def minhashCtePrefix: String = {
     val p = Dedup.MinhashP
     val sigDefs = (0 until 16)
       .map(i => s"list_min(list_transform(hs, h -> (${Dedup.MinhashA(i)} * h + ${Dedup.MinhashB(i)}) % $p)) AS sig_$i")

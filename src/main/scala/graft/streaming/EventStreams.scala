@@ -297,6 +297,43 @@ object EventStreams {
       .select(col("band_pos"), col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Ingest-time near-duplicate detection against a STATIC indexed
+    * corpus — the online form of [[graft.pipeline.Dedup.minhashLsh]]:
+    * every arriving document is MinHash-banded MAP-SIDE
+    * ([[graft.pipeline.Dedup.streamBands]], stateless), stream-static
+    * joined to the corpus band table on (band, band-hash) for
+    * candidates, then stream-static joined to the corpus shingle
+    * table to verify exact 3-shingle Jaccard >= `threshold`. Both
+    * joins are STATELESS (no watermark, no state store): all state
+    * lives in the persisted static tables, so the stream runs forever
+    * at constant memory — the shape of a production "is this new
+    * crawl page already in the training set?" filter. Self-matches
+    * are excluded by id; per (band, stream doc, corpus doc) rows keep
+    * the append-mode output deterministic without a stateful
+    * distinct.
+    *
+    * @param corpusBands    static (doc_id, band, bh) — [[graft.pipeline.Dedup.corpusLshTables]]._1
+    * @param corpusShingles static (doc_id, ss)       — [[graft.pipeline.Dedup.corpusLshTables]]._2
+    */
+  def nearDupVsCorpusStream(docs: DataFrame, corpusBands: DataFrame,
+      corpusShingles: DataFrame, textCol: String = "text",
+      threshold: Double = 0.6): DataFrame = {
+    val sb = graft.pipeline.Dedup.streamBands(docs, textCol)
+    val cand = sb.join(
+        corpusBands.select(col("doc_id").as("corpus_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .where(col("corpus_id") =!= col("doc_id"))
+    cand.join(
+        corpusShingles.select(col("doc_id").as("corpus_id"), col("ss").as("ssy")),
+        Seq("corpus_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("ss"), col("ssy"))).cast("double") /
+          size(array_union(col("ss"), col("ssy"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("band"), col("doc_id"), col("corpus_id"),
+        graft.functions.Rounding.roundEven(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Convenience: run a streaming query over a memory sink until all
     * available data is processed; returns the sink table name.
     *

@@ -166,6 +166,19 @@ object StreamQueries {
         .select(col("band_pos"), col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy("band_pos", "doc_a", "doc_b")
     }),
+    // ingest-time dedup against the static indexed corpus: stateless
+    // stream-static band join + Jaccard verify (all state in the
+    // persisted corpus tables; constant-memory forever-stream shape)
+    "stream_dedup_vs_corpus" -> ((s, dir) => {
+      val name = s"stream_dvc_${sinkId.incrementAndGet()}"
+      val (bands, sh) = graft.pipeline.Dedup.corpusLshTables(s, dir)
+      EventStreams.runToMemorySink(
+        EventStreams.nearDupVsCorpusStream(stagedDocs(s, dir), bands, sh),
+        name, OutputMode.Append())
+      s.table(name)
+        .select(col("band"), col("doc_id"), col("corpus_id"), col("jaccard"))
+        .orderBy("band", "doc_id", "corpus_id")
+    }),
     "stream_trending_terms" -> ((s, dir) => {
       val name = s"stream_trending_${sinkId.incrementAndGet()}"
       EventStreams.runToMemorySink(
@@ -296,6 +309,27 @@ object StreamQueries {
          |  AND b.doc_id > a.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY a.band_pos, doc_a, doc_b""".stripMargin,
+
+    // batch replay of the ingest-dedup band join: every doc as the
+    // arriving side vs every OTHER doc as the corpus side, per-band
+    // rows, Jaccard-verified — the directed form of dedup_minhash
+    "stream_dedup_vs_corpus" ->
+      s"""${graft.pipeline.PipelineQueries.minhashCtePrefix}, cand AS (
+         |  SELECT a.band AS band, a.doc_id AS sdoc, b.doc_id AS corpus_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND b.doc_id <> a.doc_id
+         |), j AS (
+         |  SELECT band, sdoc, corpus_id,
+         |    len(list_intersect(sa.ss, sb.ss))::DOUBLE
+         |      / len(list_distinct(sa.ss || sb.ss)) AS jaccard
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = cand.sdoc
+         |  JOIN sh sb ON sb.doc_id = cand.corpus_id
+         |)
+         |SELECT band, sdoc AS doc_id, corpus_id,
+         |  round_even(jaccard * 1e4, 0) / 1e4 AS jaccard
+         |FROM j WHERE jaccard >= 0.6
+         |ORDER BY band, doc_id, corpus_id""".stripMargin,
 
     // synthetic event time = base + doc_id minutes → 1h windows hold
     // 60 docs; the base is hour-aligned so windows start on it

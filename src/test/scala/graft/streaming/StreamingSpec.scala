@@ -125,6 +125,36 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("ingest dedup vs static corpus flags near-copies, stays stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "completely different corpus content about spark engines")
+    ).toDF("doc_id", "text")
+    val corpusBands = Dedup.streamBands(corpus)
+      .select("doc_id", "band", "bh")
+    val corpusShingles = Dedup.streamBands(corpus)
+      .select("doc_id", "ss").distinct()
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val out = EventStreams.nearDupVsCorpusStream(docs, corpusBands, corpusShingles)
+    val q = out.writeStream.format("memory").queryName("dvc_sink")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"), // exact copy of 100
+      (2L, "nothing in common with anything here at all whatsoever"))
+    q.processAllAvailable()
+    val got = spark.table("dvc_sink")
+      .select("doc_id", "corpus_id", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty && got.forall(r => r._1 == 1L && r._2 == 100L && r._3 == 1.0), got.toSeq)
+    // stateless: the plan must not have grown a state store
+    assert(q.lastProgress.stateOperators.isEmpty,
+      q.lastProgress.stateOperators.mkString(","))
+    q.stop()
+  }
+
   test("transformWithState keeps a bounded running top-k per user") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState requires the RocksDB state store provider
