@@ -60,6 +60,7 @@ object PipelineQueries {
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
     "repetition_signals" -> ((s, dir) => TextAnalysis.repetitionSignals(s, dir)),
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
+    "distinct_hll" -> ((s, dir) => TextAnalysis.distinctTokensHll(s, dir)),
     "fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
     "fingerprint_winnow" -> ((s, dir) => TextAnalysis.winnowing(s, dir)),
     "multimodal_meta" -> ((s, dir) => Multimodal.decodeMeta(s, dir)),
@@ -777,6 +778,14 @@ object PipelineQueries {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_ish_tokens,
         |  length(text) AS n_chars_utf8
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the accuracy contract (q26 convention): the sketch estimate must
+    // sit within 5% (~3 sigma at lgK=12) of the exact distinct count
+    "distinct_hll" ->
+      s"""$toksCte
+         |SELECT lang, count(DISTINCT term) AS n_exact, TRUE AS hll_ok
+         |FROM (SELECT lang, unnest(tokens) AS term FROM toks)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "fingerprints" ->
       s"""$toksCte

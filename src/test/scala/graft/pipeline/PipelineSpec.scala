@@ -299,6 +299,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(contained >= 0.9, s"int8 top-10-in-exact-top-30 $contained below 0.9")
   }
 
+  test("HLL sketches: contract holds and partial sketches merge losslessly") {
+    val got = TextAnalysis.distinctTokensHll(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Boolean)].collect()
+    assert(got.nonEmpty && got.forall(_._3), got.toSeq)
+    // mergeability — the property that makes the sketch the scale
+    // shape: union of per-half sketches == sketch of the whole
+    val terms = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+      .where(col("term") =!= "")
+    val whole = terms
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(term, 12))")).as[Long].head()
+    val halves = terms
+      .groupBy((col("doc_id") % 2).as("half"))
+      .agg(expr("hll_sketch_agg(term, 12)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).as[Long].head()
+    assert(whole == halves, s"union estimate $halves != direct $whole")
+  }
+
   test("language profiles are distinct and lowercase") {
     val langs = TextAnalysis.LangProfiles.map(_._1)
     assert(langs == langs.sorted && langs.distinct == langs)
