@@ -678,6 +678,169 @@ object Simhash64 {
   }
 }
 
+/** `multi_count_in(tokens, lists)` — per-list membership counts over
+  * SEVERAL word lists in ONE pass: returns `array<int>` where slot i
+  * is the number of tokens appearing in `lists(i)`. Replaces N
+  * separate `array_count_in` probes (each a linear scan of its word
+  * list per token — the language-ID hot path did 5 probes x ~25-word
+  * lists ≈ 60+ string compares per token) with a single hash lookup
+  * per token against a prebuilt term → list-indices map. A term may
+  * appear in several lists (e.g. a stopword shared by two languages)
+  * and then counts in each, exactly as the independent probes did. */
+case class MultiCountIn(child: Expression, lists: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "multi_count_in"
+
+  @transient private lazy val lookup = MultiCountIn.buildLookup(lists)
+
+  override protected def nullSafeEval(arr: Any): Any =
+    MultiCountIn.compute(arr.asInstanceOf[ArrayData], lookup, lists.length)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // InSet's pattern: ship the prebuilt map as a reference object
+    val mapRef = ctx.addReferenceObj("multiCountInMap", lookup,
+      "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.MultiCountIn.compute($arr, $mapRef, ${lists.length});")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiCountIn =
+    copy(child = newChild)
+}
+
+object MultiCountIn {
+  def buildLookup(lists: Seq[Seq[String]]): java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    for ((words, i) <- lists.zipWithIndex; w <- words) {
+      val k = UTF8String.fromString(w)
+      val prev = m.get(k)
+      m.put(k, if (prev == null) Array(i) else prev :+ i)
+    }
+    m
+  }
+
+  /** Static so generated code can call it directly. */
+  def compute(tokens: ArrayData,
+      map: java.util.HashMap[UTF8String, Array[Int]], nLists: Int): ArrayData = {
+    val counts = new Array[Int](nLists)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val hit = map.get(tokens.getUTF8String(i))
+        if (hit != null) {
+          var j = 0
+          while (j < hit.length) { counts(hit(j)) += 1; j += 1 }
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(counts)
+  }
+}
+
+/** `multi_substr_count(text, lists)` — per-list totals of substring
+  * occurrences over SEVERAL pattern lists in ONE pass over the text:
+  * slot i is the sum over `lists(i)`'s patterns of that pattern's
+  * greedy left-to-right NON-OVERLAPPING occurrence count — exactly
+  * the `(length(text) - length(replace(text, p, ''))) / len(p)`
+  * counting the trigram language-ID entry used, which scanned the
+  * text once per (language, trigram) pair (50 scans). Matching is on
+  * UTF-8 bytes (self-synchronizing, so byte matches are always
+  * char-boundary matches — identical to the char-level replace
+  * semantics in both engines); patterns are limited to 8 bytes so a
+  * window packs into one long hash key. */
+case class MultiSubstrCount(child: Expression, lists: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "multi_substr_count"
+
+  @transient private lazy val plan = MultiSubstrCount.compile(lists)
+
+  override protected def nullSafeEval(txt: Any): Any =
+    MultiSubstrCount.compute(txt.asInstanceOf[UTF8String], plan)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planRef = ctx.addReferenceObj("multiSubstrPlan", plan,
+      classOf[MultiSubstrCount.Plan].getName)
+    nullSafeCodeGen(ctx, ev, txt =>
+      s"${ev.value} = graft.functions.MultiSubstrCount.compute($txt, $planRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiSubstrCount =
+    copy(child = newChild)
+}
+
+object MultiSubstrCount {
+  /** Compiled matcher: patterns grouped by byte length, each length's
+    * windows keyed by the bytes packed big-endian into a long. */
+  case class Plan(lengths: Array[Int],
+      maps: Array[java.util.HashMap[java.lang.Long, Array[Int]]],
+      patList: Array[Int], nLists: Int, nPats: Int) extends Serializable
+
+  def compile(lists: Seq[Seq[String]]): Plan = {
+    val pats: Seq[(Array[Byte], Int)] =
+      for ((ws, li) <- lists.zipWithIndex; w <- ws)
+        yield (w.getBytes(java.nio.charset.StandardCharsets.UTF_8), li)
+    require(pats.forall { case (b, _) => b.length >= 1 && b.length <= 8 },
+      "multi_substr_count patterns must be 1-8 UTF-8 bytes")
+    val lengths = pats.map(_._1.length).distinct.sorted.toArray
+    val maps = lengths.map(_ => new java.util.HashMap[java.lang.Long, Array[Int]]())
+    val patListB = Array.newBuilder[Int]
+    for (((bs, li), pid) <- pats.zipWithIndex) {
+      val mi = lengths.indexOf(bs.length)
+      val key = java.lang.Long.valueOf(packKey(bs, 0, bs.length))
+      val prev = maps(mi).get(key)
+      maps(mi).put(key, if (prev == null) Array(pid) else prev :+ pid)
+      patListB += li
+    }
+    Plan(lengths, maps, patListB.result(), lists.length, pats.length)
+  }
+
+  private def packKey(b: Array[Byte], from: Int, len: Int): Long = {
+    var k = 0L
+    var i = 0
+    while (i < len) { k = (k << 8) | (b(from + i) & 0xffL); i += 1 }
+    // disambiguate lengths sharing a map would need the length in the
+    // key; maps are per-length, so the packed bytes alone suffice
+    k
+  }
+
+  /** Static so generated code can call it directly. */
+  def compute(txt: UTF8String, plan: Plan): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = txt.getBytes
+    val n = b.length
+    val counts = new Array[Long](plan.nLists)
+    val lastEnd = new Array[Int](plan.nPats)
+    var li = 0
+    while (li < plan.lengths.length) {
+      val L = plan.lengths(li)
+      val m = plan.maps(li)
+      var i = 0
+      while (i + L <= n) {
+        val hit = m.get(java.lang.Long.valueOf(packKey(b, i, L)))
+        if (hit != null) {
+          var j = 0
+          while (j < hit.length) {
+            val pid = hit(j)
+            if (i >= lastEnd(pid)) {
+              counts(plan.patList(pid)) += 1L
+              lastEnd(pid) = i + L
+            }
+            j += 1
+          }
+        }
+        i += 1
+      }
+      li += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(counts)
+  }
+}
+
 /** `near_count(tokens, a, b, dist)` — number of unordered proximity
   * pairs: positions (i, j) with tokens(i)=a, tokens(j)=b and
   * |i - j| <= dist (i < j when a = b, so a pair is never a token
@@ -885,6 +1048,28 @@ object SearchExpressions {
       info("simhash64",
         "simhash64(tokens) - 64-bit SimHash fingerprint of the token array, one in-row pass"),
       (exprs: Seq[Expression]) => Simhash64(exprs(0))),
+    (FunctionIdentifier("multi_count_in"),
+      info("multi_count_in",
+        "multi_count_in(tokens, lists) - per-list membership counts over several word lists in one pass"),
+      (exprs: Seq[Expression]) => {
+        val ad = exprs(1).eval().asInstanceOf[ArrayData]
+        val lists = (0 until ad.numElements()).map { i =>
+          val inner = ad.getArray(i)
+          (0 until inner.numElements()).map(j => inner.getUTF8String(j).toString).toSeq
+        }.toSeq
+        MultiCountIn(exprs(0), lists)
+      }),
+    (FunctionIdentifier("multi_substr_count"),
+      info("multi_substr_count",
+        "multi_substr_count(text, lists) - per-list non-overlapping substring occurrence totals in one pass"),
+      (exprs: Seq[Expression]) => {
+        val ad = exprs(1).eval().asInstanceOf[ArrayData]
+        val lists = (0 until ad.numElements()).map { i =>
+          val inner = ad.getArray(i)
+          (0 until inner.numElements()).map(j => inner.getUTF8String(j).toString).toSeq
+        }.toSeq
+        MultiSubstrCount(exprs(0), lists)
+      }),
     (FunctionIdentifier("near_count"),
       info("near_count",
         "near_count(tokens, a, b, dist) - unordered proximity pairs of a and b within dist positions"),

@@ -38,8 +38,13 @@ object TextAnalysis {
     graft.functions.SearchExpressions.register(spark)
     val base = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("lang").as("actual_lang"), toks(col("text")).as("tokens"))
-    val scored = LangProfiles.foldLeft(base) { case (df, (l, words)) =>
-      df.withColumn(s"s_$l", countIn(col("tokens"), words))
+      // all 5 profiles in ONE token pass (hash lookup per token)
+      // instead of 5 array_count_in probes scanning their word lists
+      .withColumn("__mc", call_function("multi_count_in", col("tokens"),
+        array(LangProfiles.map { case (_, ws) => array(ws.map(lit): _*) }: _*)))
+    val scored = LangProfiles.zipWithIndex.foldLeft(base) {
+      case (df, ((l, _), i)) =>
+        df.withColumn(s"s_$l", element_at(col("__mc"), i + 1))
     }
     val langs = LangProfiles.map(_._1)
     val pred = langs.init.foldRight(lit(langs.last)) { (l, rest) =>
@@ -70,13 +75,18 @@ object TextAnalysis {
     * Pure Column arithmetic (one regexp-free scan per profile
     * trigram), SQL-replicable for the oracle. */
   def langIdNgram(spark: SparkSession, dir: String): DataFrame = {
-    val lowered = lower(col("text"))
-    def count3(g: String): Column =
-      ((length(lowered) - length(replace(lowered, lit(g), lit("")))) / 3).cast("long")
+    graft.functions.SearchExpressions.register(spark)
     val base = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("lang").as("actual_lang"), col("text"))
-    val scored = TrigramProfiles.foldLeft(base) { case (df, (l, gs)) =>
-      df.withColumn(s"s_$l", gs.map(count3).reduceLeft(_ + _))
+      // one pass over the text for all 50 (language, trigram) pairs —
+      // the length(replace(...)) formulation scanned the text once per
+      // pair; multi_substr_count replicates its greedy non-overlapping
+      // occurrence counting byte-exactly
+      .withColumn("__msc", call_function("multi_substr_count", lower(col("text")),
+        array(TrigramProfiles.map { case (_, gs) => array(gs.map(lit): _*) }: _*)))
+    val scored = TrigramProfiles.zipWithIndex.foldLeft(base) {
+      case (df, ((l, _), i)) =>
+        df.withColumn(s"s_$l", element_at(col("__msc"), i + 1))
     }
     val langs = TrigramProfiles.map(_._1)
     val pred = langs.init.foldRight(lit(langs.last)) { (l, rest) =>

@@ -46,6 +46,50 @@ class FunctionsSpec extends AnyFunSuite {
     assert(native == hof)
   }
 
+  test("multi_count_in matches independent array_count_in probes, lists may overlap") {
+    SearchExpressions.register(spark)
+    val lists = Seq(Seq("the", "and"), Seq("la", "de"), Seq("the", "la")) // overlaps both
+    val df = Seq(
+      (1L, Seq("the", "la", "the", "cat")),
+      (2L, Seq.empty[String]),
+      (3L, Seq("de", "xyz", null))
+    ).toDF("id", "arr")
+    val listsLit = array(lists.map(ws => array(ws.map(lit): _*)): _*)
+    val fused = df.select($"id", call_function("multi_count_in", $"arr", listsLit).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val probes = df.select($"id" +:
+        lists.zipWithIndex.map { case (ws, i) =>
+          call_function("array_count_in", $"arr", array(ws.map(lit): _*)).as(s"c$i")
+        }: _*)
+      .as[(Long, Int, Int, Int)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
+    assert(fused == probes, s"fused=$fused probes=$probes")
+    assert(fused(1L) == Seq(2, 1, 3)) // 'the' x2; 'la' x1; 'the'+'the'+'la' = 3
+  }
+
+  test("multi_substr_count matches length(replace()) greedy non-overlap counting") {
+    SearchExpressions.register(spark)
+    val lists = Seq(Seq("aa", "the"), Seq("he ", "héé"))
+    val df = Seq(
+      (1L, "aaaa the cat"),       // 'aa' greedy -> 2 (not 3 sliding)
+      (2L, "the héé and the end"),
+      (3L, ""),
+      (4L, "ééaaéé aa héé he ")   // multi-byte neighbors, ASCII pattern
+    ).toDF("id", "txt")
+    val listsLit = array(lists.map(ws => array(ws.map(lit): _*)): _*)
+    val fused = df.select($"id",
+        call_function("multi_substr_count", $"txt", listsLit).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def cnt(g: String) =
+      ((length($"txt") - length(replace($"txt", lit(g), lit("")))) / g.length).cast("long")
+    val ref = df.select($"id" +: lists.zipWithIndex.map { case (ws, i) =>
+        ws.map(cnt).reduceLeft(_ + _).as(s"c$i")
+      }: _*)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> Seq(r._2, r._3)).toMap
+    assert(fused == ref, s"fused=$fused ref=$ref")
+    assert(fused(1L) == Seq(3L, 1L)) // aa x2 (greedy) + the x1; "he " inside "the cat"
+  }
+
   test("array_total_strlen matches aggregate(transform(length)) HOF") {
     SearchExpressions.register(spark)
     val df = Seq(
