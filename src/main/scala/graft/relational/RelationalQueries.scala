@@ -387,6 +387,21 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // --- salted equi-join (skew fallback): the 150 hot user keys
+    //     spread over (key, salt) reducers, dim side replicated
+    //     nSalts times; identical result to the plain join ---
+    "q27_skew_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("value"), col("event_id"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.functions.SkewUtils
+        .saltedJoin(ev, cust, Seq("user_id"), nSalts = 8, saltBy = Seq(col("event_id")))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"), decSum(col("value"), 4).as("sum_value"))
+        .orderBy("c_mktsegment")
+    }),
+
     // --- as-of join (point-in-time lookup): each purchase joined to
     //     the user's latest click at or before it — union + window,
     //     ONE shuffle, no join node, no row amplification
@@ -683,6 +698,13 @@ object RelationalQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    // plain join+agg: the salted join must be result-identical
+    "q27_skew_join" ->
+      """SELECT c_mktsegment, count(1) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // DuckDB's native ASOF LEFT JOIN is the oracle for the union+window
     // as-of; clicks pre-deduped per (user, ts) in both engines so the

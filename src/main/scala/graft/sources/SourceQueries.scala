@@ -94,6 +94,20 @@ object SourceQueries {
         .orderBy("page_id")
     }),
 
+    // hive-partitioned corpus layout: write documents partitioned by
+    // lang (+ in-file doc_id ordering), read back with a partition
+    // filter — the driver prunes to one subtree before any task runs
+    // (PlanShapeSpec pins PartitionFilters on the scan); the round
+    // trip must be lossless per partition
+    "source_partitioned" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      PartitionedCorpus.docsByLang(s, dir)
+        .where(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
+    }),
+
     // WARC file -> framed records with headers and bodies
     "source_warc" -> ((s, _) =>
       Warc.read(s, warcDirPath)
@@ -126,6 +140,12 @@ object SourceQueries {
     Map(
       "source_wiki_xml" -> wikiSql,
       "source_wiki_roundtrip" -> wikiSql,
-      "source_warc" -> warcSql)
+      "source_warc" -> warcSql,
+      // the layout round trip must be lossless: per-source stats of
+      // the lang='en' partition equal the unpartitioned table's
+      "source_partitioned" ->
+        """SELECT source, count(1) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents WHERE lang = 'en'
+          |GROUP BY source ORDER BY source""".stripMargin)
   }
 }

@@ -56,6 +56,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!read.contains("l_shipdate") || read.count(_ == ',') < 6, read)
   }
 
+  test("partitioned corpus layout: lang filter becomes driver-side partition pruning") {
+    val df = sources.PartitionedCorpus.docsByLang(spark, sf)
+      .where(col("lang") === "en").select(col("source"), col("n_chars"))
+    val p = plan(df)
+    // pruning is a PartitionFilter on the scan, not a post-scan Filter
+    assert(p.contains("PartitionFilters: [isnotnull(lang") ||
+      p.contains("PartitionFilters: [(lang"), p.take(800))
+    assert("\\(lang#\\d+ = en\\)".r.findFirstIn(p).isDefined, p.take(800))
+    // the pruned scan reads only the projected data columns — text
+    // stays unread, lang comes from the directory, not the file
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(!read.contains("text") && !read.contains("lang"), read)
+  }
+
   test("dimension joins broadcast instead of shuffling the fact side") {
     val p = plan(relational.RelationalQueries.queries("q4_dim_join")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(600))
