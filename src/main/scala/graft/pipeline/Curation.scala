@@ -355,6 +355,46 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Token-budget data selection: keep the highest-quality documents
+    * per language until a token budget is exhausted — the "select the
+    * best N-token subset" step between quality scoring and training.
+    * Semantics are the greedy prefix of docs ordered by
+    * (quality DESC, doc_id) per language, kept while the running
+    * token total stays within `budget`.
+    *
+    * The naive formulation is a per-language GLOBAL SORT of the whole
+    * corpus under one window. This one never sorts the corpus: quality
+    * is 4-dp rounded, so a (lang, quality) histogram has at most
+    * 10^4+1 rows per language — the cumulative-token threshold walk
+    * happens on that TINY table, and documents then need only a
+    * within-bucket (lang, quality) cumsum window whose partitions are
+    * single quality buckets, not languages. cum_before(bucket) +
+    * within-bucket cumsum equals the naive global cumsum exactly, so
+    * the result is identical (the oracle IS the naive formulation). */
+  def selectBudget(spark: SparkSession, dir: String, budget: Long = 500L): DataFrame = {
+    graft.functions.SearchExpressions.register(spark) // qualityExpr's array_count_in
+    val q = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("tokens"))
+      .select(col("doc_id"), col("lang"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        TextAnalysis.qualityExpr(col("tokens")).as("quality"))
+    val wq = Window.partitionBy(col("lang")).orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = q.groupBy(col("lang"), col("quality"))
+      .agg(sum(col("n_tokens")).as("__bucket_tokens"))
+      .withColumn("__cum_before",
+        sum(col("__bucket_tokens")).over(wq) - col("__bucket_tokens"))
+      .select(col("lang"), col("quality"), col("__cum_before"))
+    val wb = Window.partitionBy(col("lang"), col("quality")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.join(hist, Seq("lang", "quality")) // histogram side: AQE broadcasts
+      .withColumn("cum_tokens", col("__cum_before") + sum(col("n_tokens")).over(wb))
+      .where(col("cum_tokens") <= budget)
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("quality"),
+        col("cum_tokens"))
+      .orderBy("lang", "doc_id")
+  }
+
   /** PII patterns shared by the scrubber and its oracle — written in
     * the dialect subset Java regex and RE2 agree on (no lookaround,
     * no backreferences; `\b` and bounded repetition are fine in

@@ -61,6 +61,7 @@ object PipelineQueries {
     "repetition_signals" -> ((s, dir) => TextAnalysis.repetitionSignals(s, dir)),
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
     "distinct_hll" -> ((s, dir) => TextAnalysis.distinctTokensHll(s, dir)),
+    "select_budget" -> ((s, dir) => Curation.selectBudget(s, dir)),
     "fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
     "fingerprint_winnow" -> ((s, dir) => TextAnalysis.winnowing(s, dir)),
     "multimodal_meta" -> ((s, dir) => Multimodal.decodeMeta(s, dir)),
@@ -778,6 +779,32 @@ object PipelineQueries {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_ish_tokens,
         |  length(text) AS n_chars_utf8
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the NAIVE greedy-prefix formulation (per-lang global sort) — the
+    // Spark side's histogram-threshold plan must reproduce it exactly
+    "select_budget" -> {
+      val stops = TextAnalysis.LangProfiles.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""$toksCte, q AS (
+         |  SELECT doc_id, lang, len(tokens) AS n_tokens,
+         |    round_even((least(len(tokens) / 100.0, 1.0) * (1 - stop_ratio) * ttr) * 1e4, 0) / 1e4 AS quality
+         |  FROM (
+         |    SELECT doc_id, lang, tokens,
+         |      round_even((len(list_distinct(tokens))::DOUBLE / greatest(len(tokens), 1)) * 1e4, 0) / 1e4 AS ttr,
+         |      round_even((len(list_filter(tokens, x -> list_contains($stops, x)))::DOUBLE
+         |        / greatest(len(tokens), 1)) * 1e4, 0) / 1e4 AS stop_ratio
+         |    FROM toks
+         |  )
+         |), ranked AS (
+         |  SELECT lang, doc_id, n_tokens, quality,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM q
+         |)
+         |SELECT lang, doc_id, n_tokens, quality, cum_tokens
+         |FROM ranked WHERE cum_tokens <= 500
+         |ORDER BY lang, doc_id""".stripMargin
+    },
 
     // the accuracy contract (q26 convention): the sketch estimate must
     // sit within 5% (~3 sigma at lgK=12) of the exact distinct count

@@ -220,6 +220,21 @@ object TextAnalysis {
         length(col("text")).as("n_chars_utf8"))
       .orderBy("doc_id")
 
+  /** The [[qualityScore]] scalar as one Column over a token array —
+    * shared with [[Curation.selectBudget]] so selection ranks by the
+    * exact same (4-dp-rounded) quality the scoring entry reports. */
+  private[pipeline] def qualityExpr(tokens: Column): Column = {
+    import graft.functions.Rounding.roundEven
+    val n = size(tokens)
+    val ttr = roundEven(size(array_distinct(tokens)).cast("double") /
+      greatest(n, lit(1)), 4)
+    val stopRatio = roundEven(
+      countIn(tokens, LangProfiles.toMap.apply("en")).cast("double") /
+        greatest(n, lit(1)), 4)
+    roundEven(least(n.cast("double") / 100.0, lit(1.0)) *
+      (lit(1.0) - stopRatio) * ttr, 4)
+  }
+
   /** Distinct-token cardinality per language, exact AND by Datasketches
     * HyperLogLog (`hll_sketch_agg`, lgConfigK=12 → ~1.6% relative
     * standard error). The sketch is THE 100 TB shape for distinct
