@@ -99,6 +99,18 @@ object Walkthrough {
     graft.pipeline.Curation.unigramLogprob(spark, dir)
       .orderBy(col("mean_neg_logprob").desc).show(5, false)
 
+    // 9. selecting the training set: keep the best docs per language
+    // under a token budget, then ingest-time dedup — would a stream
+    // of NEW documents duplicate what we just selected?
+    println("token-budget selection (best docs per lang, 500 tokens each):")
+    graft.pipeline.Curation.selectBudget(spark, dir).show(5, false)
+    val (bands, shingles) = graft.pipeline.Dedup.corpusLshTables(spark, dir)
+    println("banded corpus index for ingest-time dedup: " +
+      s"${bands.count()} band rows over ${shingles.count()} docs " +
+      "(join a readStream of arriving docs against these — " +
+      "EventStreams.nearDupVsCorpusStream)")
+    graft.pipeline.Dedup.clearCaches()
+
     idx.unpersist()
     spark.stop()
   }
