@@ -463,6 +463,55 @@ object ShingleHashes {
   }
 }
 
+/** `shingle_strings(tokens, n)` — distinct n-token shingles joined by
+  * single spaces, first-occurrence order, as `array<string>`; empty
+  * array when the document has fewer than n tokens. Value-identical
+  * to the Column pipeline
+  * `array_distinct(transform(sequence(...), i => concat_ws(" ", element_at...)))`
+  * for null-free token arrays (the analyzer never emits nulls), but
+  * ONE codegen'd pass. The Column form has a scale hazard this
+  * expression removes: when `tokens` is an inline expression rather
+  * than a materialized attribute, Catalyst substitutes it into the
+  * lambda body, so `element_at(toks(text), i + o)` re-tokenizes the
+  * document once per shingle element (~3x shingle count) — the
+  * measured cause of a 25s/5k-doc streaming-dedup micro-batch. */
+case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_strings"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    ShingleStrings.compute(arr.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.ShingleStrings.compute($arr, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
+}
+
+object ShingleStrings {
+  /** Static so generated code can call it directly. */
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    val numSh = len - n + 1
+    if (numSh <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[AnyRef](0))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < numSh) {
+      ShingleDigest.appendShingle(sb, tokens, i, n)
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray(new Array[AnyRef](seen.size)))
+  }
+}
+
 /** `repetition_stats(tokens)` — per-document n-gram repetition
   * signals in ONE in-row pass: `top2_chars` = (count × char length)
   * of the most frequent 2-gram (ties break on count desc, length
@@ -1034,6 +1083,11 @@ object SearchExpressions {
       info("shingle_hashes",
         "shingle_hashes(tokens, n) - sorted distinct 60-bit md5-prefix hashes of n-token shingles"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("shingle_strings"),
+      info("shingle_strings",
+        "shingle_strings(tokens, n) - distinct space-joined n-token shingles, first-occurrence order"),
+      (exprs: Seq[Expression]) => ShingleStrings(exprs(0),
         exprs(1).eval().asInstanceOf[Int])),
     (FunctionIdentifier("repetition_stats"),
       info("repetition_stats",

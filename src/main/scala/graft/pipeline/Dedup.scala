@@ -126,8 +126,10 @@ object Dedup {
     * expression into the scan-level filter and evaluate it per row. */
   private def shingleTable(spark: SparkSession, dir: String): DataFrame =
     persistOnce(s"minhash_sh#$dir") {
+      graft.functions.SearchExpressions.register(spark)
       docTokens(spark, dir)
-        .select(col("doc_id"), shingles(col("tokens"), 3).as("ss"))
+        .select(col("doc_id"),
+          call_function("shingle_strings", col("tokens"), lit(3)).as("ss"))
         .withColumn("hs", shingleHashes(col("ss"))) // hashed once, cached
     }.where(size(col("ss")) > 0)
 
@@ -167,8 +169,16 @@ object Dedup {
     * construction. Stateless (fingerprinting is doc-local), so it
     * keeps the stream side of an ingest-dedup join watermark-free. */
   def streamBands(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // The shingle set MUST be built by the one-pass native expression
+    // from a materialized `tokens` attribute: inlining `toks(text)`
+    // into the Column-level shingle lambda makes Catalyst re-tokenize
+    // the document per shingle element (measured 25s/5k-doc
+    // micro-batches — see [[graft.functions.ShingleStrings]]).
+    graft.functions.SearchExpressions.register(docs.sparkSession)
     val base = docs
-      .select(col("doc_id"), shingles(toks(col(textCol)), 3).as("ss"))
+      .select(col("doc_id"), toks(col(textCol)).as("tokens"))
+      .select(col("doc_id"),
+        call_function("shingle_strings", col("tokens"), lit(3)).as("ss"))
       .where(size(col("ss")) > 0)
       .withColumn("hs", shingleHashes(col("ss")))
     val sigCols = (0 until 16).map(i => minhashSig(col("hs"), i).as(s"sig_$i"))

@@ -126,6 +126,29 @@ class CurationSpec extends AnyFunSuite {
     assert(short.isEmpty)
   }
 
+  test("shingle_strings equals the Column shingle pipeline, first-occurrence order") {
+    import org.apache.spark.sql.functions._
+    graft.functions.SearchExpressions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), graft.analysis.Analyzers.default.tokensCol(col("text")).as("tokens"))
+    for (n <- Seq(3, 5)) {
+      val native = docs
+        .select(col("doc_id"),
+          call_function("shingle_strings", col("tokens"), lit(n)).as("ss"))
+        .as[(Long, Seq[String])].collect().toMap
+      val viaColumns = docs
+        .select(col("doc_id"), Dedup.shingles(col("tokens"), n).as("ss"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(native.keySet == viaColumns.keySet)
+      native.foreach { case (id, ss) => assert(ss == viaColumns(id), s"doc $id n=$n") }
+    }
+    // short docs (< n tokens) yield an empty array, not null
+    val short = Seq((1L, Seq("a", "b"))).toDF("doc_id", "tokens")
+      .select(call_function("shingle_strings", col("tokens"), lit(5)).as("ss"))
+      .as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
   test("repetitionSignals native expression equals the shuffle pipeline") {
     val fast = TextAnalysis.repetitionSignals(spark, dir)
       .as[(Long, Long, Double, Double, Double)].collect().toSeq
