@@ -463,6 +463,52 @@ object ShingleHashes {
   }
 }
 
+/** `gram_hashes(tokens, n)` — POSITIONAL 60-bit md5-prefix hashes of
+  * the document's n-token grams, one per start position in order
+  * (NOT sorted, NOT deduplicated — index i is the gram starting at
+  * token i), as `array<long>`; empty array when the document has
+  * fewer than n tokens. The positional variant of [[ShingleHashes]]:
+  * exact-substring span detection (Lee et al. 2022-style "dedupe any
+  * window occurring twice in the corpus") needs (position, hash)
+  * pairs so flagged windows can be merged into maximal duplicated
+  * spans. Hash equals `conv(substring(md5(gram),1,15),16,10)` so SQL
+  * oracles reproduce it with `('0x' || substr(md5(g),1,15))::BIGINT`. */
+case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    GramHashes.compute(arr.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.GramHashes.compute($arr, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+}
+
+object GramHashes {
+  /** Static so generated code can call it directly. */
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    val numSh = len - n + 1
+    if (numSh <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Long](0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder
+    val hs = new Array[Long](numSh)
+    var i = 0
+    while (i < numSh) {
+      ShingleDigest.appendShingle(sb, tokens, i, n)
+      hs(i) = ShingleDigest.top60(ShingleDigest.digest(md, sb))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(hs)
+  }
+}
+
 /** `shingle_strings(tokens, n)` — distinct n-token shingles joined by
   * single spaces, first-occurrence order, as `array<string>`; empty
   * array when the document has fewer than n tokens. Value-identical
@@ -1088,6 +1134,11 @@ object SearchExpressions {
       info("shingle_strings",
         "shingle_strings(tokens, n) - distinct space-joined n-token shingles, first-occurrence order"),
       (exprs: Seq[Expression]) => ShingleStrings(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("gram_hashes"),
+      info("gram_hashes",
+        "gram_hashes(tokens, n) - positional (unsorted, undeduplicated) 60-bit md5-prefix hashes of n-token grams"),
+      (exprs: Seq[Expression]) => GramHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Int])),
     (FunctionIdentifier("repetition_stats"),
       info("repetition_stats",

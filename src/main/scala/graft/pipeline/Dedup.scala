@@ -211,6 +211,71 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Exact duplicated-substring spans (the "exact substring dedup" of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499): flag every k-token window
+    * whose exact text occurs MORE THAN ONCE corpus-wide (including
+    * repeats within one document), merge overlapping/adjacent flagged
+    * windows into maximal duplicated spans per document, and report
+    * per-doc span counts and the duplicated-token fraction — the
+    * removal signal a pipeline applies before training (docs with
+    * dup_frac 1.0 are whole-doc dups; partial spans are boilerplate
+    * headers/footers the doc-level dedups cannot see).
+    *
+    * Scale shape (the published suffix-array formulation is
+    * single-node; this is the distributed-hash equivalent used at
+    * corpus scale):
+    *  - one codegen'd [[graft.functions.GramHashes]] pass emits a
+    *    positional 60-bit hash per window — longs, not strings, move
+    *    through every downstream exchange;
+    *  - duplicated-window detection is ONE hash-keyed count aggregate
+    *    (partial map-side combine, uniform md5 key → no skew) and the
+    *    flag join-back is a long equi-join; never all-pairs;
+    *  - span merging is a window over (doc_id, pos) — state bounded
+    *    by one document's flagged windows, the classic
+    *    interval-islands pattern (running max of span end, new island
+    *    when the next start clears it);
+    *  - the gram stream is deliberately NOT persisted: it is
+    *    corpus-token-sized, and re-deriving it map-side for the
+    *    join-back is cheaper at 100 TB than caching it.
+    * 60-bit hashes make a false duplicate collision ~n²/2^61; at
+    * trillion-gram scale swap in a 128-bit digest (same plan shape).
+    */
+  def substringSpans(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    graft.functions.SearchExpressions.register(spark)
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), toks(col("text")).as("tokens"))
+      .select(col("doc_id"), size(col("tokens")).as("n_tokens"),
+        call_function("gram_hashes", col("tokens"), lit(k)).as("ghs"))
+    val grams = base.select(col("doc_id"), posexplode(col("ghs")).as(Seq("pos", "h")))
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("occ"))
+      .where(col("occ") > 1).select("h")
+    val flagged = grams.join(dup, "h").select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = flagged
+      .withColumn("prev_end",
+        max(col("pos") + k).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L).otherwise(0L))
+      .withColumn("span", sum(col("new_span")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span"))
+      .agg(min("pos").as("s"), max(col("pos") + k).as("e"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("e") - col("s")).as("dup_tokens"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(
+          graft.functions.Rounding.roundEven(
+            coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"), 4))
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Fuzzy train/eval decontamination: MinHash-LSH restricted to
     * TRAIN x EVAL candidate pairs — the document-level fuzzy
     * complement of [[Curation.decontaminate]]'s exact n-gram overlap

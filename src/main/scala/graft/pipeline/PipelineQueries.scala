@@ -13,6 +13,9 @@ object PipelineQueries {
     "dedup_norm" -> ((s, dir) => Dedup.normalized(s, dir)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
+    // exact duplicated-substring spans (Lee et al. 2022): per-doc
+    // maximal merged spans of 8-token windows occurring >1x corpus-wide
+    "dedup_substring" -> ((s, dir) => Dedup.substringSpans(s, dir)),
     // pair graph → connected components → canonical per cluster (the
     // keep-one step after any near-dup pair generator)
     "dedup_clusters" -> ((s, dir) => Dedup.clusters(s, dir)),
@@ -596,6 +599,54 @@ object PipelineQueries {
          |  GROUP BY 1, 2
          |),
          |${jaccardTail(0.3)}""".stripMargin,
+
+    // exact duplicated-substring spans: positional 8-gram 60-bit
+    // hashes, windows occurring >1x corpus-wide, interval-islands
+    // merge per doc (same window SQL both engines execute)
+    "dedup_substring" -> {
+      val k = 8
+      val parts = (0 until k).map {
+        case 0 => "tokens[i]"
+        case o => s"tokens[i + $o]"
+      }.mkString(" || ' ' || ")
+      s"""$toksCte,
+         |base AS (SELECT doc_id, tokens, len(tokens) AS n_tokens FROM toks),
+         |grams AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, n_tokens - ${k - 2}),
+         |      i -> struct_pack(pos := i - 1,
+         |                       h := ('0x' || substr(md5($parts), 1, 15))::BIGINT)),
+         |      recursive := true)
+         |  FROM base WHERE n_tokens >= $k
+         |),
+         |dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1),
+         |flagged AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    max(pos + $k) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM flagged),
+         |isl2 AS (
+         |  SELECT doc_id, pos,
+         |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+         |  FROM isl),
+         |spans AS (
+         |  SELECT doc_id, span, min(pos) AS s, max(pos + $k) AS e
+         |  FROM isl2 GROUP BY doc_id, span),
+         |perdoc AS (
+         |  SELECT doc_id, count(*) AS n_dup_spans, sum(e - s) AS dup_tokens
+         |  FROM spans GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens::BIGINT AS n_tokens,
+         |  CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+         |  CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  CASE WHEN b.n_tokens = 0 THEN 0.0
+         |       ELSE round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 4)
+         |  END AS dup_frac
+         |FROM base b LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // Gopher-style repetition: line dup fraction (one scan), top-
     // 2-gram and dup-5-gram character coverage (unnest + grouped

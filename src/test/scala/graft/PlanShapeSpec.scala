@@ -183,6 +183,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("substringSpans: long-keyed equi-joins only, no strings in the gram exchange") {
+    val df = pipeline.Dedup.substringSpans(spark, sf)
+    val p = finalPlan(df)
+    // never all-pairs over the gram stream
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the dup-window flag join is keyed on the 60-bit hash — the
+    // exchanges carry (h, doc_id, pos) longs, never gram strings
+    assert(p.contains("hashpartitioning(h#"), p.take(1500))
+    // span merge is the per-doc interval-islands window, not a global sort
+    assert(p.contains("hashpartitioning(doc_id#"), p.take(1500))
+  }
+
   test("piiScrub is map-side only: no shuffle before the harness sort") {
     val p = plan(pipeline.Curation.piiScrub(spark, sf))
     val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq

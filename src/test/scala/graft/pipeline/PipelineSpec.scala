@@ -17,6 +17,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(2) == Nil)
   }
 
+  test("substringSpans merges overlapping windows into maximal spans") {
+    val dir = java.nio.file.Files.createTempDirectory("subspan").toString
+    // shared = a 10-token run duplicated across docs 1 and 2 at
+    // different offsets; with k=8 it flags windows at 3 consecutive
+    // starts that must merge into ONE 10-token span. doc 3 repeats an
+    // 8-token run internally (two flagged windows, disjoint -> two
+    // spans of 8). doc 4 is all-unique (zero spans).
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    val rep = (0 until 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1a u1b $shared u1c u1d u1e"),
+      (2L, s"$shared u2a u2b u2c u2d u2e"),
+      (3L, s"$rep u3a u3b $rep"),
+      (4L, (0 until 30).map(i => s"q$i").mkString(" ")))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    try {
+      val got = Dedup.substringSpans(spark, dir)
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      assert(got == Seq(
+        (1L, 15L, 1L, 10L, 0.6667),
+        (2L, 15L, 1L, 10L, 0.6667),
+        (3L, 18L, 2L, 16L, 0.8889),
+        (4L, 30L, 0L, 0L, 0.0)))
+    } finally Dedup.clearCaches()
+  }
+
+  test("substringSpans is non-vacuous on the synthetic corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Dedup.substringSpans(spark, dir)
+      .agg(sum(when(col("n_dup_spans") > 0, 1).otherwise(0)).as("docs_with_spans"),
+        max(col("dup_frac")).as("max_frac"))
+      .as[(Long, Double)].head()
+    assert(out._1 > 0, "expected at least one doc with a duplicated span")
+    assert(out._2 <= 1.0)
+  }
+
   test("ngramJaccard hot-shingle cap bounds boilerplate candidates") {
     val dir = java.nio.file.Files.createTempDirectory("ngramcap").toString
     // 12 docs sharing ONE boilerplate shingle (plus unique filler) and
