@@ -63,6 +63,8 @@ object PipelineQueries {
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
     "repetition_signals" -> ((s, dir) => TextAnalysis.repetitionSignals(s, dir)),
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
+    // BPE merge-mining counting step: top adjacent pairs corpus-wide
+    "token_pairs" -> ((s, dir) => TextAnalysis.tokenPairStats(s, dir)),
     "distinct_hll" -> ((s, dir) => TextAnalysis.distinctTokensHll(s, dir)),
     "select_budget" -> ((s, dir) => Curation.selectBudget(s, dir)),
     "fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
@@ -830,6 +832,18 @@ object PipelineQueries {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_ish_tokens,
         |  length(text) AS n_chars_utf8
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // BPE pair-mining count: non-distinct adjacent 2-grams, total +
+    // doc-frequency counts, deterministic (n_occ desc, pair) top-30
+    "token_pairs" ->
+      s"""$toksCte,
+         |pairs AS (
+         |  SELECT doc_id, unnest(${ngramAllSql(2)}) AS pair
+         |  FROM toks WHERE len(tokens) >= 2
+         |)
+         |SELECT pair, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+         |FROM pairs GROUP BY pair
+         |ORDER BY n_occ DESC, pair LIMIT 30""".stripMargin,
 
     // the NAIVE greedy-prefix formulation (per-lang global sort) — the
     // Spark side's histogram-threshold plan must reproduce it exactly

@@ -220,6 +220,34 @@ object TextAnalysis {
         length(col("text")).as("n_chars_utf8"))
       .orderBy("doc_id")
 
+  /** Corpus-wide adjacent-token-pair statistics — the counting step of
+    * a BPE merge-mining iteration (Sennrich et al. 2016): every
+    * adjacent pair with its total occurrence count and document
+    * frequency, top-`topK` by count. A tokenizer-training pipeline
+    * runs this, merges the argmax pair, and repeats; the expensive
+    * distributed part is exactly this count, and its scale shape is
+    * one corpus-token-sized explode into a partial-aggregated
+    * (pair)-keyed count — linear, map-side-combined, no skew beyond
+    * natural Zipf (absorbed by the partial agg), top-K bounded via
+    * TakeOrdered (never a global sort). `tokens` is projected as a
+    * materialized attribute BEFORE the pair lambda so element_at
+    * references stay cheap (see [[graft.functions.ShingleStrings]]). */
+  def tokenPairStats(spark: SparkSession, dir: String, topK: Int = 30): DataFrame = {
+    val pairs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), toks(col("text")).as("tokens"))
+      .select(col("doc_id"),
+        // guard: sequence(1, n-1) DESCENDS for n < 2 — emit no pairs
+        explode(when(size(col("tokens")) >= 2,
+          transform(sequence(lit(1), size(col("tokens")) - 1),
+            i => concat_ws(" ", element_at(col("tokens"), i),
+              element_at(col("tokens"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+    pairs.groupBy("pair")
+      .agg(count(lit(1)).as("n_occ"), count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** The [[qualityScore]] scalar as one Column over a token array —
     * shared with [[Curation.selectBudget]] so selection ranks by the
     * exact same (4-dp-rounded) quality the scoring entry reports. */
