@@ -48,12 +48,28 @@ object QueryPredicates {
           // reach the window: sequence(1, size-m+1) yields [1,0] when
           // the doc is short, and element_at(toks, 0) throws.
           val hit =
-            if (slop == 0)
+            if (slop == 0) {
+              // window test over ZIPPED SHIFTED COPIES of the token
+              // array, not element_at(toks, i + o) positions: `toks`
+              // is an inline tokenizer expression, and a lambda that
+              // references it is re-evaluated per element, so the
+              // positional form re-tokenizes the document n*m times
+              // per row (the ShingleStrings hazard). Zipping
+              // references the array m+2 times TOTAL. The slice to
+              // the first size-m+1 windows drops arrays_zip's
+              // null-padded tails, so the predicate is never NULL for
+              // docs long enough to reach it (Not() relies on that).
+              val zipped = arrays_zip(
+                terms.indices.map(o =>
+                  (if (o == 0) toks
+                   else slice(toks, lit(o + 1), greatest(size(toks) - o, lit(0))))
+                    .as(s"t$o")): _*)
               exists(
-                sequence(lit(1), size(toks) - (m - 1)),
-                i => terms.zipWithIndex
-                  .map { case (term, o) => element_at(toks, i + o) === lit(term) }
+                slice(zipped, lit(1), size(toks) - (m - 1)),
+                s => terms.zipWithIndex
+                  .map { case (term, o) => s.getField(s"t$o") === lit(term) }
                   .reduceLeft(_ && _))
+            }
             else {
               // sloppy: nested exists, term t at a position in
               // (prev, start + t + slop] — existential choice equals
