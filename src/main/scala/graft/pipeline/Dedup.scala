@@ -162,6 +162,46 @@ object Dedup {
   def corpusLshTables(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     (bandTable(spark, dir), shingleTable(spark, dir))
 
+  /** Persists the corpus LSH tables as HASH-BUCKETED catalog tables —
+    * the on-disk layout the [[corpusLshTables]] scaladoc promises for
+    * a 100 TB deployment: bands bucketed+sorted by the candidate
+    * join's (band, bh) key and shingles by the verify join's doc_id
+    * key, so every ingest micro-batch's stream-static equi-joins read
+    * co-located buckets with NO exchange on the corpus side — only
+    * the arriving slice shuffles, whatever the corpus size. Returns
+    * the (bands, shingles) table names; read them back with
+    * `spark.table` and hand them to
+    * [[graft.streaming.EventStreams.nearDupVsCorpusStream]].
+    *
+    * An orphaned warehouse directory from a previous process (the
+    * in-memory catalog forgets tables between JVMs; the files
+    * remain) is deleted before the write. */
+  def saveBucketedLshTables(spark: SparkSession, dir: String,
+      prefix: String = "graft_lsh", nBuckets: Int = 32): (String, String) = {
+    val (bands, sh) = corpusLshTables(spark, dir)
+    def write(df: DataFrame, table: String, keys: Seq[String]): Unit = {
+      if (!spark.catalog.tableExists(table)) {
+        val loc = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+          table.toLowerCase)
+        if (loc.exists()) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc.toPath).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
+      }
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .bucketBy(nBuckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .saveAsTable(table)
+    }
+    val bt = s"${prefix}_bands"
+    val st = s"${prefix}_shingles"
+    write(bands, bt, Seq("band", "bh"))
+    write(sh.select("doc_id", "ss"), st, Seq("doc_id"))
+    (bt, st)
+  }
+
   /** Map-side MinHash banding of a (possibly streaming) document
     * frame: doc_id, shingle set, and one row per (band, band-hash) —
     * the SAME shingle/signature/band construction as the batch

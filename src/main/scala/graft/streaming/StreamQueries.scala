@@ -179,6 +179,22 @@ object StreamQueries {
         .select(col("band"), col("doc_id"), col("corpus_id"), col("jaccard"))
         .orderBy("band", "doc_id", "corpus_id")
     }),
+    // same ingest-dedup stream against the BUCKETED on-disk corpus
+    // layout (bands bucketed by the candidate join key, shingles by
+    // doc_id): the corpus side of each micro-batch's joins reads
+    // co-located buckets with no exchange — the 100 TB deployment
+    // shape. Result-identical to stream_dedup_vs_corpus (same oracle).
+    "stream_dedup_vs_corpus_bucketed" -> ((s, dir) => {
+      val name = s"stream_dvcb_${sinkId.incrementAndGet()}"
+      val (bt, st) = graft.pipeline.Dedup.saveBucketedLshTables(
+        s, dir, s"graft_lsh_${Integer.toHexString(dir.hashCode)}", nBuckets = 8)
+      EventStreams.runToMemorySink(
+        EventStreams.nearDupVsCorpusStream(stagedDocs(s, dir), s.table(bt), s.table(st)),
+        name, OutputMode.Append())
+      s.table(name)
+        .select(col("band"), col("doc_id"), col("corpus_id"), col("jaccard"))
+        .orderBy("band", "doc_id", "corpus_id")
+    }),
     "stream_trending_terms" -> ((s, dir) => {
       val name = s"stream_trending_${sinkId.incrementAndGet()}"
       EventStreams.runToMemorySink(
@@ -257,7 +273,7 @@ object StreamQueries {
 
   /** Identical to the batch twins' oracles: a bounded stream replay
     * must reproduce the batch aggregation bit-for-bit. */
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "stream_tumbling_counts" ->
       graft.relational.RelationalQueries.oracles("q15_events_window"),
     "stream_session_counts" ->
@@ -376,4 +392,9 @@ object StreamQueries {
         |)
         |WHERE rank <= 5
         |ORDER BY user_id, rank""".stripMargin)
+
+  /** The bucketed-layout ingest dedup is result-identical to the
+    * in-memory-corpus one; only the physical plan differs. */
+  val oracles: Map[String, String] = oraclesBase +
+    ("stream_dedup_vs_corpus_bucketed" -> oraclesBase("stream_dedup_vs_corpus"))
 }

@@ -183,6 +183,43 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed LSH corpus joins exchange-free: only the arriving slice shuffles") {
+    // the ingest-dedup joins, batch form (micro-batch planning uses
+    // the same physical planner): with the corpus tables bucketed on
+    // the join keys, the corpus side of BOTH joins must read
+    // co-located buckets with no Exchange — only the (small) arriving
+    // side shuffles, whatever the corpus size
+    val (bt, st) = pipeline.Dedup.saveBucketedLshTables(
+      spark, sf, "plan_shape_lsh", nBuckets = 4)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // disable broadcast: model the real regime where the arriving
+    // slice is large enough that co-location is what saves the plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val sb = pipeline.Dedup.streamBands(docs, "text")
+      val cand = sb.join(
+          spark.table(bt).select(col("doc_id").as("corpus_id"), col("band"), col("bh")),
+          Seq("band", "bh"))
+        .where(col("corpus_id") =!= col("doc_id"))
+      val out = cand.join(
+          spark.table(st).select(col("doc_id").as("corpus_id"), col("ss").as("ssy")),
+          Seq("corpus_id"))
+      val p = plan(out)
+      // both corpus scans are bucketed reads...
+      assert("SelectedBucketsCount".r.findAllIn(p).size == 2 ||
+        "Bucketed: true".r.findAllIn(p).size == 2, p.take(2000))
+      // ...and exactly two exchanges exist: the arriving side into
+      // join 1, and join 1's output re-keyed for join 2. Zero
+      // exchanges sit above a corpus scan.
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("substringSpans: long-keyed equi-joins only, no strings in the gram exchange") {
     val df = pipeline.Dedup.substringSpans(spark, sf)
     val p = finalPlan(df)
