@@ -281,18 +281,27 @@ object Dedup {
     * 60-bit hashes make a false duplicate collision ~n²/2^61; at
     * trillion-gram scale swap in a 128-bit digest (same plan shape).
     */
-  def substringSpans(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+  /** (doc_id, tokens, n_tokens) with the positional gram-hash array —
+    * shared base of the substring-dedup family. */
+  private def gramBase(spark: SparkSession, dir: String, k: Int): DataFrame = {
     graft.functions.SearchExpressions.register(spark)
-    val base = spark.read.parquet(s"$dir/documents.parquet")
+    spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), toks(col("text")).as("tokens"))
-      .select(col("doc_id"), size(col("tokens")).as("n_tokens"),
+      .select(col("doc_id"), col("tokens"), size(col("tokens")).as("n_tokens"),
         call_function("gram_hashes", col("tokens"), lit(k)).as("ghs"))
-    val grams = base.select(col("doc_id"), posexplode(col("ghs")).as(Seq("pos", "h")))
+  }
+
+  /** Maximal merged duplicated spans (doc_id, s, e): every k-token
+    * window occurring >1x corpus-wide, merged per doc by the
+    * interval-islands window. */
+  private def dupSpanTable(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val grams = gramBase(spark, dir, k)
+      .select(col("doc_id"), posexplode(col("ghs")).as(Seq("pos", "h")))
     val dup = grams.groupBy("h").agg(count(lit(1)).as("occ"))
       .where(col("occ") > 1).select("h")
     val flagged = grams.join(dup, "h").select("doc_id", "pos")
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val spans = flagged
+    flagged
       .withColumn("prev_end",
         max(col("pos") + k).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("new_span",
@@ -301,9 +310,12 @@ object Dedup {
         byDoc.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("span"))
       .agg(min("pos").as("s"), max(col("pos") + k).as("e"))
-    val perDoc = spans.groupBy(col("doc_id"))
+  }
+
+  def substringSpans(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val perDoc = dupSpanTable(spark, dir, k).groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_spans"), sum(col("e") - col("s")).as("dup_tokens"))
-    base.select(col("doc_id"), col("n_tokens"))
+    gramBase(spark, dir, k).select(col("doc_id"), col("n_tokens"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         col("n_tokens").cast("long").as("n_tokens"),
@@ -314,6 +326,57 @@ object Dedup {
             coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"), 4))
           .as("dup_frac"))
       .orderBy("doc_id")
+  }
+
+  /** The TRANSFORM of [[substringSpans]]: the cleaned corpus with
+    * every duplicated span removed (what Lee et al. 2022 train on).
+    * Span lists are per-doc tiny (merged islands), so the strip is a
+    * doc_id equi-join plus one in-row filter over the token array —
+    * nothing new is corpus-scaled beyond the span derivation itself.
+    * Emits (doc_id, n_tokens, n_kept, cleaned_md5); `cleaned_md5`
+    * fingerprints the kept-token text so the oracle can verify the
+    * exact surviving content without shipping it. */
+  def stripDuplicatedSpans(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val spansPerDoc = dupSpanTable(spark, dir, k)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    gramBase(spark, dir, k).select(col("doc_id"), col("tokens"), col("n_tokens"))
+      .join(spansPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        filter(col("tokens"), (t, i) =>
+          !exists(coalesce(col("spans"),
+              array().cast("array<struct<s:int,e:int>>")),
+            sp => i >= sp.getField("s") && i < sp.getField("e"))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", col("kept"))).as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Static corpus gram-statistics table for INGEST-TIME substring
+    * dedup (the online complement of [[substringSpans]], same shape
+    * as [[corpusLshTables]]): one row per distinct k-gram hash with
+    * its distinct-document count and owner witness. Persisted; a
+    * production deployment buckets it by `h` on disk
+    * ([[saveBucketedLshTables]] pattern) so each micro-batch join
+    * reads co-located buckets. */
+  def corpusGramTable(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    persistOnce(s"gram_stats#$k#$dir") {
+      gramBase(spark, dir, k)
+        .select(col("doc_id"), explode(col("ghs")).as("h"))
+        .groupBy("h")
+        .agg(count_distinct(col("doc_id")).as("n_docs"), min("doc_id").as("min_doc"))
+    }
+
+  /** Positional gram hashes of a (possibly streaming) document frame —
+    * stateless, watermark-free; the arriving side of ingest-time
+    * substring dedup. */
+  def streamGrams(docs: DataFrame, textCol: String = "text", k: Int = 8): DataFrame = {
+    graft.functions.SearchExpressions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), toks(col(textCol)).as("tokens"))
+      .select(col("doc_id"),
+        posexplode(call_function("gram_hashes", col("tokens"), lit(k))).as(Seq("pos", "h")))
   }
 
   /** Fuzzy train/eval decontamination: MinHash-LSH restricted to

@@ -16,6 +16,9 @@ object PipelineQueries {
     // exact duplicated-substring spans (Lee et al. 2022): per-doc
     // maximal merged spans of 8-token windows occurring >1x corpus-wide
     "dedup_substring" -> ((s, dir) => Dedup.substringSpans(s, dir)),
+    // the transform: cleaned corpus with duplicated spans removed,
+    // surviving content fingerprinted per doc
+    "dedup_substring_keep" -> ((s, dir) => Dedup.stripDuplicatedSpans(s, dir)),
     // pair graph → connected components → canonical per cluster (the
     // keep-one step after any near-dup pair generator)
     "dedup_clusters" -> ((s, dir) => Dedup.clusters(s, dir)),
@@ -647,6 +650,64 @@ object PipelineQueries {
          |       ELSE round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 4)
          |  END AS dup_frac
          |FROM base b LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // the strip transform: same islands CTE, flagged positions
+    // anti-joined out, survivors re-joined in position order and
+    // fingerprinted (DuckDB lambda index is 1-based, hence i - 1)
+    "dedup_substring_keep" -> {
+      val k = 8
+      val parts = (0 until k).map {
+        case 0 => "tokens[i]"
+        case o => s"tokens[i + $o]"
+      }.mkString(" || ' ' || ")
+      s"""$toksCte,
+         |base AS (SELECT doc_id, tokens, len(tokens) AS n_tokens FROM toks),
+         |grams AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, n_tokens - ${k - 2}),
+         |      i -> struct_pack(pos := i - 1,
+         |                       h := ('0x' || substr(md5($parts), 1, 15))::BIGINT)),
+         |      recursive := true)
+         |  FROM base WHERE n_tokens >= $k
+         |),
+         |dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1),
+         |flagged AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    max(pos + $k) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM flagged),
+         |isl2 AS (
+         |  SELECT doc_id, pos,
+         |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+         |  FROM isl),
+         |spans AS (
+         |  SELECT doc_id, span, min(pos) AS s, max(pos + $k) AS e
+         |  FROM isl2 GROUP BY doc_id, span),
+         |flagpos AS (SELECT DISTINCT doc_id, unnest(range(s, e)) AS p FROM spans),
+         |toki AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(tokens, (x, i) -> struct_pack(p := i - 1, tok := x)),
+         |      recursive := true)
+         |  FROM base
+         |),
+         |kept AS (
+         |  SELECT toki.doc_id, toki.tok, toki.p
+         |  FROM toki ANTI JOIN flagpos
+         |    ON toki.doc_id = flagpos.doc_id AND toki.p = flagpos.p
+         |)
+         |SELECT b.doc_id, b.n_tokens::BIGINT AS n_tokens,
+         |  CAST(coalesce(kc.n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(kc.cleaned_md5, md5('')) AS cleaned_md5
+         |FROM base b LEFT JOIN (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    md5(string_agg(tok, ' ' ORDER BY p)) AS cleaned_md5
+         |  FROM kept GROUP BY doc_id
+         |) kc USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
 

@@ -334,6 +334,29 @@ object EventStreams {
         graft.functions.Rounding.roundEven(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Ingest-time exact-substring detection against a STATIC corpus
+    * gram table — the online complement of
+    * [[graft.pipeline.Dedup.substringSpans]]: every k-token window of
+    * an arriving document is hashed map-side
+    * ([[graft.pipeline.Dedup.streamGrams]], stateless) and
+    * stream-static joined to the corpus gram statistics; a window is
+    * flagged when SOME OTHER corpus document contains it (n_docs >= 2,
+    * or the single owner isn't the arriving doc — within-doc
+    * repetition is not corpus duplication, unlike the batch
+    * [[graft.pipeline.Dedup.substringSpans]] occurrence count).
+    * Stateless: no watermark, no state store; all state lives in the
+    * persisted corpus table, so the stream runs forever at constant
+    * memory. Span-merging the flagged windows is a per-doc batch step
+    * downstream ([[graft.pipeline.Dedup.substringSpans]]'s islands
+    * window) — merging needs the doc's full window set, which a
+    * stateless stream by definition does not hold. */
+  def substringVsCorpusStream(docs: DataFrame, corpusGrams: DataFrame,
+      textCol: String = "text", k: Int = 8): DataFrame =
+    graft.pipeline.Dedup.streamGrams(docs, textCol, k)
+      .join(corpusGrams, Seq("h"))
+      .where(col("n_docs") >= 2 || col("min_doc") =!= col("doc_id"))
+      .select(col("doc_id"), col("pos"), col("n_docs").as("n_corpus_docs"))
+
   /** Convenience: run a streaming query over a memory sink until all
     * available data is processed; returns the sink table name.
     *

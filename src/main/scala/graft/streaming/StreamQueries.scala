@@ -179,6 +179,20 @@ object StreamQueries {
         .select(col("band"), col("doc_id"), col("corpus_id"), col("jaccard"))
         .orderBy("band", "doc_id", "corpus_id")
     }),
+    // ingest-time exact-substring detection: arriving windows hashed
+    // map-side, stream-static joined to the corpus gram stats; a
+    // window flags when some OTHER corpus doc contains it. Stateless.
+    "stream_substring_vs_corpus" -> ((s, dir) => {
+      val name = s"stream_ssvc_${sinkId.incrementAndGet()}"
+      val grams = graft.pipeline.Dedup.corpusGramTable(s, dir)
+      EventStreams.runToMemorySink(
+        EventStreams.substringVsCorpusStream(stagedDocs(s, dir), grams),
+        name, OutputMode.Append())
+      s.table(name)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("n_corpus_docs"))
+        .orderBy("doc_id", "pos")
+    }),
     // same ingest-dedup stream against the BUCKETED on-disk corpus
     // layout (bands bucketed by the candidate join key, shingles by
     // doc_id): the corpus side of each micro-batch's joins reads
@@ -346,6 +360,39 @@ object StreamQueries {
          |  round_even(jaccard * 1e4, 0) / 1e4 AS jaccard
          |FROM j WHERE jaccard >= 0.6
          |ORDER BY band, doc_id, corpus_id""".stripMargin,
+
+    // batch replay of ingest substring detection: every doc as the
+    // arriving side vs gram stats over the whole corpus; flagged when
+    // another doc holds the gram (within-doc repeats excluded)
+    "stream_substring_vs_corpus" -> {
+      val k = 8
+      val parts = (0 until k).map {
+        case 0 => "tokens[i]"
+        case o => s"tokens[i + $o]"
+      }.mkString(" || ' ' || ")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tokens
+         |  FROM documents
+         |),
+         |base AS (SELECT doc_id, tokens, len(tokens) AS n_tokens FROM toks),
+         |grams AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, n_tokens - ${k - 2}),
+         |      i -> struct_pack(pos := i - 1,
+         |                       h := ('0x' || substr(md5($parts), 1, 15))::BIGINT)),
+         |      recursive := true)
+         |  FROM base WHERE n_tokens >= $k
+         |),
+         |stats AS (
+         |  SELECT h, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS min_doc
+         |  FROM grams GROUP BY h
+         |)
+         |SELECT g.doc_id, g.pos::BIGINT AS pos, s.n_docs AS n_corpus_docs
+         |FROM grams g JOIN stats s USING (h)
+         |WHERE s.n_docs >= 2 OR s.min_doc <> g.doc_id
+         |ORDER BY doc_id, pos""".stripMargin
+    },
 
     // synthetic event time = base + doc_id minutes → 1h windows hold
     // 60 docs; the base is hour-aligned so windows start on it

@@ -40,6 +40,16 @@ class PipelineSpec extends AnyFunSuite {
         (2L, 15L, 1L, 10L, 0.6667),
         (3L, 18L, 2L, 16L, 0.8889),
         (4L, 30L, 0L, 0L, 0.0)))
+      // the transform strips exactly those spans, keeping the rest in order
+      def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val kept = Dedup.stripDuplicatedSpans(spark, dir)
+        .as[(Long, Long, Long, String)].collect().toSeq
+      assert(kept == Seq(
+        (1L, 15L, 5L, m("u1a u1b u1c u1d u1e")),
+        (2L, 15L, 5L, m("u2a u2b u2c u2d u2e")),
+        (3L, 18L, 2L, m("u3a u3b")),
+        (4L, 30L, 30L, m((0 until 30).map(i => s"q$i").mkString(" ")))))
     } finally Dedup.clearCaches()
   }
 

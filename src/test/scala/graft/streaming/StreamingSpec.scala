@@ -155,6 +155,45 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("ingest substring detection flags only cross-doc windows, stays stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    // corpus: doc 200 carries an 8-token run; doc 201 repeats its own
+    // 8-token run twice but shares nothing with anyone
+    val run = (0 until 8).map(i => s"s$i").mkString(" ")
+    val rep = (0 until 8).map(i => s"r$i").mkString(" ")
+    val corpus = Seq(
+      (200L, s"$run filler1 filler2"),
+      (201L, s"$rep join1 join2 $rep")
+    ).toDF("doc_id", "text")
+    val grams = Dedup.streamGrams(corpus)
+      .groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("n_docs"), min("doc_id").as("min_doc"))
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val out = EventStreams.substringVsCorpusStream(docs, grams)
+    val q = out.writeStream.format("memory").queryName("ssvc_sink")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      (1L, s"prefix1 $run suffix1"), // window at pos 1 duplicates doc 200
+      (2L, "nothing in common with anything here at all whatsoever"))
+    q.processAllAvailable()
+    val got = spark.table("ssvc_sink")
+      .select("doc_id", "pos", "n_corpus_docs")
+      .as[(Long, Int, Long)].collect()
+    assert(got.toSeq == Seq((1L, 1, 1L)), got.toSeq)
+    // doc 201's WITHIN-doc repeat must not flag an arriving replay of
+    // 201's own text (min_doc == arriving doc, n_docs == 1)
+    mem.addData((201L, s"$rep join1 join2 $rep"))
+    q.processAllAvailable()
+    val got2 = spark.table("ssvc_sink")
+      .select("doc_id").where(col("doc_id") === 201L).count()
+    assert(got2 == 0, "own within-doc repetition must not flag")
+    assert(q.lastProgress.stateOperators.isEmpty,
+      q.lastProgress.stateOperators.mkString(","))
+    q.stop()
+  }
+
   test("transformWithState keeps a bounded running top-k per user") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState requires the RocksDB state store provider
