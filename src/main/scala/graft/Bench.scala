@@ -63,6 +63,11 @@ object Bench {
       case 0 =>
         graft.pipeline.Dedup.clearCaches()
         graft.pipeline.Similarity.clearCaches()
+      case 1 =>
+        // the ingest-dedup stream entries rebuild corpus band/shingle/
+        // gram tables into the Dedup registry mid-section; release
+        // them before the relational+search sections
+        graft.pipeline.Dedup.clearCaches()
       case 3 => graft.search.SearchQueries.clearCache()
       case _ => ()
     }

@@ -99,7 +99,22 @@ object Walkthrough {
     graft.pipeline.Curation.unigramLogprob(spark, dir)
       .orderBy(col("mean_neg_logprob").desc).show(5, false)
 
-    // 9. selecting the training set: keep the best docs per language
+    // 9. substring-level dedup (Lee et al. 2022): find every 8-token
+    // window duplicated anywhere in the corpus, then train on the
+    // corpus with those spans stripped out
+    println("docs with the largest duplicated-span fraction:")
+    graft.pipeline.Dedup.substringSpans(spark, dir)
+      .orderBy(col("dup_frac").desc, col("doc_id")).show(5, false)
+    println("cleaned corpus (duplicated spans removed):")
+    graft.pipeline.Dedup.stripDuplicatedSpans(spark, dir).show(3, false)
+
+    // 10. tokenizer training: corpus pair mining + BPE merges
+    println("most frequent adjacent token pairs (BPE iteration-1 counts):")
+    graft.pipeline.TextAnalysis.tokenPairStats(spark, dir).show(5, false)
+    val merges = graft.pipeline.Bpe.learn(spark, dir, numMerges = 8)
+    println(s"first BPE merges: ${merges.map(m => m.left + "+" + m.right).mkString(", ")}")
+
+    // 11. selecting the training set: keep the best docs per language
     // under a token budget, then ingest-time dedup — would a stream
     // of NEW documents duplicate what we just selected?
     println("token-budget selection (best docs per lang, 500 tokens each):")
