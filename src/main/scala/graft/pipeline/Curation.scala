@@ -275,6 +275,64 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Bigram language-model score per document — the context-aware
+    * upgrade of [[unigramLogprob]] (CCNet's Kneser-Ney 5-gram LM
+    * reduced to the bigram + Laplace case both engines replicate
+    * exactly): the first token is scored under the corpus unigram
+    * MLE, every following token under the add-one-smoothed
+    * conditional `P(w_i | w_{i-1}) = (c(prev,cur)+1) / (c(prev)+V)`.
+    * Unlike the unigram score, repetitive "common-token soup"
+    * ("the the the ...") no longer scores as typical text — context
+    * mismatch is exactly what the quality filter wants to see.
+    *
+    * Scale shape mirrors [[unigramLogprob]]: the unigram AND bigram
+    * LM tables stay DataFrames end-to-end (distinct-bigram-bounded,
+    * never collected); V and the corpus total are one-row aggregates
+    * over the vocab-sized freq table (exact broadcast); the
+    * token/bigram stream x LM joins are AQE-decided. Per-token
+    * logprobs sum as DECIMAL(18,8) — order-independent across
+    * engines and partitionings. */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), toks(col("text")).as("tokens"))
+    val tokStream = docs.select(col("doc_id"), explode(col("tokens")).as("term"))
+    val freq = tokStream.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val vstats = freq.agg(count(lit(1)).as("v"), sum(col("cnt")).as("total"))
+    val bi = docs
+      .select(col("doc_id"),
+        // guard: sequence(1, n-1) DESCENDS for n < 2 — emit no bigrams
+        explode(when(size(col("tokens")) >= 2,
+          transform(sequence(lit(1), size(col("tokens")) - 1),
+            i => struct(element_at(col("tokens"), i).as("prev"),
+              element_at(col("tokens"), i + 1).as("cur"))))
+          .otherwise(array().cast("array<struct<prev:string,cur:string>>"))).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val bfreq = bi.groupBy("prev", "cur").agg(count(lit(1)).as("bcnt"))
+    val blp = bfreq
+      .join(freq.select(col("term").as("prev"), col("cnt").as("pcnt")), Seq("prev"))
+      .crossJoin(broadcast(vstats.select("v")))
+      .select(col("prev"), col("cur"),
+        negate(log((col("bcnt") + 1).cast("double") /
+          (col("pcnt") + col("v")).cast("double")))
+          .cast(DecimalType(18, 8)).as("lp"))
+    val ulp = freq.crossJoin(broadcast(vstats.select("total")))
+      .select(col("term"),
+        negate(log(col("cnt").cast("double") / col("total").cast("double")))
+          .cast(DecimalType(18, 8)).as("lp"))
+    val firstLp = docs.where(size(col("tokens")) >= 1)
+      .select(col("doc_id"), element_at(col("tokens"), 1).as("term"))
+      .join(ulp, Seq("term")).select(col("doc_id"), col("lp"))
+    val biLp = bi.join(blp, Seq("prev", "cur")).select(col("doc_id"), col("lp"))
+    firstLp.unionByName(biLp)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("lp_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        graft.functions.Rounding.roundEven(
+          col("lp_sum").cast("double") / col("n_tokens"), 4).as("mean_neg_logprob_bigram"))
+      .orderBy("doc_id")
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3: score
     * every document with a language model, split each language into
     * equal-mass head / middle / tail buckets, train on the head):

@@ -58,6 +58,8 @@ object PipelineQueries {
     "keywords_tfidf" -> ((s, dir) => Curation.keywordsTfidf(s, dir)),
     "source_overlap" -> ((s, dir) => Curation.sourceOverlap(s, dir)),
     "unigram_logprob" -> ((s, dir) => Curation.unigramLogprob(s, dir)),
+    // context-aware LM quality score: add-one-smoothed bigram model
+    "bigram_logprob" -> ((s, dir) => Curation.bigramLogprob(s, dir)),
     "ccnet_buckets" -> ((s, dir) => Curation.ccnetBuckets(s, dir)),
     "mix_weights" -> ((s, dir) => Curation.mixWeights(s, dir)),
     "pii_scrub" -> ((s, dir) => Curation.piiScrub(s, dir)),
@@ -404,6 +406,40 @@ object PipelineQueries {
          |FROM tok t JOIN lp l USING (term)
          |GROUP BY 1
          |ORDER BY 1""".stripMargin,
+
+    // add-one bigram LM: first token under the unigram MLE, the rest
+    // under (c(prev,cur)+1)/(c(prev)+V); DECIMAL(18,8) per-token sums
+    "bigram_logprob" ->
+      s"""$toksCte,
+         |tok AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+         |freq AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+         |vstats AS (SELECT count(*) AS v, sum(cnt) AS total FROM freq),
+         |bi AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tokens)),
+         |    i -> struct_pack(prev := tokens[i], cur := tokens[i + 1])),
+         |    recursive := true)
+         |  FROM toks WHERE len(tokens) >= 2
+         |),
+         |bfreq AS (SELECT prev, cur, count(*) AS bcnt FROM bi GROUP BY 1, 2),
+         |blp AS (
+         |  SELECT b.prev, b.cur,
+         |    CAST(-ln(CAST(b.bcnt + 1 AS DOUBLE) /
+         |      CAST(f.cnt + (SELECT v FROM vstats) AS DOUBLE)) AS DECIMAL(18,8)) AS lp
+         |  FROM bfreq b JOIN freq f ON f.term = b.prev
+         |),
+         |firstlp AS (
+         |  SELECT ft.doc_id,
+         |    CAST(-ln(CAST(f.cnt AS DOUBLE) /
+         |      CAST((SELECT total FROM vstats) AS DOUBLE)) AS DECIMAL(18,8)) AS lp
+         |  FROM (SELECT doc_id, tokens[1] AS term FROM toks WHERE len(tokens) >= 1) ft
+         |  JOIN freq f USING (term)
+         |),
+         |alllp AS (SELECT * FROM firstlp UNION ALL
+         |          SELECT bi.doc_id, blp.lp FROM bi JOIN blp USING (prev, cur))
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round_even((CAST(sum(lp) AS DOUBLE) / count(*)) * 1e4, 0) / 1e4
+         |    AS mean_neg_logprob_bigram
+         |FROM alllp GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // per-lang tercile thresholds fitted on the md5-bucket sample,
     // rounded to the shared 1e-4 half-even grid before the <=

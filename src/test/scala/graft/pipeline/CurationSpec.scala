@@ -233,6 +233,32 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(got - expect) < 5e-4, s"doc $id0: $got vs $expect")
   }
 
+  test("bigramLogprob equals a full driver recount on every doc") {
+    import org.apache.spark.sql.functions._
+    val out = Curation.bigramLogprob(spark, dir).as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), graft.analysis.Analyzers.default.tokensCol(col("text")).as("tokens"))
+      .as[(Long, Seq[String])].collect()
+    val cnt = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bcnt = toks.flatMap(_._2.sliding(2).filter(_.length == 2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val v = cnt.size.toLong
+    val total = cnt.values.sum.toDouble
+    def dec(x: Double) = BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    toks.filter(_._2.nonEmpty).foreach { case (id, ts) =>
+      val first = dec(-math.log(cnt(ts.head) / total))
+      val rest = ts.sliding(2).filter(_.length == 2).map { p =>
+        dec(-math.log((bcnt(p) + 1.0) / (cnt(p.head) + v)))
+      }
+      val lpSum = (Iterator(first) ++ rest).reduce(_ + _)
+      val expect = math.rint(lpSum.toDouble / ts.length * 1e4) / 1e4
+      val (nTok, got) = out(id)
+      assert(nTok == ts.length, s"doc $id n_tokens")
+      assert(got == expect, s"doc $id: $got vs $expect")
+    }
+  }
+
   test("mixWeights: shares sum to 1, rates cap at 1 and downsample the over-represented") {
     val out = Curation.mixWeights(spark, dir)
       .as[(String, Long, Long, Double, Double)].collect()
