@@ -351,8 +351,9 @@ object WinnowFingerprint {
     StructField("n_selected", IntegerType, nullable = false),
     StructField("fp_winnow", StringType, nullable = false)))
 
-  /** Static so generated code can call it directly. */
-  def compute(tokens: ArrayData, n: Int, w: Int): org.apache.spark.sql.catalyst.InternalRow = {
+  /** The sorted-distinct selected window minima — shared by the
+    * digest form below and the [[WinnowHashes]] array form. */
+  def selected(tokens: ArrayData, n: Int, w: Int): Array[Long] = {
     val len = tokens.numElements()
     val numSh = len - n + 1
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -384,16 +385,20 @@ object WinnowFingerprint {
       }
       out
     } else hashes
-    val sel = {
-      java.util.Arrays.sort(mins)
-      var uniq = 0
-      var i = 0
-      while (i < mins.length) {
-        if (i == 0 || mins(i) != mins(i - 1)) { mins(uniq) = mins(i); uniq += 1 }
-        i += 1
-      }
-      java.util.Arrays.copyOf(mins, uniq)
+    java.util.Arrays.sort(mins)
+    var uniq = 0
+    var i = 0
+    while (i < mins.length) {
+      if (i == 0 || mins(i) != mins(i - 1)) { mins(uniq) = mins(i); uniq += 1 }
+      i += 1
     }
+    java.util.Arrays.copyOf(mins, uniq)
+  }
+
+  /** Static so generated code can call it directly. */
+  def compute(tokens: ArrayData, n: Int, w: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val sel = selected(tokens, n, w)
+    val md = java.security.MessageDigest.getInstance("MD5")
     val joined = {
       val sb = new java.lang.StringBuilder
       var i = 0
@@ -461,6 +466,31 @@ object ShingleHashes {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       java.util.Arrays.copyOf(hs, uniq))
   }
+}
+
+/** `winnow_hashes(tokens, n, w)` — the winnowing SELECTION itself
+  * (sorted distinct window minima over n-token shingle hashes,
+  * window w) as `array<long>`: the fingerprint set MOSS-style
+  * near-dup candidate generation joins on, where
+  * [[WinnowFingerprint]] returns only its digest. Same selection
+  * code, so `md5(array_to_string(sel, ','))` over this array equals
+  * `winnow_fingerprint(...).fp_winnow`. */
+case class WinnowHashes(child: Expression, n: Int, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_hashes"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      WinnowFingerprint.selected(arr.asInstanceOf[ArrayData], n, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.WinnowFingerprint.selected($arr, $n, $w));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowHashes =
+    copy(child = newChild)
 }
 
 /** `gram_hashes(tokens, n)` — POSITIONAL 60-bit md5-prefix hashes of
@@ -1140,6 +1170,11 @@ object SearchExpressions {
         "gram_hashes(tokens, n) - positional (unsorted, undeduplicated) 60-bit md5-prefix hashes of n-token grams"),
       (exprs: Seq[Expression]) => GramHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("winnow_hashes"),
+      info("winnow_hashes",
+        "winnow_hashes(tokens, n, w) - sorted distinct winnowing-selected shingle hashes"),
+      (exprs: Seq[Expression]) => WinnowHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])),
     (FunctionIdentifier("repetition_stats"),
       info("repetition_stats",
         "repetition_stats(tokens) - struct(top2_chars, dup5_chars) repetition signals"),

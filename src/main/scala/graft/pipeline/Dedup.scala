@@ -476,6 +476,47 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MOSS-style near-dup pairs over WINNOWED fingerprints (Schleimer
+    * et al. 2003, "Winnowing: Local Algorithms for Document
+    * Fingerprinting" — the plagiarism-detection selection already
+    * exposed per-doc by [[TextAnalysis.winnowing]]): candidates share
+    * at least one winnowing-SELECTED shingle hash, then verify
+    * Jaccard over the full selected sets. The selection guarantee
+    * (every shared run of >= w+n-1 tokens shares a selected hash)
+    * makes the inverted index ~1/w the size of [[ngramJaccard]]'s
+    * full-shingle index — same candidate-equi-join shape, smaller
+    * index, the classic recall/cost dial between the two.
+    * Hot-hash df cap as in [[ngramJaccard]] (boilerplate minima would
+    * otherwise flood the candidate join at df² cost). */
+  def winnowPairs(spark: SparkSession, dir: String, threshold: Double = 0.5,
+      n: Int = 5, w: Int = 4, maxHashDf: Int = 100): DataFrame = {
+    graft.functions.SearchExpressions.register(spark)
+    val sel = persistOnce(s"winnow_sel#$n#$w#$dir") {
+      docTokens(spark, dir)
+        .select(col("doc_id"),
+          call_function("winnow_hashes", col("tokens"), lit(n), lit(w)).as("sel"))
+    }.where(size(col("sel")) > 0)
+    val inv = sel.select(col("doc_id"), explode(col("sel")).as("h"))
+    val hot = inv.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxHashDf).select("h")
+    val capped = inv.join(hot, Seq("h"), "left_anti")
+    val cand = capped.select(col("doc_id").as("x"), col("h"))
+      .join(capped.select(col("doc_id").as("y"), col("h")), "h")
+      .where(col("x") < col("y"))
+      .select("x", "y").distinct()
+    val sa = sel.select(col("doc_id").as("x"), col("sel").as("sx"))
+    val sb = sel.select(col("doc_id").as("y"), col("sel").as("sy"))
+    cand.join(sa, "x").join(sb, "y")
+      .withColumn("n_shared", size(array_intersect(col("sx"), col("sy"))))
+      .withColumn("winnow_jaccard",
+        col("n_shared").cast("double") / size(array_union(col("sx"), col("sy"))))
+      .where(col("winnow_jaccard") >= threshold)
+      .select(col("x").as("doc_a"), col("y").as("doc_b"),
+        col("n_shared").cast("long").as("n_shared"),
+        graft.functions.Rounding.roundEven(col("winnow_jaccard"), 4).as("winnow_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Resolves near-duplicate PAIRS into duplicate CLUSTERS: each doc
     * connected (transitively) through the pair graph maps to its
     * component's minimum id — the canonical survivor a training-data

@@ -19,6 +19,8 @@ object PipelineQueries {
     // the transform: cleaned corpus with duplicated spans removed,
     // surviving content fingerprinted per doc
     "dedup_substring_keep" -> ((s, dir) => Dedup.stripDuplicatedSpans(s, dir)),
+    // MOSS-style pairs over winnowing-selected fingerprints
+    "dedup_winnow" -> ((s, dir) => Dedup.winnowPairs(s, dir)),
     // pair graph → connected components → canonical per cluster (the
     // keep-one step after any near-dup pair generator)
     "dedup_clusters" -> ((s, dir) => Dedup.clusters(s, dir)),
@@ -1008,6 +1010,50 @@ object PipelineQueries {
          |SELECT doc_id, len(sel) AS n_selected,
          |  md5(array_to_string(list_transform(sel, h -> h::VARCHAR), ',')) AS fp_winnow
          |FROM sel ORDER BY doc_id""".stripMargin,
+
+    // MOSS pairs: same sel CTE as fingerprint_winnow, candidates via
+    // the capped selected-hash inverted index, Jaccard over sel sets
+    "dedup_winnow" ->
+      s"""$toksCte,
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tokens) >= 5
+         |      THEN list_transform(range(1, len(tokens) - 3),
+         |             i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2] || ' ' || tokens[i + 3] || ' ' || tokens[i + 4])
+         |      ELSE [] END AS ss
+         |  FROM toks
+         |), hv AS (
+         |  SELECT doc_id, list_transform(ss, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs FROM sh
+         |), mins AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(hs) >= 4
+         |      THEN list_transform(range(1, len(hs) - 2), i -> list_min(hs[i:i+3]))
+         |      ELSE hs END AS m
+         |  FROM hv
+         |), sel AS (
+         |  SELECT doc_id, list_sort(list_distinct(m)) AS sel FROM mins WHERE len(m) > 0
+         |), inv0 AS (
+         |  SELECT doc_id, unnest(sel) AS h FROM sel
+         |), cool AS (
+         |  SELECT h FROM inv0 GROUP BY h HAVING count(*) <= 100
+         |), inv AS (
+         |  SELECT inv0.doc_id, inv0.h FROM inv0 JOIN cool USING (h)
+         |), cand AS (
+         |  SELECT a.doc_id AS x, b.doc_id AS y
+         |  FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), j AS (
+         |  SELECT cand.x, cand.y,
+         |    len(list_intersect(sa.sel, sb.sel)) AS n_shared,
+         |    len(list_intersect(sa.sel, sb.sel))::DOUBLE
+         |      / len(list_distinct(sa.sel || sb.sel)) AS wj
+         |  FROM cand JOIN sel sa ON sa.doc_id = cand.x
+         |            JOIN sel sb ON sb.doc_id = cand.y
+         |)
+         |SELECT x AS doc_a, y AS doc_b, n_shared::BIGINT AS n_shared,
+         |  round_even(wj * 1e4, 0) / 1e4 AS winnow_jaccard
+         |FROM j WHERE wj >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "multimodal_frames" ->
       """WITH meta AS (

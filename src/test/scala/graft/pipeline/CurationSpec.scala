@@ -149,6 +149,46 @@ class CurationSpec extends AnyFunSuite {
     assert(short.isEmpty)
   }
 
+  test("winnow_hashes selection digests to winnow_fingerprint's fp") {
+    import org.apache.spark.sql.functions._
+    graft.functions.SearchExpressions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), graft.analysis.Analyzers.default.tokensCol(col("text")).as("tokens"))
+    val both = docs.select(col("doc_id"),
+        call_function("winnow_hashes", col("tokens"), lit(5), lit(4)).as("sel"),
+        call_function("winnow_fingerprint", col("tokens"), lit(5), lit(4)).as("wf"))
+      .select(col("sel"), col("wf.n_selected").as("n"), col("wf.fp_winnow").as("fp"))
+      .as[(Seq[Long], Int, String)].collect()
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    both.foreach { case (sel, n, fp) =>
+      assert(sel.length == n)
+      assert(sel == sel.sorted && sel.distinct == sel)
+      assert(m(sel.mkString(",")) == fp)
+    }
+  }
+
+  test("winnowPairs finds the exact duplicate pair and respects the hash-df cap") {
+    val dir2 = java.nio.file.Files.createTempDirectory("winnowpairs").toString
+    val docs = (0 until 12).map(i =>
+      (i.toLong, s"b1 b2 b3 b4 b5 u${i}a u${i}b u${i}c u${i}d u${i}e")) ++
+      Seq((100L, "r1 r2 r3 r4 r5 r6 r7 r8"), (101L, "r1 r2 r3 r4 r5 r6 r7 r8"))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir2/documents.parquet")
+    try {
+      // uncapped at a floor threshold: the boilerplate minimum shared
+      // by a handful of docs produces junk pairs alongside the real one
+      val loose = Dedup.winnowPairs(spark, dir2, threshold = 0.01, maxHashDf = 100)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(loose.exists(r => r._1 == 100L && r._2 == 101L && r._4 == 1.0), loose)
+      assert(loose.length > 1, "expected boilerplate junk pairs without the cap")
+      // cap below the boilerplate hash's df: only the exact dup remains
+      val capped = Dedup.winnowPairs(spark, dir2, threshold = 0.01, maxHashDf = 3)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(capped.map(r => (r._1, r._2)) == Seq((100L, 101L)), capped)
+      assert(capped.head._4 == 1.0, "exact dup must have full winnow-set overlap")
+    } finally Dedup.clearCaches()
+  }
+
   test("repetitionSignals native expression equals the shuffle pipeline") {
     val fast = TextAnalysis.repetitionSignals(spark, dir)
       .as[(Long, Long, Double, Double, Double)].collect().toSeq
