@@ -275,6 +275,124 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** A fitted quality-classifier run, recorded so the oracle can be
+    * generated from the SAME weights the entry scored with (the
+    * ann_ivf recordAs pattern). */
+  final case class LrRun(beta: Seq[Double], iters: Int)
+  private val lrRuns = scala.collection.concurrent.TrieMap.empty[String, LrRun]
+  private[pipeline] def recordedLrRun(tag: String): Option[LrRun] = lrRuns.get(tag)
+
+  /** Model-based quality/language filter trained IN the engine — the
+    * fastText-style linear classifier step of published pipelines
+    * (CCNet and GPT-3/LLaMA-style "quality classifier" filters):
+    * logistic regression on per-doc features (type-token ratio,
+    * English-stopword ratio, average token length — the
+    * [[TextAnalysis.qualityScore]] columns) against the weak label
+    * `lang == "en"`, fitted by `iters` Newton/IRLS steps, then every
+    * document scored map-side with the fitted weights.
+    *
+    * Scale + determinism design:
+    *  - each Newton step is ONE corpus aggregation producing the 4x4
+    *    moment matrix and gradient (14 numbers); per-row products are
+    *    cast to DECIMAL(38,18) before summing, so the moments — and
+    *    therefore the whole fitted trajectory — are EXACT and
+    *    partitioning-independent (the same property that makes the
+    *    LM scores reproducible). The driver's work per step is
+    *    solving a 4x4 system — O(features³), corpus-size-free;
+    *  - a web-scale deployment fits on an md5-bucket sample
+    *    ([[ccnetBuckets]]'s bound) and scores everything; the fit
+    *    aggregate is the only corpus-sized work either way;
+    *  - fitted weights are quantized to 1e-6 before scoring AND
+    *    recorded for the oracle, so both engines score from identical
+    *    literals.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String, iters: Int = 4,
+      recordAs: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val feats = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("ttr"), col("stop_ratio"), col("avg_token_len"))
+      .join(spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        col("ttr").as("f1"), col("stop_ratio").as("f2"), col("avg_token_len").as("f3"))
+      // one Newton step = one aggregation over this frame; persist so
+      // the tokenize+feature scan runs once, not once per iteration
+      // (5 doubles/doc — doc-count-sized, not corpus-token-sized)
+      .persist()
+    val xs: Seq[Column] = Seq(lit(1.0), col("f1"), col("f2"), col("f3"))
+    def dec(c: Column) = c.cast(DecimalType(38, 18))
+    def zOf(beta: Seq[Double]): Column =
+      xs.zip(beta).map { case (x, b) => x * lit(b) }.reduceLeft(_ + _)
+    var beta: Vector[Double] = Vector.fill(4)(0.0)
+    for (_ <- 0 until iters) {
+      val p = lit(1.0) / (lit(1.0) + exp(negate(zOf(beta))))
+      val w = p * (lit(1.0) - p)
+      val momentCols =
+        (for (i <- 0 until 4; j <- i until 4)
+          yield sum(dec(w * xs(i) * xs(j))).as(s"m_${i}_$j")) ++
+          (for (i <- 0 until 4) yield sum(dec((col("y") - p) * xs(i))).as(s"g_$i"))
+      val row = feats.agg(momentCols.head, momentCols.tail: _*).collect()(0)
+      val m = Array.ofDim[Double](4, 4)
+      val g = new Array[Double](4)
+      var idx = 0
+      for (i <- 0 until 4; j <- i until 4) {
+        val v = row.getDecimal(idx).doubleValue(); m(i)(j) = v; m(j)(i) = v; idx += 1
+      }
+      for (i <- 0 until 4) { g(i) = row.getDecimal(idx).doubleValue(); idx += 1 }
+      var d = 0
+      while (d < 4) { m(d)(d) += 1e-8; d += 1 } // ridge: keep the solve nonsingular
+      beta = beta.zip(solve4(m, g)).map { case (b, dd) => b + dd }
+    }
+    val b6 = beta.map(x => math.rint(x * 1e6) / 1e6)
+    recordAs.foreach(tag => lrRuns(tag) = LrRun(b6, iters))
+    val scored = feats
+      .select(col("doc_id"), col("y").cast("long").as("label"),
+        graft.functions.Rounding.roundEven(
+          lit(1.0) / (lit(1.0) + exp(negate(zOf(b6)))), 4).as("score"))
+      .orderBy("doc_id")
+      .localCheckpoint() // materialize before releasing the feature cache
+    feats.unpersist()
+    scored
+  }
+
+  /** Gaussian elimination with partial pivoting for the 4x4 Newton
+    * system — deterministic double arithmetic on the driver. */
+  private def solve4(m0: Array[Array[Double]], g0: Array[Double]): Array[Double] = {
+    val n = 4
+    val m = m0.map(_.clone())
+    val g = g0.clone()
+    var col0 = 0
+    while (col0 < n) {
+      var piv = col0
+      var r = col0 + 1
+      while (r < n) { if (math.abs(m(r)(col0)) > math.abs(m(piv)(col0))) piv = r; r += 1 }
+      if (piv != col0) {
+        val t = m(piv); m(piv) = m(col0); m(col0) = t
+        val tg = g(piv); g(piv) = g(col0); g(col0) = tg
+      }
+      r = col0 + 1
+      while (r < n) {
+        val f = m(r)(col0) / m(col0)(col0)
+        var c = col0
+        while (c < n) { m(r)(c) -= f * m(col0)(c); c += 1 }
+        g(r) -= f * g(col0)
+        r += 1
+      }
+      col0 += 1
+    }
+    val x = new Array[Double](n)
+    var i = n - 1
+    while (i >= 0) {
+      var s = g(i)
+      var j = i + 1
+      while (j < n) { s -= m(i)(j) * x(j); j += 1 }
+      x(i) = s / m(i)(i)
+      i -= 1
+    }
+    x
+  }
+
   /** Bigram language-model score per document — the context-aware
     * upgrade of [[unigramLogprob]] (CCNet's Kneser-Ney 5-gram LM
     * reduced to the bigram + Laplace case both engines replicate

@@ -62,6 +62,10 @@ object PipelineQueries {
     "unigram_logprob" -> ((s, dir) => Curation.unigramLogprob(s, dir)),
     // context-aware LM quality score: add-one-smoothed bigram model
     "bigram_logprob" -> ((s, dir) => Curation.bigramLogprob(s, dir)),
+    // in-engine trained logistic quality/language classifier; oracle
+    // generated from the recorded fitted weights (ann_ivf pattern)
+    "quality_classifier" -> ((s, dir) =>
+      Curation.qualityClassifier(s, dir, recordAs = Some("quality_classifier"))),
     "ccnet_buckets" -> ((s, dir) => Curation.ccnetBuckets(s, dir)),
     "mix_weights" -> ((s, dir) => Curation.mixWeights(s, dir)),
     "pii_scrub" -> ((s, dir) => Curation.piiScrub(s, dir)),
@@ -216,10 +220,35 @@ object PipelineQueries {
              |ORDER BY qid, rank""".stripMargin)
     }
 
-  /** Static oracles + the runtime-generated IVF oracle. Must be read
-    * AFTER the queries have run (Verify's dump order) for ann_ivf to
-    * be included. */
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle
+  /** The classifier oracle scores every doc with the RECORDED fitted
+    * weights (features + label recomputed independently in SQL; the
+    * scoring association mirrors the Column reduceLeft exactly). */
+  private def lrOracle: Map[String, String] =
+    Curation.recordedLrRun("quality_classifier") match {
+      case None => Map.empty
+      case Some(run) =>
+        val Seq(b0, b1, b2, b3) = run.beta.toList
+        Map("quality_classifier" ->
+          s"""$toksCte,
+             |f AS (
+             |  SELECT doc_id,
+             |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             |    round_even((len(list_distinct(tokens))::DOUBLE / greatest(len(tokens), 1)) * 1e4, 0) / 1e4 AS f1,
+             |    round_even((len(list_filter(tokens, x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], x)))::DOUBLE
+             |      / greatest(len(tokens), 1)) * 1e4, 0) / 1e4 AS f2,
+             |    round_even((coalesce(list_sum(list_transform(tokens, x -> length(x))), 0)::DOUBLE
+             |      / greatest(len(tokens), 1)) * 1e4, 0) / 1e4 AS f3
+             |  FROM toks
+             |)
+             |SELECT doc_id, CAST(y AS BIGINT) AS label,
+             |  round_even((1.0 / (1.0 + exp(-($b0 + f1 * ($b1) + f2 * ($b2) + f3 * ($b3))))) * 1e4, 0) / 1e4 AS score
+             |FROM f ORDER BY doc_id""".stripMargin)
+    }
+
+  /** Static oracles + the runtime-generated IVF and classifier
+    * oracles. Must be read AFTER the queries have run (Verify's dump
+    * order) for ann_ivf / quality_classifier to be included. */
+  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ lrOracle
 
   /** MinHash+LSH near-dup pairs (mirror of [[Dedup.minhashLsh]]) —
     * shared by the `dedup_minhash` oracle and, as a nested CTE, by

@@ -299,6 +299,18 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("qualityClassifier: deterministic fit that beats the majority baseline") {
+    val out = Curation.qualityClassifier(spark, dir).as[(Long, Long, Double)].collect().toSeq
+    val out2 = Curation.qualityClassifier(spark, dir).as[(Long, Long, Double)].collect().toSeq
+    assert(out == out2, "decimal-summed moments must make the fit run-deterministic")
+    assert(out.forall { case (_, y, s) => (y == 0L || y == 1L) && s >= 0.0 && s <= 1.0 })
+    val n = out.length
+    val acc = out.count { case (_, y, s) => (if (s >= 0.5) 1L else 0L) == y }.toDouble / n
+    val majority = math.max(out.count(_._2 == 1L), out.count(_._2 == 0L)).toDouble / n
+    assert(acc > majority,
+      s"classifier accuracy $acc must beat the majority-class baseline $majority")
+  }
+
   test("mixWeights: shares sum to 1, rates cap at 1 and downsample the over-represented") {
     val out = Curation.mixWeights(spark, dir)
       .as[(String, Long, Long, Double, Double)].collect()
