@@ -114,6 +114,12 @@ object Walkthrough {
     val merges = graft.pipeline.Bpe.learn(spark, dir, numMerges = 8)
     println(s"first BPE merges: ${merges.map(m => m.left + "+" + m.right).mkString(", ")}")
 
+    // 10b. model-based filtering: a logistic quality classifier
+    // trained inside the engine (decimal-exact Newton moments)
+    println("trained quality classifier (score vs weak language label):")
+    graft.pipeline.Curation.qualityClassifier(spark, dir)
+      .orderBy(col("score").desc).show(5, false)
+
     // 11. selecting the training set: keep the best docs per language
     // under a token budget, then ingest-time dedup — would a stream
     // of NEW documents duplicate what we just selected?

@@ -53,6 +53,66 @@ class PipelineSpec extends AnyFunSuite {
     } finally Dedup.clearCaches()
   }
 
+  test("substringSpans and strip match a brute-force reference on random corpora") {
+    val k = 8
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      // shared phrases force cross-doc window collisions; noise tokens
+      // are doc-unique so only engineered repeats collide
+      val phrases = Vector.tabulate(3)(p =>
+        Vector.tabulate(10)(i => s"p${p}w$i"))
+      val docs = (0 until 25).map { d =>
+        val parts = Vector.fill(rnd.nextInt(4)) {
+          if (rnd.nextBoolean()) phrases(rnd.nextInt(3))
+          else Vector.tabulate(3 + rnd.nextInt(10))(i => s"d${d}n${rnd.nextInt(1000)}i$i")
+        }
+        (d.toLong, parts.flatten.mkString(" "))
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"subfuzz$seed").toString
+      docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+      try {
+        // brute force: window-string multiset over the corpus
+        val toksOf = docs.map { case (id, t) =>
+          id -> t.split(" ").filter(_.nonEmpty).toVector
+        }.toMap
+        val counts = toksOf.values.flatMap(_.sliding(k).filter(_.length == k))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val expect = docs.map { case (id, _) =>
+          val ts = toksOf(id)
+          val flagged = ts.sliding(k).zipWithIndex
+            .collect { case (w, i) if w.length == k && counts(w) > 1 => i }.toVector
+          // interval islands
+          val spans = flagged.foldLeft(Vector.empty[(Int, Int)]) { case (acc, p) =>
+            acc.lastOption match {
+              case Some((s, e)) if p <= e => acc.init :+ (s, p + k)
+              case _ => acc :+ (p, p + k)
+            }
+          }
+          val dupTok = spans.map { case (s, e) => e - s }.sum
+          val frac = if (ts.isEmpty) 0.0 else math.rint(dupTok.toDouble / ts.length * 1e4) / 1e4
+          (id, ts.length.toLong, spans.length.toLong, dupTok.toLong, frac)
+        }
+        val got = Dedup.substringSpans(spark, dir)
+          .as[(Long, Long, Long, Long, Double)].collect().toSeq
+        assert(got == expect, s"seed $seed")
+        // strip agrees: kept = tokens outside every span
+        val expectKept = docs.map { case (id, _) =>
+          val ts = toksOf(id)
+          val flagged = ts.sliding(k).zipWithIndex
+            .collect { case (w, i) if w.length == k && counts(w) > 1 => i }.toSet
+          val drop = flagged.flatMap(p => p until p + k)
+          val kept = ts.zipWithIndex.collect { case (t, i) if !drop(i) => t }
+          def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+            .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          (id, ts.length.toLong, kept.length.toLong, m(kept.mkString(" ")))
+        }
+        val gotKept = Dedup.stripDuplicatedSpans(spark, dir)
+          .as[(Long, Long, Long, String)].collect().toSeq
+        assert(gotKept == expectKept, s"seed $seed strip")
+      } finally Dedup.clearCaches()
+    }
+  }
+
   test("substringSpans is non-vacuous on the synthetic corpus") {
     val dir = "/root/testdata/sf0.001"
     val out = Dedup.substringSpans(spark, dir)
