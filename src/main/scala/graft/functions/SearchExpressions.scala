@@ -901,37 +901,60 @@ case class MultiSubstrCount(child: Expression, lists: Seq[Seq[String]])
 
 object MultiSubstrCount {
   /** Compiled matcher: patterns grouped by byte length, each length's
-    * windows keyed by the bytes packed big-endian into a long. */
+    * windows keyed by a long — the bytes packed big-endian (injective)
+    * when the length fits 8 bytes, otherwise an FNV-1a hash of the
+    * window with exact byte verification against `patBytes` (so a
+    * non-Latin profile whose trigrams exceed 8 UTF-8 bytes compiles
+    * instead of throwing at plan time). */
   case class Plan(lengths: Array[Int],
       maps: Array[java.util.HashMap[java.lang.Long, Array[Int]]],
-      patList: Array[Int], nLists: Int, nPats: Int) extends Serializable
+      patList: Array[Int], patBytes: Array[Array[Byte]],
+      nLists: Int, nPats: Int) extends Serializable
 
   def compile(lists: Seq[Seq[String]]): Plan = {
     val pats: Seq[(Array[Byte], Int)] =
       for ((ws, li) <- lists.zipWithIndex; w <- ws)
         yield (w.getBytes(java.nio.charset.StandardCharsets.UTF_8), li)
-    require(pats.forall { case (b, _) => b.length >= 1 && b.length <= 8 },
-      "multi_substr_count patterns must be 1-8 UTF-8 bytes")
+    require(pats.forall { case (b, _) => b.length >= 1 },
+      "multi_substr_count patterns must be non-empty")
     val lengths = pats.map(_._1.length).distinct.sorted.toArray
     val maps = lengths.map(_ => new java.util.HashMap[java.lang.Long, Array[Int]]())
     val patListB = Array.newBuilder[Int]
     for (((bs, li), pid) <- pats.zipWithIndex) {
       val mi = lengths.indexOf(bs.length)
-      val key = java.lang.Long.valueOf(packKey(bs, 0, bs.length))
+      val key = java.lang.Long.valueOf(windowKey(bs, 0, bs.length))
       val prev = maps(mi).get(key)
       maps(mi).put(key, if (prev == null) Array(pid) else prev :+ pid)
       patListB += li
     }
-    Plan(lengths, maps, patListB.result(), lists.length, pats.length)
+    Plan(lengths, maps, patListB.result(), pats.map(_._1).toArray,
+      lists.length, pats.length)
   }
 
-  private def packKey(b: Array[Byte], from: Int, len: Int): Long = {
-    var k = 0L
+  /** Packed bytes for len <= 8 (injective per length — maps are
+    * per-length, so the packed bytes alone suffice); FNV-1a for longer
+    * windows (hash collisions resolved by the byte verify in
+    * [[compute]]). */
+  private def windowKey(b: Array[Byte], from: Int, len: Int): Long =
+    if (len <= 8) {
+      var k = 0L
+      var i = 0
+      while (i < len) { k = (k << 8) | (b(from + i) & 0xffL); i += 1 }
+      k
+    } else {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < len) { h ^= (b(from + i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+      h
+    }
+
+  private def bytesMatch(text: Array[Byte], from: Int, pat: Array[Byte]): Boolean = {
     var i = 0
-    while (i < len) { k = (k << 8) | (b(from + i) & 0xffL); i += 1 }
-    // disambiguate lengths sharing a map would need the length in the
-    // key; maps are per-length, so the packed bytes alone suffice
-    k
+    while (i < pat.length) {
+      if (text(from + i) != pat(i)) return false
+      i += 1
+    }
+    true
   }
 
   /** Static so generated code can call it directly. */
@@ -943,15 +966,16 @@ object MultiSubstrCount {
     var li = 0
     while (li < plan.lengths.length) {
       val L = plan.lengths(li)
+      val exact = L <= 8 // packed key is injective: no byte verify
       val m = plan.maps(li)
       var i = 0
       while (i + L <= n) {
-        val hit = m.get(java.lang.Long.valueOf(packKey(b, i, L)))
+        val hit = m.get(java.lang.Long.valueOf(windowKey(b, i, L)))
         if (hit != null) {
           var j = 0
           while (j < hit.length) {
             val pid = hit(j)
-            if (i >= lastEnd(pid)) {
+            if (i >= lastEnd(pid) && (exact || bytesMatch(b, i, plan.patBytes(pid)))) {
               counts(plan.patList(pid)) += 1L
               lastEnd(pid) = i + L
             }

@@ -181,14 +181,13 @@ object Dedup {
     val (bands, sh) = corpusLshTables(spark, dir)
     def write(df: DataFrame, table: String, keys: Seq[String]): Unit = {
       if (!spark.catalog.tableExists(table)) {
-        val loc = new java.io.File(
-          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-          table.toLowerCase)
-        if (loc.exists()) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(loc.toPath).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.delete)
-        }
+        // resolve through the Hadoop FileSystem API: works for any
+        // warehouse scheme (file:, hdfs:, s3a:) where string-stripping
+        // "file:" would silently miss or hit a wrong local path
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
       }
       df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .bucketBy(nBuckets, keys.head, keys.tail: _*)
@@ -629,7 +628,13 @@ object Dedup {
     // corpus twice: a (doc, term) tf group-by, then a 64-column
     // per-doc bit-sum aggregate.
     graft.functions.SearchExpressions.register(spark)
+    // tokenless docs (all-punctuation text) produce no (term, bit)
+    // evidence: the aggregate formulation and the SQL oracle's
+    // explode/unnest both yield NO row for them, so the map-side
+    // rewrite must drop them too rather than emit fingerprint 0
+    // (which would pair every empty doc as a hamming-0 near-dup)
     docTokens(spark, dir)
+      .where(size(col("tokens")) > 0)
       .select(col("doc_id"),
         call_function("simhash64", col("tokens")).as("simhash"))
       .orderBy("doc_id")

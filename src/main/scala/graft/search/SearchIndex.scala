@@ -786,10 +786,10 @@ final class SearchIndex private (
     // re-run the left derivation + analyzer. Lifetime is tied to the
     // returned plan — once the caller drops the result, the
     // ContextCleaner reclaims the cache.
-    val queries = left
+    val queries = trackPersist(left
       .select(col(qidCol).cast("long").as("qid"), queryAn.tokensCol(phraseCol).as("terms"))
       .where(size(col("terms")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val qterms = queries.select(col("qid"), explode(col("terms")).as("term"))
     // per-query phrase IDF: sum of per-occurrence term IDFs (the scan
     // path's terms.map(idf).sum) — absent terms get df=0 like idfFor
@@ -893,13 +893,13 @@ final class SearchIndex private (
     // different but equal queries share a shape. Persisted: two plan
     // branches read it (shape dedup + fan-out join); lifetime is tied
     // to the returned plan, as in queryJoinPhrase.
-    val canon = left.select(
+    val canon = trackPersist(left.select(
         col(qidCol).cast("long").as("qid"),
         sort_array(array_distinct(coalesce(requiredCol, empty))).as("__req"),
         sort_array(array_distinct(coalesce(optionalCol, empty))).as("__opt"),
         sort_array(array_distinct(coalesce(excludedCol, empty))).as("__exc"),
         loSel, hiSel)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     // QUERY DEDUPLICATION: generated queries repeat (many left rows
     // produce the same clause sets — the data-driven analog of a
     // query cache), so the postings probe, scoring and verification
@@ -934,7 +934,7 @@ final class SearchIndex private (
     // required. Persisted like canon: |shapes| rows, read by both
     // probe branches — without it each branch re-runs the
     // collect_list aggregate and its upstream stats join.
-    val qinfo = withIdf
+    val qinfo = trackPersist(withIdf
       .groupBy(col("sid"))
       .agg(
         sort_array(collect_list(struct(col("term"), col("role"), col("idf")))).as("__q"),
@@ -947,7 +947,7 @@ final class SearchIndex private (
         transform(col("__q"), x => x.getField("idf")).as("__idfs"),
         when(col("n_req") > 0, array(col("__rarest.term")))
           .otherwise(col("__optTerms")).as("__probes"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val posts = postings.where(col("field") === lit(field))
       .select(col("term"), col("key"))
     // candidate generation: one postings probe per shape on the
@@ -1384,6 +1384,15 @@ final class SearchIndex private (
   private var parents: Seq[SearchIndex] = Nil
   private var extraFrames: Seq[DataFrame] = Nil
 
+  /** Per-call persisted helper frames (queryJoinPhrase's analyzed
+    * query batch, queryJoinBool's canon/qinfo): registered so
+    * [[unpersist]] releases them with the index — a long-lived
+    * session issuing many joins would otherwise leak one cached
+    * frame per invocation (nothing else reaches them). */
+  private val callFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private def trackPersist(df: DataFrame): DataFrame =
+    callFrames.synchronized { callFrames += df; df }
+
   /** Blocking so a caller tearing down one index (bench section
     * transitions, corpus replacement) doesn't leave block removal
     * racing with its next query's tasks. Cascades through
@@ -1394,6 +1403,10 @@ final class SearchIndex private (
     postings.unpersist(blocking)
     stats.unpersist(blocking)
     extraFrames.foreach(_.unpersist(blocking))
+    callFrames.synchronized {
+      callFrames.foreach(_.unpersist(blocking))
+      callFrames.clear()
+    }
     parents.foreach(_.unpersist(blocking))
   }
 }

@@ -272,8 +272,13 @@ object EventStreams {
     graft.functions.SearchExpressions.register(docs.sparkSession)
     val toks = graft.analysis.Analyzers.default.tokensCol(col(textCol))
     val bands = docs
-      .select(col(tsCol).as("__ts"), col("doc_id"),
-        call_function("simhash64", toks).as("fp"))
+      .select(col(tsCol).as("__ts"), col("doc_id"), toks.as("__toks"))
+      // tokenless docs carry no fingerprint evidence — drop them like
+      // the batch operator instead of fingerprinting them all as 0
+      // (every empty doc would otherwise pair at hamming 0)
+      .where(size(col("__toks")) > 0)
+      .select(col("__ts"), col("doc_id"),
+        call_function("simhash64", col("__toks")).as("fp"))
       .select(col("__ts"), col("doc_id"), col("fp"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band_pos"),

@@ -90,6 +90,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(fused(1L) == Seq(3L, 1L)) // aa x2 (greedy) + the x1; "he " inside "the cat"
   }
 
+  test("multi_substr_count handles patterns longer than 8 UTF-8 bytes") {
+    SearchExpressions.register(spark)
+    // a CJK trigram is 9 UTF-8 bytes — the hashed-window path with
+    // exact byte verification (a packed-long key cannot hold it)
+    val lists = Seq(Seq("日本語", "the"), Seq("ことばです"))
+    val df = Seq(
+      (1L, "日本語の日本語 the ことばです"),
+      (2L, "日本 語 no trigram here"),
+      (3L, "ことばですことばです")
+    ).toDF("id", "txt")
+    val listsLit = array(lists.map(ws => array(ws.map(lit): _*)): _*)
+    val fused = df.select($"id",
+        call_function("multi_substr_count", $"txt", listsLit).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def cnt(g: String) =
+      ((length($"txt") - length(replace($"txt", lit(g), lit("")))) / g.length).cast("long")
+    val ref = df.select($"id" +: lists.zipWithIndex.map { case (ws, i) =>
+        ws.map(cnt).reduceLeft(_ + _).as(s"c$i")
+      }: _*)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> Seq(r._2, r._3)).toMap
+    assert(fused == ref, s"fused=$fused ref=$ref")
+    assert(fused(1L) == Seq(3L, 1L) && fused(3L) == Seq(0L, 2L))
+  }
+
   test("array_total_strlen matches aggregate(transform(length)) HOF") {
     SearchExpressions.register(spark)
     val df = Seq(
