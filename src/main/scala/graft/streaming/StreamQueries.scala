@@ -66,14 +66,17 @@ object StreamQueries {
     s.readStream.schema(schema).parquet(path)
   }
 
-  /** Events stream with `ts` normalized to TimestampType: it arrives
-    * as nanosecond LongType under legacy.parquet.nanosAsLong and is
-    * converted exactly like relational.Tables. */
+  /** Events stream with `ts` normalized to TimestampType exactly like
+    * relational.Tables: nanosecond LongType (legacy.parquet.nanosAsLong)
+    * and TIMESTAMP_NTZ (naive timestamp[us] testdata) both convert. */
   private def stagedEvents(s: SparkSession, dir: String): DataFrame = {
     val raw = stagedTable(s, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Documents stream with a synthetic, deterministic event time
