@@ -1140,6 +1140,334 @@ object BoolQueryScore {
   }
 }
 
+/** `dsl_query_score(tokens, ops, terms, doubles, attrs, kind, k1, b,
+  * avgdl)` — evaluates a SERIALIZED nested query AST
+  * ([[graft.dsl.QueryProgram]]'s pre-order bytecode) against one
+  * document's token array in a single codegen'd pass: the
+  * distributed generalization of [[BoolQueryScore]] from flat
+  * MUST/SHOULD/MUST_NOT roles to arbitrary And/Or/Not/Should/Boost/
+  * phrase/near/min-match nesting plus numeric attribute filters
+  * (reference regime: `queryGenerator: T => DslQuery`,
+  * SearchableRDD.scala:257-298, where each left row generates any
+  * DSL AST).
+  *
+  * `doubles` = per-term-slot IDF vector (aligned with `terms`,
+  * joined in-plan from the index stats) ++ the program's consts;
+  * `attrs` is the doc-side map of filter attribute values (null map
+  * = no filters anywhere in the batch). Returns struct(ok, score).
+  *
+  * Scoring is node-for-node identical to the scan-path compiler
+  * (SearchIndex.compileWith): only leaves gate their own score on
+  * their own match; And/Or always sum both sides' (already-gated)
+  * scores; Not scores 0; Should passes the inner score ungated;
+  * phrase/near tf reuse [[PhraseCount]]/[[NearCount]] statics, so
+  * positional semantics cannot drift between the paths. */
+case class DslQueryScore(tokens: Expression, ops: Expression, terms: Expression,
+    doubles: Expression, attrs: Expression,
+    kind: Int, k1: Double, b: Double, avgdl: Double)
+    extends Expression {
+
+  override def children: Seq[Expression] = Seq(tokens, ops, terms, doubles, attrs)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DslQueryScore.OutType
+  override def prettyName: String = "dsl_query_score"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val tok = tokens.eval(input)
+    val op = ops.eval(input)
+    val tm = terms.eval(input)
+    val db = doubles.eval(input)
+    if (tok == null || op == null || tm == null || db == null) null
+    else {
+      val at = attrs.eval(input)
+      DslQueryScore.compute(tok.asInstanceOf[ArrayData], op.asInstanceOf[ArrayData],
+        tm.asInstanceOf[ArrayData], db.asInstanceOf[ArrayData],
+        if (at == null) null else at.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData],
+        kind, k1, b, avgdl)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tokG = tokens.genCode(ctx)
+    val opsG = ops.genCode(ctx)
+    val tmG = terms.genCode(ctx)
+    val dbG = doubles.genCode(ctx)
+    val atG = attrs.genCode(ctx)
+    val row = "org.apache.spark.sql.catalyst.InternalRow"
+    ev.copy(code = code"""
+      ${tokG.code}
+      ${opsG.code}
+      ${tmG.code}
+      ${dbG.code}
+      ${atG.code}
+      boolean ${ev.isNull} = ${tokG.isNull} || ${opsG.isNull} ||
+        ${tmG.isNull} || ${dbG.isNull};
+      $row ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.DslQueryScore.compute(
+          ${tokG.value}, ${opsG.value}, ${tmG.value}, ${dbG.value},
+          ${atG.isNull} ? null : ${atG.value},
+          $kind, ${k1}D, ${b}D, ${avgdl}D);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DslQueryScore =
+    copy(tokens = newChildren(0), ops = newChildren(1), terms = newChildren(2),
+      doubles = newChildren(3), attrs = newChildren(4))
+}
+
+object DslQueryScore {
+  import graft.dsl.QueryProgram.Op
+
+  val OutType: StructType = StructType(Seq(
+    StructField("ok", BooleanType, nullable = false),
+    StructField("score", DoubleType, nullable = false)))
+
+  /** Static so generated code can call it directly. One pass builds
+    * the per-row tf table (O(dl x |terms|), same as
+    * [[BoolQueryScore]]), then the interpreter walks the pre-order
+    * program once; score summation follows program order, which is
+    * deterministic per shape, so results are
+    * partitioning-independent. */
+  def compute(tokens: ArrayData, ops: ArrayData, terms: ArrayData,
+      doubles: ArrayData, attrs: org.apache.spark.sql.catalyst.util.MapData,
+      kind: Int, k1: Double, b: Double, avgdl: Double)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val m = terms.numElements()
+    val n = tokens.numElements()
+    // tf per term slot, built LAZILY (a pair rejected by a filter on
+    // the cheap AND spine never scans the token array at all) via a
+    // small open-addressed hash of the term table: O(dl) token
+    // lookups instead of the O(dl x m) nested equals loop. Slots
+    // holding filter attr names just stay 0; the serializer dedupes
+    // the term table, so each slot's string is unique.
+    var tfs: Array[Int] = null
+    var termStrs: Array[UTF8String] = null
+    def ensureTfs(): Unit = if (tfs == null) {
+      tfs = new Array[Int](m)
+      termStrs = new Array[UTF8String](m)
+      var cap = 4
+      while (cap < m * 2 + 1) cap <<= 1
+      val slots = new Array[Int](cap)
+      java.util.Arrays.fill(slots, -1)
+      val hashes = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        if (!terms.isNullAt(j)) {
+          val ts = terms.getUTF8String(j)
+          termStrs(j) = ts
+          val h = ts.hashCode
+          hashes(j) = h
+          var p = h & (cap - 1)
+          while (slots(p) != -1) p = (p + 1) & (cap - 1)
+          slots(p) = j
+        }
+        j += 1
+      }
+      var i = 0
+      while (i < n) {
+        if (!tokens.isNullAt(i)) {
+          val tok = tokens.getUTF8String(i)
+          val h = tok.hashCode
+          var p = h & (cap - 1)
+          var s = slots(p)
+          while (s != -1 && !(hashes(s) == h && termStrs(s).equals(tok))) {
+            p = (p + 1) & (cap - 1)
+            s = slots(p)
+          }
+          if (s != -1) tfs(s) += 1
+        }
+        i += 1
+      }
+    }
+    val dl = n.toDouble
+    val constOff = m // consts follow the idf prefix in `doubles`
+
+    def simOf(tf: Double, idf: Double): Double =
+      if (kind == 0) idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+      else math.sqrt(tf) * (idf * idf) / math.sqrt(dl)
+
+    // attr lookup: linear scan of the (small) map — |filter fields|
+    // entries; returns null when absent or null-valued
+    def attrOf(slot: Int): java.lang.Double = {
+      if (attrs == null) return null
+      val name = terms.getUTF8String(slot)
+      val keys = attrs.keyArray()
+      var p = 0
+      val np = attrs.numElements()
+      while (p < np) {
+        if (keys.getUTF8String(p).equals(name)) {
+          return if (attrs.valueArray().isNullAt(p)) null
+          else java.lang.Double.valueOf(attrs.valueArray().getDouble(p))
+        }
+        p += 1
+      }
+      null
+    }
+
+    var pc = 0
+    def next(): Int = { val v = ops.getInt(pc); pc += 1; v }
+    // advances pc over one subtree without evaluating it (used by the
+    // root-AND short-circuit: a failed conjunct discards the row, so
+    // the sibling's score can never be observed)
+    def skip(): Unit = next() match {
+      case Op.AND | Op.OR => skip(); skip()
+      case Op.NOT | Op.SHOULD => skip()
+      case Op.BOOST => pc += 1; skip()
+      case Op.TERM => pc += 1
+      case Op.ALL | Op.ANY => pc += next()
+      case Op.MIN => pc += 1; pc += next()
+      case Op.PHRASE => pc += 1; pc += next()
+      case Op.NEAR => pc += 3
+      case Op.CMP => pc += 3
+      case Op.RANGE => pc += 3
+      case Op.INSET => pc += 1; pc += next()
+      case Op.EXISTS | Op.MISSING => pc += 1
+      case _ => () // ALLDOCS / NOMATCH / TRUEZERO
+    }
+    // returns (matched, score); ONLY leaves gate score on match
+    def ev(): (Boolean, Double) = next() match {
+      case Op.ALLDOCS => (true, 1.0)
+      case Op.AND =>
+        val l = ev(); val r = ev(); (l._1 && r._1, l._2 + r._2)
+      case Op.OR =>
+        val l = ev(); val r = ev(); (l._1 || r._1, l._2 + r._2)
+      case Op.NOT =>
+        val c = ev(); (!c._1, 0.0)
+      case Op.SHOULD =>
+        val c = ev(); (true, c._2)
+      case Op.BOOST =>
+        val f = doubles.getDouble(constOff + next())
+        val c = ev(); (c._1, c._2 * f)
+      case Op.TERM =>
+        val t = next()
+        ensureTfs()
+        val tf = tfs(t)
+        (tf > 0, if (tf > 0) simOf(tf.toDouble, doubles.getDouble(t)) else 0.0)
+      case Op.ALL =>
+        val cnt = next()
+        ensureTfs()
+        var all = true; var s = 0.0
+        var j = 0
+        while (j < cnt) {
+          val t = next(); val tf = tfs(t)
+          if (tf > 0) s += simOf(tf.toDouble, doubles.getDouble(t)) else all = false
+          j += 1
+        }
+        (all, s)
+      case Op.ANY =>
+        val cnt = next()
+        ensureTfs()
+        var any = false; var s = 0.0
+        var j = 0
+        while (j < cnt) {
+          val t = next(); val tf = tfs(t)
+          if (tf > 0) { any = true; s += simOf(tf.toDouble, doubles.getDouble(t)) }
+          j += 1
+        }
+        (any, s)
+      case Op.MIN =>
+        val min = next(); val cnt = next()
+        ensureTfs()
+        var nm = 0; var s = 0.0
+        var j = 0
+        while (j < cnt) {
+          val t = next(); val tf = tfs(t)
+          if (tf > 0) { nm += 1; s += simOf(tf.toDouble, doubles.getDouble(t)) }
+          j += 1
+        }
+        (nm >= min, s)
+      case Op.PHRASE =>
+        val slop = next(); val cnt = next()
+        ensureTfs()
+        val idxs = new Array[Int](cnt)
+        var j = 0
+        while (j < cnt) { idxs(j) = next(); j += 1 }
+        var idf = 0.0
+        var present = true
+        j = 0
+        while (j < cnt) {
+          idf += doubles.getDouble(idxs(j))
+          if (tfs(idxs(j)) == 0) present = false
+          j += 1
+        }
+        // early-out: the positional scan can't match unless every
+        // constituent term occurs (tf table already knows)
+        if (!present) (false, 0.0)
+        else {
+          val phrase = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            idxs.map(t => termStrs(t): Any))
+          val tf = PhraseCount.compute(tokens, phrase, slop)
+          (tf > 0, if (tf > 0) simOf(tf.toDouble, idf) else 0.0)
+        }
+      case Op.NEAR =>
+        val dist = next(); val ta = next(); val tb = next()
+        ensureTfs()
+        if (tfs(ta) == 0 || tfs(tb) == 0) (false, 0.0)
+        else {
+          val tf = NearCount.compute(tokens, termStrs(ta), termStrs(tb), dist)
+          val idf = doubles.getDouble(ta) + doubles.getDouble(tb)
+          (tf > 0, if (tf > 0) simOf(tf.toDouble, idf) else 0.0)
+        }
+      case Op.CMP =>
+        val op = next(); val slot = next(); val c = doubles.getDouble(constOff + next())
+        val av = attrOf(slot)
+        val ok = av != null && (op match {
+          case 0 => av.doubleValue() == c
+          case 1 => av.doubleValue() > c
+          case 2 => av.doubleValue() >= c
+          case 3 => av.doubleValue() < c
+          case _ => av.doubleValue() <= c
+        })
+        (ok, 0.0)
+      case Op.RANGE =>
+        val slot = next()
+        val lo = doubles.getDouble(constOff + next())
+        val hi = doubles.getDouble(constOff + next())
+        val av = attrOf(slot)
+        (av != null && av.doubleValue() >= lo && av.doubleValue() <= hi, 0.0)
+      case Op.INSET =>
+        val slot = next(); val cnt = next()
+        val av = attrOf(slot)
+        var found = false
+        var j = 0
+        while (j < cnt) {
+          val c = doubles.getDouble(constOff + next())
+          if (av != null && av.doubleValue() == c) found = true
+          j += 1
+        }
+        (found, 0.0)
+      case Op.EXISTS => (attrOf(next()) != null, 0.0)
+      case Op.MISSING => (attrOf(next()) == null, 0.0)
+      case Op.NOMATCH => (false, 0.0)
+      case Op.TRUEZERO => (true, 0.0)
+      case other => throw new IllegalStateException(
+        s"dsl_query_score: corrupt program, opcode $other at ${pc - 1}")
+    }
+    // root-AND spine: a failed conjunct means the row is discarded
+    // (the caller filters on `ok`), so the sibling subtree — often
+    // the expensive phrase/OR side, which the serializer orders
+    // LAST — is skipped, score and all. Combined with the
+    // cheapest-first And ordering and the lazy tf table, a pair
+    // rejected by an attribute filter costs O(program), not O(dl).
+    def evRoot(): (Boolean, Double) = {
+      if (ops.getInt(pc) == Op.AND) {
+        pc += 1
+        val l = evRoot()
+        if (!l._1) { skip(); (false, 0.0) }
+        else {
+          val r = evRoot()
+          (r._1, l._2 + r._2)
+        }
+      } else ev()
+    }
+
+    val (ok, score) = evRoot()
+    org.apache.spark.sql.catalyst.InternalRow(ok, score)
+  }
+}
+
 object SearchExpressions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[ArrayCountEq].getName, null, name, usage, "")
@@ -1256,7 +1584,21 @@ object SearchExpressions {
         },
         exprs(5).eval().asInstanceOf[Double],
         exprs(6).eval().asInstanceOf[Double],
-        exprs(7).eval().asInstanceOf[Double])))
+        exprs(7).eval().asInstanceOf[Double])),
+    (FunctionIdentifier("dsl_query_score"),
+      info("dsl_query_score",
+        "dsl_query_score(tokens, ops, terms, doubles, attrs, kind, k1, b, avgdl) - struct(ok, score) nested-AST query verification + similarity over a token array"),
+      (exprs: Seq[Expression]) => DslQueryScore(exprs(0), exprs(1), exprs(2), exprs(3),
+        exprs(4),
+        exprs(5).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"dsl_query_score kind must be a foldable integer, got $other")
+        },
+        exprs(6).eval().asInstanceOf[Double],
+        exprs(7).eval().asInstanceOf[Double],
+        exprs(8).eval().asInstanceOf[Double])))
 
   /** Registers the expressions in the session's FunctionRegistry so
     * they are callable from both `functions.call_function` and SQL

@@ -738,8 +738,12 @@ final class SearchIndex private (
     * so this is for DRIVER-SMALL query batches (hundreds) of complex
     * queries — the same regime where the reference materializes the
     * query array into a batch per shard (PartitionsIndexLuceneRDD.
-    * scala:273). Corpus-scale joins on flat term queries belong on
-    * [[queryJoin]], whose postings equi-join never collects.
+    * scala:273). CORPUS-SCALE lefts belong on [[queryJoinAst]],
+    * which distributes the same arbitrary-generator contract with a
+    * constant-size plan (or on the [[queryJoin]]/[[queryJoinPhrase]]/
+    * [[queryJoinBool]] specializations); keep this driver-batch path
+    * for query shapes the serialized form rejects — wildcard/fuzzy/
+    * regex leaves and non-numeric filters.
     *
     * @param queryGen driver-side function from a left Row to the
     *   query AST; reads whatever columns the caller selected into
@@ -998,6 +1002,164 @@ final class SearchIndex private (
           (col("__hi").isNull || col("__attr") <= col("__hi")))
       else joined
     val scored = filtered.select(col("qid"), col("key"), col("score"))
+    perQueryTopK(
+      if (excludeSelf) scored.where(col("qid") =!= col("key")) else scored, k)
+  }
+
+  /** Fully DISTRIBUTED query join for an ARBITRARY nested query
+    * generator — the corpus-scale form of the reference's
+    * `queryJoin(other, queryGenerator: T => DslQuery, ...)`
+    * (SearchableRDD.scala:257-298) for ANY generated AST shape, not
+    * just the flat/phrase/boolean specializations. Unlike
+    * [[queryJoinDsl]] nothing is ever collected to the driver and
+    * the PLAN is constant-size in |left| — a corpus-proportional
+    * left is fine.
+    *
+    * How: `queryGen` runs on the EXECUTORS (the reference ships the
+    * same closure to its shards); each AST serializes to
+    * [[graft.dsl.QueryProgram]]'s pre-order bytecode + aligned term/
+    * const tables, which travel as ordinary array columns. Identical
+    * programs dedupe into SHAPES (the `queryJoinBool` query-cache
+    * discipline). Per shape the plan picks the cheapest SOUND probe
+    * set — the minimum-total-df alternative from the program's
+    * candidate sets, generalizing Lucene's lead-with-the-rarest-MUST
+    * discipline to nested ASTs — probes the postings with it, and
+    * verifies+scores each (shape, candidate) pair with one codegen'd
+    * [[graft.functions.DslQueryScore]] pass whose semantics are
+    * node-for-node the scan path's (`compileWith`). TOTAL shapes
+    * (top-level Not/AllDocs/Should/pure filter — queries that can
+    * match a doc containing none of their terms) take a full corpus
+    * pass, the honest cost of a match-all query.
+    *
+    * Not supported here (routed to [[queryJoinDsl]] by a plan-time
+    * error): wildcard/fuzzy/regex leaves (their Lucene multi-term
+    * rewrite expands against the term dictionary at driver compile
+    * time), scored leaves on a field other than `field`, and
+    * non-numeric filter values.
+    *
+    * Driver-side cost: one bounded action collecting the DISTINCT
+    * filter attribute column names (bounded by the doc schema width,
+    * never by |left|). Output is (qid, rank, key, score) like
+    * [[lightQueryJoin]]. */
+  def queryJoinAst(left: DataFrame, qidCol: String, queryGen: Row => SearchQuery,
+      field: String, k: Int, excludeSelf: Boolean = false): DataFrame = {
+    require(spec.textFields.contains(field), s"$field is not an indexed text field")
+    val fs = fieldStats(field)
+    // locals only — the map closure must not capture `this` (the
+    // index holds DataFrames, which don't serialize)
+    val targetField = field
+    val qAnalyzer = spec.queryAnalyzer
+    val indexedF = (spec.textFields ++ spec.keywordFields).toSet
+    val textF = spec.textFields.toSet
+    val qidName = qidCol
+    import spark.implicits._
+    // executor-side AST generation + serialization; alts = Seq.empty
+    // encodes a TOTAL shape (QueryProgram.probeAlts invariant: a
+    // defined alternatives list is never empty)
+    val serialized = left.map { r =>
+      val p = QueryProgram.compile(queryGen(r), targetField, qAnalyzer, indexedF, textF)
+      (r.getAs[Number](qidName).longValue(), p.ops, p.terms, p.consts,
+        p.attrFields, p.probeAlts.getOrElse(Seq.empty))
+    }.toDF("qid", "ops", "terms", "consts", "attr_fields", "alts")
+    // persisted: the shape dedup and the qid fan-out both read it
+    // (lifetime tracking as in queryJoinPhrase/queryJoinBool)
+    val canon = trackPersist(serialized.persist(StorageLevel.MEMORY_AND_DISK))
+    val shapes = trackPersist(canon
+      .groupBy("ops", "terms", "consts", "alts").agg(min(col("qid")).as("sid"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    // distinct filter attr columns: bounded by the doc schema width
+    // (field NAMES, not data), so this driver action is safe at any
+    // |left|; validates that every filtered column is numeric (the
+    // documented v1 contract of the serialized filter ops)
+    val attrFields = canon.select(explode(col("attr_fields")).as("f"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    val docSchema = docs.schema
+    attrFields.foreach { f =>
+      val sf = docSchema.find(_.name == f).getOrElse(throw new IllegalArgumentException(
+        s"queryJoinAst: filter references unknown doc column '$f'"))
+      require(sf.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"queryJoinAst supports numeric filter columns only; '$f' is ${sf.dataType} — " +
+          "route this query through queryJoinDsl")
+    }
+    val st = stats.where(col("field") === lit(field)).select(col("term"), col("df"))
+    // per-slot IDF vector aligned with the program's term table;
+    // absent terms keep df=0 like idfFor. The program's consts are
+    // appended after the idf prefix — DslQueryScore reads const
+    // operands at |terms| + idx.
+    val termIdf = shapes.select(col("sid"), posexplode(col("terms")).as(Seq("pos", "term")))
+      .join(st, Seq("term"), "left").na.fill(0L, Seq("df"))
+      .withColumn("idf", log(lit(1.0) +
+        (lit(fs.numDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+      .groupBy(col("sid"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("idf")))).as("pi"))
+      .select(col("sid"), transform(col("pi"), x => x.getField("idf")).as("idfs"))
+    val withDoubles = trackPersist(shapes.join(termIdf, Seq("sid"), "left")
+      .withColumn("doubles",
+        concat(coalesce(col("idfs"), array().cast("array<double>")), col("consts")))
+      .select(col("sid"), col("ops"), col("terms"), col("doubles"), col("alts"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    // probe-alternative selection by total df — the nested-AST
+    // generalization of queryJoinBool's rarest-required-term probe.
+    // explode_outer keeps zero-term alts (the "matches nothing"
+    // probe) at df 0, which min() rightly prefers.
+    val chosen = withDoubles.where(size(col("alts")) > 0)
+      .select(col("sid"), posexplode(col("alts")).as(Seq("ai", "alt")))
+      .select(col("sid"), col("ai"), explode_outer(col("alt")).as("term"))
+      .join(st, Seq("term"), "left").na.fill(0L, Seq("df"))
+      .groupBy(col("sid"), col("ai")).agg(sum(col("df")).as("adf"))
+      .groupBy(col("sid")).agg(min(struct(col("adf"), col("ai"))).as("c"))
+      .select(col("sid"), col("c.ai").as("ai"))
+    val posts = postings.where(col("field") === lit(field))
+      .select(col("term"), col("key"))
+    val probed = withDoubles.join(chosen, Seq("sid"))
+      .withColumn("probe", element_at(col("alts"), col("ai") + 1))
+      .select(col("sid"), col("ops"), col("terms"), col("doubles"), col("probe"))
+    // single-term probes dominate (every AND-led shape) and their
+    // (sid, key) is unique by construction — no dedup exchange;
+    // multi-term probes (OR/ANY-led) pay one
+    val single = probed.where(size(col("probe")) === 1)
+      .withColumn("term", element_at(col("probe"), 1)).drop("probe")
+      .join(posts, Seq("term")).drop("term")
+    // dedup runs on slim (sid, key) pairs; the shape arrays re-attach
+    // AFTER the exchange via a shapes-sized join (AQE broadcasts it),
+    // so the dedup shuffle never carries program bytecode
+    val multi = probed.where(size(col("probe")) > 1)
+      .select(col("sid"), explode(col("probe")).as("term"))
+      .join(posts, Seq("term")).drop("term")
+      .dropDuplicates("sid", "key")
+      .join(withDoubles.select(col("sid"), col("ops"), col("terms"), col("doubles")),
+        Seq("sid"))
+    // doc side: token array + the filter attr map, one corpus join
+    val attrMapCol =
+      if (attrFields.isEmpty)
+        map_from_arrays(array().cast("array<string>"), array().cast("array<double>"))
+      else map_from_arrays(
+        array(attrFields.map(lit): _*),
+        array(attrFields.map(f => col(f).cast("double")): _*))
+    val docSide = docs.select(key.as("__doc_key"),
+      tokensCol(field).as("__tokens"), attrMapCol.as("__attrs"))
+    val probeCands = single.unionByName(multi)
+      .join(docSide, col("key") === col("__doc_key"))
+    // TOTAL shapes: no sound probe set exists — full corpus pass
+    // (AQE collapses this branch when the batch has no total shape)
+    val totalCands = withDoubles.where(size(col("alts")) === 0)
+      .select(col("sid"), col("ops"), col("terms"), col("doubles"))
+      .crossJoin(docSide)
+      .withColumn("key", col("__doc_key"))
+    val (kind, k1v, bv) = spec.similarity match {
+      case BM25(a, c) => (0, a, c)
+      case TFIDF() => (1, 0.0, 0.0)
+    }
+    val verified = probeCands.unionByName(totalCands)
+      .withColumn("__r", call_function("dsl_query_score", col("__tokens"),
+        col("ops"), col("terms"), col("doubles"), col("__attrs"),
+        lit(kind), lit(k1v), lit(bv), lit(fs.avgDl)))
+      .where(col("__r.ok"))
+      .select(col("sid"), col("key"), col("__r.score").as("score"))
+    val fan = canon.join(shapes, Seq("ops", "terms", "consts", "alts"))
+      .select(col("qid"), col("sid"))
+    val scored = verified.join(fan, Seq("sid"))
+      .select(col("qid"), col("key"), col("score"))
     perQueryTopK(
       if (excludeSelf) scored.where(col("qid") =!= col("key")) else scored, k)
   }

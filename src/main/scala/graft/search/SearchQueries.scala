@@ -532,6 +532,35 @@ object SearchQueries {
         .select(col("qid").as("doc_id"), col("rank").cast("long").as("rank"),
           col("key"), round(col("score"), 4).as("score"))
         .orderBy("doc_id", "rank")
+    }),
+
+    // ARBITRARY nested-AST query join, fully distributed (the
+    // reference's queryGenerator: T => DslQuery regime at corpus
+    // scale, SearchableRDD.scala:257-298): same corpus-proportional
+    // left convention as query_join_bool (every 10th doc), but each
+    // row generates a NESTED mixed AST — phrase OR all-terms, a
+    // boosted optional term, a negation and a numeric range filter —
+    // serialized to QueryProgram bytecode and verified in-row by
+    // dsl_query_score. One plan, constant size in |left|, nothing
+    // collected (unlike query_join_dsl's driver-batch contract).
+    "query_join_ast" -> ((s, dir) => {
+      val idx = indexFor(s, dir)
+      val tk = col(SearchIndex.tokensColName("text"))
+      val left = idx.docs.where(size(tk) >= 6 && col("doc_id") % 10 === 0)
+        .select((col("doc_id") +: col("n_chars") +:
+          (1 to 6).map(i => element_at(tk, i).as(s"t$i"))): _*)
+      idx.queryJoinAst(left, "doc_id", { r =>
+          def t(i: Int) = r.getAs[String](s"t$i")
+          And(
+            Or(MatchPhrase("text", s"${t(1)} ${t(2)}"),
+              MatchAllTerms("text", Seq(t(3), t(4)))),
+            And(Should(Boost(MatchTerm("text", t(6)), 0.5)),
+              And(Not(MatchTerm("text", t(5))),
+                RangeFilter("n_chars", 0L, r.getAs[Long]("n_chars")))))
+        }, "text", k = 3, excludeSelf = true)
+        .select(col("qid").as("doc_id"), col("rank").cast("long").as("rank"),
+          col("key"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id", "rank")
     })
   )
 
@@ -1164,6 +1193,59 @@ object SearchQueries {
          |), sel AS (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
          |  FROM ver
+         |)
+         |SELECT sel.qid AS doc_id, sel.rank, sel.doc_id AS key, round(sel.score, 4) AS score
+         |FROM sel WHERE rank <= 3
+         |ORDER BY sel.qid, sel.rank""".stripMargin
+    },
+
+    "query_join_ast" -> {
+      // nested AST per left doc: And(Or(phrase(t1 t2), all(t3, t4)),
+      // And(Should(Boost(term(t6), 0.5)), And(Not(term(t5)),
+      // range(n_chars <= query's)))). Gating is leaf-only (the scan
+      // compiler's discipline): Or sums BOTH sides' leaf-gated
+      // scores even when only one side matches — e.g. tf3>0 scores
+      // even if tf4=0 keeps the all-terms side unmatched.
+      s"""$toksCte,
+         |$postsCte,
+         |lefts AS (
+         |  SELECT doc_id AS qid, n_chars AS max_chars,
+         |    tokens[1] AS t1, tokens[2] AS t2, tokens[3] AS t3,
+         |    tokens[4] AS t4, tokens[5] AS t5, tokens[6] AS t6
+         |  FROM toks WHERE len(tokens) >= 6 AND doc_id % 10 = 0
+         |), scored AS (
+         |  SELECT l.qid, t.doc_id, t.n_chars, l.max_chars,
+         |    len(list_filter(range(1, len(t.tokens)),
+         |        i -> t.tokens[i] = l.t1 AND t.tokens[i + 1] = l.t2)) AS tf_p,
+         |    len(list_filter(t.tokens, x -> x = l.t3)) AS tf3,
+         |    len(list_filter(t.tokens, x -> x = l.t4)) AS tf4,
+         |    len(list_filter(t.tokens, x -> x = l.t5)) AS tf5,
+         |    len(list_filter(t.tokens, x -> x = l.t6)) AS tf6,
+         |    len(t.tokens) AS dl, st.n, st.avgdl,
+         |    coalesce(d1.df, 0) AS df1, coalesce(d2.df, 0) AS df2,
+         |    coalesce(d3.df, 0) AS df3, coalesce(d4.df, 0) AS df4,
+         |    coalesce(d6.df, 0) AS df6
+         |  FROM lefts l
+         |  CROSS JOIN toks t
+         |  CROSS JOIN st
+         |  LEFT JOIN dfs d1 ON d1.term = l.t1
+         |  LEFT JOIN dfs d2 ON d2.term = l.t2
+         |  LEFT JOIN dfs d3 ON d3.term = l.t3
+         |  LEFT JOIN dfs d4 ON d4.term = l.t4
+         |  LEFT JOIN dfs d6 ON d6.term = l.t6
+         |  WHERE t.doc_id <> l.qid
+         |), s2 AS (
+         |  SELECT qid, doc_id,
+         |    ${bm25Sql("tf_p", s"(${idfSql("df1")} + ${idfSql("df2")})")}
+         |    + ${bm25Sql("tf3", idfSql("df3"))}
+         |    + ${bm25Sql("tf4", idfSql("df4"))}
+         |    + 0.5 * ${bm25Sql("tf6", idfSql("df6"))} AS score
+         |  FROM scored
+         |  WHERE (tf_p > 0 OR (tf3 > 0 AND tf4 > 0))
+         |    AND tf5 = 0 AND n_chars BETWEEN 0 AND max_chars
+         |), sel AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+         |  FROM s2
          |)
          |SELECT sel.qid AS doc_id, sel.rank, sel.doc_id AS key, round(sel.score, 4) AS score
          |FROM sel WHERE rank <= 3

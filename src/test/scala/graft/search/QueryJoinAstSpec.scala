@@ -1,0 +1,153 @@
+package graft.search
+
+import graft.TestSpark
+import graft.dsl._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** The distributed nested-AST query join must agree with the
+  * driver-batch path ([[SearchIndex.queryJoinDsl]], which compiles
+  * each query through the scan path) on every query shape — fixed
+  * nested cases plus a seeded fuzz over random ASTs. That makes
+  * `queryJoinAst`'s serialized interpreter provably consistent with
+  * `compileWith` wherever both run. */
+class QueryJoinAstSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en", 100L),
+    (2L, "spark makes big data processing fast and simple", "en", 200L),
+    (3L, "the lazy dog sleeps all day long", "en", 150L),
+    (4L, "spark spark spark everywhere in the cluster", "fr", 120L),
+    (5L, "a quick survey of join algorithms in spark", "fr", 300L),
+    (6L, "dogs and foxes are not the same animal", "de", 250L),
+    (7L, "quick quick dog dog spark join data day", "en", 180L)
+  ).toDF("doc_id", "text", "lang", "n_chars")
+
+  lazy val idx = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text"), Seq("lang")))
+
+  /** Both paths, normalized to (qid, rank, key, score6). */
+  private def both(left: DataFrame, gen: Row => SearchQuery, k: Int,
+      excludeSelf: Boolean): (Set[(Long, Int, Long, Double)], Set[(Long, Int, Long, Double)]) = {
+    def norm(df: DataFrame, qidCol: String): Set[(Long, Int, Long, Double)] =
+      df.select(col(qidCol).cast("long"), col("rank").cast("int"),
+        col("key").cast("long"), round(col("score"), 6))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val ast = norm(idx.queryJoinAst(left, "doc_id", gen, "text", k, excludeSelf), "qid")
+    val dsl = norm(idx.queryJoinDsl(left, "doc_id", gen, k, excludeSelf), "doc_id")
+    (ast, dsl)
+  }
+
+  private def check(gen: Row => SearchQuery, k: Int = 3,
+      excludeSelf: Boolean = false, minHits: Int = 0): Unit = {
+    val left = corpus.select("doc_id", "text", "n_chars")
+    val (ast, dsl) = both(left, gen, k, excludeSelf)
+    assert(ast == dsl, s"\nast: ${ast.toSeq.sorted}\ndsl: ${dsl.toSeq.sorted}")
+    assert(ast.size >= minHits)
+  }
+
+  test("nested And(Or(phrase, allTerms), Should(Boost(term)), Not+range) matches the driver path") {
+    check({ r =>
+      val nc = r.getAs[Long]("n_chars")
+      And(
+        Or(MatchPhrase("text", "lazy dog"), MatchAllTerms("text", Seq("spark", "join"))),
+        And(Should(Boost(MatchTerm("text", "quick"), 0.5)),
+          And(Not(MatchTerm("text", "cluster")), RangeFilter("n_chars", 0L, nc + 100))))
+    }, minHits = 1)
+  }
+
+  test("data-driven shapes: each row generates from its own tokens") {
+    check({ r =>
+      val toks = r.getAs[String]("text").split(" ")
+      And(Or(MatchPhrase("text", toks.take(2).mkString(" ")),
+        MatchAllTerms("text", toks.slice(2, 4).toSeq)),
+        Not(MatchTerm("text", toks(4))))
+    }, excludeSelf = true)
+  }
+
+  test("total shapes (Not root, AllDocs, pure filter) take the corpus path and still agree") {
+    check(_ => Not(MatchTerm("text", "spark")), minHits = 1)
+    check(_ => AllDocs, minHits = 1)
+    check({ r => GeFilter("n_chars", r.getAs[Long]("n_chars")) }, minHits = 1)
+    check(_ => Should(MatchTerm("text", "dog")), minHits = 1)
+  }
+
+  test("min-match, near, in-set, exists, missing, unknown terms and fields") {
+    check(_ => MatchMin("text", 2, Seq("quick", "dog", "spark")), minHits = 1)
+    check(_ => MatchNear("text", "quick", "dog", 3), minHits = 1)
+    check(_ => And(MatchTerm("text", "spark"), InSetFilter("n_chars", Seq(120L, 300L))), minHits = 1)
+    check(_ => And(MatchTerm("text", "dog"), ExistsFilter("n_chars")), minHits = 1)
+    check(_ => And(MatchTerm("text", "dog"), MissingFilter("n_chars")))
+    check(_ => MatchTerm("text", "zzz_not_in_corpus"))
+    check(_ => Or(MatchTerm("no_such_field", "x"), MatchTerm("text", "fox")), minHits = 1)
+    check(_ => Parsed("text", "+spark join -cluster"), minHits = 1)
+  }
+
+  test("fuzz: random nested ASTs agree with the driver path (seeded, deterministic)") {
+    val vocab = Vector("spark", "dog", "quick", "lazy", "fox", "join", "data",
+      "cluster", "day", "zzz_unknown")
+    def leaf(rnd: Random): SearchQuery = rnd.nextInt(10) match {
+      case 0 => MatchTerm("text", vocab(rnd.nextInt(vocab.length)))
+      case 1 => MatchAnyTerms("text",
+        Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.length))).distinct)
+      case 2 => MatchAllTerms("text",
+        Seq.fill(1 + rnd.nextInt(2))(vocab(rnd.nextInt(vocab.length))).distinct)
+      case 3 => MatchMin("text", 1 + rnd.nextInt(2),
+        Seq.fill(2 + rnd.nextInt(2))(vocab(rnd.nextInt(vocab.length))).distinct)
+      case 4 => MatchPhrase("text",
+        s"${vocab(rnd.nextInt(vocab.length))} ${vocab(rnd.nextInt(vocab.length))}",
+        rnd.nextInt(2))
+      case 5 => MatchNear("text", vocab(rnd.nextInt(vocab.length)),
+        vocab(rnd.nextInt(vocab.length)), 1 + rnd.nextInt(3))
+      case 6 => RangeFilter("n_chars", 100L + rnd.nextInt(100).toLong,
+        200L + rnd.nextInt(200).toLong)
+      case 7 => GeFilter("n_chars", 100L + rnd.nextInt(150).toLong)
+      case 8 => AllDocs
+      case _ => MatchText("text", s"${vocab(rnd.nextInt(vocab.length))} processing")
+    }
+    def ast(rnd: Random, depth: Int): SearchQuery =
+      if (depth <= 0) leaf(rnd)
+      else rnd.nextInt(8) match {
+        case 0 => And(ast(rnd, depth - 1), ast(rnd, depth - 1))
+        case 1 => Or(ast(rnd, depth - 1), ast(rnd, depth - 1))
+        case 2 => Not(ast(rnd, depth - 1))
+        case 3 => Should(ast(rnd, depth - 1))
+        case 4 => Boost(ast(rnd, depth - 1), 0.25 + rnd.nextInt(8) * 0.25)
+        case _ => leaf(rnd)
+      }
+    for (round <- 0 until 6) {
+      // the generator must be PURE per row (both paths invoke it):
+      // seed from (round, qid)
+      check({ r =>
+        val rnd = new Random(round * 1000 + r.getAs[Long]("doc_id"))
+        ast(rnd, 3)
+      }, k = 5)
+    }
+  }
+
+  test("dictionary-expansion leaves are rejected with a routing message") {
+    val left = corpus.select("doc_id")
+    val e = intercept[Exception] {
+      idx.queryJoinAst(left, "doc_id", _ => MatchWildcard("text", "sp*"), "text", 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("queryJoinDsl")))
+  }
+
+  test("plan size is constant in |left|") {
+    def planNodes(rows: Int): Int = {
+      val left = corpus.limit(rows).select("doc_id", "n_chars")
+      idx.queryJoinAst(left, "doc_id",
+        r => And(MatchTerm("text", "spark"), RangeFilter("n_chars", 0L, r.getAs[Long]("n_chars"))),
+        "text", 3).queryExecution.optimizedPlan.collect { case p => p }.length
+    }
+    val p2 = planNodes(2); val p7 = planNodes(7)
+    assert(p2 == p7, s"plan grew with |left|: $p2 vs $p7 nodes")
+  }
+}
