@@ -50,12 +50,15 @@ final case class MatchAllText(field: String, text: String) extends SearchQuery
 
 /** Positional phrase over analyzed text (DslQuery.scala:116-120);
   * phrase idf is the sum of constituent term idfs. `slop` is the
-  * Lucene `"a b"~N` proximity budget: the phrase matches wherever its
-  * terms occur IN ORDER with at most `slop` total extra positions
-  * between first and last (slop 0 = exact adjacency). Deviation from
-  * Lucene: matches are ordered-only — Lucene's slop>=2 admits
-  * transpositions; an in-order window is what span_near(in_order)
-  * does and keeps tf well-defined as a count of start positions. */
+  * Lucene `"a b"~N` proximity budget with Lucene's
+  * SloppyPhraseScorer matchLength semantics: a document matches
+  * wherever its tokens admit an injective assignment to the phrase
+  * terms with adjusted-position span `max(p_i - i) - min(p_i - i)
+  * <= slop` — slop 0 = exact adjacency, and slop >= 2 admits
+  * transpositions ("b a" matches `"a b"~2`), exactly as Lucene
+  * does. tf = count of term-0 anchor positions admitting an
+  * assignment (equal to the ordered start-position count for
+  * slop <= 1, where order is forced). */
 final case class MatchPhrase(field: String, text: String, slop: Int = 0) extends SearchQuery
 
 /** All terms of the set required (DslQuery.scala:78-86). */

@@ -92,8 +92,23 @@ case class PhraseCount(left: Expression, right: Expression, slop: Int = 0)
 }
 
 object PhraseCount {
-  /** Static so generated code can call it directly. */
-  def compute(a: ArrayData, p: ArrayData, slop: Int): Int = {
+  /** Static so generated code can call it directly.
+    *
+    * slop <= 1: ordered in-window matching (transpositions need
+    * matchLength >= 2 in Lucene too, so order is forced there and
+    * the greedy scan is exact). slop >= 2: Lucene sloppy-phrase
+    * semantics (SloppyPhraseScorer's matchLength criterion) — a
+    * match is an INJECTIVE assignment of query terms to token
+    * positions with adjusted-position span
+    * `max(p_i - i) - min(p_i - i) <= slop`, which admits
+    * out-of-order terms ("b a" matches `"a b"~2`); tf = number of
+    * term[0] anchor positions admitting such an assignment (at
+    * slop <= 1 this equals the ordered start-position count, so the
+    * two regimes agree at their boundary). */
+  def compute(a: ArrayData, p: ArrayData, slop: Int): Int =
+    if (slop <= 1) computeOrdered(a, p, slop) else computeSloppy(a, p, slop)
+
+  private def computeOrdered(a: ArrayData, p: ArrayData, slop: Int): Int = {
     val n = a.numElements()
     val m = p.numElements()
     if (m == 0 || m > n) return 0
@@ -118,6 +133,54 @@ object PhraseCount {
           t += 1
         }
         if (ok) count += 1
+      }
+      i += 1
+    }
+    count
+  }
+
+  /** DFS over candidate positions per term, pruned by the running
+    * adjusted-position span; cost per anchor is bounded by
+    * (2*slop+1)^(m-1) in the worst (all-repeated-terms) case — slop
+    * and phrase length are query constants, never data-sized. */
+  private def computeSloppy(a: ArrayData, p: ArrayData, slop: Int): Int = {
+    val n = a.numElements()
+    val m = p.numElements()
+    if (m == 0 || m > n) return 0
+    val terms = new Array[UTF8String](m)
+    var j = 0
+    while (j < m) {
+      if (p.isNullAt(j)) return 0
+      terms(j) = p.getUTF8String(j)
+      j += 1
+    }
+    val chosen = new Array[Int](m)
+    def dfs(k: Int, curMin: Int, curMax: Int): Boolean = {
+      if (k == m) return true
+      // adjusted position (q - k) must keep the span within slop
+      var q = math.max(0, curMax - slop + k)
+      val qHi = math.min(n - 1, curMin + slop + k)
+      while (q <= qHi) {
+        if (!a.isNullAt(q) && a.getUTF8String(q).equals(terms(k))) {
+          var used = false
+          var t = 0
+          while (t < k) { if (chosen(t) == q) used = true; t += 1 }
+          if (!used) {
+            chosen(k) = q
+            val adj = q - k
+            if (dfs(k + 1, math.min(curMin, adj), math.max(curMax, adj))) return true
+          }
+        }
+        q += 1
+      }
+      false
+    }
+    var count = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && a.getUTF8String(i).equals(terms(0))) {
+        chosen(0) = i
+        if (dfs(1, i, i)) count += 1
       }
       i += 1
     }

@@ -731,17 +731,20 @@ object SearchQueries {
     },
 
     "search_phrase_slop" -> {
-      // tf = start positions i with tokens[i]='batch' and a 'join'
-      // within the next 1+slop positions (ordered window, slop 2 →
-      // j <= i+3); phrase idf = idf(batch) + idf(join), as exact
+      // Lucene sloppy-phrase (SloppyPhraseScorer matchLength): tf =
+      // anchor positions i with tokens[i]='batch' and a 'join' at j
+      // with |i - (j-1)| <= slop, j != i — slop 2 admits the
+      // TRANSPOSED "join batch" (j = i-1, matchLength 2), exactly as
+      // Lucene's "batch join"~2 does; 1-based SQL indices make the
+      // window j in [i-1, i+3]. phrase idf = idf(batch) + idf(join)
       s"""$toksCte,
          |dfs AS (SELECT ${dfSql("batch")} AS df_1, ${dfSql("join")} AS df_2 FROM (SELECT 1)),
          |scored AS (
          |  SELECT t.doc_id, len(t.tokens) AS dl, st.n, st.avgdl, dfs.df_1, dfs.df_2,
          |    len(list_filter(range(1, len(t.tokens) + 1),
          |      i -> t.tokens[i] = 'batch' AND
-         |        len(list_filter(range(i + 1, least(i + 4, len(t.tokens) + 1)),
-         |          j -> t.tokens[j] = 'join')) > 0)) AS tf_p
+         |        len(list_filter(range(greatest(i - 1, 1), least(i + 4, len(t.tokens) + 1)),
+         |          j -> j <> i AND t.tokens[j] = 'join')) > 0)) AS tf_p
          |  FROM toks t, st, dfs
          |), s2 AS (
          |  SELECT *, CASE WHEN tf_p > 0

@@ -161,8 +161,9 @@ class FunctionsSpec extends AnyFunSuite {
     // budget is TOTAL extra positions across the whole phrase
     assert(n(Seq("a", "x", "b", "y", "c"), Seq("a", "b", "c"), 1) == 0)
     assert(n(Seq("a", "x", "b", "y", "c"), Seq("a", "b", "c"), 2) == 1)
-    // order still required: reversed terms never match
-    assert(n(Seq("b", "x", "a"), Seq("a", "b"), 5) == 0)
+    // order is forced BELOW slop 2 (Lucene: a transposition costs
+    // matchLength 2)
+    assert(n(Seq("b", "x", "a"), Seq("a", "b"), 1) == 0)
     // slop 0 equals the exact-adjacency semantics
     assert(n(Seq("a", "b", "a", "b", "a"), Seq("a", "b"), 0) == 2)
     // overlapping sloppy starts each count
@@ -173,6 +174,33 @@ class FunctionsSpec extends AnyFunSuite {
     // repeated phrase terms
     assert(n(Seq("a", "x", "a"), Seq("a", "a"), 1) == 1)
     assert(n(Seq("a", "x", "a"), Seq("a", "a"), 0) == 0)
+  }
+
+  test("phrase_count slop >= 2: Lucene sloppy semantics admit transpositions") {
+    SearchExpressions.register(spark)
+    def n(tokens: Seq[String], phrase: Seq[String], slop: Int): Int =
+      Seq(Tuple1(tokens)).toDF("arr").select(
+        call_function("phrase_count", $"arr",
+          array(phrase.map(lit): _*), lit(slop)).as("n"))
+        .as[Int].head()
+    // the canonical Lucene case: "b a" matches "a b"~2 (matchLength
+    // 2), not "a b"~1
+    assert(n(Seq("b", "a"), Seq("a", "b"), 2) == 1)
+    // adjusted span: a@2 adj 2, b@0 adj -1 -> matchLength 3
+    assert(n(Seq("b", "x", "a"), Seq("a", "b"), 2) == 0)
+    assert(n(Seq("b", "x", "a"), Seq("a", "b"), 3) == 1)
+    // 3-term out-of-order: c a b vs "a b c" -> adj (1, 1, -2), span 3
+    assert(n(Seq("c", "a", "b"), Seq("a", "b", "c"), 2) == 0)
+    assert(n(Seq("c", "a", "b"), Seq("a", "b", "c"), 3) == 1)
+    // injective assignment: repeated query terms need DISTINCT
+    // positions; tf counts term-0 anchors that admit one
+    assert(n(Seq("a", "x", "a"), Seq("a", "a"), 2) == 1)
+    assert(n(Seq("a", "x", "a"), Seq("a", "a"), 3) == 2)
+    // ordered matches still count at slop >= 2
+    assert(n(Seq("a", "x", "x", "b"), Seq("a", "b"), 2) == 1)
+    // the regimes agree at their boundary: every slop-1 match is a
+    // slop-2 match
+    assert(n(Seq("a", "x", "b"), Seq("a", "b"), 2) == 1)
   }
 
   test("TopKAgg keeps bounded top-k with deterministic order") {

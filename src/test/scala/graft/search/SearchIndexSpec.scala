@@ -48,6 +48,10 @@ class SearchIndexSpec extends AnyFunSuite {
   test("phrase match is positional") {
     assert(ids(idx.search("text" matchPhrase "lazy dog", 10)).toSet == Set(1L, 3L))
     assert(ids(idx.search("text" matchPhrase "dog lazy", 10)).isEmpty)
+    // Lucene sloppy phrase: slop 2 admits the transposition, slop 1
+    // does not (matchLength 2)
+    assert(ids(idx.search("text".matchPhrase("dog lazy", 2), 10)).toSet == Set(1L, 3L))
+    assert(ids(idx.search("text".matchPhrase("dog lazy", 1), 10)).isEmpty)
   }
 
   test("boolean and/or/not") {
