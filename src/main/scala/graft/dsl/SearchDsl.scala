@@ -101,10 +101,15 @@ final case class MatchFuzzy(field: String, term: String, maxEdits: Int) extends 
   * term the pattern matches IN FULL (Lucene RegexpQuery, QueryParser
   * `/re/` syntax — Lucene anchors the pattern to the whole term).
   * Constant-score multi-term rewrite like [[MatchWildcard]]. The
-  * pattern dialect is Java regex (what Spark `rlike` evaluates), a
-  * documented deviation from Lucene's more restricted RegExp class;
-  * patterns are matched against the index's (analyzer-normalized,
-  * typically lowercase) term dictionary as-is. */
+  * pattern dialect is Lucene's RegExp class (`<n-m>` numeric
+  * intervals, `~` complement, `&` intersection, `@` any-string,
+  * `#` empty-language, `"..."` literals, `\c` literal escapes, and
+  * `^`/`$` as ordinary characters), translated to an equivalent
+  * anchored Java pattern by [[LuceneRegex.translate]]; interior
+  * `~`/`&` positions with no regex equivalent are REJECTED at
+  * compile time rather than silently reinterpreted. Patterns match
+  * against the index's (analyzer-normalized, typically lowercase)
+  * term dictionary. */
 final case class MatchRegex(field: String, pattern: String) extends SearchQuery
 
 /** Unordered two-term proximity (Lucene SpanNearQuery with
@@ -128,8 +133,9 @@ final case class MatchNear(field: String, a: String, b: String, dist: Int)
   * groups (`title:(+a "b c")` — leaves inside default to `title`),
   * AND/OR/NOT, boosts (`term^2`, `(a b)^0.5`), wildcards (`te*t`,
   * `jo?n`), fuzzy terms (`spark~1`), regex terms (`/sp.rk/`,
-  * `field:/re/` — Java-regex dialect, anchored to the whole term,
-  * `\/` embeds a slash), and ranges (`f:[a TO b]`,
+  * `field:/re/` — Lucene RegExp dialect, see [[MatchRegex]],
+  * anchored to the whole term, `\/` embeds a slash), and ranges
+  * (`f:[a TO b]`,
   * `f:{a TO *}` — square bracket inclusive, curly exclusive, `*`
   * unbounded).
   * A `~N` after a phrase is Lucene slop syntax: the terms may occur

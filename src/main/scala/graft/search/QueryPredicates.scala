@@ -113,7 +113,9 @@ object QueryPredicates {
           exists(an.tokensCol(col(f)), tok => levenshtein(tok, lit(t)) <= maxEdits)
         else levenshtein(col(f), lit(t)) <= maxEdits
       case MatchRegex(f, pat) =>
-        val re = "^(?:" + pat + ")$" // whole-term match, as the indexed path
+        // whole-term match in the Lucene RegExp dialect, translated
+        // exactly as the indexed path does
+        val re = "^(?:" + LuceneRegex.translate(pat) + ")$"
         if (textFields(f)) exists(an.tokensCol(col(f)), tok => tok.rlike(re))
         else col(f).rlike(re)
       case EqFilter(f, v) => col(f) === lit(v)

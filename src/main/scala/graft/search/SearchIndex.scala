@@ -293,9 +293,14 @@ final class SearchIndex private (
     case MatchFuzzy(f, t, maxEdits) =>
       constScoreAny(f, expandDict(f, levenshtein(col("term"), lit(t)) <= maxEdits))
     case MatchRegex(f, pat) =>
-      // Lucene RegexpQuery matches the WHOLE term — anchor, since
-      // rlike is a substring search
-      constScoreAny(f, expandDict(f, col("term").rlike("^(?:" + pat + ")$")))
+      // Lucene RegexpQuery: the pattern is the Lucene RegExp DIALECT
+      // (intervals, ~ complement, & intersection, @, "...", \c
+      // literal escapes) — translated to Java regex, then anchored,
+      // since Lucene matches the WHOLE term and rlike is a substring
+      // search. Unsupported dialect positions (interior ~/&) reject
+      // at compile time instead of silently meaning something else.
+      constScoreAny(f, expandDict(f,
+        col("term").rlike("^(?:" + LuceneRegex.translate(pat) + ")$")))
     case And(l, r) =>
       val (pl, sl) = compileWith(l, idf); val (pr, sr) = compileWith(r, idf)
       (pl && pr, sl + sr)

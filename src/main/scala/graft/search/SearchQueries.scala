@@ -268,6 +268,17 @@ object SearchQueries {
     "search_regex" -> ((s, dir) =>
       topkOut(indexFor(s, dir).search("text" parseQuery "/s.a(n|rk)/ merge", 10))),
 
+    // Lucene-ONLY RegExp dialect (RegexpQuery's RegExp class, not
+    // Java regex): top-level intersection of a complement and a
+    // containment with a quoted literal —
+    // ~("spark"|d.*) & .*a.*  ⇒  dictionary terms containing 'a'
+    // that are neither exactly "spark" nor d-prefixed. Exercises
+    // ~, &, "...", grouping and union through LuceneRegex.translate;
+    // same constant-score + scoring-term shape as search_regex
+    "search_regex_lucene" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search(
+        "text" parseQuery "/~(\"spark\"|d.*)&.*a.*/ merge", 10))),
+
     // QueryParser range syntax with mixed bounds: [inclusive TO
     // exclusive} on a numeric doc field, as a required non-scoring
     // clause beside a required scored term
@@ -856,6 +867,31 @@ object SearchQueries {
          |  SELECT list(term) AS ts FROM (
          |    SELECT DISTINCT unnest(tokens) AS term FROM toks
          |  ) WHERE regexp_matches(term, '^(?:s.a(n|rk))$$')
+         |), dfs AS (SELECT ${dfSql("merge")} AS df_m FROM (SELECT 1)),
+         |scored AS (
+         |  SELECT t.doc_id, len(t.tokens) AS dl, st.n, st.avgdl, dfs.df_m,
+         |    len(list_intersect(t.tokens, rxm.ts)) AS n_rx,
+         |    ${tfSql("merge")} AS tf_m
+         |  FROM toks t, st, dfs, rxm
+         |), s2 AS (
+         |  SELECT *, (CASE WHEN n_rx > 0 THEN 1.0 ELSE 0.0 END)
+         |    + ${bm25Sql("tf_m", idfSql("df_m"))} AS score
+         |  FROM scored WHERE n_rx > 0 OR tf_m > 0
+         |)
+         |SELECT doc_id, round(score, 4) AS score FROM s2
+         |ORDER BY s2.score DESC, doc_id
+         |LIMIT 10""".stripMargin,
+
+    // the Lucene-dialect pattern ~("spark"|d.*)&.*a.* expressed as
+    // its SEMANTICS (complement + intersection over the anchored
+    // whole-term match), not as the translated Java pattern
+    "search_regex_lucene" ->
+      s"""$toksCte,
+         |rxm AS (
+         |  SELECT list(term) AS ts FROM (
+         |    SELECT DISTINCT unnest(tokens) AS term FROM toks
+         |  ) WHERE NOT regexp_matches(term, '^(?:spark|d.*)$$')
+         |      AND regexp_matches(term, '^(?:.*a.*)$$')
          |), dfs AS (SELECT ${dfSql("merge")} AS df_m FROM (SELECT 1)),
          |scored AS (
          |  SELECT t.doc_id, len(t.tokens) AS dl, st.n, st.avgdl, dfs.df_m,

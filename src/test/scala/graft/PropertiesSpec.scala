@@ -109,7 +109,10 @@ class PropertiesSpec extends AnyFunSuite {
       // stats-free path matches per token — same match set required
       Gen.oneOf("?", "d*", "e?", "*d", "z*").map(p => MatchWildcard("text", p)),
       // regex leaves: indexed dictionary expansion vs per-token rlike
-      Gen.oneOf(".", "d+", "e.", ".*d.*", "a|b", "[cd]d?")
+      // — both through LuceneRegex.translate, incl. Lucene-only
+      // syntax (complement, intersection, any-string, quoted)
+      Gen.oneOf(".", "d+", "e.", ".*d.*", "a|b", "[cd]d?",
+          "~(d.*)", "@", "\"dd\"", "d.&~(dd)", "~(@)", "<1-12>")
         .map(p => MatchRegex("text", p)),
       for { t <- term; e <- Gen.choose(0, 2) } yield MatchFuzzy("text", t, e))
     val ast: Gen[SearchQuery] = for {
