@@ -616,11 +616,19 @@ final class SearchIndex private (
     *   query batches — so Catalyst/AQE picks broadcast vs shuffle
     *   from runtime stats instead (same contract as queryJoin's
     *   broadcastHits, which plumbs through to here).
+    * @param maxHitsPerIndex probe-depth cap (reference
+    *   SearchableRDD.scala:103-119, default = exact): each partition
+    *   of the scored probe contributes at most this many hits per
+    *   query to the global merge. Values < k shrink the intermediate
+    *   top-k state and shuffle at the reference's documented accuracy
+    *   cost — a partition holding more than maxHitsPerIndex of a
+    *   query's true top-k loses the excess.
     * @return (qid, rank, key, score) — rank 1..k by score desc, key asc
     */
   def batchSearch(queries: DataFrame, k: Int,
-      broadcastQueries: Boolean = true): DataFrame =
-    batchSearchRaw(queries, k, None, broadcastQueries)
+      broadcastQueries: Boolean = true,
+      maxHitsPerIndex: Int = Int.MaxValue): DataFrame =
+    batchSearchRaw(queries, k, None, broadcastQueries, maxHitsPerIndex)
 
   /** Index-probe execution of a flat term query: postings equi-join →
     * bounded top-k → broadcast join-back of the full rows. Same
@@ -720,13 +728,14 @@ final class SearchIndex private (
     *   linearly with the corpus and blow the driver. */
   def queryJoin(left: DataFrame, qidCol: String, termsCol: Column, field: String,
       k: Int, minMatch: Int = 1, excludeSelf: Boolean = false,
-      broadcastHits: Boolean = false): DataFrame = {
+      broadcastHits: Boolean = false,
+      maxHitsPerIndex: Int = Int.MaxValue): DataFrame = {
     val queries = left.select(col(qidCol).as("qid"), termsCol.as("terms"))
       .withColumn("field", lit(field))
       .withColumn("min_match", lit(minMatch))
     val hits0 = batchSearchRaw(queries, k,
       if (excludeSelf) Some(col("qid") =!= col("key")) else None,
-      broadcastQueries = broadcastHits)
+      broadcastQueries = broadcastHits, maxHitsPerIndex = maxHitsPerIndex)
     val hits = if (broadcastHits) broadcast(hits0) else hits0
     // drop by Column, not name: a left side with its own "qid" column
     // must keep it
@@ -885,12 +894,19 @@ final class SearchIndex private (
     *   [lo, hi]; null bounds are unbounded. Evaluated per (query,
     *   candidate) after verification — one keyed equi-join against
     *   the corpus attributes, no extra shuffle of the postings.
+    * @param maxHitsPerIndex probe-depth cap (reference
+    *   SearchableRDD.scala:103-119): values < k bound each
+    *   partition's verified hits PER SHAPE before the qid fan-out
+    *   (per qid at the final merge when an attrFilter or excludeSelf
+    *   would need the capped rows), shrinking the fan join's input at
+    *   the reference's documented accuracy cost. Default = exact.
     * Output is (qid, rank, key, score) like [[lightQueryJoin]]. */
   def queryJoinBool(left: DataFrame, qidCol: String,
       requiredCol: Column, optionalCol: Column, excludedCol: Column,
       field: String, k: Int, minOptMatch: Int = 0,
       attrFilter: Option[(String, Column, Column)] = None,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      maxHitsPerIndex: Int = Int.MaxValue): DataFrame = {
     require(spec.textFields.contains(field), s"$field is not an indexed text field")
     val fs = fieldStats(field)
     val empty = array().cast("array<string>")
@@ -998,9 +1014,20 @@ final class SearchIndex private (
           when(col("n_req") === 0, lit(1)).otherwise(lit(0))))
       .select((Seq(col("sid"), col("key"), col("__bq.score").as("score")) ++
         attrSel.map(_ => col("__attr"))): _*)
+    // probe-depth cap (the per-SHAPE form of maxHitsPerIndex): bound
+    // each partition's verified hits per shape before the qid fan-out,
+    // shrinking the fan join's input at the documented accuracy cost.
+    // Applies pre-fan only when nothing downstream (attr filter,
+    // self-exclusion) would need the capped-away rows; otherwise the
+    // cap moves to the qid-grained final merge.
+    val preFanCap = attrFilter.isEmpty && !excludeSelf
+    val capped =
+      if (maxHitsPerIndex < k && preFanCap)
+        perPartitionTopK(verified, "sid", maxHitsPerIndex)
+      else verified
     val fan = canon.join(shapes, Seq("__req", "__opt", "__exc"))
       .select(col("qid"), col("sid"), col("__lo"), col("__hi"))
-    val joined = verified.join(fan, Seq("sid"))
+    val joined = capped.join(fan, Seq("sid"))
     val filtered =
       if (attrFilter.isDefined)
         joined.where((col("__lo").isNull || col("__attr") >= col("__lo")) &&
@@ -1008,7 +1035,10 @@ final class SearchIndex private (
       else joined
     val scored = filtered.select(col("qid"), col("key"), col("score"))
     perQueryTopK(
-      if (excludeSelf) scored.where(col("qid") =!= col("key")) else scored, k)
+      if (excludeSelf) scored.where(col("qid") =!= col("key")) else scored, k,
+      // when the pre-fan shape cap is off (see above), the
+      // qid-grained cap still bounds the final merge
+      if (preFanCap) Int.MaxValue else maxHitsPerIndex)
   }
 
   /** Fully DISTRIBUTED query join for an ARBITRARY nested query
@@ -1174,13 +1204,14 @@ final class SearchIndex private (
     * output is (qid, rank, key, score) regardless of the left schema,
     * so no column-name collisions are possible. */
   def lightQueryJoin(left: DataFrame, qidCol: String, termsCol: Column, field: String,
-      k: Int, minMatch: Int = 1, excludeSelf: Boolean = false): DataFrame = {
+      k: Int, minMatch: Int = 1, excludeSelf: Boolean = false,
+      maxHitsPerIndex: Int = Int.MaxValue): DataFrame = {
     val queries = left.select(col(qidCol).as("qid"), termsCol.as("terms"))
       .withColumn("field", lit(field))
       .withColumn("min_match", lit(minMatch))
     batchSearchRaw(queries, k,
       if (excludeSelf) Some(col("qid") =!= col("key")) else None,
-      broadcastQueries = false)
+      broadcastQueries = false, maxHitsPerIndex = maxHitsPerIndex)
   }
 
   /** More-like-this query join (Lucene's public MoreLikeThis: pick a
@@ -1248,28 +1279,59 @@ final class SearchIndex private (
 
   /** batchSearch with an optional pre-top-k hit predicate. */
   private def batchSearchRaw(queries: DataFrame, k: Int,
-      hitFilter: Option[Column], broadcastQueries: Boolean = true): DataFrame = {
+      hitFilter: Option[Column], broadcastQueries: Boolean = true,
+      maxHitsPerIndex: Int = Int.MaxValue): DataFrame = {
     val base = batchSearchPerDoc(queries, broadcastQueries)
-    perQueryTopK(hitFilter.map(base.where).getOrElse(base), k)
+    perQueryTopK(hitFilter.map(base.where).getOrElse(base), k, maxHitsPerIndex)
   }
 
-  /** Bounded per-query top-k over a (qid, key, score) frame — the
-    * TopKAgg partial/merge pipeline shared by every batch path. Key
-    * type follows the corpus keyCol: integral keys aggregate as long,
-    * string keys as string — the IndexSpec contract admits any stable
-    * key, so the batch path must not assume long. */
-  private def perQueryTopK(scored: DataFrame, k: Int): DataFrame = {
-    val topk = scored.schema("key").dataType match {
+  /** TopKAgg builder for the corpus key type: integral keys
+    * aggregate as long, string keys as string — the IndexSpec
+    * contract admits any stable key, so the batch path must not
+    * assume long. */
+  private def topkAggFor(scored: DataFrame, n: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    scored.schema("key").dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
-        TopKAgg.topk(k)
-      case org.apache.spark.sql.types.StringType => TopKAgg.topkString(k)
+        TopKAgg.topk(n)
+      case org.apache.spark.sql.types.StringType => TopKAgg.topkString(n)
       case other => throw new IllegalArgumentException(
         s"batch search supports integral or string keyCol, got $other for ${spec.keyCol}")
     }
+
+  /** The engine's `maxHitsPerIndex` (reference SearchableRDD.scala:
+    * 103-119: each index shard contributes at most `n` hits to the
+    * merge; default = maxHits = exact): a bounded per-(partition,
+    * group) top-n over a scored frame. Shrinks the intermediate
+    * result to <= partitions x groups x n rows BEFORE the global
+    * per-group top-k, at the reference's documented accuracy cost —
+    * when a single partition holds more than `n` of a group's true
+    * top-k, the lost hits cannot be recovered by the merge. The
+    * scan path needs no such stage: its TakeOrderedAndProject heap
+    * is intrinsically the n = k case. */
+  private def perPartitionTopK(scored: DataFrame, groupCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"maxHitsPerIndex must be >= 1, got $n")
     scored
+      .withColumn("__pid", spark_partition_id())
+      .groupBy(col("__pid"), col(groupCol))
+      .agg(topkAggFor(scored, n)(col("key"), col("score")).as("hits"))
+      .select(col(groupCol), explode(col("hits")).as("hit"))
+      .select(col(groupCol), col("hit.key").as("key"), col("hit.score").as("score"))
+  }
+
+  /** Bounded per-query top-k over a (qid, key, score) frame — the
+    * TopKAgg partial/merge pipeline shared by every batch path.
+    * `maxHitsPerIndex` < k inserts the per-partition probe-depth cap
+    * (see [[perPartitionTopK]]); the default is exact. */
+  private def perQueryTopK(scored: DataFrame, k: Int,
+      maxHitsPerIndex: Int = Int.MaxValue): DataFrame = {
+    val pre =
+      if (maxHitsPerIndex < k) perPartitionTopK(scored, "qid", maxHitsPerIndex)
+      else scored
+    pre
       .groupBy(col("qid"))
-      .agg(topk(col("key"), col("score")).as("hits"))
+      .agg(topkAggFor(scored, k)(col("key"), col("score")).as("hits"))
       .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
       .select(col("qid"), (col("pos") + 1).as("rank"),
         col("hit.key").as("key"), col("hit.score").as("score"))
