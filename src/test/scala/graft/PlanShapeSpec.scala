@@ -183,6 +183,56 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("r7-flagged entries: shuffles token-bounded, job count bounded, no collect roundtrip") {
+    // bigram_logprob / select_budget / quality_classifier /
+    // dedup_winnow previously argued their scale-safety only in
+    // PLANS.md prose (VERDICT r7 item 8, r8 carry-over). Enforced
+    // here: (a) every exchange moves at most ~|token stream| records
+    // (a (doc x gram) or LM-vocabulary blowup fails), (b) the number
+    // of jobs is a small constant (a driver-batch loop over corpus
+    // slices fails), (c) no LocalTableScan / Scan ExistingRDD
+    // anywhere in the final plan — the in-plan fingerprint of a
+    // corpus collect -> parallelize roundtrip (literals from the
+    // bounded Newton/threshold aggregates are fine and do not scan).
+    val totalTokens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(sum(size(split(lower(col("text")), "[^a-z0-9]+"))))
+      .head().getLong(0)
+    val bound = totalTokens * 2 // partial-agg + final-agg headroom
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      for ((name, fn) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+        "bigram_logprob" -> (() => pipeline.Curation.bigramLogprob(spark, sf)),
+        "select_budget" -> (() => pipeline.Curation.selectBudget(spark, sf)),
+        "quality_classifier" -> (() => pipeline.Curation.qualityClassifier(spark, sf)),
+        "dedup_winnow" -> (() => pipeline.Dedup.winnowPairs(spark, sf)))) {
+        jobs.set(0)
+        val df = fn()
+        val recs = shuffleRecords(df) // runs the query
+        assert(recs.forall(_ <= bound),
+          s"$name shuffles above bound $bound (per-exchange: $recs)")
+        // bounded driver-side orchestration: build + collect must be
+        // a handful of jobs (Newton iterations, threshold walk), not
+        // a per-document or per-vocabulary-slice loop
+        assert(jobs.get() <= 40, s"$name launched ${jobs.get()} jobs")
+        val p = df.queryExecution.executedPlan.toString
+        // LocalTableScan = driver-local data (a collect roundtrip) —
+        // banned everywhere. Scan ExistingRDD is banned too, EXCEPT
+        // for quality_classifier, whose localCheckpoint() (a
+        // distributed executor-block materialization that releases
+        // the feature cache, not a driver collect) plans as one.
+        assert(!p.contains("LocalTableScan"),
+          s"$name plan contains driver-local data:\n" + p.take(1200))
+        assert(name == "quality_classifier" || !p.contains("Scan ExistingRDD"),
+          s"$name plan contains a collect->parallelize roundtrip:\n" + p.take(1200))
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("bucketed LSH corpus joins exchange-free: only the arriving slice shuffles") {
     // the ingest-dedup joins, batch form (micro-batch planning uses
     // the same physical planner): with the corpus tables bucketed on
