@@ -19,6 +19,10 @@ object Walkthrough {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions", "8")
+      // UTC like Verify/Bench: the events NTZ-ts normalization is
+      // only value-preserving under UTC (Tables.normalizeEventsTs
+      // asserts it at the cast site)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

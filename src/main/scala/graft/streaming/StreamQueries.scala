@@ -66,18 +66,13 @@ object StreamQueries {
     s.readStream.schema(schema).parquet(path)
   }
 
-  /** Events stream with `ts` normalized to TimestampType exactly like
-    * relational.Tables: nanosecond LongType (legacy.parquet.nanosAsLong)
-    * and TIMESTAMP_NTZ (naive timestamp[us] testdata) both convert. */
-  private def stagedEvents(s: SparkSession, dir: String): DataFrame = {
-    val raw = stagedTable(s, dir, "events")
-    raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
-    }
-  }
+  /** Events stream with `ts` normalized to TimestampType by the ONE
+    * shared implementation (relational.Tables.normalizeEventsTs):
+    * nanosecond LongType (legacy.parquet.nanosAsLong) and
+    * TIMESTAMP_NTZ (naive timestamp[us] testdata) both convert, with
+    * the UTC-session guard applied at the cast site. */
+  private def stagedEvents(s: SparkSession, dir: String): DataFrame =
+    graft.relational.Tables.normalizeEventsTs(stagedTable(s, dir, "events"))
 
   /** Documents stream with a synthetic, deterministic event time
     * (doc_id minutes from an hour-aligned 2023 base) — the documents
