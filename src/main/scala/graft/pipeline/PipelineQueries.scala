@@ -172,6 +172,31 @@ object PipelineQueries {
     }.mkString(",\n    ")
   }
 
+  /** DuckDB replica of the ingest-time streaming ANN probe
+    * ([[graft.streaming.EventStreams.annVsCorpusStream]]): every
+    * vector replayed as the arriving side against the LSH-bucketed
+    * corpus — same hyperplanes, same bucket join, thresholded cosine.
+    * Shared with StreamQueries' oracle map like `minhashCtePrefix`. */
+  private[graft] def annVsCorpusOracleSql(minCos: Double): String =
+    s"""$embCte,
+       |planes(i, p) AS (VALUES
+       |    $annLshPlanesValues
+       |), bk AS (
+       |  SELECT e.vec_id,
+       |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65), j -> e.v[j] * pl.p[j])) >= 0
+       |      THEN (1::BIGINT << pl.i) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e, planes pl GROUP BY e.vec_id
+       |), eb AS (
+       |  SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id)
+       |), pairs AS (
+       |  SELECT a.vec_id, b.vec_id AS corpus_id, a.bucket,
+       |    list_cosine_similarity(a.v, b.v) AS cos
+       |  FROM eb a JOIN eb b USING (bucket) WHERE b.vec_id <> a.vec_id
+       |)
+       |SELECT vec_id, corpus_id, bucket, round(cos, 4) AS cos
+       |FROM pairs WHERE cos >= $minCos
+       |ORDER BY vec_id, corpus_id""".stripMargin
+
   private val langProfileSql: Seq[(String, String)] = TextAnalysis.LangProfiles.map {
     case (l, ws) =>
       l -> s"len(list_filter(tokens, x -> list_contains([${ws.map(w => s"'$w'").mkString(", ")}], x))) AS s_$l"

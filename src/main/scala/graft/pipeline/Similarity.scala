@@ -158,6 +158,21 @@ object Similarity {
   /** Releases every similarity-side persisted artifact (IVF + LSH). */
   def clearCaches(): Unit = { clearIvfCache(); clearLshCache() }
 
+  /** The persisted LSH-bucketed corpus — (vec_id, v, nrm, label,
+    * bucket) — shared by [[lshTopK]] and the ingest-time streaming
+    * ANN probe (`stream_ann_vs_corpus`): both read the SAME
+    * build-once registry entry, so the online path adds zero corpus
+    * artifacts of its own. */
+  def corpusLshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 8): DataFrame = {
+    val planes = hyperplanes(nPlanes, 64)
+    lshCache.synchronized {
+      lshCache.getOrElseUpdate(s"$dir#$nPlanes",
+        corpus(spark, dir)
+          .withColumn("bucket", lshBucket(col("v"), planes))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+  }
+
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
       nCentroids: Int = 16, nProbe: Int = 4, recordAs: Option[String] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
@@ -229,16 +244,10 @@ object Similarity {
     * deterministic hyperplanes make the result reproducible. */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
       nPlanes: Int = 8): DataFrame = {
-    val planes = hyperplanes(nPlanes, 64)
     // persisted: bucket assignment feeds both the corpus side and the
     // query side of the candidate equi-join (registered build-once
     // artifact, released by [[clearLshCache]])
-    val e = lshCache.synchronized {
-      lshCache.getOrElseUpdate(s"$dir#$nPlanes",
-        corpus(spark, dir)
-          .withColumn("bucket", lshBucket(col("v"), planes))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    }
+    val e = corpusLshBuckets(spark, dir, nPlanes)
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"), col("bucket"))
     val scored = e.join(q, "bucket")

@@ -339,6 +339,42 @@ object EventStreams {
         graft.functions.Rounding.roundEven(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Ingest-time approximate-nearest-neighbor probe against the
+    * STATIC LSH-bucketed corpus
+    * ([[graft.pipeline.Similarity.corpusLshBuckets]] — the SAME
+    * persisted artifact the batch `ann_lsh` entry probes): each
+    * arriving vector computes its hyperplane bucket map-side, then a
+    * stateless stream-static equi-join on the bucket yields
+    * candidates and one codegen'd `vec_dot` per candidate scores
+    * cosine; pairs at or above `minCos` emit. The embedding analog
+    * of [[nearDupVsCorpusStream]]: no watermark, no state store —
+    * all state lives in the persisted corpus table, so the stream
+    * runs forever at constant memory, corpus-size-independent per
+    * batch. A per-query top-k would need a per-key aggregate (state);
+    * thresholded emission is the stateless contract, as in the
+    * ingest-dedup family.
+    *
+    * Output: (vec_id, corpus_id, bucket, cos). */
+  def annVsCorpusStream(vectors: DataFrame, corpusBuckets: DataFrame,
+      nPlanes: Int = 8, minCos: Double = 0.3): DataFrame = {
+    val planes = graft.pipeline.Similarity.hyperplanes(nPlanes, 64)
+    val arriving = vectors
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qnrm", graft.pipeline.Similarity.norm(col("qv")))
+      .withColumn("bucket", graft.pipeline.Similarity.lshBucket(col("qv"), planes))
+    arriving.join(
+        corpusBuckets.select(col("vec_id").as("corpus_id"), col("v"),
+          col("nrm"), col("bucket")),
+        Seq("bucket"))
+      .where(col("corpus_id") =!= col("vec_id"))
+      .withColumn("cos",
+        call_function("vec_dot", col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .where(col("cos") >= minCos)
+      .select(col("vec_id"), col("corpus_id"), col("bucket"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** Ingest-time exact-substring detection against a STATIC corpus
     * gram table — the online complement of
     * [[graft.pipeline.Dedup.substringSpans]]: every k-token window of

@@ -207,6 +207,21 @@ object StreamQueries {
         .select(col("band"), col("doc_id"), col("corpus_id"), col("jaccard"))
         .orderBy("band", "doc_id", "corpus_id")
     }),
+    // ingest-time streaming ANN: arriving vectors probe the SAME
+    // persisted LSH-bucketed corpus the batch ann_lsh entry uses —
+    // stateless stream-static bucket join + thresholded cosine,
+    // completing the online ingest surface (exact / MinHash / simhash
+    // / substring dedup + embedding similarity)
+    "stream_ann_vs_corpus" -> ((s, dir) => {
+      val name = s"stream_annvc_${sinkId.incrementAndGet()}"
+      val corpus = graft.pipeline.Similarity.corpusLshBuckets(s, dir)
+      EventStreams.runToMemorySink(
+        EventStreams.annVsCorpusStream(stagedTable(s, dir, "embeddings"), corpus),
+        name, OutputMode.Append())
+      s.table(name)
+        .select(col("vec_id"), col("corpus_id"), col("bucket"), col("cos"))
+        .orderBy("vec_id", "corpus_id")
+    }),
     "stream_trending_terms" -> ((s, dir) => {
       val name = s"stream_trending_${sinkId.incrementAndGet()}"
       EventStreams.runToMemorySink(
@@ -441,5 +456,7 @@ object StreamQueries {
   /** The bucketed-layout ingest dedup is result-identical to the
     * in-memory-corpus one; only the physical plan differs. */
   val oracles: Map[String, String] = oraclesBase +
-    ("stream_dedup_vs_corpus_bucketed" -> oraclesBase("stream_dedup_vs_corpus"))
+    ("stream_dedup_vs_corpus_bucketed" -> oraclesBase("stream_dedup_vs_corpus")) +
+    ("stream_ann_vs_corpus" ->
+      graft.pipeline.PipelineQueries.annVsCorpusOracleSql(minCos = 0.3))
 }

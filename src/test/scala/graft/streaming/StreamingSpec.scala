@@ -194,6 +194,37 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("ingest ANN probes the bucketed corpus, stays stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Similarity
+    graft.functions.SearchExpressions.register(spark)
+    val planes = Similarity.hyperplanes(8, 64)
+    val base = Array.tabulate(64)(i => math.sin(i + 1.0))
+    val other = Array.tabulate(64)(i => math.cos(3.0 * i) * (if (i % 2 == 0) 1.0 else -1.0))
+    val corpus = Seq((100L, base.toSeq), (101L, other.toSeq)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .withColumn("bucket", Similarity.lshBucket(col("v"), planes))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val vecs = mem.toDF().toDF("vec_id", "embedding")
+    val out = EventStreams.annVsCorpusStream(vecs, corpus, minCos = 0.9)
+    val q = out.writeStream.format("memory").queryName("annvc_sink")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      (1L, base.toSeq),  // identical to corpus vector 100 -> cos 1.0
+      (2L, other.map(-_).toSeq)) // anti-parallel to 101 -> cos -1, below threshold
+    q.processAllAvailable()
+    val got = spark.table("annvc_sink")
+      .select("vec_id", "corpus_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 100L, 1.0)), got.toSeq)
+    // stateless: the plan must not have grown a state store — the
+    // online-ANN contract (thresholded emission, no per-key top-k)
+    assert(q.lastProgress.stateOperators.isEmpty,
+      q.lastProgress.stateOperators.mkString(","))
+    q.stop()
+  }
+
   test("transformWithState keeps a bounded running top-k per user") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState requires the RocksDB state store provider
