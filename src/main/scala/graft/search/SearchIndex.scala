@@ -1077,7 +1077,8 @@ final class SearchIndex private (
     * never by |left|). Output is (qid, rank, key, score) like
     * [[lightQueryJoin]]. */
   def queryJoinAst(left: DataFrame, qidCol: String, queryGen: Row => SearchQuery,
-      field: String, k: Int, excludeSelf: Boolean = false): DataFrame = {
+      field: String, k: Int, excludeSelf: Boolean = false,
+      maxHitsPerIndex: Int = Int.MaxValue): DataFrame = {
     require(spec.textFields.contains(field), s"$field is not an indexed text field")
     val fs = fieldStats(field)
     // locals only — the map closure must not capture `this` (the
@@ -1195,8 +1196,11 @@ final class SearchIndex private (
       .select(col("qid"), col("sid"))
     val scored = verified.join(fan, Seq("sid"))
       .select(col("qid"), col("key"), col("score"))
+    // probe-depth cap: qid-grained (post fan-out and self-exclusion,
+    // so the cap can never eat rows a downstream step still needed)
     perQueryTopK(
-      if (excludeSelf) scored.where(col("qid") =!= col("key")) else scored, k)
+      if (excludeSelf) scored.where(col("qid") =!= col("key")) else scored, k,
+      maxHitsPerIndex)
   }
 
   /** Ids-only query join (reference lightQueryJoin,
