@@ -16,8 +16,10 @@ import graft.analysis.Analyzers
   * Layout:
   *   - `ops`    — pre-order opcode stream; children follow their
   *     parent immediately (operands inline, see the `Op` constants)
-  *   - `terms`  — deduplicated strings: query terms AND filter
-  *     attribute names (a slot never needs both meanings at once)
+  *   - `terms` / `termFields` — aligned slot tables, deduplicated
+  *     per (field, term): query terms (field = their leaf's field,
+  *     so per-field IDFs resolve even when the same string appears
+  *     in two fields) and filter/keyword attribute NAMES (field "")
   *   - `consts` — numeric literals (boost factors, filter bounds).
   *     Const operands are emitted RELATIVE; the interpreter reads
   *     them at `|terms| + idx` of its combined doubles array, whose
@@ -40,19 +42,29 @@ import graft.analysis.Analyzers
   * node-for-node, including its gating discipline: ONLY leaves gate
   * their own score on their own match; combinators always sum.
   *
+  * KEYWORD-field leaves (MatchTerm/All/Any/Min on an un-analyzed
+  * field — tf 1, dl 1, avgdl 1, per the scan compiler's termScore)
+  * and string-valued Eq/InSet filters serialize to `KW*`/`STR*` ops
+  * verified against a doc-side STRING attribute map; they never
+  * probe (soundness demands probe terms live in the probed text
+  * field), so a pure keyword query is a corpus pass while the usual
+  * `And(text leaf, keyword filter)` rides the text probe.
+  *
   * Unsupported here (use `queryJoinDsl`, which compiles per query on
   * the driver): `MatchWildcard` / `MatchFuzzy` / `MatchRegex` (their
   * Lucene multi-term rewrite expands against the term DICTIONARY at
   * compile time — a per-query driver action, not a per-row one),
-  * leaves on an indexed field other than the probe field (the
-  * verifier carries one token array), and filters with non-numeric
-  * values.
+  * leaves on a TEXT field other than the probe field (the verifier
+  * carries one token array), and filter values that are neither
+  * numeric nor strings.
   */
 final case class QueryProgram(
     ops: Seq[Int],
     terms: Seq[String],
+    termFields: Seq[String],
     consts: Seq[Double],
     attrFields: Seq[String],
+    strAttrFields: Seq[String],
     probeAlts: Option[Seq[Seq[String]]])
 
 object QueryProgram {
@@ -70,6 +82,15 @@ object QueryProgram {
     val PHRASE = 10; val NEAR = 11; val CMP = 12; val RANGE = 13
     val INSET = 14; val EXISTS = 15; val MISSING = 16
     val NOMATCH = 17; val TRUEZERO = 18
+    // keyword-field leaves (reference: MatchTerm & friends on an
+    // un-analyzed field — tf 1, dl 1, avgdl 1): verified against the
+    // doc-side STRING attr map, never probed (a keyword leaf under
+    // And rides its text sibling's probe; alone it is a corpus pass).
+    // Layout: KWTERM f t; KWALL/KWANY f n t*n; KWMIN f m n t*n —
+    // f = terms slot holding the FIELD name.
+    val KWTERM = 19; val KWALL = 20; val KWANY = 21; val KWMIN = 22
+    // string-valued filters: STREQ f t; STRIN f n t*n
+    val STREQ = 23; val STRIN = 24
   }
 
   /** Bound on probe alternatives kept per node — alternatives beyond
@@ -139,34 +160,45 @@ object QueryProgram {
     val an = Analyzers(queryAnalyzer)
     val q = normalize(q0, an)
     val ops = mutable.ArrayBuffer.empty[Int]
-    val terms = mutable.LinkedHashMap.empty[String, Int]
+    // slot table keyed by (field, term): the SAME string can appear
+    // as a text term, a keyword term of another field, and a filter
+    // attr name — each needs its own slot because the aligned IDF
+    // vector is per (field, term). Attr-name slots key under "".
+    val slots = mutable.LinkedHashMap.empty[(String, String), Int]
     val consts = mutable.ArrayBuffer.empty[Double]
-    val attrs = mutable.LinkedHashSet.empty[String]
+    val numAttrs = mutable.LinkedHashSet.empty[String]
+    val strAttrs = mutable.LinkedHashSet.empty[String]
 
-    def tIdx(t: String): Int = terms.getOrElseUpdate(t, terms.size)
+    def slotOf(f: String, t: String): Int = slots.getOrElseUpdate((f, t), slots.size)
+    def tIdx(t: String): Int = slotOf(field, t)
+    def nameIdx(n: String): Int = slotOf("", n)
     def cIdx(v: Double): Int = { consts += v; consts.size - 1 }
-    def num(v: Any, node: String): Double = v match {
-      case n: Number => n.doubleValue()
-      case other => throw new IllegalArgumentException(
-        s"queryJoinAst supports numeric filter values only; $node got " +
-          s"${if (other == null) "null" else other.getClass.getSimpleName} — " +
-          "route this query through queryJoinDsl")
-    }
     def unsupported(what: String): Nothing = throw new IllegalArgumentException(
       s"queryJoinAst cannot distribute $what — route this query through queryJoinDsl")
 
     // mirrors SearchIndex.compileWith's noMatch short-circuits
     def badField(f: String): Boolean = !indexedFields.contains(f)
+    def kwField(f: String): Boolean = indexedFields.contains(f) && !textFields.contains(f)
     def checkField(f: String, node: String): Unit =
-      if (f != field)
-        unsupported(s"$node on indexed field '$f' (this join verifies field '$field' only)")
+      if (f != field && !kwField(f))
+        unsupported(s"$node on text field '$f' (this join verifies field '$field' only)")
 
-    def emitTerms(code: Int, f: String, ts: Seq[String], prefix: Seq[Int]): Unit = {
-      checkField(f, "a term query")
+    def emitTerms(code: Int, ts: Seq[String], prefix: Seq[Int]): Unit = {
       ops += code
       ops ++= prefix
       ops += ts.length
       ts.foreach(t => ops += tIdx(t))
+    }
+    // keyword-field variant: first operand is the FIELD-name slot;
+    // term slots key under the keyword field so their IDFs resolve
+    // against its stats
+    def emitKw(code: Int, f: String, ts: Seq[String], prefix: Seq[Int]): Unit = {
+      strAttrs += f
+      ops += code
+      ops += nameIdx(f)
+      ops ++= prefix
+      ops += ts.length
+      ts.foreach(t => ops += slotOf(f, t))
     }
 
     def emit(x: SearchQuery): Unit = x match {
@@ -178,7 +210,11 @@ object QueryProgram {
       case Boost(inner, f) => ops += Op.BOOST; ops += cIdx(f); emit(inner)
       case MatchTerm(f, t) =>
         if (badField(f)) ops += Op.NOMATCH
-        else { checkField(f, "MatchTerm"); ops += Op.TERM; ops += tIdx(t) }
+        else if (kwField(f)) {
+          // KWTERM f t — single term, no count operand
+          strAttrs += f
+          ops += Op.KWTERM; ops += nameIdx(f); ops += slotOf(f, t)
+        } else { checkField(f, "MatchTerm"); ops += Op.TERM; ops += tIdx(t) }
       case MatchText(f, t) =>
         if (badField(f)) ops += Op.NOMATCH
         else emit(MatchAnyTerms(f, an.analyze(t)))
@@ -188,9 +224,10 @@ object QueryProgram {
       case MatchPhrase(f, t, slop) =>
         if (!textFields.contains(f)) ops += Op.NOMATCH
         else {
+          checkField(f, "MatchPhrase")
           val ts = an.analyze(t)
           if (ts.isEmpty) ops += Op.NOMATCH
-          else emitTerms(Op.PHRASE, f, ts, Seq(slop))
+          else emitTerms(Op.PHRASE, ts, Seq(slop))
         }
       case MatchNear(f, a, b, dist) =>
         if (!textFields.contains(f)) ops += Op.NOMATCH
@@ -201,53 +238,82 @@ object QueryProgram {
       case MatchAllTerms(f, ts) =>
         if (badField(f)) ops += Op.NOMATCH
         else if (ts.isEmpty) ops += Op.TRUEZERO
-        else emitTerms(Op.ALL, f, ts, Nil)
+        else if (kwField(f)) emitKw(Op.KWALL, f, ts, Nil)
+        else { checkField(f, "MatchAllTerms"); emitTerms(Op.ALL, ts, Nil) }
       case MatchAnyTerms(f, ts) =>
         if (badField(f)) ops += Op.NOMATCH
         else if (ts.isEmpty) ops += Op.NOMATCH
-        else emitTerms(Op.ANY, f, ts, Nil)
+        else if (kwField(f)) emitKw(Op.KWANY, f, ts, Nil)
+        else { checkField(f, "MatchAnyTerms"); emitTerms(Op.ANY, ts, Nil) }
       case MatchMin(f, m, ts) =>
         if (badField(f)) ops += Op.NOMATCH
         else if (ts.isEmpty) ops += (if (m <= 0) Op.TRUEZERO else Op.NOMATCH)
-        else emitTerms(Op.MIN, f, ts, Seq(m))
+        else if (kwField(f)) emitKw(Op.KWMIN, f, ts, Seq(m))
+        else { checkField(f, "MatchMin"); emitTerms(Op.MIN, ts, Seq(m)) }
       case Parsed(f, s) => emit(Parsed.desugar(f, s))
       case _: MatchWildcard => unsupported("MatchWildcard (dictionary expansion)")
       case _: MatchFuzzy => unsupported("MatchFuzzy (dictionary expansion)")
       case _: MatchRegex => unsupported("MatchRegex (dictionary expansion)")
-      case EqFilter(f, v) => emitCmp(0, f, v, "EqFilter")
-      case GtFilter(f, v) => emitCmp(1, f, v, "GtFilter")
-      case GeFilter(f, v) => emitCmp(2, f, v, "GeFilter")
-      case LtFilter(f, v) => emitCmp(3, f, v, "LtFilter")
-      case LeFilter(f, v) => emitCmp(4, f, v, "LeFilter")
+      case EqFilter(f, v) => v match {
+        case s: String =>
+          strAttrs += f
+          ops += Op.STREQ; ops += nameIdx(f); ops += slotOf(f, s)
+        case n: Number => emitCmp(0, f, n.doubleValue())
+        case other => unsupported(s"EqFilter value of type " +
+          s"${if (other == null) "null" else other.getClass.getSimpleName}")
+      }
+      case GtFilter(f, v) => emitCmp(1, f, numOnly(v, "GtFilter"))
+      case GeFilter(f, v) => emitCmp(2, f, numOnly(v, "GeFilter"))
+      case LtFilter(f, v) => emitCmp(3, f, numOnly(v, "LtFilter"))
+      case LeFilter(f, v) => emitCmp(4, f, numOnly(v, "LeFilter"))
       case RangeFilter(f, lo, hi) =>
-        attrs += f
-        ops += Op.RANGE; ops += tIdx(f)
-        ops += cIdx(num(lo, "RangeFilter")); ops += cIdx(num(hi, "RangeFilter"))
+        numAttrs += f
+        ops += Op.RANGE; ops += nameIdx(f)
+        ops += cIdx(numOnly(lo, "RangeFilter")); ops += cIdx(numOnly(hi, "RangeFilter"))
       case InSetFilter(f, vs) =>
-        attrs += f
-        ops += Op.INSET; ops += tIdx(f); ops += vs.length
-        vs.foreach(v => ops += cIdx(num(v, "InSetFilter")))
-      case ExistsFilter(f) => attrs += f; ops += Op.EXISTS; ops += tIdx(f)
-      case MissingFilter(f) => attrs += f; ops += Op.MISSING; ops += tIdx(f)
+        if (vs.forall(_.isInstanceOf[String])) {
+          strAttrs += f
+          ops += Op.STRIN; ops += nameIdx(f); ops += vs.length
+          vs.foreach(v => ops += slotOf(f, v.asInstanceOf[String]))
+        } else {
+          numAttrs += f
+          ops += Op.INSET; ops += nameIdx(f); ops += vs.length
+          vs.foreach(v => ops += cIdx(numOnly(v, "InSetFilter")))
+        }
+      case ExistsFilter(f) => strAttrs += f; ops += Op.EXISTS; ops += nameIdx(f)
+      case MissingFilter(f) => strAttrs += f; ops += Op.MISSING; ops += nameIdx(f)
     }
-    def emitCmp(op: Int, f: String, v: Any, node: String): Unit = {
-      attrs += f
-      ops += Op.CMP; ops += op; ops += tIdx(f); ops += cIdx(num(v, node))
+    def numOnly(v: Any, node: String): Double = v match {
+      case n: Number => n.doubleValue()
+      case other => unsupported(s"$node value of type " +
+        s"${if (other == null) "null" else other.getClass.getSimpleName}")
+    }
+    def emitCmp(op: Int, f: String, v: Double): Unit = {
+      numAttrs += f
+      ops += Op.CMP; ops += op; ops += nameIdx(f); ops += cIdx(v)
     }
 
     emit(q)
-    QueryProgram(ops.toSeq, terms.keys.toSeq, consts.toSeq, attrs.toSeq,
+    val slotSeq = slots.keys.toSeq
+    QueryProgram(ops.toSeq, slotSeq.map(_._2), slotSeq.map(_._1),
+      consts.toSeq, numAttrs.toSeq, strAttrs.toSeq,
       probeAlts(q, an, indexedFields, textFields))
   }
 
   /** Sound probe-set alternatives of `q` (see class doc). Invariant:
     * a `Some` is never empty; an inner `Seq.empty` alt is the
     * "matches nothing" probe (zero candidates, zero df — the min-df
-    * selection rightly prefers it). */
+    * selection rightly prefers it). A probe set is sound only if
+    * every matching doc must contain one of its terms IN THE PROBE
+    * TEXT FIELD — so KEYWORD-field leaves contribute None (their
+    * terms are not in the probed postings; under And they ride the
+    * text sibling's probe, alone they are a corpus pass). */
   private[dsl] def probeAlts(q: SearchQuery, an: graft.analysis.Analyzer,
       indexedFields: Set[String], textFields: Set[String]): Option[Seq[Seq[String]]] = {
     val none = Seq(Seq.empty[String]) // NOMATCH: sound vacuously
     def cap(xs: Seq[Seq[String]]): Seq[Seq[String]] = xs.distinct.take(MaxAlts)
+    // keyword leaves verify against the attr map, not the postings
+    def kw(f: String): Boolean = indexedFields.contains(f) && !textFields.contains(f)
     def go(x: SearchQuery): Option[Seq[Seq[String]]] = x match {
       case AllDocs => None
       case _: Should => None
@@ -264,7 +330,9 @@ object QueryProgram {
         case _ => None
       }
       case MatchTerm(f, t) =>
-        if (!indexedFields.contains(f)) Some(none) else Some(Seq(Seq(t)))
+        if (!indexedFields.contains(f)) Some(none)
+        else if (kw(f)) None
+        else Some(Seq(Seq(t)))
       case MatchText(f, t) =>
         if (!indexedFields.contains(f)) Some(none)
         else go(MatchAnyTerms(f, an.analyze(t)))
@@ -282,15 +350,18 @@ object QueryProgram {
       case MatchAllTerms(f, ts) =>
         if (!indexedFields.contains(f)) Some(none)
         else if (ts.isEmpty) None // (true, 0.0): total
+        else if (kw(f)) None
         else Some(cap(ts.distinct.map(Seq(_))))
       case MatchAnyTerms(f, ts) =>
         if (!indexedFields.contains(f)) Some(none)
         else if (ts.isEmpty) Some(none)
+        else if (kw(f)) None
         else Some(Seq(ts.distinct))
       case MatchMin(f, m, ts) =>
         if (!indexedFields.contains(f)) Some(none)
         else if (m <= 0) None // always matches: total
         else if (ts.isEmpty) Some(none)
+        else if (kw(f)) None
         else Some(Seq(ts.distinct))
       case Parsed(f, s) => go(Parsed.desugar(f, s))
       // dictionary-expansion leaves are rejected by compile() before

@@ -1215,9 +1215,11 @@ object BoolQueryScore {
   * DSL AST).
   *
   * `doubles` = per-term-slot IDF vector (aligned with `terms`,
-  * joined in-plan from the index stats) ++ the program's consts;
-  * `attrs` is the doc-side map of filter attribute values (null map
-  * = no filters anywhere in the batch). Returns struct(ok, score).
+  * joined in-plan from the index stats per slot FIELD) ++ the
+  * program's consts; `attrs` / `attrsStr` are the doc-side maps of
+  * numeric filter attributes resp. string attributes (keyword-field
+  * values and string-filter columns); either may be null when the
+  * batch uses none. Returns struct(ok, score).
   *
   * Scoring is node-for-node identical to the scan-path compiler
   * (SearchIndex.compileWith): only leaves gate their own score on
@@ -1226,11 +1228,12 @@ object BoolQueryScore {
   * phrase/near tf reuse [[PhraseCount]]/[[NearCount]] statics, so
   * positional semantics cannot drift between the paths. */
 case class DslQueryScore(tokens: Expression, ops: Expression, terms: Expression,
-    doubles: Expression, attrs: Expression,
+    doubles: Expression, attrs: Expression, attrsStr: Expression,
     kind: Int, k1: Double, b: Double, avgdl: Double)
     extends Expression {
 
-  override def children: Seq[Expression] = Seq(tokens, ops, terms, doubles, attrs)
+  override def children: Seq[Expression] =
+    Seq(tokens, ops, terms, doubles, attrs, attrsStr)
   override def nullable: Boolean = true
   override def dataType: DataType = DslQueryScore.OutType
   override def prettyName: String = "dsl_query_score"
@@ -1243,9 +1246,11 @@ case class DslQueryScore(tokens: Expression, ops: Expression, terms: Expression,
     if (tok == null || op == null || tm == null || db == null) null
     else {
       val at = attrs.eval(input)
+      val ast = attrsStr.eval(input)
       DslQueryScore.compute(tok.asInstanceOf[ArrayData], op.asInstanceOf[ArrayData],
         tm.asInstanceOf[ArrayData], db.asInstanceOf[ArrayData],
         if (at == null) null else at.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData],
+        if (ast == null) null else ast.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData],
         kind, k1, b, avgdl)
     }
   }
@@ -1256,6 +1261,7 @@ case class DslQueryScore(tokens: Expression, ops: Expression, terms: Expression,
     val tmG = terms.genCode(ctx)
     val dbG = doubles.genCode(ctx)
     val atG = attrs.genCode(ctx)
+    val astG = attrsStr.genCode(ctx)
     val row = "org.apache.spark.sql.catalyst.InternalRow"
     ev.copy(code = code"""
       ${tokG.code}
@@ -1263,6 +1269,7 @@ case class DslQueryScore(tokens: Expression, ops: Expression, terms: Expression,
       ${tmG.code}
       ${dbG.code}
       ${atG.code}
+      ${astG.code}
       boolean ${ev.isNull} = ${tokG.isNull} || ${opsG.isNull} ||
         ${tmG.isNull} || ${dbG.isNull};
       $row ${ev.value} = null;
@@ -1270,6 +1277,7 @@ case class DslQueryScore(tokens: Expression, ops: Expression, terms: Expression,
         ${ev.value} = graft.functions.DslQueryScore.compute(
           ${tokG.value}, ${opsG.value}, ${tmG.value}, ${dbG.value},
           ${atG.isNull} ? null : ${atG.value},
+          ${astG.isNull} ? null : ${astG.value},
           $kind, ${k1}D, ${b}D, ${avgdl}D);
       }""")
   }
@@ -1277,7 +1285,7 @@ case class DslQueryScore(tokens: Expression, ops: Expression, terms: Expression,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): DslQueryScore =
     copy(tokens = newChildren(0), ops = newChildren(1), terms = newChildren(2),
-      doubles = newChildren(3), attrs = newChildren(4))
+      doubles = newChildren(3), attrs = newChildren(4), attrsStr = newChildren(5))
 }
 
 object DslQueryScore {
@@ -1295,6 +1303,7 @@ object DslQueryScore {
     * partitioning-independent. */
   def compute(tokens: ArrayData, ops: ArrayData, terms: ArrayData,
       doubles: ArrayData, attrs: org.apache.spark.sql.catalyst.util.MapData,
+      attrsStr: org.apache.spark.sql.catalyst.util.MapData,
       kind: Int, k1: Double, b: Double, avgdl: Double)
       : org.apache.spark.sql.catalyst.InternalRow = {
     val m = terms.numElements()
@@ -1303,8 +1312,12 @@ object DslQueryScore {
     // the cheap AND spine never scans the token array at all) via a
     // small open-addressed hash of the term table: O(dl) token
     // lookups instead of the O(dl x m) nested equals loop. Slots
-    // holding filter attr names just stay 0; the serializer dedupes
-    // the term table, so each slot's string is unique.
+    // holding filter attr names or keyword-field terms just stay 0
+    // (never read as text tf). The slot table is unique per (field,
+    // term) but the STRINGS can repeat across fields, so equal
+    // strings chain (`dup`) and a token hit increments the whole
+    // chain — each chained slot's tf is then correct regardless of
+    // which purpose the slot serves.
     var tfs: Array[Int] = null
     var termStrs: Array[UTF8String] = null
     def ensureTfs(): Unit = if (tfs == null) {
@@ -1315,6 +1328,8 @@ object DslQueryScore {
       val slots = new Array[Int](cap)
       java.util.Arrays.fill(slots, -1)
       val hashes = new Array[Int](m)
+      val dup = new Array[Int](m)
+      java.util.Arrays.fill(dup, -1)
       var j = 0
       while (j < m) {
         if (!terms.isNullAt(j)) {
@@ -1323,8 +1338,15 @@ object DslQueryScore {
           val h = ts.hashCode
           hashes(j) = h
           var p = h & (cap - 1)
-          while (slots(p) != -1) p = (p + 1) & (cap - 1)
-          slots(p) = j
+          var chained = false
+          while (!chained && slots(p) != -1) {
+            val s0 = slots(p)
+            if (hashes(s0) == h && termStrs(s0).equals(ts)) {
+              // equal string under another slot: join its chain
+              dup(j) = dup(s0); dup(s0) = j; chained = true
+            } else p = (p + 1) & (cap - 1)
+          }
+          if (!chained) slots(p) = j
         }
         j += 1
       }
@@ -1339,7 +1361,7 @@ object DslQueryScore {
             p = (p + 1) & (cap - 1)
             s = slots(p)
           }
-          if (s != -1) tfs(s) += 1
+          while (s != -1) { tfs(s) += 1; s = dup(s) }
         }
         i += 1
       }
@@ -1351,8 +1373,8 @@ object DslQueryScore {
       if (kind == 0) idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
       else math.sqrt(tf) * (idf * idf) / math.sqrt(dl)
 
-    // attr lookup: linear scan of the (small) map — |filter fields|
-    // entries; returns null when absent or null-valued
+    // attr lookups: linear scan of the (small) maps — |filter fields|
+    // entries; return null when absent or null-valued
     def attrOf(slot: Int): java.lang.Double = {
       if (attrs == null) return null
       val name = terms.getUTF8String(slot)
@@ -1368,6 +1390,25 @@ object DslQueryScore {
       }
       null
     }
+    def strAttrOf(slot: Int): UTF8String = {
+      if (attrsStr == null) return null
+      val name = terms.getUTF8String(slot)
+      val keys = attrsStr.keyArray()
+      var p = 0
+      val np = attrsStr.numElements()
+      while (p < np) {
+        if (keys.getUTF8String(p).equals(name)) {
+          return if (attrsStr.valueArray().isNullAt(p)) null
+          else attrsStr.valueArray().getUTF8String(p)
+        }
+        p += 1
+      }
+      null
+    }
+    // keyword-field term score: tf 1, dl 1, avgdl 1 (the scan
+    // compiler's termScore on a keyword field)
+    def kwSim(idf: Double): Double =
+      if (kind == 0) idf * (k1 + 1.0) / (1.0 + k1) else idf * idf
 
     var pc = 0
     def next(): Int = { val v = ops.getInt(pc); pc += 1; v }
@@ -1387,6 +1428,11 @@ object DslQueryScore {
       case Op.RANGE => pc += 3
       case Op.INSET => pc += 1; pc += next()
       case Op.EXISTS | Op.MISSING => pc += 1
+      case Op.KWTERM => pc += 2
+      case Op.KWALL | Op.KWANY => pc += 1; pc += next()
+      case Op.KWMIN => pc += 2; pc += next()
+      case Op.STREQ => pc += 2
+      case Op.STRIN => pc += 1; pc += next()
       case _ => () // ALLDOCS / NOMATCH / TRUEZERO
     }
     // returns (matched, score); ONLY leaves gate score on match
@@ -1501,10 +1547,73 @@ object DslQueryScore {
           j += 1
         }
         (found, 0.0)
-      case Op.EXISTS => (attrOf(next()) != null, 0.0)
-      case Op.MISSING => (attrOf(next()) == null, 0.0)
+      case Op.EXISTS =>
+        val slot = next()
+        (attrOf(slot) != null || strAttrOf(slot) != null, 0.0)
+      case Op.MISSING =>
+        val slot = next()
+        (attrOf(slot) == null && strAttrOf(slot) == null, 0.0)
       case Op.NOMATCH => (false, 0.0)
       case Op.TRUEZERO => (true, 0.0)
+      case Op.KWTERM =>
+        val f = next(); val t = next()
+        val v = strAttrOf(f)
+        val hit = v != null && v.equals(terms.getUTF8String(t))
+        (hit, if (hit) kwSim(doubles.getDouble(t)) else 0.0)
+      case Op.KWALL =>
+        val f = next(); val cnt = next()
+        val v = strAttrOf(f)
+        var all = true; var s = 0.0
+        var j = 0
+        while (j < cnt) {
+          val t = next()
+          if (v != null && v.equals(terms.getUTF8String(t)))
+            s += kwSim(doubles.getDouble(t))
+          else all = false
+          j += 1
+        }
+        (all, s)
+      case Op.KWANY =>
+        val f = next(); val cnt = next()
+        val v = strAttrOf(f)
+        var any = false; var s = 0.0
+        var j = 0
+        while (j < cnt) {
+          val t = next()
+          if (v != null && v.equals(terms.getUTF8String(t))) {
+            any = true; s += kwSim(doubles.getDouble(t))
+          }
+          j += 1
+        }
+        (any, s)
+      case Op.KWMIN =>
+        val f = next(); val min = next(); val cnt = next()
+        val v = strAttrOf(f)
+        var nm = 0; var s = 0.0
+        var j = 0
+        while (j < cnt) {
+          val t = next()
+          if (v != null && v.equals(terms.getUTF8String(t))) {
+            nm += 1; s += kwSim(doubles.getDouble(t))
+          }
+          j += 1
+        }
+        (nm >= min, s)
+      case Op.STREQ =>
+        val f = next(); val t = next()
+        val v = strAttrOf(f)
+        (v != null && v.equals(terms.getUTF8String(t)), 0.0)
+      case Op.STRIN =>
+        val f = next(); val cnt = next()
+        val v = strAttrOf(f)
+        var found = false
+        var j = 0
+        while (j < cnt) {
+          val t = next()
+          if (v != null && v.equals(terms.getUTF8String(t))) found = true
+          j += 1
+        }
+        (found, 0.0)
       case other => throw new IllegalStateException(
         s"dsl_query_score: corrupt program, opcode $other at ${pc - 1}")
     }
@@ -1650,18 +1759,18 @@ object SearchExpressions {
         exprs(7).eval().asInstanceOf[Double])),
     (FunctionIdentifier("dsl_query_score"),
       info("dsl_query_score",
-        "dsl_query_score(tokens, ops, terms, doubles, attrs, kind, k1, b, avgdl) - struct(ok, score) nested-AST query verification + similarity over a token array"),
+        "dsl_query_score(tokens, ops, terms, doubles, attrs, attrs_str, kind, k1, b, avgdl) - struct(ok, score) nested-AST query verification + similarity over a token array"),
       (exprs: Seq[Expression]) => DslQueryScore(exprs(0), exprs(1), exprs(2), exprs(3),
-        exprs(4),
-        exprs(5).eval() match {
+        exprs(4), exprs(5),
+        exprs(6).eval() match {
           case i: Int => i
           case l: Long => l.toInt
           case other => throw new IllegalArgumentException(
             s"dsl_query_score kind must be a foldable integer, got $other")
         },
-        exprs(6).eval().asInstanceOf[Double],
         exprs(7).eval().asInstanceOf[Double],
-        exprs(8).eval().asInstanceOf[Double])))
+        exprs(8).eval().asInstanceOf[Double],
+        exprs(9).eval().asInstanceOf[Double])))
 
   /** Registers the expressions in the session's FunctionRegistry so
     * they are callable from both `functions.call_function` and SQL

@@ -1066,11 +1066,18 @@ final class SearchIndex private (
     * match a doc containing none of their terms) take a full corpus
     * pass, the honest cost of a match-all query.
     *
+    * KEYWORD-field leaves (MatchTerm & friends on an un-analyzed
+    * field) and string-valued Eq/InSet filters distribute too: they
+    * verify against a doc-side string-attribute map with the scan
+    * compiler's keyword scoring (tf 1, dl 1, avgdl 1) and never
+    * probe — under `And` they ride their text sibling's probe; a
+    * pure keyword query is an honest corpus pass.
+    *
     * Not supported here (routed to [[queryJoinDsl]] by a plan-time
     * error): wildcard/fuzzy/regex leaves (their Lucene multi-term
     * rewrite expands against the term dictionary at driver compile
-    * time), scored leaves on a field other than `field`, and
-    * non-numeric filter values.
+    * time), scored leaves on a TEXT field other than `field`, and
+    * filter values that are neither numeric nor strings.
     *
     * Driver-side cost: one bounded action collecting the DISTINCT
     * filter attribute column names (bounded by the doc schema width,
@@ -1094,38 +1101,57 @@ final class SearchIndex private (
     // defined alternatives list is never empty)
     val serialized = left.map { r =>
       val p = QueryProgram.compile(queryGen(r), targetField, qAnalyzer, indexedF, textF)
-      (r.getAs[Number](qidName).longValue(), p.ops, p.terms, p.consts,
-        p.attrFields, p.probeAlts.getOrElse(Seq.empty))
-    }.toDF("qid", "ops", "terms", "consts", "attr_fields", "alts")
+      (r.getAs[Number](qidName).longValue(), p.ops, p.terms, p.termFields, p.consts,
+        p.attrFields, p.strAttrFields, p.probeAlts.getOrElse(Seq.empty))
+    }.toDF("qid", "ops", "terms", "term_fields", "consts",
+      "attr_fields", "str_attr_fields", "alts")
     // persisted: the shape dedup and the qid fan-out both read it
     // (lifetime tracking as in queryJoinPhrase/queryJoinBool)
     val canon = trackPersist(serialized.persist(StorageLevel.MEMORY_AND_DISK))
     val shapes = trackPersist(canon
-      .groupBy("ops", "terms", "consts", "alts").agg(min(col("qid")).as("sid"))
+      .groupBy("ops", "terms", "term_fields", "consts", "alts")
+      .agg(min(col("qid")).as("sid"))
       .persist(StorageLevel.MEMORY_AND_DISK))
-    // distinct filter attr columns: bounded by the doc schema width
-    // (field NAMES, not data), so this driver action is safe at any
-    // |left|; validates that every filtered column is numeric (the
-    // documented v1 contract of the serialized filter ops)
+    // distinct filter/keyword attr columns: bounded by the doc schema
+    // width (field NAMES, not data), so these driver actions are safe
+    // at any |left|. Numeric-filter columns must be numeric; string
+    // attr columns (keyword-field values, string filters) only need
+    // to exist — they compare as strings.
     val attrFields = canon.select(explode(col("attr_fields")).as("f"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    val strAttrFields = canon.select(explode(col("str_attr_fields")).as("f"))
       .distinct().collect().map(_.getString(0)).sorted.toSeq
     val docSchema = docs.schema
     attrFields.foreach { f =>
       val sf = docSchema.find(_.name == f).getOrElse(throw new IllegalArgumentException(
         s"queryJoinAst: filter references unknown doc column '$f'"))
       require(sf.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"queryJoinAst supports numeric filter columns only; '$f' is ${sf.dataType} — " +
+        s"queryJoinAst numeric filters need a numeric column; '$f' is ${sf.dataType} — " +
           "route this query through queryJoinDsl")
     }
-    val st = stats.where(col("field") === lit(field)).select(col("term"), col("df"))
-    // per-slot IDF vector aligned with the program's term table;
-    // absent terms keep df=0 like idfFor. The program's consts are
-    // appended after the idf prefix — DslQueryScore reads const
-    // operands at |terms| + idx.
-    val termIdf = shapes.select(col("sid"), posexplode(col("terms")).as(Seq("pos", "term")))
-      .join(st, Seq("term"), "left").na.fill(0L, Seq("df"))
+    strAttrFields.foreach { f =>
+      require(docSchema.exists(_.name == f),
+        s"queryJoinAst: keyword/string filter references unknown doc column '$f'")
+    }
+    val st = stats.select(col("field"), col("term"), col("df"))
+    // per-slot IDF vector aligned with the program's term table,
+    // resolved against each slot's OWN field (text slots against the
+    // probe field, keyword slots against theirs); absent terms keep
+    // df=0 like idfFor; attr-name slots (field "") match no stats row
+    // and their idf is never read. The program's consts are appended
+    // after the idf prefix — DslQueryScore reads const operands at
+    // |terms| + idx.
+    val termIdf = shapes
+      .select(col("sid"), col("term_fields"),
+        posexplode(col("terms")).as(Seq("pos", "term")))
+      .withColumn("field", element_at(col("term_fields"), col("pos") + 1))
+      .drop("term_fields")
+      .join(st, Seq("field", "term"), "left").na.fill(0L, Seq("df"))
+      .join(broadcast(fieldStatsDf.select(col("field"), col("num_docs"))),
+        Seq("field"), "left")
       .withColumn("idf", log(lit(1.0) +
-        (lit(fs.numDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+        (coalesce(col("num_docs").cast("double"), lit(0.0)) - col("df") + 0.5) /
+          (col("df") + 0.5)))
       .groupBy(col("sid"))
       .agg(sort_array(collect_list(struct(col("pos"), col("idf")))).as("pi"))
       .select(col("sid"), transform(col("pi"), x => x.getField("idf")).as("idfs"))
@@ -1136,12 +1162,15 @@ final class SearchIndex private (
       .persist(StorageLevel.MEMORY_AND_DISK))
     // probe-alternative selection by total df — the nested-AST
     // generalization of queryJoinBool's rarest-required-term probe.
+    // Probe terms are PROBE-FIELD terms by construction (probeAlts
+    // soundness), so their dfs resolve against that field's stats.
     // explode_outer keeps zero-term alts (the "matches nothing"
     // probe) at df 0, which min() rightly prefers.
+    val stProbe = stats.where(col("field") === lit(field)).select(col("term"), col("df"))
     val chosen = withDoubles.where(size(col("alts")) > 0)
       .select(col("sid"), posexplode(col("alts")).as(Seq("ai", "alt")))
       .select(col("sid"), col("ai"), explode_outer(col("alt")).as("term"))
-      .join(st, Seq("term"), "left").na.fill(0L, Seq("df"))
+      .join(stProbe, Seq("term"), "left").na.fill(0L, Seq("df"))
       .groupBy(col("sid"), col("ai")).agg(sum(col("df")).as("adf"))
       .groupBy(col("sid")).agg(min(struct(col("adf"), col("ai"))).as("c"))
       .select(col("sid"), col("c.ai").as("ai"))
@@ -1165,15 +1194,18 @@ final class SearchIndex private (
       .dropDuplicates("sid", "key")
       .join(withDoubles.select(col("sid"), col("ops"), col("terms"), col("doubles")),
         Seq("sid"))
-    // doc side: token array + the filter attr map, one corpus join
-    val attrMapCol =
-      if (attrFields.isEmpty)
-        map_from_arrays(array().cast("array<string>"), array().cast("array<double>"))
+    // doc side: token array + the numeric and string attr maps
+    // (filter columns resp. keyword-field values), one corpus join
+    def nameMap(fields: Seq[String], value: String => Column, vType: String) =
+      if (fields.isEmpty)
+        map_from_arrays(array().cast("array<string>"),
+          array().cast(s"array<$vType>"))
       else map_from_arrays(
-        array(attrFields.map(lit): _*),
-        array(attrFields.map(f => col(f).cast("double")): _*))
+        array(fields.map(lit): _*), array(fields.map(value): _*))
     val docSide = docs.select(key.as("__doc_key"),
-      tokensCol(field).as("__tokens"), attrMapCol.as("__attrs"))
+      tokensCol(field).as("__tokens"),
+      nameMap(attrFields, f => col(f).cast("double"), "double").as("__attrs"),
+      nameMap(strAttrFields, f => col(f).cast("string"), "string").as("__attrs_str"))
     val probeCands = single.unionByName(multi)
       .join(docSide, col("key") === col("__doc_key"))
     // TOTAL shapes: no sound probe set exists — full corpus pass
@@ -1188,11 +1220,11 @@ final class SearchIndex private (
     }
     val verified = probeCands.unionByName(totalCands)
       .withColumn("__r", call_function("dsl_query_score", col("__tokens"),
-        col("ops"), col("terms"), col("doubles"), col("__attrs"),
+        col("ops"), col("terms"), col("doubles"), col("__attrs"), col("__attrs_str"),
         lit(kind), lit(k1v), lit(bv), lit(fs.avgDl)))
       .where(col("__r.ok"))
       .select(col("sid"), col("key"), col("__r.score").as("score"))
-    val fan = canon.join(shapes, Seq("ops", "terms", "consts", "alts"))
+    val fan = canon.join(shapes, Seq("ops", "terms", "term_fields", "consts", "alts"))
       .select(col("qid"), col("sid"))
     val scored = verified.join(fan, Seq("sid"))
       .select(col("qid"), col("key"), col("score"))

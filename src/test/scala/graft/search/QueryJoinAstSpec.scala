@@ -88,10 +88,29 @@ class QueryJoinAstSpec extends AnyFunSuite {
     check(_ => Parsed("text", "+spark join -cluster"), minHits = 1)
   }
 
+  test("keyword-field leaves and string filters distribute (verify vs driver path)") {
+    // lang is an indexed KEYWORD field of this corpus: scored with
+    // tf 1 / dl 1 / avgdl 1, verified via the string attr map,
+    // riding the text probe (or taking the corpus pass alone)
+    check(_ => And(MatchTerm("text", "dog"), MatchTerm("lang", "en")), minHits = 1)
+    check(_ => Or(MatchTerm("text", "cluster"), MatchTerm("lang", "de")), minHits = 1)
+    check(_ => MatchTerm("lang", "fr"), minHits = 1) // pure keyword: corpus pass
+    check(_ => MatchAnyTerms("lang", Seq("fr", "de")), minHits = 1)
+    check(_ => And(MatchTerm("text", "spark"), MatchAllTerms("lang", Seq("fr"))), minHits = 1)
+    check(_ => MatchMin("lang", 1, Seq("en", "de")), minHits = 1)
+    check(_ => Should(Boost(MatchTerm("lang", "en"), 2.0)), minHits = 1)
+    // string filters: EqFilter / InSetFilter on a string column
+    check(_ => And(MatchTerm("text", "dog"), EqFilter("lang", "en")), minHits = 1)
+    check(_ => And(MatchTerm("text", "spark"), InSetFilter("lang", Seq("fr", "de"))), minHits = 1)
+    // same string as text term and keyword term: slots stay distinct
+    check(_ => And(MatchTerm("text", "fox"), Not(MatchTerm("lang", "fox"))), minHits = 1)
+  }
+
   test("fuzz: random nested ASTs agree with the driver path (seeded, deterministic)") {
     val vocab = Vector("spark", "dog", "quick", "lazy", "fox", "join", "data",
       "cluster", "day", "zzz_unknown")
-    def leaf(rnd: Random): SearchQuery = rnd.nextInt(10) match {
+    val langs = Vector("en", "fr", "de", "xx")
+    def leaf(rnd: Random): SearchQuery = rnd.nextInt(13) match {
       case 0 => MatchTerm("text", vocab(rnd.nextInt(vocab.length)))
       case 1 => MatchAnyTerms("text",
         Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.length))).distinct)
@@ -108,6 +127,10 @@ class QueryJoinAstSpec extends AnyFunSuite {
         200L + rnd.nextInt(200).toLong)
       case 7 => GeFilter("n_chars", 100L + rnd.nextInt(150).toLong)
       case 8 => AllDocs
+      case 9 => MatchTerm("lang", langs(rnd.nextInt(langs.length)))
+      case 10 => EqFilter("lang", langs(rnd.nextInt(langs.length)))
+      case 11 => MatchAnyTerms("lang",
+        Seq.fill(1 + rnd.nextInt(2))(langs(rnd.nextInt(langs.length))).distinct)
       case _ => MatchText("text", s"${vocab(rnd.nextInt(vocab.length))} processing")
     }
     def ast(rnd: Random, depth: Int): SearchQuery =
