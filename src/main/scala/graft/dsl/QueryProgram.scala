@@ -50,13 +50,20 @@ import graft.analysis.Analyzers
   * field), so a pure keyword query is a corpus pass while the usual
   * `And(text leaf, keyword filter)` rides the text probe.
   *
+  * Dictionary-expansion leaves (`MatchWildcard` / `MatchFuzzy` /
+  * `MatchRegex`) serialize to EXPAND placeholders: the caller joins
+  * each distinct (kind, field, pattern, maxEdits) against the term
+  * dictionary IN-PLAN and [[substitute]]s the expanded lists in —
+  * the Lucene multi-term rewrite (constant-score, maxClauseCount
+  * cap in dictionary order, the scan path's expandDict discipline)
+  * with the per-query driver action replaced by one dictionary join
+  * per batch. Their probe alts carry NUL-prefixed [[marker]]s that
+  * substitute to the expanded terms.
+  *
   * Unsupported here (use `queryJoinDsl`, which compiles per query on
-  * the driver): `MatchWildcard` / `MatchFuzzy` / `MatchRegex` (their
-  * Lucene multi-term rewrite expands against the term DICTIONARY at
-  * compile time — a per-query driver action, not a per-row one),
-  * leaves on a TEXT field other than the probe field (the verifier
-  * carries one token array), and filter values that are neither
-  * numeric nor strings.
+  * the driver): leaves on a TEXT field other than the probe field
+  * (the verifier carries one token array), and filter values that
+  * are neither numeric nor strings.
   */
 final case class QueryProgram(
     ops: Seq[Int],
@@ -91,6 +98,21 @@ object QueryProgram {
     val KWTERM = 19; val KWALL = 20; val KWANY = 21; val KWMIN = 22
     // string-valued filters: STREQ f t; STRIN f n t*n
     val STREQ = 23; val STRIN = 24
+    // constant-score any-of-terms — the REWRITTEN form of a
+    // dictionary-expansion leaf (Lucene CONSTANT_SCORE multi-term
+    // rewrite: matching docs score 1.0 regardless of tf/idf, the
+    // scan compiler's constScoreAny). CANY n t*n verifies against
+    // the probe-field token array; KWCANY f n t*n against the
+    // doc-side string attr map (keyword-field expansion).
+    val CANY = 25; val KWCANY = 26
+    // compile-time placeholder for a dictionary-expansion leaf:
+    // EXPAND kind f p x (kind 0 wildcard / 1 fuzzy / 2 regex;
+    // f = slot holding the FIELD name, p = slot holding the raw
+    // pattern under that field, x = maxEdits for fuzzy else 0).
+    // Never reaches the interpreter — [[QueryProgram.substitute]]
+    // rewrites it to CANY/KWCANY/NOMATCH once the pattern has been
+    // expanded against the distributed term dictionary.
+    val EXPAND = 27
   }
 
   /** Bound on probe alternatives kept per node — alternatives beyond
@@ -124,7 +146,7 @@ object QueryProgram {
       case MatchAllTerms(_, ts) => ts.length
       case MatchAnyTerms(_, ts) => ts.length
       case MatchMin(_, _, ts) => ts.length
-      // expansion leaves are rejected later; Parsed is desugared here
+      // expansion leaves and anything else: dictionary-sized work
       case _ => 8
     }
     // can this subtree's predicate ever be false? (constant-true
@@ -251,9 +273,19 @@ object QueryProgram {
         else if (kwField(f)) emitKw(Op.KWMIN, f, ts, Seq(m))
         else { checkField(f, "MatchMin"); emitTerms(Op.MIN, ts, Seq(m)) }
       case Parsed(f, s) => emit(Parsed.desugar(f, s))
-      case _: MatchWildcard => unsupported("MatchWildcard (dictionary expansion)")
-      case _: MatchFuzzy => unsupported("MatchFuzzy (dictionary expansion)")
-      case _: MatchRegex => unsupported("MatchRegex (dictionary expansion)")
+      // dictionary-expansion leaves: serialized as EXPAND
+      // placeholders; the caller expands each distinct (kind, field,
+      // pattern, extra) against the term dictionary IN-PLAN and
+      // rewrites them to CANY/KWCANY via [[substitute]] — so the
+      // Lucene multi-term rewrite distributes too (the scan path's
+      // expandDict is a per-query driver action; here it is one
+      // dictionary join per batch)
+      case MatchWildcard(f, pat) =>
+        if (badField(f)) ops += Op.NOMATCH else emitExpand(0, f, pat, 0)
+      case MatchFuzzy(f, t, maxEdits) =>
+        if (badField(f)) ops += Op.NOMATCH else emitExpand(1, f, t, maxEdits)
+      case MatchRegex(f, pat) =>
+        if (badField(f)) ops += Op.NOMATCH else emitExpand(2, f, pat, 0)
       case EqFilter(f, v) => v match {
         case s: String =>
           strAttrs += f
@@ -291,6 +323,12 @@ object QueryProgram {
     def emitCmp(op: Int, f: String, v: Double): Unit = {
       numAttrs += f
       ops += Op.CMP; ops += op; ops += nameIdx(f); ops += cIdx(v)
+    }
+    def emitExpand(kind: Int, f: String, pat: String, extra: Int): Unit = {
+      if (textFields.contains(f)) checkField(f, "a dictionary-expansion leaf")
+      else strAttrs += f // keyword field: rewrites to KWCANY over the attr map
+      ops += Op.EXPAND; ops += kind; ops += nameIdx(f); ops += slotOf(f, pat)
+      ops += extra
     }
 
     emit(q)
@@ -364,10 +402,138 @@ object QueryProgram {
         else if (kw(f)) None
         else Some(Seq(ts.distinct))
       case Parsed(f, s) => go(Parsed.desugar(f, s))
-      // dictionary-expansion leaves are rejected by compile() before
-      // this runs; treat as total for safety if ever reached
-      case _: MatchWildcard | _: MatchFuzzy | _: MatchRegex => None
+      // dictionary-expansion leaves on the probe text field are
+      // sound probes — any matching doc contains >= 1 EXPANDED term
+      // there — but the expansion is data-dependent, so the alt
+      // carries a MARKER that [[substitute]] replaces with the
+      // expanded term list; keyword-field expansions verify against
+      // the attr map like other keyword leaves (None: ride an And
+      // sibling's probe or take the corpus pass)
+      case MatchWildcard(f, pat) =>
+        if (!indexedFields.contains(f)) Some(none)
+        else if (kw(f)) None
+        else Some(Seq(Seq(marker(0, f, pat, 0))))
+      case MatchFuzzy(f, t, maxEdits) =>
+        if (!indexedFields.contains(f)) Some(none)
+        else if (kw(f)) None
+        else Some(Seq(Seq(marker(1, f, t, maxEdits))))
+      case MatchRegex(f, pat) =>
+        if (!indexedFields.contains(f)) Some(none)
+        else if (kw(f)) None
+        else Some(Seq(Seq(marker(2, f, pat, 0))))
     }
     go(q)
+  }
+
+  /** A probe-alt placeholder for a dictionary-expansion leaf: NUL
+    * can never open an analyzed term, so markers are unambiguous in
+    * a term list. Layout `\0kind\0extra\0field\0pattern` — the
+    * pattern goes LAST so it may itself contain anything except NUL
+    * followed by a well-formed prefix (field names never contain
+    * NUL). */
+  private[graft] def marker(kind: Int, f: String, pat: String, extra: Int): String =
+    "\u0000" + kind + "\u0000" + extra + "\u0000" + f + "\u0000" + pat
+  private[graft] def isMarker(t: String): Boolean = t.nonEmpty && t.charAt(0) == '\u0000'
+  /** Inverse of [[marker]] → (kind, field, pattern, extra). */
+  private[graft] def parseMarker(t: String): (Int, String, String, Int) = {
+    val parts = t.substring(1).split("\u0000", 4)
+    (parts(0).toInt, parts(2), parts(3), parts(1).toInt)
+  }
+
+  /** `*`/`?` glob to an (unanchored) Java regex — the regex twin of
+    * the scan path's glob-to-LIKE translation, for matching the
+    * pattern against a term DICTIONARY COLUMN where LIKE's pattern
+    * must be a literal. Every non-glob char is quoted, so LIKE
+    * metacharacters (`%`, `_`) mean themselves, as in likePattern. */
+  def globRegex(glob: String): String = {
+    val sb = new StringBuilder
+    glob.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c => sb.append(java.util.regex.Pattern.quote(c.toString))
+    }
+    sb.toString
+  }
+
+  /** Ints consumed by the opcode at `pos` INCLUDING itself and its
+    * inline operands (children excluded — they are the following
+    * opcodes). Children carry no inline offsets, so advancing by
+    * this length from 0 is a complete linear pre-order traversal. */
+  private def opLength(ops: Seq[Int], pos: Int): Int = ops(pos) match {
+    case Op.ALLDOCS | Op.NOMATCH | Op.TRUEZERO | Op.AND | Op.OR |
+         Op.NOT | Op.SHOULD => 1
+    case Op.BOOST | Op.TERM | Op.EXISTS | Op.MISSING => 2
+    case Op.ALL | Op.ANY | Op.CANY => 2 + ops(pos + 1)
+    case Op.MIN | Op.PHRASE | Op.INSET | Op.STRIN | Op.KWALL | Op.KWANY |
+         Op.KWCANY => 3 + ops(pos + 2)
+    case Op.NEAR | Op.CMP | Op.RANGE => 4
+    case Op.KWTERM | Op.STREQ => 3
+    case Op.KWMIN => 4 + ops(pos + 3)
+    case Op.EXPAND => 5
+    case other => throw new IllegalStateException(
+      s"QueryProgram: corrupt program, opcode $other at $pos")
+  }
+
+  /** The distinct dictionary-expansion requests of a serialized
+    * program: (kind, field, pattern, maxEdits) per EXPAND leaf. */
+  def expansionKeys(ops: Seq[Int], terms: Seq[String]): Seq[(Int, String, String, Int)] = {
+    val out = mutable.ArrayBuffer.empty[(Int, String, String, Int)]
+    var p = 0
+    while (p < ops.length) {
+      if (ops(p) == Op.EXPAND)
+        out += ((ops(p + 1), terms(ops(p + 2)), terms(ops(p + 3)), ops(p + 4)))
+      p += opLength(ops, p)
+    }
+    out.distinct.toSeq
+  }
+
+  /** Rewrites every EXPAND placeholder to its runtime form — CANY
+    * (probe-field leaf), KWCANY (keyword-field leaf) or NOMATCH
+    * (empty expansion) — appending expanded terms to the slot table
+    * (existing (field, term) slots are reused; alignment of existing
+    * slots never changes), and substitutes probe-alt markers with
+    * the expanded term lists. `exp` maps [[expansionKeys]] keys to
+    * their dictionary-order-capped term lists; absent keys mean an
+    * empty expansion. Returns (ops, terms, termFields, alts). */
+  def substitute(ops: Seq[Int], terms: Seq[String], termFields: Seq[String],
+      alts: Seq[Seq[String]], probeField: String,
+      exp: Map[(Int, String, String, Int), Seq[String]])
+      : (Seq[Int], Seq[String], Seq[String], Seq[Seq[String]]) = {
+    val slots = mutable.HashMap.empty[(String, String), Int]
+    terms.indices.foreach { i =>
+      if (!slots.contains((termFields(i), terms(i))))
+        slots((termFields(i), terms(i))) = i
+    }
+    val newTerms = mutable.ArrayBuffer[String](terms: _*)
+    val newFields = mutable.ArrayBuffer[String](termFields: _*)
+    def slotOf(f: String, t: String): Int = slots.getOrElseUpdate((f, t), {
+      newTerms += t; newFields += f; newTerms.size - 1
+    })
+    val out = mutable.ArrayBuffer.empty[Int]
+    var p = 0
+    while (p < ops.length) {
+      val len = opLength(ops, p)
+      if (ops(p) == Op.EXPAND) {
+        val f = terms(ops(p + 2))
+        val ets = exp.getOrElse(
+          (ops(p + 1), f, terms(ops(p + 3)), ops(p + 4)), Seq.empty)
+        if (ets.isEmpty) out += Op.NOMATCH
+        else if (f == probeField) {
+          out += Op.CANY; out += ets.length
+          ets.foreach(t => out += slotOf(f, t))
+        } else {
+          out += Op.KWCANY; out += ops(p + 2); out += ets.length
+          ets.foreach(t => out += slotOf(f, t))
+        }
+      } else {
+        var i = p
+        while (i < p + len) { out += ops(i); i += 1 }
+      }
+      p += len
+    }
+    val newAlts = alts.map(_.flatMap { t =>
+      if (isMarker(t)) exp.getOrElse(parseMarker(t), Seq.empty) else Seq(t)
+    }.distinct)
+    (out.toSeq, newTerms.toSeq, newFields.toSeq, newAlts)
   }
 }

@@ -1433,6 +1433,8 @@ object DslQueryScore {
       case Op.KWMIN => pc += 2; pc += next()
       case Op.STREQ => pc += 2
       case Op.STRIN => pc += 1; pc += next()
+      case Op.CANY => pc += next()
+      case Op.KWCANY => pc += 1; pc += next()
       case _ => () // ALLDOCS / NOMATCH / TRUEZERO
     }
     // returns (matched, score); ONLY leaves gate score on match
@@ -1614,6 +1616,30 @@ object DslQueryScore {
           j += 1
         }
         (found, 0.0)
+      // constant-score any-of-terms (rewritten dictionary-expansion
+      // leaf — Lucene CONSTANT_SCORE rewrite: matching docs score
+      // 1.0 regardless of tf/idf, like the scan path's constScoreAny)
+      case Op.CANY =>
+        val cnt = next()
+        ensureTfs()
+        var any = false
+        var j = 0
+        while (j < cnt) { if (tfs(next()) > 0) any = true; j += 1 }
+        (any, if (any) 1.0 else 0.0)
+      case Op.KWCANY =>
+        val f = next(); val cnt = next()
+        val v = strAttrOf(f)
+        var any = false
+        var j = 0
+        while (j < cnt) {
+          val t = next()
+          if (v != null && v.equals(terms.getUTF8String(t))) any = true
+          j += 1
+        }
+        (any, if (any) 1.0 else 0.0)
+      case Op.EXPAND => throw new IllegalStateException(
+        "dsl_query_score: unrewritten EXPAND placeholder — programs with " +
+          "dictionary-expansion leaves must pass through QueryProgram.substitute")
       case other => throw new IllegalStateException(
         s"dsl_query_score: corrupt program, opcode $other at ${pc - 1}")
     }

@@ -756,8 +756,8 @@ final class SearchIndex private (
     * which distributes the same arbitrary-generator contract with a
     * constant-size plan (or on the [[queryJoin]]/[[queryJoinPhrase]]/
     * [[queryJoinBool]] specializations); keep this driver-batch path
-    * for query shapes the serialized form rejects — wildcard/fuzzy/
-    * regex leaves and non-numeric filters.
+    * for query shapes the serialized form rejects — cross-text-field
+    * leaves and filters that are neither numeric nor strings.
     *
     * @param queryGen driver-side function from a left Row to the
     *   query AST; reads whatever columns the caller selected into
@@ -1073,10 +1073,16 @@ final class SearchIndex private (
     * probe — under `And` they ride their text sibling's probe; a
     * pure keyword query is an honest corpus pass.
     *
+    * Dictionary-expansion leaves (wildcard/fuzzy/regex) distribute
+    * too: each distinct (kind, field, pattern, maxEdits) joins once
+    * against the term dictionary ([[expandShapes]] — the Lucene
+    * multi-term rewrite with its constant-score semantics and
+    * dictionary-order maxClauseCount cap, same as the scan path's
+    * expandDict) and the serialized programs are rewritten in-plan;
+    * a text-field expansion's probe set is its expanded terms.
+    *
     * Not supported here (routed to [[queryJoinDsl]] by a plan-time
-    * error): wildcard/fuzzy/regex leaves (their Lucene multi-term
-    * rewrite expands against the term dictionary at driver compile
-    * time), scored leaves on a TEXT field other than `field`, and
+    * error): scored leaves on a TEXT field other than `field`, and
     * filter values that are neither numeric nor strings.
     *
     * Driver-side cost: one bounded action collecting the DISTINCT
@@ -1108,10 +1114,14 @@ final class SearchIndex private (
     // persisted: the shape dedup and the qid fan-out both read it
     // (lifetime tracking as in queryJoinPhrase/queryJoinBool)
     val canon = trackPersist(serialized.persist(StorageLevel.MEMORY_AND_DISK))
-    val shapes = trackPersist(canon
+    // shapes0 keeps the SERIALIZED columns (the fan-out join key);
+    // `shapes` is its dictionary-expanded rewrite — identical when no
+    // shape carries a wildcard/fuzzy/regex leaf
+    val shapes0 = trackPersist(canon
       .groupBy("ops", "terms", "term_fields", "consts", "alts")
       .agg(min(col("qid")).as("sid"))
       .persist(StorageLevel.MEMORY_AND_DISK))
+    val shapes = expandShapes(shapes0, field)
     // distinct filter/keyword attr columns: bounded by the doc schema
     // width (field NAMES, not data), so these driver actions are safe
     // at any |left|. Numeric-filter columns must be numeric; string
@@ -1182,8 +1192,13 @@ final class SearchIndex private (
     // single-term probes dominate (every AND-led shape) and their
     // (sid, key) is unique by construction — no dedup exchange;
     // multi-term probes (OR/ANY-led) pay one
+    // try_element_at, not element_at: a "matches nothing" probe (an
+    // EMPTY alt — unknown-field leaf, or a dictionary expansion that
+    // matched no terms) is filtered out by the size predicate, but
+    // constraint inference can reorder isnotnull(element_at(..)) in
+    // front of it, which under ANSI throws on the empty array
     val single = probed.where(size(col("probe")) === 1)
-      .withColumn("term", element_at(col("probe"), 1)).drop("probe")
+      .withColumn("term", try_element_at(col("probe"), lit(1))).drop("probe")
       .join(posts, Seq("term")).drop("term")
     // dedup runs on slim (sid, key) pairs; the shape arrays re-attach
     // AFTER the exchange via a shapes-sized join (AQE broadcasts it),
@@ -1224,7 +1239,7 @@ final class SearchIndex private (
         lit(kind), lit(k1v), lit(bv), lit(fs.avgDl)))
       .where(col("__r.ok"))
       .select(col("sid"), col("key"), col("__r.score").as("score"))
-    val fan = canon.join(shapes, Seq("ops", "terms", "term_fields", "consts", "alts"))
+    val fan = canon.join(shapes0, Seq("ops", "terms", "term_fields", "consts", "alts"))
       .select(col("qid"), col("sid"))
     val scored = verified.join(fan, Seq("sid"))
       .select(col("qid"), col("key"), col("score"))
@@ -1233,6 +1248,83 @@ final class SearchIndex private (
     perQueryTopK(
       if (excludeSelf) scored.where(col("qid") =!= col("key")) else scored, k,
       maxHitsPerIndex)
+  }
+
+  /** Distributed Lucene multi-term rewrite for [[queryJoinAst]]:
+    * rewrites every EXPAND placeholder in a deduped shapes frame by
+    * joining the distinct (kind, field, pattern, maxEdits) requests
+    * against the term DICTIONARY — [[expandDict]]'s exact semantics
+    * (same match predicates, same dictionary-order maxClauseCount
+    * cap, same constant-score verify) with the per-query driver
+    * action replaced by ONE dictionary join per batch.
+    *
+    * Scale shape: patterns are query-side (shape-bounded), so they
+    * BROADCAST against the dictionary, which stays partitioned — the
+    * expansion join never shuffles the vocabulary; the per-pattern
+    * cap is a row_number window partitioned by pattern (matched rows
+    * are vocabulary-bounded, corpus-independent). When no shape has
+    * an expansion leaf (one shapes-bounded action; the opcode scan
+    * over-approximates, and a false positive only routes through an
+    * identity rewrite), the frame passes through untouched and the
+    * plan is exactly the pre-expansion one. */
+  private def expandShapes(shapes0: DataFrame, field: String): DataFrame = {
+    import QueryProgram.Op
+    val shapeCols = shapes0.select("sid", "ops", "terms", "term_fields", "consts", "alts")
+    if (shapeCols.where(array_contains(col("ops"), lit(Op.EXPAND))).isEmpty)
+      return shapeCols
+    import spark.implicits._
+    // (sid, kind, field, pattern, extra, anchored-regex) — regex
+    // translation runs executor-side like the rest of the compile;
+    // fuzzy rows carry rx = null (they match by edit distance)
+    val sidPats = shapes0.select("sid", "ops", "terms").flatMap { r =>
+      QueryProgram.expansionKeys(r.getSeq[Int](1), r.getSeq[String](2)).map {
+        case (kind, f, pat, extra) =>
+          val rx = kind match {
+            case 0 => "^(?:" + QueryProgram.globRegex(pat) + ")$"
+            case 2 => "^(?:" + LuceneRegex.translate(pat) + ")$"
+            case _ => null
+          }
+          (r.getLong(0), kind, f, pat, extra, rx)
+      }
+    }.toDF("sid", "kind", "efield", "pattern", "extra", "rx")
+    val pats = sidPats.drop("sid").distinct()
+    val matched = stats.select(col("field").as("efield"), col("term"))
+      .join(broadcast(pats), Seq("efield"))
+      .where(when(col("kind") === 1,
+          levenshtein(col("term"), col("pattern")) <= col("extra"))
+        .otherwise(regexp_like(col("term"), col("rx"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("kind", "efield", "pattern", "extra").orderBy("term")
+    val expansions = matched
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxExpansions)
+      .groupBy("kind", "efield", "pattern", "extra")
+      .agg(sort_array(collect_list(col("term"))).as("ets"))
+    val sidExp = sidPats
+      .join(expansions, Seq("kind", "efield", "pattern", "extra"), "left")
+      .groupBy("sid")
+      .agg(collect_list(struct(col("kind"), col("efield"), col("pattern"),
+        col("extra"), coalesce(col("ets"), array().cast("array<string>")).as("ets")))
+        .as("exps"))
+    val probeField = field
+    val rewritten = shapeCols.join(sidExp, Seq("sid"), "left")
+      .select("sid", "ops", "terms", "term_fields", "consts", "alts", "exps")
+      .map { r =>
+        val exp =
+          if (r.isNullAt(6)) Map.empty[(Int, String, String, Int), Seq[String]]
+          else r.getSeq[Row](6).map(e => ((e.getInt(0), e.getString(1),
+            e.getString(2), e.getInt(3)), e.getSeq[String](4))).toMap
+        // getSeq hands back mutable ArraySeqs typed as immutable —
+        // materialize the nested alts before the closure maps them
+        val alts = r.getSeq[scala.collection.Seq[String]](5).toSeq.map(_.toSeq)
+        val (o2, t2, f2, a2) = QueryProgram.substitute(r.getSeq[Int](1),
+          r.getSeq[String](2), r.getSeq[String](3), alts, probeField, exp)
+        (r.getLong(0), o2, t2, f2, r.getSeq[Double](4), a2)
+      }.toDF("sid", "ops", "terms", "term_fields", "consts", "alts")
+    // two downstream readers (idf table + doubles assembly) — persist
+    // so the dictionary join runs once; released with the call's
+    // other frames by the trackPersist lifetime
+    trackPersist(rewritten.persist(StorageLevel.MEMORY_AND_DISK))
   }
 
   /** Ids-only query join (reference lightQueryJoin,

@@ -572,6 +572,30 @@ object SearchQueries {
         .select(col("qid").as("doc_id"), col("rank").cast("long").as("rank"),
           col("key"), round(col("score"), 4).as("score"))
         .orderBy("doc_id", "rank")
+    }),
+
+    // Nested-AST query join with DICTIONARY-EXPANSION leaves — the
+    // Lucene multi-term rewrite (wildcard/fuzzy/regex, constant-score)
+    // distributed: each row's patterns expand against the term
+    // dictionary via one broadcast join per batch (expandShapes), no
+    // per-query driver action. Boosted text wildcard (required),
+    // fuzzy-or-term, and an optional keyword-field wildcard riding
+    // the text probe.
+    "query_join_ast_expand" -> ((s, dir) => {
+      val idx = indexFor(s, dir)
+      val tk = col(SearchIndex.tokensColName("text"))
+      val left = idx.docs.where(size(tk) >= 4 && col("doc_id") % 10 === 0)
+        .select(col("doc_id") +: (1 to 3).map(i => element_at(tk, i).as(s"t$i")): _*)
+      idx.queryJoinAst(left, "doc_id", { r =>
+          def t(i: Int) = r.getAs[String](s"t$i")
+          And(
+            Boost(MatchWildcard("text", t(1).take(2) + "*"), 2.0),
+            And(Or(MatchFuzzy("text", t(2), 1), MatchTerm("text", t(3))),
+              Should(MatchWildcard("lang", "e*"))))
+        }, "text", k = 3, excludeSelf = true)
+        .select(col("qid").as("doc_id"), col("rank").cast("long").as("rank"),
+          col("key"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id", "rank")
     })
   )
 
@@ -1282,6 +1306,48 @@ object SearchQueries {
          |  FROM scored
          |  WHERE (tf_p > 0 OR (tf3 > 0 AND tf4 > 0))
          |    AND tf5 = 0 AND n_chars BETWEEN 0 AND max_chars
+         |), sel AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+         |  FROM s2
+         |)
+         |SELECT sel.qid AS doc_id, sel.rank, sel.doc_id AS key, round(sel.score, 4) AS score
+         |FROM sel WHERE rank <= 3
+         |ORDER BY sel.qid, sel.rank""".stripMargin
+    },
+
+    "query_join_ast_expand" -> {
+      // And(Boost(wildcard t1[0:2]*, 2.0), And(Or(fuzzy(t2, 1),
+      // term(t3)), Should(wildcard lang e*))). Expansion leaves are
+      // CONSTANT-SCORE (matched -> 1.0, scaled by boosts); with the
+      // synthetic 31-term vocabulary the maxClauseCount cap never
+      // binds, so dictionary expansion + doc match reduces to a
+      // direct predicate over the doc's tokens (resp. lang value).
+      s"""$toksCte,
+         |$postsCte,
+         |lefts AS (
+         |  SELECT doc_id AS qid,
+         |    tokens[1] AS t1, tokens[2] AS t2, tokens[3] AS t3
+         |  FROM toks WHERE len(tokens) >= 4 AND doc_id % 10 = 0
+         |), scored AS (
+         |  SELECT l.qid, t.doc_id,
+         |    len(list_filter(t.tokens, x -> x LIKE substr(l.t1, 1, 2) || '%')) > 0 AS w,
+         |    len(list_filter(t.tokens, x -> levenshtein(x, l.t2) <= 1)) > 0 AS fz,
+         |    len(list_filter(t.tokens, x -> x = l.t3)) AS tf3,
+         |    (t.lang IS NOT NULL AND t.lang LIKE 'e%') AS kw,
+         |    len(t.tokens) AS dl, st.n, st.avgdl, coalesce(d3.df, 0) AS df3
+         |  FROM lefts l
+         |  CROSS JOIN toks t
+         |  CROSS JOIN st
+         |  LEFT JOIN dfs d3 ON d3.term = l.t3
+         |  WHERE t.doc_id <> l.qid
+         |), s2 AS (
+         |  SELECT qid, doc_id,
+         |    2.0
+         |    + (CASE WHEN fz THEN 1.0 ELSE 0.0 END)
+         |    + ${bm25Sql("tf3", idfSql("df3"))}
+         |    + (CASE WHEN kw THEN 1.0 ELSE 0.0 END) AS score
+         |  FROM scored
+         |  WHERE w AND (fz OR tf3 > 0)
          |), sel AS (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
          |  FROM s2

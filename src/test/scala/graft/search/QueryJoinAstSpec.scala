@@ -84,6 +84,11 @@ class QueryJoinAstSpec extends AnyFunSuite {
     check(_ => And(MatchTerm("text", "dog"), ExistsFilter("n_chars")), minHits = 1)
     check(_ => And(MatchTerm("text", "dog"), MissingFilter("n_chars")))
     check(_ => MatchTerm("text", "zzz_not_in_corpus"))
+    // top-level unknown-field leaf: its ONLY alt is the empty
+    // "matches nothing" probe — regression for the ANSI element_at
+    // crash when constraint inference reorders in front of the
+    // size(probe) filter
+    check(_ => MatchTerm("no_such_field", "x"))
     check(_ => Or(MatchTerm("no_such_field", "x"), MatchTerm("text", "fox")), minHits = 1)
     check(_ => Parsed("text", "+spark join -cluster"), minHits = 1)
   }
@@ -110,7 +115,7 @@ class QueryJoinAstSpec extends AnyFunSuite {
     val vocab = Vector("spark", "dog", "quick", "lazy", "fox", "join", "data",
       "cluster", "day", "zzz_unknown")
     val langs = Vector("en", "fr", "de", "xx")
-    def leaf(rnd: Random): SearchQuery = rnd.nextInt(13) match {
+    def leaf(rnd: Random): SearchQuery = rnd.nextInt(17) match {
       case 0 => MatchTerm("text", vocab(rnd.nextInt(vocab.length)))
       case 1 => MatchAnyTerms("text",
         Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.length))).distinct)
@@ -131,7 +136,15 @@ class QueryJoinAstSpec extends AnyFunSuite {
       case 10 => EqFilter("lang", langs(rnd.nextInt(langs.length)))
       case 11 => MatchAnyTerms("lang",
         Seq.fill(1 + rnd.nextInt(2))(langs(rnd.nextInt(langs.length))).distinct)
-      case _ => MatchText("text", s"${vocab(rnd.nextInt(vocab.length))} processing")
+      case 12 => MatchText("text", s"${vocab(rnd.nextInt(vocab.length))} processing")
+      // dictionary-expansion leaves: prefixes/edits/regexes over both
+      // the text vocabulary and the keyword field, some matching
+      // nothing
+      case 13 => MatchWildcard("text",
+        vocab(rnd.nextInt(vocab.length)).take(1 + rnd.nextInt(3)) + "*")
+      case 14 => MatchFuzzy("text", vocab(rnd.nextInt(vocab.length)), 1 + rnd.nextInt(2))
+      case 15 => MatchRegex("text", s"(${vocab(rnd.nextInt(vocab.length))}|d.g)")
+      case _ => MatchWildcard("lang", langs(rnd.nextInt(langs.length)).take(1) + "*")
     }
     def ast(rnd: Random, depth: Int): SearchQuery =
       if (depth <= 0) leaf(rnd)
@@ -153,14 +166,44 @@ class QueryJoinAstSpec extends AnyFunSuite {
     }
   }
 
-  test("dictionary-expansion leaves are rejected with a routing message") {
-    val left = corpus.select("doc_id")
-    val e = intercept[Exception] {
-      idx.queryJoinAst(left, "doc_id", _ => MatchWildcard("text", "sp*"), "text", 3).collect()
+  test("dictionary-expansion leaves distribute: wildcard/fuzzy/regex vs driver path") {
+    // text-field expansions (constant-score rewrite, probe = the
+    // expanded term set)
+    check(_ => MatchWildcard("text", "qu*"), minHits = 1)
+    check(_ => MatchFuzzy("text", "spork", 1), minHits = 1) // -> spark
+    check(_ => MatchRegex("text", "do(g|gs)"), minHits = 1)
+    check(_ => MatchWildcard("text", "?og"), minHits = 1)
+    // empty expansion: matches nothing on both paths
+    check(_ => MatchWildcard("text", "zzz*"))
+    check(_ => Or(MatchWildcard("text", "zzz*"), MatchTerm("text", "fox")), minHits = 1)
+    // keyword-field expansions (verified via the string attr map)
+    check(_ => MatchWildcard("lang", "e*"), minHits = 1)
+    check(_ => MatchFuzzy("lang", "enn", 1), minHits = 1)
+    check(_ => MatchRegex("lang", "en|de"), minHits = 1)
+    // nested under combinators, riding a text sibling's probe,
+    // boosted (constant score scales by the boost), negated
+    check({ r => And(MatchWildcard("text", "sp*"),
+      RangeFilter("n_chars", 0L, r.getAs[Long]("n_chars") + 200)) }, minHits = 1)
+    check(_ => And(MatchTerm("text", "dog"), MatchWildcard("lang", "e?")), minHits = 1)
+    check(_ => Should(Boost(MatchFuzzy("text", "quack", 2), 3.0)), minHits = 1)
+    check(_ => Not(MatchWildcard("text", "sp*")), minHits = 1)
+    // data-driven patterns: a different expansion per row
+    check({ r =>
+      val first = r.getAs[String]("text").split(" ").head
+      MatchWildcard("text", first.take(2) + "*")
+    }, excludeSelf = true, minHits = 1)
+  }
+
+  test("plan size is constant in |left| with expansion leaves") {
+    def planNodes(rows: Int): Int = {
+      val left = corpus.limit(rows).select("doc_id", "text")
+      idx.queryJoinAst(left, "doc_id",
+        { r => Or(MatchWildcard("text", r.getAs[String]("text").take(2) + "*"),
+          MatchFuzzy("text", "spork", 1)) },
+        "text", 3).queryExecution.optimizedPlan.collect { case p => p }.length
     }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(_.contains("queryJoinDsl")))
+    val p2 = planNodes(2); val p7 = planNodes(7)
+    assert(p2 == p7, s"plan grew with |left|: $p2 vs $p7 nodes")
   }
 
   test("plan size is constant in |left|") {
