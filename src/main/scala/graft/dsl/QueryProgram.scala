@@ -60,10 +60,14 @@ import graft.analysis.Analyzers
   * per batch. Their probe alts carry NUL-prefixed [[marker]]s that
   * substitute to the expanded terms.
   *
+  * Cross-field TEXT leaves (a scored leaf on an indexed text field
+  * other than the probe field) serialize to `X*` ops verified
+  * against a doc-side per-field TOKENS map with that field's dl and
+  * avgdl — the scan compiler's secondary-field scoring exactly; like
+  * keyword leaves they never probe.
+  *
   * Unsupported here (use `queryJoinDsl`, which compiles per query on
-  * the driver): leaves on a TEXT field other than the probe field
-  * (the verifier carries one token array), and filter values that
-  * are neither numeric nor strings.
+  * the driver): filter values that are neither numeric nor strings.
   */
 final case class QueryProgram(
     ops: Seq[Int],
@@ -72,6 +76,7 @@ final case class QueryProgram(
     consts: Seq[Double],
     attrFields: Seq[String],
     strAttrFields: Seq[String],
+    xTextFields: Seq[String],
     probeAlts: Option[Seq[Seq[String]]])
 
 object QueryProgram {
@@ -110,9 +115,20 @@ object QueryProgram {
     // f = slot holding the FIELD name, p = slot holding the raw
     // pattern under that field, x = maxEdits for fuzzy else 0).
     // Never reaches the interpreter — [[QueryProgram.substitute]]
-    // rewrites it to CANY/KWCANY/NOMATCH once the pattern has been
-    // expanded against the distributed term dictionary.
+    // rewrites it to CANY/KWCANY/XCANY/NOMATCH once the pattern has
+    // been expanded against the distributed term dictionary.
     val EXPAND = 27
+    // cross-field TEXT leaves — scored leaves on an indexed text
+    // field OTHER than the probe field. tf/dl come from that field's
+    // token array in the doc-side tokens map, avgdl from the
+    // per-field avgdl map, idf from the slot table as usual (slots
+    // key per (field, term)); semantics mirror the scan compiler on
+    // a secondary field exactly. Layouts parallel the probe-field
+    // twins with a leading FIELD-name slot:
+    // XTERM f t; XALL/XANY/XCANY f n t*n; XMIN f m n t*n;
+    // XPHRASE f slop n t*n; XNEAR f dist t t.
+    val XTERM = 28; val XALL = 29; val XANY = 30; val XMIN = 31
+    val XPHRASE = 32; val XNEAR = 33; val XCANY = 34
   }
 
   /** Bound on probe alternatives kept per node — alternatives beyond
@@ -190,6 +206,7 @@ object QueryProgram {
     val consts = mutable.ArrayBuffer.empty[Double]
     val numAttrs = mutable.LinkedHashSet.empty[String]
     val strAttrs = mutable.LinkedHashSet.empty[String]
+    val xAttrs = mutable.LinkedHashSet.empty[String]
 
     def slotOf(f: String, t: String): Int = slots.getOrElseUpdate((f, t), slots.size)
     def tIdx(t: String): Int = slotOf(field, t)
@@ -201,9 +218,9 @@ object QueryProgram {
     // mirrors SearchIndex.compileWith's noMatch short-circuits
     def badField(f: String): Boolean = !indexedFields.contains(f)
     def kwField(f: String): Boolean = indexedFields.contains(f) && !textFields.contains(f)
-    def checkField(f: String, node: String): Unit =
-      if (f != field && !kwField(f))
-        unsupported(s"$node on text field '$f' (this join verifies field '$field' only)")
+    // cross-field: an indexed TEXT field other than the probe field —
+    // scored from its own token array in the doc-side tokens map
+    def xField(f: String): Boolean = textFields.contains(f) && f != field
 
     def emitTerms(code: Int, ts: Seq[String], prefix: Seq[Int]): Unit = {
       ops += code
@@ -216,6 +233,17 @@ object QueryProgram {
     // against its stats
     def emitKw(code: Int, f: String, ts: Seq[String], prefix: Seq[Int]): Unit = {
       strAttrs += f
+      ops += code
+      ops += nameIdx(f)
+      ops ++= prefix
+      ops += ts.length
+      ts.foreach(t => ops += slotOf(f, t))
+    }
+    // cross-field variant: same layout as emitKw (leading field-name
+    // slot), term slots under the secondary text field so their IDFs
+    // resolve against its stats
+    def emitX(code: Int, f: String, ts: Seq[String], prefix: Seq[Int]): Unit = {
+      xAttrs += f
       ops += code
       ops += nameIdx(f)
       ops ++= prefix
@@ -236,7 +264,10 @@ object QueryProgram {
           // KWTERM f t — single term, no count operand
           strAttrs += f
           ops += Op.KWTERM; ops += nameIdx(f); ops += slotOf(f, t)
-        } else { checkField(f, "MatchTerm"); ops += Op.TERM; ops += tIdx(t) }
+        } else if (xField(f)) {
+          xAttrs += f
+          ops += Op.XTERM; ops += nameIdx(f); ops += slotOf(f, t)
+        } else { ops += Op.TERM; ops += tIdx(t) }
       case MatchText(f, t) =>
         if (badField(f)) ops += Op.NOMATCH
         else emit(MatchAnyTerms(f, an.analyze(t)))
@@ -246,32 +277,38 @@ object QueryProgram {
       case MatchPhrase(f, t, slop) =>
         if (!textFields.contains(f)) ops += Op.NOMATCH
         else {
-          checkField(f, "MatchPhrase")
           val ts = an.analyze(t)
           if (ts.isEmpty) ops += Op.NOMATCH
+          else if (xField(f)) emitX(Op.XPHRASE, f, ts, Seq(slop))
           else emitTerms(Op.PHRASE, ts, Seq(slop))
         }
       case MatchNear(f, a, b, dist) =>
         if (!textFields.contains(f)) ops += Op.NOMATCH
-        else {
-          checkField(f, "MatchNear")
+        else if (xField(f)) {
+          xAttrs += f
+          ops += Op.XNEAR; ops += nameIdx(f); ops += dist
+          ops += slotOf(f, a); ops += slotOf(f, b)
+        } else {
           ops += Op.NEAR; ops += dist; ops += tIdx(a); ops += tIdx(b)
         }
       case MatchAllTerms(f, ts) =>
         if (badField(f)) ops += Op.NOMATCH
         else if (ts.isEmpty) ops += Op.TRUEZERO
         else if (kwField(f)) emitKw(Op.KWALL, f, ts, Nil)
-        else { checkField(f, "MatchAllTerms"); emitTerms(Op.ALL, ts, Nil) }
+        else if (xField(f)) emitX(Op.XALL, f, ts, Nil)
+        else emitTerms(Op.ALL, ts, Nil)
       case MatchAnyTerms(f, ts) =>
         if (badField(f)) ops += Op.NOMATCH
         else if (ts.isEmpty) ops += Op.NOMATCH
         else if (kwField(f)) emitKw(Op.KWANY, f, ts, Nil)
-        else { checkField(f, "MatchAnyTerms"); emitTerms(Op.ANY, ts, Nil) }
+        else if (xField(f)) emitX(Op.XANY, f, ts, Nil)
+        else emitTerms(Op.ANY, ts, Nil)
       case MatchMin(f, m, ts) =>
         if (badField(f)) ops += Op.NOMATCH
         else if (ts.isEmpty) ops += (if (m <= 0) Op.TRUEZERO else Op.NOMATCH)
         else if (kwField(f)) emitKw(Op.KWMIN, f, ts, Seq(m))
-        else { checkField(f, "MatchMin"); emitTerms(Op.MIN, ts, Seq(m)) }
+        else if (xField(f)) emitX(Op.XMIN, f, ts, Seq(m))
+        else emitTerms(Op.MIN, ts, Seq(m))
       case Parsed(f, s) => emit(Parsed.desugar(f, s))
       // dictionary-expansion leaves: serialized as EXPAND
       // placeholders; the caller expands each distinct (kind, field,
@@ -325,8 +362,8 @@ object QueryProgram {
       ops += Op.CMP; ops += op; ops += nameIdx(f); ops += cIdx(v)
     }
     def emitExpand(kind: Int, f: String, pat: String, extra: Int): Unit = {
-      if (textFields.contains(f)) checkField(f, "a dictionary-expansion leaf")
-      else strAttrs += f // keyword field: rewrites to KWCANY over the attr map
+      if (xField(f)) xAttrs += f // secondary text: rewrites to XCANY
+      else if (!textFields.contains(f)) strAttrs += f // keyword: KWCANY
       ops += Op.EXPAND; ops += kind; ops += nameIdx(f); ops += slotOf(f, pat)
       ops += extra
     }
@@ -334,8 +371,8 @@ object QueryProgram {
     emit(q)
     val slotSeq = slots.keys.toSeq
     QueryProgram(ops.toSeq, slotSeq.map(_._2), slotSeq.map(_._1),
-      consts.toSeq, numAttrs.toSeq, strAttrs.toSeq,
-      probeAlts(q, an, indexedFields, textFields))
+      consts.toSeq, numAttrs.toSeq, strAttrs.toSeq, xAttrs.toSeq,
+      probeAlts(q, field, an, indexedFields, textFields))
   }
 
   /** Sound probe-set alternatives of `q` (see class doc). Invariant:
@@ -343,15 +380,18 @@ object QueryProgram {
     * "matches nothing" probe (zero candidates, zero df — the min-df
     * selection rightly prefers it). A probe set is sound only if
     * every matching doc must contain one of its terms IN THE PROBE
-    * TEXT FIELD — so KEYWORD-field leaves contribute None (their
-    * terms are not in the probed postings; under And they ride the
-    * text sibling's probe, alone they are a corpus pass). */
-  private[dsl] def probeAlts(q: SearchQuery, an: graft.analysis.Analyzer,
+    * TEXT FIELD — so KEYWORD-field and cross-field leaves contribute
+    * None (their terms are not in the probed postings; under And
+    * they ride a probe-field sibling's probe, alone they are a
+    * corpus pass). */
+  private[dsl] def probeAlts(q: SearchQuery, field: String,
+      an: graft.analysis.Analyzer,
       indexedFields: Set[String], textFields: Set[String]): Option[Seq[Seq[String]]] = {
     val none = Seq(Seq.empty[String]) // NOMATCH: sound vacuously
     def cap(xs: Seq[Seq[String]]): Seq[Seq[String]] = xs.distinct.take(MaxAlts)
-    // keyword leaves verify against the attr map, not the postings
-    def kw(f: String): Boolean = indexedFields.contains(f) && !textFields.contains(f)
+    // any leaf NOT on the probe field (keyword or secondary text)
+    // verifies off the postings — it cannot supply probe terms
+    def offProbe(f: String): Boolean = f != field
     def go(x: SearchQuery): Option[Seq[Seq[String]]] = x match {
       case AllDocs => None
       case _: Should => None
@@ -369,7 +409,7 @@ object QueryProgram {
       }
       case MatchTerm(f, t) =>
         if (!indexedFields.contains(f)) Some(none)
-        else if (kw(f)) None
+        else if (offProbe(f)) None
         else Some(Seq(Seq(t)))
       case MatchText(f, t) =>
         if (!indexedFields.contains(f)) Some(none)
@@ -379,27 +419,30 @@ object QueryProgram {
         else go(MatchAllTerms(f, an.analyze(t)))
       case MatchPhrase(f, t, _) =>
         if (!textFields.contains(f)) Some(none)
+        else if (offProbe(f)) None
         else {
           val ts = an.analyze(t)
           if (ts.isEmpty) Some(none) else Some(cap(ts.distinct.map(Seq(_))))
         }
       case MatchNear(f, a, b, _) =>
-        if (!textFields.contains(f)) Some(none) else Some(cap(Seq(Seq(a), Seq(b))))
+        if (!textFields.contains(f)) Some(none)
+        else if (offProbe(f)) None
+        else Some(cap(Seq(Seq(a), Seq(b))))
       case MatchAllTerms(f, ts) =>
         if (!indexedFields.contains(f)) Some(none)
         else if (ts.isEmpty) None // (true, 0.0): total
-        else if (kw(f)) None
+        else if (offProbe(f)) None
         else Some(cap(ts.distinct.map(Seq(_))))
       case MatchAnyTerms(f, ts) =>
         if (!indexedFields.contains(f)) Some(none)
         else if (ts.isEmpty) Some(none)
-        else if (kw(f)) None
+        else if (offProbe(f)) None
         else Some(Seq(ts.distinct))
       case MatchMin(f, m, ts) =>
         if (!indexedFields.contains(f)) Some(none)
         else if (m <= 0) None // always matches: total
         else if (ts.isEmpty) Some(none)
-        else if (kw(f)) None
+        else if (offProbe(f)) None
         else Some(Seq(ts.distinct))
       case Parsed(f, s) => go(Parsed.desugar(f, s))
       // dictionary-expansion leaves on the probe text field are
@@ -411,15 +454,15 @@ object QueryProgram {
       // sibling's probe or take the corpus pass)
       case MatchWildcard(f, pat) =>
         if (!indexedFields.contains(f)) Some(none)
-        else if (kw(f)) None
+        else if (offProbe(f)) None
         else Some(Seq(Seq(marker(0, f, pat, 0))))
       case MatchFuzzy(f, t, maxEdits) =>
         if (!indexedFields.contains(f)) Some(none)
-        else if (kw(f)) None
+        else if (offProbe(f)) None
         else Some(Seq(Seq(marker(1, f, t, maxEdits))))
       case MatchRegex(f, pat) =>
         if (!indexedFields.contains(f)) Some(none)
-        else if (kw(f)) None
+        else if (offProbe(f)) None
         else Some(Seq(Seq(marker(2, f, pat, 0))))
     }
     go(q)
@@ -467,8 +510,10 @@ object QueryProgram {
     case Op.MIN | Op.PHRASE | Op.INSET | Op.STRIN | Op.KWALL | Op.KWANY |
          Op.KWCANY => 3 + ops(pos + 2)
     case Op.NEAR | Op.CMP | Op.RANGE => 4
-    case Op.KWTERM | Op.STREQ => 3
-    case Op.KWMIN => 4 + ops(pos + 3)
+    case Op.KWTERM | Op.STREQ | Op.XTERM => 3
+    case Op.KWMIN | Op.XMIN | Op.XPHRASE => 4 + ops(pos + 3)
+    case Op.XALL | Op.XANY | Op.XCANY => 3 + ops(pos + 2)
+    case Op.XNEAR => 5
     case Op.EXPAND => 5
     case other => throw new IllegalStateException(
       s"QueryProgram: corrupt program, opcode $other at $pos")
@@ -488,15 +533,16 @@ object QueryProgram {
   }
 
   /** Rewrites every EXPAND placeholder to its runtime form — CANY
-    * (probe-field leaf), KWCANY (keyword-field leaf) or NOMATCH
-    * (empty expansion) — appending expanded terms to the slot table
-    * (existing (field, term) slots are reused; alignment of existing
-    * slots never changes), and substitutes probe-alt markers with
-    * the expanded term lists. `exp` maps [[expansionKeys]] keys to
-    * their dictionary-order-capped term lists; absent keys mean an
-    * empty expansion. Returns (ops, terms, termFields, alts). */
+    * (probe-field leaf), XCANY (cross-text-field leaf), KWCANY
+    * (keyword-field leaf) or NOMATCH (empty expansion) — appending
+    * expanded terms to the slot table (existing (field, term) slots
+    * are reused; alignment of existing slots never changes), and
+    * substitutes probe-alt markers with the expanded term lists.
+    * `exp` maps [[expansionKeys]] keys to their
+    * dictionary-order-capped term lists; absent keys mean an empty
+    * expansion. Returns (ops, terms, termFields, alts). */
   def substitute(ops: Seq[Int], terms: Seq[String], termFields: Seq[String],
-      alts: Seq[Seq[String]], probeField: String,
+      alts: Seq[Seq[String]], probeField: String, textFields: Set[String],
       exp: Map[(Int, String, String, Int), Seq[String]])
       : (Seq[Int], Seq[String], Seq[String], Seq[Seq[String]]) = {
     val slots = mutable.HashMap.empty[(String, String), Int]
@@ -522,7 +568,8 @@ object QueryProgram {
           out += Op.CANY; out += ets.length
           ets.foreach(t => out += slotOf(f, t))
         } else {
-          out += Op.KWCANY; out += ops(p + 2); out += ets.length
+          out += (if (textFields.contains(f)) Op.XCANY else Op.KWCANY)
+          out += ops(p + 2); out += ets.length
           ets.foreach(t => out += slotOf(f, t))
         }
       } else {

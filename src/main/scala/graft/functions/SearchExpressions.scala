@@ -1218,8 +1218,11 @@ object BoolQueryScore {
   * joined in-plan from the index stats per slot FIELD) ++ the
   * program's consts; `attrs` / `attrsStr` are the doc-side maps of
   * numeric filter attributes resp. string attributes (keyword-field
-  * values and string-filter columns); either may be null when the
-  * batch uses none. Returns struct(ok, score).
+  * values and string-filter columns); `xtokens` / `xavgdl` are the
+  * doc-side map of SECONDARY-text-field token arrays and the
+  * per-field avgdl map for cross-field `X*` leaves. Any of the four
+  * maps may be null when the batch uses none. Returns
+  * struct(ok, score).
   *
   * Scoring is node-for-node identical to the scan-path compiler
   * (SearchIndex.compileWith): only leaves gate their own score on
@@ -1229,11 +1232,12 @@ object BoolQueryScore {
   * positional semantics cannot drift between the paths. */
 case class DslQueryScore(tokens: Expression, ops: Expression, terms: Expression,
     doubles: Expression, attrs: Expression, attrsStr: Expression,
+    xtokens: Expression, xavgdl: Expression,
     kind: Int, k1: Double, b: Double, avgdl: Double)
     extends Expression {
 
   override def children: Seq[Expression] =
-    Seq(tokens, ops, terms, doubles, attrs, attrsStr)
+    Seq(tokens, ops, terms, doubles, attrs, attrsStr, xtokens, xavgdl)
   override def nullable: Boolean = true
   override def dataType: DataType = DslQueryScore.OutType
   override def prettyName: String = "dsl_query_score"
@@ -1247,10 +1251,14 @@ case class DslQueryScore(tokens: Expression, ops: Expression, terms: Expression,
     else {
       val at = attrs.eval(input)
       val ast = attrsStr.eval(input)
+      val xt = xtokens.eval(input)
+      val xa = xavgdl.eval(input)
       DslQueryScore.compute(tok.asInstanceOf[ArrayData], op.asInstanceOf[ArrayData],
         tm.asInstanceOf[ArrayData], db.asInstanceOf[ArrayData],
         if (at == null) null else at.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData],
         if (ast == null) null else ast.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData],
+        if (xt == null) null else xt.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData],
+        if (xa == null) null else xa.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData],
         kind, k1, b, avgdl)
     }
   }
@@ -1262,6 +1270,8 @@ case class DslQueryScore(tokens: Expression, ops: Expression, terms: Expression,
     val dbG = doubles.genCode(ctx)
     val atG = attrs.genCode(ctx)
     val astG = attrsStr.genCode(ctx)
+    val xtG = xtokens.genCode(ctx)
+    val xaG = xavgdl.genCode(ctx)
     val row = "org.apache.spark.sql.catalyst.InternalRow"
     ev.copy(code = code"""
       ${tokG.code}
@@ -1270,6 +1280,8 @@ case class DslQueryScore(tokens: Expression, ops: Expression, terms: Expression,
       ${dbG.code}
       ${atG.code}
       ${astG.code}
+      ${xtG.code}
+      ${xaG.code}
       boolean ${ev.isNull} = ${tokG.isNull} || ${opsG.isNull} ||
         ${tmG.isNull} || ${dbG.isNull};
       $row ${ev.value} = null;
@@ -1278,6 +1290,8 @@ case class DslQueryScore(tokens: Expression, ops: Expression, terms: Expression,
           ${tokG.value}, ${opsG.value}, ${tmG.value}, ${dbG.value},
           ${atG.isNull} ? null : ${atG.value},
           ${astG.isNull} ? null : ${astG.value},
+          ${xtG.isNull} ? null : ${xtG.value},
+          ${xaG.isNull} ? null : ${xaG.value},
           $kind, ${k1}D, ${b}D, ${avgdl}D);
       }""")
   }
@@ -1285,7 +1299,8 @@ case class DslQueryScore(tokens: Expression, ops: Expression, terms: Expression,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): DslQueryScore =
     copy(tokens = newChildren(0), ops = newChildren(1), terms = newChildren(2),
-      doubles = newChildren(3), attrs = newChildren(4), attrsStr = newChildren(5))
+      doubles = newChildren(3), attrs = newChildren(4), attrsStr = newChildren(5),
+      xtokens = newChildren(6), xavgdl = newChildren(7))
 }
 
 object DslQueryScore {
@@ -1304,6 +1319,8 @@ object DslQueryScore {
   def compute(tokens: ArrayData, ops: ArrayData, terms: ArrayData,
       doubles: ArrayData, attrs: org.apache.spark.sql.catalyst.util.MapData,
       attrsStr: org.apache.spark.sql.catalyst.util.MapData,
+      xtokens: org.apache.spark.sql.catalyst.util.MapData,
+      xavgdl: org.apache.spark.sql.catalyst.util.MapData,
       kind: Int, k1: Double, b: Double, avgdl: Double)
       : org.apache.spark.sql.catalyst.InternalRow = {
     val m = terms.numElements()
@@ -1410,6 +1427,66 @@ object DslQueryScore {
     def kwSim(idf: Double): Double =
       if (kind == 0) idf * (k1 + 1.0) / (1.0 + k1) else idf * idf
 
+    // cross-field (X*) leaf state: the token array + avgdl of the
+    // last-resolved secondary text field (queries overwhelmingly
+    // reference one; the 1-entry cache makes repeat leaves free).
+    // A null array (doc has null text there, or the field is absent
+    // from the map) means every leaf on it is unmatched — the scan
+    // compiler's null-tokens behavior.
+    var xfName: UTF8String = null
+    var xfArr: ArrayData = null
+    var xfAvg: Double = 1.0
+    def xFieldOf(slot: Int): Unit = {
+      val name = terms.getUTF8String(slot)
+      if (xfName != null && xfName.equals(name)) return
+      xfName = name
+      xfArr = null
+      xfAvg = 1.0
+      if (xtokens != null) {
+        val keys = xtokens.keyArray()
+        var p = 0
+        val np = xtokens.numElements()
+        while (p < np) {
+          if (keys.getUTF8String(p).equals(name)) {
+            if (!xtokens.valueArray().isNullAt(p))
+              xfArr = xtokens.valueArray().getArray(p)
+            p = np
+          } else p += 1
+        }
+      }
+      if (xavgdl != null) {
+        val keys = xavgdl.keyArray()
+        var p = 0
+        val np = xavgdl.numElements()
+        while (p < np) {
+          if (keys.getUTF8String(p).equals(name)) {
+            if (!xavgdl.valueArray().isNullAt(p))
+              xfAvg = xavgdl.valueArray().getDouble(p)
+            p = np
+          } else p += 1
+        }
+      }
+    }
+    def xtf(term: UTF8String): Int =
+      if (xfArr == null) 0
+      else {
+        var c = 0
+        var i = 0
+        val nx = xfArr.numElements()
+        while (i < nx) {
+          if (!xfArr.isNullAt(i) && xfArr.getUTF8String(i).equals(term)) c += 1
+          i += 1
+        }
+        c
+      }
+    // secondary-field similarity: that field's dl and avgdl (the scan
+    // compiler's termScore on a non-probe text field)
+    def xsim(tf: Double, idf: Double): Double = {
+      val xdl = if (xfArr == null) 0.0 else xfArr.numElements().toDouble
+      if (kind == 0) idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * xdl / xfAvg))
+      else math.sqrt(tf) * (idf * idf) / math.sqrt(xdl)
+    }
+
     var pc = 0
     def next(): Int = { val v = ops.getInt(pc); pc += 1; v }
     // advances pc over one subtree without evaluating it (used by the
@@ -1435,6 +1512,10 @@ object DslQueryScore {
       case Op.STRIN => pc += 1; pc += next()
       case Op.CANY => pc += next()
       case Op.KWCANY => pc += 1; pc += next()
+      case Op.XTERM => pc += 2
+      case Op.XALL | Op.XANY | Op.XCANY => pc += 1; pc += next()
+      case Op.XMIN | Op.XPHRASE => pc += 2; pc += next()
+      case Op.XNEAR => pc += 4
       case _ => () // ALLDOCS / NOMATCH / TRUEZERO
     }
     // returns (matched, score); ONLY leaves gate score on match
@@ -1637,6 +1718,79 @@ object DslQueryScore {
           j += 1
         }
         (any, if (any) 1.0 else 0.0)
+      // cross-field text leaves: tf/dl from the secondary field's
+      // token array, avgdl from the per-field map, idf per slot
+      case Op.XTERM =>
+        val f = next(); val t = next()
+        xFieldOf(f)
+        val tf = xtf(terms.getUTF8String(t))
+        (tf > 0, if (tf > 0) xsim(tf.toDouble, doubles.getDouble(t)) else 0.0)
+      case Op.XALL =>
+        val f = next(); val cnt = next()
+        xFieldOf(f)
+        var all = true; var s = 0.0
+        var j = 0
+        while (j < cnt) {
+          val t = next(); val tf = xtf(terms.getUTF8String(t))
+          if (tf > 0) s += xsim(tf.toDouble, doubles.getDouble(t)) else all = false
+          j += 1
+        }
+        (all, s)
+      case Op.XANY =>
+        val f = next(); val cnt = next()
+        xFieldOf(f)
+        var any = false; var s = 0.0
+        var j = 0
+        while (j < cnt) {
+          val t = next(); val tf = xtf(terms.getUTF8String(t))
+          if (tf > 0) { any = true; s += xsim(tf.toDouble, doubles.getDouble(t)) }
+          j += 1
+        }
+        (any, s)
+      case Op.XMIN =>
+        val f = next(); val min = next(); val cnt = next()
+        xFieldOf(f)
+        var nm = 0; var s = 0.0
+        var j = 0
+        while (j < cnt) {
+          val t = next(); val tf = xtf(terms.getUTF8String(t))
+          if (tf > 0) { nm += 1; s += xsim(tf.toDouble, doubles.getDouble(t)) }
+          j += 1
+        }
+        (nm >= min, s)
+      case Op.XCANY =>
+        val f = next(); val cnt = next()
+        xFieldOf(f)
+        var any = false
+        var j = 0
+        while (j < cnt) { if (xtf(terms.getUTF8String(next())) > 0) any = true; j += 1 }
+        (any, if (any) 1.0 else 0.0)
+      case Op.XPHRASE =>
+        val f = next(); val slop = next(); val cnt = next()
+        xFieldOf(f)
+        val idxs = new Array[Int](cnt)
+        var j = 0
+        while (j < cnt) { idxs(j) = next(); j += 1 }
+        if (xfArr == null) (false, 0.0)
+        else {
+          var idf = 0.0
+          j = 0
+          while (j < cnt) { idf += doubles.getDouble(idxs(j)); j += 1 }
+          val phrase = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            idxs.map(t => terms.getUTF8String(t): Any))
+          val tf = PhraseCount.compute(xfArr, phrase, slop)
+          (tf > 0, if (tf > 0) xsim(tf.toDouble, idf) else 0.0)
+        }
+      case Op.XNEAR =>
+        val f = next(); val dist = next(); val ta = next(); val tb = next()
+        xFieldOf(f)
+        if (xfArr == null) (false, 0.0)
+        else {
+          val tf = NearCount.compute(xfArr, terms.getUTF8String(ta),
+            terms.getUTF8String(tb), dist)
+          val idf = doubles.getDouble(ta) + doubles.getDouble(tb)
+          (tf > 0, if (tf > 0) xsim(tf.toDouble, idf) else 0.0)
+        }
       case Op.EXPAND => throw new IllegalStateException(
         "dsl_query_score: unrewritten EXPAND placeholder — programs with " +
           "dictionary-expansion leaves must pass through QueryProgram.substitute")
@@ -1785,18 +1939,18 @@ object SearchExpressions {
         exprs(7).eval().asInstanceOf[Double])),
     (FunctionIdentifier("dsl_query_score"),
       info("dsl_query_score",
-        "dsl_query_score(tokens, ops, terms, doubles, attrs, attrs_str, kind, k1, b, avgdl) - struct(ok, score) nested-AST query verification + similarity over a token array"),
+        "dsl_query_score(tokens, ops, terms, doubles, attrs, attrs_str, xtokens, xavgdl, kind, k1, b, avgdl) - struct(ok, score) nested-AST query verification + similarity over a token array"),
       (exprs: Seq[Expression]) => DslQueryScore(exprs(0), exprs(1), exprs(2), exprs(3),
-        exprs(4), exprs(5),
-        exprs(6).eval() match {
+        exprs(4), exprs(5), exprs(6), exprs(7),
+        exprs(8).eval() match {
           case i: Int => i
           case l: Long => l.toInt
           case other => throw new IllegalArgumentException(
             s"dsl_query_score kind must be a foldable integer, got $other")
         },
-        exprs(7).eval().asInstanceOf[Double],
-        exprs(8).eval().asInstanceOf[Double],
-        exprs(9).eval().asInstanceOf[Double])))
+        exprs(9).eval().asInstanceOf[Double],
+        exprs(10).eval().asInstanceOf[Double],
+        exprs(11).eval().asInstanceOf[Double])))
 
   /** Registers the expressions in the session's FunctionRegistry so
     * they are callable from both `functions.call_function` and SQL

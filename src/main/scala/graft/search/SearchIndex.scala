@@ -191,10 +191,15 @@ final class SearchIndex private (
   private def tokensCol(field: String): Column = col(tokensColName(field))
   private def dlCol(field: String): Column = col(dlColName(field))
 
-  /** tf of one term in one field of the current row. */
+  /** tf of one term in one field of the current row. A null token
+    * array (the doc has no value in that field) counts 0 — the
+    * Lucene absent-field semantic: the doc doesn't contain the term,
+    * so e.g. `Not(term)` MATCHES it. Without the coalesce, SQL
+    * three-valued logic would silently drop such docs from negated
+    * queries, diverging from the serialized interpreter. */
   private def tfCol(field: String, term: String): Column =
     if (spec.textFields.contains(field))
-      call_function("array_count_eq", tokensCol(field), lit(term))
+      coalesce(call_function("array_count_eq", tokensCol(field), lit(term)), lit(0))
     else // keyword field: exact value match, tf 1
       when(col(field) === lit(term), lit(1)).otherwise(lit(0))
 
@@ -237,10 +242,12 @@ final class SearchIndex private (
   private def constScoreAny(field: String, terms: Seq[String]): (Column, Column) =
     if (terms.isEmpty) noMatch
     else {
-      val pred =
+      // coalesce: null tokens / null keyword value = "contains none
+      // of the terms" (absent-field semantic, as in tfCol)
+      val pred = coalesce(
         if (spec.textFields.contains(field))
           arrays_overlap(tokensCol(field), array(terms.map(lit): _*))
-        else col(field).isin(terms: _*)
+        else col(field).isin(terms: _*), lit(false))
       (pred, when(pred, lit(1.0)).otherwise(lit(0.0)))
     }
 
@@ -320,8 +327,8 @@ final class SearchIndex private (
       val terms = queryAn.analyze(t)
       if (terms.isEmpty) (lit(false), lit(0.0))
       else {
-        val tf = call_function("phrase_count", tokensCol(f),
-          array(terms.map(lit): _*), lit(slop)).cast("double")
+        val tf = coalesce(call_function("phrase_count", tokensCol(f),
+          array(terms.map(lit): _*), lit(slop)).cast("double"), lit(0.0))
         val phraseIdf = terms.map(term => idf(f -> term)).sum
         val s = sim(tf, dlCol(f).cast("double"), phraseIdf, fieldStats(f).avgDl)
         (tf > 0, when(tf > 0, s).otherwise(lit(0.0)))
@@ -329,8 +336,8 @@ final class SearchIndex private (
     case MatchNear(f, a, b, dist) =>
       // span-near scoring mirrors the phrase case: tf = proximity
       // pair count, idf = summed constituent idfs
-      val tf = call_function("near_count", tokensCol(f),
-        lit(a), lit(b), lit(dist)).cast("double")
+      val tf = coalesce(call_function("near_count", tokensCol(f),
+        lit(a), lit(b), lit(dist)).cast("double"), lit(0.0))
       val nearIdf = idf(f -> a) + idf(f -> b)
       val s = sim(tf, dlCol(f).cast("double"), nearIdf, fieldStats(f).avgDl)
       (tf > 0, when(tf > 0, s).otherwise(lit(0.0)))
@@ -756,8 +763,8 @@ final class SearchIndex private (
     * which distributes the same arbitrary-generator contract with a
     * constant-size plan (or on the [[queryJoin]]/[[queryJoinPhrase]]/
     * [[queryJoinBool]] specializations); keep this driver-batch path
-    * for query shapes the serialized form rejects — cross-text-field
-    * leaves and filters that are neither numeric nor strings.
+    * for the one query shape the serialized form rejects — filter
+    * values that are neither numeric nor strings.
     *
     * @param queryGen driver-side function from a left Row to the
     *   query AST; reads whatever columns the caller selected into
@@ -1081,9 +1088,14 @@ final class SearchIndex private (
     * expandDict) and the serialized programs are rewritten in-plan;
     * a text-field expansion's probe set is its expanded terms.
     *
+    * CROSS-FIELD text leaves (scored leaves on an indexed text field
+    * other than `field`, including phrase/near/expansion there)
+    * verify against a doc-side per-field tokens map with that
+    * field's dl and avgdl — the scan compiler's secondary-field
+    * scoring node-for-node; like keyword leaves they never probe.
+    *
     * Not supported here (routed to [[queryJoinDsl]] by a plan-time
-    * error): scored leaves on a TEXT field other than `field`, and
-    * filter values that are neither numeric nor strings.
+    * error): filter values that are neither numeric nor strings.
     *
     * Driver-side cost: one bounded action collecting the DISTINCT
     * filter attribute column names (bounded by the doc schema width,
@@ -1108,9 +1120,9 @@ final class SearchIndex private (
     val serialized = left.map { r =>
       val p = QueryProgram.compile(queryGen(r), targetField, qAnalyzer, indexedF, textF)
       (r.getAs[Number](qidName).longValue(), p.ops, p.terms, p.termFields, p.consts,
-        p.attrFields, p.strAttrFields, p.probeAlts.getOrElse(Seq.empty))
+        p.attrFields, p.strAttrFields, p.xTextFields, p.probeAlts.getOrElse(Seq.empty))
     }.toDF("qid", "ops", "terms", "term_fields", "consts",
-      "attr_fields", "str_attr_fields", "alts")
+      "attr_fields", "str_attr_fields", "x_text_fields", "alts")
     // persisted: the shape dedup and the qid fan-out both read it
     // (lifetime tracking as in queryJoinPhrase/queryJoinBool)
     val canon = trackPersist(serialized.persist(StorageLevel.MEMORY_AND_DISK))
@@ -1130,6 +1142,10 @@ final class SearchIndex private (
     val attrFields = canon.select(explode(col("attr_fields")).as("f"))
       .distinct().collect().map(_.getString(0)).sorted.toSeq
     val strAttrFields = canon.select(explode(col("str_attr_fields")).as("f"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    // secondary TEXT fields referenced by cross-field leaves — also
+    // bounded by the index's field list, never by |left|
+    val xFields = canon.select(explode(col("x_text_fields")).as("f"))
       .distinct().collect().map(_.getString(0)).sorted.toSeq
     val docSchema = docs.schema
     attrFields.foreach { f =>
@@ -1217,10 +1233,24 @@ final class SearchIndex private (
           array().cast(s"array<$vType>"))
       else map_from_arrays(
         array(fields.map(lit): _*), array(fields.map(value): _*))
+    val xTokensMap =
+      if (xFields.isEmpty)
+        map_from_arrays(array().cast("array<string>"),
+          array().cast("array<array<string>>"))
+      else map_from_arrays(
+        array(xFields.map(lit): _*), array(xFields.map(f => tokensCol(f)): _*))
+    val xAvgdlMap =
+      if (xFields.isEmpty)
+        map_from_arrays(array().cast("array<string>"),
+          array().cast("array<double>"))
+      else map_from_arrays(
+        array(xFields.map(lit): _*),
+        array(xFields.map(f => lit(fieldStats(f).avgDl)): _*))
     val docSide = docs.select(key.as("__doc_key"),
       tokensCol(field).as("__tokens"),
       nameMap(attrFields, f => col(f).cast("double"), "double").as("__attrs"),
-      nameMap(strAttrFields, f => col(f).cast("string"), "string").as("__attrs_str"))
+      nameMap(strAttrFields, f => col(f).cast("string"), "string").as("__attrs_str"),
+      xTokensMap.as("__xtokens"), xAvgdlMap.as("__xavgdl"))
     val probeCands = single.unionByName(multi)
       .join(docSide, col("key") === col("__doc_key"))
     // TOTAL shapes: no sound probe set exists — full corpus pass
@@ -1236,6 +1266,7 @@ final class SearchIndex private (
     val verified = probeCands.unionByName(totalCands)
       .withColumn("__r", call_function("dsl_query_score", col("__tokens"),
         col("ops"), col("terms"), col("doubles"), col("__attrs"), col("__attrs_str"),
+        col("__xtokens"), col("__xavgdl"),
         lit(kind), lit(k1v), lit(bv), lit(fs.avgDl)))
       .where(col("__r.ok"))
       .select(col("sid"), col("key"), col("__r.score").as("score"))
@@ -1307,6 +1338,7 @@ final class SearchIndex private (
         col("extra"), coalesce(col("ets"), array().cast("array<string>")).as("ets")))
         .as("exps"))
     val probeField = field
+    val textF = spec.textFields.toSet
     val rewritten = shapeCols.join(sidExp, Seq("sid"), "left")
       .select("sid", "ops", "terms", "term_fields", "consts", "alts", "exps")
       .map { r =>
@@ -1318,7 +1350,7 @@ final class SearchIndex private (
         // materialize the nested alts before the closure maps them
         val alts = r.getSeq[scala.collection.Seq[String]](5).toSeq.map(_.toSeq)
         val (o2, t2, f2, a2) = QueryProgram.substitute(r.getSeq[Int](1),
-          r.getSeq[String](2), r.getSeq[String](3), alts, probeField, exp)
+          r.getSeq[String](2), r.getSeq[String](3), alts, probeField, textF, exp)
         (r.getLong(0), o2, t2, f2, r.getSeq[Double](4), a2)
       }.toDF("sid", "ops", "terms", "term_fields", "consts", "alts")
     // two downstream readers (idf table + doubles assembly) — persist

@@ -41,6 +41,17 @@ object SearchQueries {
       SearchIndex.build(spark.read.parquet(s"$dir/documents.parquet"), spec))
   }
 
+  /** Two-text-field index (text + source as TEXT) for the
+    * cross-field query-join entry: "source" is analyzed like any
+    * text field (its single token is the value), so secondary-field
+    * leaves score with tf/dl/avgdl of the source field. */
+  def xfieldIndexFor(spark: SparkSession, dir: String): SearchIndex = cache.synchronized {
+    cache.getOrElseUpdate(s"$dir#xfield",
+      SearchIndex.build(spark.read.parquet(s"$dir/documents.parquet"),
+        IndexSpec(keyCol = "doc_id", textFields = Seq("text", "source"),
+          keywordFields = Seq("lang"), similarity = BM25(K1, B))))
+  }
+
   /** Incrementally-maintained index: built on 90% of the corpus
     * (doc_id % 10 != 9), the last tenth ADDED via
     * [[SearchIndex.addDocuments]], every 7th doc REMOVED via
@@ -592,6 +603,30 @@ object SearchQueries {
             Boost(MatchWildcard("text", t(1).take(2) + "*"), 2.0),
             And(Or(MatchFuzzy("text", t(2), 1), MatchTerm("text", t(3))),
               Should(MatchWildcard("lang", "e*"))))
+        }, "text", k = 3, excludeSelf = true)
+        .select(col("qid").as("doc_id"), col("rank").cast("long").as("rank"),
+          col("key"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
+    // Nested-AST query join with CROSS-FIELD text leaves — scored
+    // leaves on a SECOND text field ("source", indexed as text in
+    // xfieldIndexFor): "docs sharing my source that match one of my
+    // leading tokens", the source term scored with the source
+    // field's tf/dl/avgdl/idf (X* ops over the doc-side tokens map),
+    // plus an optional boosted source-prefix wildcard (XCANY).
+    "query_join_ast_xfield" -> ((s, dir) => {
+      val idx = xfieldIndexFor(s, dir)
+      val tk = col(SearchIndex.tokensColName("text"))
+      val left = idx.docs.where(size(tk) >= 3 && col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("source").as("src"),
+          element_at(tk, 1).as("t1"), element_at(tk, 2).as("t2"))
+      idx.queryJoinAst(left, "doc_id", { r =>
+          And(
+            Or(MatchTerm("text", r.getAs[String]("t1")),
+              MatchTerm("text", r.getAs[String]("t2"))),
+            And(MatchTerm("source", r.getAs[String]("src")),
+              Should(Boost(MatchWildcard("source", "src1*"), 0.5))))
         }, "text", k = 3, excludeSelf = true)
         .select(col("qid").as("doc_id"), col("rank").cast("long").as("rank"),
           col("key"), round(col("score"), 4).as("score"))
@@ -1348,6 +1383,53 @@ object SearchQueries {
          |    + (CASE WHEN kw THEN 1.0 ELSE 0.0 END) AS score
          |  FROM scored
          |  WHERE w AND (fz OR tf3 > 0)
+         |), sel AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+         |  FROM s2
+         |)
+         |SELECT sel.qid AS doc_id, sel.rank, sel.doc_id AS key, round(sel.score, 4) AS score
+         |FROM sel WHERE rank <= 3
+         |ORDER BY sel.qid, sel.rank""".stripMargin
+    },
+
+    "query_join_ast_xfield" -> {
+      // And(Or(term(t1), term(t2)), And(term(source = my src),
+      // Should(Boost(wildcard source src1*, 0.5)))). The source term
+      // is a SECONDARY-text-field leaf: tf 1, dl 1, avgdl 1 (every
+      // source is one token), so its BM25 collapses to its idf over
+      // the source dictionary; the wildcard is constant-score 0.5
+      // when the doc's source starts with src1. n for both fields is
+      // the corpus row count.
+      s"""$toksCte,
+         |$postsCte,
+         |sdfs AS (SELECT source AS sval, count(*) AS sdf FROM documents GROUP BY 1),
+         |lefts AS (
+         |  SELECT doc_id AS qid, source AS src, tokens[1] AS t1, tokens[2] AS t2
+         |  FROM toks WHERE len(tokens) >= 3 AND doc_id % 10 = 0
+         |), scored AS (
+         |  SELECT l.qid, t.doc_id,
+         |    len(list_filter(t.tokens, x -> x = l.t1)) AS tf1,
+         |    len(list_filter(t.tokens, x -> x = l.t2)) AS tf2,
+         |    (t.source = l.src) AS smatch,
+         |    (t.source LIKE 'src1%') AS w,
+         |    len(t.tokens) AS dl, st.n, st.avgdl,
+         |    coalesce(d1.df, 0) AS df1, coalesce(d2.df, 0) AS df2,
+         |    coalesce(sd.sdf, 0) AS sdf
+         |  FROM lefts l
+         |  CROSS JOIN toks t
+         |  CROSS JOIN st
+         |  LEFT JOIN dfs d1 ON d1.term = l.t1
+         |  LEFT JOIN dfs d2 ON d2.term = l.t2
+         |  LEFT JOIN sdfs sd ON sd.sval = l.src
+         |  WHERE t.doc_id <> l.qid
+         |), s2 AS (
+         |  SELECT qid, doc_id,
+         |    ${bm25Sql("tf1", idfSql("df1"))}
+         |    + ${bm25Sql("tf2", idfSql("df2"))}
+         |    + ${idfSql("sdf")}
+         |    + (CASE WHEN w THEN 0.5 ELSE 0.0 END) AS score
+         |  FROM scored
+         |  WHERE (tf1 > 0 OR tf2 > 0) AND smatch
          |), sel AS (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
          |  FROM s2

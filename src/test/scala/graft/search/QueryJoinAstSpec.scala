@@ -194,6 +194,91 @@ class QueryJoinAstSpec extends AnyFunSuite {
     }, excludeSelf = true, minHits = 1)
   }
 
+  // two TEXT fields: "title" is a secondary text field for the
+  // cross-field (X*) leaf coverage below
+  lazy val corpus2 = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "animal tales quick", "en", 100L),
+    (2L, "spark makes big data processing fast and simple", "spark guide", "en", 200L),
+    (3L, "the lazy dog sleeps all day long", "dog diary dog", "en", 150L),
+    (4L, "spark spark spark everywhere in the cluster", "cluster spark notes", "fr", 120L),
+    (5L, "a quick survey of join algorithms in spark", "survey of joins", "fr", 300L),
+    (6L, "dogs and foxes are not the same animal", "animal facts", "de", 250L),
+    (7L, "quick quick dog dog spark join data day", null, "en", 180L)
+  ).toDF("doc_id", "text", "title", "lang", "n_chars")
+
+  lazy val idx2 = SearchIndex.build(corpus2,
+    IndexSpec("doc_id", Seq("text", "title"), Seq("lang")))
+
+  private def check2(gen: Row => SearchQuery, k: Int = 3, minHits: Int = 0): Unit = {
+    val left = corpus2.select("doc_id", "text", "n_chars")
+    def norm(df: DataFrame, qidCol: String): Set[(Long, Int, Long, Double)] =
+      df.select(col(qidCol).cast("long"), col("rank").cast("int"),
+        col("key").cast("long"), round(col("score"), 6))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val ast = norm(idx2.queryJoinAst(left, "doc_id", gen, "text", k), "qid")
+    val dsl = norm(idx2.queryJoinDsl(left, "doc_id", gen, k), "doc_id")
+    assert(ast == dsl, s"\nast: ${ast.toSeq.sorted}\ndsl: ${dsl.toSeq.sorted}")
+    assert(ast.size >= minHits)
+  }
+
+  test("cross-field text leaves distribute: scored leaves on a secondary text field") {
+    // term / all / any / min / phrase / near on "title", riding the
+    // probe-field sibling's postings probe or taking the corpus pass
+    check2(_ => And(MatchTerm("text", "spark"), MatchTerm("title", "guide")), minHits = 1)
+    check2(_ => MatchTerm("title", "animal"), minHits = 1) // pure cross-field: corpus pass
+    check2(_ => Or(MatchTerm("text", "cluster"), MatchTerm("title", "dog")), minHits = 1)
+    check2(_ => MatchAllTerms("title", Seq("animal", "facts")), minHits = 1)
+    check2(_ => MatchAnyTerms("title", Seq("guide", "diary", "zzz")), minHits = 1)
+    check2(_ => MatchMin("title", 2, Seq("animal", "tales", "facts")), minHits = 1)
+    check2(_ => MatchPhrase("title", "animal tales"), minHits = 1)
+    check2(_ => MatchNear("title", "cluster", "notes", 2), minHits = 1)
+    // tf > 1 on the secondary field (doc 3 title has "dog" twice):
+    // dl/avgdl must be the SECONDARY field's
+    check2(_ => Should(Boost(MatchTerm("title", "dog"), 2.0)), minHits = 1)
+    // null title (doc 7): leaf unmatched, no crash
+    check2(_ => Not(MatchTerm("title", "spark")), minHits = 1)
+    // dictionary-expansion leaf on the secondary field -> XCANY
+    check2(_ => MatchWildcard("title", "sp*"), minHits = 1)
+    check2(_ => And(MatchTerm("text", "dog"), MatchFuzzy("title", "diury", 1)), minHits = 1)
+    check2(_ => MatchText("title", "animal guide"), minHits = 1)
+  }
+
+  test("cross-field fuzz: random ASTs over two text fields agree with the driver path") {
+    val tvocab = Vector("spark", "dog", "quick", "animal", "cluster", "zzz")
+    val titles = Vector("guide", "diary", "animal", "spark", "facts", "notes", "zzz")
+    def leaf(rnd: Random): SearchQuery = rnd.nextInt(8) match {
+      case 0 => MatchTerm("text", tvocab(rnd.nextInt(tvocab.length)))
+      case 1 => MatchTerm("title", titles(rnd.nextInt(titles.length)))
+      case 2 => MatchAnyTerms("title",
+        Seq.fill(1 + rnd.nextInt(3))(titles(rnd.nextInt(titles.length))).distinct)
+      case 3 => MatchAllTerms("title",
+        Seq.fill(1 + rnd.nextInt(2))(titles(rnd.nextInt(titles.length))).distinct)
+      case 4 => MatchPhrase("title",
+        s"${titles(rnd.nextInt(titles.length))} ${titles(rnd.nextInt(titles.length))}",
+        rnd.nextInt(2))
+      case 5 => MatchWildcard("title", titles(rnd.nextInt(titles.length)).take(2) + "*")
+      case 6 => MatchTerm("lang", Vector("en", "fr", "de")(rnd.nextInt(3)))
+      case _ => MatchMin("title", 1 + rnd.nextInt(2),
+        Seq.fill(2)(titles(rnd.nextInt(titles.length))).distinct)
+    }
+    def ast(rnd: Random, depth: Int): SearchQuery =
+      if (depth <= 0) leaf(rnd)
+      else rnd.nextInt(7) match {
+        case 0 => And(ast(rnd, depth - 1), ast(rnd, depth - 1))
+        case 1 => Or(ast(rnd, depth - 1), ast(rnd, depth - 1))
+        case 2 => Not(ast(rnd, depth - 1))
+        case 3 => Should(ast(rnd, depth - 1))
+        case 4 => Boost(ast(rnd, depth - 1), 0.5 + rnd.nextInt(4) * 0.5)
+        case _ => leaf(rnd)
+      }
+    for (round <- 0 until 4) {
+      check2({ r =>
+        val rnd = new Random(round * 777 + r.getAs[Long]("doc_id"))
+        ast(rnd, 3)
+      }, k = 5)
+    }
+  }
+
   test("plan size is constant in |left| with expansion leaves") {
     def planNodes(rows: Int): Int = {
       val left = corpus.limit(rows).select("doc_id", "text")
