@@ -66,8 +66,11 @@ import graft.analysis.Analyzers
   * avgdl — the scan compiler's secondary-field scoring exactly; like
   * keyword leaves they never probe.
   *
-  * Unsupported here (use `queryJoinDsl`, which compiles per query on
-  * the driver): filter values that are neither numeric nor strings.
+  * Filter values encode per [[numVal]]: numerics, booleans (0/1),
+  * dates (epoch days) and timestamps (epoch micros) all become
+  * order-preserving doubles in the consts table; strings go through
+  * the `STR*` ops. Anything else is unsupported (use `queryJoinDsl`,
+  * which compiles per query on the driver).
   */
 final case class QueryProgram(
     ops: Seq[Int],
@@ -327,9 +330,7 @@ object QueryProgram {
         case s: String =>
           strAttrs += f
           ops += Op.STREQ; ops += nameIdx(f); ops += slotOf(f, s)
-        case n: Number => emitCmp(0, f, n.doubleValue())
-        case other => unsupported(s"EqFilter value of type " +
-          s"${if (other == null) "null" else other.getClass.getSimpleName}")
+        case other => emitCmp(0, f, numOnly(other, "EqFilter"))
       }
       case GtFilter(f, v) => emitCmp(1, f, numOnly(v, "GtFilter"))
       case GeFilter(f, v) => emitCmp(2, f, numOnly(v, "GeFilter"))
@@ -352,11 +353,9 @@ object QueryProgram {
       case ExistsFilter(f) => strAttrs += f; ops += Op.EXISTS; ops += nameIdx(f)
       case MissingFilter(f) => strAttrs += f; ops += Op.MISSING; ops += nameIdx(f)
     }
-    def numOnly(v: Any, node: String): Double = v match {
-      case n: Number => n.doubleValue()
-      case other => unsupported(s"$node value of type " +
-        s"${if (other == null) "null" else other.getClass.getSimpleName}")
-    }
+    def numOnly(v: Any, node: String): Double = numVal(v).getOrElse(
+      unsupported(s"$node value of type " +
+        s"${if (v == null) "null" else v.getClass.getSimpleName}"))
     def emitCmp(op: Int, f: String, v: Double): Unit = {
       numAttrs += f
       ops += Op.CMP; ops += op; ops += nameIdx(f); ops += cIdx(v)
@@ -481,6 +480,25 @@ object QueryProgram {
   private[graft] def parseMarker(t: String): (Int, String, String, Int) = {
     val parts = t.substring(1).split("\u0000", 4)
     (parts(0).toInt, parts(2), parts(3), parts(1).toInt)
+  }
+
+  /** Filter-value encoding for the serialized consts table: every
+    * orderable non-string value maps to a Double whose ordering and
+    * equality agree with the native column comparison the scan path
+    * compiles — booleans as 0/1 (false < true), dates as epoch DAYS
+    * (`unix_date` on the doc side), timestamps/instants as epoch
+    * MICROS (`unix_micros`; exact in a double out to +/-285 years).
+    * None = not encodable (route to queryJoinDsl). */
+  private[graft] def numVal(v: Any): Option[Double] = v match {
+    case n: Number => Some(n.doubleValue())
+    case b: Boolean => Some(if (b) 1.0 else 0.0)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toDouble)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toDouble)
+    case t: java.sql.Timestamp =>
+      Some((Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L).toDouble)
+    case i: java.time.Instant =>
+      Some((i.getEpochSecond * 1000000L + i.getNano / 1000L).toDouble)
+    case _ => None
   }
 
   /** `*`/`?` glob to an (unanchored) Java regex — the regex twin of

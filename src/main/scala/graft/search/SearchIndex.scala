@@ -358,13 +358,19 @@ final class SearchIndex private (
       val nMatched = parts.map(p => when(p._1, 1).otherwise(0)).reduceLeft(_ + _)
       (nMatched >= min, parts.map(_._2).reduceLeft(_ + _))
     case Parsed(f, s) => compileWith(Parsed.desugar(f, s), idf)
-    case EqFilter(f, v) => (col(f) === lit(v), lit(0.0))
-    case GtFilter(f, v) => (col(f) > lit(v), lit(0.0))
-    case GeFilter(f, v) => (col(f) >= lit(v), lit(0.0))
-    case LtFilter(f, v) => (col(f) < lit(v), lit(0.0))
-    case LeFilter(f, v) => (col(f) <= lit(v), lit(0.0))
-    case RangeFilter(f, lo, hi) => (col(f).between(lit(lo), lit(hi)), lit(0.0))
-    case InSetFilter(f, vs) => (col(f).isin(vs: _*), lit(0.0))
+    // filters coalesce to false on null values: a doc MISSING the
+    // attribute fails the filter (so Not(filter) matches it) — the
+    // Lucene absent-field semantic, and what the serialized
+    // interpreter does; bare SQL three-valued logic would instead
+    // silently drop such docs from negated queries
+    case EqFilter(f, v) => (coalesce(col(f) === lit(v), lit(false)), lit(0.0))
+    case GtFilter(f, v) => (coalesce(col(f) > lit(v), lit(false)), lit(0.0))
+    case GeFilter(f, v) => (coalesce(col(f) >= lit(v), lit(false)), lit(0.0))
+    case LtFilter(f, v) => (coalesce(col(f) < lit(v), lit(false)), lit(0.0))
+    case LeFilter(f, v) => (coalesce(col(f) <= lit(v), lit(false)), lit(0.0))
+    case RangeFilter(f, lo, hi) =>
+      (coalesce(col(f).between(lit(lo), lit(hi)), lit(false)), lit(0.0))
+    case InSetFilter(f, vs) => (coalesce(col(f).isin(vs: _*), lit(false)), lit(0.0))
     case ExistsFilter(f) => (col(f).isNotNull, lit(0.0))
     case MissingFilter(f) => (col(f).isNull, lit(0.0))
   }
@@ -763,8 +769,8 @@ final class SearchIndex private (
     * which distributes the same arbitrary-generator contract with a
     * constant-size plan (or on the [[queryJoin]]/[[queryJoinPhrase]]/
     * [[queryJoinBool]] specializations); keep this driver-batch path
-    * for the one query shape the serialized form rejects — filter
-    * values that are neither numeric nor strings.
+    * only for filter values outside the serialized form's encodable
+    * set (numerics, strings, booleans, dates, timestamps).
     *
     * @param queryGen driver-side function from a left Row to the
     *   query AST; reads whatever columns the caller selected into
@@ -1094,8 +1100,11 @@ final class SearchIndex private (
     * field's dl and avgdl — the scan compiler's secondary-field
     * scoring node-for-node; like keyword leaves they never probe.
     *
-    * Not supported here (routed to [[queryJoinDsl]] by a plan-time
-    * error): filter values that are neither numeric nor strings.
+    * Filter values may be numerics, strings, booleans, dates or
+    * timestamps (encoded order-preserving into the consts table —
+    * epoch days / epoch micros — with the matching doc-side
+    * `unix_date`/`unix_micros` columns). Anything else routes to
+    * [[queryJoinDsl]] by a plan-time error.
     *
     * Driver-side cost: one bounded action collecting the DISTINCT
     * filter attribute column names (bounded by the doc schema width,
@@ -1133,28 +1142,43 @@ final class SearchIndex private (
       .groupBy("ops", "terms", "term_fields", "consts", "alts")
       .agg(min(col("qid")).as("sid"))
       .persist(StorageLevel.MEMORY_AND_DISK))
-    val shapes = expandShapes(shapes0, field)
-    // distinct filter/keyword attr columns: bounded by the doc schema
-    // width (field NAMES, not data), so these driver actions are safe
-    // at any |left|. Numeric-filter columns must be numeric; string
-    // attr columns (keyword-field values, string filters) only need
-    // to exist — they compare as strings.
-    val attrFields = canon.select(explode(col("attr_fields")).as("f"))
-      .distinct().collect().map(_.getString(0)).sorted.toSeq
-    val strAttrFields = canon.select(explode(col("str_attr_fields")).as("f"))
-      .distinct().collect().map(_.getString(0)).sorted.toSeq
-    // secondary TEXT fields referenced by cross-field leaves — also
-    // bounded by the index's field list, never by |left|
-    val xFields = canon.select(explode(col("x_text_fields")).as("f"))
-      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    // distinct filter / keyword / cross-field attr columns plus the
+    // needs-expansion flag, in ONE bounded action (output is field
+    // NAMES — doc-schema-width, never |left|; the opcode scan
+    // over-approximates EXPAND, a false positive only routes through
+    // an identity rewrite)
+    val meta0 = canon.agg(
+      array_sort(array_distinct(flatten(collect_list(col("attr_fields"))))).as("af"),
+      array_sort(array_distinct(flatten(collect_list(col("str_attr_fields"))))).as("sf"),
+      array_sort(array_distinct(flatten(collect_list(col("x_text_fields"))))).as("xf"),
+      coalesce(max(when(array_contains(col("ops"), lit(QueryProgram.Op.EXPAND)), 1)
+        .otherwise(0)), lit(0)).as("exp")).head()
+    def fieldSeq(i: Int): Seq[String] =
+      if (meta0.isNullAt(i)) Seq.empty else meta0.getSeq[String](i).toSeq
+    val attrFields = fieldSeq(0)
+    val strAttrFields = fieldSeq(1)
+    val xFields = fieldSeq(2)
+    val shapes = expandShapes(shapes0, field, meta0.getInt(3) > 0)
     val docSchema = docs.schema
-    attrFields.foreach { f =>
-      val sf = docSchema.find(_.name == f).getOrElse(throw new IllegalArgumentException(
-        s"queryJoinAst: filter references unknown doc column '$f'"))
-      require(sf.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"queryJoinAst numeric filters need a numeric column; '$f' is ${sf.dataType} — " +
+    // doc-side encoding matching QueryProgram.numVal: numerics cast,
+    // booleans 0/1 (null-preserving), dates epoch days, timestamps
+    // epoch micros — ordering/equality agree with the native column
+    // comparisons the scan path compiles
+    import org.apache.spark.sql.types._
+    def numAttrExpr(f: String): Column = docSchema.find(_.name == f).map(_.dataType) match {
+      case Some(_: NumericType) => col(f).cast("double")
+      case Some(BooleanType) =>
+        when(col(f).isNull, lit(null).cast("double"))
+          .when(col(f), lit(1.0)).otherwise(lit(0.0))
+      case Some(DateType) => unix_date(col(f)).cast("double")
+      case Some(TimestampType) => unix_micros(col(f)).cast("double")
+      case Some(other) => throw new IllegalArgumentException(
+        s"queryJoinAst comparison filters need an orderable column; '$f' is $other — " +
           "route this query through queryJoinDsl")
+      case None => throw new IllegalArgumentException(
+        s"queryJoinAst: filter references unknown doc column '$f'")
     }
+    attrFields.foreach(numAttrExpr) // validate eagerly, plan-time
     strAttrFields.foreach { f =>
       require(docSchema.exists(_.name == f),
         s"queryJoinAst: keyword/string filter references unknown doc column '$f'")
@@ -1248,7 +1272,7 @@ final class SearchIndex private (
         array(xFields.map(f => lit(fieldStats(f).avgDl)): _*))
     val docSide = docs.select(key.as("__doc_key"),
       tokensCol(field).as("__tokens"),
-      nameMap(attrFields, f => col(f).cast("double"), "double").as("__attrs"),
+      nameMap(attrFields, numAttrExpr, "double").as("__attrs"),
       nameMap(strAttrFields, f => col(f).cast("string"), "string").as("__attrs_str"),
       xTokensMap.as("__xtokens"), xAvgdlMap.as("__xavgdl"))
     val probeCands = single.unionByName(multi)
@@ -1293,16 +1317,14 @@ final class SearchIndex private (
     * BROADCAST against the dictionary, which stays partitioned — the
     * expansion join never shuffles the vocabulary; the per-pattern
     * cap is a row_number window partitioned by pattern (matched rows
-    * are vocabulary-bounded, corpus-independent). When no shape has
-    * an expansion leaf (one shapes-bounded action; the opcode scan
-    * over-approximates, and a false positive only routes through an
-    * identity rewrite), the frame passes through untouched and the
-    * plan is exactly the pre-expansion one. */
-  private def expandShapes(shapes0: DataFrame, field: String): DataFrame = {
-    import QueryProgram.Op
+    * are vocabulary-bounded, corpus-independent). `needed` = false
+    * (decided by the caller's one bounded metadata action) passes
+    * the frame through untouched — the plan is exactly the
+    * pre-expansion one. */
+  private def expandShapes(shapes0: DataFrame, field: String,
+      needed: Boolean): DataFrame = {
     val shapeCols = shapes0.select("sid", "ops", "terms", "term_fields", "consts", "alts")
-    if (shapeCols.where(array_contains(col("ops"), lit(Op.EXPAND))).isEmpty)
-      return shapeCols
+    if (!needed) return shapeCols
     import spark.implicits._
     // (sid, kind, field, pattern, extra, anchored-regex) — regex
     // translation runs executor-side like the rest of the compile;

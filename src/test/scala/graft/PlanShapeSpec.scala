@@ -233,6 +233,49 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("queryJoinAst expansion/cross-field entries: bounded jobs, no collect roundtrip") {
+    // The dictionary-expansion and cross-field rewrites add joins to
+    // the queryJoinAst plan; enforce that they stay fully in-plan:
+    // (a) the job count is a small constant (per-shape driver loops
+    // or per-pattern dictionary actions would scale with |left|),
+    // (b) no LocalTableScan / Scan ExistingRDD — the in-plan
+    // fingerprint of a collect->parallelize roundtrip (the bounded
+    // schema-width actions collect field NAMES into literals, which
+    // do not scan).
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // warm the shared index caches so build jobs don't count
+    search.SearchQueries.indexFor(spark, sf).docs.count()
+    search.SearchQueries.xfieldIndexFor(spark, sf).docs.count()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      for (name <- Seq("query_join_ast", "query_join_ast_expand", "query_join_ast_xfield")) {
+        jobs.set(0)
+        val df = SparkEntry.queries(name)(spark, sf)
+        df.collect()
+        // constant per call (bounded driver actions + AQE stage
+        // jobs); a per-shape or per-pattern driver loop would scale
+        // with |left| into the hundreds
+        assert(jobs.get() <= 60, s"$name launched ${jobs.get()} jobs")
+        val p = df.queryExecution.executedPlan.toString
+        // fieldStatsDf (per-field num_docs for the in-plan IDF join)
+        // is a FIELD-COUNT-sized driver literal, not corpus data —
+        // the one LocalTableScan this plan may contain
+        val offending = p.linesIterator
+          .filter(_.contains("LocalTableScan"))
+          .filterNot(_.contains("LocalTableScan [field#"))
+          .toSeq
+        assert(offending.isEmpty,
+          s"$name plan contains driver-local data:\n" + offending.mkString("\n"))
+        assert(!p.contains("Scan ExistingRDD"),
+          s"$name plan contains a collect->parallelize roundtrip:\n" + p.take(1200))
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("bucketed LSH corpus joins exchange-free: only the arriving slice shuffles") {
     // the ingest-dedup joins, batch form (micro-batch planning uses
     // the same physical planner): with the corpus tables bucketed on

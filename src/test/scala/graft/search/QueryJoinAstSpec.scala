@@ -243,6 +243,52 @@ class QueryJoinAstSpec extends AnyFunSuite {
     check2(_ => MatchText("title", "animal guide"), minHits = 1)
   }
 
+  test("boolean/date/timestamp filter values distribute (epoch-encoded consts)") {
+    // typed attribute columns: flag (boolean, one null), day (date),
+    // at (timestamp) — the AST path encodes values as epoch
+    // days/micros and compares against unix_date/unix_micros doc
+    // columns; the driver path compares natively. Both must agree,
+    // including on the null row under negation (absent-attr filter
+    // fails, so Not(filter) matches).
+    val corpus3 = corpus2
+      .withColumn("flag", when(col("doc_id") === 7, lit(null).cast("boolean"))
+        .otherwise(col("doc_id") % 2 === 0))
+      .withColumn("day", date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("doc_id") * 10).cast("int")))
+      .withColumn("at", timestamp_seconds(lit(1700000000L) + col("doc_id") * 3600))
+    val idx3 = SearchIndex.build(corpus3,
+      IndexSpec("doc_id", Seq("text"), Seq("lang")))
+    def check3(gen: Row => SearchQuery, minHits: Int = 0): Unit = {
+      val left = corpus3.select("doc_id", "n_chars")
+      def norm(df: DataFrame, qidCol: String): Set[(Long, Int, Long, Double)] =
+        df.select(col(qidCol).cast("long"), col("rank").cast("int"),
+          col("key").cast("long"), round(col("score"), 6))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val ast = norm(idx3.queryJoinAst(left, "doc_id", gen, "text", 5), "qid")
+      val dsl = norm(idx3.queryJoinDsl(left, "doc_id", gen, 5), "doc_id")
+      assert(ast == dsl, s"\nast: ${ast.toSeq.sorted}\ndsl: ${dsl.toSeq.sorted}")
+      assert(ast.size >= minHits)
+    }
+    val d = java.sql.Date.valueOf("2024-02-01")
+    val ts = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + 4 * 3600))
+    check3(_ => And(MatchTerm("text", "spark"), EqFilter("flag", true)), minHits = 1)
+    check3(_ => And(MatchTerm("text", "spark"), Not(EqFilter("flag", false))), minHits = 1)
+    check3(_ => And(MatchTerm("text", "the"), GtFilter("day", d)), minHits = 1)
+    check3(_ => And(MatchTerm("text", "the"), LeFilter("day", d)), minHits = 1)
+    check3(_ => And(MatchTerm("text", "spark"), EqFilter("at", ts)), minHits = 1)
+    check3(_ => And(MatchTerm("text", "spark"),
+      RangeFilter("at", java.time.Instant.ofEpochSecond(1700000000L),
+        java.time.Instant.ofEpochSecond(1700000000L + 5 * 3600))), minHits = 1)
+    check3(_ => And(MatchTerm("text", "quick"),
+      InSetFilter("day", Seq(java.time.LocalDate.of(2024, 1, 11),
+        java.time.LocalDate.of(2024, 1, 31)))), minHits = 1)
+    // null boolean row (doc 7): filter fails, negation matches —
+    // identically on both paths after the scan coalesce
+    check3(_ => And(MatchTerm("text", "quick"), Not(EqFilter("flag", true))), minHits = 1)
+    check3(_ => And(MatchTerm("text", "quick"), ExistsFilter("flag")), minHits = 1)
+    idx3.unpersist(blocking = false)
+  }
+
   test("cross-field fuzz: random ASTs over two text fields agree with the driver path") {
     val tvocab = Vector("spark", "dog", "quick", "animal", "cluster", "zzz")
     val titles = Vector("guide", "diary", "animal", "spark", "facts", "notes", "zzz")
