@@ -631,6 +631,42 @@ object SearchQueries {
         .select(col("qid").as("doc_id"), col("rank").cast("long").as("rank"),
           col("key"), round(col("score"), 4).as("score"))
         .orderBy("doc_id", "rank")
+    }),
+
+    // hybrid sparse+dense retrieval: the BM25 lexical top-20 fused
+    // with the embedding-cosine top-20 (query vector = doc 0's
+    // embedding) by reciprocal-rank fusion, score = sum of
+    // 1/(60 + rank) over the lists containing the doc (Cormack et
+    // al., SIGIR 2009). Both legs are bounded distributed top-k
+    // (TakeOrderedAndProject over one corpus scan each); the fusion
+    // itself joins two k-row frames, so its cost is constant in the
+    // corpus size — the standard retrieval-stack combiner the
+    // reference's Lucene layer has no counterpart for.
+    "search_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.SearchExpressions.register(s)
+      val kLeg = 20
+      val lex = indexFor(s, dir)
+        .lightSearch("text" matchAny termSet("spark", "join"), kLeg)
+        .withColumn("rank_lex", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rank_lex"))
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val qv = broadcast(e.where(col("vec_id") === 0).select(col("v").as("qv")))
+      val vec = e.crossJoin(qv)
+        .select(col("vec_id").as("doc_id"),
+          graft.pipeline.Similarity.cosine(col("v"), col("qv")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id").asc).limit(kLeg)
+        .withColumn("rank_vec", row_number().over(
+          Window.orderBy(col("cos").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rank_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)))
+        .orderBy(col("rrf").desc, col("doc_id").asc).limit(10)
+        .select(col("doc_id"), round(col("rrf"), 6).as("rrf_score"))
     })
   )
 
@@ -1437,6 +1473,38 @@ object SearchQueries {
          |SELECT sel.qid AS doc_id, sel.rank, sel.doc_id AS key, round(sel.score, 4) AS score
          |FROM sel WHERE rank <= 3
          |ORDER BY sel.qid, sel.rank""".stripMargin
+    },
+
+    "search_hybrid_rrf" -> {
+      val score =
+        s"${bm25Sql("tf_0", idfSql("df_0"))} + ${bm25Sql("tf_1", idfSql("df_1"))}"
+      s"""$toksCte,
+         |dfs AS (SELECT ${dfSql("spark")} AS df_0, ${dfSql("join")} AS df_1 FROM (SELECT 1)),
+         |scored AS (
+         |  SELECT t.doc_id, len(t.tokens) AS dl, st.n, st.avgdl, dfs.*,
+         |    ${tfSql("spark")} AS tf_0, ${tfSql("join")} AS tf_1
+         |  FROM toks t, st, dfs
+         |), s2 AS (
+         |  SELECT doc_id, $score AS score,
+         |    (CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS nm
+         |  FROM scored
+         |), lex AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex
+         |  FROM s2 WHERE nm >= 1 ORDER BY score DESC, doc_id LIMIT 20
+         |), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |vs AS (SELECT e.vec_id AS doc_id, list_cosine_similarity(e.v, q.qv) AS cos FROM e, q),
+         |vec AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_vec
+         |  FROM vs ORDER BY cos DESC, doc_id LIMIT 20
+         |), fused AS (
+         |  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         |    COALESCE(1.0::DOUBLE / (60 + rank_lex), 0.0::DOUBLE) +
+         |      COALESCE(1.0::DOUBLE / (60 + rank_vec), 0.0::DOUBLE) AS rrf
+         |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+         |)
+         |SELECT doc_id, round(rrf, 6) AS rrf_score
+         |FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 10)""".stripMargin
     }
   )
 }
