@@ -89,8 +89,19 @@ object Bench {
     // by the entry's OWN baseline (2x history) instead of an absolute
     // cutoff that misses short entries and wastes revisits on
     // legitimately-slow ones (VERDICT r8 item 5).
+    // History and the full dump are PER SCALE FACTOR: the driver's
+    // sf0.1 history lives in BENCH_FULL.json, any other sf in
+    // BENCH_FULL_<sf>.json — a local full run at sf0.01 must not
+    // overwrite the sf0.1 thresholds (same poisoning mode as the
+    // subset guard below, via the sf dimension instead of the entry
+    // subset).
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", {
+      val sfName = new java.io.File(sfDir).getName
+      if (sfName == "sf0.1") "/root/repo/BENCH_FULL.json"
+      else s"/root/repo/BENCH_FULL_$sfName.json"
+    })
     val history: Map[String, Double] = {
-      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json")
+      val path = fullPath
       try {
         val f = new java.io.File(path)
         if (!f.exists()) Map.empty
@@ -182,7 +193,7 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errs":$errs,"sf":"$sfDir"}"""
-    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json")
+    val fullOut = fullPath
     // subset runs (SPARK_GRAFT_ONLY) are local iteration, not
     // representative history — writing them would poison the revisit
     // thresholds of the next full run
