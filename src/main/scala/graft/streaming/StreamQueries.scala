@@ -18,6 +18,13 @@ object StreamQueries {
 
   private val sinkId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Standing-query registry for `stream_percolate`: (query_id,
+    * probe term, required term) — shared by the entry and its oracle
+    * so the two can never drift. */
+  private[streaming] val PercolateQueries: Seq[(Long, String, String)] = Seq(
+    (1L, "spark", "join"), (2L, "window", "batch"),
+    (3L, "merge", "sort"), (4L, "hash", "vector"))
+
   /** FileStreamSource requires a DIRECTORY; the testdata tables are
     * single files — stage one into a directory (copied once per
     * process) and return the raw streaming frame. */
@@ -222,6 +229,28 @@ object StreamQueries {
         .select(col("vec_id"), col("corpus_id"), col("bucket"), col("cos"))
         .orderBy("vec_id", "corpus_id")
     }),
+    // percolator: standing registered queries matched against the
+    // arriving DOC stream (docs flow to a broadcast query registry —
+    // the dual of the *_vs_corpus entries). Stateless, exchange-free
+    // micro-batches; BM25-scored with corpus stats resolved at
+    // registry build.
+    "stream_percolate" -> ((s, dir) => {
+      val name = s"stream_perc_${sinkId.incrementAndGet()}"
+      val corpus = s.read.parquet(s"$dir/documents.parquet")
+      // registry materialized ONCE (persist + release after the
+      // bounded replay): the static side of a stream-static join
+      // re-evaluates per micro-batch, and the corpus stats
+      // aggregation must not re-run per batch
+      val reg = EventStreams.percolateRegistry(corpus, PercolateQueries)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try EventStreams.runToMemorySink(
+        EventStreams.percolateStream(stagedDocs(s, dir), reg),
+        name, OutputMode.Append())
+      finally reg.unpersist()
+      s.table(name)
+        .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy("query_id", "doc_id")
+    }),
     "stream_trending_terms" -> ((s, dir) => {
       val name = s"stream_trending_${sinkId.incrementAndGet()}"
       EventStreams.runToMemorySink(
@@ -407,6 +436,36 @@ object StreamQueries {
          |ORDER BY doc_id, pos""".stripMargin
     },
 
+    // one UNION ALL branch per standing query, each the exact BM25
+    // two-term-AND shape the search oracles use (same formula
+    // literals as SearchQueries.bm25Sql)
+    "stream_percolate" -> {
+      def tfS(t: String) = s"len(list_filter(tokens, x -> x = '$t'))"
+      def dfS(t: String) = s"(SELECT count(*) FROM toks WHERE list_contains(tokens, '$t'))"
+      def bm(tf: String, df: String) = {
+        val idf = s"ln(1 + (n - $df + 0.5) / ($df + 0.5))"
+        s"$idf * ($tf * 2.2) / ($tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+      }
+      val branches = PercolateQueries.map { case (id, t1, t2) =>
+        s"""SELECT $id::BIGINT AS query_id, doc_id,
+           |  round(${bm("tf_0", "df_0")} + ${bm("tf_1", "df_1")}, 4) AS score
+           |FROM (
+           |  SELECT t.doc_id, len(t.tokens) AS dl, st.n, st.avgdl,
+           |    ${tfS(t1)} AS tf_0, ${tfS(t2)} AS tf_1,
+           |    ${dfS(t1)} AS df_0, ${dfS(t2)} AS df_1
+           |  FROM toks t, st
+           |)
+           |WHERE tf_0 > 0 AND tf_1 > 0""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tokens
+         |  FROM documents
+         |), st AS (SELECT count(*) AS n, avg(len(tokens)) AS avgdl FROM toks)
+         |SELECT * FROM (
+         |$branches
+         |) ORDER BY query_id, doc_id""".stripMargin
+    },
     // synthetic event time = base + doc_id minutes → 1h windows hold
     // 60 docs; the base is hour-aligned so windows start on it
     "stream_trending_terms" ->

@@ -225,6 +225,46 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("percolate: standing queries match arriving docs, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus of 3 docs; registered query 7 = (alpha AND beta)
+    val corpus = Seq(
+      (100L, "alpha beta gamma"),
+      (101L, "alpha alpha delta"),
+      (102L, "beta beta beta")).toDF("doc_id", "text")
+    val reg = EventStreams.percolateRegistry(corpus, Seq((7L, "alpha", "beta")))
+    // registry carries the corpus stats: n=3, avgdl=3, df(alpha)=2, df(beta)=2
+    val r = reg.collect()(0)
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Double]("avgdl") == 3.0)
+    assert(r.getAs[Long]("df1") == 2L && r.getAs[Long]("df2") == 2L)
+
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = EventStreams.percolateStream(docs, reg)
+      .writeStream.format("memory").queryName("perc_sink")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      (1L, "alpha beta"),     // matches: both terms present
+      (2L, "alpha gamma"),    // no beta -> no match
+      (3L, "beta beta alpha beta")) // matches, higher beta tf
+    q.processAllAvailable()
+    val got = spark.table("perc_sink")
+      .select($"query_id", $"doc_id", $"score")
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((7L, 1L), (7L, 3L)))
+    // doc 1: dl=2, tf=1 each term; expected BM25 against the corpus
+    // stats above, exactly as the batch engine scores a 2-term AND
+    val idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    def bm(tf: Int, dl: Int) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    assert(math.abs(got(0)._3 - (bm(1, 2) + bm(1, 2))) < 1e-12)
+    assert(math.abs(got(1)._3 - (bm(1, 4) + bm(3, 4))) < 1e-12)
+    // stateless: broadcast registry + map-side verify, no state store
+    assert(q.lastProgress.stateOperators.isEmpty,
+      q.lastProgress.stateOperators.mkString(","))
+    q.stop()
+  }
+
   test("transformWithState keeps a bounded running top-k per user") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState requires the RocksDB state store provider
