@@ -77,6 +77,8 @@ object PipelineQueries {
     // BPE merge-mining counting step: top adjacent pairs corpus-wide
     "token_pairs" -> ((s, dir) => TextAnalysis.tokenPairStats(s, dir)),
     "distinct_hll" -> ((s, dir) => TextAnalysis.distinctTokensHll(s, dir)),
+    // frequent-items sketch heavy hitters (bounded merge state)
+    "topk_terms_sketch" -> ((s, dir) => TextAnalysis.topTermsSketch(s, dir)),
     "select_budget" -> ((s, dir) => Curation.selectBudget(s, dir)),
     "fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
     "fingerprint_winnow" -> ((s, dir) => TextAnalysis.winnowing(s, dir)),
@@ -1031,6 +1033,22 @@ object PipelineQueries {
          |SELECT lang, count(DISTINCT term) AS n_exact, TRUE AS hll_ok
          |FROM (SELECT lang, unnest(tokens) AS term FROM toks)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the sketch is exact below tracked capacity (31 items << 64)
+    // and the entry re-ranks its cut deterministically, so the
+    // oracle is the plain exact top-5 per language
+    "topk_terms_sketch" ->
+      s"""$toksCte,
+         |tc AS (
+         |  SELECT lang, term, count(*) AS n
+         |  FROM (SELECT lang, unnest(tokens) AS term FROM toks)
+         |  GROUP BY lang, term
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rank
+         |  FROM tc
+         |)
+         |SELECT lang, rank::BIGINT AS rank, term, n FROM r WHERE rank <= 5
+         |ORDER BY lang, rank""".stripMargin,
 
     "fingerprints" ->
       s"""$toksCte

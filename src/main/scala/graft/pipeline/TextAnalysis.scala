@@ -284,6 +284,34 @@ object TextAnalysis {
         (abs(col("n_est").cast("double") / col("n_exact") - 1.0) <= 0.05).as("hll_ok"))
       .orderBy("lang")
 
+  /** Per-language heavy-hitter terms via the Datasketches
+    * frequent-items sketch (`approx_top_k`, ItemsSketch under the
+    * hood) — the bounded-state counterpart to an exact per-term
+    * count: each task tracks at most maxItemsTracked counters per
+    * group and partials merge counter-wise, so at 100 TB the
+    * aggregation state per (group, partition) is KBs where the exact
+    * count must shuffle the full vocabulary. The sketch is exact
+    * whenever a group's distinct items fit the tracked capacity
+    * (synthetic vocab here: 31 items << 64 tracked); its returned
+    * order on count ties is sketch-internal, so the top-k cut is
+    * re-ranked deterministically (count desc, term asc) AFTER the
+    * sketch — the retrieval depth (40) exceeds the vocabulary, making
+    * the emitted top-k exactly the true top-k. */
+  def topTermsSketch(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("lang"))
+      .agg(expr("approx_top_k(term, 40, 64)").as("tk"))
+      .select(col("lang"), explode(col("tk")).as("e"))
+      .select(col("lang"), col("e.item").as("term"), col("e.count").as("n"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n").desc, col("term").asc)))
+      .where(col("rank") <= k)
+      .select(col("lang"), col("rank").cast("long").as("rank"), col("term"), col("n"))
+      .orderBy("lang", "rank")
+  }
+
   /** Document fingerprints: full-content md5, winnowing-style minimum
     * 5-shingle md5 (content-shift tolerant, via the native
     * [[graft.functions.MinShingleMd5]] — the Column form

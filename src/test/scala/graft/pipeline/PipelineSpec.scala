@@ -423,6 +423,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(whole == halves, s"union estimate $halves != direct $whole")
   }
 
+  test("frequent-items sketch is exact below capacity, partitioning-invariant") {
+    // 20 distinct items (< 64 tracked), skewed counts; the sketch's
+    // per-partition partials must merge to the exact multiset counts
+    val rows = (0 until 2000).map(i => (i.toLong, s"t${i % 20}"))
+    val df = rows.toDF("id", "term")
+    def top(d: org.apache.spark.sql.DataFrame) = d
+      .agg(expr("approx_top_k(term, 40, 64)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("term"), col("e.count").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(top(df) == exact)
+    assert(top(df.repartition(13)) == exact)
+  }
+
   test("language profiles are distinct and lowercase") {
     val langs = TextAnalysis.LangProfiles.map(_._1)
     assert(langs == langs.sorted && langs.distinct == langs)
