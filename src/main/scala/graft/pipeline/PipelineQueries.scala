@@ -39,6 +39,9 @@ object PipelineQueries {
     // oracle generated at runtime from the fitted centroids (see
     // ivfOracle below); KMeans quality itself is covered by IvfSpec
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir, recordAs = Some("ann_ivf"))),
+    // SemDeDup: within-cell cosine dedup on the SAME fitted quantizer
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semDedup(s, dir, recordAs = Some("dedup_semantic"))),
     // int8 codes pinned per vector by an md5 digest + L1 (arrays
     // themselves stay out of the compare; scalars hash stably)
     "emb_quantize" -> ((s, dir) => {
@@ -247,6 +250,42 @@ object PipelineQueries {
              |ORDER BY qid, rank""".stripMargin)
     }
 
+  /** DuckDB replica of [[Similarity.semDedup]] from the recorded
+    * centroids: assignment (first-min cell), then an EXISTS over
+    * same-cell smaller-id near-duplicates at the recorded
+    * threshold. */
+  private def semDedupOracle: Map[String, String] =
+    Similarity.recordedSemRun("dedup_semantic") match {
+      case None => Map.empty
+      case Some(run) =>
+        val values = run.centroids.zipWithIndex.map { case (c, i) =>
+          val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+          s"($i, [${c.mkString(", ")}]::DOUBLE[], $cc)"
+        }.mkString(",\n    ")
+        Map("dedup_semantic" ->
+          s"""$embCte,
+             |cents(i, c, cc) AS (VALUES
+             |    $values
+             |), sc AS (
+             |  SELECT e.vec_id, cents.i,
+             |    cents.cc - 2 * list_sum(list_transform(range(1, ${run.dim + 1}), j -> e.v[j] * cents.c[j])) AS d
+             |  FROM e, cents
+             |), cells AS (
+             |  SELECT vec_id, i AS cell FROM (
+             |    SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rn FROM sc)
+             |  WHERE rn = 1
+             |)
+             |SELECT c.vec_id, c.cell::BIGINT AS cell,
+             |  EXISTS (
+             |    SELECT 1 FROM cells c2
+             |    JOIN e e2 ON e2.vec_id = c2.vec_id
+             |    JOIN e e1 ON e1.vec_id = c.vec_id
+             |    WHERE c2.cell = c.cell AND c2.vec_id < c.vec_id
+             |      AND list_cosine_similarity(e2.v, e1.v) >= ${run.threshold}
+             |  ) AS dropped
+             |FROM cells c ORDER BY c.vec_id""".stripMargin)
+    }
+
   /** The classifier oracle scores every doc with the RECORDED fitted
     * weights (features + label recomputed independently in SQL; the
     * scoring association mirrors the Column reduceLeft exactly). */
@@ -275,7 +314,8 @@ object PipelineQueries {
   /** Static oracles + the runtime-generated IVF and classifier
     * oracles. Must be read AFTER the queries have run (Verify's dump
     * order) for ann_ivf / quality_classifier to be included. */
-  def oracles: Map[String, String] = staticOracles ++ ivfOracle ++ lrOracle
+  def oracles: Map[String, String] =
+    staticOracles ++ ivfOracle ++ semDedupOracle ++ lrOracle
 
   /** MinHash+LSH near-dup pairs (mirror of [[Dedup.minhashLsh]]) —
     * shared by the `dedup_minhash` oracle and, as a nested CTE, by

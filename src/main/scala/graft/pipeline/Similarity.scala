@@ -173,11 +173,16 @@ object Similarity {
     }
   }
 
-  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
-      nCentroids: Int = 16, nProbe: Int = 4, recordAs: Option[String] = None): DataFrame = {
+  /** Fitted coarse quantizer + deterministic first-min cell
+    * assignment, cached per (dir, nCentroids) — shared by [[ivfTopK]]
+    * and [[semDedup]] so the IVF probe and the semantic dedup reuse
+    * ONE fitted artifact (build-once/query-many, like the search
+    * index). */
+  private[pipeline] def assignedCells(spark: SparkSession, dir: String,
+      nCentroids: Int): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val (assigned, centroids) = ivfCache.synchronized {
+    ivfCache.synchronized {
       ivfCache.getOrElseUpdate(s"$dir#$nCentroids", {
         val e = corpus(spark, dir)
         val withVec = e.withColumn("features", array_to_vector(col("v")))
@@ -201,6 +206,11 @@ object Similarity {
         (assignedDf, cents)
       })
     }
+  }
+
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
+      nCentroids: Int = 16, nProbe: Int = 4, recordAs: Option[String] = None): DataFrame = {
+    val (assigned, centroids) = assignedCells(spark, dir, nCentroids)
     recordAs.foreach { tag =>
       ivfRuns(tag) = IvfRun(centroids, centroids.headOption.map(_.length).getOrElse(0),
         nQueries, k, nProbe)
@@ -237,6 +247,57 @@ object Similarity {
       .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
         col("hit.key").as("vec_id"), round(col("hit.score"), 4).as("cos"))
       .orderBy("qid", "rank")
+  }
+
+  /** Everything the SemDeDup oracle needs: the fitted centroids plus
+    * the threshold they were deduped at (same capture discipline as
+    * [[IvfRun]]). */
+  private[pipeline] final case class SemRun(
+      centroids: Array[Array[Double]], dim: Int, threshold: Double)
+  private val semRuns =
+    scala.collection.concurrent.TrieMap.empty[String, SemRun]
+  private[pipeline] def recordedSemRun(tag: String): Option[SemRun] =
+    semRuns.get(tag)
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster-then-dedup semantic near-duplicate removal over
+    * embeddings. The k-means coarse quantizer partitions the corpus
+    * into cells and cosine pairs are computed WITHIN cells only — the
+    * paper's trick: pairwise cost drops from n^2 to sum over cells of
+    * |cell|^2, and the cell id is a plain shuffle key, so at 100 TB
+    * this is one equi-join co-partitioned on cell, never all-pairs.
+    * A vector is dropped when its cell holds a near-duplicate
+    * (cos >= threshold) with a smaller vec_id — the paper keeps one
+    * representative per duplicate pair; id order stands in for its
+    * random choice, making the result deterministic. Reuses
+    * [[ivfTopK]]'s fitted quantizer and first-min assignment (same
+    * cached artifact — zero extra fit cost), so everything after the
+    * KMeans fit is oracle-replicable.
+    *
+    * Output: (vec_id, cell, dropped). */
+  def semDedup(spark: SparkSession, dir: String, nCentroids: Int = 16,
+      threshold: Double = 0.4, recordAs: Option[String] = None): DataFrame = {
+    graft.functions.SearchExpressions.register(spark)
+    val (assigned, centroids) = assignedCells(spark, dir, nCentroids)
+    recordAs.foreach { tag =>
+      semRuns(tag) = SemRun(centroids,
+        centroids.headOption.map(_.length).getOrElse(0), threshold)
+    }
+    val a = assigned.select(col("vec_id"), col("v").as("va"),
+      col("nrm").as("na"), col("cell"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cell"))
+    val dropped = a.join(b, Seq("cell"))
+      .where(col("vec_b") < col("vec_id"))
+      .where(call_function("vec_dot", col("va"), col("vb")) /
+        (col("na") * col("nb")) >= threshold)
+      .select(col("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dropped, Seq("vec_id"), "left")
+      .na.fill(false, Seq("dropped"))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("dropped"))
+      .orderBy("vec_id")
   }
 
   /** LSH-bucketed ANN: probe only the query's bucket, exact re-rank

@@ -31,4 +31,20 @@ class IvfSpec extends AnyFunSuite {
     assert(recalls.sum / recalls.size > 0.2,
       s"mean recall too low: ${recalls.mkString(",")}")
   }
+
+  test("semDedup threshold extremes pin the within-cell keep rule") {
+    import org.apache.spark.sql.functions._
+    // cos is never > 1 (+ fp slack): nothing may drop
+    val none = Similarity.semDedup(spark, dir, threshold = 1.01)
+    assert(none.where(col("dropped")).count() == 0)
+    // cos >= -1 always holds: everything except each cell's minimum
+    // vec_id must drop — the keep rule reduced to its pure form
+    val all = Similarity.semDedup(spark, dir, threshold = -1.0)
+      .select("vec_id", "cell", "dropped")
+      .as[(Long, Long, Boolean)].collect()
+    val minPerCell = all.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    all.foreach { case (id, cell, dropped) =>
+      assert(dropped == (id != minPerCell(cell)), s"vec $id cell $cell")
+    }
+  }
 }
