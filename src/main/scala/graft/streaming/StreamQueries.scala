@@ -251,6 +251,33 @@ object StreamQueries {
         .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
         .orderBy("query_id", "doc_id")
     }),
+    // percolator over ARBITRARY standing DSL queries: each query
+    // compiles once (driver-side, stats-free QueryPredicates) to a
+    // boolean Column, and ONE map-side pass evaluates the whole
+    // registry per arriving doc (array of (id, predicate) structs +
+    // explode) — no joins, no state, no index. Matching semantics
+    // equal the batch index's (same analyzer, same predicate
+    // compiler); scoring needs stats and belongs to stream_percolate.
+    "stream_percolate_dsl" -> ((s, dir) => {
+      import graft.dsl._
+      val qs: Seq[(Long, SearchQuery)] = Seq(
+        1L -> MatchPhrase("text", "batch batch"),
+        2L -> And(MatchTerm("text", "spark"), Not(MatchTerm("text", "join"))),
+        3L -> And(MatchWildcard("text", "wind*"), GtFilter("n_chars", 200L)),
+        4L -> MatchFuzzy("text", "vektor", 1))
+      val preds = qs.map { case (id, q) =>
+        struct(lit(id).as("query_id"),
+          graft.search.QueryPredicates.predicate(q).as("m"))
+      }
+      val name = s"stream_percdsl_${sinkId.incrementAndGet()}"
+      EventStreams.runToMemorySink(
+        stagedDocs(s, dir)
+          .select(col("doc_id"), explode(array(preds: _*)).as("pm"))
+          .where(col("pm.m"))
+          .select(col("pm.query_id").as("query_id"), col("doc_id")),
+        name, OutputMode.Append())
+      s.table(name).orderBy("query_id", "doc_id")
+    }),
     "stream_trending_terms" -> ((s, dir) => {
       val name = s"stream_trending_${sinkId.incrementAndGet()}"
       EventStreams.runToMemorySink(
@@ -466,6 +493,27 @@ object StreamQueries {
          |$branches
          |) ORDER BY query_id, doc_id""".stripMargin
     },
+    // one branch per standing DSL query: phrase window, AND NOT,
+    // wildcard + numeric filter, fuzzy (levenshtein)
+    "stream_percolate_dsl" ->
+      """WITH toks AS (
+        |  SELECT doc_id, n_chars,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tokens
+        |  FROM documents
+        |)
+        |SELECT 1::BIGINT AS query_id, doc_id FROM toks
+        |WHERE len(tokens) >= 2 AND len(list_filter(range(1, len(tokens)),
+        |  i -> tokens[i] = 'batch' AND tokens[i + 1] = 'batch')) > 0
+        |UNION ALL
+        |SELECT 2::BIGINT, doc_id FROM toks
+        |WHERE list_contains(tokens, 'spark') AND NOT list_contains(tokens, 'join')
+        |UNION ALL
+        |SELECT 3::BIGINT, doc_id FROM toks
+        |WHERE len(list_filter(tokens, x -> x LIKE 'wind%')) > 0 AND n_chars > 200
+        |UNION ALL
+        |SELECT 4::BIGINT, doc_id FROM toks
+        |WHERE len(list_filter(tokens, x -> levenshtein(x, 'vektor') <= 1)) > 0
+        |ORDER BY query_id, doc_id""".stripMargin,
     // synthetic event time = base + doc_id minutes → 1h windows hold
     // 60 docs; the base is hour-aligned so windows start on it
     "stream_trending_terms" ->
