@@ -131,4 +131,59 @@ object Bpe {
       .map(m => (m.rank, m.left, m.right, m.count))
       .toDF("rank", "left", "right", "pair_count")
   }
+
+  /** Segmentation dictionary: every vocabulary word segmented once
+    * with the learned merges — (word, pieces joined by space,
+    * n_pieces). Driver cost O(vocab x merges), the same bounded-vocab
+    * contract as [[learn]]; the result is the broadcastable artifact
+    * a production tokenizer ships (one dictionary lookup per word at
+    * encode time instead of re-running the merge loop per token). */
+  def segmentationSeq(spark: SparkSession, dir: String, numMerges: Int = 20,
+      vocabCap: Int = 10000): Seq[(String, String, Long)] = {
+    val vocab = wordVocab(spark, dir, vocabCap)
+    val merges = learnFromVocab(vocab, numMerges)
+    vocab.map { case (w, _) =>
+      val pcs = segment(w, merges)
+      (w, pcs.mkString(" "), pcs.size.toLong)
+    }
+  }
+
+  /** Recorded segmentation dictionaries, keyed by caller tag —
+    * consumed by [[PipelineQueries]] to generate a DuckDB oracle that
+    * verifies the DISTRIBUTED application against the same dictionary
+    * (the merge loop itself is spec-covered golden-example territory,
+    * like the KMeans fit behind the IVF oracle). */
+  private val encodeRuns =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String, Long)]]
+  private[pipeline] def recordedEncodeRun(tag: String): Option[Seq[(String, String, Long)]] =
+    encodeRuns.get(tag)
+
+  /** Distributed BPE encoding of the corpus with the trained
+    * tokenizer: tokens posexplode map-side, one broadcast join to the
+    * segmentation dictionary, per-doc reassembly in token order
+    * (sort_array over (pos, pieces) structs — no window, one
+    * exchange on doc_id). The dictionary covers the corpus by
+    * construction when vocabCap exceeds the distinct word count; at
+    * an open 100 TB vocabulary the cap keeps the broadcast bounded
+    * and out-of-dictionary words would take a per-word segment()
+    * fallback (flagged, not silently dropped — here the inner join is
+    * exact because coverage is total).
+    *
+    * Output: (doc_id, n_pieces, pieces_md5). */
+  def encode(spark: SparkSession, dir: String, numMerges: Int = 20,
+      vocabCap: Int = 10000, recordAs: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val seg = segmentationSeq(spark, dir, numMerges, vocabCap)
+    recordAs.foreach(tag => encodeRuns(tag) = seg)
+    val segDf = seg.toDF("word", "pieces", "n_pieces")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "word")))
+      .join(broadcast(segDf), Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum("n_pieces").as("n_pieces"),
+        sort_array(collect_list(struct(col("pos"), col("pieces")))).as("ps"))
+      .select(col("doc_id"), col("n_pieces"),
+        md5(concat_ws(" ", transform(col("ps"), x => x.getField("pieces")))).as("pieces_md5"))
+      .orderBy("doc_id")
+  }
 }

@@ -79,6 +79,8 @@ object PipelineQueries {
     "token_stats" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
     // BPE merge-mining counting step: top adjacent pairs corpus-wide
     "token_pairs" -> ((s, dir) => TextAnalysis.tokenPairStats(s, dir)),
+    // trained-tokenizer application: broadcast segmentation dictionary
+    "bpe_encode" -> ((s, dir) => Bpe.encode(s, dir, recordAs = Some("bpe_encode"))),
     "distinct_hll" -> ((s, dir) => TextAnalysis.distinctTokensHll(s, dir)),
     // frequent-items sketch heavy hitters (bounded merge state)
     "topk_terms_sketch" -> ((s, dir) => TextAnalysis.topTermsSketch(s, dir)),
@@ -250,6 +252,36 @@ object PipelineQueries {
              |ORDER BY qid, rank""".stripMargin)
     }
 
+  /** DuckDB replica of [[Bpe.encode]]'s distributed application from
+    * the recorded segmentation dictionary (inlined as VALUES): word
+    * explode in position order, dictionary join, per-doc ordered
+    * reassembly — verifies everything downstream of the driver-side
+    * merge loop (which BpeSpec pins to the published golden
+    * example). */
+  private def bpeEncodeOracle: Map[String, String] =
+    Bpe.recordedEncodeRun("bpe_encode") match {
+      case None => Map.empty
+      case Some(seg) =>
+        val values = seg.map { case (w, p, n) => s"('$w', '$p', ${n}::BIGINT)" }
+          .mkString(",\n    ")
+        Map("bpe_encode" ->
+          s"""$toksCte,
+             |seg(word, pieces, n_pieces) AS (VALUES
+             |    $values
+             |), ex AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, len(tokens) + 1),
+             |      i -> struct_pack(pos := i, word := tokens[i])), recursive := true)
+             |  FROM toks
+             |), j AS (
+             |  SELECT ex.doc_id, ex.pos, seg.pieces, seg.n_pieces
+             |  FROM ex JOIN seg USING (word)
+             |)
+             |SELECT doc_id, CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+             |  md5(string_agg(pieces, ' ' ORDER BY pos)) AS pieces_md5
+             |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    }
+
   /** DuckDB replica of [[Similarity.semDedup]] from the recorded
     * centroids: assignment (first-min cell), then an EXISTS over
     * same-cell smaller-id near-duplicates at the recorded
@@ -315,7 +347,7 @@ object PipelineQueries {
     * oracles. Must be read AFTER the queries have run (Verify's dump
     * order) for ann_ivf / quality_classifier to be included. */
   def oracles: Map[String, String] =
-    staticOracles ++ ivfOracle ++ semDedupOracle ++ lrOracle
+    staticOracles ++ ivfOracle ++ semDedupOracle ++ bpeEncodeOracle ++ lrOracle
 
   /** MinHash+LSH near-dup pairs (mirror of [[Dedup.minhashLsh]]) —
     * shared by the `dedup_minhash` oracle and, as a nested CTE, by

@@ -42,4 +42,23 @@ class BpeSpec extends AnyFunSuite {
     assert(segs.mkString("").stripSuffix(Bpe.EndOfWord) ==
       w.replace(Bpe.EndOfWord, ""))
   }
+
+  test("segmentation dictionary round-trips every vocabulary word") {
+    val dir = "/root/testdata/sf0.001"
+    val seg = Bpe.segmentationSeq(spark, dir, numMerges = 20, vocabCap = 500)
+    assert(seg.nonEmpty)
+    seg.foreach { case (word, pieces, n) =>
+      val ps = pieces.split(" ").toSeq
+      assert(ps.size == n, s"$word piece count")
+      // concatenation-invertible: pieces re-concatenate to word + </w>
+      assert(ps.mkString("") == word + Bpe.EndOfWord, s"$word: $pieces")
+    }
+    // the distributed encode covers every doc with at least one token
+    val enc = Bpe.encode(spark, dir, numMerges = 20, vocabCap = 500)
+    import org.apache.spark.sql.functions._
+    val docsWithTokens = spark.read.parquet(s"$dir/documents.parquet")
+      .where(size(graft.analysis.Analyzers.default.tokensCol(col("text"))) > 0)
+      .count()
+    assert(enc.count() == docsWithTokens)
+  }
 }
