@@ -186,4 +186,36 @@ object Bpe {
         md5(concat_ws(" ", transform(col("ps"), x => x.getField("pieces")))).as("pieces_md5"))
       .orderBy("doc_id")
   }
+
+  /** Distributed decode of the BPE-encoded corpus back to text, as a
+    * roundtrip proof: build each document's serialized piece stream
+    * ("th e&lt;/w&gt; fa st&lt;/w&gt; ..."), then invert the tokenizer with
+    * pure string ops — drop the piece boundaries (spaces), turn each
+    * end-of-word marker back into a word boundary, trim. The result
+    * must equal the analyzed text exactly, which is what the oracle
+    * hashes (`decode(encode(x)) == analyze(x)` per document — the
+    * invariant every production tokenizer ships with).
+    *
+    * Same distribution shape as [[encode]]: posexplode + one
+    * broadcast dictionary join + one exchange on doc_id; the decode
+    * itself is codegen'd `replace`/`rtrim` on the grouped row.
+    * Documents with zero tokens have no encoded form and are absent,
+    * matching the encode output. */
+  def decodeRoundtrip(spark: SparkSession, dir: String, numMerges: Int = 20,
+      vocabCap: Int = 10000): DataFrame = {
+    import spark.implicits._
+    val segDf = segmentationSeq(spark, dir, numMerges, vocabCap)
+      .toDF("word", "pieces", "n_pieces")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "word")))
+      .join(broadcast(segDf.select("word", "pieces")), Seq("word"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("pieces")))).as("ps"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("ps"), x => x.getField("pieces"))).as("piece_stream"))
+      .select(col("doc_id"),
+        rtrim(replace(replace(col("piece_stream"), lit(" "), lit("")),
+          lit(EndOfWord), lit(" "))).as("decoded"))
+      .orderBy("doc_id")
+  }
 }

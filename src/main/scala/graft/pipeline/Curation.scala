@@ -637,4 +637,96 @@ object Curation {
           greatest(col("n_tokens"), lit(1L)), 4).as("oov_frac"))
       .orderBy("doc_id")
   }
+
+  /** Split-fraction boundaries for [[splitAssign]]: md5 bucket (0-99)
+    * of the GROUP key — < 90 train, < 95 validation, else test. */
+  val SplitBounds: Seq[(String, Int)] =
+    Seq("train" -> 90, "validation" -> 95)
+
+  /** Leakage-aware train/validation/test split assignment: the split
+    * is decided by a deterministic hash of the document's `source`
+    * (its provenance group), so every document sharing a source lands
+    * in the SAME split — the standard guard against near-duplicate /
+    * same-origin leakage across splits (published pipelines split web
+    * corpora by URL/domain for exactly this reason; per-doc random
+    * splits leak templated near-dups between train and test).
+    *
+    * Pure map-side expression: no shuffle, no RNG, byte-identical
+    * assignment on any cluster size and on re-runs — at 100 TB the
+    * split is a filter pushed into every downstream read, never a
+    * materialized 3-way copy of the corpus. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val b = md5Bucket(col("source"), 100)
+    val split = SplitBounds.foldRight(lit("test"): Column) {
+      case ((name, bound), rest) => when(b < bound, lit(name)).otherwise(rest)
+    }
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), split.as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** End-to-end curation manifest — the batch materialization a
+    * training run actually consumes, composing the pipeline's stages
+    * in their production order: (1) exact-dedup keep rule (first
+    * doc_id per content hash survives), (2) quality gates (the same
+    * shared length/quality expressions as the streaming ingest gate,
+    * so offline and online curation agree document-for-document),
+    * (3) leakage-aware split assignment by source hash, plus the
+    * language pick and token count the batch mixer needs.
+    *
+    * One shuffle total (the dedup hash window — the same exchange
+    * [[graft.pipeline.Dedup.exact]] pays); every other stage is
+    * map-side column work fused into the surviving rows' pass. At
+    * 100 TB this is the classic one-wide-shuffle manifest job, and
+    * the output is small enough (id + labels) to feed the packer
+    * directly. */
+  def curateManifest(spark: SparkSession, dir: String,
+      minTokens: Int = 16, minQuality: Double = 0.05): DataFrame = {
+    graft.functions.SearchExpressions.register(spark)
+    val w = Window.partitionBy(col("__h"))
+    val b = md5Bucket(col("source"), 100)
+    val split = SplitBounds.foldRight(lit("test"): Column) {
+      case ((name, bound), rest) => when(b < bound, lit(name)).otherwise(rest)
+    }
+    spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("__h", md5(col("text")))
+      .withColumn("__canon", min(col("doc_id")).over(w))
+      .where(col("doc_id") === col("__canon"))
+      .withColumn("__toks", toks(col("text")))
+      .select(col("doc_id"),
+        TextAnalysis.langPredFromCounts(
+          TextAnalysis.langCountsExpr(col("__toks"))).as("pred_lang"),
+        split.as("split"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        TextAnalysis.qualityExpr(col("__toks")).as("quality"))
+      .where(col("n_tokens") >= minTokens && col("quality") >= minQuality)
+      .orderBy("doc_id")
+  }
+
+  /** Sliding context-window chunking: each document's token sequence
+    * is cut into windows of `window` tokens every `stride` tokens
+    * (overlap = window - stride), the way long documents are split to
+    * fit a model's context length while preserving boundary context.
+    * Tokenless documents emit one empty chunk so no document silently
+    * vanishes from the chunked corpus.
+    *
+    * One `sequence` + `explode` per document — fully map-side (the
+    * only exchange is the presentation sort), chunk count scales with
+    * document length, never with corpus size; no window function, no
+    * shuffle, so the pass streams at scan speed over 100 TB. */
+  def chunkDocuments(spark: SparkSession, dir: String,
+      window: Int = 32, stride: Int = 24): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), toks(col("text")).as("tokens"))
+      .select(col("doc_id"), col("tokens"),
+        explode(sequence(lit(0), greatest(size(col("tokens")), lit(1)) - 1,
+          lit(stride))).as("start"))
+      .select(col("doc_id"), (col("start") / stride).cast("long").as("chunk_idx"),
+        slice(col("tokens"), col("start") + 1, lit(window)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
 }

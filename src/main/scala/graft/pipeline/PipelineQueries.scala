@@ -58,6 +58,12 @@ object PipelineQueries {
     // fuzzy doc-level complement of the exact n-gram decontaminate
     "decontaminate_fuzzy" -> ((s, dir) => Dedup.crossDecontaminate(s, dir)),
     "sample_stratified" -> ((s, dir) => Curation.stratifiedSample(s, dir)),
+    // leakage-aware train/val/test assignment: hash the source group
+    "split_assign" -> ((s, dir) => Curation.splitAssign(s, dir)),
+    // sliding context-window chunking for long documents
+    "chunk_documents" -> ((s, dir) => Curation.chunkDocuments(s, dir)),
+    // end-to-end manifest: dedup keep + quality gates + split labels
+    "curate_manifest" -> ((s, dir) => Curation.curateManifest(s, dir)),
     "pack_sequences" -> ((s, dir) => Curation.packSequences(s, dir)),
     "vocab_coverage" -> ((s, dir) => Curation.vocabCoverage(s, dir)),
     "keywords_tfidf" -> ((s, dir) => Curation.keywordsTfidf(s, dir)),
@@ -81,6 +87,8 @@ object PipelineQueries {
     "token_pairs" -> ((s, dir) => TextAnalysis.tokenPairStats(s, dir)),
     // trained-tokenizer application: broadcast segmentation dictionary
     "bpe_encode" -> ((s, dir) => Bpe.encode(s, dir, recordAs = Some("bpe_encode"))),
+    // decode(encode(x)) == analyze(x): distributed tokenizer inversion
+    "bpe_roundtrip" -> ((s, dir) => Bpe.decodeRoundtrip(s, dir)),
     "distinct_hll" -> ((s, dir) => TextAnalysis.distinctTokensHll(s, dir)),
     // frequent-items sketch heavy hitters (bounded merge state)
     "topk_terms_sketch" -> ((s, dir) => TextAnalysis.topTermsSketch(s, dir)),
@@ -204,7 +212,7 @@ object PipelineQueries {
        |FROM pairs WHERE cos >= $minCos
        |ORDER BY vec_id, corpus_id""".stripMargin
 
-  private val langProfileSql: Seq[(String, String)] = TextAnalysis.LangProfiles.map {
+  private[graft] val langProfileSql: Seq[(String, String)] = TextAnalysis.LangProfiles.map {
     case (l, ws) =>
       l -> s"len(list_filter(tokens, x -> list_contains([${ws.map(w => s"'$w'").mkString(", ")}], x))) AS s_$l"
   }
@@ -649,6 +657,76 @@ object PipelineQueries {
       s"""SELECT doc_id, lang, ${md5BucketSql("doc_id", 100)} AS bucket
          |FROM documents
          |WHERE ${md5BucketSql("doc_id", 100)} < $rateCase
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "split_assign" -> {
+      val caseChain = Curation.SplitBounds
+        .map { case (name, bound) =>
+          s"WHEN ${md5BucketSql("source", 100)} < $bound THEN '$name'"
+        }
+        .mkString("CASE ", " ", " ELSE 'test' END")
+      s"""SELECT doc_id, source, $caseChain AS split
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "chunk_documents" ->
+      s"""$toksCte
+         |SELECT doc_id, CAST(start / 24 AS BIGINT) AS chunk_idx,
+         |  CAST(len(tokens[start + 1 : least(start + 32, len(tokens))]) AS BIGINT) AS n_tokens,
+         |  array_to_string(tokens[start + 1 : least(start + 32, len(tokens))], ' ') AS chunk_text
+         |FROM (
+         |  SELECT doc_id, tokens,
+         |    unnest(range(0, greatest(len(tokens), 1), 24)) AS start
+         |  FROM toks
+         |)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "bpe_roundtrip" ->
+      s"""$toksCte
+         |SELECT doc_id, array_to_string(tokens, ' ') AS decoded
+         |FROM toks WHERE len(tokens) > 0
+         |ORDER BY doc_id""".stripMargin,
+
+    "curate_manifest" -> {
+      val langs = TextAnalysis.LangProfiles.map(_._1)
+      val scores = langProfileSql.map(_._2).mkString(",\n    ")
+      val caseChain = langs.init.map { l =>
+        val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString("\n    ")
+      val splitCase = Curation.SplitBounds
+        .map { case (name, bound) =>
+          s"WHEN ${md5BucketSql("source", 100)} < $bound THEN '$name'"
+        }
+        .mkString("CASE ", " ", " ELSE 'test' END")
+      val enList = TextAnalysis.LangProfiles.toMap.apply("en")
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id, text, source,
+         |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tokens,
+         |    min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CASE
+         |    $caseChain
+         |    ELSE '${langs.last}' END AS pred_lang,
+         |  split, n_tokens,
+         |  round_even((least(n_tokens / 100.0, 1.0) * (1 - stop_ratio) * ttr) * 1e4, 0) / 1e4 AS quality
+         |FROM (
+         |  SELECT doc_id,
+         |    $scores,
+         |    $splitCase AS split,
+         |    len(tokens)::BIGINT AS n_tokens,
+         |    round_even((len(list_distinct(tokens))::DOUBLE / greatest(len(tokens), 1)) * 1e4, 0) / 1e4 AS ttr,
+         |    round_even((len(list_filter(tokens, x -> list_contains([$enList], x)))::DOUBLE
+         |      / greatest(len(tokens), 1)) * 1e4, 0) / 1e4 AS stop_ratio
+         |  FROM base WHERE doc_id = canonical_id
+         |)
+         |WHERE n_tokens >= 16
+         |  AND round_even((least(n_tokens / 100.0, 1.0) * (1 - stop_ratio) * ttr) * 1e4, 0) / 1e4 >= 0.05
          |ORDER BY doc_id""".stripMargin
     },
 

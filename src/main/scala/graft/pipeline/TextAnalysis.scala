@@ -30,6 +30,30 @@ object TextAnalysis {
   private def countIn(tokens: Column, words: Seq[String]): Column =
     call_function("array_count_in", tokens, array(words.map(lit): _*))
 
+  /** All [[LangProfiles]] stopword counts in ONE token pass: a
+    * `multi_count_in` call returning one count per profile (hash
+    * lookup per token instead of one scan per profile). Requires
+    * [[graft.functions.SearchExpressions.register]] on the session. */
+  private[graft] def langCountsExpr(tokens: Column): Column =
+    call_function("multi_count_in", tokens,
+      array(LangProfiles.map { case (_, ws) => array(ws.map(lit): _*) }: _*))
+
+  /** First-match-wins language pick from a [[langCountsExpr]] result:
+    * ties resolve to [[LangProfiles]] order (de < en < es < fr < it)
+    * via a >= comparison chain — the same CASE chain the oracles
+    * use. Shared by the batch [[langId]] and the streaming ingest
+    * curation gate so the two can never drift. */
+  private[graft] def langPredFromCounts(mc: Column): Column = {
+    val langs = LangProfiles.map(_._1)
+    def s(i: Int) = element_at(mc, i + 1)
+    langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((l, i), rest) =>
+        val geAll = langs.indices.filter(langs(_) != l)
+          .map(j => s(i) >= s(j)).reduceLeft(_ && _)
+        when(geAll, lit(l)).otherwise(rest)
+    }
+  }
+
   /** Stopword-overlap language ID. Ties resolve to the first language
     * in [[LangProfiles]] order (de < en < es < fr < it) via a
     * first-match-wins >= comparison chain — the same CASE chain the
@@ -40,18 +64,13 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang").as("actual_lang"), toks(col("text")).as("tokens"))
       // all 5 profiles in ONE token pass (hash lookup per token)
       // instead of 5 array_count_in probes scanning their word lists
-      .withColumn("__mc", call_function("multi_count_in", col("tokens"),
-        array(LangProfiles.map { case (_, ws) => array(ws.map(lit): _*) }: _*)))
+      .withColumn("__mc", langCountsExpr(col("tokens")))
     val scored = LangProfiles.zipWithIndex.foldLeft(base) {
       case (df, ((l, _), i)) =>
         df.withColumn(s"s_$l", element_at(col("__mc"), i + 1))
     }
     val langs = LangProfiles.map(_._1)
-    val pred = langs.init.foldRight(lit(langs.last)) { (l, rest) =>
-      val geAll = langs.filter(_ != l)
-        .map(o => col(s"s_$l") >= col(s"s_$o")).reduceLeft(_ && _)
-      when(geAll, lit(l)).otherwise(rest)
-    }
+    val pred = langPredFromCounts(col("__mc"))
     scored.select(
         col("doc_id") +: col("actual_lang") +: lit(pred).as("pred_lang") +:
           langs.map(l => col(s"s_$l")): _*)
@@ -251,7 +270,7 @@ object TextAnalysis {
   /** The [[qualityScore]] scalar as one Column over a token array —
     * shared with [[Curation.selectBudget]] so selection ranks by the
     * exact same (4-dp-rounded) quality the scoring entry reports. */
-  private[pipeline] def qualityExpr(tokens: Column): Column = {
+  private[graft] def qualityExpr(tokens: Column): Column = {
     import graft.functions.Rounding.roundEven
     val n = size(tokens)
     val ttr = roundEven(size(array_distinct(tokens)).cast("double") /

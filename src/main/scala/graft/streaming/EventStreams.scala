@@ -250,6 +250,38 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Ingest-time curation gate — the per-document quality pipeline a
+    * training-data ingest runs CONTINUOUSLY as documents arrive:
+    * tokenize, language-ID (stopword profiles, one `multi_count_in`
+    * pass), Gopher-style quality score, PII span count — then keep
+    * only documents clearing the length and quality gates.
+    *
+    * Entirely STATELESS: every signal is doc-local, so the micro-batch
+    * plan has no stateful operator, no watermark requirement and no
+    * state store — the shape that runs at ingest line-rate forever
+    * (100 TB/day is just more map tasks). The expressions are shared
+    * with the batch operators ([[graft.pipeline.TextAnalysis.langPredFromCounts]],
+    * [[graft.pipeline.TextAnalysis.qualityExpr]],
+    * [[graft.pipeline.Curation.PiiPatterns]]) so batch and streaming
+    * curation can never disagree on a document. */
+  def curateStream(docs: DataFrame, textCol: String = "text",
+      minTokens: Int = 16, minQuality: Double = 0.05): DataFrame = {
+    graft.functions.SearchExpressions.register(docs.sparkSession)
+    import graft.pipeline.{Curation, TextAnalysis}
+    val nPii = Curation.PiiPatterns
+      .map { case (_, re, _) => regexp_count(col(textCol), lit(re)) }
+      .reduceLeft(_ + _)
+    docs
+      .withColumn("__toks", graft.analysis.Analyzers.default.tokensCol(col(textCol)))
+      .select(col("doc_id"),
+        TextAnalysis.langPredFromCounts(
+          TextAnalysis.langCountsExpr(col("__toks"))).as("pred_lang"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        TextAnalysis.qualityExpr(col("__toks")).as("quality"),
+        nPii.cast("long").as("n_pii"))
+      .where(col("n_tokens") >= minTokens && col("quality") >= minQuality)
+  }
+
   /** Streaming NEAR-duplicate pair detection — continuous-ingest
     * SimHash: every arriving document's 64-bit fingerprint is
     * computed MAP-SIDE by the codegen'd `simhash64` expression (a

@@ -157,6 +157,17 @@ object StreamQueries {
         name, OutputMode.Append())
       s.table(name).select(col("content_hash")).orderBy("content_hash")
     }),
+    // stateless ingest-time curation gate: language-ID + quality +
+    // PII signals per arriving doc, length/quality filters applied
+    "stream_curate" -> ((s, dir) => {
+      val name = s"stream_curate_${sinkId.incrementAndGet()}"
+      EventStreams.runToMemorySink(
+        EventStreams.curateStream(stagedDocs(s, dir)), name, OutputMode.Append())
+      s.table(name)
+        .select(col("doc_id"), col("pred_lang"), col("n_tokens"),
+          col("quality"), col("n_pii"))
+        .orderBy("doc_id")
+    }),
     // streaming SimHash near-dup pairs: map-side fingerprints,
     // band-bucketed stream-stream self-join; horizon/watermark wide
     // open for the bounded replay (production sets a real dedup
@@ -391,6 +402,43 @@ object StreamQueries {
     "stream_dedup_docs" ->
       """SELECT DISTINCT md5(text) AS content_hash
         |FROM documents ORDER BY content_hash""".stripMargin,
+    // batch replay of the stateless curation gate: same profile
+    // scores, quality formula and PII patterns as the batch oracles
+    "stream_curate" -> {
+      val langs = graft.pipeline.TextAnalysis.LangProfiles.map(_._1)
+      val scores = graft.pipeline.PipelineQueries.langProfileSql.map(_._2)
+        .mkString(",\n         |      ")
+      val caseChain = langs.init.map { l =>
+        val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString("\n         |    ")
+      val enList = graft.pipeline.TextAnalysis.LangProfiles.toMap.apply("en")
+        .map(w => s"'$w'").mkString(", ")
+      val nPii = graft.pipeline.Curation.PiiPatterns
+        .map { case (_, re, _) => s"len(regexp_extract_all(text, '$re'))" }
+        .mkString(" + ")
+      s"""${graft.pipeline.PipelineQueries.toksCte}
+         |SELECT doc_id,
+         |  CASE
+         |    $caseChain
+         |    ELSE '${langs.last}' END AS pred_lang,
+         |  n_tokens,
+         |  round_even((least(n_tokens / 100.0, 1.0) * (1 - stop_ratio) * ttr) * 1e4, 0) / 1e4 AS quality,
+         |  n_pii
+         |FROM (
+         |  SELECT doc_id,
+         |      $scores,
+         |    len(tokens)::BIGINT AS n_tokens,
+         |    round_even((len(list_distinct(tokens))::DOUBLE / greatest(len(tokens), 1)) * 1e4, 0) / 1e4 AS ttr,
+         |    round_even((len(list_filter(tokens, x -> list_contains([$enList], x)))::DOUBLE
+         |      / greatest(len(tokens), 1)) * 1e4, 0) / 1e4 AS stop_ratio,
+         |    CAST($nPii AS BIGINT) AS n_pii
+         |  FROM toks
+         |)
+         |WHERE n_tokens >= 16
+         |  AND round_even((least(n_tokens / 100.0, 1.0) * (1 - stop_ratio) * ttr) * 1e4, 0) / 1e4 >= 0.05
+         |ORDER BY doc_id""".stripMargin
+    },
     // batch replay of the banded self-join: event time is monotone in
     // doc_id, so "later than" = larger id; per-band rows, no distinct
     "stream_simhash_pairs" ->

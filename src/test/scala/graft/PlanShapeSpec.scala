@@ -106,6 +106,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges.forall(_.contains("rangepartitioning")), exchanges.toString)
   }
 
+  test("split assignment and chunking are map-side: only the harness sort shuffles") {
+    for (df <- Seq(pipeline.Curation.splitAssign(spark, sf),
+        pipeline.Curation.chunkDocuments(spark, sf))) {
+      val p = plan(df)
+      val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+      assert(exchanges.forall(_.contains("rangepartitioning")), exchanges.toString)
+      assert(!p.contains("Window "), p.take(400))
+    }
+  }
+
+  test("curateManifest pays exactly the dedup hash exchange beyond the harness sort") {
+    val p = plan(pipeline.Curation.curateManifest(spark, sf))
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    val hashEx = exchanges.filterNot(_.contains("rangepartitioning"))
+    assert(hashEx.size == 1, exchanges.toString) // the md5(text) window
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(600))
+  }
+
   test("keywordsTfidf joins df stats without a forced broadcast; bounds per-doc state") {
     val df = pipeline.Curation.keywordsTfidf(spark, sf)
     // the df-side join is deliberately UNhinted (a 100 TB vocabulary

@@ -61,4 +61,21 @@ class BpeSpec extends AnyFunSuite {
       .count()
     assert(enc.count() == docsWithTokens)
   }
+
+  test("distributed decode inverts the encoded piece stream exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val decoded = Bpe.decodeRoundtrip(spark, dir, numMerges = 20, vocabCap = 500)
+      .as[(Long, String)].collect().toMap
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        concat_ws(" ", graft.analysis.Analyzers.default.tokensCol(col("text"))).as("t"))
+      .where(col("t") =!= "")
+      .as[(Long, String)].collect().toMap
+    assert(decoded.keySet == expected.keySet)
+    decoded.foreach { case (id, d) =>
+      assert(d == expected(id), s"doc $id decode mismatch")
+    }
+  }
 }

@@ -412,4 +412,61 @@ class CurationSpec extends AnyFunSuite {
       assert(math.abs(frac - oov.toDouble / math.max(ts.length, 1)) < 1e-3)
     }
   }
+
+  test("splitAssign: deterministic, source-coherent, covers the corpus") {
+    val a = Curation.splitAssign(spark, dir).as[(Long, String, String)].collect()
+    val b = Curation.splitAssign(spark, dir).as[(Long, String, String)].collect()
+    assert(a.toSeq == b.toSeq, "split assignment must be deterministic")
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(a.length == total, "every document gets a split")
+    assert(a.map(_._3).toSet.subsetOf(Set("train", "validation", "test")))
+    // the leakage guard: a source never straddles splits
+    a.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.map(_._3).toSet.size == 1, s"source $src straddles splits")
+    }
+  }
+
+  test("curateManifest: dedup-keep, gates and split agree with the component operators") {
+    import org.apache.spark.sql.functions._
+    val m = Curation.curateManifest(spark, dir)
+      .as[(Long, String, String, Long, Double)].collect()
+    assert(m.nonEmpty)
+    // survivors are exactly the exact-dedup canonicals passing gates
+    val canon = Dedup.exact(spark, dir).where(col("doc_id") === col("canonical_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(m.forall(r => canon.contains(r._1)), "non-canonical doc in manifest")
+    m.foreach { case (_, _, _, n, q) => assert(n >= 16 && q >= 0.05) }
+    // split labels match the standalone assignment
+    val splits = Curation.splitAssign(spark, dir)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    m.foreach { case (id, _, s, _, _) => assert(s == splits(id), s"doc $id split") }
+    // no canonical doc passing the gates is missing
+    val gated = graft.streaming.EventStreams
+      .curateStream(spark.read.parquet(s"$dir/documents.parquet"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(m.map(_._1).toSet == (canon intersect gated), "manifest = canonicals ∩ gate-passers")
+  }
+
+  test("chunkDocuments: windows tile the token stream with the stated overlap") {
+    import org.apache.spark.sql.functions._
+    val window = 32; val stride = 24
+    val chunks = Curation.chunkDocuments(spark, dir, window, stride)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), graft.analysis.Analyzers.default.tokensCol(col("text")).as("tokens"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(chunks.keySet == toks.keySet, "every document is chunked")
+    toks.foreach { case (id, ts) =>
+      val cs = chunks(id)
+      val expected = ((math.max(ts.length, 1) - 1) / stride) + 1
+      assert(cs.length == expected, s"doc $id: ${cs.length} chunks vs $expected")
+      cs.foreach { case (_, idx, n, text) =>
+        val start = idx.toInt * stride
+        val want = ts.slice(start, start + window)
+        assert(n == want.length, s"doc $id chunk $idx length")
+        assert(text == want.mkString(" "), s"doc $id chunk $idx content")
+      }
+    }
+  }
 }

@@ -370,4 +370,38 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 100L, 200L)))
   }
+
+  test("ingest curation gate filters by length and quality, stays stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    val longDoc = (1 to 40).map(i => s"word$i").mkString(" ")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val out = EventStreams.curateStream(docs)
+    val q = out.writeStream.format("memory").queryName("curate_sink")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      (1L, longDoc),                       // passes: 40 distinct tokens
+      (2L, "too short to keep"),           // fails the min-token gate
+      (3L, ("the " * 40).trim))            // 40 tokens but quality ~0 (all stopword)
+    q.processAllAvailable()
+    val got = spark.table("curate_sink")
+      .select("doc_id", "pred_lang", "n_tokens", "quality", "n_pii")
+      .as[(Long, String, Long, Double, Long)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L), got.toSeq)
+    val r = got.head
+    assert(r._3 == 40 && r._4 >= 0.05 && r._5 == 0L, r)
+    // stateless: no state store in the micro-batch plan
+    assert(q.lastProgress.stateOperators.isEmpty,
+      q.lastProgress.stateOperators.mkString(","))
+    q.stop()
+    // batch/stream agreement: the same expressions drive the batch
+    // langId, so the kept doc's language pick must match it
+    import graft.pipeline.TextAnalysis
+    graft.functions.SearchExpressions.register(spark)
+    val batchPred = Seq((1L, longDoc)).toDF("doc_id", "text")
+      .select(TextAnalysis.langPredFromCounts(TextAnalysis.langCountsExpr(
+        graft.analysis.Analyzers.default.tokensCol(col("text")))).as("p"))
+      .as[String].head()
+    assert(r._2 == batchPred)
+  }
 }
