@@ -61,12 +61,12 @@ case class ArrayCountEq(left: Expression, right: Expression)
 /** `phrase_count(tokens, phrase[, slop])` — number of starting
   * positions where the `phrase` array occurs inside `tokens` with at
   * most `slop` extra positions between first and last matched term,
-  * IN ORDER (overlapping occurrences each count; slop 0 = exact
-  * contiguity, matching positional phrase freq semantics; reference
-  * analog: MatchPhraseQuery via Lucene createPhraseQuery,
-  * dsl/DslQuery.scala:116-129 — Lucene's slop>=2 transposition
-  * allowance is deliberately NOT replicated, see
-  * [[graft.dsl.MatchPhrase]]).
+  * (overlapping occurrences each count; slop 0 = exact contiguity,
+  * matching positional phrase freq semantics; reference analog:
+  * MatchPhraseQuery via Lucene createPhraseQuery,
+  * dsl/DslQuery.scala:116-129 — in order at slop <= 1, with Lucene's
+  * slop>=2 transposition allowance replicated, see
+  * [[graft.dsl.MatchPhrase]] and the companion's `computeSloppy`).
   *
   * A start position i counts iff tokens(i) == phrase(0) and the
   * remaining terms match greedily (each at its earliest position

@@ -70,13 +70,15 @@ object QueryPredicates {
                   .map { case (term, o) => s.getField(s"t$o") === lit(term) }
                   .reduceLeft(_ && _))
             }
-            else {
-              // sloppy: nested exists, term t at a position in
+            else if (slop == 1) {
+              // sloppy ordered: nested exists, term t at a position in
               // (prev, start + t + slop] — existential choice equals
-              // phrase_count's greedy-minimal-span check. Bounds live
-              // in the predicate (sequence(a, b) DESCENDS when a > b,
-              // so computed ranges are unsafe). O(n^m) per row worst
-              // case — fine for a standing stream filter.
+              // phrase_count's greedy-minimal-span check (at slop <= 1
+              // Lucene transpositions are impossible, so ordered is
+              // exact). Bounds live in the predicate (sequence(a, b)
+              // DESCENDS when a > b, so computed ranges are unsafe).
+              // O(n^m) per row worst case — fine for a standing
+              // stream filter.
               def rest(start: Column, prev: Column, t: Int): Column =
                 if (t == m) lit(true)
                 else exists(sequence(lit(1), size(toks)), j =>
@@ -86,7 +88,50 @@ object QueryPredicates {
                 sequence(lit(1), size(toks) - (m - 1)),
                 i => element_at(toks, i) === lit(terms.head) && rest(i, i, 1))
             }
+            else {
+              // slop >= 2: Lucene sloppy-phrase (SloppyPhraseScorer)
+              // semantics, mirroring PhraseCount.computeSloppy — an
+              // INJECTIVE assignment of query terms to token
+              // positions with adjusted-position span
+              // max(p_t - t) - min(p_t - t) <= slop, which admits
+              // out-of-order terms ("b a" matches "a b"~2). The span
+              // check runs at every step (it is monotone in the
+              // chosen set, so stepwise == final). O(n^m) per row
+              // worst case, same budget as the ordered branch.
+              def assign(prev: List[Column], t: Int): Column =
+                if (t == m) lit(true)
+                else exists(sequence(lit(1), size(toks)), q =>
+                  element_at(toks, q) === lit(terms(t)) && {
+                    val distinct = prev.map(p => q =!= p)
+                      .reduceOption(_ && _).getOrElse(lit(true))
+                    val adjs = (prev :+ q).zipWithIndex
+                      .map { case (p, k) => p - lit(k) }
+                    val spanOk =
+                      if (adjs.size < 2) lit(true)
+                      else greatest(adjs: _*) - least(adjs: _*) <= slop
+                    distinct && spanOk && assign(prev :+ q, t + 1)
+                  })
+              assign(Nil, 0)
+            }
           when(size(toks) >= m, hit).otherwise(lit(false))
+        }
+      case MatchNear(f, a, b, dist) =>
+        // same match set as the indexed near_count path (pair with
+        // |i - j| <= dist exists, either order, i < j when a == b) —
+        // expressed registry-free; the indexed path's noMatch on
+        // non-text fields carries over. Bounds are pre-clamped so no
+        // computed sequence() can descend; the empty-array guard
+        // keeps element_at away from index 0.
+        if (!textFields(f)) lit(false)
+        else {
+          val toks = an.tokensCol(col(f))
+          val hit = exists(sequence(lit(1), size(toks)), i =>
+            element_at(toks, i) === lit(a) &&
+              exists(sequence(greatest(i - dist, lit(1)),
+                  least(i + dist, size(toks))), j =>
+                element_at(toks, j) === lit(b) &&
+                  (if (a == b) j > i else lit(true))))
+          when(size(toks) > 0, hit).otherwise(lit(false))
         }
       case MatchAllTerms(f, ts) =>
         if (ts.isEmpty) lit(true) else ts.map(t => tf(f, t) > 0).reduceLeft(_ && _)

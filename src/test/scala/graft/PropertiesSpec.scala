@@ -114,7 +114,11 @@ class PropertiesSpec extends AnyFunSuite {
       Gen.oneOf(".", "d+", "e.", ".*d.*", "a|b", "[cd]d?",
           "~(d.*)", "@", "\"dd\"", "d.&~(dd)", "~(@)", "<1-12>")
         .map(p => MatchRegex("text", p)),
-      for { t <- term; e <- Gen.choose(0, 2) } yield MatchFuzzy("text", t, e))
+      for { t <- term; e <- Gen.choose(0, 2) } yield MatchFuzzy("text", t, e),
+      // span-near leaves: indexed near_count vs stats-free nested
+      // exists must agree (either order, i < j when a == b)
+      for { a <- term; b <- term; d <- Gen.choose(1, 3) }
+        yield MatchNear("text", a, b, d))
     val ast: Gen[SearchQuery] = for {
       l <- leaf; r <- leaf
       q <- Gen.oneOf[SearchQuery](l, And(l, r), Or(l, r), And(l, Not(r)),
