@@ -56,7 +56,7 @@ object Bench {
         n.startsWith("emb_") || // emb_quantize shares the Similarity cohort
         n == "decontaminate_fuzzy" || // shares the MinHash shingle/band caches
         n.startsWith("simhash")) 0 // Dedup + Similarity registries
-      else if (n.matches("^(lang_|quality_|repetition_|token_|fingerprint|multimodal_|source_|stream_|decontaminate|sample_|pack_|vocab_|keywords_|unigram_|bigram_|pii_|distinct_).*")) 1 // cache-free
+      else if (n.matches("^(lang_|quality_|repetition_|token_|fingerprint|multimodal_|source_|stream_|decontaminate|sample_|pack_|vocab_|keywords_|unigram_|bigram_|pii_|distinct_|bpe_|split_|chunk_|curate_|ccnet_|mix_|select_|topk_).*")) 1 // cache-free
       else if (n.matches("^(q\\d|asof_|range_join).*")) 2 // relational, cache-free
       else 3 // search-index cohort (search_*, batch, query_join, stats)
     def clearSection(s: Int): Unit = if (sectioned) s match {

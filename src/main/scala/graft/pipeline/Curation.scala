@@ -715,10 +715,19 @@ object Curation {
     * document length, never with corpus size; no window function, no
     * shuffle, so the pass streams at scan speed over 100 TB. */
   def chunkDocuments(spark: SparkSession, dir: String,
+      window: Int = 32, stride: Int = 24): DataFrame =
+    chunked(spark.read.parquet(s"$dir/documents.parquet"), window, stride)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Column pipeline behind [[chunkDocuments]], shared with the
+    * streaming ingest chunker (stateless, so it applies to a stream
+    * unchanged — batch and online chunk boundaries can never drift).
+    * Input needs (doc_id, text); output (doc_id, chunk_idx, n_tokens,
+    * chunk_text), unordered. */
+  private[graft] def chunked(d: DataFrame,
       window: Int = 32, stride: Int = 24): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), toks(col("text")).as("tokens"))
+    d.select(col("doc_id"), toks(col("text")).as("tokens"))
       .select(col("doc_id"), col("tokens"),
         explode(sequence(lit(0), greatest(size(col("tokens")), lit(1)) - 1,
           lit(stride))).as("start"))
@@ -727,6 +736,5 @@ object Curation {
       .select(col("doc_id"), col("chunk_idx"),
         size(col("chunk")).cast("long").as("n_tokens"),
         concat_ws(" ", col("chunk")).as("chunk_text"))
-      .orderBy("doc_id", "chunk_idx")
   }
 }

@@ -54,6 +54,8 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
     "ann_quantized" -> ((s, dir) => Similarity.quantizedTopK(s, dir)),
+    // filtered vector search: label constraint as the join key
+    "ann_filtered" -> ((s, dir) => Similarity.filteredTopK(s, dir)),
     "decontaminate" -> ((s, dir) => Curation.decontaminate(s, dir)),
     // fuzzy doc-level complement of the exact n-gram decontaminate
     "decontaminate_fuzzy" -> ((s, dir) => Dedup.crossDecontaminate(s, dir)),
@@ -1043,6 +1045,18 @@ object PipelineQueries {
          |s AS (
          |  SELECT q.qid, e.vec_id, list_cosine_similarity(e.v, q.qv) AS cos
          |  FROM e, q WHERE e.vec_id <> q.qid
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM s
+         |)
+         |SELECT qid, rank, vec_id, round(cos, 4) AS cos FROM r WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+
+    "ann_filtered" ->
+      s"""$embCte,
+         |q AS (SELECT vec_id AS qid, v AS qv, label FROM e WHERE vec_id < 5),
+         |s AS (
+         |  SELECT q.qid, e.vec_id, list_cosine_similarity(e.v, q.qv) AS cos
+         |  FROM e JOIN q USING (label) WHERE e.vec_id <> q.qid
          |), r AS (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM s
          |)

@@ -81,6 +81,36 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Filtered vector search: exact cosine top-k restricted to corpus
+    * vectors sharing the query's `label` (the language/class/tenant
+    * constraint every production vector store exposes). The filter is
+    * applied as the JOIN KEY, not post-hoc: label equality turns the
+    * brute-force cross join into an equi-join, so each query only
+    * ever scores its own block — cost is sum |block|·|queries in
+    * block|, never corpus × queries, and pre-filtering can never
+    * under-fill k the way post-filtering an unfiltered top-k does.
+    * At 100 TB the corpus side arrives label-partitioned and the join
+    * is shuffle-free on that layout. Output: (qid, rank, vec_id, cos). */
+  def filteredTopK(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val e = corpus(spark, dir)
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("label"), col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val scored = e.join(broadcast(q), Seq("label"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (call_function("vec_dot", col("v"), col("qv")) /
+          (col("nrm") * col("qnrm"))).as("cos"))
+    val topk = TopKAgg.topk(k)
+    scored.groupBy("qid")
+      .agg(topk(col("vec_id"), col("cos")).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("hit.key").as("vec_id"), round(col("hit.score"), 4).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
   /** Everything the IVF oracle needs to replicate a concrete
     * [[ivfTopK]] run: the fitted centroids AND the query parameters
     * they were probed with. Captured together so the generated SQL

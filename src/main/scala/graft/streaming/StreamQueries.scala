@@ -157,6 +157,19 @@ object StreamQueries {
         name, OutputMode.Append())
       s.table(name).select(col("content_hash")).orderBy("content_hash")
     }),
+    // stateless ingest-time chunking: the batch chunker's Column
+    // pipeline applied to the arriving doc stream unchanged, so
+    // online and offline chunk boundaries agree by construction
+    "stream_chunk" -> ((s, dir) => {
+      val name = s"stream_chunk_${sinkId.incrementAndGet()}"
+      EventStreams.runToMemorySink(
+        graft.pipeline.Curation.chunked(stagedDocs(s, dir)),
+        name, OutputMode.Append())
+      s.table(name)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          col("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
     // stateless ingest-time curation gate: language-ID + quality +
     // PII signals per arriving doc, length/quality filters applied
     "stream_curate" -> ((s, dir) => {
@@ -402,6 +415,19 @@ object StreamQueries {
     "stream_dedup_docs" ->
       """SELECT DISTINCT md5(text) AS content_hash
         |FROM documents ORDER BY content_hash""".stripMargin,
+    // batch replay of the stateless chunker — same SQL as the batch
+    // chunk_documents oracle (the entries share one Column pipeline)
+    "stream_chunk" ->
+      s"""${graft.pipeline.PipelineQueries.toksCte}
+         |SELECT doc_id, CAST(start / 24 AS BIGINT) AS chunk_idx,
+         |  CAST(len(tokens[start + 1 : least(start + 32, len(tokens))]) AS BIGINT) AS n_tokens,
+         |  array_to_string(tokens[start + 1 : least(start + 32, len(tokens))], ' ') AS chunk_text
+         |FROM (
+         |  SELECT doc_id, tokens,
+         |    unnest(range(0, greatest(len(tokens), 1), 24)) AS start
+         |  FROM toks
+         |)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
     // batch replay of the stateless curation gate: same profile
     // scores, quality formula and PII patterns as the batch oracles
     "stream_curate" -> {

@@ -405,6 +405,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(contained >= 0.9, s"int8 top-10-in-exact-top-30 $contained below 0.9")
   }
 
+  test("filteredTopK: label constraint enforced, equals label-restricted brute force") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val got = Similarity.filteredTopK(spark, dir)
+      .select("qid", "rank", "vec_id", "cos").as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (q, _, v, _) =>
+      assert(labels(v) == labels(q), s"hit $v label != query $q label")
+      assert(v != q, "self hit")
+    }
+    // equals the unfiltered brute-force ranking restricted to the
+    // label (k = full corpus so no same-label candidate is truncated;
+    // compare sets at rank k to dodge near-tie ordering)
+    val exact = Similarity.bruteForce(spark, dir, k = 1000)
+      .select("qid", "vec_id", "cos").as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.filter { case (q, v, _) => labels(v) == labels(q) }
+        .sortBy(r => (-r._3, r._2)).map(_._2).take(10)).toMap
+    got.groupBy(_._1).foreach { case (q, hits) =>
+      assert(hits.map(_._3).toSet == exact(q).toSet, s"query $q head mismatch")
+    }
+  }
+
   test("HLL sketches: contract holds and partial sketches merge losslessly") {
     val got = TextAnalysis.distinctTokensHll(spark, "/root/testdata/sf0.001")
       .as[(String, Long, Boolean)].collect()

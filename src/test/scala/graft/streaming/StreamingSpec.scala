@@ -371,6 +371,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 100L, 200L)))
   }
 
+  test("ingest chunking emits the batch chunker's windows, stays stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    val text40 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val out = graft.pipeline.Curation.chunked(docs)
+    val q = out.writeStream.format("memory").queryName("chunk_sink")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((1L, text40), (2L, "short doc"))
+    q.processAllAvailable()
+    val got = spark.table("chunk_sink")
+      .select("doc_id", "chunk_idx", "n_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    // 40 tokens, window 32 / stride 24 -> chunks at 0 (32 toks) and 24 (16 toks)
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1L, 0L, 32L), (1L, 1L, 16L), (2L, 0L, 2L)), got.toSeq)
+    assert(got.head._4 == (1 to 32).map(i => s"w$i").mkString(" "))
+    assert(q.lastProgress.stateOperators.isEmpty)
+    q.stop()
+  }
+
   test("ingest curation gate filters by length and quality, stays stateless") {
     implicit val sqlCtx = spark.sqlContext
     val longDoc = (1 to 40).map(i => s"word$i").mkString(" ")
