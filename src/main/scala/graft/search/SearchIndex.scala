@@ -594,6 +594,39 @@ final class SearchIndex private (
         log(lit(1.0) + (col("num_docs") - col("df") + 0.5) / (col("df") + 0.5)).as("idf"))
   }
 
+  /** Did-you-mean term suggestions (the Lucene DirectSpellChecker /
+    * FuzzySuggester surface): for each input term, the top-`k`
+    * dictionary terms of `field` within `maxEdits` Levenshtein edits,
+    * ranked by (distance, df desc, term) — closer beats more common,
+    * popularity breaks distance ties.
+    *
+    * Distribution shape: the input batch broadcasts against the stats
+    * dictionary with an EXACT length-band prefilter
+    * (|len(term) - len(input)| <= maxEdits) ahead of the Levenshtein
+    * evaluation, so the scan prunes before the O(|a|*|b|) distance
+    * runs; one codegen pass over the dictionary per batch — the same
+    * cost class as Lucene's dictionary iteration (an FST/automaton
+    * prefilter refines the constant, not the shape). The rank window
+    * partitions by input term over band-sized groups. */
+  def suggest(terms: Seq[String], field: String, maxEdits: Int = 2,
+      k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val in = terms.toDF("input_term")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("input_term")
+      .orderBy(col("dist"), col("df").desc, col("term"))
+    stats.where(col("field") === lit(field)).select(col("term"), col("df"))
+      .join(broadcast(in),
+        abs(length(col("term")) - length(col("input_term"))) <= maxEdits)
+      .withColumn("dist", levenshtein(col("term"), col("input_term")))
+      .where(col("dist") <= maxEdits)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("input_term"), col("rank"), col("term"),
+        col("dist").cast("long").as("dist"), col("df"))
+      .orderBy("input_term", "rank")
+  }
+
   /** Index metadata (reference getIndicesInfo, IndicesInfo.scala:6-34). */
   def getIndicesInfo: DataFrame =
     stats.groupBy(col("field"))

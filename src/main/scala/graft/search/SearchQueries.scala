@@ -350,6 +350,10 @@ object SearchQueries {
     "term_counts" -> ((s, dir) =>
       indexFor(s, dir).getTermCounts.orderBy("field", "term")),
 
+    // did-you-mean: top-3 dictionary terms within 2 edits per input
+    "search_suggest" -> ((s, dir) =>
+      indexFor(s, dir).suggest(Seq("spak", "windoww", "qury"), "text")),
+
     "term_idfs" -> ((s, dir) =>
       indexFor(s, dir).getTermIDFs
         .select(col("field"), col("term"), round(col("idf"), 6).as("idf"))
@@ -1049,6 +1053,27 @@ object SearchQueries {
          |UNION ALL
          |SELECT 'source', source, count(*) FROM documents WHERE source IS NOT NULL GROUP BY source
          |ORDER BY field, term""".stripMargin,
+
+    // did-you-mean replica: same dictionary (per-term doc frequency),
+    // same (distance, df desc, term) ranking, same 2-edit band
+    "search_suggest" ->
+      s"""$toksCte,
+         |text_df AS (
+         |  SELECT term, count(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, unnest(tokens) AS term FROM toks) GROUP BY term
+         |), inputs(input_term) AS (VALUES ('spak'), ('windoww'), ('qury')),
+         |cand AS (
+         |  SELECT i.input_term, d.term, levenshtein(d.term, i.input_term) AS dist, d.df
+         |  FROM text_df d, inputs i
+         |  WHERE abs(length(d.term) - length(i.input_term)) <= 2
+         |    AND levenshtein(d.term, i.input_term) <= 2
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY input_term
+         |    ORDER BY dist, df DESC, term) AS rank FROM cand
+         |)
+         |SELECT input_term, rank, term, CAST(dist AS BIGINT) AS dist, df
+         |FROM r WHERE rank <= 3
+         |ORDER BY input_term, rank""".stripMargin,
 
     "term_idfs" ->
       s"""$toksCte,

@@ -116,6 +116,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("filteredTopK joins on the label, never a cartesian scoring pass") {
+    val p = plan(pipeline.Similarity.filteredTopK(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(600))
+    // the label equi-join materializes as a hash join on label
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(600))
+  }
+
   test("curateManifest pays exactly the dedup hash exchange beyond the harness sort") {
     val p = plan(pipeline.Curation.curateManifest(spark, sf))
     val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
