@@ -132,6 +132,11 @@ object QueryProgram {
     // XPHRASE f slop n t*n; XNEAR f dist t t.
     val XTERM = 28; val XALL = 29; val XANY = 30; val XMIN = 31
     val XPHRASE = 32; val XNEAR = 33; val XCANY = 34
+    // synonym group (Lucene SynonymQuery): ONE pseudo-term — tf =
+    // sum of variant tfs, idf = min of variant idfs (= idf of the
+    // max-df variant). Layouts parallel ANY/KWANY/XANY:
+    // SYN n t*n; KWSYN f n t*n; XSYN f n t*n.
+    val SYN = 35; val KWSYN = 36; val XSYN = 37
   }
 
   /** Bound on probe alternatives kept per node — alternatives beyond
@@ -164,6 +169,7 @@ object QueryProgram {
       case _: MatchNear => 5
       case MatchAllTerms(_, ts) => ts.length
       case MatchAnyTerms(_, ts) => ts.length
+      case MatchSynonyms(_, ts) => ts.length
       case MatchMin(_, _, ts) => ts.length
       // expansion leaves and anything else: dictionary-sized work
       case _ => 8
@@ -306,6 +312,12 @@ object QueryProgram {
         else if (kwField(f)) emitKw(Op.KWANY, f, ts, Nil)
         else if (xField(f)) emitX(Op.XANY, f, ts, Nil)
         else emitTerms(Op.ANY, ts, Nil)
+      case MatchSynonyms(f, ts) =>
+        if (badField(f)) ops += Op.NOMATCH
+        else if (ts.isEmpty) ops += Op.NOMATCH
+        else if (kwField(f)) emitKw(Op.KWSYN, f, ts, Nil)
+        else if (xField(f)) emitX(Op.XSYN, f, ts, Nil)
+        else emitTerms(Op.SYN, ts, Nil)
       case MatchMin(f, m, ts) =>
         if (badField(f)) ops += Op.NOMATCH
         else if (ts.isEmpty) ops += (if (m <= 0) Op.TRUEZERO else Op.NOMATCH)
@@ -437,6 +449,11 @@ object QueryProgram {
         else if (ts.isEmpty) Some(none)
         else if (offProbe(f)) None
         else Some(Seq(ts.distinct))
+      case MatchSynonyms(f, ts) =>
+        if (!indexedFields.contains(f)) Some(none)
+        else if (ts.isEmpty) Some(none)
+        else if (offProbe(f)) None
+        else Some(Seq(ts.distinct))
       case MatchMin(f, m, ts) =>
         if (!indexedFields.contains(f)) Some(none)
         else if (m <= 0) None // always matches: total
@@ -524,13 +541,13 @@ object QueryProgram {
     case Op.ALLDOCS | Op.NOMATCH | Op.TRUEZERO | Op.AND | Op.OR |
          Op.NOT | Op.SHOULD => 1
     case Op.BOOST | Op.TERM | Op.EXISTS | Op.MISSING => 2
-    case Op.ALL | Op.ANY | Op.CANY => 2 + ops(pos + 1)
+    case Op.ALL | Op.ANY | Op.CANY | Op.SYN => 2 + ops(pos + 1)
     case Op.MIN | Op.PHRASE | Op.INSET | Op.STRIN | Op.KWALL | Op.KWANY |
-         Op.KWCANY => 3 + ops(pos + 2)
+         Op.KWCANY | Op.KWSYN => 3 + ops(pos + 2)
     case Op.NEAR | Op.CMP | Op.RANGE => 4
     case Op.KWTERM | Op.STREQ | Op.XTERM => 3
     case Op.KWMIN | Op.XMIN | Op.XPHRASE => 4 + ops(pos + 3)
-    case Op.XALL | Op.XANY | Op.XCANY => 3 + ops(pos + 2)
+    case Op.XALL | Op.XANY | Op.XCANY | Op.XSYN => 3 + ops(pos + 2)
     case Op.XNEAR => 5
     case Op.EXPAND => 5
     case other => throw new IllegalStateException(

@@ -71,6 +71,16 @@ final case class MatchAnyTerms(field: String, terms: Seq[String]) extends Search
   * DslQuery.scala:63-76). */
 final case class MatchMin(field: String, min: Int, terms: Seq[String]) extends SearchQuery
 
+/** Synonym group, scored as ONE pseudo-term (Lucene SynonymQuery —
+  * beyond the reference's DSL, which has no synonym surface): tf =
+  * SUM of the synonyms' term frequencies, document frequency = MAX
+  * over the synonyms (equivalently, idf = min of the constituent
+  * idfs), so a document mentioning any variant scores as if the
+  * group were a single term — unlike [[MatchAnyTerms]], which sums
+  * per-term scores and double-counts documents containing several
+  * variants. */
+final case class MatchSynonyms(field: String, terms: Seq[String]) extends SearchQuery
+
 /** Optional scoring clause: matches every document, contributes the
   * inner query's score when the inner query matches (Lucene SHOULD
   * alongside MUST). Produced by [[Parsed.desugar]]. */
@@ -203,6 +213,7 @@ object builders {
     def matchAll(ts: TermSet): SearchQuery = MatchAllTerms(field, ts.terms)
     def matchAny(ts: TermSet): SearchQuery = MatchAnyTerms(field, ts.terms)
     def matchMin(min: Int, ts: TermSet): SearchQuery = MatchMin(field, min, ts.terms)
+    def matchSynonyms(ts: TermSet): SearchQuery = MatchSynonyms(field, ts.terms)
     def matchRegex(pattern: String): SearchQuery = MatchRegex(field, pattern)
     def matchNear(a: String, b: String, dist: Int): SearchQuery =
       MatchNear(field, a, b, dist)

@@ -1497,7 +1497,7 @@ object DslQueryScore {
       case Op.NOT | Op.SHOULD => skip()
       case Op.BOOST => pc += 1; skip()
       case Op.TERM => pc += 1
-      case Op.ALL | Op.ANY => pc += next()
+      case Op.ALL | Op.ANY | Op.SYN => pc += next()
       case Op.MIN => pc += 1; pc += next()
       case Op.PHRASE => pc += 1; pc += next()
       case Op.NEAR => pc += 3
@@ -1506,14 +1506,14 @@ object DslQueryScore {
       case Op.INSET => pc += 1; pc += next()
       case Op.EXISTS | Op.MISSING => pc += 1
       case Op.KWTERM => pc += 2
-      case Op.KWALL | Op.KWANY => pc += 1; pc += next()
+      case Op.KWALL | Op.KWANY | Op.KWSYN => pc += 1; pc += next()
       case Op.KWMIN => pc += 2; pc += next()
       case Op.STREQ => pc += 2
       case Op.STRIN => pc += 1; pc += next()
       case Op.CANY => pc += next()
       case Op.KWCANY => pc += 1; pc += next()
       case Op.XTERM => pc += 2
-      case Op.XALL | Op.XANY | Op.XCANY => pc += 1; pc += next()
+      case Op.XALL | Op.XANY | Op.XCANY | Op.XSYN => pc += 1; pc += next()
       case Op.XMIN | Op.XPHRASE => pc += 2; pc += next()
       case Op.XNEAR => pc += 4
       case _ => () // ALLDOCS / NOMATCH / TRUEZERO
@@ -1559,6 +1559,19 @@ object DslQueryScore {
           j += 1
         }
         (any, s)
+      case Op.SYN =>
+        // SynonymQuery pseudo-term: tf = sum of variant tfs, idf =
+        // min of variant idfs (idf of the max-df variant)
+        val cnt = next()
+        ensureTfs()
+        var tfSum = 0; var idfMin = Double.MaxValue
+        var j = 0
+        while (j < cnt) {
+          val t = next(); tfSum += tfs(t)
+          val i = doubles.getDouble(t); if (i < idfMin) idfMin = i
+          j += 1
+        }
+        (tfSum > 0, if (tfSum > 0) simOf(tfSum.toDouble, idfMin) else 0.0)
       case Op.MIN =>
         val min = next(); val cnt = next()
         ensureTfs()
@@ -1669,6 +1682,21 @@ object DslQueryScore {
           j += 1
         }
         (any, s)
+      case Op.KWSYN =>
+        // keyword synonym group: the value is a single term, so tf is
+        // 0/1 — hit iff the value is any variant, scored at the
+        // group's min idf (the SynonymQuery pseudo-term on tf = 1)
+        val f = next(); val cnt = next()
+        val v = strAttrOf(f)
+        var hit = false; var idfMin = Double.MaxValue
+        var j = 0
+        while (j < cnt) {
+          val t = next()
+          if (v != null && v.equals(terms.getUTF8String(t))) hit = true
+          val i = doubles.getDouble(t); if (i < idfMin) idfMin = i
+          j += 1
+        }
+        (hit, if (hit) kwSim(idfMin) else 0.0)
       case Op.KWMIN =>
         val f = next(); val min = next(); val cnt = next()
         val v = strAttrOf(f)
@@ -1747,6 +1775,19 @@ object DslQueryScore {
           j += 1
         }
         (any, s)
+      case Op.XSYN =>
+        // cross-field SynonymQuery pseudo-term on the secondary
+        // field's token array
+        val f = next(); val cnt = next()
+        xFieldOf(f)
+        var tfSum = 0; var idfMin = Double.MaxValue
+        var j = 0
+        while (j < cnt) {
+          val t = next(); tfSum += xtf(terms.getUTF8String(t))
+          val i = doubles.getDouble(t); if (i < idfMin) idfMin = i
+          j += 1
+        }
+        (tfSum > 0, if (tfSum > 0) xsim(tfSum.toDouble, idfMin) else 0.0)
       case Op.XMIN =>
         val f = next(); val min = next(); val cnt = next()
         xFieldOf(f)

@@ -137,6 +137,10 @@ object QueryPredicates {
         if (ts.isEmpty) lit(true) else ts.map(t => tf(f, t) > 0).reduceLeft(_ && _)
       case MatchAnyTerms(f, ts) =>
         if (ts.isEmpty) lit(false) else ts.map(t => tf(f, t) > 0).reduceLeft(_ || _)
+      // synonym group: scoring differs from Any (SynonymQuery pseudo-
+      // term), the match set does not — any variant present matches
+      case MatchSynonyms(f, ts) =>
+        if (ts.isEmpty) lit(false) else ts.map(t => tf(f, t) > 0).reduceLeft(_ || _)
       case MatchMin(f, min, ts) =>
         ts.map(t => when(tf(f, t) > 0, 1).otherwise(0)).reduceLeft(_ + _) >= min
       case Parsed(f, s) => compile(Parsed.desugar(f, s))

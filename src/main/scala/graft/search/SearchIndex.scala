@@ -148,6 +148,7 @@ final class SearchIndex private (
     case MatchNear(f, a, b, _) => Set(f -> a, f -> b)
     case MatchAllTerms(f, ts) => ts.map(f -> _).toSet
     case MatchAnyTerms(f, ts) => ts.map(f -> _).toSet
+    case MatchSynonyms(f, ts) => ts.map(f -> _).toSet
     case MatchMin(f, _, ts) => ts.map(f -> _).toSet
     case Parsed(f, s) => collectTerms(Parsed.desugar(f, s))
     case Boost(inner, _) => collectTerms(inner)
@@ -287,6 +288,7 @@ final class SearchIndex private (
     case MatchNear(f, _, _, _) if !spec.textFields.contains(f) => noMatch
     case MatchAllTerms(f, _) if !isIndexedField(f) => noMatch
     case MatchAnyTerms(f, _) if !isIndexedField(f) => noMatch
+    case MatchSynonyms(f, _) if !isIndexedField(f) => noMatch
     case MatchMin(f, _, _) if !isIndexedField(f) => noMatch
     case MatchWildcard(f, _) if !isIndexedField(f) => noMatch
     case MatchFuzzy(f, _, _) if !isIndexedField(f) => noMatch
@@ -352,6 +354,20 @@ final class SearchIndex private (
       else {
         val parts = ts.map(t => termScore(f, t, idf))
         (parts.map(_._1).reduceLeft(_ || _), parts.map(_._2).reduceLeft(_ + _))
+      }
+    case MatchSynonyms(f, ts) =>
+      if (ts.isEmpty) (lit(false), lit(0.0))
+      else {
+        // Lucene SynonymQuery: the group scores as ONE pseudo-term —
+        // tf is the SUM of the variants' term frequencies, document
+        // frequency the MAX over variants (idf monotone-decreasing in
+        // df, so that is the MIN of the variant idfs)
+        val tf = ts.map(t => tfCol(f, t).cast("double")).reduceLeft(_ + _)
+        val (dl, avgdl) =
+          if (spec.textFields.contains(f)) (dlCol(f).cast("double"), fieldStats(f).avgDl)
+          else (lit(1.0), 1.0)
+        val s = sim(tf, dl, ts.map(t => idf(f -> t)).min, avgdl)
+        (tf > 0, when(tf > 0, s).otherwise(lit(0.0)))
       }
     case MatchMin(f, min, ts) =>
       val parts = ts.map(t => termScore(f, t, idf))

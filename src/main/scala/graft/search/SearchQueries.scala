@@ -203,6 +203,11 @@ object SearchQueries {
     "search_any" -> ((s, dir) =>
       topkOut(indexFor(s, dir).search("text" matchAny termSet("spark", "join", "window"), 10))),
 
+    // synonym group scored as ONE pseudo-term (Lucene SynonymQuery):
+    // tf summed across variants, idf of the most frequent variant
+    "search_synonyms" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search("text" matchSynonyms termSet("row", "line"), 10))),
+
     // all terms required
     "search_all" -> ((s, dir) =>
       topkOut(indexFor(s, dir).search("text" matchAllText "spark join", 10))),
@@ -814,6 +819,24 @@ object SearchQueries {
   private val staticOracles: Map[String, String] = Map(
     "search_topk" -> termQueryOracle(Seq("spark"), 1, 10),
     "search_any" -> termQueryOracle(Seq("spark", "join", "window"), 1, 10),
+
+    // SynonymQuery: tf = tf_row + tf_line, df = max of the two dfs
+    "search_synonyms" ->
+      s"""$toksCte,
+         |dfs AS (
+         |  SELECT ${dfSql("row")} AS df_0, ${dfSql("line")} AS df_1 FROM (SELECT 1)
+         |), scored AS (
+         |  SELECT t.doc_id, len(t.tokens) AS dl, st.n, st.avgdl, dfs.*,
+         |    ${tfSql("row")} + ${tfSql("line")} AS tf_s
+         |  FROM toks t, st, dfs
+         |), s2 AS (
+         |  SELECT *, ${bm25Sql("tf_s", idfSql("greatest(df_0, df_1)"))} AS score
+         |  FROM scored
+         |)
+         |SELECT doc_id, round(score, 4) AS score FROM s2
+         |WHERE tf_s > 0
+         |ORDER BY s2.score DESC, doc_id
+         |LIMIT 10""".stripMargin,
     "search_all" -> termQueryOracle(Seq("spark", "join"), 0, 10),
     "search_min2" -> termQueryOracle(Seq("spark", "join", "window"), 2, 10),
 

@@ -98,6 +98,9 @@ class PropertiesSpec extends AnyFunSuite {
     val leaf: Gen[SearchQuery] = Gen.oneOf(
       term.map(t => MatchTerm("text", t)),
       Gen.listOfN(2, term).map(ts => MatchAnyTerms("text", ts.distinct)),
+      // synonym groups: SynonymQuery scoring differs from Any, the
+      // match set must not
+      Gen.listOfN(2, term).map(ts => MatchSynonyms("text", ts.distinct)),
       Gen.listOfN(2, term).map(ts => MatchAllTerms("text", ts.distinct)),
       Gen.listOfN(2, term).map(ts => MatchPhrase("text", ts.mkString(" "))),
       // sloppy phrases: indexed phrase_count vs stats-free nested

@@ -101,6 +101,9 @@ class QueryJoinAstSpec extends AnyFunSuite {
     check(_ => Or(MatchTerm("text", "cluster"), MatchTerm("lang", "de")), minHits = 1)
     check(_ => MatchTerm("lang", "fr"), minHits = 1) // pure keyword: corpus pass
     check(_ => MatchAnyTerms("lang", Seq("fr", "de")), minHits = 1)
+    check(_ => MatchSynonyms("lang", Seq("fr", "de")), minHits = 1)
+    check(_ => And(MatchTerm("text", "dog"),
+      MatchSynonyms("text", Seq("quick", "fast"))), minHits = 1)
     check(_ => And(MatchTerm("text", "spark"), MatchAllTerms("lang", Seq("fr"))), minHits = 1)
     check(_ => MatchMin("lang", 1, Seq("en", "de")), minHits = 1)
     check(_ => Should(Boost(MatchTerm("lang", "en"), 2.0)), minHits = 1)
@@ -136,7 +139,11 @@ class QueryJoinAstSpec extends AnyFunSuite {
       case 10 => EqFilter("lang", langs(rnd.nextInt(langs.length)))
       case 11 => MatchAnyTerms("lang",
         Seq.fill(1 + rnd.nextInt(2))(langs(rnd.nextInt(langs.length))).distinct)
-      case 12 => MatchText("text", s"${vocab(rnd.nextInt(vocab.length))} processing")
+      case 12 =>
+        if (rnd.nextBoolean())
+          MatchText("text", s"${vocab(rnd.nextInt(vocab.length))} processing")
+        else MatchSynonyms("text",
+          Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.length))).distinct)
       // dictionary-expansion leaves: prefixes/edits/regexes over both
       // the text vocabulary and the keyword field, some matching
       // nothing
@@ -295,8 +302,12 @@ class QueryJoinAstSpec extends AnyFunSuite {
     def leaf(rnd: Random): SearchQuery = rnd.nextInt(8) match {
       case 0 => MatchTerm("text", tvocab(rnd.nextInt(tvocab.length)))
       case 1 => MatchTerm("title", titles(rnd.nextInt(titles.length)))
-      case 2 => MatchAnyTerms("title",
-        Seq.fill(1 + rnd.nextInt(3))(titles(rnd.nextInt(titles.length))).distinct)
+      case 2 =>
+        if (rnd.nextBoolean())
+          MatchAnyTerms("title",
+            Seq.fill(1 + rnd.nextInt(3))(titles(rnd.nextInt(titles.length))).distinct)
+        else MatchSynonyms("title",
+          Seq.fill(1 + rnd.nextInt(3))(titles(rnd.nextInt(titles.length))).distinct)
       case 3 => MatchAllTerms("title",
         Seq.fill(1 + rnd.nextInt(2))(titles(rnd.nextInt(titles.length))).distinct)
       case 4 => MatchPhrase("title",
