@@ -108,6 +108,19 @@ object SourceQueries {
         .orderBy("source")
     }),
 
+    // z-ordered corpus layout: 2-D range predicate over the Morton-
+    // clustered files; the round trip must be lossless (the layout
+    // only moves rows between files). The clustering claim — matching
+    // rows concentrate in few files — is asserted in LayoutSpec.
+    "source_zorder" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      ZOrderedCorpus.docsZOrdered(s, dir)
+        .where(col("n_chars").between(300, 600) and col("doc_id") < 200)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     // WARC file -> framed records with headers and bodies
     "source_warc" -> ((s, _) =>
       Warc.read(s, warcDirPath)
@@ -146,6 +159,12 @@ object SourceQueries {
       "source_partitioned" ->
         """SELECT source, count(1) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
           |FROM documents WHERE lang = 'en'
-          |GROUP BY source ORDER BY source""".stripMargin)
+          |GROUP BY source ORDER BY source""".stripMargin,
+      // the z-order round trip is lossless: the 2-D range slice of
+      // the clustered layout equals the unclustered table's
+      "source_zorder" ->
+        """SELECT lang, count(1) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM documents WHERE n_chars BETWEEN 300 AND 600 AND doc_id < 200
+          |GROUP BY lang ORDER BY lang""".stripMargin)
   }
 }

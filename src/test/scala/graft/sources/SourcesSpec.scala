@@ -119,4 +119,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.count() == 1)
     assert(df.select("content").as[String].head() == body)
   }
+
+  test("z-order layout: lossless, and 2-D slices cluster into fewer files") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val n = 8
+    val z = ZOrderedCorpus.docsZOrdered(spark, dir, numFiles = n)
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+    // lossless: same rows, any order
+    assert(z.count() == base.count())
+    assert(z.select("doc_id").except(base.select("doc_id")).isEmpty)
+    // clustering: a 2-D range slice touches FEWER files than under a
+    // hash-distributed layout with the same file count (the property
+    // that makes parquet min/max skipping effective)
+    val hashOut = Files.createTempDirectory("hashlayout").toString
+    base.repartition(n, col("doc_id")).write.mode("overwrite").parquet(hashOut)
+    val pred = col("n_chars").between(300, 600) and col("doc_id") < 200
+    def filesTouched(df: org.apache.spark.sql.DataFrame): Long =
+      df.where(pred).select(input_file_name()).distinct().count()
+    val zf = filesTouched(spark.read.parquet(ZOrderedCorpus.layoutPath(dir)))
+    val hf = filesTouched(spark.read.parquet(hashOut))
+    assert(zf < hf, s"z-order files $zf !< hash files $hf")
+    // morton code basics: interleave is monotone in each dim's bits
+    val m = base.limit(1).select(
+      ZOrderedCorpus.morton16(lit(3), lit(0)),
+      ZOrderedCorpus.morton16(lit(0), lit(3)),
+      ZOrderedCorpus.morton16(lit(65535), lit(65535))).head()
+    assert(m.getLong(0) == 5L)        // bits of a at even positions
+    assert(m.getLong(1) == 10L)       // bits of b at odd positions
+    assert(m.getLong(2) == 0xFFFFFFFFL)
+  }
 }
