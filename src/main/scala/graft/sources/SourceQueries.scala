@@ -121,6 +121,18 @@ object SourceQueries {
         .orderBy("lang")
     }),
 
+    // fragment-then-compact maintenance pass: the compacted corpus
+    // must be lossless (SourcesSpec asserts the file-count and
+    // point-lookup-skipping claims)
+    "source_compacted" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      ZOrderedCorpus.docsCompacted(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
+
     // WARC file -> framed records with headers and bodies
     "source_warc" -> ((s, _) =>
       Warc.read(s, warcDirPath)
@@ -165,6 +177,12 @@ object SourceQueries {
       "source_zorder" ->
         """SELECT lang, count(1) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
           |FROM documents WHERE n_chars BETWEEN 300 AND 600 AND doc_id < 200
-          |GROUP BY lang ORDER BY lang""".stripMargin)
+          |GROUP BY lang ORDER BY lang""".stripMargin,
+      // compaction is pure layout: per-lang stats of the compacted
+      // corpus equal the original table's
+      "source_compacted" ->
+        """SELECT lang, count(1) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  min(doc_id) AS min_id, max(doc_id) AS max_id
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
   }
 }

@@ -81,4 +81,49 @@ object ZOrderedCorpus {
     }
     spark.read.parquet(out)
   }
+
+  /** Small-file compaction — the maintenance pass every long-lived
+    * 100 TB corpus needs after incremental ingest fragments it
+    * (thousands of per-micro-batch files kill scan throughput via
+    * open/seek overhead and tiny row groups). Rewrites the input as
+    * `ceil(totalBytes / targetFileBytes)` range-partitioned files
+    * sorted on `sortCol`, restoring both file sizing AND min/max
+    * skipping on the sort key. Sizing uses the files' own on-disk
+    * footprint (one driver-side listing, no data pass); the rewrite
+    * is one range shuffle, the same cost class as any sorted write. */
+  def compact(spark: SparkSession, in: String, out: String,
+      sortCol: String, targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val totalBytes = {
+      val fs = new java.io.File(in)
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length()
+        else 0L
+      walk(fs)
+    }
+    val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(in)
+      .repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite").parquet(out)
+    numFiles
+  }
+
+  /** Write-once fragment-then-compact fixture of the documents table
+    * (the `source_compacted` entry's corpus): fragmented to 64 files
+    * first, then compacted on doc_id — so the entry reads the
+    * compacted output of a genuinely fragmented input. */
+  def docsCompacted(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_fixtures/compact_docs_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    written.synchronized {
+      if (!written.contains(out)) {
+        val frag = out + "_frag"
+        spark.read.parquet(s"$dir/documents.parquet")
+          .repartition(64).write.mode("overwrite").parquet(frag)
+        compact(spark, frag, out, sortCol = "doc_id")
+        written += out
+      }
+    }
+    spark.read.parquet(out)
+  }
 }

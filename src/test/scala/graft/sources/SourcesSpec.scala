@@ -149,4 +149,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(m.getLong(1) == 10L)       // bits of b at odd positions
     assert(m.getLong(2) == 0xFFFFFFFFL)
   }
+
+  test("compaction merges a fragmented corpus losslessly and restores skipping") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+    val fragmented = Files.createTempDirectory("frag").toString
+    base.repartition(64).write.mode("overwrite").parquet(fragmented)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(fragmented) == 64)
+    val compacted = Files.createTempDirectory("compact").toString
+    // target sized so the tiny fixture lands in very few files
+    ZOrderedCorpus.compact(spark, fragmented, compacted, sortCol = "doc_id",
+      targetFileBytes = 64L * 1024 * 1024)
+    assert(parquetFiles(compacted) < 64, "compaction must reduce file count")
+    val re = spark.read.parquet(compacted)
+    assert(re.count() == base.count())
+    assert(re.select("doc_id").except(base.select("doc_id")).isEmpty)
+    // sort restored: a doc_id point predicate touches one file
+    val touched = re.where(col("doc_id") === 42L)
+      .select(input_file_name()).distinct().count()
+    assert(touched == 1L)
+  }
 }
