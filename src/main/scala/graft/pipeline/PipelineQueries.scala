@@ -36,6 +36,8 @@ object PipelineQueries {
     "dedup_embedding_lsh" -> ((s, dir) => Dedup.embeddingPairsLsh(s, dir)),
     "ann_bruteforce" -> ((s, dir) => Similarity.bruteForce(s, dir)),
     "ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir)),
+    // multi-probe LSH: Hamming-1 neighbor buckets probed query-side
+    "ann_lsh_multiprobe" -> ((s, dir) => Similarity.lshMultiProbeTopK(s, dir)),
     // oracle generated at runtime from the fitted centroids (see
     // ivfOracle below); KMeans quality itself is covered by IvfSpec
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir, recordAs = Some("ann_ivf"))),
@@ -1079,6 +1081,30 @@ object PipelineQueries {
          |), s AS (
          |  SELECT q.qid, eb.vec_id, list_cosine_similarity(eb.v, q.qv) AS cos
          |  FROM eb JOIN q USING (bucket) WHERE eb.vec_id <> q.qid
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM s
+         |)
+         |SELECT qid, rank, vec_id, round(cos, 4) AS cos FROM r WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+
+    // multi-probe: candidates are Hamming-distance <= 1 bucket pairs
+    "ann_lsh_multiprobe" ->
+      s"""$embCte,
+         |planes(i, p) AS (VALUES
+         |    $annLshPlanesValues
+         |), bk AS (
+         |  SELECT e.vec_id,
+         |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65), j -> e.v[j] * pl.p[j])) >= 0
+         |      THEN (1::BIGINT << pl.i) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM e, planes pl GROUP BY e.vec_id
+         |), eb AS (
+         |  SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id)
+         |), q AS (
+         |  SELECT vec_id AS qid, v AS qv, bucket FROM eb WHERE vec_id < 5
+         |), s AS (
+         |  SELECT q.qid, eb.vec_id, list_cosine_similarity(eb.v, q.qv) AS cos
+         |  FROM eb, q
+         |  WHERE eb.vec_id <> q.qid AND bit_count(xor(eb.bucket, q.bucket)) <= 1
          |), r AS (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM s
          |)

@@ -355,6 +355,40 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Multi-probe LSH (Lv et al. VLDB 2007, public): each query probes
+    * its own sign-bit bucket AND every Hamming-distance-1 neighbor
+    * (flip one of the `nPlanes` bits) — the standard recall fix for
+    * bucketed LSH, recovering near neighbors that land just across a
+    * hyperplane without adding hash tables. The probe set explodes
+    * QUERY-side (nPlanes + 1 rows per query — queries are the small
+    * side), so candidate generation stays a bucket EQUI-JOIN against
+    * the same persisted corpus bucket table as [[lshTopK]]; a
+    * Hamming-distance join predicate would be a nested-loop scan.
+    * Exact cosine rerank on the candidate union, bounded [[TopKAgg]]. */
+  def lshMultiProbeTopK(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 5, nPlanes: Int = 8): DataFrame = {
+    val e = corpusLshBuckets(spark, dir, nPlanes)
+    val probes = array((0 until nPlanes).map(i =>
+      col("bucket").bitwiseXOR(lit(1L << i))) :+ col("bucket"): _*)
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
+        explode(probes).as("bucket"))
+    val scored = e.join(q, "bucket")
+      .where(col("vec_id") =!= col("qid"))
+      // a candidate can only arrive via ONE probe bucket (its own),
+      // so the union carries no duplicates and needs no distinct
+      .select(col("qid"), col("vec_id"),
+        (call_function("vec_dot", col("v"), col("qv")) /
+          (col("nrm") * col("qnrm"))).as("cos"))
+    val topk = TopKAgg.topk(k)
+    scored.groupBy("qid")
+      .agg(topk(col("vec_id"), col("cos")).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("hit.key").as("vec_id"), round(col("hit.score"), 4).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|x|/127,
     * q_i = half-even(v_i / scale) ∈ [-127, 127] — the standard 4x
     * embedding-storage reduction for ANN at corpus scale (float32 →

@@ -405,6 +405,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(contained >= 0.9, s"int8 top-10-in-exact-top-30 $contained below 0.9")
   }
 
+  test("multi-probe LSH recalls at least as much as single-bucket LSH") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("qid", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = hits(Similarity.bruteForce(spark, dir, k = 5))
+    val single = hits(Similarity.lshTopK(spark, dir))
+    val multi = hits(Similarity.lshMultiProbeTopK(spark, dir))
+    def recall(got: Map[Long, Set[Long]]): Double =
+      exact.keys.toSeq.map { q =>
+        (exact(q) & got.getOrElse(q, Set.empty)).size.toDouble / exact(q).size
+      }.sum / exact.size
+    val (rs, rm) = (recall(single), recall(multi))
+    assert(rm >= rs, s"multi-probe recall $rm < single-bucket $rs")
+    // probing 9 buckets instead of 1 must surface strictly more
+    // candidates on this corpus (each query fills its k)
+    assert(multi.values.map(_.size).sum > single.values.map(_.size).sum)
+  }
+
   test("filteredTopK: label constraint enforced, equals label-restricted brute force") {
     import org.apache.spark.sql.functions._
     val spark = TestSpark.spark
