@@ -402,6 +402,53 @@ object RelationalQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // --- staged funnel (view -> click -> purchase, each stage
+    //     strictly after the previous): three per-user aggregations
+    //     co-partitioned on user_id (AQE reuses the exchange), never
+    //     a per-event sequence scan — stage columns stay one row per
+    //     user at any corpus size ---
+    "q28_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val u1 = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val u2 = ev.where(col("event_type") === "click").join(u1, "user_id")
+        .where(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val u3 = ev.where(col("event_type") === "purchase").join(u2, "user_id")
+        .where(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      val stages = Seq(("1_view", u1), ("2_click_after_view", u2),
+        ("3_purchase_after_click", u3))
+      stages.map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+      }.reduceLeft(_ unionAll _).orderBy("stage")
+    }),
+
+    // --- daily resample with gap fill: per-user daily grid between
+    //     first and last activity, missing days zero-filled, last
+    //     event type forward-filled. Grid rows explode in-row from
+    //     one sequence() per user (span-bounded, never corpus-bounded)
+    //     and the fill is one window over the user's own days ---
+    "q29_resample" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"), decSum(col("value"), 4).as("sum_value"),
+          max(struct(col("ts"), col("event_id"), col("event_type")))
+            .getField("event_type").as("day_last_type"))
+      val grid = daily.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
+          last(col("day_last_type"), ignoreNulls = true).over(w).as("last_type"))
+        .orderBy("user_id", "day")
+    }),
+
     // --- as-of join (point-in-time lookup): each purchase joined to
     //     the user's latest click at or before it — union + window,
     //     ONE shuffle, no join node, no row amplification
@@ -705,6 +752,42 @@ object RelationalQueries {
         |  CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // staged funnel: same three-level strictly-after aggregation
+    "q28_funnel" ->
+      """WITH u1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+        |), u2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN u1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1
+        |), u3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN u2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1
+        |)
+        |SELECT '1_view' AS stage, count(1) AS n_users FROM u1
+        |UNION ALL SELECT '2_click_after_view', count(1) FROM u2
+        |UNION ALL SELECT '3_purchase_after_click', count(1) FROM u3
+        |ORDER BY stage""".stripMargin,
+
+    // daily grid + zero fill + IGNORE NULLS forward fill
+    "q29_resample" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(1) AS n_events,
+        |    CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE) AS sum_value,
+        |    max({'ts': ts, 'eid': event_id, 'et': event_type}) AS mx
+        |  FROM events GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT user_id, unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+        |  FROM daily GROUP BY user_id
+        |)
+        |SELECT g.user_id, g.day,
+        |  coalesce(d.n_events, 0) AS n_events,
+        |  coalesce(d.sum_value, 0.0) AS sum_value,
+        |  last_value(d.mx.et IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_type
+        |FROM grid g LEFT JOIN daily d USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
 
     // DuckDB's native ASOF LEFT JOIN is the oracle for the union+window
     // as-of; clicks pre-deduped per (user, ts) in both engines so the
