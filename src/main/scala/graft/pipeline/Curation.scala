@@ -665,6 +665,30 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Quality-proportional importance selection (the deterministic
+    * form of importance resampling for data selection, cf. DSIR —
+    * Xie et al. 2023, public): keep each document with probability
+    * equal to its quality score, implemented as a HASH threshold
+    * (md5 bucket of doc_id in [0, 10000) kept iff below
+    * quality x 10000) instead of an RNG draw — so the selection is
+    * reproducible row-for-row on any cluster, any partitioning, any
+    * re-run, and composes with the other hash-keyed selections
+    * ([[stratifiedSample]], [[splitAssign]]) without correlation
+    * (different hash inputs). Pure map-side: no shuffle, no state.
+    * The quality score is the shared
+    * [[graft.pipeline.TextAnalysis.qualityExpr]] (rounded to 4
+    * decimals, so the x 10000 threshold is integer-exact in both
+    * engines). */
+  def selectImportance(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SearchExpressions.register(spark)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("quality", TextAnalysis.qualityExpr(toks(col("text"))))
+      .withColumn("bucket", md5Bucket(col("doc_id"), 10000))
+      .where(col("bucket") < col("quality") * 10000)
+      .select(col("doc_id"), col("quality"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end curation manifest — the batch materialization a
     * training run actually consumes, composing the pipeline's stages
     * in their production order: (1) exact-dedup keep rule (first

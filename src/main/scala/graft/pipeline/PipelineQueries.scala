@@ -68,6 +68,8 @@ object PipelineQueries {
     "chunk_documents" -> ((s, dir) => Curation.chunkDocuments(s, dir)),
     // end-to-end manifest: dedup keep + quality gates + split labels
     "curate_manifest" -> ((s, dir) => Curation.curateManifest(s, dir)),
+    // quality-proportional deterministic importance selection
+    "select_importance" -> ((s, dir) => Curation.selectImportance(s, dir)),
     "pack_sequences" -> ((s, dir) => Curation.packSequences(s, dir)),
     "vocab_coverage" -> ((s, dir) => Curation.vocabCoverage(s, dir)),
     "keywords_tfidf" -> ((s, dir) => Curation.keywordsTfidf(s, dir)),
@@ -692,6 +694,26 @@ object PipelineQueries {
          |SELECT doc_id, array_to_string(tokens, ' ') AS decoded
          |FROM toks WHERE len(tokens) > 0
          |ORDER BY doc_id""".stripMargin,
+
+    "select_importance" -> {
+      val enList = TextAnalysis.LangProfiles.toMap.apply("en")
+        .map(w => s"'$w'").mkString(", ")
+      s"""$toksCte
+         |SELECT doc_id,
+         |  round_even((least(n_tokens / 100.0, 1.0) * (1 - stop_ratio) * ttr) * 1e4, 0) / 1e4 AS quality,
+         |  bucket
+         |FROM (
+         |  SELECT doc_id,
+         |    len(tokens)::BIGINT AS n_tokens,
+         |    round_even((len(list_distinct(tokens))::DOUBLE / greatest(len(tokens), 1)) * 1e4, 0) / 1e4 AS ttr,
+         |    round_even((len(list_filter(tokens, x -> list_contains([$enList], x)))::DOUBLE
+         |      / greatest(len(tokens), 1)) * 1e4, 0) / 1e4 AS stop_ratio,
+         |    ${md5BucketSql("doc_id", 10000)} AS bucket
+         |  FROM toks
+         |)
+         |WHERE bucket < round_even((least(n_tokens / 100.0, 1.0) * (1 - stop_ratio) * ttr) * 1e4, 0) / 1e4 * 10000
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "curate_manifest" -> {
       val langs = TextAnalysis.LangProfiles.map(_._1)
