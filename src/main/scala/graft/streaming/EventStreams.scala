@@ -136,6 +136,59 @@ object EventStreams {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, event_type: String,
+      ts: java.sql.Timestamp, event_id: Long)
+  /** Stage machine state: 0 = nothing, 1 = seen stage-1, 2 = seen
+    * stage-2 after stage-1, 3 = completed (terminal). Times in epoch
+    * micros. */
+  private[streaming] final case class FunnelState(stage: Int, t1: Long, t2: Long)
+  final case class FunnelCompletion(user_id: Long, t1_us: Long, t2_us: Long, t3_us: Long)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  /** Streaming funnel detection — the online twin of the batch
+    * q28_funnel: a per-user stage machine over arriving events emits
+    * one completion row the moment the user finishes
+    * stage1 -> stage2 -> stage3 with each stage STRICTLY after the
+    * previous (greedy-first matching on the event-time order, which
+    * equals the batch min-time formulation). State per user is three
+    * numbers — bounded forever regardless of event volume, the
+    * property that lets conversion tracking run continuously.
+    *
+    * Events are event-time-sorted WITHIN each micro-batch (ties by
+    * event_id); cross-batch correctness needs batches time-ordered
+    * per user, which the bounded single-file replay satisfies — a
+    * production deployment feeds this from a per-key-ordered log
+    * (Kafka partitions by user) exactly as it would any sequence
+    * detector. */
+  def funnelStream(events: Dataset[FunnelEvent],
+      stages: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelCompletion] = {
+    import events.sparkSession.implicits._
+    require(stages.size == 3, "funnelStream models a three-stage funnel")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelCompletion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelCompletion]
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val us = micros(e.ts)
+            if (st.stage == 0 && e.event_type == stages(0))
+              st = FunnelState(1, us, 0L)
+            else if (st.stage == 1 && e.event_type == stages(1) && us > st.t1)
+              st = FunnelState(2, st.t1, us)
+            else if (st.stage == 2 && e.event_type == stages(2) && us > st.t2) {
+              out += FunnelCompletion(userId, st.t1, st.t2, us)
+              st = FunnelState(3, st.t1, st.t2)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Incremental index maintenance: term statistics (cf = total term
     * frequency, df = doc frequency) maintained as streaming state over
     * a document stream — the streaming counterpart of

@@ -157,6 +157,21 @@ object StreamQueries {
         name, OutputMode.Append())
       s.table(name).select(col("content_hash")).orderBy("content_hash")
     }),
+    // per-user funnel stage machine: emits one completion row when a
+    // user finishes view -> click -> purchase, each strictly after
+    // the previous; bounded three-number state per user forever
+    "stream_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val name = s"stream_funnel_${sinkId.incrementAndGet()}"
+      val ev = stagedEvents(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .as[EventStreams.FunnelEvent]
+      EventStreams.runToMemorySink(
+        EventStreams.funnelStream(ev).toDF(), name, OutputMode.Append())
+      s.table(name)
+        .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"))
+        .orderBy("user_id")
+    }),
     // stateless ingest-time chunking: the batch chunker's Column
     // pipeline applied to the arriving doc stream unchanged, so
     // online and offline chunk boundaries agree by construction
@@ -415,6 +430,23 @@ object StreamQueries {
     "stream_dedup_docs" ->
       """SELECT DISTINCT md5(text) AS content_hash
         |FROM documents ORDER BY content_hash""".stripMargin,
+    // batch replay of the funnel machine: greedy-first on event-time
+    // order equals the min-time three-level formulation (q28's shape,
+    // here keeping the per-user completion times)
+    "stream_funnel" ->
+      """WITH u1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+        |), u2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN u1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1
+        |), u3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN u2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1
+        |)
+        |SELECT u3.user_id, epoch_us(u1.t1) AS t1_us, epoch_us(u2.t2) AS t2_us,
+        |  epoch_us(u3.t3) AS t3_us
+        |FROM u3 JOIN u2 USING (user_id) JOIN u1 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     // batch replay of the stateless chunker — same SQL as the batch
     // chunk_documents oracle (the entries share one Column pipeline)
     "stream_chunk" ->

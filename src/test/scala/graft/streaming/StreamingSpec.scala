@@ -371,6 +371,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 100L, 200L)))
   }
 
+  test("funnel machine carries stage state across micro-batches, enforces strict order") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.FunnelEvent
+    val mem = MemoryStream[FunnelEvent]
+    val out = EventStreams.funnelStream(mem.toDS()).toDF()
+    val q = out.writeStream.format("memory").queryName("funnel_sink")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: user 1 views; user 2 purchases first (wrong order)
+    mem.addData(
+      FunnelEvent(1L, "view", ts(0), 1L),
+      FunnelEvent(2L, "purchase", ts(0), 2L),
+      FunnelEvent(2L, "click", ts(1), 3L))
+    q.processAllAvailable()
+    assert(spark.table("funnel_sink").isEmpty)
+    // batch 2: user 1 completes across the batch boundary (state
+    // carried); user 2 views too late — stages must be strictly
+    // ordered per user, so no completion for them
+    mem.addData(
+      FunnelEvent(1L, "click", ts(5), 4L),
+      FunnelEvent(1L, "purchase", ts(9), 5L),
+      FunnelEvent(2L, "view", ts(6), 6L))
+    q.processAllAvailable()
+    val got = spark.table("funnel_sink")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L), got)
+    val r = got.head
+    assert(r._2 < r._3 && r._3 < r._4, r)
+    // a second purchase must not emit again (terminal state)
+    mem.addData(FunnelEvent(1L, "purchase", ts(20), 7L))
+    q.processAllAvailable()
+    assert(spark.table("funnel_sink").count() == 1)
+    q.stop()
+  }
+
   test("stateful aggregation resumes from a checkpoint: state and offsets recover") {
     implicit val sqlCtx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("ckpt_out").toString
