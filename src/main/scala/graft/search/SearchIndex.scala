@@ -493,6 +493,33 @@ final class SearchIndex private (
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Field-collapsed search (Lucene grouping / Elasticsearch
+    * `collapse`, public API surface): top-k results with at most ONE
+    * hit per value of `collapseField`, each group represented by its
+    * best-scoring document (score desc, then smallest key — the
+    * engine's standard tie-break). The collapse happens BEFORE the
+    * global top-k as a per-group max aggregation, so the exchange
+    * carries one row per distinct collapse value (with map-side
+    * partials), never the full match set — the result-diversity
+    * operator behind per-site SERP dedup, bounded at any corpus
+    * size by the collapse-field cardinality. */
+  def collapseSearch(q: SearchQuery, collapseField: String, k: Int): DataFrame = {
+    require(spec.storePositions,
+      "collapseSearch requires storePositions=true (scan-path scoring)")
+    val (pred, score) = compile(q)
+    docs
+      .withColumn("score", score)
+      .where(pred)
+      .groupBy(col(collapseField))
+      // max(struct) picks highest score; -key makes ties prefer the
+      // SMALLEST key, matching orderBy(score desc, key asc)
+      .agg(max(struct(col("score"), (-key).as("negkey"))).as("best"))
+      .select((col("best.negkey") * -1).as(spec.keyCol),
+        col(collapseField), col("best.score").as("score"))
+      .orderBy(col("score").desc, key.asc)
+      .limit(k)
+  }
+
   /** Cursor ("search_after") pagination, the Elasticsearch/Lucene
     * deep-paging API: page N+1 is everything strictly after the
     * cursor — the (score, key) of page N's last row — in the result

@@ -452,6 +452,12 @@ object SearchQueries {
         .facetCounts("text" matchAny termSet("spark", "join"), Seq("lang", "source"))
         .orderBy("facet", "value")),
 
+    // field collapsing: at most one (best) hit per source
+    "search_collapsed" -> ((s, dir) =>
+      indexFor(s, dir)
+        .collapseSearch("text" matchAny termSet("spark", "join"), "source", 10)
+        .select(col("doc_id"), col("source"), round(col("score"), 4).as("score"))),
+
     // cursor pagination: page 2 strictly after page 1's (score, key)
     // cursor — a predicate, not an OFFSET re-sort; oracle is the same
     // ranking with OFFSET 10
@@ -819,6 +825,29 @@ object SearchQueries {
   private val staticOracles: Map[String, String] = Map(
     "search_topk" -> termQueryOracle(Seq("spark"), 1, 10),
     "search_any" -> termQueryOracle(Seq("spark", "join", "window"), 1, 10),
+
+    // field collapsing: best (score desc, doc_id asc) hit per source,
+    // then the global top-10 over the group winners
+    "search_collapsed" ->
+      s"""$toksCte,
+         |dfs AS (
+         |  SELECT ${dfSql("spark")} AS df_0, ${dfSql("join")} AS df_1 FROM (SELECT 1)
+         |), scored AS (
+         |  SELECT t.doc_id, t.source, len(t.tokens) AS dl, st.n, st.avgdl, dfs.*,
+         |    ${tfSql("spark")} AS tf_0, ${tfSql("join")} AS tf_1
+         |  FROM toks t, st, dfs
+         |), s2 AS (
+         |  SELECT doc_id, source,
+         |    ${bm25Sql("tf_0", idfSql("df_0"))} + ${bm25Sql("tf_1", idfSql("df_1"))} AS score
+         |  FROM scored WHERE tf_0 > 0 OR tf_1 > 0
+         |), best AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY score DESC, doc_id) AS rn FROM s2
+         |)
+         |SELECT doc_id, source, round(score, 4) AS score FROM best
+         |WHERE rn = 1
+         |ORDER BY score DESC, doc_id
+         |LIMIT 10""".stripMargin,
 
     // SynonymQuery: tf = tf_row + tf_line, df = max of the two dfs
     "search_synonyms" ->

@@ -116,6 +116,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("collapseSearch aggregates per group, never a window over the match set") {
+    import graft.dsl._
+    val df = search.SearchQueries.indexFor(spark, sf)
+      .collapseSearch("text" matchAny termSet("spark", "join"), "source", 10)
+    val p = plan(df)
+    // struct-max plans as SortAggregate; the point is the MAP-SIDE
+    // partial (one row per group crosses the exchange) and the
+    // bounded TakeOrderedAndProject on the group winners
+    assert(p.contains("partial_max"), p.take(600))
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(!p.contains("Window "), p.take(600)) // collapse is a partial-agg, not a rank
+  }
+
   test("filteredTopK joins on the label, never a cartesian scoring pass") {
     val p = plan(pipeline.Similarity.filteredTopK(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
