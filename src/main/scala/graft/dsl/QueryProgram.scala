@@ -137,6 +137,11 @@ object QueryProgram {
     // max-df variant). Layouts parallel ANY/KWANY/XANY:
     // SYN n t*n; KWSYN f n t*n; XSYN f n t*n.
     val SYN = 35; val KWSYN = 36; val XSYN = 37
+    // DISMAX n tie: n child subtrees follow; score = best matching
+    // child + tie x the others (Lucene DisjunctionMaxQuery).
+    // CONSTSC b: one child subtree; score = const b when it matches
+    // (Lucene ConstantScoreQuery). tie/b index the consts table.
+    val DISMAX = 38; val CONSTSC = 39
   }
 
   /** Bound on probe alternatives kept per node — alternatives beyond
@@ -171,6 +176,8 @@ object QueryProgram {
       case MatchAnyTerms(_, ts) => ts.length
       case MatchSynonyms(_, ts) => ts.length
       case MatchMin(_, _, ts) => ts.length
+      case DisMax(qs, _) => qs.map(cost).sum
+      case ConstScore(i, _) => cost(i)
       // expansion leaves and anything else: dictionary-sized work
       case _ => 8
     }
@@ -185,6 +192,8 @@ object QueryProgram {
       case Or(l, r) => canGate(l) && canGate(r)
       case MatchAllTerms(_, ts) => ts.nonEmpty
       case MatchMin(_, m, _) => m > 0
+      case DisMax(qs, _) => qs.isEmpty || qs.forall(canGate)
+      case ConstScore(i, _) => canGate(i)
       case _ => true
     }
     def key(x: SearchQuery): (Int, Int) = (cost(x), if (canGate(x)) 0 else 1)
@@ -197,6 +206,8 @@ object QueryProgram {
       case Not(i) => Not(go(i))
       case Should(i) => Should(go(i))
       case Boost(i, f) => Boost(go(i), f)
+      case DisMax(qs, t) => DisMax(qs.map(go), t)
+      case ConstScore(i, b) => ConstScore(go(i), b)
       case leaf => leaf
     }
     go(q)
@@ -267,6 +278,11 @@ object QueryProgram {
       case Not(inner) => ops += Op.NOT; emit(inner)
       case Should(inner) => ops += Op.SHOULD; emit(inner)
       case Boost(inner, f) => ops += Op.BOOST; ops += cIdx(f); emit(inner)
+      case DisMax(qs, tie) =>
+        if (qs.isEmpty) ops += Op.NOMATCH
+        else { ops += Op.DISMAX; ops += qs.length; ops += cIdx(tie); qs.foreach(emit) }
+      case ConstScore(inner, boost) =>
+        ops += Op.CONSTSC; ops += cIdx(boost); emit(inner)
       case MatchTerm(f, t) =>
         if (badField(f)) ops += Op.NOMATCH
         else if (kwField(f)) {
@@ -418,6 +434,18 @@ object QueryProgram {
           Some(cap(for { x1 <- a; y1 <- b } yield (x1 ++ y1).distinct))
         case _ => None
       }
+      // dis-max matches when ANY child matches: same probe algebra as
+      // a chain of Or; constant-score keeps the inner match set
+      case DisMax(qs, _) =>
+        if (qs.isEmpty) Some(none)
+        else qs.map(go).reduceLeft { (l, r) =>
+          (l, r) match {
+            case (Some(a), Some(b)) =>
+              Some(cap(for { x1 <- a; y1 <- b } yield (x1 ++ y1).distinct))
+            case _ => None
+          }
+        }
+      case ConstScore(inner, _) => go(inner)
       case MatchTerm(f, t) =>
         if (!indexedFields.contains(f)) Some(none)
         else if (offProbe(f)) None
@@ -550,6 +578,8 @@ object QueryProgram {
     case Op.XALL | Op.XANY | Op.XCANY | Op.XSYN => 3 + ops(pos + 2)
     case Op.XNEAR => 5
     case Op.EXPAND => 5
+    case Op.DISMAX => 3 // + n child subtrees in the following opcodes
+    case Op.CONSTSC => 2 // + 1 child subtree
     case other => throw new IllegalStateException(
       s"QueryProgram: corrupt program, opcode $other at $pos")
   }

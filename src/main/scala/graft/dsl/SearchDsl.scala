@@ -71,6 +71,22 @@ final case class MatchAnyTerms(field: String, terms: Seq[String]) extends Search
   * DslQuery.scala:63-76). */
 final case class MatchMin(field: String, min: Int, terms: Seq[String]) extends SearchQuery
 
+/** Disjunction-max (Lucene DisjunctionMaxQuery): matches if ANY
+  * subquery matches; score = best subquery score plus `tieBreaker`
+  * times the sum of the other matching subqueries' scores — the
+  * "best fields" combiner (a document matching one clause strongly
+  * beats one matching several weakly, unlike Or's score sum).
+  * tieBreaker 0 = pure max, 1 = Or's sum. */
+final case class DisMax(queries: Seq[SearchQuery], tieBreaker: Double = 0.0)
+    extends SearchQuery
+
+/** Constant-score wrapper (Lucene ConstantScoreQuery): matches
+  * exactly when `inner` matches, scoring a flat `boost` — the
+  * filter-as-query adapter (compose with [[Boost]] for other
+  * constants). */
+final case class ConstScore(inner: SearchQuery, boost: Double = 1.0)
+    extends SearchQuery
+
 /** Synonym group, scored as ONE pseudo-term (Lucene SynonymQuery —
   * beyond the reference's DSL, which has no synonym surface): tf =
   * SUM of the synonyms' term frequencies, document frequency = MAX

@@ -1516,6 +1516,11 @@ object DslQueryScore {
       case Op.XALL | Op.XANY | Op.XCANY | Op.XSYN => pc += 1; pc += next()
       case Op.XMIN | Op.XPHRASE => pc += 2; pc += next()
       case Op.XNEAR => pc += 4
+      case Op.DISMAX =>
+        val n = next(); pc += 1
+        var j = 0
+        while (j < n) { skip(); j += 1 }
+      case Op.CONSTSC => pc += 1; skip()
       case _ => () // ALLDOCS / NOMATCH / TRUEZERO
     }
     // returns (matched, score); ONLY leaves gate score on match
@@ -1532,6 +1537,28 @@ object DslQueryScore {
       case Op.BOOST =>
         val f = doubles.getDouble(constOff + next())
         val c = ev(); (c._1, c._2 * f)
+      case Op.DISMAX =>
+        // best child score + tie x the rest. Child scores follow the
+        // engine's And/Or convention: LEAVES gate their own score on
+        // their own match, composite children contribute their score
+        // mass whether or not their predicate holds — identical to
+        // the scan compiler, so the two paths cannot diverge
+        val n = next()
+        val tie = doubles.getDouble(constOff + next())
+        var any = false; var mx = 0.0; var total = 0.0
+        var j = 0
+        while (j < n) {
+          val c = ev()
+          if (c._1) any = true
+          total += c._2
+          if (c._2 > mx) mx = c._2
+          j += 1
+        }
+        (any, if (any) mx + tie * (total - mx) else 0.0)
+      case Op.CONSTSC =>
+        val b = doubles.getDouble(constOff + next())
+        val c = ev()
+        (c._1, if (c._1) b else 0.0)
       case Op.TERM =>
         val t = next()
         ensureTfs()

@@ -145,6 +145,11 @@ object QueryPredicates {
         ts.map(t => when(tf(f, t) > 0, 1).otherwise(0)).reduceLeft(_ + _) >= min
       case Parsed(f, s) => compile(Parsed.desugar(f, s))
       case Boost(inner, _) => compile(inner) // boost moves score only, never the match set
+      // dis-max and constant-score change SCORING only: the match
+      // set is the disjunction resp. the inner query's
+      case DisMax(qs, _) =>
+        if (qs.isEmpty) lit(false) else qs.map(compile).reduceLeft(_ || _)
+      case ConstScore(inner, _) => compile(inner)
       // No dictionary exists here, so multi-term queries match the
       // pattern per token instead of via expansion — same match set
       // as the indexed path (expansion is over exactly these tokens),

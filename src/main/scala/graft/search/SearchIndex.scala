@@ -152,6 +152,8 @@ final class SearchIndex private (
     case MatchMin(f, _, ts) => ts.map(f -> _).toSet
     case Parsed(f, s) => collectTerms(Parsed.desugar(f, s))
     case Boost(inner, _) => collectTerms(inner)
+    case DisMax(qs, _) => qs.flatMap(collectTerms).toSet
+    case ConstScore(inner, _) => collectTerms(inner)
     // multi-term queries are constant-score: their dictionary
     // expansion never needs IDF
     case _: MatchWildcard | _: MatchFuzzy | _: MatchRegex => Set.empty
@@ -355,6 +357,24 @@ final class SearchIndex private (
         val parts = ts.map(t => termScore(f, t, idf))
         (parts.map(_._1).reduceLeft(_ || _), parts.map(_._2).reduceLeft(_ + _))
       }
+    case DisMax(qs, tie) =>
+      if (qs.isEmpty) noMatch
+      else {
+        // Lucene DisjunctionMaxQuery: best matching clause plus
+        // tieBreaker x the rest; per-clause scores are already gated
+        // to 0 on non-match (and BM25 scores are non-negative), so
+        // max/sum over ALL clauses equals max/sum over matching ones
+        val parts = qs.map(compileWith(_, idf))
+        val anyMatch = parts.map(_._1).reduceLeft(_ || _)
+        val scores = parts.map(_._2)
+        val mx = scores.reduceLeft(greatest(_, _))
+        val total = scores.reduceLeft(_ + _)
+        val s = mx + lit(tie) * (total - mx)
+        (anyMatch, when(anyMatch, s).otherwise(lit(0.0)))
+      }
+    case ConstScore(inner, boost) =>
+      val (p, _) = compileWith(inner, idf)
+      (p, when(p, lit(boost)).otherwise(lit(0.0)))
     case MatchSynonyms(f, ts) =>
       if (ts.isEmpty) (lit(false), lit(0.0))
       else {

@@ -208,6 +208,18 @@ object SearchQueries {
     "search_synonyms" -> ((s, dir) =>
       topkOut(indexFor(s, dir).search("text" matchSynonyms termSet("row", "line"), 10))),
 
+    // disjunction-max: best clause + 0.3 x the others ("best fields")
+    "search_dismax" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search(DisMax(Seq(
+        "text" matchTerm "spark",
+        "text" matchTerm "window",
+        "text" matchAll termSet("join", "merge")), 0.3), 10))),
+
+    // constant-score wrapper: matching docs score a flat 2.5
+    "search_const_score" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search(ConstScore(
+        And("text" matchTerm "spark", "n_chars" gt 300L), 2.5), 10))),
+
     // all terms required
     "search_all" -> ((s, dir) =>
       topkOut(indexFor(s, dir).search("text" matchAllText "spark join", 10))),
@@ -847,6 +859,44 @@ object SearchQueries {
          |SELECT doc_id, source, round(score, 4) AS score FROM best
          |WHERE rn = 1
          |ORDER BY score DESC, doc_id
+         |LIMIT 10""".stripMargin,
+
+    // dis-max: clause scores s0 (spark), s1 (window), s2 (join AND
+    // merge — composite mass ungated, the engine's And convention);
+    // score = greatest + 0.3 x (sum - greatest); match = any clause
+    "search_dismax" ->
+      s"""$toksCte,
+         |dfs AS (
+         |  SELECT ${dfSql("spark")} AS df_0, ${dfSql("window")} AS df_1,
+         |    ${dfSql("join")} AS df_2, ${dfSql("merge")} AS df_3 FROM (SELECT 1)
+         |), scored AS (
+         |  SELECT t.doc_id, len(t.tokens) AS dl, st.n, st.avgdl, dfs.*,
+         |    ${tfSql("spark")} AS tf_0, ${tfSql("window")} AS tf_1,
+         |    ${tfSql("join")} AS tf_2, ${tfSql("merge")} AS tf_3
+         |  FROM toks t, st, dfs
+         |), s2 AS (
+         |  SELECT doc_id, tf_0, tf_1, tf_2, tf_3,
+         |    ${bm25Sql("tf_0", idfSql("df_0"))} AS c0,
+         |    ${bm25Sql("tf_1", idfSql("df_1"))} AS c1,
+         |    ${bm25Sql("tf_2", idfSql("df_2"))} + ${bm25Sql("tf_3", idfSql("df_3"))} AS c2
+         |  FROM scored
+         |), s3 AS (
+         |  SELECT doc_id,
+         |    greatest(c0, c1, c2) + 0.3 * (c0 + c1 + c2 - greatest(c0, c1, c2)) AS score
+         |  FROM s2
+         |  WHERE tf_0 > 0 OR tf_1 > 0 OR (tf_2 > 0 AND tf_3 > 0)
+         |)
+         |SELECT doc_id, round(score, 4) AS score FROM s3
+         |ORDER BY s3.score DESC, doc_id
+         |LIMIT 10""".stripMargin,
+
+    // constant score: flat 2.5 for docs matching term AND filter;
+    // the cut is by doc_id (all scores equal)
+    "search_const_score" ->
+      s"""$toksCte
+         |SELECT doc_id, 2.5 AS score FROM toks
+         |WHERE list_contains(tokens, 'spark') AND n_chars > 300
+         |ORDER BY doc_id
          |LIMIT 10""".stripMargin,
 
     // SynonymQuery: tf = tf_row + tf_line, df = max of the two dfs

@@ -125,7 +125,9 @@ class PropertiesSpec extends AnyFunSuite {
     val ast: Gen[SearchQuery] = for {
       l <- leaf; r <- leaf
       q <- Gen.oneOf[SearchQuery](l, And(l, r), Or(l, r), And(l, Not(r)),
-        Boost(l, 2.0)) // boost must never change the match set
+        Boost(l, 2.0), // boost must never change the match set
+        DisMax(Seq(l, r), 0.5), // dis-max match set = disjunction
+        ConstScore(l, 2.0)) // constant score keeps the match set
     } yield q
     // 30 sampled ASTs: each check runs two Spark jobs
     samples(ast, 30).foreach { q =>

@@ -155,12 +155,15 @@ class QueryJoinAstSpec extends AnyFunSuite {
     }
     def ast(rnd: Random, depth: Int): SearchQuery =
       if (depth <= 0) leaf(rnd)
-      else rnd.nextInt(8) match {
+      else rnd.nextInt(10) match {
         case 0 => And(ast(rnd, depth - 1), ast(rnd, depth - 1))
         case 1 => Or(ast(rnd, depth - 1), ast(rnd, depth - 1))
         case 2 => Not(ast(rnd, depth - 1))
         case 3 => Should(ast(rnd, depth - 1))
         case 4 => Boost(ast(rnd, depth - 1), 0.25 + rnd.nextInt(8) * 0.25)
+        case 5 => DisMax(Seq.fill(2 + rnd.nextInt(2))(ast(rnd, depth - 1)),
+          rnd.nextInt(3) * 0.25)
+        case 6 => ConstScore(ast(rnd, depth - 1), 0.5 + rnd.nextInt(4) * 0.5)
         case _ => leaf(rnd)
       }
     for (round <- 0 until 6) {
