@@ -142,6 +142,11 @@ object QueryProgram {
     // CONSTSC b: one child subtree; score = const b when it matches
     // (Lucene ConstantScoreQuery). tie/b index the consts table.
     val DISMAX = 38; val CONSTSC = 39
+    // FUNCSC f c: one child subtree; score = child x
+    // (1 + factor x ln(1 + max(attr, 0))) — field-value-factor
+    // function scoring; f = FIELD-name slot into the numeric attr
+    // map, c indexes the consts table.
+    val FUNCSC = 40
   }
 
   /** Bound on probe alternatives kept per node — alternatives beyond
@@ -178,6 +183,7 @@ object QueryProgram {
       case MatchMin(_, _, ts) => ts.length
       case DisMax(qs, _) => qs.map(cost).sum
       case ConstScore(i, _) => cost(i)
+      case FunctionScore(i, _, _) => cost(i)
       // expansion leaves and anything else: dictionary-sized work
       case _ => 8
     }
@@ -194,6 +200,7 @@ object QueryProgram {
       case MatchMin(_, m, _) => m > 0
       case DisMax(qs, _) => qs.isEmpty || qs.forall(canGate)
       case ConstScore(i, _) => canGate(i)
+      case FunctionScore(i, _, _) => canGate(i)
       case _ => true
     }
     def key(x: SearchQuery): (Int, Int) = (cost(x), if (canGate(x)) 0 else 1)
@@ -208,6 +215,7 @@ object QueryProgram {
       case Boost(i, f) => Boost(go(i), f)
       case DisMax(qs, t) => DisMax(qs.map(go), t)
       case ConstScore(i, b) => ConstScore(go(i), b)
+      case FunctionScore(i, f, c) => FunctionScore(go(i), f, c)
       case leaf => leaf
     }
     go(q)
@@ -283,6 +291,9 @@ object QueryProgram {
         else { ops += Op.DISMAX; ops += qs.length; ops += cIdx(tie); qs.foreach(emit) }
       case ConstScore(inner, boost) =>
         ops += Op.CONSTSC; ops += cIdx(boost); emit(inner)
+      case FunctionScore(inner, f, factor) =>
+        numAttrs += f
+        ops += Op.FUNCSC; ops += nameIdx(f); ops += cIdx(factor); emit(inner)
       case MatchTerm(f, t) =>
         if (badField(f)) ops += Op.NOMATCH
         else if (kwField(f)) {
@@ -446,6 +457,7 @@ object QueryProgram {
           }
         }
       case ConstScore(inner, _) => go(inner)
+      case FunctionScore(inner, _, _) => go(inner)
       case MatchTerm(f, t) =>
         if (!indexedFields.contains(f)) Some(none)
         else if (offProbe(f)) None
@@ -580,6 +592,7 @@ object QueryProgram {
     case Op.EXPAND => 5
     case Op.DISMAX => 3 // + n child subtrees in the following opcodes
     case Op.CONSTSC => 2 // + 1 child subtree
+    case Op.FUNCSC => 3 // + 1 child subtree
     case other => throw new IllegalStateException(
       s"QueryProgram: corrupt program, opcode $other at $pos")
   }

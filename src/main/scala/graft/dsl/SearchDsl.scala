@@ -87,6 +87,16 @@ final case class DisMax(queries: Seq[SearchQuery], tieBreaker: Double = 0.0)
 final case class ConstScore(inner: SearchQuery, boost: Double = 1.0)
     extends SearchQuery
 
+/** Field-value-factor function scoring (the core of Elasticsearch's
+  * `function_score` / Lucene's FeatureField idea, public API
+  * surface): matches exactly when `inner` matches, score =
+  * inner score x (1 + factor x ln(1 + max(field, 0))) — fold a
+  * numeric document signal (popularity, length, recency rank) into
+  * relevance with a log damper. A NULL or negative field value
+  * contributes no boost (multiplier 1). */
+final case class FunctionScore(inner: SearchQuery, field: String,
+    factor: Double) extends SearchQuery
+
 /** Synonym group, scored as ONE pseudo-term (Lucene SynonymQuery —
   * beyond the reference's DSL, which has no synonym surface): tf =
   * SUM of the synonyms' term frequencies, document frequency = MAX

@@ -1521,6 +1521,7 @@ object DslQueryScore {
         var j = 0
         while (j < n) { skip(); j += 1 }
       case Op.CONSTSC => pc += 1; skip()
+      case Op.FUNCSC => pc += 2; skip()
       case _ => () // ALLDOCS / NOMATCH / TRUEZERO
     }
     // returns (matched, score); ONLY leaves gate score on match
@@ -1559,6 +1560,15 @@ object DslQueryScore {
         val b = doubles.getDouble(constOff + next())
         val c = ev()
         (c._1, if (c._1) b else 0.0)
+      case Op.FUNCSC =>
+        // field-value-factor: child x (1 + factor x ln(1 + max(v, 0)));
+        // NULL or negative signal = no boost, like the scan compiler
+        val f = next()
+        val factor = doubles.getDouble(constOff + next())
+        val c = ev()
+        val av = attrOf(f)
+        val v = if (av == null) 0.0 else math.max(av.doubleValue(), 0.0)
+        (c._1, c._2 * (1.0 + factor * math.log(1.0 + v)))
       case Op.TERM =>
         val t = next()
         ensureTfs()

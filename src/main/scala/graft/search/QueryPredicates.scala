@@ -150,6 +150,7 @@ object QueryPredicates {
       case DisMax(qs, _) =>
         if (qs.isEmpty) lit(false) else qs.map(compile).reduceLeft(_ || _)
       case ConstScore(inner, _) => compile(inner)
+      case FunctionScore(inner, _, _) => compile(inner)
       // No dictionary exists here, so multi-term queries match the
       // pattern per token instead of via expansion — same match set
       // as the indexed path (expansion is over exactly these tokens),

@@ -154,6 +154,7 @@ final class SearchIndex private (
     case Boost(inner, _) => collectTerms(inner)
     case DisMax(qs, _) => qs.flatMap(collectTerms).toSet
     case ConstScore(inner, _) => collectTerms(inner)
+    case FunctionScore(inner, _, _) => collectTerms(inner)
     // multi-term queries are constant-score: their dictionary
     // expansion never needs IDF
     case _: MatchWildcard | _: MatchFuzzy | _: MatchRegex => Set.empty
@@ -375,6 +376,13 @@ final class SearchIndex private (
     case ConstScore(inner, boost) =>
       val (p, _) = compileWith(inner, idf)
       (p, when(p, lit(boost)).otherwise(lit(0.0)))
+    case FunctionScore(inner, f, factor) =>
+      // multiplier mirrors the interpreter's null/negative handling:
+      // absent signal = no boost (x1)
+      val (p, s) = compileWith(inner, idf)
+      val mult = lit(1.0) + lit(factor) *
+        log(lit(1.0) + greatest(coalesce(col(f).cast("double"), lit(0.0)), lit(0.0)))
+      (p, s * mult)
     case MatchSynonyms(f, ts) =>
       if (ts.isEmpty) (lit(false), lit(0.0))
       else {

@@ -220,6 +220,11 @@ object SearchQueries {
       topkOut(indexFor(s, dir).search(ConstScore(
         And("text" matchTerm "spark", "n_chars" gt 300L), 2.5), 10))),
 
+    // field-value-factor function scoring: relevance x length signal
+    "search_function_score" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search(FunctionScore(
+        "text" matchAny termSet("spark", "join"), "n_chars", 0.1), 10))),
+
     // all terms required
     "search_all" -> ((s, dir) =>
       topkOut(indexFor(s, dir).search("text" matchAllText "spark join", 10))),
@@ -888,6 +893,25 @@ object SearchQueries {
          |)
          |SELECT doc_id, round(score, 4) AS score FROM s3
          |ORDER BY s3.score DESC, doc_id
+         |LIMIT 10""".stripMargin,
+
+    // function score: (bm25_spark + bm25_join) x (1 + 0.1 ln(1 + n_chars))
+    "search_function_score" ->
+      s"""$toksCte,
+         |dfs AS (
+         |  SELECT ${dfSql("spark")} AS df_0, ${dfSql("join")} AS df_1 FROM (SELECT 1)
+         |), scored AS (
+         |  SELECT t.doc_id, t.n_chars, len(t.tokens) AS dl, st.n, st.avgdl, dfs.*,
+         |    ${tfSql("spark")} AS tf_0, ${tfSql("join")} AS tf_1
+         |  FROM toks t, st, dfs
+         |), s2 AS (
+         |  SELECT doc_id,
+         |    (${bm25Sql("tf_0", idfSql("df_0"))} + ${bm25Sql("tf_1", idfSql("df_1"))})
+         |      * (1 + 0.1 * ln(1 + greatest(coalesce(n_chars, 0), 0))) AS score
+         |  FROM scored WHERE tf_0 > 0 OR tf_1 > 0
+         |)
+         |SELECT doc_id, round(score, 4) AS score FROM s2
+         |ORDER BY s2.score DESC, doc_id
          |LIMIT 10""".stripMargin,
 
     // constant score: flat 2.5 for docs matching term AND filter;
