@@ -147,6 +147,10 @@ object QueryProgram {
     // function scoring; f = FIELD-name slot into the numeric attr
     // map, c indexes the consts table.
     val FUNCSC = 40
+    // DEMOTE c: two child subtrees (positive, negative); match =
+    // positive's; score scaled by the const factor when the negative
+    // child also matches (Elasticsearch `boosting` query).
+    val DEMOTE = 41
   }
 
   /** Bound on probe alternatives kept per node — alternatives beyond
@@ -184,6 +188,7 @@ object QueryProgram {
       case DisMax(qs, _) => qs.map(cost).sum
       case ConstScore(i, _) => cost(i)
       case FunctionScore(i, _, _) => cost(i)
+      case Demote(p, n, _) => cost(p) + cost(n)
       // expansion leaves and anything else: dictionary-sized work
       case _ => 8
     }
@@ -201,6 +206,7 @@ object QueryProgram {
       case DisMax(qs, _) => qs.isEmpty || qs.forall(canGate)
       case ConstScore(i, _) => canGate(i)
       case FunctionScore(i, _, _) => canGate(i)
+      case Demote(p, _, _) => canGate(p)
       case _ => true
     }
     def key(x: SearchQuery): (Int, Int) = (cost(x), if (canGate(x)) 0 else 1)
@@ -216,6 +222,7 @@ object QueryProgram {
       case DisMax(qs, t) => DisMax(qs.map(go), t)
       case ConstScore(i, b) => ConstScore(go(i), b)
       case FunctionScore(i, f, c) => FunctionScore(go(i), f, c)
+      case Demote(p, n, c) => Demote(go(p), go(n), c)
       case leaf => leaf
     }
     go(q)
@@ -294,6 +301,8 @@ object QueryProgram {
       case FunctionScore(inner, f, factor) =>
         numAttrs += f
         ops += Op.FUNCSC; ops += nameIdx(f); ops += cIdx(factor); emit(inner)
+      case Demote(pos, neg, factor) =>
+        ops += Op.DEMOTE; ops += cIdx(factor); emit(pos); emit(neg)
       case MatchTerm(f, t) =>
         if (badField(f)) ops += Op.NOMATCH
         else if (kwField(f)) {
@@ -458,6 +467,9 @@ object QueryProgram {
         }
       case ConstScore(inner, _) => go(inner)
       case FunctionScore(inner, _, _) => go(inner)
+      // demotion keeps the POSITIVE match set; the negative clause
+      // can never reject, so it contributes no probes
+      case Demote(pos, _, _) => go(pos)
       case MatchTerm(f, t) =>
         if (!indexedFields.contains(f)) Some(none)
         else if (offProbe(f)) None
@@ -593,6 +605,7 @@ object QueryProgram {
     case Op.DISMAX => 3 // + n child subtrees in the following opcodes
     case Op.CONSTSC => 2 // + 1 child subtree
     case Op.FUNCSC => 3 // + 1 child subtree
+    case Op.DEMOTE => 2 // + 2 child subtrees
     case other => throw new IllegalStateException(
       s"QueryProgram: corrupt program, opcode $other at $pos")
   }

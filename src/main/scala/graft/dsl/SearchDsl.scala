@@ -87,6 +87,15 @@ final case class DisMax(queries: Seq[SearchQuery], tieBreaker: Double = 0.0)
 final case class ConstScore(inner: SearchQuery, boost: Double = 1.0)
     extends SearchQuery
 
+/** Boosting/demotion query (Elasticsearch `boosting`, public API
+  * surface): matches exactly when `positive` matches; documents ALSO
+  * matching `negative` keep their match but have their score
+  * multiplied by `demoteFactor` (0 < factor < 1 pushes them down the
+  * ranking without excluding them — the soft complement of
+  * [[Not]]). */
+final case class Demote(positive: SearchQuery, negative: SearchQuery,
+    demoteFactor: Double = 0.5) extends SearchQuery
+
 /** Field-value-factor function scoring (the core of Elasticsearch's
   * `function_score` / Lucene's FeatureField idea, public API
   * surface): matches exactly when `inner` matches, score =

@@ -1522,6 +1522,7 @@ object DslQueryScore {
         while (j < n) { skip(); j += 1 }
       case Op.CONSTSC => pc += 1; skip()
       case Op.FUNCSC => pc += 2; skip()
+      case Op.DEMOTE => pc += 1; skip(); skip()
       case _ => () // ALLDOCS / NOMATCH / TRUEZERO
     }
     // returns (matched, score); ONLY leaves gate score on match
@@ -1569,6 +1570,13 @@ object DslQueryScore {
         val av = attrOf(f)
         val v = if (av == null) 0.0 else math.max(av.doubleValue(), 0.0)
         (c._1, c._2 * (1.0 + factor * math.log(1.0 + v)))
+      case Op.DEMOTE =>
+        // soft Not: positive decides the match; a matching negative
+        // clause scales the score by the factor
+        val factor = doubles.getDouble(constOff + next())
+        val p = ev()
+        val n = ev()
+        (p._1, if (n._1) p._2 * factor else p._2)
       case Op.TERM =>
         val t = next()
         ensureTfs()

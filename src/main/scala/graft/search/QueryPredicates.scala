@@ -151,6 +151,7 @@ object QueryPredicates {
         if (qs.isEmpty) lit(false) else qs.map(compile).reduceLeft(_ || _)
       case ConstScore(inner, _) => compile(inner)
       case FunctionScore(inner, _, _) => compile(inner)
+      case Demote(pos, _, _) => compile(pos) // demotion scales score only
       // No dictionary exists here, so multi-term queries match the
       // pattern per token instead of via expansion — same match set
       // as the indexed path (expansion is over exactly these tokens),

@@ -155,6 +155,7 @@ final class SearchIndex private (
     case DisMax(qs, _) => qs.flatMap(collectTerms).toSet
     case ConstScore(inner, _) => collectTerms(inner)
     case FunctionScore(inner, _, _) => collectTerms(inner)
+    case Demote(p, n, _) => collectTerms(p) ++ collectTerms(n)
     // multi-term queries are constant-score: their dictionary
     // expansion never needs IDF
     case _: MatchWildcard | _: MatchFuzzy | _: MatchRegex => Set.empty
@@ -383,6 +384,11 @@ final class SearchIndex private (
       val mult = lit(1.0) + lit(factor) *
         log(lit(1.0) + greatest(coalesce(col(f).cast("double"), lit(0.0)), lit(0.0)))
       (p, s * mult)
+    case Demote(pos, neg, factor) =>
+      // soft Not: the negative clause only scales the score
+      val (pp, ps) = compileWith(pos, idf)
+      val (np, _) = compileWith(neg, idf)
+      (pp, when(np, ps * lit(factor)).otherwise(ps))
     case MatchSynonyms(f, ts) =>
       if (ts.isEmpty) (lit(false), lit(0.0))
       else {

@@ -225,6 +225,12 @@ object SearchQueries {
       topkOut(indexFor(s, dir).search(FunctionScore(
         "text" matchAny termSet("spark", "join"), "n_chars", 0.1), 10))),
 
+    // boosting/demotion: docs also mentioning "window" rank x0.4
+    "search_demote" -> ((s, dir) =>
+      topkOut(indexFor(s, dir).search(Demote(
+        "text" matchAny termSet("spark", "join"),
+        "text" matchTerm "window", 0.4), 10))),
+
     // all terms required
     "search_all" -> ((s, dir) =>
       topkOut(indexFor(s, dir).search("text" matchAllText "spark join", 10))),
@@ -893,6 +899,26 @@ object SearchQueries {
          |)
          |SELECT doc_id, round(score, 4) AS score FROM s3
          |ORDER BY s3.score DESC, doc_id
+         |LIMIT 10""".stripMargin,
+
+    // demotion: positive score scaled x0.4 when "window" also occurs
+    "search_demote" ->
+      s"""$toksCte,
+         |dfs AS (
+         |  SELECT ${dfSql("spark")} AS df_0, ${dfSql("join")} AS df_1 FROM (SELECT 1)
+         |), scored AS (
+         |  SELECT t.doc_id, len(t.tokens) AS dl, st.n, st.avgdl, dfs.*,
+         |    ${tfSql("spark")} AS tf_0, ${tfSql("join")} AS tf_1,
+         |    ${tfSql("window")} AS tf_neg
+         |  FROM toks t, st, dfs
+         |), s2 AS (
+         |  SELECT doc_id,
+         |    (${bm25Sql("tf_0", idfSql("df_0"))} + ${bm25Sql("tf_1", idfSql("df_1"))})
+         |      * (CASE WHEN tf_neg > 0 THEN 0.4 ELSE 1.0 END) AS score
+         |  FROM scored WHERE tf_0 > 0 OR tf_1 > 0
+         |)
+         |SELECT doc_id, round(score, 4) AS score FROM s2
+         |ORDER BY s2.score DESC, doc_id
          |LIMIT 10""".stripMargin,
 
     // function score: (bm25_spark + bm25_join) x (1 + 0.1 ln(1 + n_chars))

@@ -127,7 +127,8 @@ class PropertiesSpec extends AnyFunSuite {
       q <- Gen.oneOf[SearchQuery](l, And(l, r), Or(l, r), And(l, Not(r)),
         Boost(l, 2.0), // boost must never change the match set
         DisMax(Seq(l, r), 0.5), // dis-max match set = disjunction
-        ConstScore(l, 2.0)) // constant score keeps the match set
+        ConstScore(l, 2.0), // constant score keeps the match set
+        Demote(l, r, 0.5)) // demotion keeps the positive's match set
     } yield q
     // 30 sampled ASTs: each check runs two Spark jobs
     samples(ast, 30).foreach { q =>

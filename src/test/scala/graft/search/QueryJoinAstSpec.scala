@@ -166,6 +166,8 @@ class QueryJoinAstSpec extends AnyFunSuite {
         case 6 => ConstScore(ast(rnd, depth - 1), 0.5 + rnd.nextInt(4) * 0.5)
         case 7 => FunctionScore(ast(rnd, depth - 1), "n_chars",
           rnd.nextInt(3) * 0.05)
+        case 8 => Demote(ast(rnd, depth - 1), ast(rnd, depth - 1),
+          0.25 + rnd.nextInt(3) * 0.25)
         case _ => leaf(rnd)
       }
     for (round <- 0 until 6) {
