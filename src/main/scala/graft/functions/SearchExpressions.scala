@@ -1547,7 +1547,10 @@ object DslQueryScore {
         // the scan compiler, so the two paths cannot diverge
         val n = next()
         val tie = doubles.getDouble(constOff + next())
-        var any = false; var mx = 0.0; var total = 0.0
+        // mx starts at -Inf (not 0) so max semantics match the scan
+        // compiler's greatest() even when every clause score is
+        // negative (e.g. a negative Boost factor)
+        var any = false; var mx = Double.NegativeInfinity; var total = 0.0
         var j = 0
         while (j < n) {
           val c = ev()

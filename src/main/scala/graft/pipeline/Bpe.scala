@@ -206,9 +206,21 @@ object Bpe {
     import spark.implicits._
     val segDf = segmentationSeq(spark, dir, numMerges, vocabCap)
       .toDF("word", "pieces", "n_pieces")
+    // LEFT join + in-row raise_error: if the corpus has more than
+    // vocabCap distinct words the capped segmentation dictionary
+    // cannot cover it, and silently dropping OOV tokens would make
+    // the decoded text diverge from the oracle's full reconstruction.
+    // Fail loudly instead of returning a subtly wrong roundtrip. The
+    // check is fused into the consumed `pieces` column (not a
+    // separate assert column Catalyst could prune away).
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "word")))
-      .join(broadcast(segDf.select("word", "pieces")), Seq("word"))
+      .join(broadcast(segDf.select("word", "pieces")), Seq("word"), "left")
+      .withColumn("pieces",
+        when(col("pieces").isNull, raise_error(concat(
+          lit("BPE decodeRoundtrip: word out of segmentation vocabulary " +
+            s"(vocabCap=$vocabCap): "), col("word"))))
+          .otherwise(col("pieces")))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("pos"), col("pieces")))).as("ps"))
       .select(col("doc_id"),

@@ -751,6 +751,9 @@ object Curation {
   private[graft] def chunked(d: DataFrame,
       window: Int = 32, stride: Int = 24): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
+    require(window >= stride,
+      s"window ($window) must be >= stride ($stride): stride > window would " +
+        "silently skip tokens between consecutive chunks (overlap = window - stride)")
     d.select(col("doc_id"), toks(col("text")).as("tokens"))
       .select(col("doc_id"), col("tokens"),
         explode(sequence(lit(0), greatest(size(col("tokens")), lit(1)) - 1,

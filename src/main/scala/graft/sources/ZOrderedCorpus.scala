@@ -62,16 +62,19 @@ object ZOrderedCorpus {
 
   private val written = scala.collection.mutable.Set.empty[String]
 
-  /** Idempotent per-corpus fixture path. */
-  def layoutPath(dir: String): String =
-    s"/tmp/graft_fixtures/zorder_docs_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+  /** Idempotent per-corpus fixture path, keyed by BOTH the corpus dir
+    * and the file count — same convention as lshCache's "$dir#$n" key,
+    * so a second same-JVM call with a different `numFiles` writes a
+    * fresh layout instead of silently returning the first one's. */
+  def layoutPath(dir: String, numFiles: Int = 8): String =
+    s"/tmp/graft_fixtures/zorder_docs_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_f$numFiles"
 
   /** Write-once z-ordered layout of the documents table on
     * (doc_id, n_chars) — an identity dimension and a content
     * dimension, so both point lookups and length-band scans skip. */
   def docsZOrdered(spark: SparkSession, dir: String,
       numFiles: Int = 8): DataFrame = {
-    val out = layoutPath(dir)
+    val out = layoutPath(dir, numFiles)
     written.synchronized {
       if (!written.contains(out)) {
         write(spark.read.parquet(s"$dir/documents.parquet"), out,
@@ -93,13 +96,15 @@ object ZOrderedCorpus {
     * is one range shuffle, the same cost class as any sorted write. */
   def compact(spark: SparkSession, in: String, out: String,
       sortCol: String, targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    // Size the input through the Hadoop FileSystem API so the
+    // maintenance pass works on hdfs:// and s3a:// URIs, not just the
+    // local FS (getContentSummary = one recursive NameNode/listing
+    // call, no data read). Non-parquet sidecar files (_SUCCESS, CRCs)
+    // are noise at the 128 MB target-file granularity.
     val totalBytes = {
-      val fs = new java.io.File(in)
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles().map(walk).sum
-        else if (f.getName.endsWith(".parquet")) f.length()
-        else 0L
-      walk(fs)
+      val p = new org.apache.hadoop.fs.Path(in)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(p).getLength
     }
     val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     spark.read.parquet(in)
