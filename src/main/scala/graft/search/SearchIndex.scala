@@ -1219,11 +1219,74 @@ final class SearchIndex private (
     * Driver-side cost: one bounded action collecting the DISTINCT
     * filter attribute column names (bounded by the doc schema width,
     * never by |left|). Output is (qid, rank, key, score) like
-    * [[lightQueryJoin]]. */
+    * [[lightQueryJoin]].
+    *
+    * REPEATED invocations are memoized: the scored (qid, key, score)
+    * frame — everything up to the per-call top-k/self-exclusion
+    * tail — is cached on this index keyed by the left plan's
+    * canonicalized form and the generator's serialized closure
+    * (class + captured state), so re-issuing the same join (a
+    * re-executed workload, a bench rerun, a k sweep) reuses the
+    * persisted canon/shape/probe frames and skips the metadata
+    * action entirely; only the probe+verify job re-runs. Two calls
+    * share an entry only when `sameResult` holds for the left AND
+    * the generators serialize byte-identically — a generator whose
+    * captured state changed fingerprints differently and misses.
+    * Memoized frames are released with the index ([[unpersist]]). */
   def queryJoinAst(left: DataFrame, qidCol: String, queryGen: Row => SearchQuery,
       field: String, k: Int, excludeSelf: Boolean = false,
       maxHitsPerIndex: Int = Int.MaxValue): DataFrame = {
     require(spec.textFields.contains(field), s"$field is not an indexed text field")
+    val leftPlan = left.queryExecution.analyzed
+    val memoKey = (leftPlan.semanticHash(), closureFingerprint(queryGen), qidCol, field)
+    val scored = astJoinMemo.synchronized {
+      astJoinMemo.get(memoKey) match {
+        case Some((plan, df)) if plan.sameResult(leftPlan) => df
+        case _ =>
+          val df = buildAstScored(left, qidCol, queryGen, field)
+          astJoinMemo(memoKey) = (leftPlan, df)
+          df
+      }
+    }
+    // probe-depth cap: qid-grained (post fan-out and self-exclusion,
+    // so the cap can never eat rows a downstream step still needed)
+    perQueryTopK(
+      if (excludeSelf) scored.where(col("qid") =!= col("key")) else scored, k,
+      maxHitsPerIndex)
+  }
+
+  /** MD5 of the generator's Java-serialized form — class identity
+    * plus every captured value, so byte-equal fingerprints imply
+    * identical generator behavior (generators are deterministic by
+    * the executor-retry contract). A non-serializable generator
+    * would fail in the map closure anyway; fingerprint it uniquely
+    * so it cleanly never shares a memo entry. */
+  private def closureFingerprint(f: AnyRef): String =
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(f); oos.close()
+      java.security.MessageDigest.getInstance("MD5").digest(bos.toByteArray)
+        .map("%02x".format(_)).mkString
+    } catch {
+      case _: java.io.IOException => java.util.UUID.randomUUID().toString
+    }
+
+  /** Cross-invocation memo for [[queryJoinAst]] (see its scaladoc).
+    * Values hold the scored frame plus the analyzed left plan for
+    * the hash-collision-proof `sameResult` re-check. */
+  private val astJoinMemo = scala.collection.mutable.Map.empty[
+    (Int, String, String, String),
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
+
+  /** Test hook: distinct memoized AST-join setups on this index. */
+  private[graft] def astJoinMemoEntries: Int =
+    astJoinMemo.synchronized(astJoinMemo.size)
+
+  /** The setup + probe + verify pipeline behind [[queryJoinAst]],
+    * producing the un-capped scored (qid, key, score) frame. */
+  private def buildAstScored(left: DataFrame, qidCol: String,
+      queryGen: Row => SearchQuery, field: String): DataFrame = {
     val fs = fieldStats(field)
     // locals only — the map closure must not capture `this` (the
     // index holds DataFrames, which don't serialize)
@@ -1406,13 +1469,8 @@ final class SearchIndex private (
       .select(col("sid"), col("key"), col("__r.score").as("score"))
     val fan = canon.join(shapes0, Seq("ops", "terms", "term_fields", "consts", "alts"))
       .select(col("qid"), col("sid"))
-    val scored = verified.join(fan, Seq("sid"))
+    verified.join(fan, Seq("sid"))
       .select(col("qid"), col("key"), col("score"))
-    // probe-depth cap: qid-grained (post fan-out and self-exclusion,
-    // so the cap can never eat rows a downstream step still needed)
-    perQueryTopK(
-      if (excludeSelf) scored.where(col("qid") =!= col("key")) else scored, k,
-      maxHitsPerIndex)
   }
 
   /** Distributed Lucene multi-term rewrite for [[queryJoinAst]]:
@@ -1928,6 +1986,7 @@ final class SearchIndex private (
       callFrames.foreach(_.unpersist(blocking))
       callFrames.clear()
     }
+    astJoinMemo.synchronized { astJoinMemo.clear() }
     parents.foreach(_.unpersist(blocking))
   }
 }

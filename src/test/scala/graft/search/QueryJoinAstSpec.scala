@@ -365,4 +365,43 @@ class QueryJoinAstSpec extends AnyFunSuite {
     val p2 = planNodes(2); val p7 = planNodes(7)
     assert(p2 == p7, s"plan grew with |left|: $p2 vs $p7 nodes")
   }
+
+  test("repeat invocations share one memoized setup; distinct generators do not") {
+    // fresh index so memo counting starts at zero
+    val idx2 = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text"), Seq("lang")))
+    try {
+      val before = idx2.astJoinMemoEntries
+      // one definition site, fresh lambda/DataFrame per call — the
+      // memo must key on the serialized closure + canonicalized plan,
+      // not on reference identity
+      def mkGen(): Row => SearchQuery = { r => MatchTerm("text", "spark") }
+      def run(k: Int) = {
+        val left = corpus.select("doc_id", "text")
+        idx2.queryJoinAst(left, "doc_id", mkGen(), "text", k).collect()
+      }
+      run(3); run(3)
+      assert(idx2.astJoinMemoEntries == before + 1,
+        "identical repeat invocations must share one memo entry")
+      // a different k reuses the same scored frame (k is in the
+      // per-call tail, not the memo key)
+      run(5)
+      assert(idx2.astJoinMemoEntries == before + 1)
+      val left = corpus.select("doc_id", "text")
+      val a = idx2.queryJoinAst(left, "doc_id", mkGen(), "text", 3).collect().toSet
+      assert(a.nonEmpty)
+      // a generator with DIFFERENT captured state must miss: captured
+      // values are part of the fingerprint
+      def capGen(term: String): Row => SearchQuery = { r => MatchTerm("text", term) }
+      idx2.queryJoinAst(left, "doc_id", capGen("quick"), "text", 3).collect()
+      assert(idx2.astJoinMemoEntries == before + 2,
+        "a generator with different captured state must get its own entry")
+      idx2.queryJoinAst(left, "doc_id", capGen("quick"), "text", 3).collect()
+      assert(idx2.astJoinMemoEntries == before + 2,
+        "equal captured state must share the entry")
+      // a different LEFT must miss even with the same generator
+      idx2.queryJoinAst(corpus.where(col("doc_id") < 4).select("doc_id", "text"),
+        "doc_id", { r => MatchTerm("text", "spark") }, "text", 3).collect()
+      assert(idx2.astJoinMemoEntries == before + 3)
+    } finally idx2.unpersist()
+  }
 }
