@@ -68,6 +68,11 @@ case object AutoLayout extends IndexLayout
   *   corpus to key + payload + doc lengths. Flat term queries then
   *   run through the postings probe (frequencies survive); phrase
   *   queries throw, exactly the reference trade-off.
+  * @param queryConstructor pluggable raw-string → query strategy
+  *   (reference QueryConstructor, impl/queries/QueryConstructor.
+  *   scala:7-10): None = the default single-field Parsed grammar
+  *   over the call-site field; Some(c) routes every raw-string API
+  *   (searchRaw / batchSearchRaw) through `c.construct`.
   */
 final case class IndexSpec(
     keyCol: String,
@@ -78,7 +83,8 @@ final case class IndexSpec(
     similarity: Similarity = BM25(),
     layout: IndexLayout = DecoupledPostings,
     storedCols: Option[Seq[String]] = None,
-    storePositions: Boolean = true)
+    storePositions: Boolean = true,
+    queryConstructor: Option[graft.dsl.QueryConstructor] = None)
 
 /** Per-field corpus statistics gathered at build time. */
 final case class FieldStats(numDocs: Long, avgDl: Double)
@@ -801,10 +807,32 @@ final class SearchIndex private (
 
   /** Batch search with raw query-syntax strings (reference
     * batchSearchRaw / lightBatchSearchRaw, SearchableRDD.scala:
-    * 204-218): each string is parsed with the `Parsed` mini-syntax
-    * (`+required optional -excluded "a phrase"`) against `field`. */
+    * 204-218): each string becomes a query through this index's
+    * [[constructQuery]] strategy — by default the `Parsed`
+    * mini-syntax (`+required optional -excluded "a phrase"`) against
+    * `field`; an [[IndexSpec.queryConstructor]] overrides it. */
   def batchSearchRaw(queries: Seq[(Long, String)], field: String, k: Int): DataFrame =
-    batchSearchDsl(queries.map { case (qid, s) => qid -> (Parsed(field, s): SearchQuery) }, k)
+    batchSearchDsl(queries.map { case (qid, s) => qid -> constructQuery(s, field) }, k)
+
+  /** The raw-string → query strategy of this index (reference
+    * `QueryConstructor.constructQuery`, impl/queries/QueryConstructor.
+    * scala:7-10): the spec's pluggable [[graft.dsl.QueryConstructor]]
+    * when set, else the default single-field `Parsed` grammar over
+    * `field` (the reference's DefaultQueryConstructor regime, with
+    * the call-site field instead of its hardcoded "text"). */
+  def constructQuery(raw: String, field: String): SearchQuery =
+    spec.queryConstructor match {
+      case Some(qc) => qc.construct(raw)
+      case None => Parsed(field, raw)
+    }
+
+  /** Top-k search from a raw query string through [[constructQuery]]
+    * — the one-string entry point of a configured index. `field` is
+    * only the default-field fallback when no constructor is set. */
+  def searchRaw(raw: String, k: Int, field: String = ""): DataFrame = {
+    val f = if (field.nonEmpty) field else spec.textFields.head
+    search(constructQuery(raw, f), k)
+  }
 
   /** Persists the index artifacts as parquet (reference analog:
     * `searchable.saveAsObjectFile`, examples/StoreableExample.scala:
@@ -1745,10 +1773,15 @@ final class SearchIndex private (
       case BM25(k1, b) => s"BM25(k1=$k1, b=$b)"
       case TFIDF() => "TFIDF"
     }
+    val qcDesc = spec.queryConstructor match {
+      case Some(c) => c.describe
+      case None => "DefaultQueryConstructor(per-call field, Parsed grammar)"
+    }
     s"SearchIndex(key=${spec.keyCol}, textFields=${spec.textFields.mkString(",")}, " +
       s"keywordFields=${spec.keywordFields.mkString(",")}, " +
       s"indexAnalyzer=${spec.indexAnalyzer}, queryAnalyzer=${spec.queryAnalyzer}, " +
       s"similarity=$simDesc, layout=${spec.layout}, " +
+      s"queryConstructor=$qcDesc, " +
       s"fieldStats=${fieldStats.map { case (f, s) => s"$f(n=${s.numDocs}, avgdl=${s.avgDl})" }.mkString("; ")})"
   }
 

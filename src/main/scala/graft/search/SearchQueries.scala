@@ -49,7 +49,12 @@ object SearchQueries {
     cache.getOrElseUpdate(s"$dir#xfield",
       SearchIndex.build(spark.read.parquet(s"$dir/documents.parquet"),
         IndexSpec(keyCol = "doc_id", textFields = Seq("text", "source"),
-          keywordFields = Seq("lang"), similarity = BM25(K1, B))))
+          keywordFields = Seq("lang"), similarity = BM25(K1, B),
+          // non-default pluggable constructor: raw strings become a
+          // best-fields dis-max over text^1 + source^2 (tie 0.2) —
+          // the search_constructor entry exercises it via searchRaw
+          queryConstructor = Some(graft.dsl.MultiFieldQueryConstructor(
+            Seq("text" -> 1.0, "source" -> 2.0), 0.2)))))
   }
 
   /** Incrementally-maintained index: built on 90% of the corpus
@@ -219,6 +224,15 @@ object SearchQueries {
     "search_const_score" -> ((s, dir) =>
       topkOut(indexFor(s, dir).search(ConstScore(
         And("text" matchTerm "spark", "n_chars" gt 300L), 2.5), 10))),
+
+    // pluggable QueryConstructor (reference QueryConstructor.scala:
+    // 7-10): the raw string "spark src1" routed through the xfield
+    // index's spec-configured MultiFieldQueryConstructor — parsed
+    // once per field and combined best-fields (dis-max, text^1
+    // source^2, tie 0.2), so a doc from source src1 scores the
+    // boosted source idf while text matches ride the text leg
+    "search_constructor" -> ((s, dir) =>
+      topkOut(xfieldIndexFor(s, dir).searchRaw("spark src1", 10))),
 
     // field-value-factor function scoring: relevance x length signal
     "search_function_score" -> ((s, dir) =>
@@ -870,6 +884,38 @@ object SearchQueries {
          |SELECT doc_id, source, round(score, 4) AS score FROM best
          |WHERE rn = 1
          |ORDER BY score DESC, doc_id
+         |LIMIT 10""".stripMargin,
+
+    // multi-field constructor: "spark src1" parsed per field, fused
+    // dis-max(text^1, source^2, tie 0.2). Text clause = gated bm25
+    // sum over both terms; source clause = the source-field leaves'
+    // BM25, which collapses to idf (tf=1, dl=avgdl=1 — one token per
+    // source), boosted x2; clause mass ungated, match = any clause
+    "search_constructor" ->
+      s"""$toksCte,
+         |dfs AS (
+         |  SELECT ${dfSql("spark")} AS df_t0, ${dfSql("src1")} AS df_t1,
+         |    (SELECT count(*) FROM documents WHERE source = 'spark') AS sdf_0,
+         |    (SELECT count(*) FROM documents WHERE source = 'src1') AS sdf_1
+         |  FROM (SELECT 1)
+         |), scored AS (
+         |  SELECT t.doc_id, t.source, len(t.tokens) AS dl, st.n, st.avgdl, dfs.*,
+         |    ${tfSql("spark")} AS tf_t0, ${tfSql("src1")} AS tf_t1
+         |  FROM toks t, st, dfs
+         |), s2 AS (
+         |  SELECT doc_id, source, tf_t0, tf_t1,
+         |    ${bm25Sql("tf_t0", idfSql("df_t0"))} + ${bm25Sql("tf_t1", idfSql("df_t1"))} AS ctext,
+         |    2.0 * ((CASE WHEN source = 'spark' THEN ${idfSql("sdf_0")} ELSE 0.0 END)
+         |         + (CASE WHEN source = 'src1' THEN ${idfSql("sdf_1")} ELSE 0.0 END)) AS csrc
+         |  FROM scored
+         |), s3 AS (
+         |  SELECT doc_id,
+         |    greatest(ctext, csrc) + 0.2 * (ctext + csrc - greatest(ctext, csrc)) AS score
+         |  FROM s2
+         |  WHERE tf_t0 > 0 OR tf_t1 > 0 OR source IN ('spark', 'src1')
+         |)
+         |SELECT doc_id, round(score, 4) AS score FROM s3
+         |ORDER BY s3.score DESC, doc_id
          |LIMIT 10""".stripMargin,
 
     // dis-max: clause scores s0 (spark), s1 (window), s2 (join AND

@@ -2,7 +2,7 @@ package graft.search
 
 import graft.TestSpark
 import graft.dsl.builders._
-import graft.dsl.{MatchPhrase, MatchTerm, Parsed}
+import graft.dsl.{Boost, DisMax, MatchPhrase, MatchTerm, Parsed}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -439,5 +439,43 @@ class IndexVariantsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(hits == Set(1L))
     idx.unpersist()
+  }
+
+  test("pluggable QueryConstructor routes every raw-string API; default is Parsed") {
+    import graft.dsl.{DefaultQueryConstructor, MultiFieldQueryConstructor}
+    val docs = Seq(
+      (1L, "alpha beta", "news"), (2L, "alpha gamma", "blog"),
+      (3L, "beta beta beta", "news"), (4L, "delta alpha", "alpha")
+    ).toDF("doc_id", "text", "src")
+    // default spec: searchRaw("alpha") == search(Parsed("text", "alpha"))
+    val plain = SearchIndex.build(docs, IndexSpec("doc_id", Seq("text", "src")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), round(col("score"), 6).as("s"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows(plain.searchRaw("alpha", 10)) ==
+      rows(plain.search(Parsed("text", "alpha"), 10)))
+    // a configured constructor overrides: multi-field best-fields
+    // must equal the explicitly-constructed DisMax query
+    val qc = MultiFieldQueryConstructor(Seq("text" -> 1.0, "src" -> 2.0), 0.1)
+    val multi = SearchIndex.build(docs,
+      IndexSpec("doc_id", Seq("text", "src"), queryConstructor = Some(qc)))
+    assert(rows(multi.searchRaw("alpha", 10)) ==
+      rows(multi.search(DisMax(Seq(Parsed("text", "alpha"),
+        Boost(Parsed("src", "alpha"), 2.0)), 0.1), 10)))
+    // doc 4 (src = alpha) must outrank a text-only match: its source
+    // clause carries the x2 boost
+    val top = multi.searchRaw("alpha", 1).select("doc_id").as[Long].head()
+    assert(top == 4L)
+    // batchSearchRaw routes through the same strategy
+    assert(rows(multi.batchSearchRaw(Seq((7L, "alpha")), "text", 10)
+        .select(col("key").as("doc_id"), col("score"))) ==
+      rows(multi.searchRaw("alpha", 10)))
+    // the config dump names the strategy; weight-1 single field
+    // degenerates to the default constructor's query exactly
+    assert(multi.getConfigInfo.contains("MultiFieldQueryConstructor"))
+    assert(DefaultQueryConstructor("text").construct("a b") == Parsed("text", "a b"))
+    assert(MultiFieldQueryConstructor(Seq("text" -> 1.0)).construct("a b") ==
+      Parsed("text", "a b"))
+    plain.unpersist(); multi.unpersist()
   }
 }
