@@ -41,6 +41,11 @@ object PipelineQueries {
     // oracle generated at runtime from the fitted centroids (see
     // ivfOracle below); KMeans quality itself is covered by IvfSpec
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir, recordAs = Some("ann_ivf"))),
+    // IVF-PQ: coarse probe + product-quantized asymmetric distance +
+    // exact re-rank of the ADC shortlist; oracle generated from the
+    // recorded centroids AND codebooks (ann_ivf pattern)
+    "ann_ivfpq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(s, dir, recordAs = Some("ann_ivfpq"))),
     // SemDeDup: within-cell cosine dedup on the SAME fitted quantizer
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semDedup(s, dir, recordAs = Some("dedup_semantic"))),
@@ -266,6 +271,97 @@ object PipelineQueries {
              |ORDER BY qid, rank""".stripMargin)
     }
 
+  /** DuckDB replica of [[Similarity.ivfPqTopK]] from the recorded
+    * coarse centroids + PQ codebooks: assignment and probes as in
+    * [[ivfOracle]], then residual PQ encoding (first-min argmin per
+    * subspace), the per-(query, cell) ADC lookup table, the ordered
+    * `rr + sum_m lut[m*ks + code_m]` fold (list_transform over an
+    * ordered range — the same index-order accumulation as the Spark
+    * expression, so the doubles are bit-identical), the ADC top-
+    * `rerank` shortlist, and the exact-cosine re-rank. Verifies
+    * everything downstream of the two KMeans fits. */
+  private def ivfPqOracle: Map[String, String] =
+    Similarity.recordedIvfPqRun("ann_ivfpq") match {
+      case None => Map.empty
+      case Some(run) =>
+        val sub = run.dim / run.m
+        val centValues = run.centroids.zipWithIndex.map { case (c, i) =>
+          val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+          s"($i, [${c.mkString(", ")}]::DOUBLE[], $cc)"
+        }.mkString(",\n    ")
+        val cbValues = (for {
+          mm <- run.codebooks.indices
+          j <- run.codebooks(mm).indices
+        } yield {
+          val c = run.codebooks(mm)(j)
+          val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+          s"($mm, $j, [${c.mkString(", ")}]::DOUBLE[], $cc)"
+        }).mkString(",\n    ")
+        Map("ann_ivfpq" ->
+          s"""$embCte,
+             |cents(i, c, cc) AS (VALUES
+             |    $centValues
+             |), cb(m, j, c, cc) AS (VALUES
+             |    $cbValues
+             |), sc AS (
+             |  SELECT e.vec_id, cents.i,
+             |    cents.cc - 2 * list_sum(list_transform(range(1, ${run.dim + 1}), jj -> e.v[jj] * cents.c[jj])) AS d
+             |  FROM e, cents
+             |), cells AS (
+             |  SELECT vec_id, i AS cell FROM (
+             |    SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rn FROM sc)
+             |  WHERE rn = 1
+             |), probes AS (
+             |  SELECT vec_id AS qid, i AS cell FROM (
+             |    SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rn
+             |    FROM sc WHERE vec_id < ${run.nQueries})
+             |  WHERE rn <= ${run.nProbe}
+             |), res AS (
+             |  SELECT e.vec_id, cl.cell,
+             |    list_transform(range(1, ${run.dim + 1}), jj -> e.v[jj] - cents.c[jj]) AS r
+             |  FROM e JOIN cells cl USING (vec_id) JOIN cents ON cents.i = cl.cell
+             |), cs AS (
+             |  SELECT res.vec_id, cb.m, cb.j,
+             |    cb.cc - 2 * list_sum(list_transform(range(1, ${sub + 1}), jj -> res.r[cb.m * $sub + jj] * cb.c[jj])) AS d
+             |  FROM res, cb
+             |), codesarr AS (
+             |  SELECT vec_id, list(j ORDER BY m) AS carr FROM (
+             |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn FROM cs)
+             |  WHERE rn = 1 GROUP BY vec_id
+             |), qres AS (
+             |  SELECT p.qid, p.cell,
+             |    list_transform(range(1, ${run.dim + 1}), jj -> eq.v[jj] - cents.c[jj]) AS r
+             |  FROM probes p JOIN e eq ON eq.vec_id = p.qid JOIN cents ON cents.i = p.cell
+             |), qrr AS (
+             |  SELECT qid, cell, list_sum(list_transform(r, x -> x * x)) AS rr FROM qres
+             |), lutarr AS (
+             |  SELECT q.qid, q.cell, list(
+             |    cb.cc - 2 * list_sum(list_transform(range(1, ${sub + 1}), jj -> q.r[cb.m * $sub + jj] * cb.c[jj]))
+             |    ORDER BY cb.m, cb.j) AS larr
+             |  FROM qres q, cb GROUP BY q.qid, q.cell
+             |), adist AS (
+             |  SELECT p.qid, cl.vec_id,
+             |    qrr.rr + list_sum(list_transform(range(0, ${run.m}),
+             |      mm -> la.larr[mm * ${run.ks} + ca.carr[mm + 1] + 1])) AS ad
+             |  FROM probes p
+             |  JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.qid
+             |  JOIN qrr ON qrr.qid = p.qid AND qrr.cell = p.cell
+             |  JOIN lutarr la ON la.qid = p.qid AND la.cell = p.cell
+             |  JOIN codesarr ca ON ca.vec_id = cl.vec_id
+             |), short AS (
+             |  SELECT qid, vec_id FROM (
+             |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY ad, vec_id) AS rn FROM adist)
+             |  WHERE rn <= ${run.rerank}
+             |), sx AS (
+             |  SELECT s.qid, s.vec_id, list_cosine_similarity(ev.v, eq.v) AS cos
+             |  FROM short s JOIN e ev ON ev.vec_id = s.vec_id JOIN e eq ON eq.vec_id = s.qid
+             |), r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM sx
+             |)
+             |SELECT qid, rank, vec_id, round(cos, 4) AS cos FROM r WHERE rank <= ${run.k}
+             |ORDER BY qid, rank""".stripMargin)
+    }
+
   /** DuckDB replica of [[Bpe.encode]]'s distributed application from
     * the recorded segmentation dictionary (inlined as VALUES): word
     * explode in position order, dictionary join, per-doc ordered
@@ -361,7 +457,8 @@ object PipelineQueries {
     * oracles. Must be read AFTER the queries have run (Verify's dump
     * order) for ann_ivf / quality_classifier to be included. */
   def oracles: Map[String, String] =
-    staticOracles ++ ivfOracle ++ semDedupOracle ++ bpeEncodeOracle ++ lrOracle
+    staticOracles ++ ivfOracle ++ ivfPqOracle ++ semDedupOracle ++
+      bpeEncodeOracle ++ lrOracle
 
   /** MinHash+LSH near-dup pairs (mirror of [[Dedup.minhashLsh]]) —
     * shared by the `dedup_minhash` oracle and, as a nested CTE, by

@@ -185,8 +185,8 @@ object Similarity {
     lshCache.clear()
   }
 
-  /** Releases every similarity-side persisted artifact (IVF + LSH). */
-  def clearCaches(): Unit = { clearIvfCache(); clearLshCache() }
+  /** Releases every similarity-side persisted artifact (IVF + PQ + LSH). */
+  def clearCaches(): Unit = { clearIvfCache(); clearPqCache(); clearLshCache() }
 
   /** The persisted LSH-bucketed corpus — (vec_id, v, nrm, label,
     * bucket) — shared by [[lshTopK]] and the ingest-time streaming
@@ -328,6 +328,189 @@ object Similarity {
       .na.fill(false, Seq("dropped"))
       .select(col("vec_id"), col("cell").cast("long").as("cell"), col("dropped"))
       .orderBy("vec_id")
+  }
+
+  /** Everything the IVF-PQ oracle needs to replicate a concrete
+    * [[ivfPqTopK]] run: the coarse centroids, the per-subspace
+    * residual codebooks, and the query parameters (same capture
+    * discipline as [[IvfRun]]). codebooks(m)(j) is the j-th code
+    * vector of subspace m (length dim/m). */
+  private[pipeline] final case class IvfPqRun(
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      dim: Int, m: Int, ks: Int,
+      nQueries: Int, k: Int, nProbe: Int, rerank: Int)
+  private val ivfPqRuns =
+    scala.collection.concurrent.TrieMap.empty[String, IvfPqRun]
+  private[pipeline] def recordedIvfPqRun(tag: String): Option[IvfPqRun] =
+    ivfPqRuns.get(tag)
+
+  /** PQ codes cache per (dir, nCentroids, m, ks): the encoded corpus
+    * is build-once/query-many like [[ivfCache]] (whose entry it
+    * builds on — the residuals are taken against the SAME fitted
+    * coarse quantizer the plain IVF probe uses). */
+  private val pqCache = scala.collection.mutable.Map.empty[
+    String, (DataFrame, Array[Array[Array[Double]]])]
+
+  /** Drops all cached PQ encodings. */
+  def clearPqCache(): Unit = pqCache.synchronized {
+    pqCache.values.foreach { case (df, _) => df.unpersist(blocking = true) }
+    pqCache.clear()
+  }
+
+  /** Per-subspace residual codebooks + the PQ-encoded corpus —
+    * (vec_id, cell, codes: array<int> of length m).
+    *
+    * Training follows the [[assignedCells]] discipline: per subspace,
+    * a seeded random-init KMeans over a BOUNDED single-partition
+    * sample of the residuals (v - centroid(cell)) — one shared
+    * codebook set over residuals across cells, the FAISS IndexIVFPQ
+    * arrangement (Jégou et al. 2011, §IV: residual quantization
+    * concentrates the energy so one codebook serves every cell).
+    * Encoding is in-plan: the residual is a zip_with against the
+    * cell's centroid literal, each subspace code the first-min argmin
+    * of `|c_j|^2 - 2 r_m.c_j` over the codebook — the same
+    * oracle-replicable formula as the coarse assignment. One encode
+    * pass over the corpus, persisted; at 100 TB the codes column is
+    * m bytes/vector (64x smaller than the raw embedding), which is
+    * the point of PQ — the probe scan reads codes, not vectors. */
+  private[pipeline] def pqEncoded(spark: SparkSession, dir: String,
+      nCentroids: Int, m: Int, ks: Int): (DataFrame, Array[Array[Array[Double]]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val (assigned, centroids) = assignedCells(spark, dir, nCentroids)
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    pqCache.synchronized {
+      pqCache.getOrElseUpdate(s"$dir#$nCentroids#$m#$ks", {
+        val centArr = array(centroids.toIndexedSeq.map(c =>
+          array(c.toIndexedSeq.map(lit): _*)): _*)
+        val res = assigned
+          .withColumn("cent", element_at(centArr, col("cell") + 1))
+          .withColumn("r", zip_with(col("v"), col("cent"), (a, b) => a - b))
+        val fitSample = 4096
+        val sample = res.select(col("r")).limit(fitSample).coalesce(1)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val codebooks = (0 until m).map { mm =>
+          val slices = sample
+            .select(array_to_vector(slice(col("r"), mm * sub + 1, sub)).as("features"))
+          val model = new KMeans().setK(ks).setSeed(42L + mm).setMaxIter(5)
+            .setInitMode("random").fit(slices)
+          model.clusterCenters.map(_.toArray)
+        }.toArray
+        sample.unpersist()
+        // in-plan encode: codes(m) = first-min argmin_j |cb_j|^2 - 2 r_m.cb_j
+        val codeCols = (0 until m).map { mm =>
+          val rm = slice(col("r"), mm * sub + 1, sub)
+          val scores = array(codebooks(mm).toIndexedSeq.map { c =>
+            val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+            lit(cc) - lit(2.0) * call_function("vec_dot", rm,
+              array(c.toIndexedSeq.map(lit): _*))
+          }: _*)
+          (array_position(scores, array_min(scores)) - 1).cast("int")
+        }
+        val codesDf = res
+          .select(col("vec_id"), col("cell"), array(codeCols: _*).as("codes"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (codesDf, codebooks)
+      })
+    }
+  }
+
+  /** IVF-PQ ANN (Jégou et al. 2011; the FAISS IndexIVFPQ shape — the
+    * de-facto standard for billion-vector stores): coarse IVF probe
+    * + product-quantized asymmetric distance + exact re-rank of the
+    * ADC survivors.
+    *
+    * Query path: per (query, probed cell) the driver builds the
+    * classic ADC lookup table — `lut[m*ks+j] = |cb_j|^2 - 2 r_m.cb_j`
+    * over the query's residual in that cell, plus the residual's own
+    * `|r|^2` — (nQueries x nProbe) rows of m*ks doubles, broadcast.
+    * The candidate scan then scores each encoded vector with m table
+    * lookups (`adist = rr + sum_m lut[m*ks + codes[m]]`, one
+    * codegen'd fold over the codes column — it never touches the
+    * raw vectors), keeps the top `rerank` per query by ADC, and
+    * exact-reranks only those by true cosine. At 100 TB this is the
+    * design's whole point: the scan reads m-byte codes, the
+    * full-precision vectors are fetched for `rerank` rows per query.
+    *
+    * Output: (qid, rank, vec_id, cos), like [[ivfTopK]]. */
+  def ivfPqTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
+      nCentroids: Int = 16, nProbe: Int = 4, m: Int = 8, ks: Int = 16,
+      rerank: Int = 32, recordAs: Option[String] = None): DataFrame = {
+    val (assigned, centroids) = assignedCells(spark, dir, nCentroids)
+    val (codes, codebooks) = pqEncoded(spark, dir, nCentroids, m, ks)
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    val sub = dim / m
+    recordAs.foreach { tag =>
+      ivfPqRuns(tag) = IvfPqRun(centroids, codebooks, dim, m, ks,
+        nQueries, k, nProbe, rerank)
+    }
+    // driver-side probe selection + ADC LUTs for the (small) query
+    // set — (nQueries x nProbe) rows, each m*ks doubles; all folds
+    // run in index order so the oracle's list_sum replays them
+    // bit-identically
+    val queries = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val lutRows = queries.flatMap { case (qid, qv) =>
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, dot(c, c) - 2.0 * dot(qv, c)) }
+        .sortBy(_._2).take(nProbe)
+        .map { case (cell, _) =>
+          val cent = centroids(cell)
+          val r = Array.tabulate(dim)(i => qv(i) - cent(i))
+          val rr = dot(r, r)
+          val lut = Array.tabulate(m * ks) { idx =>
+            val mm = idx / ks; val j = idx % ks
+            val cb = codebooks(mm)(j)
+            val rm = java.util.Arrays.copyOfRange(r, mm * sub, (mm + 1) * sub)
+            dot(cb, cb) - 2.0 * dot(rm, cb)
+          }
+          (qid, cell, rr, lut.toSeq)
+        }
+    }
+    import spark.implicits._
+    val luts = lutRows.toSeq.toDF("qid", "cell", "rr", "lut")
+    val ksL = ks
+    val adist = col("rr") + aggregate(
+      sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, mm) => acc +
+        element_at(col("lut"), mm * ksL + element_at(col("codes"), mm + 1) + 1))
+    val cands = codes
+      .join(broadcast(luts), Seq("cell"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), adist.as("adist"))
+    // ADC shortlist: bounded TopKAgg on -adist (smallest distance
+    // first, vec_id tiebreak)
+    val shortTopk = TopKAgg.topk(rerank)
+    val shortlist = cands.groupBy("qid")
+      .agg(shortTopk(col("vec_id"), -col("adist")).as("hits"))
+      .select(col("qid"), explode(col("hits")).as("hit"))
+      .select(col("qid"), col("hit.key").as("vec_id"))
+    // exact cosine re-rank of the shortlist only
+    val e = assigned.select(col("vec_id"), col("v"), col("nrm"))
+    val q = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val exact = shortlist
+      .join(e, Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        (call_function("vec_dot", col("v"), col("qv")) /
+          (col("nrm") * col("qnrm"))).as("cos"))
+    val topk = TopKAgg.topk(k)
+    exact.groupBy("qid")
+      .agg(topk(col("vec_id"), col("cos")).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("hit.key").as("vec_id"), round(col("hit.score"), 4).as("cos"))
+      .orderBy("qid", "rank")
   }
 
   /** LSH-bucketed ANN: probe only the query's bucket, exact re-rank

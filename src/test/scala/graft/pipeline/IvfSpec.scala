@@ -32,6 +32,41 @@ class IvfSpec extends AnyFunSuite {
       s"mean recall too low: ${recalls.mkString(",")}")
   }
 
+  test("IVF-PQ recall at equal probe budget matches the plain-IVF baseline") {
+    val nQ = 3; val k = 10; val nc = 8; val np = 3
+    val exact = Similarity.bruteForce(spark, dir, nQueries = nQ, k = k)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(rows: Seq[(Long, Long)]): Double = {
+      val byQ = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = exact.keys.toSeq.map { qid =>
+        byQ.getOrElse(qid, Set.empty).intersect(exact(qid)).size.toDouble / exact(qid).size
+      }
+      rs.sum / rs.size
+    }
+    val ivf = Similarity.ivfTopK(spark, dir, nQueries = nQ, k = k,
+      nCentroids = nc, nProbe = np)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSeq
+    val pq = Similarity.ivfPqTopK(spark, dir, nQueries = nQ, k = k,
+      nCentroids = nc, nProbe = np, rerank = 128)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSeq
+    // with an exact re-rank whose shortlist comfortably covers k, the
+    // PQ approximation only reorders candidates WITHIN the probed
+    // cells — recall vs exact must not fall below the plain-IVF
+    // baseline at the same probe budget
+    assert(recall(pq) >= recall(ivf),
+      s"IVF-PQ recall ${recall(pq)} fell below IVF ${recall(ivf)}")
+    // determinism across a refit (both KMeans stages seeded)
+    val pq1 = Similarity.ivfPqTopK(spark, dir, nQueries = nQ, k = k,
+      nCentroids = nc, nProbe = np, rerank = 128)
+      .select("qid", "rank", "vec_id").as[(Long, Long, Long)].collect().toSeq
+    Similarity.clearCaches()
+    val pq2 = Similarity.ivfPqTopK(spark, dir, nQueries = nQ, k = k,
+      nCentroids = nc, nProbe = np, rerank = 128)
+      .select("qid", "rank", "vec_id").as[(Long, Long, Long)].collect().toSeq
+    assert(pq1.sorted == pq2.sorted, "IVF-PQ must be deterministic")
+  }
+
   test("semDedup threshold extremes pin the within-cell keep rule") {
     import org.apache.spark.sql.functions._
     // cos is never > 1 (+ fp slack): nothing may drop
