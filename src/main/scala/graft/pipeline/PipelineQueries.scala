@@ -11,6 +11,13 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "dedup_norm" -> ((s, dir) => Dedup.normalized(s, dir)),
+    // per-canonical-URL dedup: map-side normalize + one hash window;
+    // the oracle states the expected canonical strings directly from
+    // the generator arithmetic, so the normalizer must hit them
+    // character-exact
+    "dedup_url" -> ((s, dir) => Urls.dedupByUrl(s, dir)),
+    // registered-domain doc counts / dup rates / link degrees
+    "domain_stats" -> ((s, dir) => Urls.domainStats(s, dir)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     // exact duplicated-substring spans (Lee et al. 2022): per-doc
@@ -902,6 +909,42 @@ object PipelineQueries {
          |  count(*) OVER (PARTITION BY h) AS group_size
          |FROM (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS h FROM toks)
          |ORDER BY doc_id""".stripMargin,
+
+    // the oracle states the expected CANONICAL url from the
+    // generator arithmetic (clean form of page d/2) — the engine's
+    // regexp normalizer must reproduce it character-exact for both
+    // the clean and the dirty variant
+    "dedup_url" ->
+      """WITH u AS (SELECT doc_id, doc_id // 2 AS pg FROM documents),
+        |c AS (SELECT doc_id,
+        |  'http://www.ex' || (pg % 16) || '.com/p/' || pg ||
+        |    (CASE WHEN pg % 2 = 1 THEN '?id=' || pg ELSE '' END) AS canonical
+        |  FROM u)
+        |SELECT doc_id, canonical,
+        |  min(doc_id) OVER (PARTITION BY canonical) AS canonical_id,
+        |  count(*) OVER (PARTITION BY canonical) AS group_size
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "domain_stats" ->
+      """WITH u AS (SELECT doc_id, doc_id // 2 AS pg FROM documents),
+        |pages AS (SELECT doc_id, 'ex' || (pg % 16) || '.com' AS dom,
+        |  'http://www.ex' || (pg % 16) || '.com/p/' || pg ||
+        |    (CASE WHEN pg % 2 = 1 THEN '?id=' || pg ELSE '' END) AS cu FROM u),
+        |docagg AS (SELECT dom, count(*) AS n_docs, count(DISTINCT cu) AS n_pages
+        |  FROM pages GROUP BY dom),
+        |edges AS (
+        |  SELECT dom AS src_dom,
+        |    'ex' || (((doc_id*7+3) % 1024) % 16) || '.com' AS dst_dom FROM pages
+        |  UNION ALL
+        |  SELECT dom, 'ex' || (((doc_id*13+5) % 1024) % 16) || '.com' FROM pages
+        |),
+        |outagg AS (SELECT src_dom AS dom, count(*) AS out_degree FROM edges GROUP BY 1),
+        |inagg AS (SELECT dst_dom AS dom, count(*) AS in_degree FROM edges GROUP BY 1)
+        |SELECT d.dom, d.n_docs, d.n_pages,
+        |  round((1 - n_pages::DOUBLE / n_docs) * 1e4, 0) / 1e4 AS dup_rate,
+        |  coalesce(o.out_degree, 0) AS out_degree, coalesce(i.in_degree, 0) AS in_degree
+        |FROM docagg d LEFT JOIN outagg o USING (dom) LEFT JOIN inagg i USING (dom)
+        |ORDER BY d.dom""".stripMargin,
 
     "dedup_minhash" -> minhashPairsSql,
 

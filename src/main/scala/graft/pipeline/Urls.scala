@@ -1,0 +1,151 @@
+package graft.pipeline
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** URL canonicalization + URL-keyed dedup + domain-level corpus
+  * statistics — the first dedup pass and the quality prior of every
+  * real Common-Crawl-style pipeline (C4/RefinedWeb domain filtering).
+  * Builds on the WARC surface's URL machinery (reference:
+  * WarcHTMLResponseRecord.java:84-104,168-200 — target-URI accessors
+  * and the href outlink extractor behind
+  * [[graft.sources.Warc.htmlResponses]]).
+  *
+  * Everything here is pure map-side column arithmetic
+  * (codegen'd regexp/concat) plus one hash window (dedup) or one
+  * domain-keyed aggregation (stats) — the `dedup_exact` cost shape:
+  * at 100 TB the normalize is free at scan speed and the only
+  * exchanges are keyed on the canonical-url / domain columns.
+  */
+object Urls {
+
+  /** RFC-3986-flavored URL canonicalization as ONE composed codegen
+    * column expression (no UDF): strip the fragment, drop tracking
+    * query parameters (utm_*, gclid, fbclid, ref), repair the
+    * leading `?` if the first surviving parameter lost it, drop an
+    * emptied query, lowercase scheme+authority, strip default ports
+    * (http:80, https:443), and trim trailing slashes. The passes are
+    * ordered and each is a plain global regexp, so a DuckDB oracle
+    * replays them verbatim. Approximations (documented, standard for
+    * crawl pipelines): the tracking-param list is fixed; an `&` in
+    * the PATH of a query-less URL could be mistaken for a parameter
+    * separator by the `?`-repair pass. */
+  def normalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    // each tracking param is removed WITH its leading separator
+    // ([?&] is required, so `href=` can never false-match `ref=`)
+    val t1 = regexp_replace(noFrag,
+      "[?&](?:utm_[A-Za-z]+|gclid|fbclid|ref)=[^&]*", "")
+    // if the first surviving param lost its '?' (it followed a
+    // removed leading tracker), the first bare '&' becomes '?'
+    val t2 = regexp_replace(t1, "^([^?&]*)&", "$1?")
+    val t3 = regexp_replace(t2, "[?&]+$", "")
+    // scheme://authority lowercased; path+query kept verbatim
+    val pre = lower(regexp_extract(t3, "^[^:/?#]+://[^/?#]*", 0))
+    val rest = regexp_replace(t3, "^[^:/?#]+://[^/?#]*", "")
+    val p1 = regexp_replace(pre, "^(http://[^:/]+):80$", "$1")
+    val p2 = regexp_replace(p1, "^(https://[^:/]+):443$", "$1")
+    regexp_replace(concat(p2, rest), "/+$", "")
+  }
+
+  /** Host part of a URL (no port, no userinfo handling — crawl URLs). */
+  def hostOf(u: Column): Column =
+    regexp_extract(u, "^[^:/?#]+://([^/:?#]+)", 1)
+
+  /** Registered-domain approximation: lowercase, strip a leading
+    * `www.`, then keep the last two labels — or the last three when
+    * the second-level label is a well-known country-code SLD
+    * (co.uk, com.au, ac.jp, ...). A full public-suffix-list match is
+    * a data file, not an algorithm; this two-rule heuristic is the
+    * standard stand-in and the rule set is explicit in the regex. */
+  def registeredDomain(host: Column): Column = {
+    val h = regexp_replace(lower(host), "^www\\.", "")
+    val ccSld = regexp_extract(h,
+      "([^.]+\\.(?:co|com|net|org|ac|gov|edu)\\.[a-z]{2})$", 1)
+    val plain = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
+    when(ccSld =!= "", ccSld).when(plain =!= "", plain).otherwise(h)
+  }
+
+  /** Deterministic per-document URL surface standing in for the WARC
+    * target_uri/outlinks at corpus scale (the WARC fixture is two
+    * records; the sf tables are the scale inputs): documents d and
+    * d+1 share page p = d/2 on domain ex(p%16).com, the odd doc
+    * carrying a DIRTY variant of the even doc's clean URL (uppercase
+    * scheme/host, default port, tracking params, fragment, trailing
+    * slash — dirt depending on p's parity so both tracker positions
+    * are exercised). Outlinks: two per doc into a fixed 1024-page
+    * universe, again half-dirty. Everything is doc_id arithmetic, so
+    * the DuckDB oracle can state the expected CANONICAL forms
+    * directly — the normalizer must hit them character-exact. */
+  def urlTable(spark: SparkSession, dir: String): DataFrame = {
+    val pg = (col("doc_id") / 2).cast("long")
+    val dom = concat(lit("ex"), pg % 16, lit(".com"))
+    val idq = when(pg % 2 === 1, concat(lit("?id="), pg)).otherwise(lit(""))
+    val clean = concat(lit("http://www."), dom, lit("/p/"), pg, idq)
+    val dirty = when(pg % 2 === 0,
+      concat(lit("HTTP://WWW.EX"), pg % 16, lit(".COM:80/p/"), pg,
+        lit("/?utm_source=feed&ref=rss#frag")))
+      .otherwise(
+        concat(lit("http://www.EX"), pg % 16, lit(".com/p/"), pg,
+          lit("?utm_campaign=x&id="), pg, lit("&fbclid=abc#s")))
+    def target(q: Column, dirtyLink: Boolean): Column = {
+      val tdom = concat(lit("ex"), q % 16, lit(".com"))
+      if (!dirtyLink) concat(lit("http://www."), tdom, lit("/p/"), q)
+      else concat(lit("HTTP://www."), tdom, lit(":80/p/"), q, lit("/?ref=a#x"))
+    }
+    val q1 = (col("doc_id") * 7 + 3) % 1024
+    val q2 = (col("doc_id") * 13 + 5) % 1024
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, clean).otherwise(dirty).as("url"),
+        array(
+          when(col("doc_id") % 2 === 0, target(q1, dirtyLink = false))
+            .otherwise(target(q1, dirtyLink = true)),
+          target(q2, dirtyLink = false)).as("outlinks"))
+  }
+
+  /** Per-canonical-URL dedup — the `dedup_exact` shape keyed on the
+    * normalized URL: map-side normalize, one hash window. Output:
+    * (doc_id, canonical, canonical_id, group_size). */
+  def dedupByUrl(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("canonical"))
+    urlTable(spark, dir)
+      .select(col("doc_id"), normalizeUrl(col("url")).as("canonical"))
+      .select(col("doc_id"), col("canonical"),
+        min(col("doc_id")).over(w).as("canonical_id"),
+        count(lit(1)).over(w).as("group_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Domain-level corpus statistics — the quality prior every
+    * curation pipeline joins against (domain blocklists, C4 /
+    * RefinedWeb style): per registered domain the doc count, the
+    * distinct-canonical-page count, the duplicate rate, and the
+    * outlink graph degrees (edges counted AFTER canonicalization,
+    * by source-page and target-url registered domain). One explode +
+    * three domain-keyed aggregations over 16-row keys. */
+  def domainStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = urlTable(spark, dir)
+    val pages = t.select(col("doc_id"),
+      normalizeUrl(col("url")).as("cu"), col("outlinks"))
+      .withColumn("dom", registeredDomain(hostOf(col("cu"))))
+    val docAgg = pages.groupBy(col("dom"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cu")).as("n_pages"))
+    val edges = pages.select(col("dom").as("src_dom"),
+      explode(col("outlinks")).as("ol"))
+      .withColumn("dst_dom", registeredDomain(hostOf(normalizeUrl(col("ol")))))
+    val outAgg = edges.groupBy(col("src_dom").as("dom"))
+      .agg(count(lit(1)).as("out_degree"))
+    val inAgg = edges.groupBy(col("dst_dom").as("dom"))
+      .agg(count(lit(1)).as("in_degree"))
+    docAgg.join(outAgg, Seq("dom"), "left").join(inAgg, Seq("dom"), "left")
+      .na.fill(0L, Seq("out_degree", "in_degree"))
+      .select(col("dom"), col("n_docs"), col("n_pages"),
+        (round((lit(1.0) - col("n_pages").cast("double") / col("n_docs")) * 1e4, 0) / 1e4)
+          .as("dup_rate"),
+        col("out_degree"), col("in_degree"))
+      .orderBy("dom")
+  }
+}
