@@ -29,5 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((id, info, builder))
     }
     ext.injectOptimizerRule(_ => graft.functions.NativeCountRewrite)
+    // the SQL-visible search surface: the graft_search TABLE function
+    // + the strategy planning it into the fused index-probe operator
+    graft.plans.GraftSearchPlan.install(ext)
   }
 }

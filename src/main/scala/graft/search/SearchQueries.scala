@@ -225,6 +225,15 @@ object SearchQueries {
       topkOut(indexFor(s, dir).search(ConstScore(
         And("text" matchTerm "spark", "n_chars" gt 300L), 2.5), 10))),
 
+    // SQL-visible search surface: the flagship probe through the
+    // graft_search TABLE function (GraftSearchPlan) — pure SQL, no
+    // Scala API; the plan is the fused EXPLAIN-visible GraftSearch
+    // node (asserted in GraftSqlSpec), executing the same cached
+    // index the Scala entries share
+    "search_sql" -> ((s, dir) =>
+      s.sql("SELECT doc_id, round(score, 4) AS score " +
+        s"FROM graft_search('$dir', 'spark join', 10)")),
+
     // pluggable QueryConstructor (reference QueryConstructor.scala:
     // 7-10): the raw string "spark src1" routed through the xfield
     // index's spec-configured MultiFieldQueryConstructor — parsed
@@ -497,12 +506,18 @@ object SearchQueries {
 
     // cursor pagination: page 2 strictly after page 1's (score, key)
     // cursor — a predicate, not an OFFSET re-sort; oracle is the same
-    // ranking with OFFSET 10
+    // ranking with OFFSET 10. The cursor collect is BOUNDED by
+    // construction: search(q, 10) ends in a k-row top-k
+    // (TakeOrderedAndProject / TopKAgg), so collect() moves exactly
+    // k=10 rows to the driver regardless of corpus size — this is the
+    // search-after contract itself (the client hands back the last
+    // hit of the previous PAGE, which is k-row by definition), not a
+    // corpus-sized action
     "search_after" -> ((s, dir) => {
       val idx = indexFor(s, dir)
       val q = "text".matchMin(1, termSet("window", "merge"))
       val last = idx.search(q, 10).select(col("doc_id"), col("score"))
-        .collect().last // search() output is ordered; cursor = last row
+        .collect().last // k-row page; cursor = its last row
       topkOut(idx.searchAfter(q, 10, last.getDouble(1), last.getLong(0)))
     }),
 
@@ -862,6 +877,10 @@ object SearchQueries {
   private val staticOracles: Map[String, String] = Map(
     "search_topk" -> termQueryOracle(Seq("spark"), 1, 10),
     "search_any" -> termQueryOracle(Seq("spark", "join", "window"), 1, 10),
+
+    // graft_search('dir', 'spark join', 10): two bare optional terms
+    // of the Parsed grammar — the matchAny scoring shape
+    "search_sql" -> termQueryOracle(Seq("spark", "join"), 1, 10),
 
     // field collapsing: best (score desc, doc_id asc) hit per source,
     // then the global top-10 over the group winners

@@ -23,7 +23,11 @@ class InvarianceSpec extends AnyFunSuite {
   private val entries = Seq(
     "curate_manifest", "chunk_documents", "bpe_roundtrip", "split_assign",
     "stream_curate", "ann_filtered", "search_synonyms", "search_suggest",
-    "source_zorder", "source_compacted", "dedup_minhash", "keywords_tfidf")
+    "source_zorder", "source_compacted", "dedup_minhash", "keywords_tfidf",
+    // r10 additions + the previously-uncovered AST-join and
+    // percolation families
+    "query_join_ast", "stream_percolate", "search_constructor",
+    "ann_ivfpq", "dedup_url", "domain_stats")
 
   test("entry results are invariant to the shuffle partition count") {
     val key = "spark.sql.shuffle.partitions"

@@ -13,6 +13,9 @@ object TestSpark {
       // match Verify/Bench: events.parquet is TIMESTAMP(NANOS), which
       // Spark 4 only reads under this flag (Tables normalizes back)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the build-time extension route (spark-submit contract):
+      // installs the native expressions + the graft_search TVF
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,49 @@
+package graft.plans
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL-visible search surface: graft_search must resolve as a
+  * table function, plan into the fused EXPLAIN-visible probe node,
+  * and return exactly the Scala API's rows. */
+class GraftSqlSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("graft_search plans into one fused GraftSearch node") {
+    val df = spark.sql(s"SELECT * FROM graft_search('$dir', 'spark join', 10)")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftSearch"),
+      s"fused probe node missing from plan:\n$plan")
+    // the fused node IS the probe: no scan/sort/limit spread at the
+    // top level of this plan
+    assert(!plan.contains("FileScan"), s"unfused scan leaked:\n$plan")
+  }
+
+  test("SQL result rows equal the Scala API's") {
+    val sql = spark.sql(
+      s"SELECT doc_id, round(score, 4) AS score FROM graft_search('$dir', 'spark join', 10)")
+      .as[(Long, Double)].collect().toSeq
+    val idx = graft.search.SearchQueries.indexFor(spark, dir)
+    val api = idx.searchRaw("spark join", 10)
+      .select(col("doc_id").cast("long"), round(col("score"), 4))
+      .as[(Long, Double)].collect().toSeq
+    assert(sql == api)
+    assert(sql.size == 10)
+    // scores descend (the probe's own top-k order survives the SQL
+    // front door)
+    assert(sql.map(_._2) == sql.map(_._2).sorted.reverse)
+  }
+
+  test("graft_search argument validation") {
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_search('$dir', 'q')").collect()
+    }
+    assert(e.getMessage.contains("graft_search") ||
+      e.getMessage.contains("arguments"))
+  }
+}
