@@ -304,13 +304,20 @@ class PlanShapeSpec extends AnyFunSuite {
         // REPEAT invocation: the cross-invocation memo must serve the
         // scored frame from the cached setup (no metadata action, no
         // re-materialization of the canon/shape/doubles persists) —
-        // only the probe+verify tail re-runs, so the job count drops
-        // strictly and stays small
+        // only the probe+verify tail re-runs. Asserted through the
+        // memo itself (entry count unchanged — NOT through a strict
+        // job decrease: an earlier suite may already have warmed the
+        // memo, making the first call here a hit too) plus a tight
+        // job bound on the memoized path.
+        val idx = if (name == "query_join_ast_xfield")
+          search.SearchQueries.xfieldIndexFor(spark, sf)
+        else search.SearchQueries.indexFor(spark, sf)
+        val memoBefore = idx.astJoinMemoEntries
         jobs.set(0)
         SparkEntry.queries(name)(spark, sf).collect()
         val repeatJobs = jobs.get()
-        assert(repeatJobs < firstJobs,
-          s"$name memo miss on repeat: $repeatJobs vs first $firstJobs jobs")
+        assert(idx.astJoinMemoEntries == memoBefore,
+          s"$name memo miss on repeat (entries $memoBefore -> ${idx.astJoinMemoEntries})")
         assert(repeatJobs <= 30, s"$name repeat launched $repeatJobs jobs")
         val p = df.queryExecution.executedPlan.toString
         // fieldStatsDf (per-field num_docs for the in-plan IDF join)
