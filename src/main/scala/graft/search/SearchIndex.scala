@@ -533,6 +533,72 @@ final class SearchIndex private (
       .agg(count(lit(1)).as("n"))
   }
 
+  /** BM25F multi-field search (Robertson & Zaragoza 2009 §3.3, the
+    * "simple BM25F" — Lucene's BM25FQuery / Elasticsearch
+    * `combined_fields`): per-term frequencies are WEIGHTED AND
+    * ACCUMULATED ACROSS FIELDS BEFORE saturation,
+    *
+    *   tf~(t) = Σ_f  w_f · tf_{f,t} / (1 − b_f + b_f · dl_f/avgdl_f)
+    *   score  = Σ_t  idf(t) · tf~(t) / (k1 + tf~(t))
+    *
+    * — the principled multi-field ranking: unlike a per-field BM25
+    * sum (or DisMax), a term's evidence saturates ONCE however many
+    * fields repeat it, so structured boilerplate (title echoed in
+    * body) cannot inflate the score. idf is the WHOLE-DOCUMENT idf
+    * (df over docs matching the term in ANY of the queried fields),
+    * per the paper's treatment of the document as one bag.
+    *
+    * Match semantics: any term in any queried field. Plan: ONE
+    * bounded df-agg job (|terms| counters to the driver) + the
+    * scan-path codegen'd score + TakeOrderedAndProject — the same
+    * cost class as [[search]]; every arithmetic fold is in term/field
+    * order so a DuckDB oracle replays it bit-exactly.
+    *
+    * @param fields (field, weight w_f, length-norm b_f) per queried
+    *   text field. */
+  def bm25fSearch(terms: Seq[String], fields: Seq[(String, Double, Double)],
+      k: Int, k1: Double = 1.2): DataFrame = {
+    require(terms.nonEmpty, "bm25fSearch needs at least one term")
+    require(fields.nonEmpty, "bm25fSearch needs at least one field")
+    fields.foreach { case (f, _, _) =>
+      require(spec.textFields.contains(f), s"$f is not an indexed text field")
+    }
+    require(spec.storePositions,
+      "bm25fSearch requires storePositions=true (per-field token arrays)")
+    val n = fieldStats(fields.head._1).numDocs
+    // whole-document df per term, ONE bounded agg (|terms| longs)
+    val dfRow = docs.agg(
+      sum(when(fields.map { case (f, _, _) =>
+        coalesce(array_contains(tokensCol(f), terms.head), lit(false))
+      }.reduce(_ || _), 1L).otherwise(0L)).as("df0"),
+      terms.tail.zipWithIndex.map { case (t, i) =>
+        sum(when(fields.map { case (f, _, _) =>
+          coalesce(array_contains(tokensCol(f), t), lit(false))
+        }.reduce(_ || _), 1L).otherwise(0L)).as(s"df${i + 1}")
+      }: _*).head()
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      val df = dfRow.getLong(i).toDouble
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      // field-order accumulation of weighted, length-normalized tf
+      val tfAcc = fields.map { case (f, w, b) =>
+        // null dl (absent field value) -> 0, like tfCol's coalesce
+        val bNorm = lit(1.0 - b) +
+          lit(b) * coalesce(dlCol(f).cast("double"), lit(0.0)) /
+            lit(fieldStats(f).avgDl)
+        lit(w) * tfCol(f, t).cast("double") / bNorm
+      }.reduce(_ + _)
+      (lit(idf) * tfAcc / (lit(k1) + tfAcc), tfAcc > lit(0.0))
+    }
+    val score = perTerm.map(_._1).reduce(_ + _)
+    val pred = perTerm.map(_._2).reduce(_ || _)
+    docs
+      .withColumn("score", score)
+      .where(pred)
+      .drop(internalCols(spec): _*)
+      .orderBy(col("score").desc, key.asc)
+      .limit(k)
+  }
+
   /** Field-collapsed search (Lucene grouping / Elasticsearch
     * `collapse`, public API surface): top-k results with at most ONE
     * hit per value of `collapseField`, each group represented by its

@@ -225,6 +225,31 @@ object SearchQueries {
       topkOut(indexFor(s, dir).search(ConstScore(
         And("text" matchTerm "spark", "n_chars" gt 300L), 2.5), 10))),
 
+    // getConfigInfo through the gate (reference getConfigInfo,
+    // PartitionsIndexLuceneRDD.scala:537-566): the entry PARSES the
+    // debug string back into fields, so the oracle pins both the
+    // method and the configuration it reports
+    "config_info" -> ((s, dir) => {
+      import s.implicits._
+      val info = indexFor(s, dir).getConfigInfo
+      def part(re: String): String =
+        re.r.findFirstMatchIn(info).map(_.group(1)).getOrElse("")
+      Seq((part("key=([^,)]+)"), part("textFields=([^,)]+)"),
+        part("keywordFields=(.*?), indexAnalyzer"),
+        part("indexAnalyzer=([^,)]+)"), part("queryAnalyzer=([^,)]+)"),
+        part("similarity=(BM25\\([^)]*\\)|TFIDF)"), part("layout=([^,)]+)")))
+        .toDF("key_col", "text_fields", "keyword_fields",
+          "index_analyzer", "query_analyzer", "similarity", "layout")
+    }),
+
+    // BM25F multi-field ranking (Robertson & Zaragoza 2009 §3.3 /
+    // Lucene BM25FQuery): weighted per-field tf accumulated ACROSS
+    // fields BEFORE one shared saturation — text^1 (b=0.75) +
+    // source^2 (b=0.5), whole-document idf
+    "search_bm25f" -> ((s, dir) =>
+      topkOut(xfieldIndexFor(s, dir).bm25fSearch(Seq("spark", "src1"),
+        Seq(("text", 1.0, 0.75), ("source", 2.0, 0.5)), 10))),
+
     // SQL-visible search surface: the flagship probe through the
     // graft_search TABLE function (GraftSearchPlan) — pure SQL, no
     // Scala API; the plan is the fused EXPLAIN-visible GraftSearch
@@ -881,6 +906,47 @@ object SearchQueries {
     // graft_search('dir', 'spark join', 10): two bare optional terms
     // of the Parsed grammar — the matchAny scoring shape
     "search_sql" -> termQueryOracle(Seq("spark", "join"), 1, 10),
+
+    // static pin of the default index configuration as reported by
+    // getConfigInfo
+    "config_info" ->
+      """SELECT * FROM (VALUES
+        |  ('doc_id', 'text', 'lang,source', 'default', 'default',
+        |   'BM25(k1=1.2, b=0.75)', 'DecoupledPostings')
+        |) AS t(key_col, text_fields, keyword_fields, index_analyzer,
+        |       query_analyzer, similarity, layout)""".stripMargin,
+
+    // BM25F: per-term weighted cross-field tf accumulation (text b
+    // 0.75, source b 0.5 with dl=avgdl=1 so its norm is 1), shared
+    // k1 saturation, whole-document (any-field) df
+    "search_bm25f" ->
+      s"""$toksCte,
+         |dfs AS (
+         |  SELECT
+         |    (SELECT count(*) FROM toks WHERE list_contains(tokens, 'spark') OR source = 'spark') AS df_0,
+         |    (SELECT count(*) FROM toks WHERE list_contains(tokens, 'src1') OR source = 'src1') AS df_1
+         |  FROM (SELECT 1)
+         |), scored AS (
+         |  SELECT t.doc_id, len(t.tokens) AS dl, st.n, st.avgdl, dfs.*,
+         |    ${tfSql("spark")} AS tf_t0, ${tfSql("src1")} AS tf_t1,
+         |    (CASE WHEN t.source = 'spark' THEN 1 ELSE 0 END) AS tf_s0,
+         |    (CASE WHEN t.source = 'src1' THEN 1 ELSE 0 END) AS tf_s1
+         |  FROM toks t, st, dfs
+         |), s2 AS (
+         |  SELECT doc_id, df_0, df_1, n,
+         |    1.0 * tf_t0 / (0.25 + 0.75 * dl / avgdl) + 2.0 * tf_s0 / 1.0 AS acc_0,
+         |    1.0 * tf_t1 / (0.25 + 0.75 * dl / avgdl) + 2.0 * tf_s1 / 1.0 AS acc_1
+         |  FROM scored
+         |), s3 AS (
+         |  SELECT doc_id,
+         |    ${idfSql("df_0")} * acc_0 / (1.2 + acc_0)
+         |    + ${idfSql("df_1")} * acc_1 / (1.2 + acc_1) AS score
+         |  FROM s2
+         |  WHERE acc_0 > 0 OR acc_1 > 0
+         |)
+         |SELECT doc_id, round(score, 4) AS score FROM s3
+         |ORDER BY s3.score DESC, doc_id
+         |LIMIT 10""".stripMargin,
 
     // field collapsing: best (score desc, doc_id asc) hit per source,
     // then the global top-10 over the group winners

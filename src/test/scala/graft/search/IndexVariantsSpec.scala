@@ -441,6 +441,37 @@ class IndexVariantsSpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("BM25F saturates cross-field evidence once (anti-boilerplate property)") {
+    // alpha appears: doc 1 in BOTH fields, doc 2 text-only, doc 3
+    // src-only — same tf/dl per field across docs, so per-field
+    // evidence is identical and only the combination differs
+    val docs = Seq(
+      (1L, "alpha beta", "alpha"), (2L, "alpha beta", "news"),
+      (3L, "gamma beta", "alpha"), (4L, "gamma delta", "news")
+    ).toDF("doc_id", "text", "src")
+    val idx = SearchIndex.build(docs, IndexSpec("doc_id", Seq("text", "src")))
+    val fields = Seq(("text", 1.0, 0.75), ("src", 1.0, 0.5))
+    val scores = idx.bm25fSearch(Seq("alpha"), fields, 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(scores.keySet == Set(1L, 2L, 3L))
+    // more evidence still helps...
+    assert(scores(1L) > scores(2L) && scores(1L) > scores(3L))
+    // ...but saturates ONCE: the both-fields doc scores LESS than the
+    // sum of the single-field docs — a per-field BM25 sum (or two
+    // independent saturations) would make it >=; this concavity is
+    // BM25F's whole point (title echoing body can't double-dip)
+    assert(scores(1L) < scores(2L) + scores(3L),
+      s"cross-field evidence double-dipped: ${scores(1L)} vs " +
+        s"${scores(2L)} + ${scores(3L)}")
+    // field weight monotonicity: boosting src lifts the src-only doc
+    // above the text-only doc
+    val boosted = idx.bm25fSearch(Seq("alpha"),
+      Seq(("text", 1.0, 0.75), ("src", 5.0, 0.5)), 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(boosted(3L) > boosted(2L))
+    idx.unpersist()
+  }
+
   test("pluggable QueryConstructor routes every raw-string API; default is Parsed") {
     import graft.dsl.{DefaultQueryConstructor, MultiFieldQueryConstructor}
     val docs = Seq(
