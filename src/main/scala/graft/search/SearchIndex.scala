@@ -533,6 +533,54 @@ final class SearchIndex private (
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Score explanation for the top-k hits of a flat term query — the
+    * Lucene `IndexSearcher.explain` surface (the debugging staple of
+    * every relevance-tuning loop): one row per (hit, matched term)
+    * with the term's tf, df, idf and its score CONTRIBUTION, which
+    * sum exactly to the hit's total (same per-term columns the scan
+    * path compiles, just not collapsed). Plan: the scan-path top-k
+    * first (k rows), contributions exploded in-row AFTER the limit —
+    * the explode multiplies k rows by |terms|, never the corpus.
+    * Output: (key, score, term, tf, df, idf, contribution), matched
+    * terms only. */
+  def explainTerms(field: String, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "explainTerms needs at least one term")
+    require(spec.textFields.contains(field), s"$field is not an indexed text field")
+    val idf = idfFor(terms.map(t => (field, t)).toSet)
+    val dfMap = {
+      val n = fieldStats(field).numDocs
+      // invert idf = ln(1+(n-df+.5)/(df+.5)) back to df exactly via
+      // the stats table (second bounded read, same action class)
+      stats.where(col("field") === field && col("term").isin(terms: _*))
+        .select(col("term"), col("df")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val parts = terms.map { t =>
+      // compileWith against the already-fetched idf map: ONE stats
+      // action for the whole term set, not one per term
+      val (pred, contrib) = compileWith(MatchTerm(field, t), idf)
+      struct(lit(t).as("term"),
+        tfCol(field, t).cast("long").as("tf"),
+        lit(dfMap.getOrElse(t, 0L)).as("df"),
+        lit(idf.getOrElse((field, t), 0.0)).as("idf"),
+        when(pred, contrib).otherwise(lit(0.0)).as("contribution"),
+        pred.as("matched"))
+    }
+    val score = parts.map(p => p.getField("contribution")).reduce(_ + _)
+    val anyMatch = parts.map(p => p.getField("matched")).reduce(_ || _)
+    docs
+      .withColumn("__parts", array(parts: _*))
+      .withColumn("score", score)
+      .where(anyMatch)
+      .orderBy(col("score").desc, key.asc)
+      .limit(k)
+      .select(key.as("key"), col("score"), explode(col("__parts")).as("p"))
+      .where(col("p.matched"))
+      .select(col("key"), col("score"), col("p.term").as("term"),
+        col("p.tf").as("tf"), col("p.df").as("df"), col("p.idf").as("idf"),
+        col("p.contribution").as("contribution"))
+  }
+
   /** BM25F multi-field search (Robertson & Zaragoza 2009 §3.3, the
     * "simple BM25F" — Lucene's BM25FQuery / Elasticsearch
     * `combined_fields`): per-term frequencies are WEIGHTED AND

@@ -225,6 +225,17 @@ object SearchQueries {
       topkOut(indexFor(s, dir).search(ConstScore(
         And("text" matchTerm "spark", "n_chars" gt 300L), 2.5), 10))),
 
+    // Lucene IndexSearcher.explain surface: per-(hit, matched term)
+    // score breakdown for the top-10 of a two-term OR; contributions
+    // must sum to the hit's total (same columns the scan path
+    // compiles, just not collapsed), exploded AFTER the k-row limit
+    "search_explain" -> ((s, dir) =>
+      indexFor(s, dir).explainTerms("text", Seq("spark", "join"), 10)
+        .select(col("key").as("doc_id"), round(col("score"), 4).as("score"),
+          col("term"), col("tf"), col("df"), round(col("idf"), 4).as("idf"),
+          round(col("contribution"), 4).as("contribution"))
+        .orderBy("doc_id", "term")),
+
     // getConfigInfo through the gate (reference getConfigInfo,
     // PartitionsIndexLuceneRDD.scala:537-566): the entry PARSES the
     // debug string back into fields, so the oracle pins both the
@@ -906,6 +917,36 @@ object SearchQueries {
     // graft_search('dir', 'spark join', 10): two bare optional terms
     // of the Parsed grammar — the matchAny scoring shape
     "search_sql" -> termQueryOracle(Seq("spark", "join"), 1, 10),
+
+    // per-(hit, term) breakdown: the top-10 of the two-term OR
+    // unpivoted to matched terms, each with tf/df/idf/contribution
+    "search_explain" ->
+      s"""$toksCte,
+         |dfs AS (
+         |  SELECT ${dfSql("spark")} AS df_0, ${dfSql("join")} AS df_1 FROM (SELECT 1)
+         |), scored AS (
+         |  SELECT t.doc_id, len(t.tokens) AS dl, st.n, st.avgdl, dfs.*,
+         |    ${tfSql("spark")} AS tf_0, ${tfSql("join")} AS tf_1
+         |  FROM toks t, st, dfs
+         |), s2 AS (
+         |  SELECT doc_id, tf_0, tf_1, df_0, df_1, n,
+         |    ${idfSql("df_0")} AS idf_0, ${idfSql("df_1")} AS idf_1,
+         |    ${bm25Sql("tf_0", idfSql("df_0"))} AS c0,
+         |    ${bm25Sql("tf_1", idfSql("df_1"))} AS c1
+         |  FROM scored
+         |), top AS (
+         |  SELECT *, c0 + c1 AS score FROM s2 WHERE tf_0 > 0 OR tf_1 > 0
+         |  ORDER BY score DESC, doc_id LIMIT 10
+         |)
+         |SELECT doc_id, round(score, 4) AS score, term, tf, df,
+         |  round(idf, 4) AS idf, round(contribution, 4) AS contribution
+         |FROM (
+         |  SELECT doc_id, score, 'spark' AS term, tf_0 AS tf, df_0 AS df,
+         |    idf_0 AS idf, c0 AS contribution FROM top WHERE tf_0 > 0
+         |  UNION ALL
+         |  SELECT doc_id, score, 'join', tf_1, df_1, idf_1, c1
+         |  FROM top WHERE tf_1 > 0)
+         |ORDER BY doc_id, term""".stripMargin,
 
     // static pin of the default index configuration as reported by
     // getConfigInfo
