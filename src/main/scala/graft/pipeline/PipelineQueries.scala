@@ -18,6 +18,9 @@ object PipelineQueries {
     "dedup_url" -> ((s, dir) => Urls.dedupByUrl(s, dir)),
     // registered-domain doc counts / dup rates / link degrees
     "domain_stats" -> ((s, dir) => Urls.domainStats(s, dir)),
+    // link-authority prior: PageRank power iteration over the domain
+    // outlink graph (ordered per-target folds for hash-exactness)
+    "link_pagerank" -> ((s, dir) => Urls.domainPageRank(s, dir)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     // exact duplicated-substring spans (Lee et al. 2022): per-doc
@@ -925,6 +928,34 @@ object PipelineQueries {
         |  count(*) OVER (PARTITION BY canonical) AS group_size
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // 3 power iterations unrolled; per-target contributions folded in
+    // src order (list ORDER BY src -> list_sum), mirroring the
+    // engine's sort_array + ordered aggregate exactly
+    "link_pagerank" ->
+      """WITH u AS (SELECT doc_id, doc_id // 2 AS pg FROM documents),
+        |raw_edges AS (
+        |  SELECT 'ex' || (pg % 16) || '.com' AS src,
+        |    'ex' || ((((doc_id*7+3) % 1024) * ((doc_id*7+3) % 1024)) % 16) || '.com' AS dst FROM u
+        |  UNION ALL
+        |  SELECT 'ex' || (pg % 16) || '.com',
+        |    'ex' || (((doc_id*13+5) % 1024) % 16) || '.com' FROM u),
+        |edges AS (SELECT src, dst, count(*) AS cnt FROM raw_edges GROUP BY 1, 2),
+        |outdeg AS (SELECT src, sum(cnt) AS out FROM edges GROUP BY 1),
+        |e AS (SELECT edges.src, dst, cnt::DOUBLE / out AS w FROM edges JOIN outdeg USING (src)),
+        |doms AS (SELECT DISTINCT src AS dom FROM e),
+        |n AS (SELECT count(*) AS nd FROM doms),
+        |r0 AS (SELECT dom, 1.0 / nd AS rank FROM doms, n),
+        |r1 AS (SELECT e.dst AS dom,
+        |  (SELECT (1.0 - 0.85) / nd FROM n) + 0.85 * list_sum(list(r0.rank * e.w ORDER BY e.src)) AS rank
+        |  FROM e JOIN r0 ON r0.dom = e.src GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS dom,
+        |  (SELECT (1.0 - 0.85) / nd FROM n) + 0.85 * list_sum(list(r1.rank * e.w ORDER BY e.src)) AS rank
+        |  FROM e JOIN r1 ON r1.dom = e.src GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS dom,
+        |  (SELECT (1.0 - 0.85) / nd FROM n) + 0.85 * list_sum(list(r2.rank * e.w ORDER BY e.src)) AS rank
+        |  FROM e JOIN r2 ON r2.dom = e.src GROUP BY e.dst)
+        |SELECT dom, round(rank * 1e6, 0) / 1e6 AS rank FROM r3 ORDER BY dom""".stripMargin,
+
     "domain_stats" ->
       """WITH u AS (SELECT doc_id, doc_id // 2 AS pg FROM documents),
         |pages AS (SELECT doc_id, 'ex' || (pg % 16) || '.com' AS dom,
@@ -934,7 +965,7 @@ object PipelineQueries {
         |  FROM pages GROUP BY dom),
         |edges AS (
         |  SELECT dom AS src_dom,
-        |    'ex' || (((doc_id*7+3) % 1024) % 16) || '.com' AS dst_dom FROM pages
+        |    'ex' || ((((doc_id*7+3) % 1024) * ((doc_id*7+3) % 1024)) % 16) || '.com' AS dst_dom FROM pages
         |  UNION ALL
         |  SELECT dom, 'ex' || (((doc_id*13+5) % 1024) % 16) || '.com' FROM pages
         |),

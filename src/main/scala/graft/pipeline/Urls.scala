@@ -89,20 +89,24 @@ object Urls {
       .otherwise(
         concat(lit("http://www.EX"), pg % 16, lit(".com/p/"), pg,
           lit("?utm_campaign=x&id="), pg, lit("&fbclid=abc#s")))
-    def target(q: Column, dirtyLink: Boolean): Column = {
-      val tdom = concat(lit("ex"), q % 16, lit(".com"))
+    def target(q: Column, dom: Column, dirtyLink: Boolean): Column = {
+      val tdom = concat(lit("ex"), dom, lit(".com"))
       if (!dirtyLink) concat(lit("http://www."), tdom, lit("/p/"), q)
       else concat(lit("HTTP://www."), tdom, lit(":80/p/"), q, lit("/?ref=a#x"))
     }
     val q1 = (col("doc_id") * 7 + 3) % 1024
     val q2 = (col("doc_id") * 13 + 5) % 1024
+    // the first edge's target domain is QUADRATIC in the page id:
+    // squares mod 16 land on {0,1,4,9}, concentrating half the link
+    // mass on four domains — a skewed link graph, so the degree and
+    // PageRank oracles cannot be satisfied by a uniform answer
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"),
         when(col("doc_id") % 2 === 0, clean).otherwise(dirty).as("url"),
         array(
-          when(col("doc_id") % 2 === 0, target(q1, dirtyLink = false))
-            .otherwise(target(q1, dirtyLink = true)),
-          target(q2, dirtyLink = false)).as("outlinks"))
+          when(col("doc_id") % 2 === 0, target(q1, (q1 * q1) % 16, dirtyLink = false))
+            .otherwise(target(q1, (q1 * q1) % 16, dirtyLink = true)),
+          target(q2, q2 % 16, dirtyLink = false)).as("outlinks"))
   }
 
   /** Per-canonical-URL dedup — the `dedup_exact` shape keyed on the
@@ -116,6 +120,57 @@ object Urls {
         min(col("doc_id")).over(w).as("canonical_id"),
         count(lit(1)).over(w).as("group_size"))
       .orderBy("doc_id")
+  }
+
+  /** PageRank over the domain outlink graph (Page et al. 1999; the
+    * link-authority prior crawl pipelines rank domains by, next to
+    * [[domainStats]]' counts): damping 0.85, uniform init, a fixed
+    * number of power iterations. Each iteration is ONE equi-join of
+    * the rank vector with the (src, dst, cnt) edge aggregate plus one
+    * aggregation — the standard Spark PageRank shape; at 100 TB the
+    * edge table is domain-keyed and the rank vector is |domains|.
+    *
+    * Determinism at hash-compare strictness: per-target contributions
+    * are collected, SORTED by source domain, and folded in that
+    * order (`aggregate` over a sort_array) — a plain float sum over a
+    * shuffled group would be partition-order-dependent at the ulp
+    * level. The DuckDB oracle replays the same ordered fold.
+    *
+    * Output: (dom, rank) — ranks sum to 1 (dangling mass exists only
+    * if a domain has no outlinks; this generator gives every domain
+    * outlinks, so no dangling term is needed). */
+  def domainPageRank(spark: SparkSession, dir: String,
+      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    val t = urlTable(spark, dir)
+    val pages = t.select(col("doc_id"),
+      normalizeUrl(col("url")).as("cu"), col("outlinks"))
+      .withColumn("dom", registeredDomain(hostOf(col("cu"))))
+    // exact integer edge weights (count of outlinks src -> dst)
+    val edges = pages.select(col("dom").as("src"),
+      explode(col("outlinks")).as("ol"))
+      .withColumn("dst", registeredDomain(hostOf(normalizeUrl(col("ol")))))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+    val outDeg = edges.groupBy(col("src")).agg(sum(col("cnt")).as("out"))
+    // not persisted: the domain graph is |domains|^2 rows at most —
+    // a production caller with a large page-level graph would persist
+    // its own edge table before iterating
+    val e = edges.join(outDeg, Seq("src"))
+      .select(col("src"), col("dst"), (col("cnt").cast("double") / col("out")).as("w"))
+    val nDoms = e.select(col("src")).distinct().count()
+    val base = (1.0 - damping) / nDoms
+    var rank = e.select(col("src").as("dom")).distinct()
+      .withColumn("rank", lit(1.0 / nDoms))
+    for (_ <- 1 to iterations) {
+      rank = e.join(rank.withColumnRenamed("dom", "src"), Seq("src"))
+        .select(col("dst").as("dom"), col("src"), (col("rank") * col("w")).as("c"))
+        .groupBy(col("dom"))
+        .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("cs"))
+        .select(col("dom"),
+          (lit(base) + lit(damping) * aggregate(
+            transform(col("cs"), x => x.getField("c")), lit(0.0), _ + _)).as("rank"))
+    }
+    rank.select(col("dom"),
+      (round(col("rank") * 1e6, 0) / 1e6).as("rank")).orderBy("dom")
   }
 
   /** Domain-level corpus statistics — the quality prior every
