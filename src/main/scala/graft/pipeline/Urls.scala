@@ -78,7 +78,15 @@ object Urls {
     * universe, again half-dirty. Everything is doc_id arithmetic, so
     * the DuckDB oracle can state the expected CANONICAL forms
     * directly — the normalizer must hit them character-exact. */
-  def urlTable(spark: SparkSession, dir: String): DataFrame = {
+  def urlTable(spark: SparkSession, dir: String): DataFrame =
+    withUrlColumns(spark.read.parquet(s"$dir/documents.parquet"))
+      .select("doc_id", "url", "outlinks")
+
+  /** The generator as a column transform (adds url + outlinks from
+    * doc_id, other columns preserved) — shared by the batch
+    * [[urlTable]] and the streaming ingest URL-dedup, so online and
+    * batch canonical keys can never drift. */
+  private[graft] def withUrlColumns(d: DataFrame): DataFrame = {
     val pg = (col("doc_id") / 2).cast("long")
     val dom = concat(lit("ex"), pg % 16, lit(".com"))
     val idq = when(pg % 2 === 1, concat(lit("?id="), pg)).otherwise(lit(""))
@@ -100,13 +108,11 @@ object Urls {
     // squares mod 16 land on {0,1,4,9}, concentrating half the link
     // mass on four domains — a skewed link graph, so the degree and
     // PageRank oracles cannot be satisfied by a uniform answer
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"),
-        when(col("doc_id") % 2 === 0, clean).otherwise(dirty).as("url"),
-        array(
-          when(col("doc_id") % 2 === 0, target(q1, (q1 * q1) % 16, dirtyLink = false))
-            .otherwise(target(q1, (q1 * q1) % 16, dirtyLink = true)),
-          target(q2, q2 % 16, dirtyLink = false)).as("outlinks"))
+    d.withColumn("url", when(col("doc_id") % 2 === 0, clean).otherwise(dirty))
+      .withColumn("outlinks", array(
+        when(col("doc_id") % 2 === 0, target(q1, (q1 * q1) % 16, dirtyLink = false))
+          .otherwise(target(q1, (q1 * q1) % 16, dirtyLink = true)),
+        target(q2, q2 % 16, dirtyLink = false)))
   }
 
   /** Per-canonical-URL dedup — the `dedup_exact` shape keyed on the

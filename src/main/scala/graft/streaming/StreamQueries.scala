@@ -157,6 +157,22 @@ object StreamQueries {
         name, OutputMode.Append())
       s.table(name).select(col("content_hash")).orderBy("content_hash")
     }),
+    // ingest-time URL dedup — the FIRST dedup pass of a crawl
+    // pipeline running online: canonicalize the arriving doc's URL
+    // (same map-side normalize as the batch dedup_url, shared column
+    // code so online/batch keys can never drift) and keep one
+    // survivor per canonical via watermark-bounded stateful dedup
+    "stream_dedup_url" -> ((s, dir) => {
+      val name = s"stream_dedup_url_${sinkId.incrementAndGet()}"
+      val urls = graft.pipeline.Urls.withUrlColumns(stagedDocs(s, dir))
+        .withColumn("canonical",
+          graft.pipeline.Urls.normalizeUrl(col("url")))
+      EventStreams.runToMemorySink(
+        urls.withWatermark("ts", "3650 days")
+          .dropDuplicatesWithinWatermark("canonical"),
+        name, OutputMode.Append())
+      s.table(name).select(col("canonical")).orderBy("canonical")
+    }),
     // per-user funnel stage machine: emits one completion row when a
     // user finishes view -> click -> purchase, each strictly after
     // the previous; bounded three-number state per user forever
@@ -430,6 +446,15 @@ object StreamQueries {
     "stream_dedup_docs" ->
       """SELECT DISTINCT md5(text) AS content_hash
         |FROM documents ORDER BY content_hash""".stripMargin,
+    // the survivor SET is the distinct canonical urls (survivor
+    // identity depends on arrival order, so like stream_dedup_docs
+    // the entry exposes only the key set); expected canonicals stated
+    // from the generator arithmetic, as in batch dedup_url
+    "stream_dedup_url" ->
+      """WITH u AS (SELECT doc_id, doc_id // 2 AS pg FROM documents)
+        |SELECT DISTINCT 'http://www.ex' || (pg % 16) || '.com/p/' || pg ||
+        |  (CASE WHEN pg % 2 = 1 THEN '?id=' || pg ELSE '' END) AS canonical
+        |FROM u ORDER BY canonical""".stripMargin,
     // batch replay of the funnel machine: greedy-first on event-time
     // order equals the min-time three-level formulation (q28's shape,
     // here keeping the per-user completion times)
