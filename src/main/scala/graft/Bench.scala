@@ -64,12 +64,17 @@ object Bench {
       case 0 =>
         graft.pipeline.Dedup.clearCaches()
         graft.pipeline.Similarity.clearCaches()
+        graft.pipeline.Urls.clearCaches() // dedup_url shares section 0
       case 1 =>
         // the ingest-dedup stream entries rebuild corpus band/shingle/
         // gram tables into the Dedup registry mid-section; release
         // them before the relational+search sections
         graft.pipeline.Dedup.clearCaches()
-      case 3 => graft.search.SearchQueries.clearCache()
+      case 3 =>
+        graft.search.SearchQueries.clearCache()
+        // domain_stats / link_pagerank run in this section (no
+        // earlier prefix matches them) — release the edge registry
+        graft.pipeline.Urls.clearCaches()
       case _ => ()
     }
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
