@@ -56,6 +56,21 @@ object PipelineQueries {
     // recorded centroids AND codebooks (ann_ivf pattern)
     "ann_ivfpq" -> ((s, dir) =>
       Similarity.ivfPqTopK(s, dir, recordAs = Some("ann_ivfpq"))),
+    // vector-index persist/reload (the ANN analog of search_reloaded):
+    // probe from PARQUET-persisted centroids/codebooks/codes — must
+    // equal the in-session index, which the shared oracle pins
+    "ann_ivfpq_reloaded" -> ((s, dir) => {
+      val store = "/tmp/graft_fixtures/pq_index_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      pqStoreWritten.synchronized {
+        if (!pqStoreWritten.contains(store)) {
+          Similarity.savePqIndex(s, dir, store)
+          pqStoreWritten += store
+        }
+      }
+      Similarity.loadedIvfPqTopK(s, dir, store,
+        recordAs = Some("ann_ivfpq_reloaded"))
+    }),
     // SemDeDup: within-cell cosine dedup on the SAME fitted quantizer
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semDedup(s, dir, recordAs = Some("dedup_semantic"))),
@@ -290,9 +305,15 @@ object PipelineQueries {
     * expression, so the doubles are bit-identical), the ADC top-
     * `rerank` shortlist, and the exact-cosine re-rank. Verifies
     * everything downstream of the two KMeans fits. */
+  /** Write-once guard for the persisted PQ index fixture. */
+  private val pqStoreWritten = scala.collection.mutable.Set.empty[String]
+
   private def ivfPqOracle: Map[String, String] =
-    Similarity.recordedIvfPqRun("ann_ivfpq") match {
-      case None => Map.empty
+    Seq("ann_ivfpq", "ann_ivfpq_reloaded").flatMap(ivfPqOracleFor).toMap
+
+  private def ivfPqOracleFor(tag: String): Option[(String, String)] =
+    Similarity.recordedIvfPqRun(tag) match {
+      case None => None
       case Some(run) =>
         val sub = run.dim / run.m
         val centValues = run.centroids.zipWithIndex.map { case (c, i) =>
@@ -307,7 +328,7 @@ object PipelineQueries {
           val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
           s"($mm, $j, [${c.mkString(", ")}]::DOUBLE[], $cc)"
         }).mkString(",\n    ")
-        Map("ann_ivfpq" ->
+        Some(tag ->
           s"""$embCte,
              |cents(i, c, cc) AS (VALUES
              |    $centValues

@@ -441,6 +441,63 @@ object Similarity {
       rerank: Int = 32, recordAs: Option[String] = None): DataFrame = {
     val (assigned, centroids) = assignedCells(spark, dir, nCentroids)
     val (codes, codebooks) = pqEncoded(spark, dir, nCentroids, m, ks)
+    ivfPqQuery(spark, assigned, codes, centroids, codebooks,
+      nQueries, k, nProbe, m, ks, rerank, recordAs)
+  }
+
+  /** Persists the fitted IVF-PQ artifacts as parquet — the vector
+    * index's analog of [[graft.search.SearchIndex.save]] (build once,
+    * query from many jobs): coarse centroids, per-subspace codebooks,
+    * and the encoded corpus codes. The raw embeddings stay in the
+    * corpus dir (a loaded index re-reads them only for the query set
+    * and the rerank shortlist). */
+  def savePqIndex(spark: SparkSession, dir: String, path: String,
+      nCentroids: Int = 16, m: Int = 8, ks: Int = 16): Unit = {
+    import spark.implicits._
+    val (_, centroids) = assignedCells(spark, dir, nCentroids)
+    val (codes, codebooks) = pqEncoded(spark, dir, nCentroids, m, ks)
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("i", "c").write.mode("overwrite").parquet(s"$path/centroids")
+    (for { mm <- codebooks.indices; j <- codebooks(mm).indices }
+      yield (mm, j, codebooks(mm)(j).toSeq)).toDF("m", "j", "c")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Runs the IVF-PQ probe from PERSISTED artifacts ([[savePqIndex]])
+    * — results must be identical to the in-session index's: centroids
+    * and codebooks are bounded reads (|cells| resp. m·ks rows), the
+    * codes table streams from parquet, and only the query set + the
+    * rerank shortlist touch the raw embeddings. */
+  def loadedIvfPqTopK(spark: SparkSession, dir: String, path: String,
+      nQueries: Int = 5, k: Int = 10, nProbe: Int = 4, rerank: Int = 32,
+      recordAs: Option[String] = None): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("i").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val cbRows = spark.read.parquet(s"$path/codebooks")
+      .orderBy("m", "j").collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val ks = cbRows.map(_.getInt(1)).max + 1
+    val codebooks = Array.tabulate(m, ks) { (mm, j) =>
+      cbRows(mm * ks + j).getSeq[Double](2).toArray
+    }
+    val codes = spark.read.parquet(s"$path/codes")
+    // the query set + rerank vectors come from the corpus embeddings
+    // with the SAME deterministic cell assignment the saved index used
+    val (assigned, _) = assignedCells(spark, dir, centroids.length)
+    ivfPqQuery(spark, assigned, codes, centroids, codebooks,
+      nQueries, k, nProbe, m, ks, rerank, recordAs)
+  }
+
+  /** The shared query path behind [[ivfPqTopK]] / [[loadedIvfPqTopK]]:
+    * driver-built ADC LUTs, codegen'd fold over the codes table,
+    * exact re-rank of the shortlist. */
+  private def ivfPqQuery(spark: SparkSession, assigned: DataFrame,
+      codes: DataFrame, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nQueries: Int, k: Int, nProbe: Int, m: Int, ks: Int, rerank: Int,
+      recordAs: Option[String]): DataFrame = {
     val dim = centroids.headOption.map(_.length).getOrElse(0)
     val sub = dim / m
     recordAs.foreach { tag =>
