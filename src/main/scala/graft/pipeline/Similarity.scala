@@ -483,10 +483,10 @@ object Similarity {
       cbRows(mm * ks + j).getSeq[Double](2).toArray
     }
     val codes = spark.read.parquet(s"$path/codes")
-    // the query set + rerank vectors come from the corpus embeddings
-    // with the SAME deterministic cell assignment the saved index used
-    val (assigned, _) = assignedCells(spark, dir, centroids.length)
-    ivfPqQuery(spark, assigned, codes, centroids, codebooks,
+    // the query path only needs RAW vectors (query set + rerank
+    // shortlist) — corpus cells come from the saved codes table, so
+    // no quantizer refit happens on load
+    ivfPqQuery(spark, corpus(spark, dir), codes, centroids, codebooks,
       nQueries, k, nProbe, m, ks, rerank, recordAs)
   }
 
