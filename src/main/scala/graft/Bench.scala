@@ -214,9 +214,19 @@ object Bench {
     // single bursty run can no longer overwrite three rounds of
     // steady-state history (exactly what the r9 driver run did to
     // the committed floors); this run's raw readings are preserved
-    // verbatim under "last_run" for burst forensics.
+    // verbatim under "last_run" for burst forensics. Floors are
+    // deliberately a RATCHET: a real regression shows up as a
+    // persistent last_run-vs-floor gap (and in the stdout floors
+    // map, which flags every kept entry reading >1.5x floor) — the
+    // floor records what the engine CAN do, the raw run what it DID;
+    // reset by deleting the entry (or file) after a known change.
+    // an errored entry (v = -1) must NOT overwrite its accumulated
+    // floor — a transient failure would otherwise destroy the very
+    // history the min-merge protects (the failure itself is already
+    // machine-visible in errs and last_run)
     val fullQs = results.map { case (k, v, _) =>
-      "\"" + k + "\":" + floors.getOrElse(k, v) }.mkString("{", ",", "}")
+      val fl = floors.get(k).orElse(history.get(k).filter(_ > 0)).getOrElse(v)
+      "\"" + k + "\":" + fl }.mkString("{", ",", "}")
     val lastQs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullLine =

@@ -8,11 +8,14 @@ package graft.dsl
   * hardcoded `"text"` field
   * (impl/queries/DefaultQueryConstructor.scala:10-17).
   *
-  * Set on [[graft.search.IndexSpec.queryConstructor]]; every
-  * raw-string API of the index ([[graft.search.SearchIndex.searchRaw]],
-  * `batchSearchRaw`, `lightBatchSearchRaw`) routes strings through it.
-  * Serializable so a constructor can ride executor-side closures
-  * (query-join generators). */
+  * Set on [[graft.search.IndexSpec.queryConstructor]]; the index's
+  * raw-STRING APIs ([[graft.search.SearchIndex.searchRaw]] and the
+  * string-batch `batchSearchRaw(Seq[(Long, String)], ...)`) route
+  * through it. The structured DSL/term/query-join paths take
+  * [[SearchQuery]] values directly and are deliberately outside the
+  * strategy (the caller already constructed the query). Serializable
+  * so a constructor can ride executor-side closures (query-join
+  * generators). */
 trait QueryConstructor extends Serializable {
   def construct(raw: String): SearchQuery
 

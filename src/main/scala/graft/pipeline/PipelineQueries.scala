@@ -963,18 +963,24 @@ object PipelineQueries {
         |edges AS (SELECT src, dst, count(*) AS cnt FROM raw_edges GROUP BY 1, 2),
         |outdeg AS (SELECT src, sum(cnt) AS out FROM edges GROUP BY 1),
         |e AS (SELECT edges.src, dst, cnt::DOUBLE / out AS w FROM edges JOIN outdeg USING (src)),
-        |doms AS (SELECT DISTINCT src AS dom FROM e),
+        |doms AS (SELECT src AS dom FROM e UNION SELECT dst FROM e),
         |n AS (SELECT count(*) AS nd FROM doms),
         |r0 AS (SELECT dom, 1.0 / nd AS rank FROM doms, n),
-        |r1 AS (SELECT e.dst AS dom,
-        |  (SELECT (1.0 - 0.85) / nd FROM n) + 0.85 * list_sum(list(r0.rank * e.w ORDER BY e.src)) AS rank
+        |c1 AS (SELECT e.dst AS dom, list_sum(list(r0.rank * e.w ORDER BY e.src)) AS m
         |  FROM e JOIN r0 ON r0.dom = e.src GROUP BY e.dst),
-        |r2 AS (SELECT e.dst AS dom,
-        |  (SELECT (1.0 - 0.85) / nd FROM n) + 0.85 * list_sum(list(r1.rank * e.w ORDER BY e.src)) AS rank
+        |r1 AS (SELECT doms.dom,
+        |  (SELECT (1.0 - 0.85) / nd FROM n) + 0.85 * coalesce(c1.m, 0.0) AS rank
+        |  FROM doms LEFT JOIN c1 USING (dom)),
+        |c2 AS (SELECT e.dst AS dom, list_sum(list(r1.rank * e.w ORDER BY e.src)) AS m
         |  FROM e JOIN r1 ON r1.dom = e.src GROUP BY e.dst),
-        |r3 AS (SELECT e.dst AS dom,
-        |  (SELECT (1.0 - 0.85) / nd FROM n) + 0.85 * list_sum(list(r2.rank * e.w ORDER BY e.src)) AS rank
-        |  FROM e JOIN r2 ON r2.dom = e.src GROUP BY e.dst)
+        |r2 AS (SELECT doms.dom,
+        |  (SELECT (1.0 - 0.85) / nd FROM n) + 0.85 * coalesce(c2.m, 0.0) AS rank
+        |  FROM doms LEFT JOIN c2 USING (dom)),
+        |c3 AS (SELECT e.dst AS dom, list_sum(list(r2.rank * e.w ORDER BY e.src)) AS m
+        |  FROM e JOIN r2 ON r2.dom = e.src GROUP BY e.dst),
+        |r3 AS (SELECT doms.dom,
+        |  (SELECT (1.0 - 0.85) / nd FROM n) + 0.85 * coalesce(c3.m, 0.0) AS rank
+        |  FROM doms LEFT JOIN c3 USING (dom))
         |SELECT dom, round(rank * 1e6, 0) / 1e6 AS rank FROM r3 ORDER BY dom""".stripMargin,
 
     "domain_stats" ->

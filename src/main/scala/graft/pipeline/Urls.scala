@@ -27,11 +27,33 @@ object Urls {
   private val edgeCache =
     scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
 
-  /** Drops all cached edge aggregates (releasing their persists). */
-  def clearCaches(): Unit = edgeCache.synchronized {
-    edgeCache.values.foreach(_.unpersist(blocking = true))
-    edgeCache.clear()
+  /** Build-once canonicalized pages frame (doc_id, cu, outlinks,
+    * dom) — [[domainStats]] aggregates it three ways (docs, out- and
+    * in-degrees); without the cut each aggregate re-ran the whole
+    * urlTable + normalize regexp pipeline over the corpus. */
+  private val pagesCache =
+    scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
+
+  /** Drops all cached URL-side artifacts (releasing their persists). */
+  def clearCaches(): Unit = {
+    edgeCache.synchronized {
+      edgeCache.values.foreach(_.unpersist(blocking = true))
+      edgeCache.clear()
+    }
+    pagesCache.synchronized {
+      pagesCache.values.foreach(_.unpersist(blocking = true))
+      pagesCache.clear()
+    }
   }
+
+  private def cachedPages(spark: SparkSession, dir: String): DataFrame =
+    pagesCache.synchronized {
+      pagesCache.getOrElseUpdate(dir,
+        withUrlColumns(spark.read.parquet(s"$dir/documents.parquet"))
+          .select(col("doc_id"), normalizeUrl(col("url")).as("cu"), col("outlinks"))
+          .withColumn("dom", registeredDomain(hostOf(col("cu"))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   /** RFC-3986-flavored URL canonicalization as ONE composed codegen
     * column expression (no UDF): strip the fragment, drop tracking
@@ -160,10 +182,7 @@ object Urls {
     * outlinks, so no dangling term is needed). */
   def domainPageRank(spark: SparkSession, dir: String,
       iterations: Int = 3, damping: Double = 0.85): DataFrame = {
-    val t = urlTable(spark, dir)
-    val pages = t.select(col("doc_id"),
-      normalizeUrl(col("url")).as("cu"), col("outlinks"))
-      .withColumn("dom", registeredDomain(hostOf(col("cu"))))
+    val pages = cachedPages(spark, dir)
     // exact integer edge weights (count of outlinks src -> dst)
     val edges = pages.select(col("dom").as("src"),
       explode(col("outlinks")).as("ol"))
@@ -182,21 +201,40 @@ object Urls {
             (col("cnt").cast("double") / col("out")).as("w"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
-    val nDoms = e.select(col("src")).distinct().count()
+    pageRank(e, iterations, damping)
+      .select(col("dom"),
+        (round(col("rank") * 1e6, 0) / 1e6).as("rank")).orderBy("dom")
+  }
+
+  /** The power-iteration core over a normalized edge frame
+    * (src, dst, w) with Σ_dst w(src, dst) = 1 per src. The rank
+    * vector is defined over EVERY node in the graph (sources ∪
+    * destinations) and is rebuilt by LEFT-joining that node set with
+    * the incoming contributions each iteration — a groupBy(dst) alone
+    * would silently drop a node with outlinks but no inlinks after
+    * iteration 1 (no base-term row), zeroing its outgoing mass too.
+    * Per-target contributions fold in sorted-source order
+    * (hash-exact determinism). Dangling nodes (no outlinks) leak
+    * their mass, the "removed dangling node" convention. */
+  private[graft] def pageRank(e: DataFrame, iterations: Int,
+      damping: Double): DataFrame = {
+    val doms = e.select(col("src").as("dom"))
+      .union(e.select(col("dst").as("dom"))).distinct()
+    val nDoms = doms.count()
     val base = (1.0 - damping) / nDoms
-    var rank = e.select(col("src").as("dom")).distinct()
-      .withColumn("rank", lit(1.0 / nDoms))
+    var rank = doms.withColumn("rank", lit(1.0 / nDoms))
     for (_ <- 1 to iterations) {
-      rank = e.join(rank.withColumnRenamed("dom", "src"), Seq("src"))
+      val contrib = e.join(rank.withColumnRenamed("dom", "src"), Seq("src"))
         .select(col("dst").as("dom"), col("src"), (col("rank") * col("w")).as("c"))
         .groupBy(col("dom"))
         .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("cs"))
+        .select(col("dom"), aggregate(
+          transform(col("cs"), x => x.getField("c")), lit(0.0), _ + _).as("in_mass"))
+      rank = doms.join(contrib, Seq("dom"), "left")
         .select(col("dom"),
-          (lit(base) + lit(damping) * aggregate(
-            transform(col("cs"), x => x.getField("c")), lit(0.0), _ + _)).as("rank"))
+          (lit(base) + lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
     }
-    rank.select(col("dom"),
-      (round(col("rank") * 1e6, 0) / 1e6).as("rank")).orderBy("dom")
+    rank
   }
 
   /** Domain-level corpus statistics — the quality prior every
@@ -205,12 +243,10 @@ object Urls {
     * distinct-canonical-page count, the duplicate rate, and the
     * outlink graph degrees (edges counted AFTER canonicalization,
     * by source-page and target-url registered domain). One explode +
-    * three domain-keyed aggregations over 16-row keys. */
+    * three domain-keyed aggregations over 16-row keys, all reading
+    * the ONE persisted canonicalized pages frame ([[cachedPages]]). */
   def domainStats(spark: SparkSession, dir: String): DataFrame = {
-    val t = urlTable(spark, dir)
-    val pages = t.select(col("doc_id"),
-      normalizeUrl(col("url")).as("cu"), col("outlinks"))
-      .withColumn("dom", registeredDomain(hostOf(col("cu"))))
+    val pages = cachedPages(spark, dir)
     val docAgg = pages.groupBy(col("dom"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("cu")).as("n_pages"))

@@ -43,6 +43,25 @@ class UrlsSpec extends AnyFunSuite {
     assert(regdom("http://www.example.com:8080/p") == "example.com")
   }
 
+  test("pageRank keeps a source-only node in the vector and flowing") {
+    // a -> b, b -> a, c -> a: c has outlinks but NO inlinks — it must
+    // stay in the rank vector at the base level and keep feeding a
+    // (a groupBy(dst)-only rebuild would drop c after iteration 1 and
+    // zero its contribution)
+    val e = Seq(("a", "b", 1.0), ("b", "a", 1.0), ("c", "a", 1.0))
+      .toDF("src", "dst", "w")
+    val r = Urls.pageRank(e, iterations = 3, damping = 0.85)
+      .as[(String, Double)].collect().toMap
+    assert(r.keySet == Set("a", "b", "c"))
+    val base = 0.15 / 3
+    assert(math.abs(r("c") - base) < 1e-12,
+      s"source-only node must sit at the base term, got ${r("c")}")
+    // a receives from both b and c, b only from a
+    assert(r("a") > r("b") && r("b") > r("c"))
+    // conservation: no dangling nodes here, so mass is preserved
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
   test("dedupByUrl pairs every dirty variant with its clean page") {
     val d = Urls.dedupByUrl(spark, "/root/testdata/sf0.001")
       .select("doc_id", "canonical_id", "group_size")
