@@ -43,6 +43,33 @@ class UrlsSpec extends AnyFunSuite {
     assert(regdom("http://www.example.com:8080/p") == "example.com")
   }
 
+  test("normalizeUrl is idempotent (canonical forms are fixpoints)") {
+    // canonicalization must converge in one pass: norm(norm(x)) ==
+    // norm(x) for every input, or repeated pipeline stages would
+    // keep rewriting keys
+    val rnd = new scala.util.Random(7)
+    val schemes = Seq("http", "HTTP", "https", "HTTPS")
+    val hosts = Seq("Example.com", "www.EX3.com", "a.b.co.uk", "h", "x.y.z.org")
+    val ports = Seq("", ":80", ":443", ":8080")
+    val paths = Seq("", "/", "/A/b", "/p/7/", "/a//", "/p&q")
+    val queries = Seq("", "?id=1", "?utm_source=x", "?utm_a=1&id=2&ref=r",
+      "?id=1&gclid=g&fbclid=f", "?href=z", "?utm_x=1&utm_y=2")
+    val frags = Seq("", "#f", "#a/b?c")
+    val gen = (1 to 300).map { _ =>
+      schemes(rnd.nextInt(schemes.size)) + "://" +
+        hosts(rnd.nextInt(hosts.size)) + ports(rnd.nextInt(ports.size)) +
+        paths(rnd.nextInt(paths.size)) + queries(rnd.nextInt(queries.size)) +
+        frags(rnd.nextInt(frags.size))
+    }
+    val df = gen.toDF("u")
+      .select(Urls.normalizeUrl(col("u")).as("n1"))
+      .select(col("n1"), Urls.normalizeUrl(col("n1")).as("n2"))
+      .where(col("n1") =!= col("n2"))
+    val diverging = df.collect()
+    assert(diverging.isEmpty,
+      "non-idempotent canonicalizations:\n" + diverging.take(5).mkString("\n"))
+  }
+
   test("pageRank keeps a source-only node in the vector and flowing") {
     // a -> b, b -> a, c -> a: c has outlinks but NO inlinks — it must
     // stay in the rank vector at the base level and keep feeding a

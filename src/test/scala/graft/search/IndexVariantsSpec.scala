@@ -469,6 +469,16 @@ class IndexVariantsSpec extends AnyFunSuite {
       Seq(("text", 1.0, 0.75), ("src", 5.0, 0.5)), 10)
       .select("doc_id", "score").as[(Long, Double)].collect().toMap
     assert(boosted(3L) > boosted(2L))
+    // single-field degeneration: BM25F over ONE field (w=1, spec's b)
+    // is BM25 without the (k1+1) numerator — a constant positive
+    // factor, so the RANKING must equal the plain matchAny search's
+    val f1 = idx.bm25fSearch(Seq("alpha", "beta"),
+      Seq(("text", 1.0, 0.75)), 10)
+      .select("doc_id").as[Long].collect().toSeq
+    val plain = idx.search("text" matchAny graft.dsl.builders.termSet("alpha", "beta"), 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(f1 == plain,
+      s"single-field BM25F ranking diverged: $f1 vs $plain")
     idx.unpersist()
   }
 
