@@ -71,6 +71,26 @@ object PipelineQueries {
       Similarity.loadedIvfPqTopK(s, dir, store,
         recordAs = Some("ann_ivfpq_reloaded"))
     }),
+    // encode-only incremental ingest: the store starts with 90% of
+    // the corpus, the last tenth is APPENDED against the frozen
+    // centroids/codebooks (no refit, existing codes untouched) — the
+    // probe over the appended store must equal the all-at-once
+    // index's, which the shared recorded-run oracle pins
+    "ann_ivfpq_appended" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val store = "/tmp/graft_fixtures/pq_index_app_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      pqStoreWritten.synchronized {
+        if (!pqStoreWritten.contains(store)) {
+          Similarity.savePqIndex(s, dir, store,
+            codesFilter = Some(col("vec_id") % 10 =!= 9))
+          Similarity.appendToPqIndex(s, dir, store, col("vec_id") % 10 === 9)
+          pqStoreWritten += store
+        }
+      }
+      Similarity.loadedIvfPqTopK(s, dir, store,
+        recordAs = Some("ann_ivfpq_appended"))
+    }),
     // SemDeDup: within-cell cosine dedup on the SAME fitted quantizer
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semDedup(s, dir, recordAs = Some("dedup_semantic"))),
@@ -309,7 +329,8 @@ object PipelineQueries {
   private val pqStoreWritten = scala.collection.mutable.Set.empty[String]
 
   private def ivfPqOracle: Map[String, String] =
-    Seq("ann_ivfpq", "ann_ivfpq_reloaded").flatMap(ivfPqOracleFor).toMap
+    Seq("ann_ivfpq", "ann_ivfpq_reloaded", "ann_ivfpq_appended")
+      .flatMap(ivfPqOracleFor).toMap
 
   private def ivfPqOracleFor(tag: String): Option[(String, String)] =
     Similarity.recordedIvfPqRun(tag) match {

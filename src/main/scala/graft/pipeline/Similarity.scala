@@ -452,7 +452,8 @@ object Similarity {
     * corpus dir (a loaded index re-reads them only for the query set
     * and the rerank shortlist). */
   def savePqIndex(spark: SparkSession, dir: String, path: String,
-      nCentroids: Int = 16, m: Int = 8, ks: Int = 16): Unit = {
+      nCentroids: Int = 16, m: Int = 8, ks: Int = 16,
+      codesFilter: Option[Column] = None): Unit = {
     import spark.implicits._
     val (_, centroids) = assignedCells(spark, dir, nCentroids)
     val (codes, codebooks) = pqEncoded(spark, dir, nCentroids, m, ks)
@@ -461,7 +462,54 @@ object Similarity {
     (for { mm <- codebooks.indices; j <- codebooks(mm).indices }
       yield (mm, j, codebooks(mm)(j).toSeq)).toDF("m", "j", "c")
       .write.mode("overwrite").parquet(s"$path/codebooks")
-    codes.write.mode("overwrite").parquet(s"$path/codes")
+    // codesFilter restricts which vectors the store initially carries
+    // (the rest arrive later through [[appendToPqIndex]])
+    codesFilter.map(codes.where).getOrElse(codes)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** ENCODE-ONLY append of new vectors to a persisted PQ index — the
+    * incremental-ingest property product quantization is chosen for:
+    * arriving vectors are assigned and coded against the FROZEN
+    * centroids/codebooks (no refit, no touch of existing codes), so
+    * ingest cost is one map-side encode pass over the new slice and
+    * an append write. The assignment/encoding formulas are the exact
+    * ones [[pqEncoded]] compiles (first-min argmin of
+    * `|c|^2 - 2 x.c`); `PqAppendSpec`-style parity is pinned in
+    * IvfSpec so the duplicated expressions cannot drift. */
+  def appendToPqIndex(spark: SparkSession, dir: String, path: String,
+      filter: Column): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("i").collect().map(_.getSeq[Double](1).toArray)
+    val cbRows = spark.read.parquet(s"$path/codebooks")
+      .orderBy("m", "j").collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val ks = cbRows.map(_.getInt(1)).max + 1
+    val codebooks = Array.tabulate(m, ks) { (mm, j) =>
+      cbRows(mm * ks + j).getSeq[Double](2).toArray
+    }
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    val sub = dim / m
+    val cellScores = array(centroids.toIndexedSeq.map(c =>
+      cellScore(col("v"), c)): _*)
+    val centArr = array(centroids.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(lit): _*)): _*)
+    val codeCols = (0 until m).map { mm =>
+      val rm = slice(col("r"), mm * sub + 1, sub)
+      val scores = array(codebooks(mm).toIndexedSeq.map { c =>
+        val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+        lit(cc) - lit(2.0) * call_function("vec_dot", rm,
+          array(c.toIndexedSeq.map(lit): _*))
+      }: _*)
+      (array_position(scores, array_min(scores)) - 1).cast("int")
+    }
+    corpus(spark, dir).where(filter)
+      .withColumn("cell",
+        (array_position(cellScores, array_min(cellScores)) - 1).cast("int"))
+      .withColumn("cent", element_at(centArr, col("cell") + 1))
+      .withColumn("r", zip_with(col("v"), col("cent"), (a, b) => a - b))
+      .select(col("vec_id"), col("cell"), array(codeCols: _*).as("codes"))
+      .write.mode("append").parquet(s"$path/codes")
   }
 
   /** Runs the IVF-PQ probe from PERSISTED artifacts ([[savePqIndex]])

@@ -67,6 +67,24 @@ class IvfSpec extends AnyFunSuite {
     assert(pq1.sorted == pq2.sorted, "IVF-PQ must be deterministic")
   }
 
+  test("append-encode parity: appended codes equal the all-at-once encode") {
+    import org.apache.spark.sql.functions.col
+    val store = "/tmp/graft_fixtures/pq_parity_spec"
+    // full store = ground truth for the slice's codes
+    Similarity.savePqIndex(spark, dir, store + "_full")
+    // partial store + encode-only append of the held-out tenth
+    Similarity.savePqIndex(spark, dir, store,
+      codesFilter = Some(col("vec_id") % 10 =!= 9))
+    Similarity.appendToPqIndex(spark, dir, store, col("vec_id") % 10 === 9)
+    def codesOf(p: String) = spark.read.parquet(s"$p/codes")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2).toList)).sortBy(_._1).toList
+    // the appended store must be byte-for-byte the full encode —
+    // the duplicated assignment/encoding expressions in
+    // appendToPqIndex cannot drift from pqEncoded's
+    assert(codesOf(store) == codesOf(store + "_full"))
+  }
+
   test("semDedup threshold extremes pin the within-cell keep rule") {
     import org.apache.spark.sql.functions._
     // cos is never > 1 (+ fp slack): nothing may drop
