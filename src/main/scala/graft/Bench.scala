@@ -113,7 +113,13 @@ object Bench {
         if (!f.exists()) Map.empty
         else {
           val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
-          val q = root.get("queries")
+          // floor history lives under "floor_queries" (r11+); older
+          // dumps kept the floors in "queries" — read either, so a
+          // pre-rename file still seeds the thresholds
+          val q = {
+            val fq = root.get("floor_queries")
+            if (fq != null) fq else root.get("queries")
+          }
           if (q == null) Map.empty
           else {
             val b = Map.newBuilder[String, Double]
@@ -197,7 +203,6 @@ object Bench {
           case None => v
         })
     }.toMap
-    val floorTotal = floors.values.sum
     // The harness that consumes this output keeps only the LAST ~2000
     // characters of stdout; a full per-query map over 100+ queries is
     // ~3000 chars, so the parseable line would be truncated mid-JSON
@@ -209,29 +214,33 @@ object Bench {
     //     `omitted_sec` keep the line reconcilable against the total).
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // The on-disk full dump is the MIN-MERGED steady-state floor:
-    // "queries" keeps min(this run, previous floor) per entry so a
-    // single bursty run can no longer overwrite three rounds of
-    // steady-state history (exactly what the r9 driver run did to
-    // the committed floors); this run's raw readings are preserved
-    // verbatim under "last_run" for burst forensics. Floors are
-    // deliberately a RATCHET: a real regression shows up as a
-    // persistent last_run-vs-floor gap (and in the stdout floors
-    // map, which flags every kept entry reading >1.5x floor) — the
-    // floor records what the engine CAN do, the raw run what it DID;
-    // reset by deleting the entry (or file) after a known change.
-    // an errored entry (v = -1) must NOT overwrite its accumulated
+    // The on-disk full dump keeps this run's MEASURED readings as the
+    // headline ("value"/"queries") — a regression must surface in the
+    // primary fields, not only in an auxiliary one — and carries the
+    // min-merged steady-state floors under clearly-named AUXILIARY
+    // fields ("floor_total"/"floor_queries"). Floors are a RATCHET
+    // (min of this run and the accumulated floor) so a single bursty
+    // run can't overwrite steady-state history; they record what the
+    // engine CAN do, the primary fields what it DID. Reset by
+    // deleting the entry (or file) after a known change.
+    // An errored entry (v = -1) must NOT overwrite its accumulated
     // floor — a transient failure would otherwise destroy the very
     // history the min-merge protects (the failure itself is already
-    // machine-visible in errs and last_run)
-    val fullQs = results.map { case (k, v, _) =>
-      val fl = floors.get(k).orElse(history.get(k).filter(_ > 0)).getOrElse(v)
-      "\"" + k + "\":" + fl }.mkString("{", ",", "}")
+    // machine-visible in errs and "queries" = -1). Its carried-
+    // forward historical floor IS included in floorQsMap, so
+    // floor_total always equals the sum of floor_queries.
+    val floorQsMap: Seq[(String, Double)] = results.flatMap { case (k, v, _) =>
+      floors.get(k).orElse(history.get(k).filter(_ > 0)).map(k -> _)
+    }
+    val allFloorTotal = floorQsMap.map(_._2).sum
+    val fullFloorQs = floorQsMap.map { case (k, fl) => "\"" + k + "\":" + fl }
+      .mkString("{", ",", "}")
     val lastQs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$floorTotal,"unit":"sec","queries":$fullQs,""" +
-        s""""last_run_total":$total,"last_run":$lastQs,"errs":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$lastQs,""" +
+        s""""floor_total":$allFloorTotal,"floor_queries":$fullFloorQs,""" +
+        s""""errs":$errs,"sf":"$sfDir"}"""
     val fullOut = fullPath
     // subset runs (SPARK_GRAFT_ONLY) are local iteration, not
     // representative history — writing them would poison the revisit
@@ -261,7 +270,7 @@ object Bench {
           "\"" + k + "\":" + fmt(floors(k))
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        s""""floor_total":${fmt(floorTotal)},"floors":$burstFs,""" +
+        s""""floor_total":${fmt(allFloorTotal)},"floors":$burstFs,""" +
         s""""omitted":$omitted,"omitted_sec":$omittedSec,"errs":$errs,"sf":"$sfDir"}"""
     }
     // strict slowest-first prefix: stop at the FIRST over-budget

@@ -21,6 +21,20 @@ object PipelineQueries {
     // link-authority prior: PageRank power iteration over the domain
     // outlink graph (ordered per-target folds for hash-exactness)
     "link_pagerank" -> ((s, dir) => Urls.domainPageRank(s, dir)),
+    // L1-delta convergence stop instead of a fixed iteration count
+    // (one extra bounded agg per iteration); oracle replays the same
+    // stop rule over unrolled iterations
+    "link_pagerank_converged" -> ((s, dir) => Urls.domainPageRankConverged(s, dir)),
+    // personalized (seeded-trust / TrustRank-style) teleport vector,
+    // same convergence stop
+    "link_pagerank_personalized" -> ((s, dir) => Urls.domainPageRankPersonalized(s, dir)),
+    // crawl→curation composition: WARC fixture bytes → record parse →
+    // target-URI + HTML href extraction → canonicalize → URL dedup /
+    // domain stats. Oracles are dedup_url's / domain_stats' verbatim —
+    // the WARC round trip must land on the same answers with no
+    // synthetic bridge.
+    "warc_url_dedup" -> ((s, dir) => Urls.warcUrlDedup(s, dir)),
+    "warc_domain_stats" -> ((s, dir) => Urls.warcDomainStats(s, dir)),
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     // exact duplicated-substring spans (Lee et al. 2022): per-doc
@@ -510,7 +524,73 @@ object PipelineQueries {
     * order) for ann_ivf / quality_classifier to be included. */
   def oracles: Map[String, String] =
     staticOracles ++ ivfOracle ++ ivfPqOracle ++ semDedupOracle ++
-      bpeEncodeOracle ++ lrOracle
+      bpeEncodeOracle ++ lrOracle ++ Map(
+        "link_pagerank_converged" ->
+          pagerankConvergedSql(1e-6, 8, 0.85, None),
+        "link_pagerank_personalized" ->
+          pagerankConvergedSql(1e-6, 8, 0.85, Some(Seq("ex0.com", "ex1.com"))),
+        // the WARC round trip must reproduce the synthetic-bridge
+        // answers exactly — same oracles, by construction
+        "warc_url_dedup" -> staticOracles("dedup_url"),
+        "warc_domain_stats" -> staticOracles("domain_stats"))
+
+  /** Unrolled convergence-stopped PageRank oracle: maxIter iteration
+    * blocks (contribution fold in src order, rank rebuild over the
+    * full node set, L1 delta folded in dom order — each step the
+    * exact arithmetic [[Urls.pageRankUntil]] executes), then the
+    * FIRST iteration whose delta dropped below tol is selected as the
+    * answer, replaying the engine's stop rule. MATERIALIZED CTEs:
+    * DuckDB inlines multi-referenced CTEs by default, which is
+    * exponential over a chained unroll. */
+  private def pagerankConvergedSql(tol: Double, maxIter: Int,
+      damping: Double, seeds: Option[Seq[String]]): String = {
+    val (r0, base) = seeds match {
+      case Some(ss) =>
+        val inList = ss.map(s => s"'$s'").mkString(", ")
+        val p = 1.0 / ss.size
+        (s"SELECT dom, (CASE WHEN dom IN ($inList) THEN $p ELSE 0.0 END) AS rank FROM doms",
+          s"(1.0 - $damping) * (CASE WHEN doms.dom IN ($inList) THEN $p ELSE 0.0 END)")
+      case None =>
+        ("SELECT dom, 1.0 / nd AS rank FROM doms, n",
+          s"(SELECT (1.0 - $damping) / nd FROM n)")
+    }
+    val head =
+      s"""u AS (SELECT doc_id, doc_id // 2 AS pg FROM documents),
+         |raw_edges AS (
+         |  SELECT 'ex' || (pg % 16) || '.com' AS src,
+         |    'ex' || ((((doc_id*7+3) % 1024) * ((doc_id*7+3) % 1024)) % 16) || '.com' AS dst FROM u
+         |  UNION ALL
+         |  SELECT 'ex' || (pg % 16) || '.com',
+         |    'ex' || (((doc_id*13+5) % 1024) % 16) || '.com' FROM u),
+         |edges AS (SELECT src, dst, count(*) AS cnt FROM raw_edges GROUP BY 1, 2),
+         |outdeg AS (SELECT src, sum(cnt) AS out FROM edges GROUP BY 1),
+         |e AS MATERIALIZED (SELECT edges.src, dst, cnt::DOUBLE / out AS w FROM edges JOIN outdeg USING (src)),
+         |doms AS MATERIALIZED (SELECT src AS dom FROM e UNION SELECT dst FROM e),
+         |n AS (SELECT count(*) AS nd FROM doms),
+         |r0 AS MATERIALIZED ($r0)""".stripMargin
+    val iters = (1 to maxIter).map { k =>
+      s"""c$k AS (SELECT e.dst AS dom, list_sum(list(r${k - 1}.rank * e.w ORDER BY e.src)) AS m
+         |  FROM e JOIN r${k - 1} ON r${k - 1}.dom = e.src GROUP BY e.dst),
+         |r$k AS MATERIALIZED (SELECT doms.dom, $base + $damping * coalesce(c$k.m, 0.0) AS rank
+         |  FROM doms LEFT JOIN c$k USING (dom)),
+         |d$k AS (SELECT list_sum(list(abs(a.rank - b.rank) ORDER BY a.dom)) AS d
+         |  FROM r$k a JOIN r${k - 1} b USING (dom))""".stripMargin
+    }
+    val deltas = (1 to maxIter)
+      .map(k => s"SELECT $k AS k, (SELECT d FROM d$k) AS delta")
+      .mkString(" UNION ALL ")
+    val tail =
+      s"""deltas AS MATERIALIZED ($deltas),
+         |pick AS (SELECT min(k) AS it FROM deltas WHERE delta < $tol),
+         |fin AS MATERIALIZED (SELECT CAST(coalesce((SELECT it FROM pick), $maxIter) AS INTEGER) AS it)""".stripMargin
+    val body = (1 to maxIter)
+      .map(k => s"SELECT * FROM r$k WHERE (SELECT it FROM fin) = $k")
+      .mkString(" UNION ALL ")
+    (Seq(head) ++ iters ++ Seq(tail)).mkString("WITH ", ",\n", "") +
+      s"""
+         |SELECT dom, round(rank * 1e6, 0) / 1e6 AS rank, (SELECT it FROM fin) AS n_iters
+         |FROM ($body) fr ORDER BY dom""".stripMargin
+  }
 
   /** MinHash+LSH near-dup pairs (mirror of [[Dedup.minhashLsh]]) —
     * shared by the `dedup_minhash` oracle and, as a nested CTE, by

@@ -44,6 +44,10 @@ object Urls {
       pagesCache.values.foreach(_.unpersist(blocking = true))
       pagesCache.clear()
     }
+    warcPagesCache.synchronized {
+      warcPagesCache.values.foreach(_.unpersist(blocking = true))
+      warcPagesCache.clear()
+    }
   }
 
   private def cachedPages(spark: SparkSession, dir: String): DataFrame =
@@ -57,24 +61,30 @@ object Urls {
 
   /** RFC-3986-flavored URL canonicalization as ONE composed codegen
     * column expression (no UDF): strip the fragment, drop tracking
-    * query parameters (utm_*, gclid, fbclid, ref), repair the
-    * leading `?` if the first surviving parameter lost it, drop an
-    * emptied query, lowercase scheme+authority, strip default ports
+    * query parameters (utm_*, gclid, fbclid, ref), drop an emptied
+    * query, lowercase scheme+authority, strip default ports
     * (http:80, https:443), and trim trailing slashes. The passes are
     * ordered and each is a plain global regexp, so a DuckDB oracle
-    * replays them verbatim. Approximations (documented, standard for
-    * crawl pipelines): the tracking-param list is fixed; an `&` in
-    * the PATH of a query-less URL could be mistaken for a parameter
-    * separator by the `?`-repair pass. */
+    * replays them verbatim. Tracker removal is TWO-pass so no bare
+    * `&` is ever orphaned (no repair pass is needed, and a literal
+    * `&` in the PATH of a query-less URL is left alone): first the
+    * run of LEADING trackers collapses back into `?`, then every
+    * remaining `[?&]tracker=` (now never followed by a surviving
+    * parameter that lost its separator) is dropped outright.
+    * Approximation (documented, standard for crawl pipelines): the
+    * tracking-param list is fixed. */
   def normalizeUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*", "")
-    // each tracking param is removed WITH its leading separator
-    // ([?&] is required, so `href=` can never false-match `ref=`)
+    // pass 1: one-or-more leading trackers each followed by another
+    // parameter fold back into the bare '?' (the `(...)+` eats the
+    // whole run in a single match, so no cascade is needed)
     val t1 = regexp_replace(noFrag,
+      "\\?(?:(?:utm_[A-Za-z]+|gclid|fbclid|ref)=[^&]*&)+", "?")
+    // pass 2: remaining trackers leave WITH their own separator
+    // ([?&] is required, so `href=` can never false-match `ref=`);
+    // after pass 1 none of these precedes a surviving parameter
+    val t2 = regexp_replace(t1,
       "[?&](?:utm_[A-Za-z]+|gclid|fbclid|ref)=[^&]*", "")
-    // if the first surviving param lost its '?' (it followed a
-    // removed leading tracker), the first bare '&' becomes '?'
-    val t2 = regexp_replace(t1, "^([^?&]*)&", "$1?")
     val t3 = regexp_replace(t2, "[?&]+$", "")
     // scheme://authority lowercased; path+query kept verbatim
     val pre = lower(regexp_extract(t3, "^[^:/?#]+://[^/?#]*", 0))
@@ -153,15 +163,54 @@ object Urls {
   /** Per-canonical-URL dedup — the `dedup_exact` shape keyed on the
     * normalized URL: map-side normalize, one hash window. Output:
     * (doc_id, canonical, canonical_id, group_size). */
-  def dedupByUrl(spark: SparkSession, dir: String): DataFrame = {
+  def dedupByUrl(spark: SparkSession, dir: String): DataFrame =
+    dedupByUrlFrom(urlTable(spark, dir))
+
+  /** [[dedupByUrl]]'s core over an arbitrary (doc_id, url, ...)
+    * frame — the synthetic table and the WARC-extracted URL surface
+    * ([[graft.sources.Warc.docUrls]]) share it, so batch and crawl
+    * paths can never drift. */
+  def dedupByUrlFrom(urls: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("canonical"))
-    urlTable(spark, dir)
+    urls
       .select(col("doc_id"), normalizeUrl(col("url")).as("canonical"))
       .select(col("doc_id"), col("canonical"),
         min(col("doc_id")).over(w).as("canonical_id"),
         count(lit(1)).over(w).as("group_size"))
       .orderBy("doc_id")
   }
+
+  /** Build-once canonicalized pages frame derived from the WARC
+    * fixture round trip (crawl-side producer), same shape as
+    * [[cachedPages]]: (doc_id, cu, outlinks, dom). */
+  private val warcPagesCache =
+    scala.collection.mutable.Map.empty[String, DataFrame]
+
+  private def cachedWarcPages(spark: SparkSession, dir: String): DataFrame =
+    warcPagesCache.synchronized {
+      warcPagesCache.getOrElseUpdate(dir, {
+        val fixture = graft.sources.Warc.urlFixtureDir(spark, dir)
+        graft.sources.Warc.docUrls(graft.sources.Warc.read(spark, fixture))
+          .select(col("doc_id"), col("url"),
+            normalizeUrl(col("url")).as("cu"), col("outlinks"))
+          .withColumn("dom", registeredDomain(hostOf(col("cu"))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+    }
+
+  /** Crawl→curation composition: WARC fixture → [[graft.sources.Warc.read]]
+    * → [[graft.sources.Warc.docUrls]] (target-URI + HTML href
+    * extraction) → [[normalizeUrl]] → URL dedup. Proves the URL
+    * surface composes end-to-end from real WARC bytes with no
+    * synthetic bridge; the oracle is `dedup_url`'s, stated from the
+    * generator arithmetic. */
+  def warcUrlDedup(spark: SparkSession, dir: String): DataFrame =
+    dedupByUrlFrom(cachedWarcPages(spark, dir).select("doc_id", "url"))
+
+  /** Crawl→curation composition for the domain prior: the WARC round
+    * trip feeds [[domainStatsFrom]]. Oracle = `domain_stats`'s. */
+  def warcDomainStats(spark: SparkSession, dir: String): DataFrame =
+    domainStatsFrom(cachedWarcPages(spark, dir))
 
   /** PageRank over the domain outlink graph (Page et al. 1999; the
     * link-authority prior crawl pipelines rank domains by, next to
@@ -181,29 +230,112 @@ object Urls {
     * if a domain has no outlinks; this generator gives every domain
     * outlinks, so no dangling term is needed). */
   def domainPageRank(spark: SparkSession, dir: String,
-      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
-    val pages = cachedPages(spark, dir)
-    // exact integer edge weights (count of outlinks src -> dst)
-    val edges = pages.select(col("dom").as("src"),
-      explode(col("outlinks")).as("ol"))
-      .withColumn("dst", registeredDomain(hostOf(normalizeUrl(col("ol")))))
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
-    val outDeg = edges.groupBy(col("src")).agg(sum(col("cnt")).as("out"))
-    // build-once persisted edge aggregate (≤ |domains|^2 rows): every
-    // power iteration joins it, and without the cut the whole
-    // urlTable regexp pipeline re-runs per iteration (measured 3.4s →
-    // ~1s at sf0.1). Registered per corpus dir; released by
-    // [[clearCaches]] (Bench section teardown calls it).
-    val e = edgeCache.synchronized {
-      edgeCache.getOrElseUpdate(dir,
+      iterations: Int = 3, damping: Double = 0.85): DataFrame =
+    pageRank(cachedEdges(spark, dir), iterations, damping)
+      .select(col("dom"),
+        (round(col("rank") * 1e6, 0) / 1e6).as("rank")).orderBy("dom")
+
+  /** Build-once persisted normalized edge aggregate (src, dst, w) with
+    * Σ_dst w = 1 per src (≤ |domains|^2 rows): every power iteration
+    * joins it, and without the cut the whole urlTable regexp pipeline
+    * re-runs per iteration (measured 3.4s → ~1s at sf0.1). Registered
+    * per corpus dir; released by [[clearCaches]] (Bench section
+    * teardown calls it). */
+  private def cachedEdges(spark: SparkSession, dir: String): DataFrame =
+    edgeCache.synchronized {
+      edgeCache.getOrElseUpdate(dir, {
+        val pages = cachedPages(spark, dir)
+        // exact integer edge weights (count of outlinks src -> dst)
+        val edges = pages.select(col("dom").as("src"),
+          explode(col("outlinks")).as("ol"))
+          .withColumn("dst", registeredDomain(hostOf(normalizeUrl(col("ol")))))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+        val outDeg = edges.groupBy(col("src")).agg(sum(col("cnt")).as("out"))
         edges.join(outDeg, Seq("src"))
           .select(col("src"), col("dst"),
             (col("cnt").cast("double") / col("out")).as("w"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
     }
-    pageRank(e, iterations, damping)
-      .select(col("dom"),
-        (round(col("rank") * 1e6, 0) / 1e6).as("rank")).orderBy("dom")
+
+  /** PageRank with an L1-delta convergence stop instead of a fixed
+    * iteration count: iterate until Σ|r_k − r_{k−1}| < tol (folded in
+    * domain order — hash-exact parity with the oracle replay), capped
+    * at maxIter. One extra |domains|-bounded aggregation per
+    * iteration. Output: (dom, rank, n_iters). */
+  def domainPageRankConverged(spark: SparkSession, dir: String,
+      tol: Double = 1e-6, maxIter: Int = 8,
+      damping: Double = 0.85): DataFrame = {
+    val (r, iters) = pageRankUntil(cachedEdges(spark, dir), tol, maxIter,
+      damping, seeds = None)
+    r.select(col("dom"), (round(col("rank") * 1e6, 0) / 1e6).as("rank"),
+      lit(iters).as("n_iters")).orderBy("dom")
+  }
+
+  /** Personalized (seeded-trust) PageRank — the TrustRank-style spam
+    * demotion prior: the teleport vector concentrates uniformly on the
+    * seed domains instead of all domains (Gyöngyi et al. 2004), rank
+    * init = teleport vector, convergence stop as in
+    * [[domainPageRankConverged]]. Output: (dom, rank, n_iters). */
+  def domainPageRankPersonalized(spark: SparkSession, dir: String,
+      seeds: Seq[String] = Seq("ex0.com", "ex1.com"),
+      tol: Double = 1e-6, maxIter: Int = 8,
+      damping: Double = 0.85): DataFrame = {
+    val (r, iters) = pageRankUntil(cachedEdges(spark, dir), tol, maxIter,
+      damping, seeds = Some(seeds))
+    r.select(col("dom"), (round(col("rank") * 1e6, 0) / 1e6).as("rank"),
+      lit(iters).as("n_iters")).orderBy("dom")
+  }
+
+  /** The convergence-stopped power-iteration core (see [[pageRank]]
+    * for the per-iteration shape and determinism discipline). Each
+    * iteration localCheckpoints the |domains|-row rank vector (flat
+    * lineage, storage auto-released — the pointer-jumping pattern)
+    * and pays ONE extra bounded aggregation for the L1 delta.
+    * `seeds` switches the teleport vector from uniform to
+    * uniform-over-seeds (personalized PageRank); rank init = the
+    * teleport vector in both cases... for the uniform case that is
+    * the same 1/N init [[pageRank]] uses. */
+  private[graft] def pageRankUntil(e: DataFrame, tol: Double, maxIter: Int,
+      damping: Double, seeds: Option[Seq[String]]): (DataFrame, Int) = {
+    val doms = e.select(col("src").as("dom"))
+      .union(e.select(col("dst").as("dom"))).distinct().localCheckpoint()
+    val nDoms = doms.count()
+    val pCol: Column = seeds match {
+      case Some(ss) =>
+        when(col("dom").isInCollection(ss), lit(1.0 / ss.size))
+          .otherwise(lit(0.0))
+      case None => lit(1.0 / nDoms)
+    }
+    var rank = doms.select(col("dom"), pCol.as("rank")).localCheckpoint()
+    var it = 0
+    var delta = Double.MaxValue
+    while (it < maxIter && delta >= tol) {
+      it += 1
+      val contrib = e.join(
+          rank.withColumnRenamed("dom", "src").withColumnRenamed("rank", "rank_s"),
+          Seq("src"))
+        .select(col("dst").as("dom"), col("src"),
+          (col("rank_s") * col("w")).as("c"))
+        .groupBy(col("dom"))
+        .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("cs"))
+        .select(col("dom"), aggregate(
+          transform(col("cs"), x => x.getField("c")), lit(0.0), _ + _).as("in_mass"))
+      val next = doms.join(contrib, Seq("dom"), "left")
+        .select(col("dom"),
+          (lit(1.0 - damping) * pCol +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+      delta = next.withColumnRenamed("rank", "rank_n")
+        .join(rank.withColumnRenamed("rank", "rank_o"), Seq("dom"))
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("dom"),
+            abs(col("rank_n") - col("rank_o")).as("d")))),
+          lit(0.0), (a, x) => a + x.getField("d")).as("l1"))
+        .first().getDouble(0)
+      rank = next
+    }
+    (rank, it)
   }
 
   /** The power-iteration core over a normalized edge frame
@@ -245,8 +377,13 @@ object Urls {
     * by source-page and target-url registered domain). One explode +
     * three domain-keyed aggregations over 16-row keys, all reading
     * the ONE persisted canonicalized pages frame ([[cachedPages]]). */
-  def domainStats(spark: SparkSession, dir: String): DataFrame = {
-    val pages = cachedPages(spark, dir)
+  def domainStats(spark: SparkSession, dir: String): DataFrame =
+    domainStatsFrom(cachedPages(spark, dir))
+
+  /** [[domainStats]]' aggregation core over an arbitrary canonical
+    * pages frame (doc_id, cu, outlinks, dom) — shared with the WARC
+    * round-trip path ([[warcDomainStats]]). */
+  def domainStatsFrom(pages: DataFrame): DataFrame = {
     val docAgg = pages.groupBy(col("dom"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("cu")).as("n_pages"))

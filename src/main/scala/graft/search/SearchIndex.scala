@@ -193,6 +193,43 @@ final class SearchIndex private (
     }.toMap
   }
 
+  /** Cross-field document frequencies: df(term) = #docs containing
+    * the term in ANY text field — the whole-document statistics BM25F
+    * ranks with ([[bm25fSearch]]). Materialized ONCE per index as a
+    * |vocab|-bounded aggregate over the persisted postings (a doc
+    * carrying the term in two fields counts once via the distinct
+    * key), then read per query with the same filtered-collect
+    * discipline as [[idfFor]]. Derived from postings rather than
+    * persisted at save time so it stays correct across save/load and
+    * incremental add/remove without extra artifact plumbing;
+    * released by [[unpersist]]. */
+  @volatile private var xdfStatsFrame: DataFrame = _
+  private def xdfStats: DataFrame = {
+    var f = xdfStatsFrame
+    if (f == null) synchronized {
+      f = xdfStatsFrame
+      if (f == null) {
+        f = trackPersist(postings
+          .where(col("field").isin(spec.textFields: _*))
+          .groupBy(col("term"))
+          .agg(countDistinct(col("key")).as("df"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        xdfStatsFrame = f
+      }
+    }
+    f
+  }
+
+  /** Test hook: the materialized cross-field stats frame. */
+  private[graft] def crossFieldStats: DataFrame = xdfStats
+
+  /** Whole-document df for the given terms — a |terms|-row filtered
+    * collect on [[xdfStats]]; terms absent from every text field are
+    * simply missing from the map (df 0). */
+  private def xdfFor(terms: Seq[String]): Map[String, Long] =
+    xdfStats.where(col("term").isin(terms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
   /** Is `f` a field this index built postings for? Queries against
     * any other name match nothing (instead of crashing on a missing
     * stats entry or an unresolved token column). */
@@ -592,13 +629,16 @@ final class SearchIndex private (
     * — the principled multi-field ranking: unlike a per-field BM25
     * sum (or DisMax), a term's evidence saturates ONCE however many
     * fields repeat it, so structured boilerplate (title echoed in
-    * body) cannot inflate the score. idf is the WHOLE-DOCUMENT idf
-    * (df over docs matching the term in ANY of the queried fields),
-    * per the paper's treatment of the document as one bag.
+    * body) cannot inflate the score. idf is the WHOLE-DOCUMENT idf:
+    * df over docs containing the term in ANY text field of the index,
+    * per the paper's treatment of the document as one bag, read from
+    * the materialized cross-field stats table ([[xdfStats]] — built
+    * once per index off the persisted postings, |vocab| rows).
     *
-    * Match semantics: any term in any queried field. Plan: ONE
-    * bounded df-agg job (|terms| counters to the driver) + the
-    * scan-path codegen'd score + TakeOrderedAndProject — the same
+    * Match semantics: any term in any queried field. Plan: a
+    * |terms|-row filtered collect on the cross-field stats (the
+    * [[idfFor]] discipline — no corpus-sized job in the query path) +
+    * the scan-path codegen'd score + TakeOrderedAndProject — the same
     * cost class as [[search]]; every arithmetic fold is in term/field
     * order so a DuckDB oracle replays it bit-exactly.
     *
@@ -614,18 +654,14 @@ final class SearchIndex private (
     require(spec.storePositions,
       "bm25fSearch requires storePositions=true (per-field token arrays)")
     val n = fieldStats(fields.head._1).numDocs
-    // whole-document df per term, ONE bounded agg (|terms| longs)
-    val dfRow = docs.agg(
-      sum(when(fields.map { case (f, _, _) =>
-        coalesce(array_contains(tokensCol(f), terms.head), lit(false))
-      }.reduce(_ || _), 1L).otherwise(0L)).as("df0"),
-      terms.tail.zipWithIndex.map { case (t, i) =>
-        sum(when(fields.map { case (f, _, _) =>
-          coalesce(array_contains(tokensCol(f), t), lit(false))
-        }.reduce(_ || _), 1L).otherwise(0L)).as(s"df${i + 1}")
-      }: _*).head()
-    val perTerm = terms.zipWithIndex.map { case (t, i) =>
-      val df = dfRow.getLong(i).toDouble
+    // whole-document df per term from the materialized cross-field
+    // stats table — a |terms|-row filtered collect, the same bounded
+    // read discipline as [[idfFor]]. No corpus-sized job in the query
+    // path (r10 verdict item: the previous shape aggregated the whole
+    // corpus per call).
+    val dfMap = xdfFor(terms)
+    val perTerm = terms.map { t =>
+      val df = dfMap.getOrElse(t, 0L).toDouble
       val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
       // field-order accumulation of weighted, length-normalized tf
       val tfAcc = fields.map { case (f, w, b) =>
@@ -1032,6 +1068,18 @@ final class SearchIndex private (
     *   still yields up to k hits */
   def queryJoinDsl(left: DataFrame, qidCol: String, queryGen: Row => SearchQuery,
       k: Int, excludeSelf: Boolean = false): DataFrame = {
+    // hard left-size guard: this path COLLECTS the left to the driver
+    // (the documented bounded-left fallback for generators outside
+    // [[queryJoinAst]]'s serializable value set). Fail fast with a
+    // pointer at the corpus-scale path instead of OOMing the driver;
+    // the probe is a LIMIT-bounded count, never a full scan of a
+    // large left.
+    val cap = SearchIndex.queryJoinDslMaxLeft
+    val probed = left.limit(cap + 1).count()
+    require(probed <= cap,
+      s"queryJoinDsl collects the left side to the driver, and this left exceeds " +
+        s"$cap rows — use queryJoinAst (fully distributed for arbitrary generator " +
+        "ASTs) or, if the collect is intended, raise SearchIndex.queryJoinDslMaxLeft")
     val queries = left.collect().toSeq.map(r => r.getAs[Number](qidCol).longValue() ->
       queryGen(r))
     val raw = batchSearchDsl(queries, if (excludeSelf) k + 1 else k)
@@ -1383,10 +1431,24 @@ final class SearchIndex private (
     val memoKey = (leftPlan.semanticHash(), closureFingerprint(queryGen), qidCol, field)
     val scored = astJoinMemo.synchronized {
       astJoinMemo.get(memoKey) match {
-        case Some((plan, df)) if plan.sameResult(leftPlan) => df
+        case Some(e @ (plan, df, _)) if plan.sameResult(leftPlan) =>
+          // LRU refresh: re-insert at the tail of the access order
+          astJoinMemo.remove(memoKey)
+          astJoinMemo(memoKey) = e
+          df
         case _ =>
-          val df = buildAstScored(left, qidCol, queryGen, field)
-          astJoinMemo(memoKey) = (leftPlan, df)
+          val (df, frames) = buildAstScored(left, qidCol, queryGen, field)
+          astJoinMemo(memoKey) = (leftPlan, df, frames)
+          // bounded memo (ADVICE r10): a long-lived index serving many
+          // distinct (left, generator) joins would otherwise pin an
+          // unbounded set of persisted canon/shape/probe frames.
+          // Eviction releases the entry's OWN persisted frames (they
+          // are scoped to the entry, not to callFrames).
+          while (astJoinMemo.size > astJoinMemoCap) {
+            val (_, (_, _, evicted)) = astJoinMemo.head
+            astJoinMemo.remove(astJoinMemo.head._1)
+            evicted.foreach(_.unpersist(blocking = false))
+          }
           df
       }
     }
@@ -1415,20 +1477,32 @@ final class SearchIndex private (
     }
 
   /** Cross-invocation memo for [[queryJoinAst]] (see its scaladoc).
-    * Values hold the scored frame plus the analyzed left plan for
-    * the hash-collision-proof `sameResult` re-check. */
-  private val astJoinMemo = scala.collection.mutable.Map.empty[
+    * Values hold the scored frame, the analyzed left plan for the
+    * hash-collision-proof `sameResult` re-check, and the entry's own
+    * persisted setup frames (released on LRU eviction or index
+    * [[unpersist]]). LinkedHashMap insertion order IS the access
+    * order (hits re-insert), so `head` is the LRU victim. */
+  private val astJoinMemo = scala.collection.mutable.LinkedHashMap.empty[
     (Int, String, String, String),
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame, Seq[DataFrame])]
+
+  /** Memo capacity — small: an entry pins ~3 persisted frames sized
+    * by |left| and |shapes|, and real workloads cycle few distinct
+    * (left, generator) pairs. Test hook is the var. */
+  private[graft] var astJoinMemoCap: Int = 8
 
   /** Test hook: distinct memoized AST-join setups on this index. */
   private[graft] def astJoinMemoEntries: Int =
     astJoinMemo.synchronized(astJoinMemo.size)
 
   /** The setup + probe + verify pipeline behind [[queryJoinAst]],
-    * producing the un-capped scored (qid, key, score) frame. */
+    * producing the un-capped scored (qid, key, score) frame plus the
+    * persisted setup frames scoped to the memo entry (released on
+    * eviction, not at index teardown). */
   private def buildAstScored(left: DataFrame, qidCol: String,
-      queryGen: Row => SearchQuery, field: String): DataFrame = {
+      queryGen: Row => SearchQuery, field: String): (DataFrame, Seq[DataFrame]) = {
+    val entryFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def keepFrame(df: DataFrame): DataFrame = { entryFrames += df; df }
     val fs = fieldStats(field)
     // locals only — the map closure must not capture `this` (the
     // index holds DataFrames, which don't serialize)
@@ -1449,11 +1523,11 @@ final class SearchIndex private (
       "attr_fields", "str_attr_fields", "x_text_fields", "alts")
     // persisted: the shape dedup and the qid fan-out both read it
     // (lifetime tracking as in queryJoinPhrase/queryJoinBool)
-    val canon = trackPersist(serialized.persist(StorageLevel.MEMORY_AND_DISK))
+    val canon = keepFrame(serialized.persist(StorageLevel.MEMORY_AND_DISK))
     // shapes0 keeps the SERIALIZED columns (the fan-out join key);
     // `shapes` is its dictionary-expanded rewrite — identical when no
     // shape carries a wildcard/fuzzy/regex leaf
-    val shapes0 = trackPersist(canon
+    val shapes0 = keepFrame(canon
       .groupBy("ops", "terms", "term_fields", "consts", "alts")
       .agg(min(col("qid")).as("sid"))
       .persist(StorageLevel.MEMORY_AND_DISK))
@@ -1473,7 +1547,7 @@ final class SearchIndex private (
     val attrFields = fieldSeq(0)
     val strAttrFields = fieldSeq(1)
     val xFields = fieldSeq(2)
-    val shapes = expandShapes(shapes0, field, meta0.getInt(3) > 0)
+    val shapes = expandShapes(shapes0, field, meta0.getInt(3) > 0, keepFrame)
     val docSchema = docs.schema
     // doc-side encoding matching QueryProgram.numVal: numerics cast,
     // booleans 0/1 (null-preserving), dates epoch days, timestamps
@@ -1520,7 +1594,7 @@ final class SearchIndex private (
       .groupBy(col("sid"))
       .agg(sort_array(collect_list(struct(col("pos"), col("idf")))).as("pi"))
       .select(col("sid"), transform(col("pi"), x => x.getField("idf")).as("idfs"))
-    val withDoubles = trackPersist(shapes.join(termIdf, Seq("sid"), "left")
+    val withDoubles = keepFrame(shapes.join(termIdf, Seq("sid"), "left")
       .withColumn("doubles",
         concat(coalesce(col("idfs"), array().cast("array<double>")), col("consts")))
       .select(col("sid"), col("ops"), col("terms"), col("doubles"), col("alts"))
@@ -1611,8 +1685,8 @@ final class SearchIndex private (
       .select(col("sid"), col("key"), col("__r.score").as("score"))
     val fan = canon.join(shapes0, Seq("ops", "terms", "term_fields", "consts", "alts"))
       .select(col("qid"), col("sid"))
-    verified.join(fan, Seq("sid"))
-      .select(col("qid"), col("key"), col("score"))
+    (verified.join(fan, Seq("sid"))
+      .select(col("qid"), col("key"), col("score")), entryFrames.toSeq)
   }
 
   /** Distributed Lucene multi-term rewrite for [[queryJoinAst]]:
@@ -1632,7 +1706,7 @@ final class SearchIndex private (
     * the frame through untouched — the plan is exactly the
     * pre-expansion one. */
   private def expandShapes(shapes0: DataFrame, field: String,
-      needed: Boolean): DataFrame = {
+      needed: Boolean, keep: DataFrame => DataFrame): DataFrame = {
     val shapeCols = shapes0.select("sid", "ops", "terms", "term_fields", "consts", "alts")
     if (!needed) return shapeCols
     import spark.implicits._
@@ -1686,9 +1760,9 @@ final class SearchIndex private (
         (r.getLong(0), o2, t2, f2, r.getSeq[Double](4), a2)
       }.toDF("sid", "ops", "terms", "term_fields", "consts", "alts")
     // two downstream readers (idf table + doubles assembly) — persist
-    // so the dictionary join runs once; released with the call's
-    // other frames by the trackPersist lifetime
-    trackPersist(rewritten.persist(StorageLevel.MEMORY_AND_DISK))
+    // so the dictionary join runs once; released with the memo
+    // entry's other frames (LRU eviction or index unpersist)
+    keep(rewritten.persist(StorageLevel.MEMORY_AND_DISK))
   }
 
   /** Ids-only query join (reference lightQueryJoin,
@@ -2133,7 +2207,11 @@ final class SearchIndex private (
       callFrames.foreach(_.unpersist(blocking))
       callFrames.clear()
     }
-    astJoinMemo.synchronized { astJoinMemo.clear() }
+    xdfStatsFrame = null // tracked in callFrames; rebuild on next use
+    astJoinMemo.synchronized {
+      astJoinMemo.values.foreach(_._3.foreach(_.unpersist(blocking)))
+      astJoinMemo.clear()
+    }
     parents.foreach(_.unpersist(blocking))
   }
 }
@@ -2144,6 +2222,13 @@ object SearchIndex {
     * layout (~a few hundred MB of (field, term, key, tf, dl) rows —
     * the same order as a generous autoBroadcastJoinThreshold). */
   val AutoBroadcastMaxPostings: Long = 2L * 1000 * 1000
+
+  /** Hard cap on the left-side row count [[SearchIndex.queryJoinDsl]]
+    * will collect to the driver — the one API a naive caller could
+    * point at a corpus-sized left. Exceeding it fails fast with a
+    * pointer at `queryJoinAst`. Process-wide and adjustable for the
+    * rare intended large collect. */
+  @volatile var queryJoinDslMaxLeft: Int = 65536
 
   /** Name of the internal token-array column for `field` — public so
     * callers can build query-generator expressions over the analyzed

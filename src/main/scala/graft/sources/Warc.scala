@@ -128,10 +128,94 @@ object Warc {
   }
 
   /** HTML response records with outlinks extracted by regex
-    * (reference: WarcHTMLResponseRecord.java:84-104,168-200). */
+    * (reference: WarcHTMLResponseRecord.java:84-104,168-200). The
+    * scheme match is case-insensitive — crawled HTML carries
+    * `HTTP://` links too, and the reference's Java URI handling is
+    * scheme-case-blind; canonicalization downstream lowercases. */
   def htmlResponses(warc: DataFrame): DataFrame =
     warc.where(col("warc_type") === "response")
       .withColumn("outlinks",
         array_distinct(expr(
-          raw"""regexp_extract_all(content, 'href="(https?://[^"]+)"', 1)""")))
+          raw"""regexp_extract_all(content, '(?i)href="(https?://[^"]+)"', 1)""")))
+
+  // ------------------------------------------------------------------
+  // Deterministic corpus-scale WARC fixture (crawl -> curation wiring)
+  // ------------------------------------------------------------------
+
+  /** Build-once registry of generated fixture dirs, keyed by sf dir. */
+  private val fixtureCache = scala.collection.mutable.Map.empty[String, String]
+
+  /** A deterministic multi-record WARC fixture at corpus scale: one
+    * `response` record per document, target-URI and HTML `href`
+    * outlinks taken from the SAME doc_id arithmetic the synthetic URL
+    * table uses ([[graft.pipeline.Urls.withUrlColumns]]), so the
+    * DuckDB oracles for the URL surface hold verbatim over the WARC
+    * round trip. Written once per sf dir as `files` gzipped WARC
+    * files (the unsplittable one-task-per-file contract) under the
+    * JVM temp dir; generation is fully distributed (one executor-side
+    * write per partition, no driver collect). Test scaffolding only —
+    * a real deployment points [[read]] at actual crawl output. */
+  def urlFixtureDir(spark: SparkSession, sfDir: String, files: Int = 4): String =
+    fixtureCache.synchronized {
+      fixtureCache.getOrElseUpdate(sfDir, {
+        val name = new java.io.File(sfDir).getName
+        val out = new java.io.File(
+          new java.io.File(sys.props("java.io.tmpdir"), "graft_warc_fixture"),
+          name).getAbsolutePath
+        val marker = new java.io.File(out, "_SUCCESS")
+        if (!marker.exists()) {
+          writeUrlFixture(spark, sfDir, out, files)
+          marker.getParentFile.mkdirs()
+          marker.createNewFile()
+        }
+        out
+      })
+    }
+
+  private def writeUrlFixture(spark: SparkSession, sfDir: String,
+      outDir: String, files: Int): Unit = {
+    val dir = new java.io.File(outDir)
+    if (dir.exists()) dir.listFiles().foreach(_.delete()) else dir.mkdirs()
+    val docs = graft.pipeline.Urls
+      .withUrlColumns(spark.read.parquet(s"$sfDir/documents.parquet"))
+      .select(col("doc_id"), col("url"), col("outlinks"))
+    // HTTP response payload: header + HTML with one <a href> per
+    // outlink. All ASCII, so Content-Length in characters IS the
+    // byte count the parser frames by.
+    val body = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+      lit("<html><head><title>doc "), col("doc_id"),
+      lit("</title></head><body>\n<a href=\""),
+      element_at(col("outlinks"), 1), lit("\">l1</a>\n<a href=\""),
+      element_at(col("outlinks"), 2), lit("\">l2</a>\n</body></html>"))
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:graft:doc:"),
+      col("doc_id"),
+      lit(">\r\nWARC-Target-URI: "), col("url"),
+      lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
+      length(col("body")), lit("\r\n\r\n"), col("body"), lit("\r\n\r\n"))
+    docs.withColumn("body", body)
+      .repartition(files, col("doc_id"))
+      .select(rec.as("rec"))
+      .as(org.apache.spark.sql.Encoders.STRING)
+      .foreachPartition { (it: Iterator[String]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(s"$outDir/part-$pid.warc.gz")
+        val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val gz = new java.util.zip.GZIPOutputStream(fs.create(path, true))
+        try it.foreach(s => gz.write(s.getBytes(StandardCharsets.UTF_8)))
+        finally gz.close()
+      }
+  }
+
+  /** Recovers the per-document URL surface from fixture WARC records:
+    * doc_id parsed back out of the record id, url = the response's
+    * target URI, outlinks = the hrefs extracted from the HTML body by
+    * [[htmlResponses]]. This is the crawl-side producer the URL
+    * operators ([[graft.pipeline.Urls]]) consume. */
+  def docUrls(warc: DataFrame): DataFrame =
+    htmlResponses(warc).select(
+      regexp_extract(col("record_id"), "doc:(\\d+)", 1).cast("long").as("doc_id"),
+      col("target_uri").as("url"),
+      col("outlinks"))
 }

@@ -273,6 +273,36 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("bm25fSearch query path: bounded stats read, no corpus-sized job") {
+    // r10 verdict item 2: BM25F must resolve whole-document df from
+    // the materialized cross-field stats table (the idfFor
+    // discipline), not by aggregating the corpus per call
+    val idx = search.SearchQueries.xfieldIndexFor(spark, sf)
+    val fields = Seq(("text", 1.0, 0.75), ("source", 2.0, 0.5))
+    val first = idx.bm25fSearch(Seq("spark", "src1"), fields, 10).collect()
+    // the stats frame is persisted and |vocab|-bounded (at most the
+    // per-field stats row count — it aggregates them over fields)
+    val x = idx.crossFieldStats
+    assert(x.storageLevel.useMemory || x.storageLevel.useDisk,
+      "cross-field stats must be persisted")
+    assert(x.count() <= idx.stats.count(),
+      "cross-field stats must be vocabulary-bounded")
+    // repeat call: a handful of jobs (the |terms|-row filtered
+    // collect + the scored top-k) — the old shape paid an extra
+    // whole-corpus aggregation job here
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val again =
+      try idx.bm25fSearch(Seq("spark", "src1"), fields, 10).collect()
+      finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() <= 4, s"bm25f repeat call launched ${jobs.get()} jobs")
+    assert(again.map(_.toString).toSeq == first.map(_.toString).toSeq)
+  }
+
   test("queryJoinAst expansion/cross-field entries: bounded jobs, no collect roundtrip") {
     // The dictionary-expansion and cross-field rewrites add joins to
     // the queryJoinAst plan; enforce that they stay fully in-plan:

@@ -33,6 +33,39 @@ class UrlsSpec extends AnyFunSuite {
     assert(norm(norm("HTTPS://H.com:443/x/?ref=r#f")) == "https://h.com/x")
   }
 
+  test("normalizeUrl leaves a path '&' of a query-less URL alone") {
+    // the r10 single-pass repair rewrote the first bare '&' into '?'
+    // even when no query ever existed, merging distinct pages; the
+    // two-pass tracker removal never orphans a '&', so no repair runs
+    assert(norm("http://h.com/p&q") == "http://h.com/p&q")
+    assert(norm("http://h.com/p&q?utm_source=x") == "http://h.com/p&q")
+    // a RUN of leading trackers collapses in one match
+    assert(norm("http://h.com/p?utm_a=1&utm_b=2&id=3") == "http://h.com/p?id=3")
+    assert(norm("http://h.com/p?gclid=g&ref=r") == "http://h.com/p")
+  }
+
+  test("pageRankUntil converges with a bounded iteration count") {
+    val e = Seq(("a", "b", 1.0), ("b", "a", 1.0), ("c", "a", 1.0))
+      .toDF("src", "dst", "w")
+    // damping 0.5 so the 3-node chain contracts at ~0.5^k and the
+    // stop fires well inside the cap (0.85 needs ~80 iterations at
+    // this tol — correct, just slow for a unit test)
+    val (r, iters) = Urls.pageRankUntil(e, tol = 1e-6, maxIter = 60,
+      damping = 0.5, seeds = None)
+    assert(iters > 1 && iters < 60, s"unexpected iteration count $iters")
+    val m = r.as[(String, Double)].collect().toMap
+    // fixed point of the 3-node chain: same ordering invariants as
+    // the fixed-iteration test, now at the converged answer
+    assert(m("a") > m("b") && m("b") > m("c"))
+    assert(math.abs(m.values.sum - 1.0) < 1e-9)
+    // personalization concentrates teleport mass on the seed set:
+    // seed c gains rank vs the uniform run
+    val (rp, _) = Urls.pageRankUntil(e, tol = 1e-6, maxIter = 60,
+      damping = 0.5, seeds = Some(Seq("c")))
+    val mp = rp.as[(String, Double)].collect().toMap
+    assert(mp("c") > m("c"))
+  }
+
   test("registeredDomain: www strip, two-label default, cc-SLD third label") {
     assert(regdom("http://www.example.com/p") == "example.com")
     assert(regdom("http://News.Bbc.CO.UK/x") == "bbc.co.uk")

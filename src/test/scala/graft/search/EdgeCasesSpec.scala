@@ -87,4 +87,29 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral or string"))
     idx.unpersist()
   }
+
+  test("queryJoinDsl fails fast on a left larger than the collect cap") {
+    // queryJoinDsl is the one API that collects its left to the
+    // driver (the bounded-left fallback); above the cap it must
+    // refuse with a pointer at the distributed path instead of
+    // attempting a corpus-sized collect
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val idx = SearchIndex.build(docs, IndexSpec("doc_id", Seq("text")))
+    val left = spark.range(0, 100).toDF("qid")
+    val saved = SearchIndex.queryJoinDslMaxLeft
+    try {
+      SearchIndex.queryJoinDslMaxLeft = 10
+      val e = intercept[IllegalArgumentException] {
+        idx.queryJoinDsl(left, "qid", _ => "text" matchTerm "beta", 3)
+      }
+      assert(e.getMessage.contains("queryJoinAst"))
+      assert(e.getMessage.contains("queryJoinDslMaxLeft"))
+      // at the cap boundary it still runs
+      SearchIndex.queryJoinDslMaxLeft = 100
+      assert(idx.queryJoinDsl(left, "qid", _ => "text" matchTerm "beta", 3).count() > 0)
+    } finally {
+      SearchIndex.queryJoinDslMaxLeft = saved
+      idx.unpersist()
+    }
+  }
 }

@@ -172,4 +172,25 @@ class SourcesSpec extends AnyFunSuite {
       .select(input_file_name()).distinct().count()
     assert(touched == 1L)
   }
+
+  test("warc url fixture round trip recovers the synthetic URL surface") {
+    // crawl→curation wiring: the generated multi-record WARC fixture,
+    // parsed back through read → htmlResponses → docUrls, must yield
+    // byte-identical (doc_id, url, outlinks) to the synthetic table —
+    // the contract that lets warc_url_dedup/warc_domain_stats share
+    // the dedup_url/domain_stats oracles verbatim
+    val sfDir = "/root/testdata/sf0.001"
+    val fixture = Warc.urlFixtureDir(spark, sfDir)
+    val fromWarc = Warc.docUrls(Warc.read(spark, fixture))
+    val synth = graft.pipeline.Urls.urlTable(spark, sfDir)
+    assert(fromWarc.count() == synth.count())
+    // multi-file: the fixture must exercise the one-task-per-file path
+    assert(new java.io.File(fixture).listFiles()
+      .count(_.getName.endsWith(".warc.gz")) > 1)
+    import org.apache.spark.sql.functions.col
+    val mismatched = fromWarc.as("w").join(synth.as("s"), "doc_id")
+      .where(col("w.url") =!= col("s.url") ||
+        col("w.outlinks") =!= col("s.outlinks"))
+    assert(mismatched.isEmpty, "WARC round trip drifted from the generator")
+  }
 }
