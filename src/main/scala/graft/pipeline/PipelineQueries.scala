@@ -105,6 +105,25 @@ object PipelineQueries {
       Similarity.loadedIvfPqTopK(s, dir, store,
         recordAs = Some("ann_ivfpq_appended"))
     }),
+    // store maintenance, deletion half: every 7th vector is REMOVED
+    // from the persisted store (codes rewrite; centroids/codebooks
+    // frozen, surviving codes untouched) — the probe must equal a
+    // store saved without the slice, which the recorded-run oracle
+    // pins by excluding the removed ids from the candidate set
+    "ann_ivfpq_removed" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val store = "/tmp/graft_fixtures/pq_index_rm_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      pqStoreWritten.synchronized {
+        if (!pqStoreWritten.contains(store)) {
+          Similarity.savePqIndex(s, dir, store)
+          Similarity.removeFromPqIndex(s, store, col("vec_id") % 7 === 3)
+          pqStoreWritten += store
+        }
+      }
+      Similarity.loadedIvfPqTopK(s, dir, store,
+        recordAs = Some("ann_ivfpq_removed"))
+    }),
     // SemDeDup: within-cell cosine dedup on the SAME fitted quantizer
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semDedup(s, dir, recordAs = Some("dedup_semantic"))),
@@ -343,8 +362,15 @@ object PipelineQueries {
   private val pqStoreWritten = scala.collection.mutable.Set.empty[String]
 
   private def ivfPqOracle: Map[String, String] =
-    Seq("ann_ivfpq", "ann_ivfpq_reloaded", "ann_ivfpq_appended")
-      .flatMap(ivfPqOracleFor).toMap
+    Seq("ann_ivfpq", "ann_ivfpq_reloaded", "ann_ivfpq_appended",
+      "ann_ivfpq_removed").flatMap(ivfPqOracleFor).toMap
+
+  /** Per-tag candidate-set restriction: a store that REMOVED a slice
+    * must not surface it — the oracle replays the removal as a
+    * candidate filter (codes rows are gone; raw vectors remain and
+    * still serve as queries). */
+  private val ivfPqCandFilter: Map[String, String] =
+    Map("ann_ivfpq_removed" -> " AND cl.vec_id % 7 <> 3")
 
   private def ivfPqOracleFor(tag: String): Option[(String, String)] =
     Similarity.recordedIvfPqRun(tag) match {
@@ -410,7 +436,7 @@ object PipelineQueries {
              |    qrr.rr + list_sum(list_transform(range(0, ${run.m}),
              |      mm -> la.larr[mm * ${run.ks} + ca.carr[mm + 1] + 1])) AS ad
              |  FROM probes p
-             |  JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.qid
+             |  JOIN cells cl ON cl.cell = p.cell AND cl.vec_id <> p.qid${ivfPqCandFilter.getOrElse(tag, "")}
              |  JOIN qrr ON qrr.qid = p.qid AND qrr.cell = p.cell
              |  JOIN lutarr la ON la.qid = p.qid AND la.cell = p.cell
              |  JOIN codesarr ca ON ca.vec_id = cl.vec_id

@@ -223,10 +223,15 @@ object Similarity {
         // per-iteration task-launch overhead (each KMeans iteration
         // is a job), and the centroids are partitioning-independent.
         // Probe recall is the guarded property (IvfSpec), not inertia.
+        // content-defined fit sample (vec_id order, not file
+        // enumeration order): the fitted centroids are a pure
+        // function of the corpus, so a saved index's quantizer is
+        // re-derivable on any cluster/filesystem
         val fitSample = 4096
         val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
           .setInitMode("random")
-          .fit(withVec.limit(fitSample).coalesce(1))
+          .fit(withVec.where(col("vec_id") < fitSample)
+            .orderBy("vec_id").coalesce(1))
         val cents = model.clusterCenters.map(_.toArray)
         val scores = array(cents.toIndexedSeq.map(c => cellScore(col("v"), c)): _*)
         val assignedDf = e
@@ -389,8 +394,12 @@ object Similarity {
         val res = assigned
           .withColumn("cent", element_at(centArr, col("cell") + 1))
           .withColumn("r", zip_with(col("v"), col("cent"), (a, b) => a - b))
+        // content-defined sample like assignedCells': row selection
+        // and order are functions of vec_id, never of parquet file
+        // listing order, so saved codebooks re-derive anywhere
         val fitSample = 4096
-        val sample = res.select(col("r")).limit(fitSample).coalesce(1)
+        val sample = res.where(col("vec_id") < fitSample)
+          .orderBy("vec_id").select(col("r")).coalesce(1)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val codebooks = (0 until m).map { mm =>
           val slices = sample
@@ -466,6 +475,10 @@ object Similarity {
     // (the rest arrive later through [[appendToPqIndex]])
     codesFilter.map(codes.where).getOrElse(codes)
       .write.mode("overwrite").parquet(s"$path/codes")
+    // save-time reconstruction-error baseline — the drift reference
+    // [[compactPqIndex]] compares against
+    Seq(pqReconstructionError(spark, dir, path)).toDF("base_err")
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** ENCODE-ONLY append of new vectors to a persisted PQ index — the
@@ -510,6 +523,144 @@ object Similarity {
       .withColumn("r", zip_with(col("v"), col("cent"), (a, b) => a - b))
       .select(col("vec_id"), col("cell"), array(codeCols: _*).as("codes"))
       .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Loads the frozen (centroids, codebooks) artifacts of a persisted
+    * PQ index — two bounded reads (|cells| resp. m·ks rows). */
+  private def loadPqArtifacts(spark: SparkSession, path: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("i").collect().map(_.getSeq[Double](1).toArray)
+    val cbRows = spark.read.parquet(s"$path/codebooks")
+      .orderBy("m", "j").collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val ks = cbRows.map(_.getInt(1)).max + 1
+    val codebooks = Array.tabulate(m, ks) { (mm, j) =>
+      cbRows(mm * ks + j).getSeq[Double](2).toArray
+    }
+    (centroids, codebooks)
+  }
+
+  /** REMOVES vectors matching `pred` from a persisted PQ index — the
+    * deletion half of store maintenance ([[appendToPqIndex]] is the
+    * ingest half): a tombstone-free rewrite of the codes table only.
+    * Centroids and codebooks stay FROZEN, so removal never moves a
+    * surviving code — removing a slice is bit-identical to having
+    * saved the store without it (pinned in PqMaintenanceSpec), the
+    * `search_incremental` convention. The rewrite materializes the
+    * survivors to a sibling temp dir and swaps it in atomically at
+    * the directory level, so a failed rewrite never corrupts the
+    * store. At 100 TB a deployment would instead drop whole partition
+    * directories or keep a tombstone table; the rewrite here is one
+    * filtered scan of m-byte codes — the cheapest full-fidelity
+    * form. */
+  def removeFromPqIndex(spark: SparkSession, path: String, pred: Column): Unit = {
+    val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$path/codes_rewrite_tmp")
+    val fs = codesPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    spark.read.parquet(codesPath.toString).where(!pred)
+      .write.mode("overwrite").parquet(tmpPath.toString)
+    fs.delete(codesPath, true)
+    fs.rename(tmpPath, codesPath)
+  }
+
+  /** Mean squared reconstruction error of the stored codes against
+    * the raw vectors still in the corpus — THE codebook-drift signal:
+    * `avg_v Σ_m |r_m(v) − cb_m[code_m(v)]|²`. One join of the codes
+    * table with the raw vectors plus one aggregation; every fold runs
+    * in index order. Ingest drift (appends from a shifted embedding
+    * distribution) and deletion skew both surface here as a rising
+    * error against the save-time baseline. */
+  def pqReconstructionError(spark: SparkSession, dir: String, path: String): Double = {
+    graft.functions.SearchExpressions.register(spark)
+    val (centroids, codebooks) = loadPqArtifacts(spark, path)
+    val m = codebooks.length
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    val sub = dim / m
+    val centArr = array(centroids.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(lit): _*)): _*)
+    val errCols = (0 until m).map { mm =>
+      val rm = slice(col("r"), mm * sub + 1, sub)
+      val cbArr = array(codebooks(mm).toIndexedSeq.map(c =>
+        array(c.toIndexedSeq.map(lit): _*)): _*)
+      val rec = element_at(cbArr, element_at(col("codes"), mm + 1) + 1)
+      aggregate(zip_with(rm, rec, (a, b) => (a - b) * (a - b)),
+        lit(0.0), _ + _)
+    }
+    spark.read.parquet(s"$path/codes")
+      .join(corpus(spark, dir).select(col("vec_id"), col("v")), Seq("vec_id"))
+      .withColumn("cent", element_at(centArr, col("cell") + 1))
+      .withColumn("r", zip_with(col("v"), col("cent"), (a, b) => a - b))
+      .select(errCols.reduce(_ + _).as("e"))
+      .agg(avg(col("e"))).head().getDouble(0)
+  }
+
+  /** Drift-triggered compaction: when the store's measured
+    * reconstruction error exceeds `maxErrorRatio` × the save-time
+    * baseline (the `meta` table [[savePqIndex]] records), the
+    * per-subspace codebooks are REFIT over the residuals of the
+    * vectors currently in the store (content-defined sample, frozen
+    * coarse centroids — cell assignments never move) and every stored
+    * vector is re-encoded in one pass; baseline and codebooks are
+    * rewritten. Below the threshold the store is untouched. Returns
+    * whether a refit ran. The FAISS operational pattern: appends are
+    * encode-only ([[appendToPqIndex]]) until drift degrades ADC
+    * fidelity, then one compaction restores it. */
+  def compactPqIndex(spark: SparkSession, dir: String, path: String,
+      maxErrorRatio: Double = 2.0, ks: Int = 16): Boolean = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import spark.implicits._
+    val err = pqReconstructionError(spark, dir, path)
+    val base = spark.read.parquet(s"$path/meta")
+      .select("base_err").head().getDouble(0)
+    if (err <= maxErrorRatio * base) return false
+    val (centroids, _) = loadPqArtifacts(spark, path)
+    val m = spark.read.parquet(s"$path/codebooks")
+      .agg(max(col("m"))).head().getInt(0) + 1
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    val sub = dim / m
+    val centArr = array(centroids.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(lit): _*)): _*)
+    // residuals of the CURRENT store membership (cells frozen)
+    val res = spark.read.parquet(s"$path/codes").select("vec_id", "cell")
+      .join(corpus(spark, dir).select(col("vec_id"), col("v")), Seq("vec_id"))
+      .withColumn("cent", element_at(centArr, col("cell") + 1))
+      .withColumn("r", zip_with(col("v"), col("cent"), (a, b) => a - b))
+    val sample = res.orderBy("vec_id").limit(4096).select(col("r")).coalesce(1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codebooks = (0 until m).map { mm =>
+      val slices = sample
+        .select(array_to_vector(slice(col("r"), mm * sub + 1, sub)).as("features"))
+      val model = new KMeans().setK(ks).setSeed(42L + mm).setMaxIter(5)
+        .setInitMode("random").fit(slices)
+      model.clusterCenters.map(_.toArray)
+    }.toArray
+    sample.unpersist()
+    val codeCols = (0 until m).map { mm =>
+      val rm = slice(col("r"), mm * sub + 1, sub)
+      val scores = array(codebooks(mm).toIndexedSeq.map { c =>
+        val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+        lit(cc) - lit(2.0) * call_function("vec_dot", rm,
+          array(c.toIndexedSeq.map(lit): _*))
+      }: _*)
+      (array_position(scores, array_min(scores)) - 1).cast("int")
+    }
+    // re-encode into a temp dir, then swap codes + codebooks + meta
+    val fsPath = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$path/codes_rewrite_tmp")
+    val fs = fsPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    res.select(col("vec_id"), col("cell"), array(codeCols: _*).as("codes"))
+      .write.mode("overwrite").parquet(tmpPath.toString)
+    fs.delete(fsPath, true)
+    fs.rename(tmpPath, fsPath)
+    (for { mm <- codebooks.indices; j <- codebooks(mm).indices }
+      yield (mm, j, codebooks(mm)(j).toSeq)).toDF("m", "j", "c")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    val newBase = pqReconstructionError(spark, dir, path)
+    Seq(newBase).toDF("base_err")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    true
   }
 
   /** Runs the IVF-PQ probe from PERSISTED artifacts ([[savePqIndex]])

@@ -100,4 +100,53 @@ class IvfSpec extends AnyFunSuite {
       assert(dropped == (id != minPerCell(cell)), s"vec $id cell $cell")
     }
   }
+
+  test("PQ removal equals a save of the survivors (frozen artifacts)") {
+    import org.apache.spark.sql.functions.col
+    val a = java.nio.file.Files.createTempDirectory("pq_rm").toString
+    val b = java.nio.file.Files.createTempDirectory("pq_sv").toString
+    Similarity.savePqIndex(spark, dir, a)
+    Similarity.removeFromPqIndex(spark, a, col("vec_id") % 5 === 1)
+    Similarity.savePqIndex(spark, dir, b,
+      codesFilter = Some(col("vec_id") % 5 =!= 1))
+    val ca = spark.read.parquet(s"$a/codes")
+    val cb = spark.read.parquet(s"$b/codes")
+    // the codes table after removal is BIT-identical to one saved
+    // without the slice — deletion moved no surviving code
+    assert(ca.count() == cb.count())
+    assert(ca.except(cb).isEmpty && cb.except(ca).isEmpty)
+    // and the probes agree row-for-row; no removed id ever surfaces
+    val ra = Similarity.loadedIvfPqTopK(spark, dir, a).collect().map(_.toString).toSeq
+    val rb = Similarity.loadedIvfPqTopK(spark, dir, b).collect().map(_.toString).toSeq
+    assert(ra == rb && ra.nonEmpty)
+    assert(Similarity.loadedIvfPqTopK(spark, dir, a)
+      .where(col("vec_id") % 5 === 1).isEmpty)
+  }
+
+  test("drift-triggered compaction: no-op below threshold, refit restores fidelity") {
+    val c = java.nio.file.Files.createTempDirectory("pq_drift").toString
+    Similarity.savePqIndex(spark, dir, c)
+    // a fresh store sits at its own baseline: no refit
+    assert(!Similarity.compactPqIndex(spark, dir, c))
+    val err0 = Similarity.pqReconstructionError(spark, dir, c)
+    // simulate codebook drift: scale+shift the codebooks so the
+    // stored codes reconstruct badly (the effect of heavy
+    // append/remove traffic shifting the residual distribution)
+    val corrupted = spark.read.parquet(s"$c/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Double](2).map(x => x * 100 + 50)))
+      .toSeq
+    corrupted.toDF("m", "j", "c").write.mode("overwrite")
+      .parquet(s"$c/codebooks")
+    val errDrifted = Similarity.pqReconstructionError(spark, dir, c)
+    assert(errDrifted > 2.0 * err0, s"drift setup too weak: $errDrifted vs $err0")
+    // over threshold: compaction refits + re-encodes
+    assert(Similarity.compactPqIndex(spark, dir, c))
+    val errAfter = Similarity.pqReconstructionError(spark, dir, c)
+    assert(errAfter < errDrifted / 2, "refit must restore fidelity")
+    // baseline was rewritten: an immediate second compaction is a no-op
+    assert(!Similarity.compactPqIndex(spark, dir, c))
+    // the store still probes
+    assert(Similarity.loadedIvfPqTopK(spark, dir, c).count() > 0)
+  }
 }
