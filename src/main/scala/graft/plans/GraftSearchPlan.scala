@@ -67,9 +67,37 @@ object GraftSearchPlan {
     GraftSearchNode(dir, raw, k)
   }
 
+  private val joinFnName = FunctionIdentifier("graft_query_join")
+
+  private val joinInfo = new ExpressionInfo(GraftQueryJoinNode.getClass.getName,
+    null, "graft_query_join", "graft_query_join(dir, max_qid, n_terms, k) - " +
+      "search join: each document with key < max_qid queries the corpus " +
+      "with its first n_terms distinct terms (self excluded) and keeps its " +
+      "top-k BM25 hits; output (qid, rank, key, score).", "")
+
+  /** TVF builder for the flagship search JOIN (SURVEY §2.4 from SQL):
+    * literal args (dir, max_qid, n_terms, k). */
+  private def buildJoin(args: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"graft_query_join(dir, max_qid, n_terms, k): $msg")
+    if (args.length != 4) fail(s"expected 4 arguments, got ${args.length}")
+    val dir = args.head match {
+      case Literal(v, StringType) if v != null => v.toString
+      case e => fail(s"dir must be a string literal, got $e")
+    }
+    def int(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case other => fail(s"$what must be an integer literal, got $other")
+    }
+    GraftQueryJoinNode(dir, int(args(1), "max_qid"),
+      int(args(2), "n_terms"), int(args(3), "k"))
+  }
+
   /** Entry point for [[graft.GraftExtensions]]. */
   def install(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectTableFunction((fnName, info, build))
+    ext.injectTableFunction((joinFnName, joinInfo, buildJoin))
     ext.injectPlannerStrategy(_ => new GraftSearchStrategy)
   }
 
@@ -105,11 +133,37 @@ object GraftSearchNode {
     AttributeReference("score", DoubleType, nullable = false)())
 }
 
-/** Plans [[GraftSearchNode]] into the fused probe operator. */
+/** Logical leaf for a `graft_query_join` call: the whole left-build +
+  * term-extraction + batch-probe + per-query top-k as one node.
+  * Output (qid, rank, key, score); same output-as-field discipline as
+  * [[GraftSearchNode]]. */
+final case class GraftQueryJoinNode(dir: String, maxQid: Int, nTerms: Int,
+    k: Int, output: Seq[Attribute] = GraftQueryJoinNode.freshOutput())
+    extends LeafNode {
+  // ≤ maxQid * k rows of (long, long, long, double)
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes =
+      BigInt(maxQid.toLong.max(1L) * k.toLong.max(1L) * 32L))
+  override def simpleString(maxFields: Int): String =
+    s"GraftQueryJoinNode dir=$dir, maxQid=$maxQid, nTerms=$nTerms, k=$k"
+}
+
+object GraftQueryJoinNode {
+  private[plans] def freshOutput(): Seq[Attribute] = Seq(
+    AttributeReference("qid", LongType, nullable = false)(),
+    AttributeReference("rank", LongType, nullable = false)(),
+    AttributeReference("key", LongType, nullable = false)(),
+    AttributeReference("score", DoubleType, nullable = false)())
+}
+
+/** Plans [[GraftSearchNode]] / [[GraftQueryJoinNode]] into the fused
+  * operators. */
 final class GraftSearchStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GraftSearchNode(dir, raw, k, out) =>
       GraftSearchExec(dir, raw, k, out) :: Nil
+    case GraftQueryJoinNode(dir, maxQid, nTerms, k, out) =>
+      GraftQueryJoinExec(dir, maxQid, nTerms, k, out) :: Nil
     case _ => Nil
   }
 }
@@ -130,6 +184,35 @@ final case class GraftSearchExec(dir: String, rawQuery: String, k: Int,
     val idx = graft.search.SearchQueries.indexFor(session, dir)
     idx.searchRaw(rawQuery, k)
       .select(col(idx.spec.keyCol).cast("long"), col("score").cast("double"))
+      .queryExecution.toRdd
+  }
+}
+
+/** The fused search-JOIN physical operator — the SQL front door for
+  * the flagship [[graft.search.SearchIndex.queryJoin]]: one EXPLAIN
+  * node covering left-side selection (key < maxQid), per-row term
+  * extraction (first nTerms distinct analyzed tokens), the batch
+  * postings probe (self excluded, minMatch 1), and the per-query
+  * top-k. Executes the library's own distributed join plan against
+  * the build-once cached index — a front-end, not a bypass; the
+  * maxQid-bounded left makes broadcastHits sound. */
+final case class GraftQueryJoinExec(dir: String, maxQid: Int, nTerms: Int,
+    k: Int, output: Seq[Attribute]) extends LeafExecNode {
+  override def simpleString(maxFields: Int): String =
+    s"GraftQueryJoin dir=$dir, maxQid=$maxQid, nTerms=$nTerms, k=$k"
+  override protected def doExecute(): RDD[InternalRow] = {
+    import org.apache.spark.sql.functions.{array_distinct, slice}
+    val idx = graft.search.SearchQueries.indexFor(session, dir)
+    val field = idx.spec.textFields.head
+    val keyCol = idx.spec.keyCol
+    val left = idx.docs.where(col(keyCol) < maxQid)
+    idx.queryJoin(left, keyCol,
+        array_distinct(slice(col(
+          graft.search.SearchIndex.tokensColName(field)), 1, nTerms)),
+        field, k = k, minMatch = 1, excludeSelf = true,
+        broadcastHits = true)
+      .select(col(keyCol).cast("long"), col("rank").cast("long"),
+        col("key").cast("long"), col("score").cast("double"))
       .queryExecution.toRdd
   }
 }

@@ -270,6 +270,15 @@ object SearchQueries {
       s.sql("SELECT doc_id, round(score, 4) AS score " +
         s"FROM graft_search('$dir', 'spark join', 10)")),
 
+    // the flagship search JOIN from pure SQL: graft_query_join plans
+    // into the fused GraftQueryJoin node (GraftSqlSpec pins the
+    // EXPLAIN) and must hash-match the Scala path's query_join
+    // oracle — same left (doc_id < 20), same first-5-distinct-terms
+    // generator, same k/minMatch/self-exclusion
+    "query_join_sql" -> ((s, dir) =>
+      s.sql("SELECT qid AS doc_id, rank, key, round(score, 4) AS score " +
+        s"FROM graft_query_join('$dir', 20, 5, 3) ORDER BY doc_id, rank")),
+
     // pluggable QueryConstructor (reference QueryConstructor.scala:
     // 7-10): the raw string "spark src1" routed through the xfield
     // index's spec-configured MultiFieldQueryConstructor — parsed
@@ -904,6 +913,35 @@ object SearchQueries {
            |), st AS (SELECT count(*) AS n, avg(len(tokens)) AS avgdl FROM toks)""".stripMargin
       Map("search_stemmed" -> termQueryOracle(qTerms, 1, 10, prefix = prefix))
   }
+
+  /** The query_join oracle, shared verbatim by the Scala-path entry
+    * and the SQL front door (`query_join_sql`) — the TVF is a
+    * front-end, not a second engine, so one oracle pins both. */
+  private def queryJoinOracleSql: String =
+    s"""$toksCte,
+       |$postsCte,
+       |lefts AS (SELECT doc_id AS qid, list_distinct(tokens[1:5]) AS qterms FROM toks WHERE doc_id < 20),
+       |qt AS (
+       |  SELECT qid, unnest(qterms) AS term, 1 AS min_match, len(qterms) AS n_terms FROM lefts
+       |),
+       |scored AS (
+       |  SELECT q.qid, p.doc_id, any_value(q.min_match) AS min_match,
+       |    any_value(q.n_terms) AS n_terms,
+       |    sum(ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) * (p.tf * ${K1 + 1.0})
+       |        / (p.tf + $K1 * (${1.0 - B} + $B * p.dl / st.avgdl))) AS score,
+       |    count(*) AS nm
+       |  FROM qt q
+       |  JOIN posts p USING (term)
+       |  JOIN dfs d USING (term), st
+       |  WHERE p.doc_id <> q.qid
+       |  GROUP BY 1, 2
+       |), sel AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored WHERE nm >= min_match
+       |)
+       |SELECT sel.qid AS doc_id, sel.rank, sel.doc_id AS key, round(sel.score, 4) AS score
+       |FROM sel WHERE rank <= 3
+       |ORDER BY sel.qid, sel.rank""".stripMargin
 
   def oracles: Map[String, String] = staticOracles ++ stemmedOracle +
     // same query shape and output as query_join_dsl — the data-driven
@@ -1573,32 +1611,9 @@ object SearchQueries {
          |ORDER BY sel.qid, sel.rank""".stripMargin
     },
 
-    "query_join" -> {
-      s"""$toksCte,
-         |$postsCte,
-         |lefts AS (SELECT doc_id AS qid, list_distinct(tokens[1:5]) AS qterms FROM toks WHERE doc_id < 20),
-         |qt AS (
-         |  SELECT qid, unnest(qterms) AS term, 1 AS min_match, len(qterms) AS n_terms FROM lefts
-         |),
-         |scored AS (
-         |  SELECT q.qid, p.doc_id, any_value(q.min_match) AS min_match,
-         |    any_value(q.n_terms) AS n_terms,
-         |    sum(ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) * (p.tf * ${K1 + 1.0})
-         |        / (p.tf + $K1 * (${1.0 - B} + $B * p.dl / st.avgdl))) AS score,
-         |    count(*) AS nm
-         |  FROM qt q
-         |  JOIN posts p USING (term)
-         |  JOIN dfs d USING (term), st
-         |  WHERE p.doc_id <> q.qid
-         |  GROUP BY 1, 2
-         |), sel AS (
-         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
-         |  FROM scored WHERE nm >= min_match
-         |)
-         |SELECT sel.qid AS doc_id, sel.rank, sel.doc_id AS key, round(sel.score, 4) AS score
-         |FROM sel WHERE rank <= 3
-         |ORDER BY sel.qid, sel.rank""".stripMargin
-    },
+    "query_join" -> queryJoinOracleSql,
+    // the SQL front door must land on the very same answer
+    "query_join_sql" -> queryJoinOracleSql,
 
     // MLT term selection mirrors the keywords_tfidf convention
     // (decimal-exact tf×idf, term tie-break); the search stage is the

@@ -39,6 +39,32 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(sql.map(_._2) == sql.map(_._2).sorted.reverse)
   }
 
+  test("graft_query_join plans into one fused GraftQueryJoin node") {
+    val df = spark.sql(s"SELECT * FROM graft_query_join('$dir', 20, 5, 3)")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftQueryJoin"),
+      s"fused join node missing from plan:\n$plan")
+    assert(!plan.contains("FileScan"), s"unfused scan leaked:\n$plan")
+  }
+
+  test("SQL query-join rows equal the Scala API's") {
+    import graft.search.SearchIndex
+    val sql = spark.sql(
+      s"SELECT qid, rank, key, round(score, 4) AS score " +
+        s"FROM graft_query_join('$dir', 20, 5, 3) ORDER BY qid, rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val idx = graft.search.SearchQueries.indexFor(spark, dir)
+    val api = idx.queryJoin(idx.docs.where(col("doc_id") < 20), "doc_id",
+        array_distinct(slice(col(SearchIndex.tokensColName("text")), 1, 5)),
+        "text", k = 3, minMatch = 1, excludeSelf = true, broadcastHits = true)
+      .select(col("doc_id").cast("long"), col("rank").cast("long"),
+        col("key").cast("long"), round(col("score"), 4))
+      .orderBy("doc_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(sql == api)
+    assert(sql.nonEmpty)
+  }
+
   test("graft_search argument validation") {
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_search('$dir', 'q')").collect()
