@@ -162,6 +162,47 @@ object Dedup {
   def corpusLshTables(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     (bandTable(spark, dir), shingleTable(spark, dir))
 
+  /** Per-bucket candidate DICTIONARY over the corpus LSH tables —
+    * (band, bh, cands: array<(corpus_id, ssy)>), the static side of a
+    * GRAIN-PRESERVING ingest near-dup check: an arriving doc LEFT-
+    * joins one row per band (never explodes), so the stream keeps one
+    * row per doc through the whole ingest DAG with no re-aggregation
+    * (which would be a second state store). Candidate lists are
+    * sorted by corpus id and CAPPED (the dedup_ngram hot-shingle
+    * discipline): a degenerate bucket — boilerplate shingle profiles
+    * at crawl scale — bounds to `cap` entries instead of one
+    * unbounded row; at the test SFs no bucket reaches the cap, so
+    * the oracle replays uncapped. */
+  private[graft] def corpusBandCandidates(spark: SparkSession, dir: String,
+      cap: Int = 1024): DataFrame =
+    persistOnce(s"minhash_bandcands#$dir#$cap") {
+      val (bands, sh) = corpusLshTables(spark, dir)
+      bands.join(sh.select(col("doc_id"), col("ss")), Seq("doc_id"))
+        .groupBy(col("band"), col("bh"))
+        .agg(slice(sort_array(collect_list(struct(
+          col("doc_id").as("corpus_id"), col("ss").as("ssy")))), 1, cap)
+          .as("cands"))
+    }
+
+  /** Non-exploded ingest-side banding: adds `ss` plus the four band
+    * hashes `bh_0..bh_3` as COLUMNS (same signatures/band hashes as
+    * [[streamBands]], which explodes), preserving every input column
+    * — the shape [[corpusBandCandidates]]' per-band left joins need.
+    * Docs with no shingles keep null-sig hashes; callers must guard
+    * the verify on `size(ss) > 0` (the exploded path drops them). */
+  private[graft] def withBandColumns(d: DataFrame, tokens: Column): DataFrame = {
+    graft.functions.SearchExpressions.register(d.sparkSession)
+    val withSs = d
+      .withColumn("ss", call_function("shingle_strings", tokens, lit(3)))
+      .withColumn("__hs", shingleHashes(col("ss")))
+    val withSigs = (0 until 16).foldLeft(withSs)((acc, i) =>
+      acc.withColumn(s"__sig_$i", minhashSig(col("__hs"), i)))
+    (0 until 4).foldLeft(withSigs)((acc, b) =>
+      acc.withColumn(s"bh_$b",
+        md5(concat_ws("|", (0 until 4).map(r => col(s"__sig_${b * 4 + r}")): _*))))
+      .drop((0 until 16).map(i => s"__sig_$i") :+ "__hs": _*)
+  }
+
   /** Persists the corpus LSH tables as HASH-BUCKETED catalog tables —
     * the on-disk layout the [[corpusLshTables]] scaladoc promises for
     * a 100 TB deployment: bands bucketed+sorted by the candidate

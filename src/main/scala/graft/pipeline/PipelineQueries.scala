@@ -276,6 +276,22 @@ object PipelineQueries {
     }.mkString(",\n    ")
   }
 
+  /** The embeddings + hyperplane-bucket CTE chain (e, planes, bk, eb)
+    * WITHOUT the leading WITH — composable into larger oracles
+    * (stream_ingest_e2e) whose WITH is opened by another prefix. */
+  private[graft] def embLshCtes: String =
+    s"""${embCte.stripPrefix("WITH ")},
+       |planes(i, p) AS (VALUES
+       |    $annLshPlanesValues
+       |), bk AS (
+       |  SELECT e.vec_id,
+       |    CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65), j -> e.v[j] * pl.p[j])) >= 0
+       |      THEN (1::BIGINT << pl.i) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e, planes pl GROUP BY e.vec_id
+       |), eb AS (
+       |  SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id)
+       |)""".stripMargin
+
   /** DuckDB replica of the ingest-time streaming ANN probe
     * ([[graft.streaming.EventStreams.annVsCorpusStream]]): every
     * vector replayed as the arriving side against the LSH-bucketed

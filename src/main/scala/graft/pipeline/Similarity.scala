@@ -203,6 +203,25 @@ object Similarity {
     }
   }
 
+  /** Per-bucket candidate dictionary over the LSH-bucketed corpus —
+    * (bucket, cands: array<(corpus_id, v, nrm)>), the ANN analog of
+    * [[graft.pipeline.Dedup.corpusBandCandidates]] for the grain-
+    * preserving ingest DAG: one left join per arriving vector, no
+    * explode, no re-aggregation. Lists sorted by corpus id and capped
+    * (hot-bucket bound; uncapped at the test SFs so the oracle
+    * replays exactly). */
+  private[graft] def corpusBucketCandidates(spark: SparkSession, dir: String,
+      nPlanes: Int = 8, cap: Int = 1024): DataFrame =
+    lshCache.synchronized {
+      lshCache.getOrElseUpdate(s"$dir#$nPlanes#cands#$cap",
+        corpusLshBuckets(spark, dir, nPlanes)
+          .groupBy(col("bucket"))
+          .agg(slice(sort_array(collect_list(struct(
+            col("vec_id").as("corpus_id"), col("v"), col("nrm")))), 1, cap)
+            .as("cands"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   /** Fitted coarse quantizer + deterministic first-min cell
     * assignment, cached per (dir, nCentroids) — shared by [[ivfTopK]]
     * and [[semDedup]] so the IVF probe and the semantic dedup reuse

@@ -562,6 +562,93 @@ object EventStreams {
     * its size. `streamPartitions` bounds it for these bounded-replay
     * runs (a production deployment would set it to match ingest
     * volume); the session's batch setting is restored after start. */
+  /** The END-TO-END ingest DAG as ONE streaming query — the chain a
+    * production crawl-ingest deployment runs per arriving document,
+    * composed from the individually-verified stream operators with a
+    * SINGLE pass per micro-batch:
+    *
+    *   1. online URL dedup — canonicalize ([[graft.pipeline.Urls
+    *      .normalizeUrl]]) + `dropDuplicatesWithinWatermark` on the
+    *      canonical key. The ONLY stateful operator in the plan
+    *      (state bounded by the watermark horizon).
+    *   2. curation gate — token/quality thresholds, stateless
+    *      ([[curateStream]]'s predicates inline, tokens computed once
+    *      and shared with step 3).
+    *   3. near-dup vs corpus — GRAIN-PRESERVING form of
+    *      [[nearDupVsCorpusStream]]: the arriving doc carries its 4
+    *      band hashes as columns ([[graft.pipeline.Dedup
+    *      .withBandColumns]]) and LEFT-joins the capped per-bucket
+    *      candidate dictionary ([[graft.pipeline.Dedup
+    *      .corpusBandCandidates]]) once per band; the Jaccard verify
+    *      runs as an in-row `exists` over the candidate array, so the
+    *      doc row is never exploded and no re-aggregation (= no
+    *      second state store) is needed.
+    *   4. ANN vs corpus — the embedding analog: the static embeddings
+    *      table attaches the doc's vector (stream-static left join on
+    *      the shared id), the hyperplane bucket is computed map-side,
+    *      one left join against [[graft.pipeline.Similarity
+    *      .corpusBucketCandidates]], cosine verify in-row.
+    *   5. chunking of the fully-surviving docs ([[graft.pipeline
+    *      .Curation.chunked]], stateless) — the training-ready
+    *      output.
+    *
+    * Scale shape: per micro-batch, 4+2 stream-static equi-joins (the
+    * static sides persisted/bucketable, only the arriving slice
+    * shuffles) + map-side signatures/predicates; state = one
+    * canonical-URL dedup store. Output: (doc_id, chunk_idx,
+    * n_tokens, chunk_text) chunk rows. */
+  def ingestE2eStream(docs: DataFrame, bandCands: DataFrame,
+      embeddings: DataFrame, bucketCands: DataFrame,
+      nPlanes: Int = 8, minCos: Double = 0.3, jaccardThr: Double = 0.6,
+      minTokens: Int = 16, minQuality: Double = 0.05,
+      watermark: String = "3650 days"): DataFrame = {
+    graft.functions.SearchExpressions.register(docs.sparkSession)
+    import graft.pipeline.{Curation, Dedup, Similarity, TextAnalysis, Urls}
+    // 1. online URL dedup (the one stateful op)
+    val urlDeduped = Urls.withUrlColumns(docs)
+      .withColumn("canonical", Urls.normalizeUrl(col("url")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("canonical")
+    // 2. curation gate (tokens computed once, shared with banding)
+    val curated = urlDeduped
+      .withColumn("__toks", graft.analysis.Analyzers.default.tokensCol(col("text")))
+      .where(size(col("__toks")) >= minTokens &&
+        TextAnalysis.qualityExpr(col("__toks")) >= minQuality)
+    // 3. near-dup vs corpus, grain-preserving
+    val banded = Dedup.withBandColumns(curated, col("__toks"))
+    val withBandCands = (0 until 4).foldLeft(banded)((acc, b) =>
+      acc.join(
+        bandCands.where(col("band") === b)
+          .select(col("bh").as(s"bh_$b"), col("cands").as(s"__cands_$b")),
+        Seq(s"bh_$b"), "left"))
+    val nearDup = size(col("ss")) > 0 && (0 until 4).map(b =>
+      coalesce(exists(col(s"__cands_$b"), c =>
+        c.getField("corpus_id") =!= col("doc_id") &&
+          size(array_intersect(col("ss"), c.getField("ssy"))).cast("double") /
+            size(array_union(col("ss"), c.getField("ssy"))) >= jaccardThr),
+        lit(false))).reduce(_ || _)
+    // 4. ANN vs corpus, grain-preserving
+    val planes = Similarity.hyperplanes(nPlanes, 64)
+    val withVec = withBandCands.join(
+        embeddings.select(col("vec_id").as("__vid"),
+          col("embedding").cast("array<double>").as("__qv")),
+        col("__vid") === col("doc_id"), "left")
+      .withColumn("__qnrm", Similarity.norm(col("__qv")))
+      .withColumn("__bucket", Similarity.lshBucket(col("__qv"), planes))
+    val withAnn = withVec.join(
+      bucketCands.select(col("bucket").as("__bucket"),
+        col("cands").as("__vcands")),
+      Seq("__bucket"), "left")
+    val annDup = coalesce(exists(col("__vcands"), c =>
+      c.getField("corpus_id") =!= col("doc_id") &&
+        call_function("vec_dot", col("__qv"), c.getField("v")) /
+          (col("__qnrm") * c.getField("nrm")) >= minCos),
+      lit(false))
+    // 5. chunk the survivors
+    Curation.chunked(withAnn.where(!nearDup && !annDup)
+      .select(col("doc_id"), col("text")))
+  }
+
   def runToMemorySink(df: DataFrame, name: String, mode: OutputMode,
       streamPartitions: Int = 8): Unit = {
     val spark = df.sparkSession

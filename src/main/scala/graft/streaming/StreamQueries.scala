@@ -93,6 +93,52 @@ object StreamQueries {
       .withColumn("ts",
         timestamp_micros(lit(DocsTsBaseSec * 1000000L) + col("doc_id") * 60L * 1000000L))
 
+  /** Documents staged as TWO files — the even doc_ids, then the odd
+    * ones a minute later (mtime-ordered) — read with
+    * `maxFilesPerTrigger = 1`, so the stream processes them as two
+    * strictly-ordered micro-batches. This pins WHICH member of each
+    * URL-duplicate pair the online dedup keeps: the generator pairs
+    * docs 2k/2k+1 on one canonical URL, so with the evens arriving
+    * first the survivor set is exactly the even docs — the property
+    * the stream_ingest_e2e oracle replays. (A single-batch arrival
+    * would keep an arbitrary member per pair: dropDuplicates' pick
+    * within a batch follows shuffle order.) */
+  private def stagedDocsPhased(s: SparkSession, dir: String): DataFrame = {
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val attrs = java.nio.file.Files.readAttributes(
+      src, classOf[java.nio.file.attribute.BasicFileAttributes])
+    val tag = java.lang.Long.toHexString(
+      attrs.size() * 31L + attrs.lastModifiedTime().toMillis)
+    val d = java.nio.file.Paths.get("/tmp/graft_fixtures")
+      .resolve(s"documents_phased_${Integer.toHexString(dir.hashCode)}_$tag")
+    StreamQueries.synchronized {
+      if (!java.nio.file.Files.exists(d.resolve("_STAGED"))) {
+        java.nio.file.Files.createDirectories(d)
+        def stage(even: Boolean, name: String, mtime: Long): Unit = {
+          val tmp = java.nio.file.Files.createTempDirectory("phase").toString
+          s.read.parquet(src.toString)
+            .where(col("doc_id") % 2 === (if (even) 0 else 1))
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.startsWith("part-")).get
+          java.nio.file.Files.move(part.toPath, d.resolve(name),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          d.resolve(name).toFile.setLastModified(mtime)
+        }
+        val t0 = 1700000000000L
+        stage(even = true, "phase0.parquet", t0)
+        stage(even = false, "phase1.parquet", t0 + 60000L)
+        java.nio.file.Files.createFile(d.resolve("_STAGED"))
+      }
+    }
+    val schema = s.read.parquet(s"$d/phase0.parquet").schema
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(d.toString)
+      .withColumn("ts",
+        timestamp_micros(lit(DocsTsBaseSec * 1000000L) + col("doc_id") * 60L * 1000000L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_counts" -> ((s, dir) => {
       val name = s"stream_tumbling_${sinkId.incrementAndGet()}"
@@ -172,6 +218,25 @@ object StreamQueries {
           .dropDuplicatesWithinWatermark("canonical"),
         name, OutputMode.Append())
       s.table(name).select(col("canonical")).orderBy("canonical")
+    }),
+    // the END-TO-END ingest DAG as one streaming query: online URL
+    // dedup (the only state store) -> curation gate -> near-dup vs
+    // corpus -> ANN vs corpus -> chunking, single pass per
+    // micro-batch. Two-phase arrival (evens then odds) pins the URL
+    // survivor set; oracle replays every stage in batch.
+    "stream_ingest_e2e" -> ((s, dir) => {
+      val name = s"stream_e2e_${sinkId.incrementAndGet()}"
+      val bandCands = graft.pipeline.Dedup.corpusBandCandidates(s, dir)
+      val bucketCands = graft.pipeline.Similarity.corpusBucketCandidates(s, dir)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      EventStreams.runToMemorySink(
+        EventStreams.ingestE2eStream(stagedDocsPhased(s, dir),
+          bandCands, emb, bucketCands),
+        name, OutputMode.Append())
+      s.table(name)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          col("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
     }),
     // per-user funnel stage machine: emits one completion row when a
     // user finishes view -> click -> purchase, each strictly after
@@ -561,6 +626,54 @@ object StreamQueries {
          |FROM j WHERE jaccard >= 0.6
          |ORDER BY band, doc_id, corpus_id""".stripMargin,
 
+    // batch replay of the whole ingest DAG: URL-dedup survivors are
+    // the even docs (two-phase arrival pins the pick), then the
+    // curate-gate predicates, the minhash near-dup flag vs the full
+    // corpus, the LSH-bucket ANN flag vs the full embedding corpus,
+    // and the stream_chunk chunking of what survives everything
+    "stream_ingest_e2e" -> {
+      val enList = graft.pipeline.TextAnalysis.LangProfiles.toMap.apply("en")
+        .map(w => s"'$w'").mkString(", ")
+      s"""${graft.pipeline.PipelineQueries.minhashCtePrefix},
+         |flagged_nd AS (
+         |  SELECT DISTINCT a.doc_id FROM bands a
+         |  JOIN bands b ON a.band = b.band AND a.bh = b.bh AND b.doc_id <> a.doc_id
+         |  JOIN sh sa ON sa.doc_id = a.doc_id
+         |  JOIN sh sb ON sb.doc_id = b.doc_id
+         |  WHERE len(list_intersect(sa.ss, sb.ss))::DOUBLE
+         |    / len(list_distinct(sa.ss || sb.ss)) >= 0.6
+         |),
+         |${graft.pipeline.PipelineQueries.embLshCtes},
+         |flagged_ann AS (
+         |  SELECT DISTINCT a.vec_id FROM eb a JOIN eb b USING (bucket)
+         |  WHERE b.vec_id <> a.vec_id AND list_cosine_similarity(a.v, b.v) >= 0.3
+         |),
+         |gate AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, len(tokens)::BIGINT AS n_tokens,
+         |      round_even((len(list_distinct(tokens))::DOUBLE / greatest(len(tokens), 1)) * 1e4, 0) / 1e4 AS ttr,
+         |      round_even((len(list_filter(tokens, x -> list_contains([$enList], x)))::DOUBLE
+         |        / greatest(len(tokens), 1)) * 1e4, 0) / 1e4 AS stop_ratio
+         |    FROM toks) g
+         |  WHERE n_tokens >= 16
+         |    AND round_even((least(n_tokens / 100.0, 1.0) * (1 - stop_ratio) * ttr) * 1e4, 0) / 1e4 >= 0.05
+         |),
+         |survivors AS (
+         |  SELECT doc_id FROM gate
+         |  WHERE doc_id % 2 = 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM flagged_nd)
+         |    AND doc_id NOT IN (SELECT vec_id FROM flagged_ann)
+         |)
+         |SELECT t.doc_id, CAST(start / 24 AS BIGINT) AS chunk_idx,
+         |  CAST(len(tokens[start + 1 : least(start + 32, len(tokens))]) AS BIGINT) AS n_tokens,
+         |  array_to_string(tokens[start + 1 : least(start + 32, len(tokens))], ' ') AS chunk_text
+         |FROM (
+         |  SELECT toks.doc_id, tokens,
+         |    unnest(range(0, greatest(len(tokens), 1), 24)) AS start
+         |  FROM toks JOIN survivors USING (doc_id)
+         |) t
+         |ORDER BY doc_id, chunk_idx""".stripMargin
+    },
     // batch replay of ingest substring detection: every doc as the
     // arriving side vs gram stats over the whole corpus; flagged when
     // another doc holds the gram (within-doc repeats excluded)

@@ -492,4 +492,41 @@ class StreamingSpec extends AnyFunSuite {
       .as[String].head()
     assert(r._2 == batchPred)
   }
+
+  test("ingest e2e DAG runs with exactly ONE state store (the URL dedup)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val bandCands = graft.pipeline.Dedup.corpusBandCandidates(spark, dir)
+    val bucketCands = graft.pipeline.Similarity.corpusBucketCandidates(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+      .withColumn("ts", timestamp_micros(
+        lit(1699999200L * 1000000L) + col("doc_id") * 60L * 1000000L))
+    val out = EventStreams.ingestE2eStream(stream, bandCands, emb, bucketCands)
+    val q = out.writeStream.format("memory").queryName("e2e_spec")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two-phase arrival: evens first, then their odd URL-twins
+      mem.addData(docs.filter(_._1 % 2 == 0): _*)
+      q.processAllAvailable()
+      mem.addData(docs.filter(_._1 % 2 == 1): _*)
+      q.processAllAvailable()
+      // the WHOLE composed DAG carries one state store: the
+      // canonical-URL dedup. Every other stage (gate, near-dup vs
+      // corpus, ANN vs corpus, chunking) is stateless stream-static.
+      val ops = q.lastProgress.stateOperators
+      assert(ops.length == 1, s"expected 1 state operator, got: ${ops.mkString(",")}")
+      assert(ops.head.operatorName.toLowerCase.contains("dedup"),
+        s"unexpected state operator: ${ops.head.operatorName}")
+      // the odd twin of every page was dropped by the URL dedup
+      val outDocs = spark.table("e2e_spec").select("doc_id")
+        .distinct().as[Long].collect()
+      assert(outDocs.nonEmpty)
+      assert(outDocs.forall(_ % 2 == 0),
+        s"odd URL-duplicate leaked: ${outDocs.filter(_ % 2 == 1).take(5).mkString(",")}")
+    } finally q.stop()
+  }
 }
