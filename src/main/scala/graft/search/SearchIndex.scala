@@ -1606,13 +1606,22 @@ final class SearchIndex private (
     // explode_outer keeps zero-term alts (the "matches nothing"
     // probe) at df 0, which min() rightly prefers.
     val stProbe = stats.where(col("field") === lit(field)).select(col("term"), col("df"))
-    val chosen = withDoubles.where(size(col("alts")) > 0)
+    // persisted with the memo entry: the selection is deterministic
+    // per (left, generator) and costs a posexplode + stats join + two
+    // aggregations — |shapes| rows once materialized, so repeat calls
+    // skip ~4 AQE stages of pure latency. (Persisting further
+    // DOWNSTREAM frames — the resolved probe tables or the slim
+    // candidate keys — measured SLOWER: the cached leaf changes the
+    // postings-join strategy and a repeat call degenerates to one
+    // 8s sort-merge job; the selection aggregate is the sweet spot.)
+    val chosen = keepFrame(withDoubles.where(size(col("alts")) > 0)
       .select(col("sid"), posexplode(col("alts")).as(Seq("ai", "alt")))
       .select(col("sid"), col("ai"), explode_outer(col("alt")).as("term"))
       .join(stProbe, Seq("term"), "left").na.fill(0L, Seq("df"))
       .groupBy(col("sid"), col("ai")).agg(sum(col("df")).as("adf"))
       .groupBy(col("sid")).agg(min(struct(col("adf"), col("ai"))).as("c"))
       .select(col("sid"), col("c.ai").as("ai"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val posts = postings.where(col("field") === lit(field))
       .select(col("term"), col("key"))
     val probed = withDoubles.join(chosen, Seq("sid"))
@@ -1683,8 +1692,13 @@ final class SearchIndex private (
         lit(kind), lit(k1v), lit(bv), lit(fs.avgDl)))
       .where(col("__r.ok"))
       .select(col("sid"), col("key"), col("__r.score").as("score"))
-    val fan = canon.join(shapes0, Seq("ops", "terms", "term_fields", "consts", "alts"))
+    // persisted with the memo entry: the qid fan-out joins canon to
+    // shapes0 on FIVE array columns — materialized it is |left| slim
+    // (qid, sid) rows, and repeat calls skip the array-keyed join
+    val fan = keepFrame(canon
+      .join(shapes0, Seq("ops", "terms", "term_fields", "consts", "alts"))
       .select(col("qid"), col("sid"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
     (verified.join(fan, Seq("sid"))
       .select(col("qid"), col("key"), col("score")), entryFrames.toSeq)
   }
