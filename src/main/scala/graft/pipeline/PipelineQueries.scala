@@ -21,6 +21,9 @@ object PipelineQueries {
     // link-authority prior: PageRank power iteration over the domain
     // outlink graph (ordered per-target folds for hash-exactness)
     "link_pagerank" -> ((s, dir) => Urls.domainPageRank(s, dir)),
+    // fine-grained authority: PageRank over the canonical-URL page
+    // graph (|pages| nodes; uncrawled link targets dangle)
+    "link_pagerank_pages" -> ((s, dir) => Urls.pagePageRank(s, dir)),
     // L1-delta convergence stop instead of a fixed iteration count
     // (one extra bounded agg per iteration); oracle replays the same
     // stop rule over unrolled iterations
@@ -1095,6 +1098,51 @@ object PipelineQueries {
     // 3 power iterations unrolled; per-target contributions folded in
     // src order (list ORDER BY src -> list_sum), mirroring the
     // engine's sort_array + ordered aggregate exactly
+    // page-level PageRank: same 3-iteration unroll and ordered folds
+    // as link_pagerank, nodes = canonical page URLs from the
+    // generator arithmetic (clean form; dirty outlink variants
+    // normalize to the same strings), targets without crawled pages
+    // dangle. MATERIALIZED: the chained rank CTEs are multi-
+    // referenced, which DuckDB would otherwise inline exponentially.
+    "link_pagerank_pages" ->
+      """WITH u AS (SELECT doc_id, doc_id // 2 AS pg FROM documents),
+        |raw_edges AS (
+        |  SELECT
+        |    'http://www.ex' || (pg % 16) || '.com/p/' || pg ||
+        |      (CASE WHEN pg % 2 = 1 THEN '?id=' || pg ELSE '' END) AS src,
+        |    'http://www.ex' || ((((doc_id*7+3) % 1024) * ((doc_id*7+3) % 1024)) % 16) ||
+        |      '.com/p/' || ((doc_id*7+3) % 1024) AS dst
+        |  FROM u
+        |  UNION ALL
+        |  SELECT
+        |    'http://www.ex' || (pg % 16) || '.com/p/' || pg ||
+        |      (CASE WHEN pg % 2 = 1 THEN '?id=' || pg ELSE '' END),
+        |    'http://www.ex' || (((doc_id*13+5) % 1024) % 16) ||
+        |      '.com/p/' || ((doc_id*13+5) % 1024)
+        |  FROM u),
+        |edges AS (SELECT src, dst, count(*) AS cnt FROM raw_edges GROUP BY 1, 2),
+        |outdeg AS (SELECT src, sum(cnt) AS out FROM edges GROUP BY 1),
+        |e AS MATERIALIZED (SELECT edges.src, dst, cnt::DOUBLE / out AS w FROM edges JOIN outdeg USING (src)),
+        |doms AS MATERIALIZED (SELECT src AS dom FROM e UNION SELECT dst FROM e),
+        |n AS (SELECT count(*) AS nd FROM doms),
+        |r0 AS MATERIALIZED (SELECT dom, 1.0 / nd AS rank FROM doms, n),
+        |c1 AS (SELECT e.dst AS dom, list_sum(list(r0.rank * e.w ORDER BY e.src)) AS m
+        |  FROM e JOIN r0 ON r0.dom = e.src GROUP BY e.dst),
+        |r1 AS MATERIALIZED (SELECT doms.dom,
+        |  (SELECT (1.0 - 0.85) / nd FROM n) + 0.85 * coalesce(c1.m, 0.0) AS rank
+        |  FROM doms LEFT JOIN c1 USING (dom)),
+        |c2 AS (SELECT e.dst AS dom, list_sum(list(r1.rank * e.w ORDER BY e.src)) AS m
+        |  FROM e JOIN r1 ON r1.dom = e.src GROUP BY e.dst),
+        |r2 AS MATERIALIZED (SELECT doms.dom,
+        |  (SELECT (1.0 - 0.85) / nd FROM n) + 0.85 * coalesce(c2.m, 0.0) AS rank
+        |  FROM doms LEFT JOIN c2 USING (dom)),
+        |c3 AS (SELECT e.dst AS dom, list_sum(list(r2.rank * e.w ORDER BY e.src)) AS m
+        |  FROM e JOIN r2 ON r2.dom = e.src GROUP BY e.dst),
+        |r3 AS (SELECT doms.dom,
+        |  (SELECT (1.0 - 0.85) / nd FROM n) + 0.85 * coalesce(c3.m, 0.0) AS rank
+        |  FROM doms LEFT JOIN c3 USING (dom))
+        |SELECT dom AS url, round(rank * 1e6, 0) / 1e6 AS rank FROM r3 ORDER BY url""".stripMargin,
+
     "link_pagerank" ->
       """WITH u AS (SELECT doc_id, doc_id // 2 AS pg FROM documents),
         |raw_edges AS (

@@ -258,6 +258,37 @@ object Urls {
       })
     }
 
+  /** PageRank over the PAGE-level (canonical-URL) link graph — the
+    * fine-grained authority prior next to [[domainPageRank]]'s
+    * domain rollup: nodes are canonical URLs (|pages|, not
+    * |domains|), edges aggregate each page's document outlinks after
+    * canonicalization. Link targets outside the crawled page set
+    * join the node set as DANGLING nodes (no outlinks; their mass
+    * leaks — the removed-dangling convention [[pageRank]] documents).
+    * Same per-iteration shape and determinism discipline as the
+    * domain variant; at 100 TB the rank vector is |URLs| — still one
+    * keyed join + one agg per iteration. Output: (url, rank). */
+  def pagePageRank(spark: SparkSession, dir: String,
+      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    val e = edgeCache.synchronized {
+      edgeCache.getOrElseUpdate(s"$dir#pages", {
+        val pages = cachedPages(spark, dir)
+        val edges = pages
+          .select(col("cu").as("src"), explode(col("outlinks")).as("ol"))
+          .withColumn("dst", normalizeUrl(col("ol")))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+        val outDeg = edges.groupBy(col("src")).agg(sum(col("cnt")).as("out"))
+        edges.join(outDeg, Seq("src"))
+          .select(col("src"), col("dst"),
+            (col("cnt").cast("double") / col("out")).as("w"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+    }
+    pageRank(e, iterations, damping)
+      .select(col("dom").as("url"),
+        (round(col("rank") * 1e6, 0) / 1e6).as("rank")).orderBy("url")
+  }
+
   /** PageRank with an L1-delta convergence stop instead of a fixed
     * iteration count: iterate until Σ|r_k − r_{k−1}| < tol (folded in
     * domain order — hash-exact parity with the oracle replay), capped

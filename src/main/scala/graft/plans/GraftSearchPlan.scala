@@ -94,10 +94,38 @@ object GraftSearchPlan {
       int(args(2), "n_terms"), int(args(3), "k"))
   }
 
+  private val batchFnName = FunctionIdentifier("graft_batch_search")
+
+  private val batchInfo = new ExpressionInfo(GraftBatchSearchNode.getClass.getName,
+    null, "graft_batch_search", "graft_batch_search(dir, queries, k) - " +
+      "batch term search: `queries` is a ';'-separated list of " +
+      "whitespace-separated terms; query i (0-based qid) returns its " +
+      "top-k BM25 hits (any term matches, scores sum). Output " +
+      "(qid, rank, key, score).", "")
+
+  /** TVF builder for the batch search (SURVEY §2.2 from SQL):
+    * literal args (dir, queries, k). */
+  private def buildBatch(args: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"graft_batch_search(dir, queries, k): $msg")
+    if (args.length != 3) fail(s"expected 3 arguments, got ${args.length}")
+    def str(e: Expression, what: String): String = e match {
+      case Literal(v, StringType) if v != null => v.toString
+      case other => fail(s"$what must be a string literal, got $other")
+    }
+    val k = args(2) match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case e => fail(s"k must be an integer literal, got $e")
+    }
+    GraftBatchSearchNode(str(args.head, "dir"), str(args(1), "queries"), k)
+  }
+
   /** Entry point for [[graft.GraftExtensions]]. */
   def install(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectTableFunction((fnName, info, build))
     ext.injectTableFunction((joinFnName, joinInfo, buildJoin))
+    ext.injectTableFunction((batchFnName, batchInfo, buildBatch))
     ext.injectPlannerStrategy(_ => new GraftSearchStrategy)
   }
 
@@ -156,14 +184,36 @@ object GraftQueryJoinNode {
     AttributeReference("score", DoubleType, nullable = false)())
 }
 
-/** Plans [[GraftSearchNode]] / [[GraftQueryJoinNode]] into the fused
-  * operators. */
+/** Logical leaf for a `graft_batch_search` call: the whole query-set
+  * build + batch postings probe + per-query top-k as one node. */
+final case class GraftBatchSearchNode(dir: String, queries: String, k: Int,
+    output: Seq[Attribute] = GraftBatchSearchNode.freshOutput())
+    extends LeafNode {
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = BigInt(
+      (queries.count(_ == ';') + 1L).max(1L) * k.toLong.max(1L) * 32L))
+  override def simpleString(maxFields: Int): String =
+    s"GraftBatchSearchNode dir=$dir, queries='$queries', k=$k"
+}
+
+object GraftBatchSearchNode {
+  private[plans] def freshOutput(): Seq[Attribute] = Seq(
+    AttributeReference("qid", LongType, nullable = false)(),
+    AttributeReference("rank", LongType, nullable = false)(),
+    AttributeReference("key", LongType, nullable = false)(),
+    AttributeReference("score", DoubleType, nullable = false)())
+}
+
+/** Plans [[GraftSearchNode]] / [[GraftQueryJoinNode]] /
+  * [[GraftBatchSearchNode]] into the fused operators. */
 final class GraftSearchStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GraftSearchNode(dir, raw, k, out) =>
       GraftSearchExec(dir, raw, k, out) :: Nil
     case GraftQueryJoinNode(dir, maxQid, nTerms, k, out) =>
       GraftQueryJoinExec(dir, maxQid, nTerms, k, out) :: Nil
+    case GraftBatchSearchNode(dir, queries, k, out) =>
+      GraftBatchSearchExec(dir, queries, k, out) :: Nil
     case _ => Nil
   }
 }
@@ -196,6 +246,32 @@ final case class GraftSearchExec(dir: String, rawQuery: String, k: Int,
   * top-k. Executes the library's own distributed join plan against
   * the build-once cached index — a front-end, not a bypass; the
   * maxQid-bounded left makes broadcastHits sound. */
+/** The fused batch-search physical operator — the SQL front door for
+  * [[graft.search.SearchIndex.batchSearch]]: the ';'-separated query
+  * list becomes the (qid, field, terms, min_match=1) query frame
+  * (qid = 0-based position, terms analyzed with the index's
+  * query-time analyzer, field = the first text field), probed as ONE
+  * distributed plan with per-query top-k. */
+final case class GraftBatchSearchExec(dir: String, queries: String, k: Int,
+    output: Seq[Attribute]) extends LeafExecNode {
+  override def simpleString(maxFields: Int): String =
+    s"GraftBatchSearch dir=$dir, queries='$queries', k=$k"
+  override protected def doExecute(): RDD[InternalRow] = {
+    val idx = graft.search.SearchQueries.indexFor(session, dir)
+    val field = idx.spec.textFields.head
+    val an = graft.analysis.Analyzers(idx.spec.queryAnalyzer)
+    val qs = queries.split(";").toSeq.zipWithIndex.map { case (q, i) =>
+      (i.toLong, field, q.trim.split("\\s+").toSeq.flatMap(an.analyze), 1)
+    }
+    import idx.spark.implicits._
+    val qdf = qs.toDF("qid", "field", "terms", "min_match")
+    idx.batchSearch(qdf, k)
+      .select(col("qid").cast("long"), col("rank").cast("long"),
+        col("key").cast("long"), col("score").cast("double"))
+      .queryExecution.toRdd
+  }
+}
+
 final case class GraftQueryJoinExec(dir: String, maxQid: Int, nTerms: Int,
     k: Int, output: Seq[Attribute]) extends LeafExecNode {
   override def simpleString(maxFields: Int): String =

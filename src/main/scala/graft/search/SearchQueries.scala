@@ -279,6 +279,14 @@ object SearchQueries {
       s.sql("SELECT qid AS doc_id, rank, key, round(score, 4) AS score " +
         s"FROM graft_query_join('$dir', 20, 5, 3) ORDER BY doc_id, rank")),
 
+    // batch search from pure SQL: three positional queries through the
+    // fused GraftBatchSearch node; oracle is the batchOracle shape
+    // with the same (qid, term) table
+    "batch_search_sql" -> ((s, dir) =>
+      s.sql("SELECT qid, rank, key, round(score, 4) AS score " +
+        s"FROM graft_batch_search('$dir', 'spark join; window batch; vector', 5) " +
+        "ORDER BY qid, rank")),
+
     // pluggable QueryConstructor (reference QueryConstructor.scala:
     // 7-10): the raw string "spark src1" routed through the xfield
     // index's spec-configured MultiFieldQueryConstructor — parsed
@@ -1612,8 +1620,12 @@ object SearchQueries {
     },
 
     "query_join" -> queryJoinOracleSql,
-    // the SQL front door must land on the very same answer
+    // the SQL front doors must land on the very same answers
     "query_join_sql" -> queryJoinOracleSql,
+    "batch_search_sql" -> batchOracle(
+      "(0, 'spark', 1, 2), (0, 'join', 1, 2), (1, 'window', 1, 2), " +
+        "(1, 'batch', 1, 2), (2, 'vector', 1, 1)",
+      k = 5, excludeSelf = false, outCols = "qid"),
 
     // MLT term selection mirrors the keywords_tfidf convention
     // (decimal-exact tf×idf, term tie-break); the search stage is the

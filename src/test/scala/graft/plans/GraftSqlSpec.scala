@@ -65,6 +65,28 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(sql.nonEmpty)
   }
 
+  test("graft_batch_search plans fused and equals the Scala batch API") {
+    val df = spark.sql(
+      s"SELECT * FROM graft_batch_search('$dir', 'spark join; vector', 5)")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftBatchSearch"),
+      s"fused batch node missing from plan:\n$plan")
+    val sql = spark.sql(
+      s"SELECT qid, rank, key, round(score, 4) AS score " +
+        s"FROM graft_batch_search('$dir', 'spark join; vector', 5) ORDER BY qid, rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val idx = graft.search.SearchQueries.indexFor(spark, dir)
+    val qdf = Seq((0L, "text", Seq("spark", "join"), 1),
+      (1L, "text", Seq("vector"), 1)).toDF("qid", "field", "terms", "min_match")
+    val api = idx.batchSearch(qdf, 5)
+      .select(col("qid").cast("long"), col("rank").cast("long"),
+        col("key").cast("long"), round(col("score"), 4))
+      .orderBy("qid", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(sql == api)
+    assert(sql.nonEmpty)
+  }
+
   test("graft_search argument validation") {
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_search('$dir', 'q')").collect()
