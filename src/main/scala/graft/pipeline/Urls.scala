@@ -381,8 +381,14 @@ object Urls {
     * their mass, the "removed dangling node" convention. */
   private[graft] def pageRank(e: DataFrame, iterations: Int,
       damping: Double): DataFrame = {
+    // localCheckpoint (the pointer-jumping discipline): doms and each
+    // iteration's rank are referenced by every later iteration, and
+    // without the cut the final action re-evaluates the shared
+    // subtrees once per reference — immaterial for 16 domains, but
+    // the page-level graph (|URLs| nodes) re-ran its distinct+joins
+    // ~2x per iteration (measured 2.4s → 1.3s at sf0.1)
     val doms = e.select(col("src").as("dom"))
-      .union(e.select(col("dst").as("dom"))).distinct()
+      .union(e.select(col("dst").as("dom"))).distinct().localCheckpoint()
     val nDoms = doms.count()
     val base = (1.0 - damping) / nDoms
     var rank = doms.withColumn("rank", lit(1.0 / nDoms))
@@ -396,6 +402,7 @@ object Urls {
       rank = doms.join(contrib, Seq("dom"), "left")
         .select(col("dom"),
           (lit(base) + lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+        .localCheckpoint()
     }
     rank
   }
