@@ -577,7 +577,11 @@ object Similarity {
     val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
     val tmpPath = new org.apache.hadoop.fs.Path(s"$path/codes_rewrite_tmp")
     val fs = codesPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    spark.read.parquet(codesPath.toString).where(!pred)
+    // null-eval rows are KEPT: a deletion predicate that cannot
+    // decide a row must not silently delete it (`where(!pred)` alone
+    // would — SQL three-valued logic drops null-eval rows)
+    spark.read.parquet(codesPath.toString)
+      .where(!coalesce(pred, lit(false)))
       .write.mode("overwrite").parquet(tmpPath.toString)
     fs.delete(codesPath, true)
     fs.rename(tmpPath, codesPath)
