@@ -23,6 +23,9 @@ object Walkthrough {
       // only value-preserving under UTC (Tables.normalizeEventsTs
       // asserts it at the cast site)
       .config("spark.sql.session.timeZone", "UTC")
+      // the SQL-visible surface (graft_search / graft_batch_search /
+      // graft_query_join TVFs + native expressions) — step 14
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -135,6 +138,42 @@ object Walkthrough {
       "(join a readStream of arriving docs against these — " +
       "EventStreams.nearDupVsCorpusStream)")
     graft.pipeline.Dedup.clearCaches()
+
+    // 12. the crawl-side URL surface: canonicalize + dedup by URL,
+    // domain quality priors, and link authority (domain- and
+    // page-level PageRank, converged)
+    println("URL dedup groups (canonical key, clean/dirty variants):")
+    graft.pipeline.Urls.dedupByUrl(spark, dir).show(4, false)
+    println("domain stats (docs, distinct pages, dup rate, degrees):")
+    graft.pipeline.Urls.domainStats(spark, dir).show(4, false)
+    println("domain PageRank, L1-converged:")
+    graft.pipeline.Urls.domainPageRankConverged(spark, dir).show(4, false)
+    graft.pipeline.Urls.clearCaches()
+
+    // 13. the vector store: IVF-PQ build/save, encode-only append,
+    // delete, and drift-triggered compaction
+    val store = java.nio.file.Files.createTempDirectory("walk_pq").toString
+    graft.pipeline.Similarity.savePqIndex(spark, dir, store,
+      codesFilter = Some(col("vec_id") % 10 =!= 9))
+    graft.pipeline.Similarity.appendToPqIndex(spark, dir, store,
+      col("vec_id") % 10 === 9)
+    graft.pipeline.Similarity.removeFromPqIndex(spark, store,
+      col("vec_id") % 50 === 7)
+    println(f"PQ store reconstruction error: " +
+      f"${graft.pipeline.Similarity.pqReconstructionError(spark, dir, store)}%.4f " +
+      s"(compaction ran: ${graft.pipeline.Similarity.compactPqIndex(spark, dir, store)})")
+    println("ANN top-k from the persisted store:")
+    graft.pipeline.Similarity.loadedIvfPqTopK(spark, dir, store).show(5, false)
+    graft.pipeline.Similarity.clearCaches()
+
+    // 14. pure SQL front door (the session was built with
+    // spark.sql.extensions=graft.GraftExtensions, so thrift-server /
+    // Spark Connect SQL clients would see the same functions)
+    println("SQL search / batch search / search join:")
+    spark.sql(s"SELECT * FROM graft_search('$dir', 'spark join', 5)").show(false)
+    spark.sql(
+      s"SELECT * FROM graft_batch_search('$dir', 'spark join; vector', 3)").show(false)
+    spark.sql(s"SELECT * FROM graft_query_join('$dir', 10, 5, 3)").show(false)
 
     idx.unpersist()
     spark.stop()
