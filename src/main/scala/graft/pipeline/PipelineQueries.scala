@@ -24,6 +24,9 @@ object PipelineQueries {
     // fine-grained authority: PageRank over the canonical-URL page
     // graph (|pages| nodes; uncrawled link targets dangle)
     "link_pagerank_pages" -> ((s, dir) => Urls.pagePageRank(s, dir)),
+    // HITS hubs & authorities over the domain graph (L1-normalized
+    // half-steps, ordered folds; oracle unrolls the iterations)
+    "link_hits" -> ((s, dir) => Urls.domainHits(s, dir)),
     // L1-delta convergence stop instead of a fixed iteration count
     // (one extra bounded agg per iteration); oracle replays the same
     // stop rule over unrolled iterations
@@ -577,7 +580,43 @@ object PipelineQueries {
         // the WARC round trip must reproduce the synthetic-bridge
         // answers exactly — same oracles, by construction
         "warc_url_dedup" -> staticOracles("dedup_url"),
-        "warc_domain_stats" -> staticOracles("domain_stats"))
+        "warc_domain_stats" -> staticOracles("domain_stats"),
+        "link_hits" -> hitsSql(3))
+
+  /** Unrolled HITS oracle: per iteration an authority half-step
+    * (fold over in-edges in src order, missing nodes 0, L1-normalize
+    * by the dom-ordered total) then the hub half-step with the ends
+    * swapped — exactly [[Urls.domainHits]]'s arithmetic. */
+  private def hitsSql(iterations: Int): String = {
+    val head =
+      s"""u AS (SELECT doc_id, doc_id // 2 AS pg FROM documents),
+         |raw_edges AS (
+         |  SELECT 'ex' || (pg % 16) || '.com' AS src,
+         |    'ex' || ((((doc_id*7+3) % 1024) * ((doc_id*7+3) % 1024)) % 16) || '.com' AS dst FROM u
+         |  UNION ALL
+         |  SELECT 'ex' || (pg % 16) || '.com',
+         |    'ex' || (((doc_id*13+5) % 1024) % 16) || '.com' FROM u),
+         |e AS MATERIALIZED (SELECT src, dst, count(*) AS cnt FROM raw_edges GROUP BY 1, 2),
+         |doms AS MATERIALIZED (SELECT src AS dom FROM e UNION SELECT dst FROM e),
+         |n AS (SELECT count(*) AS nd FROM doms),
+         |h0 AS MATERIALIZED (SELECT dom, 1.0 / nd AS v FROM doms, n)""".stripMargin
+    def half(out: String, in: String, prev: String, name: String): String =
+      s"""${name}r AS (SELECT e.$out AS dom, list_sum(list(e.cnt * $prev.v ORDER BY e.$in)) AS v
+         |  FROM e JOIN $prev ON $prev.dom = e.$in GROUP BY e.$out),
+         |${name}f AS MATERIALIZED (SELECT doms.dom, coalesce(${name}r.v, 0.0) AS v
+         |  FROM doms LEFT JOIN ${name}r USING (dom)),
+         |${name}t AS (SELECT list_sum(list(v ORDER BY dom)) AS t FROM ${name}f),
+         |$name AS MATERIALIZED (SELECT dom, v / (SELECT t FROM ${name}t) AS v FROM ${name}f)""".stripMargin
+    val iters = (1 to iterations).flatMap { k =>
+      Seq(half("dst", "src", s"h${k - 1}", s"a$k"),
+        half("src", "dst", s"a$k", s"h$k"))
+    }
+    (Seq(head) ++ iters).mkString("WITH ", ",\n", "") +
+      s"""
+         |SELECT h$iterations.dom, round(h$iterations.v * 1e6, 0) / 1e6 AS hub,
+         |  round(a$iterations.v * 1e6, 0) / 1e6 AS authority
+         |FROM h$iterations JOIN a$iterations USING (dom) ORDER BY dom""".stripMargin
+  }
 
   /** Unrolled convergence-stopped PageRank oracle: maxIter iteration
     * blocks (contribution fold in src order, rank rebuild over the

@@ -252,11 +252,64 @@ object Urls {
           .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
         val outDeg = edges.groupBy(col("src")).agg(sum(col("cnt")).as("out"))
         edges.join(outDeg, Seq("src"))
-          .select(col("src"), col("dst"),
+          .select(col("src"), col("dst"), col("cnt"),
             (col("cnt").cast("double") / col("out")).as("w"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
     }
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) over the domain
+    * outlink graph — the other classic link-authority prior next to
+    * PageRank (crawl pipelines use the hub side to find link farms):
+    * a_k = L1-normalize(Aᵀ h_{k-1}), h_k = L1-normalize(A a_k), fixed
+    * iterations from a uniform hub vector, edge weights = link
+    * counts. Each half-step is one equi-join + per-node ordered fold;
+    * each normalization one |nodes|-bounded ordered-fold total (same
+    * hash-exactness discipline as [[pageRank]]); per-step
+    * localCheckpoint keeps the lineage flat. Output:
+    * (dom, hub, authority). */
+  def domainHits(spark: SparkSession, dir: String,
+      iterations: Int = 3): DataFrame = {
+    val e = cachedEdges(spark, dir)
+    val doms = e.select(col("src").as("dom"))
+      .union(e.select(col("dst").as("dom"))).distinct().localCheckpoint()
+    val nDoms = doms.count()
+    def foldSum(df: DataFrame, valueCol: String): Double =
+      df.agg(aggregate(
+        sort_array(collect_list(struct(col("dom"), col(valueCol).as("x")))),
+        lit(0.0), (a, x) => a + x.getField("x")).as("s"))
+        .first().getDouble(0)
+    // one half-step: value(dom) = Σ_edges cnt * other(otherEnd),
+    // folded in other-end order, missing nodes at 0, L1-normalized
+    def halfStep(vec: DataFrame, joinEnd: String, outEnd: String): DataFrame = {
+      val contrib = e.join(
+          vec.withColumnRenamed("dom", joinEnd).withColumnRenamed("v", "vin"),
+          Seq(joinEnd))
+        .select(col(outEnd).as("dom"), col(joinEnd).as("other"),
+          (col("cnt").cast("double") * col("vin")).as("c"))
+        .groupBy(col("dom"))
+        .agg(sort_array(collect_list(struct(col("other"), col("c")))).as("cs"))
+        .select(col("dom"), aggregate(
+          transform(col("cs"), x => x.getField("c")), lit(0.0), _ + _).as("v"))
+      val raw = doms.join(contrib, Seq("dom"), "left")
+        .select(col("dom"), coalesce(col("v"), lit(0.0)).as("v"))
+        .localCheckpoint()
+      val total = foldSum(raw, "v")
+      raw.select(col("dom"), (col("v") / lit(total)).as("v")).localCheckpoint()
+    }
+    var hubs = doms.select(col("dom"), lit(1.0 / nDoms).as("v")).localCheckpoint()
+    var auths = hubs
+    for (_ <- 1 to iterations) {
+      auths = halfStep(hubs, "src", "dst") // authority: weighted in-hub mass
+      hubs = halfStep(auths, "dst", "src") // hub: weighted out-authority mass
+    }
+    hubs.withColumnRenamed("v", "hv")
+      .join(auths.withColumnRenamed("v", "av"), Seq("dom"))
+      .select(col("dom"),
+        (round(col("hv") * 1e6, 0) / 1e6).as("hub"),
+        (round(col("av") * 1e6, 0) / 1e6).as("authority"))
+      .orderBy("dom")
+  }
 
   /** PageRank over the PAGE-level (canonical-URL) link graph — the
     * fine-grained authority prior next to [[domainPageRank]]'s

@@ -66,6 +66,23 @@ class UrlsSpec extends AnyFunSuite {
     assert(mp("c") > m("c"))
   }
 
+  test("domainHits: L1-normalized, authority concentrates on quadratic domains") {
+    val r = Urls.domainHits(spark, "/root/testdata/sf0.001")
+      .as[(String, Double, Double)].collect()
+    assert(r.length == 16)
+    // both vectors L1-normalize to 1 (up to the 1e-6 output rounding)
+    assert(math.abs(r.map(_._2).sum - 1.0) < 1e-4)
+    assert(math.abs(r.map(_._3).sum - 1.0) < 1e-4)
+    // the generator routes half the link mass onto the quadratic-
+    // residue domains {0,1,4,9} — their authority must dominate
+    val m = r.map(x => x._1 -> x._3).toMap
+    val qr = Set("ex0.com", "ex1.com", "ex4.com", "ex9.com")
+    val qrMin = qr.map(m).min
+    val otherMax = (m.keySet -- qr).map(m).max
+    assert(qrMin > otherMax,
+      s"quadratic domains must out-rank the rest: $m")
+  }
+
   test("registeredDomain: www strip, two-label default, cc-SLD third label") {
     assert(regdom("http://www.example.com/p") == "example.com")
     assert(regdom("http://News.Bbc.CO.UK/x") == "bbc.co.uk")
