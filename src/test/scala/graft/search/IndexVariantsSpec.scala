@@ -482,6 +482,30 @@ class IndexVariantsSpec extends AnyFunSuite {
     idx.unpersist()
   }
 
+  test("BM25F cross-field stats follow incremental add/remove") {
+    // xdfStats derives from the live postings, so an incrementally
+    // maintained index must rank exactly like a fresh build of the
+    // same corpus — the r11 build-time-stats refactor must not pin
+    // stale whole-document dfs
+    val all = Seq(
+      (1L, "alpha beta", "alpha"), (2L, "alpha gamma", "news"),
+      (3L, "beta beta", "alpha"), (4L, "delta alpha", "news"),
+      (5L, "alpha beta gamma", "blog")
+    ).toDF("doc_id", "text", "src")
+    val spec = IndexSpec("doc_id", Seq("text", "src"))
+    val fields = Seq(("text", 1.0, 0.75), ("src", 2.0, 0.5))
+    val incr = SearchIndex.build(all.where($"doc_id" <= 3), spec)
+      .addDocuments(all.where($"doc_id" > 3))
+      .removeDocuments(Seq(2L).toDF("doc_id"))
+    val fresh = SearchIndex.build(all.where($"doc_id" =!= 2), spec)
+    val a = incr.bm25fSearch(Seq("alpha", "beta"), fields, 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq.sorted
+    val b = fresh.bm25fSearch(Seq("alpha", "beta"), fields, 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq.sorted
+    assert(a == b, s"incremental BM25F diverged: $a vs $b")
+    incr.unpersist(); fresh.unpersist()
+  }
+
   test("pluggable QueryConstructor routes every raw-string API; default is Parsed") {
     import graft.dsl.{DefaultQueryConstructor, MultiFieldQueryConstructor}
     val docs = Seq(
