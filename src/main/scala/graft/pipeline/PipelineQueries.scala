@@ -24,6 +24,10 @@ object PipelineQueries {
     // fine-grained authority: PageRank over the canonical-URL page
     // graph (|pages| nodes; uncrawled link targets dangle)
     "link_pagerank_pages" -> ((s, dir) => Urls.pagePageRank(s, dir)),
+    // the convergence stop on the page graph (slower mixing than the
+    // 16-domain rollup: ~7-11 iterations at these SFs)
+    "link_pagerank_pages_converged" ->
+      ((s, dir) => Urls.pagePageRankConverged(s, dir)),
     // HITS hubs & authorities over the domain graph (L1-normalized
     // half-steps, ordered folds; oracle unrolls the iterations)
     "link_hits" -> ((s, dir) => Urls.domainHits(s, dir)),
@@ -577,6 +581,11 @@ object PipelineQueries {
           pagerankConvergedSql(1e-6, 8, 0.85, None),
         "link_pagerank_personalized" ->
           pagerankConvergedSql(1e-6, 8, 0.85, Some(Seq("ex0.com", "ex1.com"))),
+        // page graph mixes slower (3908 nodes at sf0.1 converge at
+        // iteration 11) — maxIter 12 bounds the unroll
+        "link_pagerank_pages_converged" ->
+          pagerankConvergedSql(1e-6, 12, 0.85, None,
+            rawEdges = pageRawEdgesSql, outName = "url"),
         // the WARC round trip must reproduce the synthetic-bridge
         // answers exactly — same oracles, by construction
         "warc_url_dedup" -> staticOracles("dedup_url"),
@@ -626,8 +635,35 @@ object PipelineQueries {
     * answer, replaying the engine's stop rule. MATERIALIZED CTEs:
     * DuckDB inlines multi-referenced CTEs by default, which is
     * exponential over a chained unroll. */
+  /** The generator-arithmetic edge tables (rely on the `u` CTE). */
+  private def domainRawEdgesSql: String =
+    """
+      |  SELECT 'ex' || (pg % 16) || '.com' AS src,
+      |    'ex' || ((((doc_id*7+3) % 1024) * ((doc_id*7+3) % 1024)) % 16) || '.com' AS dst FROM u
+      |  UNION ALL
+      |  SELECT 'ex' || (pg % 16) || '.com',
+      |    'ex' || (((doc_id*13+5) % 1024) % 16) || '.com' FROM u""".stripMargin
+
+  private def pageRawEdgesSql: String =
+    """
+      |  SELECT
+      |    'http://www.ex' || (pg % 16) || '.com/p/' || pg ||
+      |      (CASE WHEN pg % 2 = 1 THEN '?id=' || pg ELSE '' END) AS src,
+      |    'http://www.ex' || ((((doc_id*7+3) % 1024) * ((doc_id*7+3) % 1024)) % 16) ||
+      |      '.com/p/' || ((doc_id*7+3) % 1024) AS dst
+      |  FROM u
+      |  UNION ALL
+      |  SELECT
+      |    'http://www.ex' || (pg % 16) || '.com/p/' || pg ||
+      |      (CASE WHEN pg % 2 = 1 THEN '?id=' || pg ELSE '' END),
+      |    'http://www.ex' || (((doc_id*13+5) % 1024) % 16) ||
+      |      '.com/p/' || ((doc_id*13+5) % 1024)
+      |  FROM u""".stripMargin
+
   private def pagerankConvergedSql(tol: Double, maxIter: Int,
-      damping: Double, seeds: Option[Seq[String]]): String = {
+      damping: Double, seeds: Option[Seq[String]],
+      rawEdges: String = domainRawEdgesSql,
+      outName: String = "dom"): String = {
     val (r0, base) = seeds match {
       case Some(ss) =>
         val inList = ss.map(s => s"'$s'").mkString(", ")
@@ -640,12 +676,7 @@ object PipelineQueries {
     }
     val head =
       s"""u AS (SELECT doc_id, doc_id // 2 AS pg FROM documents),
-         |raw_edges AS (
-         |  SELECT 'ex' || (pg % 16) || '.com' AS src,
-         |    'ex' || ((((doc_id*7+3) % 1024) * ((doc_id*7+3) % 1024)) % 16) || '.com' AS dst FROM u
-         |  UNION ALL
-         |  SELECT 'ex' || (pg % 16) || '.com',
-         |    'ex' || (((doc_id*13+5) % 1024) % 16) || '.com' FROM u),
+         |raw_edges AS ($rawEdges),
          |edges AS (SELECT src, dst, count(*) AS cnt FROM raw_edges GROUP BY 1, 2),
          |outdeg AS (SELECT src, sum(cnt) AS out FROM edges GROUP BY 1),
          |e AS MATERIALIZED (SELECT edges.src, dst, cnt::DOUBLE / out AS w FROM edges JOIN outdeg USING (src)),
@@ -672,8 +703,8 @@ object PipelineQueries {
       .mkString(" UNION ALL ")
     (Seq(head) ++ iters ++ Seq(tail)).mkString("WITH ", ",\n", "") +
       s"""
-         |SELECT dom, round(rank * 1e6, 0) / 1e6 AS rank, (SELECT it FROM fin) AS n_iters
-         |FROM ($body) fr ORDER BY dom""".stripMargin
+         |SELECT dom AS $outName, round(rank * 1e6, 0) / 1e6 AS rank, (SELECT it FROM fin) AS n_iters
+         |FROM ($body) fr ORDER BY $outName""".stripMargin
   }
 
   /** MinHash+LSH near-dup pairs (mirror of [[Dedup.minhashLsh]]) —

@@ -322,8 +322,29 @@ object Urls {
     * domain variant; at 100 TB the rank vector is |URLs| — still one
     * keyed join + one agg per iteration. Output: (url, rank). */
   def pagePageRank(spark: SparkSession, dir: String,
-      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
-    val e = edgeCache.synchronized {
+      iterations: Int = 3, damping: Double = 0.85): DataFrame =
+    pageRank(cachedPageEdges(spark, dir), iterations, damping)
+      .select(col("dom").as("url"),
+        (round(col("rank") * 1e6, 0) / 1e6).as("rank")).orderBy("url")
+
+  /** [[domainPageRankConverged]] on the PAGE graph — the convergence
+    * stop matters more here: the |URLs|-node graph mixes slower than
+    * the 16-domain rollup (7-11 iterations at the test SFs vs 4), and
+    * a fixed count would either waste iterations or stop early.
+    * Output: (url, rank, n_iters). */
+  def pagePageRankConverged(spark: SparkSession, dir: String,
+      tol: Double = 1e-6, maxIter: Int = 12,
+      damping: Double = 0.85): DataFrame = {
+    val (r, iters) = pageRankUntil(cachedPageEdges(spark, dir), tol, maxIter,
+      damping, seeds = None)
+    r.select(col("dom").as("url"), (round(col("rank") * 1e6, 0) / 1e6).as("rank"),
+      lit(iters).as("n_iters")).orderBy("url")
+  }
+
+  /** Build-once normalized page-level edge aggregate (the page
+    * analog of [[cachedEdges]]; same registry and release path). */
+  private def cachedPageEdges(spark: SparkSession, dir: String): DataFrame =
+    edgeCache.synchronized {
       edgeCache.getOrElseUpdate(s"$dir#pages", {
         val pages = cachedPages(spark, dir)
         val edges = pages
@@ -337,10 +358,6 @@ object Urls {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
     }
-    pageRank(e, iterations, damping)
-      .select(col("dom").as("url"),
-        (round(col("rank") * 1e6, 0) / 1e6).as("rank")).orderBy("url")
-  }
 
   /** PageRank with an L1-delta convergence stop instead of a fixed
     * iteration count: iterate until Σ|r_k − r_{k−1}| < tol (folded in
