@@ -75,6 +75,11 @@ object PipelineQueries {
     // oracle generated at runtime from the fitted centroids (see
     // ivfOracle below); KMeans quality itself is covered by IvfSpec
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir, recordAs = Some("ann_ivf"))),
+    // vector search from pure SQL: the IVF probe through the fused
+    // graft_ann table function (recorded-run oracle, ann_ivf pattern)
+    "ann_sql" -> ((s, dir) =>
+      s.sql("SELECT qid, rank, vec_id, cos " +
+        s"FROM graft_ann('$dir', 5, 10) ORDER BY qid, rank")),
     // IVF-PQ: coarse probe + product-quantized asymmetric distance +
     // exact re-rank of the ADC shortlist; oracle generated from the
     // recorded centroids AND codebooks (ann_ivf pattern)
@@ -339,14 +344,17 @@ object PipelineQueries {
     * cosine rerank are recomputed in SQL. Verifies everything
     * downstream of the KMeans fit. */
   private def ivfOracle: Map[String, String] =
-    Similarity.recordedIvfRun("ann_ivf") match {
-      case None => Map.empty
+    Seq("ann_ivf", "ann_sql").flatMap(ivfOracleFor).toMap
+
+  private def ivfOracleFor(tag: String): Option[(String, String)] =
+    Similarity.recordedIvfRun(tag) match {
+      case None => None
       case Some(run) =>
         val values = run.centroids.zipWithIndex.map { case (c, i) =>
           val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
           s"($i, [${c.mkString(", ")}]::DOUBLE[], $cc)"
         }.mkString(",\n    ")
-        Map("ann_ivf" ->
+        Some(tag ->
           s"""$embCte,
              |cents(i, c, cc) AS (VALUES
              |    $values

@@ -121,11 +121,38 @@ object GraftSearchPlan {
     GraftBatchSearchNode(str(args.head, "dir"), str(args(1), "queries"), k)
   }
 
+  private val annFnName = FunctionIdentifier("graft_ann")
+
+  private val annInfo = new ExpressionInfo(GraftAnnNode.getClass.getName,
+    null, "graft_ann", "graft_ann(dir, n_queries, k) - approximate " +
+      "nearest neighbors: the first n_queries corpus vectors each " +
+      "retrieve their top-k cosine neighbors through the IVF probe. " +
+      "Output (qid, rank, vec_id, cos).", "")
+
+  /** TVF builder for the ANN surface (vector search from SQL):
+    * literal args (dir, n_queries, k). */
+  private def buildAnn(args: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"graft_ann(dir, n_queries, k): $msg")
+    if (args.length != 3) fail(s"expected 3 arguments, got ${args.length}")
+    val dir = args.head match {
+      case Literal(v, StringType) if v != null => v.toString
+      case e => fail(s"dir must be a string literal, got $e")
+    }
+    def int(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case other => fail(s"$what must be an integer literal, got $other")
+    }
+    GraftAnnNode(dir, int(args(1), "n_queries"), int(args(2), "k"))
+  }
+
   /** Entry point for [[graft.GraftExtensions]]. */
   def install(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectTableFunction((fnName, info, build))
     ext.injectTableFunction((joinFnName, joinInfo, buildJoin))
     ext.injectTableFunction((batchFnName, batchInfo, buildBatch))
+    ext.injectTableFunction((annFnName, annInfo, buildAnn))
     ext.injectPlannerStrategy(_ => new GraftSearchStrategy)
   }
 
@@ -204,8 +231,29 @@ object GraftBatchSearchNode {
     AttributeReference("score", DoubleType, nullable = false)())
 }
 
+/** Logical leaf for a `graft_ann` call: query-set selection + IVF
+  * probe + exact rerank + per-query top-k as one node. */
+final case class GraftAnnNode(dir: String, nQueries: Int, k: Int,
+    output: Seq[Attribute] = GraftAnnNode.freshOutput())
+    extends LeafNode {
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes =
+      BigInt(nQueries.toLong.max(1L) * k.toLong.max(1L) * 32L))
+  override def simpleString(maxFields: Int): String =
+    s"GraftAnnNode dir=$dir, nQueries=$nQueries, k=$k"
+}
+
+object GraftAnnNode {
+  private[plans] def freshOutput(): Seq[Attribute] = Seq(
+    AttributeReference("qid", LongType, nullable = false)(),
+    AttributeReference("rank", LongType, nullable = false)(),
+    AttributeReference("vec_id", LongType, nullable = false)(),
+    AttributeReference("cos", DoubleType, nullable = false)())
+}
+
 /** Plans [[GraftSearchNode]] / [[GraftQueryJoinNode]] /
-  * [[GraftBatchSearchNode]] into the fused operators. */
+  * [[GraftBatchSearchNode]] / [[GraftAnnNode]] into the fused
+  * operators. */
 final class GraftSearchStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GraftSearchNode(dir, raw, k, out) =>
@@ -214,6 +262,8 @@ final class GraftSearchStrategy extends SparkStrategy {
       GraftQueryJoinExec(dir, maxQid, nTerms, k, out) :: Nil
     case GraftBatchSearchNode(dir, queries, k, out) =>
       GraftBatchSearchExec(dir, queries, k, out) :: Nil
+    case GraftAnnNode(dir, nQueries, k, out) =>
+      GraftAnnExec(dir, nQueries, k, out) :: Nil
     case _ => Nil
   }
 }
@@ -270,6 +320,23 @@ final case class GraftBatchSearchExec(dir: String, queries: String, k: Int,
         col("key").cast("long"), col("score").cast("double"))
       .queryExecution.toRdd
   }
+}
+
+/** The fused ANN physical operator — vector search from SQL: executes
+  * the library's IVF probe (coarse cells from the cached fitted
+  * quantizer, candidate cells probed, exact cosine rerank, bounded
+  * per-query top-k) and records the run for the oracle like the
+  * Scala `ann_ivf` entry does. */
+final case class GraftAnnExec(dir: String, nQueries: Int, k: Int,
+    output: Seq[Attribute]) extends LeafExecNode {
+  override def simpleString(maxFields: Int): String =
+    s"GraftAnn dir=$dir, nQueries=$nQueries, k=$k"
+  override protected def doExecute(): RDD[InternalRow] =
+    graft.pipeline.Similarity.ivfTopK(session, dir, nQueries, k,
+        recordAs = Some("ann_sql"))
+      .select(col("qid").cast("long"), col("rank").cast("long"),
+        col("vec_id").cast("long"), col("cos").cast("double"))
+      .queryExecution.toRdd
 }
 
 final case class GraftQueryJoinExec(dir: String, maxQid: Int, nTerms: Int,

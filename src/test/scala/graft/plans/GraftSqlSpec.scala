@@ -87,6 +87,22 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(sql.nonEmpty)
   }
 
+  test("graft_ann plans fused and equals the Scala IVF probe") {
+    val df = spark.sql(s"SELECT * FROM graft_ann('$dir', 3, 5)")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftAnn"), s"fused ANN node missing:\n$plan")
+    val sql = spark.sql(
+      s"SELECT qid, rank, vec_id, cos FROM graft_ann('$dir', 3, 5) ORDER BY qid, rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val api = graft.pipeline.Similarity.ivfTopK(spark, dir, nQueries = 3, k = 5)
+      .select(col("qid").cast("long"), col("rank").cast("long"),
+        col("vec_id").cast("long"), col("cos").cast("double"))
+      .orderBy("qid", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(sql == api)
+    assert(sql.nonEmpty)
+  }
+
   test("graft_search argument validation") {
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_search('$dir', 'q')").collect()
