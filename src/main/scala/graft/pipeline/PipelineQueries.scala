@@ -622,7 +622,9 @@ object PipelineQueries {
          |  FROM e JOIN $prev ON $prev.dom = e.$in GROUP BY e.$out),
          |${name}f AS MATERIALIZED (SELECT doms.dom, coalesce(${name}r.v, 0.0) AS v
          |  FROM doms LEFT JOIN ${name}r USING (dom)),
-         |${name}t AS (SELECT list_sum(list(v ORDER BY dom)) AS t FROM ${name}f),
+         |${name}t AS (SELECT list_sum(list(s ORDER BY bk)) AS t FROM (
+         |  SELECT substr(md5(dom), 1, 2) AS bk, list_sum(list(v ORDER BY dom)) AS s
+         |  FROM ${name}f GROUP BY 1) ${name}z),
          |$name AS MATERIALIZED (SELECT dom, v / (SELECT t FROM ${name}t) AS v FROM ${name}f)""".stripMargin
     val iters = (1 to iterations).flatMap { k =>
       Seq(half("dst", "src", s"h${k - 1}", s"a$k"),
@@ -696,8 +698,10 @@ object PipelineQueries {
          |  FROM e JOIN r${k - 1} ON r${k - 1}.dom = e.src GROUP BY e.dst),
          |r$k AS MATERIALIZED (SELECT doms.dom, $base + $damping * coalesce(c$k.m, 0.0) AS rank
          |  FROM doms LEFT JOIN c$k USING (dom)),
-         |d$k AS (SELECT list_sum(list(abs(a.rank - b.rank) ORDER BY a.dom)) AS d
-         |  FROM r$k a JOIN r${k - 1} b USING (dom))""".stripMargin
+         |d$k AS (SELECT list_sum(list(s ORDER BY bk)) AS d FROM (
+         |  SELECT substr(md5(dom), 1, 2) AS bk,
+         |    list_sum(list(abs(x.rank - y.rank) ORDER BY dom)) AS s
+         |  FROM r$k x JOIN r${k - 1} y USING (dom) GROUP BY 1) z$k)""".stripMargin
     }
     val deltas = (1 to maxIter)
       .map(k => s"SELECT $k AS k, (SELECT d FROM d$k) AS delta")

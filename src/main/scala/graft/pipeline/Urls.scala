@@ -275,10 +275,7 @@ object Urls {
       .union(e.select(col("dst").as("dom"))).distinct().localCheckpoint()
     val nDoms = doms.count()
     def foldSum(df: DataFrame, valueCol: String): Double =
-      df.agg(aggregate(
-        sort_array(collect_list(struct(col("dom"), col(valueCol).as("x")))),
-        lit(0.0), (a, x) => a + x.getField("x")).as("s"))
-        .first().getDouble(0)
+      orderedGlobalSum(df.select(col("dom"), col(valueCol).as("v")))
     // one half-step: value(dom) = Σ_edges cnt * other(otherEnd),
     // folded in other-end order, missing nodes at 0, L1-normalized
     def halfStep(vec: DataFrame, joinEnd: String, outEnd: String): DataFrame = {
@@ -427,17 +424,30 @@ object Urls {
           (lit(1.0 - damping) * pCol +
             lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
         .localCheckpoint()
-      delta = next.withColumnRenamed("rank", "rank_n")
+      delta = orderedGlobalSum(next.withColumnRenamed("rank", "rank_n")
         .join(rank.withColumnRenamed("rank", "rank_o"), Seq("dom"))
-        .agg(aggregate(
-          sort_array(collect_list(struct(col("dom"),
-            abs(col("rank_n") - col("rank_o")).as("d")))),
-          lit(0.0), (a, x) => a + x.getField("d")).as("l1"))
-        .first().getDouble(0)
+        .select(col("dom"), abs(col("rank_n") - col("rank_o")).as("v")))
       rank = next
     }
     (rank, it)
   }
+
+  /** Deterministic GLOBAL sum of a (dom, v) frame without a |V|-sized
+    * single-task array: fold per md5-prefix bucket in dom order, then
+    * fold the 256 bucket sums in bucket order — both levels are
+    * content-defined, so a DuckDB oracle replays them bit-exactly,
+    * and no task ever materializes more than one bucket. (A plain
+    * sort_array(collect_list(...)) over the whole node set — the
+    * previous shape — is a scale-killer at |URLs| nodes.) */
+  private[graft] def orderedGlobalSum(dv: DataFrame): Double =
+    dv.groupBy(substring(md5(col("dom").cast("binary")), 1, 2).as("b"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("dom"), col("v")))),
+        lit(0.0), (a, x) => a + x.getField("v")).as("s"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("b"), col("s")))),
+        lit(0.0), (a, x) => a + x.getField("s")).as("t"))
+      .first().getDouble(0)
 
   /** The power-iteration core over a normalized edge frame
     * (src, dst, w) with Σ_dst w(src, dst) = 1 per src. The rank
