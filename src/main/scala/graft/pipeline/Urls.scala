@@ -457,8 +457,11 @@ object Urls {
     * would silently drop a node with outlinks but no inlinks after
     * iteration 1 (no base-term row), zeroing its outgoing mass too.
     * Per-target contributions fold in sorted-source order
-    * (hash-exact determinism). Dangling nodes (no outlinks) leak
-    * their mass, the "removed dangling node" convention. */
+    * (hash-exact determinism); the per-key array is IN-DEGREE
+    * bounded — a web-scale heavy-hitter target would get the same
+    * two-level bucketed treatment [[orderedGlobalSum]] applies to the
+    * global folds. Dangling nodes (no outlinks) leak their mass, the
+    * "removed dangling node" convention. */
   private[graft] def pageRank(e: DataFrame, iterations: Int,
       damping: Double): DataFrame = {
     // localCheckpoint (the pointer-jumping discipline): doms and each
