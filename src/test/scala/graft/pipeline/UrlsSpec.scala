@@ -66,6 +66,22 @@ class UrlsSpec extends AnyFunSuite {
     assert(mp("c") > m("c"))
   }
 
+  test("orderedGlobalSum is bit-identical across partitionings") {
+    // the two-level bucketed fold must produce the SAME double no
+    // matter how the input is partitioned — the property that lets
+    // the DuckDB oracle replay convergence decisions bit-exactly
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 4000).map(i => (s"node_$i", rnd.nextDouble() * 1e-3))
+    val base = rows.toDF("dom", "v")
+    val sums = Seq(1, 3, 32).map(n =>
+      Urls.orderedGlobalSum(base.repartition(n)))
+    assert(sums.distinct.size == 1,
+      s"fold is partition-dependent: $sums")
+    // and it is a faithful sum (tolerance: the naive sum differs only
+    // by float association order)
+    assert(math.abs(sums.head - rows.map(_._2).sum) < 1e-9)
+  }
+
   test("domainHits: L1-normalized, authority concentrates on quadratic domains") {
     val r = Urls.domainHits(spark, "/root/testdata/sf0.001")
       .as[(String, Double, Double)].collect()
