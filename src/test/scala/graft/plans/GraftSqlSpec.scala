@@ -110,4 +110,26 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_search") ||
       e.getMessage.contains("arguments"))
   }
+
+  test("all four table functions reject wrong arity / non-literal args") {
+    // arity
+    for ((fn, args) <- Seq(
+      "graft_query_join" -> s"'$dir', 10, 5",
+      "graft_batch_search" -> s"'$dir', 'a b'",
+      "graft_ann" -> s"'$dir', 3")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $fn($args)").collect()
+      }
+      assert(e.getMessage.contains(fn) || e.getMessage.contains("arguments"),
+        s"$fn arity error unhelpful: ${e.getMessage.take(120)}")
+    }
+    // literal-only contract: an expression argument must fail at
+    // resolution with the function's own message, not deep in planning
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_ann('$dir', 1 + 2, 5)").collect()
+    }
+    assert(e2.getMessage.contains("graft_ann") ||
+      e2.getMessage.contains("literal"),
+      s"non-literal arg error unhelpful: ${e2.getMessage.take(120)}")
+  }
 }
