@@ -38,6 +38,10 @@ object PipelineQueries {
     // personalized (seeded-trust / TrustRank-style) teleport vector,
     // same convergence stop
     "link_pagerank_personalized" -> ((s, dir) => Urls.domainPageRankPersonalized(s, dir)),
+    // TrustRank seeding on the graph it actually runs on in
+    // production: the PAGE graph, seeds = canonical URLs
+    "link_pagerank_pages_personalized" ->
+      ((s, dir) => Urls.pagePageRankPersonalized(s, dir)),
     // crawl→curation composition: WARC fixture bytes → record parse →
     // target-URI + HTML href extraction → canonicalize → URL dedup /
     // domain stats. Oracles are dedup_url's / domain_stats' verbatim —
@@ -594,6 +598,10 @@ object PipelineQueries {
         "link_pagerank_pages_converged" ->
           pagerankConvergedSql(1e-6, 12, 0.85, None,
             rawEdges = pageRawEdgesSql, outName = "url"),
+        "link_pagerank_pages_personalized" ->
+          pagerankConvergedSql(1e-6, 12, 0.85,
+            Some(Seq("http://www.ex0.com/p/0", "http://www.ex1.com/p/1?id=1")),
+            rawEdges = pageRawEdgesSql, outName = "url"),
         // the WARC round trip must reproduce the synthetic-bridge
         // answers exactly — same oracles, by construction
         "warc_url_dedup" -> staticOracles("dedup_url"),
@@ -618,8 +626,10 @@ object PipelineQueries {
          |n AS (SELECT count(*) AS nd FROM doms),
          |h0 AS MATERIALIZED (SELECT dom, 1.0 / nd AS v FROM doms, n)""".stripMargin
     def half(out: String, in: String, prev: String, name: String): String =
-      s"""${name}r AS (SELECT e.$out AS dom, list_sum(list(e.cnt * $prev.v ORDER BY e.$in)) AS v
-         |  FROM e JOIN $prev ON $prev.dom = e.$in GROUP BY e.$out),
+      s"""${name}r AS (SELECT dom, list_sum(list(bs ORDER BY bk)) AS v FROM (
+         |  SELECT e.$out AS dom, substr(md5(e.$in), 1, 2) AS bk,
+         |    list_sum(list(e.cnt * $prev.v ORDER BY e.$in)) AS bs
+         |  FROM e JOIN $prev ON $prev.dom = e.$in GROUP BY 1, 2) ${name}rz GROUP BY dom),
          |${name}f AS MATERIALIZED (SELECT doms.dom, coalesce(${name}r.v, 0.0) AS v
          |  FROM doms LEFT JOIN ${name}r USING (dom)),
          |${name}t AS (SELECT list_sum(list(s ORDER BY bk)) AS t FROM (
@@ -694,8 +704,10 @@ object PipelineQueries {
          |n AS (SELECT count(*) AS nd FROM doms),
          |r0 AS MATERIALIZED ($r0)""".stripMargin
     val iters = (1 to maxIter).map { k =>
-      s"""c$k AS (SELECT e.dst AS dom, list_sum(list(r${k - 1}.rank * e.w ORDER BY e.src)) AS m
-         |  FROM e JOIN r${k - 1} ON r${k - 1}.dom = e.src GROUP BY e.dst),
+      s"""c$k AS (SELECT dom, list_sum(list(bs ORDER BY bk)) AS m FROM (
+         |  SELECT e.dst AS dom, substr(md5(e.src), 1, 2) AS bk,
+         |    list_sum(list(r${k - 1}.rank * e.w ORDER BY e.src)) AS bs
+         |  FROM e JOIN r${k - 1} ON r${k - 1}.dom = e.src GROUP BY 1, 2) zc$k GROUP BY dom),
          |r$k AS MATERIALIZED (SELECT doms.dom, $base + $damping * coalesce(c$k.m, 0.0) AS rank
          |  FROM doms LEFT JOIN c$k USING (dom)),
          |d$k AS (SELECT list_sum(list(s ORDER BY bk)) AS d FROM (
@@ -1208,18 +1220,24 @@ object PipelineQueries {
         |doms AS MATERIALIZED (SELECT src AS dom FROM e UNION SELECT dst FROM e),
         |n AS (SELECT count(*) AS nd FROM doms),
         |r0 AS MATERIALIZED (SELECT dom, 1.0 / nd AS rank FROM doms, n),
-        |c1 AS (SELECT e.dst AS dom, list_sum(list(r0.rank * e.w ORDER BY e.src)) AS m
-        |  FROM e JOIN r0 ON r0.dom = e.src GROUP BY e.dst),
+        |c1 AS (SELECT dom, list_sum(list(bs ORDER BY bk)) AS m FROM (
+        |  SELECT e.dst AS dom, substr(md5(e.src), 1, 2) AS bk,
+        |    list_sum(list(r0.rank * e.w ORDER BY e.src)) AS bs
+        |  FROM e JOIN r0 ON r0.dom = e.src GROUP BY 1, 2) zc1 GROUP BY dom),
         |r1 AS MATERIALIZED (SELECT doms.dom,
         |  (SELECT (1.0 - 0.85) / nd FROM n) + 0.85 * coalesce(c1.m, 0.0) AS rank
         |  FROM doms LEFT JOIN c1 USING (dom)),
-        |c2 AS (SELECT e.dst AS dom, list_sum(list(r1.rank * e.w ORDER BY e.src)) AS m
-        |  FROM e JOIN r1 ON r1.dom = e.src GROUP BY e.dst),
+        |c2 AS (SELECT dom, list_sum(list(bs ORDER BY bk)) AS m FROM (
+        |  SELECT e.dst AS dom, substr(md5(e.src), 1, 2) AS bk,
+        |    list_sum(list(r1.rank * e.w ORDER BY e.src)) AS bs
+        |  FROM e JOIN r1 ON r1.dom = e.src GROUP BY 1, 2) zc2 GROUP BY dom),
         |r2 AS MATERIALIZED (SELECT doms.dom,
         |  (SELECT (1.0 - 0.85) / nd FROM n) + 0.85 * coalesce(c2.m, 0.0) AS rank
         |  FROM doms LEFT JOIN c2 USING (dom)),
-        |c3 AS (SELECT e.dst AS dom, list_sum(list(r2.rank * e.w ORDER BY e.src)) AS m
-        |  FROM e JOIN r2 ON r2.dom = e.src GROUP BY e.dst),
+        |c3 AS (SELECT dom, list_sum(list(bs ORDER BY bk)) AS m FROM (
+        |  SELECT e.dst AS dom, substr(md5(e.src), 1, 2) AS bk,
+        |    list_sum(list(r2.rank * e.w ORDER BY e.src)) AS bs
+        |  FROM e JOIN r2 ON r2.dom = e.src GROUP BY 1, 2) zc3 GROUP BY dom),
         |r3 AS (SELECT doms.dom,
         |  (SELECT (1.0 - 0.85) / nd FROM n) + 0.85 * coalesce(c3.m, 0.0) AS rank
         |  FROM doms LEFT JOIN c3 USING (dom))
@@ -1239,18 +1257,24 @@ object PipelineQueries {
         |doms AS (SELECT src AS dom FROM e UNION SELECT dst FROM e),
         |n AS (SELECT count(*) AS nd FROM doms),
         |r0 AS (SELECT dom, 1.0 / nd AS rank FROM doms, n),
-        |c1 AS (SELECT e.dst AS dom, list_sum(list(r0.rank * e.w ORDER BY e.src)) AS m
-        |  FROM e JOIN r0 ON r0.dom = e.src GROUP BY e.dst),
+        |c1 AS (SELECT dom, list_sum(list(bs ORDER BY bk)) AS m FROM (
+        |  SELECT e.dst AS dom, substr(md5(e.src), 1, 2) AS bk,
+        |    list_sum(list(r0.rank * e.w ORDER BY e.src)) AS bs
+        |  FROM e JOIN r0 ON r0.dom = e.src GROUP BY 1, 2) zc1 GROUP BY dom),
         |r1 AS (SELECT doms.dom,
         |  (SELECT (1.0 - 0.85) / nd FROM n) + 0.85 * coalesce(c1.m, 0.0) AS rank
         |  FROM doms LEFT JOIN c1 USING (dom)),
-        |c2 AS (SELECT e.dst AS dom, list_sum(list(r1.rank * e.w ORDER BY e.src)) AS m
-        |  FROM e JOIN r1 ON r1.dom = e.src GROUP BY e.dst),
+        |c2 AS (SELECT dom, list_sum(list(bs ORDER BY bk)) AS m FROM (
+        |  SELECT e.dst AS dom, substr(md5(e.src), 1, 2) AS bk,
+        |    list_sum(list(r1.rank * e.w ORDER BY e.src)) AS bs
+        |  FROM e JOIN r1 ON r1.dom = e.src GROUP BY 1, 2) zc2 GROUP BY dom),
         |r2 AS (SELECT doms.dom,
         |  (SELECT (1.0 - 0.85) / nd FROM n) + 0.85 * coalesce(c2.m, 0.0) AS rank
         |  FROM doms LEFT JOIN c2 USING (dom)),
-        |c3 AS (SELECT e.dst AS dom, list_sum(list(r2.rank * e.w ORDER BY e.src)) AS m
-        |  FROM e JOIN r2 ON r2.dom = e.src GROUP BY e.dst),
+        |c3 AS (SELECT dom, list_sum(list(bs ORDER BY bk)) AS m FROM (
+        |  SELECT e.dst AS dom, substr(md5(e.src), 1, 2) AS bk,
+        |    list_sum(list(r2.rank * e.w ORDER BY e.src)) AS bs
+        |  FROM e JOIN r2 ON r2.dom = e.src GROUP BY 1, 2) zc3 GROUP BY dom),
         |r3 AS (SELECT doms.dom,
         |  (SELECT (1.0 - 0.85) / nd FROM n) + 0.85 * coalesce(c3.m, 0.0) AS rank
         |  FROM doms LEFT JOIN c3 USING (dom))

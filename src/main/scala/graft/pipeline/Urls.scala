@@ -279,15 +279,13 @@ object Urls {
     // one half-step: value(dom) = Σ_edges cnt * other(otherEnd),
     // folded in other-end order, missing nodes at 0, L1-normalized
     def halfStep(vec: DataFrame, joinEnd: String, outEnd: String): DataFrame = {
-      val contrib = e.join(
-          vec.withColumnRenamed("dom", joinEnd).withColumnRenamed("v", "vin"),
-          Seq(joinEnd))
-        .select(col(outEnd).as("dom"), col(joinEnd).as("other"),
-          (col("cnt").cast("double") * col("vin")).as("c"))
-        .groupBy(col("dom"))
-        .agg(sort_array(collect_list(struct(col("other"), col("c")))).as("cs"))
-        .select(col("dom"), aggregate(
-          transform(col("cs"), x => x.getField("c")), lit(0.0), _ + _).as("v"))
+      val contrib = orderedKeyedSum(
+        e.join(
+            vec.withColumnRenamed("dom", joinEnd).withColumnRenamed("v", "vin"),
+            Seq(joinEnd))
+          .select(col(outEnd).as("dom"), col(joinEnd).as("other"),
+            (col("cnt").cast("double") * col("vin")).as("c")),
+        "dom", "other", "c", "v")
       val raw = doms.join(contrib, Seq("dom"), "left")
         .select(col("dom"), coalesce(col("v"), lit(0.0)).as("v"))
         .localCheckpoint()
@@ -334,6 +332,25 @@ object Urls {
       damping: Double = 0.85): DataFrame = {
     val (r, iters) = pageRankUntil(cachedPageEdges(spark, dir), tol, maxIter,
       damping, seeds = None)
+    r.select(col("dom").as("url"), (round(col("rank") * 1e6, 0) / 1e6).as("rank"),
+      lit(iters).as("n_iters")).orderBy("url")
+  }
+
+  /** Personalized (seeded-trust) PageRank on the PAGE graph — where
+    * TrustRank seeding actually runs in production (Gyöngyi et al.
+    * 2004 seed hand-vetted PAGES, not domain rollups): teleport
+    * concentrates uniformly on the seed canonical URLs, rank init =
+    * teleport vector, convergence stop as in
+    * [[pagePageRankConverged]]. Default seeds are two canonical
+    * URLs the generator arithmetic emits at every SF (pg 0 and 1).
+    * Output: (url, rank, n_iters). */
+  def pagePageRankPersonalized(spark: SparkSession, dir: String,
+      seeds: Seq[String] =
+        Seq("http://www.ex0.com/p/0", "http://www.ex1.com/p/1?id=1"),
+      tol: Double = 1e-6, maxIter: Int = 12,
+      damping: Double = 0.85): DataFrame = {
+    val (r, iters) = pageRankUntil(cachedPageEdges(spark, dir), tol, maxIter,
+      damping, seeds = Some(seeds))
     r.select(col("dom").as("url"), (round(col("rank") * 1e6, 0) / 1e6).as("rank"),
       lit(iters).as("n_iters")).orderBy("url")
   }
@@ -410,15 +427,13 @@ object Urls {
     var delta = Double.MaxValue
     while (it < maxIter && delta >= tol) {
       it += 1
-      val contrib = e.join(
-          rank.withColumnRenamed("dom", "src").withColumnRenamed("rank", "rank_s"),
-          Seq("src"))
-        .select(col("dst").as("dom"), col("src"),
-          (col("rank_s") * col("w")).as("c"))
-        .groupBy(col("dom"))
-        .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("cs"))
-        .select(col("dom"), aggregate(
-          transform(col("cs"), x => x.getField("c")), lit(0.0), _ + _).as("in_mass"))
+      val contrib = orderedKeyedSum(
+        e.join(
+            rank.withColumnRenamed("dom", "src").withColumnRenamed("rank", "rank_s"),
+            Seq("src"))
+          .select(col("dst").as("dom"), col("src"),
+            (col("rank_s") * col("w")).as("c")),
+        "dom", "src", "c", "in_mass")
       val next = doms.join(contrib, Seq("dom"), "left")
         .select(col("dom"),
           (lit(1.0 - damping) * pCol +
@@ -431,6 +446,33 @@ object Urls {
     }
     (rank, it)
   }
+
+  /** Deterministic per-KEY ordered sum of a (key, sub, v) frame
+    * without an in-degree-sized single-buffer array: fold per
+    * (key, md5-prefix bucket of sub) in sub order, then fold the
+    * ≤256 bucket sums per key in bucket order. Both levels are
+    * content-defined (the bucket of a contributor depends only on
+    * the contributor), so a DuckDB oracle replays the association
+    * bit-exactly and the result is partitioning-invariant — and no
+    * aggregation buffer ever holds more than ONE bucket's worth of
+    * structs even for a web-scale hub target every crawled page
+    * links (the in-degree-unbounded `sort_array(collect_list(...))`
+    * per target this replaces was the repo's last task-OOM hazard;
+    * the reference's own discipline is bounded combiners everywhere,
+    * SearchableRDD.scala:354-362). The bucket split also shears the
+    * hub key across 256 shuffle partitions at level 1, so the skew
+    * does not concentrate on one reducer. */
+  private[graft] def orderedKeyedSum(kv: DataFrame, key: String,
+      sub: String, v: String, out: String): DataFrame =
+    kv.groupBy(col(key),
+        substring(md5(col(sub).cast("binary")), 1, 2).as("_bk"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col(sub), col(v)))),
+        lit(0.0), (a, x) => a + x.getField(v)).as("_bs"))
+      .groupBy(col(key))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("_bk"), col("_bs")))),
+        lit(0.0), (a, x) => a + x.getField("_bs")).as(out))
 
   /** Deterministic GLOBAL sum of a (dom, v) frame without a |V|-sized
     * single-task array: fold per md5-prefix bucket in dom order, then
@@ -456,12 +498,12 @@ object Urls {
     * the incoming contributions each iteration — a groupBy(dst) alone
     * would silently drop a node with outlinks but no inlinks after
     * iteration 1 (no base-term row), zeroing its outgoing mass too.
-    * Per-target contributions fold in sorted-source order
-    * (hash-exact determinism); the per-key array is IN-DEGREE
-    * bounded — a web-scale heavy-hitter target would get the same
-    * two-level bucketed treatment [[orderedGlobalSum]] applies to the
-    * global folds. Dangling nodes (no outlinks) leak their mass, the
-    * "removed dangling node" convention. */
+    * Per-target contributions fold via [[orderedKeyedSum]]'s
+    * two-level md5-bucketed ordered fold (hash-exact determinism
+    * with BOUNDED per-task state — a web-scale hub target never
+    * materializes its full in-link array in one buffer). Dangling
+    * nodes (no outlinks) leak their mass, the "removed dangling
+    * node" convention. */
   private[graft] def pageRank(e: DataFrame, iterations: Int,
       damping: Double): DataFrame = {
     // localCheckpoint (the pointer-jumping discipline): doms and each
@@ -476,12 +518,11 @@ object Urls {
     val base = (1.0 - damping) / nDoms
     var rank = doms.withColumn("rank", lit(1.0 / nDoms))
     for (_ <- 1 to iterations) {
-      val contrib = e.join(rank.withColumnRenamed("dom", "src"), Seq("src"))
-        .select(col("dst").as("dom"), col("src"), (col("rank") * col("w")).as("c"))
-        .groupBy(col("dom"))
-        .agg(sort_array(collect_list(struct(col("src"), col("c")))).as("cs"))
-        .select(col("dom"), aggregate(
-          transform(col("cs"), x => x.getField("c")), lit(0.0), _ + _).as("in_mass"))
+      val contrib = orderedKeyedSum(
+        e.join(rank.withColumnRenamed("dom", "src"), Seq("src"))
+          .select(col("dst").as("dom"), col("src"),
+            (col("rank") * col("w")).as("c")),
+        "dom", "src", "c", "in_mass")
       rank = doms.join(contrib, Seq("dom"), "left")
         .select(col("dom"),
           (lit(base) + lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))

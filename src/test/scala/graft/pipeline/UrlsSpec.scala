@@ -82,6 +82,48 @@ class UrlsSpec extends AnyFunSuite {
     assert(math.abs(sums.head - rows.map(_._2).sum) < 1e-9)
   }
 
+  test("orderedKeyedSum: hub-target fold is partitioning-invariant") {
+    // web-scale shape: ONE hub target receives ~half of all edges
+    // (every crawled page linking a homepage). The two-level fold
+    // must produce bit-identical per-key doubles under any input
+    // partitioning — and level 1 groups by (key, md5-bucket of the
+    // contributor), so the hub's aggregation state shears across
+    // ≤256 buckets instead of one in-degree-sized array
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 6000).map { i =>
+      val dst = if (i % 2 == 0) "hub" else s"t_${i % 37}"
+      (dst, s"src_$i", rnd.nextDouble())
+    }
+    val base = rows.toDF("dom", "src", "c")
+    val results = Seq(1, 5, 32).map { n =>
+      Urls.orderedKeyedSum(base.repartition(n), "dom", "src", "c", "m")
+        .as[(String, Double)].collect().sortBy(_._1).toSeq
+    }
+    assert(results.distinct.size == 1,
+      "per-target fold is partition-dependent")
+    val m = results.head.toMap
+    assert(m.size == 38) // hub + t_0..t_36
+    val hubNaive = rows.filter(_._1 == "hub").map(_._3).sum
+    assert(math.abs(m("hub") - hubNaive) < 1e-9)
+  }
+
+  test("pageRank on a skewed hub graph is partitioning-invariant") {
+    // every source has out-degree 1 (w = 1.0) and half the graph
+    // points at one hub; the rank vector must be bit-identical no
+    // matter how the edge frame is partitioned
+    val edges = (1 to 500).map(i =>
+      (s"p_$i", if (i % 2 == 0) "hub" else s"q_${i % 11}", 1.0))
+    val runs = Seq(2, 31).map { n =>
+      Urls.pageRank(edges.toDF("src", "dst", "w").repartition(n),
+          iterations = 3, damping = 0.85)
+        .as[(String, Double)].collect().sortBy(_._1).toSeq
+    }
+    assert(runs.head == runs.last,
+      "pageRank rank vector is partition-dependent")
+    val m = runs.head.toMap
+    assert(m("hub") == m.values.max)
+  }
+
   test("domainHits: L1-normalized, authority concentrates on quadratic domains") {
     val r = Urls.domainHits(spark, "/root/testdata/sf0.001")
       .as[(String, Double, Double)].collect()
