@@ -73,52 +73,103 @@ object GraftSearchPlan {
     null, "graft_query_join", "graft_query_join(dir, max_qid, n_terms, k) - " +
       "search join: each document with key < max_qid queries the corpus " +
       "with its first n_terms distinct terms (self excluded) and keeps its " +
-      "top-k BM25 hits; output (qid, rank, key, score).", "")
+      "top-k BM25 hits; output (qid, rank, key, score). TABLE form: " +
+      "graft_query_join(dir, left_view, qid_col, text_col, n_terms, k" +
+      "[, field[, min_match]]) - each row of the registered view/table " +
+      "`left_view` queries the corpus with the distinct terms among the " +
+      "first n_terms analyzed tokens of its text_col (no self-exclusion; " +
+      "min_match <= 0 requires ALL terms).", "")
 
-  /** TVF builder for the flagship search JOIN (SURVEY §2.4 from SQL):
-    * literal args (dir, max_qid, n_terms, k). */
+  /** TVF builder for the flagship search JOIN (SURVEY §2.4 from SQL).
+    * Two arities:
+    *  - `(dir, max_qid, n_terms, k)` — the corpus self-join by key
+    *    prefix (the r11 form);
+    *  - `(dir, left_view, qid_col, text_col, n_terms, k[, field
+    *    [, min_match]])` — the reference's PRIMARY shape
+    *    (`queryJoin(other, ...)`, SearchableRDD.scala:257): the left
+    *    side is the USER'S registered view/table, resolved here at
+    *    build time so an unknown view or missing column fails during
+    *    analysis, not at execution. */
   private def buildJoin(args: Seq[Expression]): LogicalPlan = {
     def fail(msg: String) = throw new IllegalArgumentException(
-      s"graft_query_join(dir, max_qid, n_terms, k): $msg")
-    if (args.length != 4) fail(s"expected 4 arguments, got ${args.length}")
-    val dir = args.head match {
+      "graft_query_join(dir, max_qid, n_terms, k) | graft_query_join(dir, " +
+        s"left_view, qid_col, text_col, n_terms, k[, field[, min_match]]): $msg")
+    def str(e: Expression, what: String): String = e match {
       case Literal(v, StringType) if v != null => v.toString
-      case e => fail(s"dir must be a string literal, got $e")
+      case other => fail(s"$what must be a string literal, got $other")
     }
     def int(e: Expression, what: String): Int = e match {
       case Literal(v: Int, _) => v
       case Literal(v: Long, _) => v.toInt
       case other => fail(s"$what must be an integer literal, got $other")
     }
-    GraftQueryJoinNode(dir, int(args(1), "max_qid"),
-      int(args(2), "n_terms"), int(args(3), "k"))
+    args.length match {
+      case 4 =>
+        GraftQueryJoinNode(str(args.head, "dir"), int(args(1), "max_qid"),
+          int(args(2), "n_terms"), int(args(3), "k"))
+      case n if n >= 6 && n <= 8 =>
+        val dir = str(args.head, "dir")
+        val view = str(args(1), "left_view")
+        val qidCol = str(args(2), "qid_col")
+        val textCol = str(args(3), "text_col")
+        // fail-fast resolution: the view must exist NOW and carry the
+        // named columns (execution re-resolves by name, so the result
+        // tracks the view's CURRENT contents, not a captured snapshot)
+        val leftSchema = try {
+          SparkSession.active.table(view).schema
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            fail(s"left_view '$view' does not resolve: ${e.getMessage}")
+        }
+        Seq(qidCol -> "qid_col", textCol -> "text_col").foreach {
+          case (c, what) =>
+            if (!leftSchema.fieldNames.contains(c))
+              fail(s"$what '$c' is not a column of '$view' " +
+                s"(has: ${leftSchema.fieldNames.mkString(", ")})")
+        }
+        GraftQueryJoinTableNode(dir, view, qidCol, textCol,
+          int(args(4), "n_terms"), int(args(5), "k"),
+          if (n >= 7) Some(str(args(6), "field")) else None,
+          if (n >= 8) int(args(7), "min_match") else 1)
+      case n => fail(s"expected 4 or 6-8 arguments, got $n")
+    }
   }
 
   private val batchFnName = FunctionIdentifier("graft_batch_search")
 
   private val batchInfo = new ExpressionInfo(GraftBatchSearchNode.getClass.getName,
-    null, "graft_batch_search", "graft_batch_search(dir, queries, k) - " +
-      "batch term search: `queries` is a ';'-separated list of " +
-      "whitespace-separated terms; query i (0-based qid) returns its " +
-      "top-k BM25 hits (any term matches, scores sum). Output " +
+    null, "graft_batch_search", "graft_batch_search(dir, queries, k" +
+      "[, field[, min_match]]) - batch term search: `queries` is a " +
+      "';'-separated list of whitespace-separated terms; query i " +
+      "(0-based qid) returns its top-k BM25 hits. `field` selects the " +
+      "indexed text field to probe (default: the first); min_match <= 0 " +
+      "requires ALL terms, n >= 1 at least n (default 1 = any). Output " +
       "(qid, rank, key, score).", "")
 
-  /** TVF builder for the batch search (SURVEY §2.2 from SQL):
-    * literal args (dir, queries, k). */
+  /** TVF builder for the batch search (SURVEY §2.2 from SQL): literal
+    * args (dir, queries, k[, field[, min_match]]) — the optional
+    * field / min_match pair closes the gap to the Scala
+    * [[graft.search.SearchIndex.batchSearch]] surface (field
+    * selection + ALL-terms mode, reference batch family
+    * SearchableRDD.scala:194-250). */
   private def buildBatch(args: Seq[Expression]): LogicalPlan = {
     def fail(msg: String) = throw new IllegalArgumentException(
-      s"graft_batch_search(dir, queries, k): $msg")
-    if (args.length != 3) fail(s"expected 3 arguments, got ${args.length}")
+      s"graft_batch_search(dir, queries, k[, field[, min_match]]): $msg")
+    if (args.length < 3 || args.length > 5)
+      fail(s"expected 3-5 arguments, got ${args.length}")
     def str(e: Expression, what: String): String = e match {
       case Literal(v, StringType) if v != null => v.toString
       case other => fail(s"$what must be a string literal, got $other")
     }
-    val k = args(2) match {
+    def int(e: Expression, what: String): Int = e match {
       case Literal(v: Int, _) => v
       case Literal(v: Long, _) => v.toInt
-      case e => fail(s"k must be an integer literal, got $e")
+      case other => fail(s"$what must be an integer literal, got $other")
     }
-    GraftBatchSearchNode(str(args.head, "dir"), str(args(1), "queries"), k)
+    GraftBatchSearchNode(str(args.head, "dir"), str(args(1), "queries"),
+      int(args(2), "k"),
+      field = if (args.length >= 4) Some(str(args(3), "field")) else None,
+      minMatch = if (args.length >= 5) int(args(4), "min_match") else 1)
   }
 
   private val annFnName = FunctionIdentifier("graft_ann")
@@ -212,15 +263,41 @@ object GraftQueryJoinNode {
 }
 
 /** Logical leaf for a `graft_batch_search` call: the whole query-set
-  * build + batch postings probe + per-query top-k as one node. */
+  * build + batch postings probe + per-query top-k as one node.
+  * `field` None = the index's first text field; `minMatch` <= 0 = ALL
+  * terms required. */
 final case class GraftBatchSearchNode(dir: String, queries: String, k: Int,
+    field: Option[String] = None, minMatch: Int = 1,
     output: Seq[Attribute] = GraftBatchSearchNode.freshOutput())
     extends LeafNode {
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = BigInt(
       (queries.count(_ == ';') + 1L).max(1L) * k.toLong.max(1L) * 32L))
   override def simpleString(maxFields: Int): String =
-    s"GraftBatchSearchNode dir=$dir, queries='$queries', k=$k"
+    s"GraftBatchSearchNode dir=$dir, queries='$queries', k=$k" +
+      field.map(f => s", field=$f").getOrElse("") + s", minMatch=$minMatch"
+}
+
+/** Logical leaf for the TABLE form of `graft_query_join`: the user's
+  * registered view/table is the left side; each of its rows queries
+  * the corpus with the distinct terms among the first nTerms analyzed
+  * tokens of its text column. Carried by NAME (re-resolved at
+  * execution), validated at build time. */
+final case class GraftQueryJoinTableNode(dir: String, leftView: String,
+    qidCol: String, textCol: String, nTerms: Int, k: Int,
+    field: Option[String], minMatch: Int,
+    output: Seq[Attribute] = GraftQueryJoinNode.freshOutput())
+    extends LeafNode {
+  // |left| is unknown until execution — report a deliberately large
+  // estimate so the optimizer never broadcasts this node's result on
+  // the strength of a guess (the k-bounded per-query output can still
+  // be broadcast explicitly by the user)
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = BigInt(Long.MaxValue) >> 8)
+  override def simpleString(maxFields: Int): String =
+    s"GraftQueryJoinTableNode dir=$dir, left=$leftView, qid=$qidCol, " +
+      s"text=$textCol, nTerms=$nTerms, k=$k" +
+      field.map(f => s", field=$f").getOrElse("") + s", minMatch=$minMatch"
 }
 
 object GraftBatchSearchNode {
@@ -260,8 +337,12 @@ final class GraftSearchStrategy extends SparkStrategy {
       GraftSearchExec(dir, raw, k, out) :: Nil
     case GraftQueryJoinNode(dir, maxQid, nTerms, k, out) =>
       GraftQueryJoinExec(dir, maxQid, nTerms, k, out) :: Nil
-    case GraftBatchSearchNode(dir, queries, k, out) =>
-      GraftBatchSearchExec(dir, queries, k, out) :: Nil
+    case GraftQueryJoinTableNode(dir, view, qidCol, textCol, nTerms, k,
+        field, minMatch, out) =>
+      GraftQueryJoinTableExec(dir, view, qidCol, textCol, nTerms, k,
+        field, minMatch, out) :: Nil
+    case GraftBatchSearchNode(dir, queries, k, field, minMatch, out) =>
+      GraftBatchSearchExec(dir, queries, k, field, minMatch, out) :: Nil
     case GraftAnnNode(dir, nQueries, k, out) =>
       GraftAnnExec(dir, nQueries, k, out) :: Nil
     case _ => Nil
@@ -303,20 +384,61 @@ final case class GraftSearchExec(dir: String, rawQuery: String, k: Int,
   * query-time analyzer, field = the first text field), probed as ONE
   * distributed plan with per-query top-k. */
 final case class GraftBatchSearchExec(dir: String, queries: String, k: Int,
+    fieldOpt: Option[String], minMatch: Int,
     output: Seq[Attribute]) extends LeafExecNode {
   override def simpleString(maxFields: Int): String =
-    s"GraftBatchSearch dir=$dir, queries='$queries', k=$k"
+    s"GraftBatchSearch dir=$dir, queries='$queries', k=$k" +
+      fieldOpt.map(f => s", field=$f").getOrElse("") + s", minMatch=$minMatch"
   override protected def doExecute(): RDD[InternalRow] = {
     val idx = graft.search.SearchQueries.indexFor(session, dir)
-    val field = idx.spec.textFields.head
+    val field = fieldOpt.getOrElse(idx.spec.textFields.head)
+    require(idx.spec.textFields.contains(field),
+      s"graft_batch_search: '$field' is not an indexed text field " +
+        s"(has: ${idx.spec.textFields.mkString(", ")})")
     val an = graft.analysis.Analyzers(idx.spec.queryAnalyzer)
     val qs = queries.split(";").toSeq.zipWithIndex.map { case (q, i) =>
-      (i.toLong, field, q.trim.split("\\s+").toSeq.flatMap(an.analyze), 1)
+      (i.toLong, field, q.trim.split("\\s+").toSeq.flatMap(an.analyze), minMatch)
     }
     import idx.spark.implicits._
     val qdf = qs.toDF("qid", "field", "terms", "min_match")
     idx.batchSearch(qdf, k)
       .select(col("qid").cast("long"), col("rank").cast("long"),
+        col("key").cast("long"), col("score").cast("double"))
+      .queryExecution.toRdd
+  }
+}
+
+/** The TABLE-form search-JOIN physical operator — the SQL front door
+  * for the reference's primary `queryJoin(other, ...)` shape
+  * (SearchableRDD.scala:257): the left side is the USER'S view,
+  * re-resolved by name at execution; each row's text column is
+  * analyzed with the index's query-time analyzer and the distinct
+  * terms among its first nTerms tokens probe the postings index as
+  * ONE distributed batch (no self-exclusion: the view's qids are opaque,
+  * not corpus keys; hits are NOT broadcast — the left's size is the
+  * user's business). */
+final case class GraftQueryJoinTableExec(dir: String, leftView: String,
+    qidCol: String, textCol: String, nTerms: Int, k: Int,
+    fieldOpt: Option[String], minMatch: Int,
+    output: Seq[Attribute]) extends LeafExecNode {
+  override def simpleString(maxFields: Int): String =
+    s"GraftQueryJoinTable dir=$dir, left=$leftView, qid=$qidCol, " +
+      s"text=$textCol, nTerms=$nTerms, k=$k" +
+      fieldOpt.map(f => s", field=$f").getOrElse("") + s", minMatch=$minMatch"
+  override protected def doExecute(): RDD[InternalRow] = {
+    import org.apache.spark.sql.functions.array_distinct
+    val idx = graft.search.SearchQueries.indexFor(session, dir)
+    val field = fieldOpt.getOrElse(idx.spec.textFields.head)
+    require(idx.spec.textFields.contains(field),
+      s"graft_query_join: '$field' is not an indexed text field " +
+        s"(has: ${idx.spec.textFields.mkString(", ")})")
+    val an = graft.analysis.Analyzers(idx.spec.queryAnalyzer)
+    val left = session.table(leftView)
+    idx.queryJoin(left, qidCol,
+        array_distinct(org.apache.spark.sql.functions.slice(
+          an.tokensCol(col(textCol)), 1, nTerms)),
+        field, k = k, minMatch = minMatch)
+      .select(col(qidCol).cast("long").as("qid"), col("rank").cast("long"),
         col("key").cast("long"), col("score").cast("double"))
       .queryExecution.toRdd
   }

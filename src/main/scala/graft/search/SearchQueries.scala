@@ -287,6 +287,29 @@ object SearchQueries {
         s"FROM graft_batch_search('$dir', 'spark join; window batch; vector', 5) " +
         "ORDER BY qid, rank")),
 
+    // the TABLE form of the SQL join — the reference's PRIMARY shape
+    // (queryJoin(other, ...), SearchableRDD.scala:257) from pure SQL:
+    // the left side is the user's OWN registered view (here: shifted
+    // qids over a doc slice, proving the qid is opaque — no key
+    // aliasing, no self-exclusion), resolved by name at analysis time
+    "query_join_sql_table" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") < 15)
+        .selectExpr("doc_id + 1000 AS qid", "text")
+        .createOrReplaceTempView("graft_qj_left")
+      s.sql("SELECT qid, rank, key, round(score, 4) AS score " +
+        s"FROM graft_query_join('$dir', 'graft_qj_left', 'qid', 'text', 4, 3) " +
+        "ORDER BY qid, rank")
+    }),
+
+    // batch search from SQL with explicit field selection + ALL-terms
+    // mode (min_match 0) — the Scala batchSearch surface's remaining
+    // knobs through the TVF
+    "batch_search_sql_field" -> ((s, dir) =>
+      s.sql("SELECT qid, rank, key, round(score, 4) AS score " +
+        s"FROM graft_batch_search('$dir', 'spark join; window batch; vector stream', 5, 'text', 0) " +
+        "ORDER BY qid, rank")),
+
     // pluggable QueryConstructor (reference QueryConstructor.scala:
     // 7-10): the raw string "spark src1" routed through the xfield
     // index's spec-configured MultiFieldQueryConstructor — parsed
@@ -1626,6 +1649,38 @@ object SearchQueries {
       "(0, 'spark', 1, 2), (0, 'join', 1, 2), (1, 'window', 1, 2), " +
         "(1, 'batch', 1, 2), (2, 'vector', 1, 1)",
       k = 5, excludeSelf = false, outCols = "qid"),
+    // ALL-terms mode (min_match 0 -> nm = n_terms) on the named field
+    "batch_search_sql_field" -> batchOracle(
+      "(0, 'spark', 0, 2), (0, 'join', 0, 2), (1, 'window', 0, 2), " +
+        "(1, 'batch', 0, 2), (2, 'vector', 0, 2), (2, 'stream', 0, 2)",
+      k = 5, excludeSelf = false, outCols = "qid"),
+    // TABLE-form join: left view qids are shifted doc ids (opaque to
+    // the corpus keyspace), distinct terms among the first 4 tokens,
+    // NO self-exclusion — otherwise the query_join fold verbatim
+    "query_join_sql_table" ->
+      s"""$toksCte,
+         |$postsCte,
+         |lefts AS (SELECT doc_id + 1000 AS qid, list_distinct(tokens[1:4]) AS qterms FROM toks WHERE doc_id < 15),
+         |qt AS (
+         |  SELECT qid, unnest(qterms) AS term, 1 AS min_match, len(qterms) AS n_terms FROM lefts
+         |),
+         |scored AS (
+         |  SELECT q.qid, p.doc_id, any_value(q.min_match) AS min_match,
+         |    any_value(q.n_terms) AS n_terms,
+         |    sum(ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) * (p.tf * ${K1 + 1.0})
+         |        / (p.tf + $K1 * (${1.0 - B} + $B * p.dl / st.avgdl))) AS score,
+         |    count(*) AS nm
+         |  FROM qt q
+         |  JOIN posts p USING (term)
+         |  JOIN dfs d USING (term), st
+         |  GROUP BY 1, 2
+         |), sel AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored WHERE nm >= min_match
+         |)
+         |SELECT qid, rank, doc_id AS key, round(score, 4) AS score
+         |FROM sel WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin,
 
     // MLT term selection mirrors the keywords_tfidf convention
     // (decimal-exact tf×idf, term tie-break); the search stage is the

@@ -103,6 +103,80 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(sql.nonEmpty)
   }
 
+  test("TABLE-form graft_query_join plans fused and equals the Scala path") {
+    spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") < 10)
+      .selectExpr("doc_id + 500 AS qid", "text")
+      .createOrReplaceTempView("qjt_spec_left")
+    val df = spark.sql(
+      s"SELECT * FROM graft_query_join('$dir', 'qjt_spec_left', 'qid', 'text', 4, 3)")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftQueryJoinTable"),
+      s"fused table-join node missing from plan:\n$plan")
+    assert(!plan.contains("FileScan"), s"unfused scan leaked:\n$plan")
+    val sql = spark.sql(
+      s"SELECT qid, rank, key, round(score, 4) AS score " +
+        s"FROM graft_query_join('$dir', 'qjt_spec_left', 'qid', 'text', 4, 3) " +
+        "ORDER BY qid, rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val idx = graft.search.SearchQueries.indexFor(spark, dir)
+    val an = graft.analysis.Analyzers(idx.spec.queryAnalyzer)
+    val api = idx.queryJoin(spark.table("qjt_spec_left"), "qid",
+        array_distinct(slice(an.tokensCol(col("text")), 1, 4)),
+        "text", k = 3, minMatch = 1)
+      .select(col("qid").cast("long"), col("rank").cast("long"),
+        col("key").cast("long"), round(col("score"), 4))
+      .orderBy("qid", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(sql == api)
+    assert(sql.nonEmpty)
+    // qids are the view's own (shifted), NOT corpus keys
+    assert(sql.map(_._1).forall(_ >= 500))
+  }
+
+  test("TABLE-form graft_query_join fails fast on bad view / column") {
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_query_join('$dir', 'no_such_view_xyz', " +
+        "'qid', 'text', 4, 3)").collect()
+    }
+    assert(e1.getMessage.contains("no_such_view_xyz"),
+      s"unknown-view error unhelpful: ${e1.getMessage.take(160)}")
+    spark.range(3).selectExpr("id AS qid", "CAST(id AS STRING) AS body")
+      .createOrReplaceTempView("qjt_spec_cols")
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_query_join('$dir', 'qjt_spec_cols', " +
+        "'qid', 'text', 4, 3)").collect()
+    }
+    assert(e2.getMessage.contains("text_col") &&
+      e2.getMessage.contains("qjt_spec_cols"),
+      s"missing-column error unhelpful: ${e2.getMessage.take(160)}")
+  }
+
+  test("graft_batch_search field + min_match arguments") {
+    // ALL-terms mode: every hit of the 2-term ALL query must also be
+    // a hit of the ANY query, and the ALL set can only shrink
+    val any = spark.sql(
+      s"SELECT key FROM graft_batch_search('$dir', 'spark join', 10) WHERE qid = 0")
+      .as[Long].collect().toSet
+    val all = spark.sql(
+      s"SELECT key FROM graft_batch_search('$dir', 'spark join', 10, 'text', 0) WHERE qid = 0")
+      .as[Long].collect().toSet
+    assert(all.nonEmpty && all.subsetOf(any))
+    // explicit field equal to the default field is a no-op
+    val dflt = spark.sql(
+      s"SELECT * FROM graft_batch_search('$dir', 'spark join', 5)").collect().toSeq
+    val named = spark.sql(
+      s"SELECT * FROM graft_batch_search('$dir', 'spark join', 5, 'text')").collect().toSeq
+    assert(dflt == named)
+    // an unknown field fails with the field inventory in the message
+    val e = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM graft_batch_search('$dir', 'spark', 5, 'nope')").collect()
+    }
+    assert(e.getMessage.contains("not an indexed text field"),
+      s"bad-field error unhelpful: ${e.getMessage.take(160)}")
+  }
+
   test("graft_search argument validation") {
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_search('$dir', 'q')").collect()
