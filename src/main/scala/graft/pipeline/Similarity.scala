@@ -483,6 +483,14 @@ object Similarity {
       nCentroids: Int = 16, m: Int = 8, ks: Int = 16,
       codesFilter: Option[Column] = None): Unit = {
     import spark.implicits._
+    // a fresh save DISCARDS any crashed-mutation staging state at
+    // this path (rolling it forward over the new store would be
+    // corruption, so this is the one entry point that must not go
+    // through recoverPqStore)
+    val fs = pqFs(path)
+    fs.delete(pqStorePath(commitMarker(path)), false)
+    fs.delete(pqStorePath(stagedDir(path)), true)
+    pqChildren.foreach(n => fs.delete(pqStorePath(s"$path/${n}_old"), true))
     val (_, centroids) = assignedCells(spark, dir, nCentroids)
     val (codes, codebooks) = pqEncoded(spark, dir, nCentroids, m, ks)
     centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -511,6 +519,7 @@ object Similarity {
     * IvfSpec so the duplicated expressions cannot drift. */
   def appendToPqIndex(spark: SparkSession, dir: String, path: String,
       filter: Column): Unit = {
+    recoverPqStore(path)
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy("i").collect().map(_.getSeq[Double](1).toArray)
     val cbRows = spark.read.parquet(s"$path/codebooks")
@@ -544,6 +553,72 @@ object Similarity {
       .write.mode("append").parquet(s"$path/codes")
   }
 
+  /** PQ-store mutation commit protocol (shared by
+    * [[removeFromPqIndex]] and [[compactPqIndex]]): a mutation writes
+    * its FULL output set under `$path/_staged/<child>`, then calls
+    * [[commitStagedPq]], which (1) creates the `_staged_COMMIT`
+    * marker with ONE atomic file create and (2) swaps each staged
+    * child in (live → `<child>_old`, staged → live, drop `_old`).
+    * [[recoverPqStore]] — called at the top of every public store
+    * op — makes EVERY crash point self-consistent: marker present
+    * means the staged set was complete, so roll FORWARD (finish the
+    * swaps); marker absent means staging may be partial, so roll
+    * BACK (drop `_staged`, restore any child stranded at `_old`).
+    * Codes are therefore never visible on disk without the codebooks
+    * they were encoded against. */
+  private def pqStorePath(p: String) = new org.apache.hadoop.fs.Path(p)
+
+  private def pqFs(path: String): org.apache.hadoop.fs.FileSystem =
+    pqStorePath(path).getFileSystem(new org.apache.hadoop.conf.Configuration())
+
+  private def stagedDir(path: String) = s"$path/_staged"
+  private def commitMarker(path: String) = s"$path/_staged_COMMIT"
+  private val pqChildren = Seq("codes", "codebooks", "centroids", "meta")
+
+  /** Marks the staged set complete (atomic create) and swaps it in. */
+  private def commitStagedPq(path: String): Unit = {
+    val fs = pqFs(path)
+    fs.create(pqStorePath(commitMarker(path)), true).close()
+    rollForwardPq(fs, path)
+  }
+
+  /** Finishes a marked commit: every child still under `_staged` is
+    * swapped in; `_old` leftovers whose live child exists are swept.
+    * Idempotent — safe to re-run from any interleaving point. */
+  private def rollForwardPq(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val staged = pqStorePath(stagedDir(path))
+    if (fs.exists(staged)) fs.listStatus(staged).foreach { st =>
+      val name = st.getPath.getName
+      val live = pqStorePath(s"$path/$name")
+      val old = pqStorePath(s"$path/${name}_old")
+      if (fs.exists(live)) { fs.delete(old, true); fs.rename(live, old) }
+      fs.rename(st.getPath, live)
+      fs.delete(old, true)
+    }
+    fs.delete(staged, true)
+    pqChildren.foreach { name => // crashed-between-rename-and-delete sweep
+      if (fs.exists(pqStorePath(s"$path/$name")))
+        fs.delete(pqStorePath(s"$path/${name}_old"), true)
+    }
+    fs.delete(pqStorePath(commitMarker(path)), false)
+  }
+
+  /** Restores a crashed store to a self-consistent state. */
+  private[graft] def recoverPqStore(path: String): Unit = {
+    val fs = pqFs(path)
+    if (fs.exists(pqStorePath(commitMarker(path)))) rollForwardPq(fs, path)
+    else {
+      fs.delete(pqStorePath(stagedDir(path)), true)
+      pqChildren.foreach { name =>
+        val live = pqStorePath(s"$path/$name")
+        val old = pqStorePath(s"$path/${name}_old")
+        if (!fs.exists(live) && fs.exists(old)) fs.rename(old, live)
+        else if (fs.exists(live)) fs.delete(old, true)
+      }
+    }
+  }
+
   /** Loads the frozen (centroids, codebooks) artifacts of a persisted
     * PQ index — two bounded reads (|cells| resp. m·ks rows). */
   private def loadPqArtifacts(spark: SparkSession, path: String)
@@ -566,25 +641,22 @@ object Similarity {
     * Centroids and codebooks stay FROZEN, so removal never moves a
     * surviving code — removing a slice is bit-identical to having
     * saved the store without it (pinned in PqMaintenanceSpec), the
-    * `search_incremental` convention. The rewrite materializes the
-    * survivors to a sibling temp dir and swaps it in atomically at
-    * the directory level, so a failed rewrite never corrupts the
-    * store. At 100 TB a deployment would instead drop whole partition
-    * directories or keep a tombstone table; the rewrite here is one
-    * filtered scan of m-byte codes — the cheapest full-fidelity
-    * form. */
+    * `search_incremental` convention. The rewrite stages the
+    * survivors and swaps through the marker-gated commit protocol
+    * ([[recoverPqStore]]) so a crash at ANY point leaves the store
+    * loadable. At 100 TB a deployment would instead drop whole
+    * partition directories or keep a tombstone table; the rewrite
+    * here is one filtered scan of m-byte codes — the cheapest
+    * full-fidelity form. */
   def removeFromPqIndex(spark: SparkSession, path: String, pred: Column): Unit = {
-    val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
-    val tmpPath = new org.apache.hadoop.fs.Path(s"$path/codes_rewrite_tmp")
-    val fs = codesPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    recoverPqStore(path)
     // null-eval rows are KEPT: a deletion predicate that cannot
     // decide a row must not silently delete it (`where(!pred)` alone
     // would — SQL three-valued logic drops null-eval rows)
-    spark.read.parquet(codesPath.toString)
+    spark.read.parquet(s"$path/codes")
       .where(!coalesce(pred, lit(false)))
-      .write.mode("overwrite").parquet(tmpPath.toString)
-    fs.delete(codesPath, true)
-    fs.rename(tmpPath, codesPath)
+      .write.mode("overwrite").parquet(s"${stagedDir(path)}/codes")
+    commitStagedPq(path)
   }
 
   /** Mean squared reconstruction error of the stored codes against
@@ -595,8 +667,19 @@ object Similarity {
     * distribution) and deletion skew both surface here as a rising
     * error against the save-time baseline. */
   def pqReconstructionError(spark: SparkSession, dir: String, path: String): Double = {
-    graft.functions.SearchExpressions.register(spark)
+    recoverPqStore(path)
     val (centroids, codebooks) = loadPqArtifacts(spark, path)
+    reconstructionErrorOf(spark, dir, spark.read.parquet(s"$path/codes"),
+      centroids, codebooks)
+  }
+
+  /** [[pqReconstructionError]]'s core against an EXPLICIT codes frame
+    * + codebooks — lets [[compactPqIndex]] baseline its re-encoded
+    * STAGED codes before anything is swapped in. */
+  private def reconstructionErrorOf(spark: SparkSession, dir: String,
+      codesDf: DataFrame, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): Double = {
+    graft.functions.SearchExpressions.register(spark)
     val m = codebooks.length
     val dim = centroids.headOption.map(_.length).getOrElse(0)
     val sub = dim / m
@@ -610,7 +693,7 @@ object Similarity {
       aggregate(zip_with(rm, rec, (a, b) => (a - b) * (a - b)),
         lit(0.0), _ + _)
     }
-    spark.read.parquet(s"$path/codes")
+    codesDf
       .join(corpus(spark, dir).select(col("vec_id"), col("v")), Seq("vec_id"))
       .withColumn("cent", element_at(centArr, col("cell") + 1))
       .withColumn("r", zip_with(col("v"), col("cent"), (a, b) => a - b))
@@ -630,7 +713,7 @@ object Similarity {
     * encode-only ([[appendToPqIndex]]) until drift degrades ADC
     * fidelity, then one compaction restores it. */
   def compactPqIndex(spark: SparkSession, dir: String, path: String,
-      maxErrorRatio: Double = 2.0, ks: Int = 16): Boolean = {
+      maxErrorRatio: Double = 2.0, ks: Int = 0): Boolean = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
@@ -638,9 +721,13 @@ object Similarity {
     val base = spark.read.parquet(s"$path/meta")
       .select("base_err").head().getDouble(0)
     if (err <= maxErrorRatio * base) return false
-    val (centroids, _) = loadPqArtifacts(spark, path)
-    val m = spark.read.parquet(s"$path/codebooks")
-      .agg(max(col("m"))).head().getInt(0) + 1
+    val (centroids, oldCodebooks) = loadPqArtifacts(spark, path)
+    val m = oldCodebooks.length
+    // codebook geometry comes from the PERSISTED store (ks = the
+    // per-subspace codebook size actually saved), the same way m is
+    // derived; the parameter is only an explicit override (<= 0 =
+    // derive) — a store saved with a non-default ks keeps it
+    val ksEff = if (ks > 0) ks else oldCodebooks.headOption.map(_.length).getOrElse(16)
     val dim = centroids.headOption.map(_.length).getOrElse(0)
     val sub = dim / m
     val centArr = array(centroids.toIndexedSeq.map(c =>
@@ -655,7 +742,7 @@ object Similarity {
     val codebooks = (0 until m).map { mm =>
       val slices = sample
         .select(array_to_vector(slice(col("r"), mm * sub + 1, sub)).as("features"))
-      val model = new KMeans().setK(ks).setSeed(42L + mm).setMaxIter(5)
+      val model = new KMeans().setK(ksEff).setSeed(42L + mm).setMaxIter(5)
         .setInitMode("random").fit(slices)
       model.clusterCenters.map(_.toArray)
     }.toArray
@@ -669,20 +756,20 @@ object Similarity {
       }: _*)
       (array_position(scores, array_min(scores)) - 1).cast("int")
     }
-    // re-encode into a temp dir, then swap codes + codebooks + meta
-    val fsPath = new org.apache.hadoop.fs.Path(s"$path/codes")
-    val tmpPath = new org.apache.hadoop.fs.Path(s"$path/codes_rewrite_tmp")
-    val fs = fsPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // stage the FULL output set (codes + codebooks + meta), baseline
+    // the staged codes against the NEW codebooks, then swap once
+    // through the marker-gated commit — no on-disk state ever pairs
+    // codes with codebooks they weren't encoded against
     res.select(col("vec_id"), col("cell"), array(codeCols: _*).as("codes"))
-      .write.mode("overwrite").parquet(tmpPath.toString)
-    fs.delete(fsPath, true)
-    fs.rename(tmpPath, fsPath)
+      .write.mode("overwrite").parquet(s"${stagedDir(path)}/codes")
     (for { mm <- codebooks.indices; j <- codebooks(mm).indices }
       yield (mm, j, codebooks(mm)(j).toSeq)).toDF("m", "j", "c")
-      .write.mode("overwrite").parquet(s"$path/codebooks")
-    val newBase = pqReconstructionError(spark, dir, path)
+      .write.mode("overwrite").parquet(s"${stagedDir(path)}/codebooks")
+    val newBase = reconstructionErrorOf(spark, dir,
+      spark.read.parquet(s"${stagedDir(path)}/codes"), centroids, codebooks)
     Seq(newBase).toDF("base_err")
-      .write.mode("overwrite").parquet(s"$path/meta")
+      .write.mode("overwrite").parquet(s"${stagedDir(path)}/meta")
+    commitStagedPq(path)
     true
   }
 
@@ -694,6 +781,7 @@ object Similarity {
   def loadedIvfPqTopK(spark: SparkSession, dir: String, path: String,
       nQueries: Int = 5, k: Int = 10, nProbe: Int = 4, rerank: Int = 32,
       recordAs: Option[String] = None): DataFrame = {
+    recoverPqStore(path)
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy("i").collect()
       .map(r => r.getSeq[Double](1).toArray)

@@ -123,6 +123,54 @@ class IvfSpec extends AnyFunSuite {
       .where(col("vec_id") % 5 === 1).isEmpty)
   }
 
+  test("crashed PQ mutation at every window leaves a loadable, correct store") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.hadoop.fs.Path
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def fsOf(p: String) = new Path(p).getFileSystem(conf)
+    def rows(p: String): Seq[String] =
+      Similarity.loadedIvfPqTopK(spark, dir, p).collect().map(_.toString).toSeq
+
+    // the EXPECTED post-removal store (mutation ran to completion)
+    val want = java.nio.file.Files.createTempDirectory("pq_want").toString
+    Similarity.savePqIndex(spark, dir, want)
+    Similarity.removeFromPqIndex(spark, want, col("vec_id") % 7 === 3)
+    val wantRows = rows(want)
+
+    // window A: crash BEFORE the marker (staging may be partial) —
+    // recovery must roll BACK to the untouched store
+    val a = java.nio.file.Files.createTempDirectory("pq_crash_a").toString
+    Similarity.savePqIndex(spark, dir, a)
+    val before = rows(a)
+    spark.read.parquet(s"$a/codes").limit(3)
+      .write.parquet(s"$a/_staged/codes") // truncated garbage, no marker
+    assert(rows(a) == before, "pre-marker crash must not change answers")
+    assert(!fsOf(a).exists(new Path(s"$a/_staged")), "rollback must drop staging")
+
+    // window B: crash AFTER the marker, before any rename — recovery
+    // must roll FORWARD to the completed mutation
+    val b = java.nio.file.Files.createTempDirectory("pq_crash_b").toString
+    Similarity.savePqIndex(spark, dir, b)
+    spark.read.parquet(s"$b/codes").where(col("vec_id") % 7 =!= 3)
+      .write.parquet(s"$b/_staged/codes")
+    fsOf(b).create(new Path(s"$b/_staged_COMMIT"), true).close()
+    assert(rows(b) == wantRows, "post-marker crash must complete the mutation")
+
+    // window C: crash MID-swap — live codes renamed aside, staged not
+    // yet in place, NO codes directory on disk (the r11-flagged hole)
+    val c = java.nio.file.Files.createTempDirectory("pq_crash_c").toString
+    Similarity.savePqIndex(spark, dir, c)
+    spark.read.parquet(s"$c/codes").where(col("vec_id") % 7 =!= 3)
+      .write.parquet(s"$c/_staged/codes")
+    val cfs = fsOf(c)
+    cfs.create(new Path(s"$c/_staged_COMMIT"), true).close()
+    cfs.rename(new Path(s"$c/codes"), new Path(s"$c/codes_old"))
+    assert(!cfs.exists(new Path(s"$c/codes")))
+    assert(rows(c) == wantRows, "mid-swap crash must complete the mutation")
+    assert(!cfs.exists(new Path(s"$c/_staged_COMMIT")))
+    assert(!cfs.exists(new Path(s"$c/codes_old")))
+  }
+
   test("drift-triggered compaction: no-op below threshold, refit restores fidelity") {
     val c = java.nio.file.Files.createTempDirectory("pq_drift").toString
     Similarity.savePqIndex(spark, dir, c)
