@@ -177,11 +177,22 @@ object Dedup {
       cap: Int = 1024): DataFrame =
     persistOnce(s"minhash_bandcands#$dir#$cap") {
       val (bands, sh) = corpusLshTables(spark, dir)
-      bands.join(sh.select(col("doc_id"), col("ss")), Seq("doc_id"))
+      val grouped = bands
+        .join(sh.select(col("doc_id"), col("ss")), Seq("doc_id"))
         .groupBy(col("band"), col("bh"))
-        .agg(slice(sort_array(collect_list(struct(
-          col("doc_id").as("corpus_id"), col("ss").as("ssy")))), 1, cap)
-          .as("cands"))
+        .agg(sort_array(collect_list(struct(
+          col("doc_id").as("corpus_id"), col("ss").as("ssy")))).as("__all"))
+      // hot-bucket truncation would otherwise be SILENT divergence
+      // from the batch oracle: count affected buckets once at build
+      // time (the frame is build-once) and warn with the count, so
+      // at-scale drift is observable in the logs, not a mystery
+      val nOver = grouped.where(size(col("__all")) > cap).count()
+      if (nOver > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"corpusBandCandidates($dir): $nOver LSH bucket(s) over cap=$cap — " +
+            "stream-vs-corpus near-dup checks are truncated in those buckets")
+      grouped.select(col("band"), col("bh"),
+        slice(col("__all"), 1, cap).as("cands"))
     }
 
   /** Non-exploded ingest-side banding: adds `ss` plus the four band

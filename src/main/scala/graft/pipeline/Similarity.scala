@@ -213,13 +213,20 @@ object Similarity {
   private[graft] def corpusBucketCandidates(spark: SparkSession, dir: String,
       nPlanes: Int = 8, cap: Int = 1024): DataFrame =
     lshCache.synchronized {
-      lshCache.getOrElseUpdate(s"$dir#$nPlanes#cands#$cap",
-        corpusLshBuckets(spark, dir, nPlanes)
+      lshCache.getOrElseUpdate(s"$dir#$nPlanes#cands#$cap", {
+        val grouped = corpusLshBuckets(spark, dir, nPlanes)
           .groupBy(col("bucket"))
-          .agg(slice(sort_array(collect_list(struct(
-            col("vec_id").as("corpus_id"), col("v"), col("nrm")))), 1, cap)
-            .as("cands"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          .agg(sort_array(collect_list(struct(
+            col("vec_id").as("corpus_id"), col("v"), col("nrm")))).as("__all"))
+        // observable truncation (see Dedup.corpusBandCandidates)
+        val nOver = grouped.where(size(col("__all")) > cap).count()
+        if (nOver > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"corpusBucketCandidates($dir): $nOver LSH bucket(s) over " +
+              s"cap=$cap — stream-vs-corpus ANN checks are truncated there")
+        grouped.select(col("bucket"), slice(col("__all"), 1, cap).as("cands"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
     }
 
   /** Fitted coarse quantizer + deterministic first-min cell

@@ -21,42 +21,35 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 object Urls {
 
   /** Build-once registry for the domain edge aggregate
-    * ([[domainPageRank]]) — same contract as Similarity's
-    * ivfCache/lshCache: entries bound to the building session,
-    * corpus dirs assumed immutable for the process lifetime. */
-  private val edgeCache =
-    scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
+    * ([[domainPageRank]]) — entries bound to the building session;
+    * since r12 every lookup re-checks the corpus dir's content
+    * signature and rebuilds on change
+    * ([[graft.sources.CorpusRegistry]]), so a refreshed directory is
+    * never served from a stale frame. */
+  private val edgeCache = new graft.sources.CorpusRegistry[
+    org.apache.spark.sql.DataFrame](_.unpersist(blocking = true))
 
   /** Build-once canonicalized pages frame (doc_id, cu, outlinks,
     * dom) — [[domainStats]] aggregates it three ways (docs, out- and
     * in-degrees); without the cut each aggregate re-ran the whole
-    * urlTable + normalize regexp pipeline over the corpus. */
-  private val pagesCache =
-    scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
+    * urlTable + normalize regexp pipeline over the corpus. Same
+    * staleness guard as [[edgeCache]]. */
+  private val pagesCache = new graft.sources.CorpusRegistry[
+    org.apache.spark.sql.DataFrame](_.unpersist(blocking = true))
 
   /** Drops all cached URL-side artifacts (releasing their persists). */
   def clearCaches(): Unit = {
-    edgeCache.synchronized {
-      edgeCache.values.foreach(_.unpersist(blocking = true))
-      edgeCache.clear()
-    }
-    pagesCache.synchronized {
-      pagesCache.values.foreach(_.unpersist(blocking = true))
-      pagesCache.clear()
-    }
-    warcPagesCache.synchronized {
-      warcPagesCache.values.foreach(_.unpersist(blocking = true))
-      warcPagesCache.clear()
-    }
+    edgeCache.clear()
+    pagesCache.clear()
+    warcPagesCache.clear()
   }
 
   private def cachedPages(spark: SparkSession, dir: String): DataFrame =
-    pagesCache.synchronized {
-      pagesCache.getOrElseUpdate(dir,
-        withUrlColumns(spark.read.parquet(s"$dir/documents.parquet"))
-          .select(col("doc_id"), normalizeUrl(col("url")).as("cu"), col("outlinks"))
-          .withColumn("dom", registeredDomain(hostOf(col("cu"))))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    pagesCache.get(dir) {
+      withUrlColumns(spark.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), normalizeUrl(col("url")).as("cu"), col("outlinks"))
+        .withColumn("dom", registeredDomain(hostOf(col("cu"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** RFC-3986-flavored URL canonicalization as ONE composed codegen
@@ -184,18 +177,18 @@ object Urls {
     * fixture round trip (crawl-side producer), same shape as
     * [[cachedPages]]: (doc_id, cu, outlinks, dom). */
   private val warcPagesCache =
-    scala.collection.mutable.Map.empty[String, DataFrame]
+    new graft.sources.CorpusRegistry[DataFrame](_.unpersist(blocking = true))
 
   private def cachedWarcPages(spark: SparkSession, dir: String): DataFrame =
-    warcPagesCache.synchronized {
-      warcPagesCache.getOrElseUpdate(dir, {
+    warcPagesCache.get(dir) {
+      {
         val fixture = graft.sources.Warc.urlFixtureDir(spark, dir)
         graft.sources.Warc.docUrls(graft.sources.Warc.read(spark, fixture))
           .select(col("doc_id"), col("url"),
             normalizeUrl(col("url")).as("cu"), col("outlinks"))
           .withColumn("dom", registeredDomain(hostOf(col("cu"))))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
+      }
     }
 
   /** Crawl→curation composition: WARC fixture → [[graft.sources.Warc.read]]
@@ -242,8 +235,8 @@ object Urls {
     * per corpus dir; released by [[clearCaches]] (Bench section
     * teardown calls it). */
   private def cachedEdges(spark: SparkSession, dir: String): DataFrame =
-    edgeCache.synchronized {
-      edgeCache.getOrElseUpdate(dir, {
+    edgeCache.get(dir) {
+      {
         val pages = cachedPages(spark, dir)
         // exact integer edge weights (count of outlinks src -> dst)
         val edges = pages.select(col("dom").as("src"),
@@ -255,7 +248,7 @@ object Urls {
           .select(col("src"), col("dst"), col("cnt"),
             (col("cnt").cast("double") / col("out")).as("w"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
+      }
     }
 
   /** HITS hubs & authorities (Kleinberg, JACM 1999) over the domain
@@ -358,8 +351,8 @@ object Urls {
   /** Build-once normalized page-level edge aggregate (the page
     * analog of [[cachedEdges]]; same registry and release path). */
   private def cachedPageEdges(spark: SparkSession, dir: String): DataFrame =
-    edgeCache.synchronized {
-      edgeCache.getOrElseUpdate(s"$dir#pages", {
+    edgeCache.get(dir, "pages") {
+      {
         val pages = cachedPages(spark, dir)
         val edges = pages
           .select(col("cu").as("src"), explode(col("outlinks")).as("ol"))
@@ -370,7 +363,7 @@ object Urls {
           .select(col("src"), col("dst"),
             (col("cnt").cast("double") / col("out")).as("w"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
+      }
     }
 
   /** PageRank with an L1-delta convergence stop instead of a fixed

@@ -26,27 +26,29 @@ object SearchQueries {
     keywordFields = Seq("lang", "source"),
     similarity = BM25(K1, B))
 
-  private val cache = scala.collection.mutable.Map.empty[String, SearchIndex]
+  /** Build-once index registry; every lookup re-checks the corpus
+    * dir's content signature ([[graft.sources.CorpusRegistry]]), so
+    * an in-place-rewritten corpus triggers an index rebuild instead
+    * of silently serving the stale artifacts. */
+  private val cache =
+    new graft.sources.CorpusRegistry[SearchIndex](_.unpersist(blocking = true))
 
   /** Releases every cached index (docs + postings + stats persists).
-    * Required after rewriting a corpus dir in-place; also used by
-    * Bench to bound peak pinned storage between sections. */
-  def clearCache(): Unit = cache.synchronized {
-    cache.values.foreach(_.unpersist(blocking = true))
-    cache.clear()
-  }
+    * Also used by Bench to bound peak pinned storage between
+    * sections. */
+  def clearCache(): Unit = cache.clear()
 
-  def indexFor(spark: SparkSession, dir: String): SearchIndex = cache.synchronized {
-    cache.getOrElseUpdate(dir,
-      SearchIndex.build(spark.read.parquet(s"$dir/documents.parquet"), spec))
-  }
+  def indexFor(spark: SparkSession, dir: String): SearchIndex =
+    cache.get(dir) {
+      SearchIndex.build(spark.read.parquet(s"$dir/documents.parquet"), spec)
+    }
 
   /** Two-text-field index (text + source as TEXT) for the
     * cross-field query-join entry: "source" is analyzed like any
     * text field (its single token is the value), so secondary-field
     * leaves score with tf/dl/avgdl of the source field. */
-  def xfieldIndexFor(spark: SparkSession, dir: String): SearchIndex = cache.synchronized {
-    cache.getOrElseUpdate(s"$dir#xfield",
+  def xfieldIndexFor(spark: SparkSession, dir: String): SearchIndex =
+    cache.get(dir, "xfield") {
       SearchIndex.build(spark.read.parquet(s"$dir/documents.parquet"),
         IndexSpec(keyCol = "doc_id", textFields = Seq("text", "source"),
           keywordFields = Seq("lang"), similarity = BM25(K1, B),
@@ -54,8 +56,8 @@ object SearchQueries {
           // best-fields dis-max over text^1 + source^2 (tie 0.2) —
           // the search_constructor entry exercises it via searchRaw
           queryConstructor = Some(graft.dsl.MultiFieldQueryConstructor(
-            Seq("text" -> 1.0, "source" -> 2.0), 0.2)))))
-  }
+            Seq("text" -> 1.0, "source" -> 2.0), 0.2))))
+    }
 
   /** Incrementally-maintained index: built on 90% of the corpus
     * (doc_id % 10 != 9), the last tenth ADDED via
@@ -64,25 +66,26 @@ object SearchQueries {
     * re-analyzed, yet the final index must score EXACTLY like a fresh
     * build over the survivor corpus (doc_id % 7 != 0), which is what
     * the oracle searches directly. */
-  def incrementalIndexFor(spark: SparkSession, dir: String): SearchIndex = cache.synchronized {
-    cache.getOrElseUpdate(s"$dir#incremental", {
+  def incrementalIndexFor(spark: SparkSession, dir: String): SearchIndex =
+    cache.get(dir, "incremental") {
+      {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       SearchIndex.build(docs.where(col("doc_id") % 10 =!= 9), spec)
         .addDocuments(docs.where(col("doc_id") % 10 === 9))
         .removeDocuments(docs.where(col("doc_id") % 7 === 0).select("doc_id"))
-    })
-  }
+      }
+    }
 
   /** English-analyzer (stop + Porter) index over the same corpus —
     * exercises the full analyzer pipeline end-to-end. No SQL oracle
     * (stemming is not DuckDB-expressible), so its entry gets the
     * driver's rows-only check; semantics are covered by
     * AnalyzersSpec/PorterStemmerSpec goldens. */
-  def englishIndexFor(spark: SparkSession, dir: String): SearchIndex = cache.synchronized {
-    cache.getOrElseUpdate(s"$dir#english",
+  def englishIndexFor(spark: SparkSession, dir: String): SearchIndex =
+    cache.get(dir, "english") {
       SearchIndex.build(spark.read.parquet(s"$dir/documents.parquet"),
-        spec.copy(indexAnalyzer = "english", queryAnalyzer = "english")))
-  }
+        spec.copy(indexAnalyzer = "english", queryAnalyzer = "english"))
+    }
 
   /** Index exercising two more spec dimensions over the same corpus:
     *  - index-/query-analyzer SPLIT (reference LuceneConfig.scala:
@@ -94,8 +97,9 @@ object SearchQueries {
     *    source name is 4 chars, i.e. src0..src9) so exists/missing
     *    filters are non-trivially oracle-checked — the driver corpus
     *    has no natural nulls. */
-  def splitIndexFor(spark: SparkSession, dir: String): SearchIndex = cache.synchronized {
-    cache.getOrElseUpdate(s"$dir#split", {
+  def splitIndexFor(spark: SparkSession, dir: String): SearchIndex =
+    cache.get(dir, "split") {
+      {
       val corpus = spark.read.parquet(s"$dir/documents.parquet")
         .withColumn("src_opt",
           when(length(col("source")) === 4, lit(null).cast("string"))
@@ -103,29 +107,28 @@ object SearchQueries {
       SearchIndex.build(corpus,
         spec.copy(keywordFields = Seq("lang", "source", "src_opt"),
           queryAnalyzer = "english"))
-    })
-  }
+      }
+    }
 
   /** No-positions index (reference NoPositionsTextField): token
     * arrays dropped after the postings build; flat term queries run
     * through the postings probe, phrase queries throw. */
-  def noPositionsIndexFor(spark: SparkSession, dir: String): SearchIndex = cache.synchronized {
-    cache.getOrElseUpdate(s"$dir#nopos",
+  def noPositionsIndexFor(spark: SparkSession, dir: String): SearchIndex =
+    cache.get(dir, "nopos") {
       SearchIndex.build(spark.read.parquet(s"$dir/documents.parquet"),
-        spec.copy(storePositions = false)))
-  }
+        spec.copy(storePositions = false))
+    }
 
   /** save()/load() round-trip of the default index (reference analog:
     * saveAsObjectFile + reload, examples/StoreableExample.scala:22-30):
     * queries against the reloaded artifacts must match the
     * from-scratch build — which the shared oracle asserts. */
-  def reloadedIndexFor(spark: SparkSession, dir: String): SearchIndex = cache.synchronized {
-    cache.getOrElseUpdate(s"$dir#reload", {
+  def reloadedIndexFor(spark: SparkSession, dir: String): SearchIndex =
+    cache.get(dir, "reload") {
       val path = s"/tmp/graft_index_${Integer.toHexString(dir.hashCode)}"
       indexFor(spark, dir).save(path)
       SearchIndex.load(spark, path, spec)
-    })
-  }
+    }
 
   private def topkOut(df: DataFrame): DataFrame =
     df.select(col("doc_id"), round(col("score"), 4).as("score"))
@@ -286,6 +289,17 @@ object SearchQueries {
       s.sql("SELECT qid, rank, key, round(score, 4) AS score " +
         s"FROM graft_batch_search('$dir', 'spark join; window batch; vector', 5) " +
         "ORDER BY qid, rank")),
+
+    // DataSource V2 front door: spark.read.format("graft") — WHERE
+    // clauses on keyword/numeric columns push INTO the index probe
+    // (top-k OF the filtered set; GraftDsv2Spec pins PushedFilters in
+    // EXPLAIN), so the result must equal search_filtered's oracle
+    "search_dsv2" -> ((s, dir) =>
+      s.read.format("graft")
+        .option("dir", dir).option("query", "spark join").option("k", "10")
+        .load()
+        .where(col("lang") === "en" && col("n_chars").between(100L, 400L))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
 
     // the TABLE form of the SQL join — the reference's PRIMARY shape
     // (queryJoin(other, ...), SearchableRDD.scala:257) from pure SQL:
@@ -1263,6 +1277,10 @@ object SearchQueries {
     },
 
     "search_filtered" -> termQueryOracle(Seq("spark", "join"), 1, 10,
+      extraWhere = " AND lang = 'en' AND n_chars BETWEEN 100 AND 400"),
+    // the DSv2 relation with the same pushed filters must land on the
+    // same answers — one oracle pins front door and Scala path alike
+    "search_dsv2" -> termQueryOracle(Seq("spark", "join"), 1, 10,
       extraWhere = " AND lang = 'en' AND n_chars BETWEEN 100 AND 400"),
 
     "search_keyword" -> keywordFrVectorOracle,

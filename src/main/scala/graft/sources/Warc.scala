@@ -142,7 +142,12 @@ object Warc {
   // Deterministic corpus-scale WARC fixture (crawl -> curation wiring)
   // ------------------------------------------------------------------
 
-  /** Build-once registry of generated fixture dirs, keyed by sf dir. */
+  /** Build-once registry of generated fixture dirs, keyed by sf dir +
+    * source-parquet content signature ([[CorpusRegistry.signature]]):
+    * both the in-memory entry AND the on-disk fixture path embed the
+    * signature, so a regenerated documents.parquet — or a different
+    * corpus sharing a basename — can never silently reuse a stale
+    * fixture left in java.io.tmpdir by an earlier JVM. */
   private val fixtureCache = scala.collection.mutable.Map.empty[String, String]
 
   /** A deterministic multi-record WARC fixture at corpus scale: one
@@ -157,8 +162,9 @@ object Warc {
     * a real deployment points [[read]] at actual crawl output. */
   def urlFixtureDir(spark: SparkSession, sfDir: String, files: Int = 4): String =
     fixtureCache.synchronized {
-      fixtureCache.getOrElseUpdate(sfDir, {
-        val name = new java.io.File(sfDir).getName
+      val tag = CorpusRegistry.signature(s"$sfDir/documents.parquet")
+      fixtureCache.getOrElseUpdate(s"$sfDir@$tag", {
+        val name = s"${new java.io.File(sfDir).getName}_$tag"
         val out = new java.io.File(
           new java.io.File(sys.props("java.io.tmpdir"), "graft_warc_fixture"),
           name).getAbsolutePath
@@ -181,13 +187,18 @@ object Warc {
       .select(col("doc_id"), col("url"), col("outlinks"))
     // HTTP response payload: header + HTML with one <a href> per
     // outlink. All ASCII, so Content-Length in characters IS the
-    // byte count the parser frames by.
+    // byte count the parser frames by. The hrefs coalesce to "": a
+    // doc with fewer than two outlinks must degrade to an empty link
+    // (htmlResponses' href regex skips it), not null the whole
+    // concat and NPE the partition writer.
     val body = concat(
       lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
       lit("<html><head><title>doc "), col("doc_id"),
       lit("</title></head><body>\n<a href=\""),
-      element_at(col("outlinks"), 1), lit("\">l1</a>\n<a href=\""),
-      element_at(col("outlinks"), 2), lit("\">l2</a>\n</body></html>"))
+      coalesce(element_at(col("outlinks"), 1), lit("")),
+      lit("\">l1</a>\n<a href=\""),
+      coalesce(element_at(col("outlinks"), 2), lit("")),
+      lit("\">l2</a>\n</body></html>"))
     val rec = concat(
       lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:graft:doc:"),
       col("doc_id"),
