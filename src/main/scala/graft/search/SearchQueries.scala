@@ -301,6 +301,33 @@ object SearchQueries {
         .where(col("lang") === "en" && col("n_chars").between(100L, 400L))
         .select(col("doc_id"), round(col("score"), 4).as("score"))),
 
+    // ORDER BY score DESC LIMIT n over a wider relation collapses
+    // into the probe's own k (SupportsPushDownTopN, FULL pushdown —
+    // GraftDsv2Spec pins the Sort-free plan with k=10): top-10 of a
+    // k=50 relation IS the global top-10
+    "search_dsv2_topn" -> ((s, dir) =>
+      s.read.format("graft")
+        .option("dir", dir).option("query", "spark join").option("k", "50")
+        .load()
+        .orderBy(col("score").desc).limit(10)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))),
+
+    // the WRITE side of the front door: the corpus round-trips
+    // through df.write.format("graft") (V1 insert fallback — a
+    // distributed parquet job), and a read over the written dir
+    // rebuilds the index (content-signature registry) and must land
+    // on the source corpus' own top-k answers
+    "search_dsv2_write" -> ((s, dir) => {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_dsv2_write_${new java.io.File(dir).getName}").getAbsolutePath
+      s.read.parquet(s"$dir/documents.parquet").write.format("graft")
+        .option("dir", out).mode("overwrite").save()
+      s.read.format("graft")
+        .option("dir", out).option("query", "spark join").option("k", "10")
+        .load()
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+    }),
+
     // the TABLE form of the SQL join — the reference's PRIMARY shape
     // (queryJoin(other, ...), SearchableRDD.scala:257) from pure SQL:
     // the left side is the user's OWN registered view (here: shifted
@@ -1282,6 +1309,11 @@ object SearchQueries {
     // same answers — one oracle pins front door and Scala path alike
     "search_dsv2" -> termQueryOracle(Seq("spark", "join"), 1, 10,
       extraWhere = " AND lang = 'en' AND n_chars BETWEEN 100 AND 400"),
+    // topN(10) over the k=50 relation = the plain top-10; the written
+    // corpus is a byte-equivalent round trip, so the same oracle pins
+    // both the TopN pushdown and the write path
+    "search_dsv2_topn" -> termQueryOracle(Seq("spark", "join"), 1, 10),
+    "search_dsv2_write" -> termQueryOracle(Seq("spark", "join"), 1, 10),
 
     "search_keyword" -> keywordFrVectorOracle,
     // parseQuery "+lang:fr +vector" compiles to the same AST as

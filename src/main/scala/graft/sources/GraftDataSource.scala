@@ -1,11 +1,14 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import java.util.OptionalLong
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportOrdering, SupportsReportStatistics}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, InsertableRelation, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -27,7 +30,10 @@ import graft.dsl.{And, EqFilter, ExistsFilter, GeFilter, GtFilter, InSetFilter, 
   * non-text columns are PUSHED INTO THE INDEX PROBE
   * ([[SupportsPushDownFilters]] → the library's DSL filter nodes, the
   * same Occur.FILTER discipline as the reference's Filter.scala
-  * hierarchy), a `LIMIT` tightens k ([[SupportsPushDownLimit]]), and
+  * hierarchy), a `LIMIT` tightens k ([[SupportsPushDownLimit]]), an
+  * `ORDER BY score DESC LIMIT n` collapses into the probe's own k
+  * ([[SupportsPushDownTopN]] — fully pushed: the scan emits rows in
+  * score-descending order, so Spark drops the Sort entirely), and
   * unused columns are pruned ([[SupportsPushDownRequiredColumns]]) —
   * EXPLAIN shows the scan's `GraftScan ... PushedFilters: [...]`
   * description, and filters arriving before the top-k is exactly what
@@ -39,7 +45,25 @@ import graft.dsl.{And, EqFilter, ExistsFilter, GeFilter, GtFilter, InSetFilter, 
   * ([[graft.search.SearchQueries.indexFor]]); only the k result rows
   * pass through the driver into the scan partition, so the scan's
   * driver state is k-bounded by construction (k is required to be
-  * explicit for any scan without a LIMIT to push). */
+  * explicit for any scan without a LIMIT to push). The scan also
+  * REPORTS its k-bounded statistics ([[SupportsReportStatistics]]),
+  * so joining graft hits against a corpus-sized table auto-plans a
+  * broadcast join with no hint, and its score-descending output order
+  * ([[SupportsReportOrdering]]), so a bare `ORDER BY score DESC`
+  * costs no Sort node.
+  *
+  * The source is also WRITABLE ({{{df.write.format("graft")
+  * .option("dir", d).mode("overwrite").save()}}}): rows land in
+  * `dir/documents.parquet` (Append appends; Overwrite replaces) via
+  * the V1 insert fallback ([[V1Write]] — the write is a
+  * driver-orchestrated parquet job, the idiomatic shape for a sink
+  * whose "write" is itself a Spark action). A subsequent read
+  * rebuilds the index automatically: [[CorpusRegistry]] keys every
+  * cached index by a file-listing content signature, so the write
+  * invalidates stale caches with no explicit hook. A `score` column
+  * in the incoming frame is dropped (it is the READ side's synthetic
+  * column — round-tripping a read back into a write stays lossless
+  * on document columns). */
 final class GraftDataSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
@@ -48,34 +72,71 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
     Option(options.get("dir")).getOrElse(throw new IllegalArgumentException(
       "graft source requires option 'dir' (corpus directory)"))
 
+  /** Read path (a 'query' option): all document columns plus the
+    * synthetic `score`. Write path (no 'query'): the EXISTING corpus
+    * schema when one is on disk, else empty — the table declares
+    * [[TableCapability.ACCEPT_ANY_SCHEMA]], so an append defines or
+    * extends the corpus with the incoming frame's own schema and a
+    * read without a query only fails at scan-build time. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val base = SparkSession.active.read
-      .parquet(s"${dirOf(options)}/documents.parquet").schema
-    StructType(base.fields :+ StructField("score", DoubleType, nullable = false))
+    val docs = s"${dirOf(options)}/documents.parquet"
+    if (options.containsKey("query")) {
+      val base = SparkSession.active.read.parquet(docs).schema
+      StructType(base.fields :+ StructField("score", DoubleType, nullable = false))
+    } else
+      try SparkSession.active.read.parquet(docs).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => new StructType() }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    val query = Option(options.get("query")).getOrElse(
-      throw new IllegalArgumentException(
-        "graft source requires option 'query' (raw query string)"))
     val k = Option(options.get("k")).map(_.toInt).getOrElse(10)
     require(k > 0, s"graft source: k must be positive, got $k")
-    GraftTable(schema, dirOf(options), query, k)
+    GraftTable(schema, dirOf(options), Option(options.get("query")), k)
   }
 
   override def supportsExternalMetadata(): Boolean = true
 }
 
 final case class GraftTable(tableSchema: StructType, dir: String,
-    query: String, k: Int) extends Table with SupportsRead {
+    query: Option[String], k: Int) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graft:$dir"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tableSchema, dir, query, k)
+    new GraftScanBuilder(tableSchema, dir, query.getOrElse(
+      throw new IllegalArgumentException(
+        "graft source requires option 'query' (raw query string) to read")), k)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(dir)
+}
+
+/** Append/Overwrite into `dir/documents.parquet` through the V1
+  * insert fallback: the incoming frame is written by an ordinary
+  * distributed parquet job (executor-parallel; nothing corpus-sized
+  * crosses the driver). */
+final class GraftWriteBuilder(dir: String) extends WriteBuilder
+    with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwriteParam: Boolean): Unit = {
+          val clean =
+            if (data.columns.contains("score")) data.drop("score") else data
+          clean.write
+            .mode(if (overwrite || overwriteParam) SaveMode.Overwrite
+                  else SaveMode.Append)
+            .parquet(s"$dir/documents.parquet")
+        }
+      }
+  }
 }
 
 /** Translates Catalyst source filters into the library's DSL filter
@@ -85,7 +146,7 @@ final case class GraftTable(tableSchema: StructType, dir: String,
 final class GraftScanBuilder(fullSchema: StructType, dir: String,
     query: String, k0: Int) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownLimit
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownTopN with SupportsPushDownRequiredColumns {
 
   private var k = k0
   private var accepted = Array.empty[Filter]
@@ -123,6 +184,25 @@ final class GraftScanBuilder(fullSchema: StructType, dir: String,
     true
   }
 
+  /** `ORDER BY score DESC LIMIT n` IS the probe's own semantics —
+    * accept it as a FULL pushdown (the scan emits score-descending
+    * rows, [[GraftScan.planInputPartitions]]) and fold n into k.
+    * Any other sort shape is declined and Spark keeps its Sort. */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean =
+    orders match {
+      case Array(o) => o.expression match {
+        case ref: NamedReference
+            if ref.fieldNames.sameElements(Array("score")) &&
+              o.direction == SortDirection.DESCENDING =>
+          k = math.min(k, limit)
+          true
+        case _ => false
+      }
+      case _ => false
+    }
+
+  override def isPartiallyPushed: Boolean = false
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -132,10 +212,13 @@ final class GraftScanBuilder(fullSchema: StructType, dir: String,
 }
 
 /** The k-bounded scan: one partition carrying the probe's result rows
-  * (external JVM values, converted to catalyst rows executor-side). */
+  * (external JVM values, converted to catalyst rows executor-side),
+  * emitted in (score DESC, key ASC) order and REPORTED as such, with
+  * k-bounded statistics so downstream joins broadcast it. */
 final case class GraftScan(readSchema: StructType, dir: String,
     query: String, k: Int, dslFilters: Seq[SearchQuery],
-    pushedDesc: Seq[String]) extends Scan with Batch {
+    pushedDesc: Seq[String]) extends Scan with Batch
+    with SupportsReportStatistics with SupportsReportOrdering {
 
   override def description(): String =
     s"GraftScan dir=$dir, query='$query', k=$k, " +
@@ -143,12 +226,36 @@ final case class GraftScan(readSchema: StructType, dir: String,
 
   override def toBatch: Batch = this
 
+  /** k rows by construction — tiny, and SAYING so is what lets the
+    * planner broadcast a graft↔corpus join with no hint. Size uses
+    * the pruned schema's default row width (generous: adds the row
+    * overhead Spark's own estimators assume). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(k.toLong * (readSchema.defaultSize + 32L))
+    override def numRows(): OptionalLong = OptionalLong.of(k.toLong)
+  }
+
+  /** The emitted order ([[planInputPartitions]] sorts the k rows) —
+    * only reportable while `score` survives pruning. DESC NULLS LAST
+    * matches Catalyst's default for `desc`, so `ORDER BY score DESC`
+    * unifies with it and the Sort is eliminated. */
+  override def outputOrdering(): Array[SortOrder] =
+    if (readSchema.fieldNames.contains("score"))
+      Array(Expressions.sort(Expressions.column("score"),
+        SortDirection.DESCENDING, NullOrdering.NULLS_LAST))
+    else Array.empty
+
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val idx = graft.search.SearchQueries.indexFor(spark, dir)
     val field = idx.spec.textFields.head
     val ast = dslFilters.foldLeft[SearchQuery](Parsed(field, query))(And(_, _))
-    val hits = idx.search(ast, k)
+    // deterministic (score DESC, key ASC) order: the contract behind
+    // both the TopN full-pushdown and the reported output ordering
+    val hits = idx.search(ast, k).orderBy(
+      org.apache.spark.sql.functions.col("score").desc,
+      org.apache.spark.sql.functions.col(idx.spec.keyCol))
     val cols = if (readSchema.isEmpty) Seq(org.apache.spark.sql.functions.lit(0))
       else readSchema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col)
     val rows: Array[Array[Any]] = hits.select(cols: _*).collect()

@@ -60,9 +60,83 @@ class GraftDsv2Spec extends AnyFunSuite {
     assert(pruned.collect().length == 10)
   }
 
+  test("ORDER BY score DESC LIMIT n fully pushes: no Sort, k tightens") {
+    val wide = spark.read.format("graft")
+      .option("dir", dir).option("query", "spark join").option("k", "50").load()
+    val topn = wide.orderBy(col("score").desc).limit(5)
+    val plan = topn.queryExecution.executedPlan.toString
+    assert(plan.contains("k=5"), s"topN limit not folded into k:\n$plan")
+    assert(!plan.contains("TakeOrderedAndProject") && !plan.contains("Sort "),
+      s"sort survived a full topN pushdown:\n$plan")
+    val got = topn.select(col("doc_id").cast("long")).as[Long].collect().toSeq
+    val want = rel.limit(5).select(col("doc_id").cast("long")).as[Long].collect().toSeq
+    assert(got == want, "topN result diverges from the probe's own top-5")
+  }
+
+  test("a non-score sort is declined: Spark keeps its Sort") {
+    val byDoc = rel.orderBy(col("doc_id")).limit(4)
+    val plan = byDoc.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject") || plan.contains("Sort"),
+      s"non-score sort must stay Spark-side:\n$plan")
+    assert(plan.contains("k=10"), s"declined topN must not touch k:\n$plan")
+    assert(byDoc.count() == 4)
+  }
+
+  test("reported k-bounded stats: corpus join broadcasts the graft side") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("d_id"), col("source"))
+    val joined = rel.select("doc_id", "score").join(docs, col("doc_id") === col("d_id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"k-row graft side should broadcast with no hint:\n$plan")
+    assert(joined.count() == 10)
+  }
+
+  test("reported ordering: a score-desc local sort is eliminated") {
+    // (a GLOBAL orderBy keeps its exchange — the connector API has no
+    // way to declare SinglePartition — but the reported ordering makes
+    // any sort-within-partitions on score DESC redundant)
+    val ordered = rel.sortWithinPartitions(col("score").desc)
+    val plan = ordered.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort"),
+      s"scan reports score-desc order; local Sort should be eliminated:\n$plan")
+    val scores = ordered.select("score").as[Double].collect().toSeq
+    assert(scores == scores.sorted.reverse, "rows not emitted score-descending")
+  }
+
+  test("write path: overwrite + append land in documents.parquet; reads rebuild") {
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_dsv2_write_spec").getAbsolutePath
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.where(col("doc_id") % 2 === 0).write.format("graft")
+      .option("dir", out).mode("overwrite").save()
+    val n0 = spark.read.parquet(s"$out/documents.parquet").count()
+    assert(n0 == docs.where(col("doc_id") % 2 === 0).count())
+    // append the odd half; corpus is whole again
+    docs.where(col("doc_id") % 2 === 1).write.format("graft")
+      .option("dir", out).mode("append").save()
+    assert(spark.read.parquet(s"$out/documents.parquet").count() == docs.count())
+    // a read over the written dir answers like the original corpus
+    // (registry keys caches by content signature — no stale index)
+    val a = spark.read.format("graft")
+      .option("dir", out).option("query", "spark join").option("k", "10").load()
+      .select(col("doc_id").cast("long"), round(col("score"), 4))
+      .as[(Long, Double)].collect().toSet
+    val b = rel.select(col("doc_id").cast("long"), round(col("score"), 4))
+      .as[(Long, Double)].collect().toSet
+    assert(a == b, "written-corpus read diverges from source-corpus read")
+    // a read result round-trips: the synthetic score column is shed
+    spark.read.format("graft")
+      .option("dir", out).option("query", "spark join").option("k", "3").load()
+      .write.format("graft").option("dir", out).mode("append").save()
+    val cols = spark.read.parquet(s"$out/documents.parquet").columns.toSeq
+    assert(!cols.contains("score"), "score must not leak into the corpus")
+  }
+
   test("missing options fail fast; unknown pushdowns stay residual") {
     val e = intercept[IllegalArgumentException] {
-      spark.read.format("graft").option("dir", dir).load()
+      // query-less table IS writable — the miss surfaces at scan build
+      spark.read.format("graft").option("dir", dir).load().collect()
     }
     assert(e.getMessage.contains("query"))
     // a text-field predicate is NOT pushed — Spark must evaluate it
