@@ -312,6 +312,17 @@ object SearchQueries {
         .orderBy(col("score").desc).limit(10)
         .select(col("doc_id"), round(col("score"), 4).as("score"))),
 
+    // the CATALOG path: CREATE TABLE ... USING graft, then plain SQL
+    // over the table name — WHERE still pushes into the probe through
+    // the catalog-resolved relation (same oracle as search_dsv2)
+    "search_dsv2_ddl" -> ((s, dir) => {
+      s.sql("DROP TABLE IF EXISTS graft_entry_hits")
+      s.sql(s"CREATE TABLE graft_entry_hits USING graft " +
+        s"OPTIONS (dir '$dir', query 'spark join', k '10')")
+      s.sql("SELECT doc_id, round(score, 4) AS score FROM graft_entry_hits " +
+        "WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400")
+    }),
+
     // the WRITE side of the front door: the corpus round-trips
     // through df.write.format("graft") (V1 insert fallback — a
     // distributed parquet job), and a read over the written dir
@@ -1314,6 +1325,8 @@ object SearchQueries {
     // both the TopN pushdown and the write path
     "search_dsv2_topn" -> termQueryOracle(Seq("spark", "join"), 1, 10),
     "search_dsv2_write" -> termQueryOracle(Seq("spark", "join"), 1, 10),
+    "search_dsv2_ddl" -> termQueryOracle(Seq("spark", "join"), 1, 10,
+      extraWhere = " AND lang = 'en' AND n_chars BETWEEN 100 AND 400"),
 
     "search_keyword" -> keywordFrVectorOracle,
     // parseQuery "+lang:fr +vector" compiles to the same AST as

@@ -133,6 +133,39 @@ class GraftDsv2Spec extends AnyFunSuite {
     assert(!cols.contains("score"), "score must not leak into the corpus")
   }
 
+  test("SQL DDL: CREATE TABLE USING graft reads; INSERT INTO writes") {
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_dsv2_ddl_spec").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    spark.sql("DROP TABLE IF EXISTS graft_ddl_sink")
+    spark.sql("DROP TABLE IF EXISTS graft_ddl_hits")
+    // a query-less graft table is a SINK: INSERT INTO appends docs
+    spark.sql(s"CREATE TABLE graft_ddl_sink USING graft OPTIONS (dir '$out')")
+    spark.sql(
+      s"""INSERT INTO graft_ddl_sink
+         |SELECT * FROM parquet.`$dir/documents.parquet` WHERE doc_id % 2 = 0
+         |""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO graft_ddl_sink
+         |SELECT * FROM parquet.`$dir/documents.parquet` WHERE doc_id % 2 = 1
+         |""".stripMargin)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(spark.read.parquet(s"$out/documents.parquet").count() == docs.count())
+    // a queried graft table is the top-k RELATION over the sink's dir
+    spark.sql(
+      s"""CREATE TABLE graft_ddl_hits USING graft
+         |OPTIONS (dir '$out', query 'spark join', k '10')""".stripMargin)
+    val a = spark.sql(
+        "SELECT CAST(doc_id AS LONG) AS doc_id, round(score, 4) AS score " +
+          "FROM graft_ddl_hits")
+      .as[(Long, Double)].collect().toSet
+    val b = rel.select(col("doc_id").cast("long"), round(col("score"), 4))
+      .as[(Long, Double)].collect().toSet
+    assert(a == b, "DDL-table read diverges from the reader-API read")
+    spark.sql("DROP TABLE graft_ddl_sink")
+    spark.sql("DROP TABLE graft_ddl_hits")
+  }
+
   test("missing options fail fast; unknown pushdowns stay residual") {
     val e = intercept[IllegalArgumentException] {
       // query-less table IS writable — the miss surfaces at scan build
