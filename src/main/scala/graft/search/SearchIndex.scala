@@ -136,6 +136,35 @@ final class SearchIndex private (
       (tf, dl, idf, _) => sqrt(tf) * lit(idf * idf) / sqrt(dl)
   }
 
+  /** (matched, score) for one tf-style evidence count. BM25's algebra
+    * is already EXACTLY 0.0 at tf=0 (the numerator is tf; with dl
+    * defaulted to avgdl for absent fields and floored at a positive
+    * epsilon — tf > 0 implies dl >= 1, so the floor only ever acts on
+    * unmatched rows, where it keeps the b=1, dl=0 denominator away
+    * from 0/0 = NaN — the denominator is > 0 for every b in [0,1]),
+    * so no CASE gate is emitted around the score: a `when(tf > 0, s)`
+    * gate forces every tf sub-expression to be evaluated TWICE per
+    * row (once in the condition, once in the branch: codegen
+    * subexpression hoisting does not cross conditional branches),
+    * which at 4+ score references per query multiplies the per-row
+    * token-array scans several-fold (measured 6x on the dismax
+    * shape). TF-IDF keeps the gate: sqrt(dl) is 0 for an empty field
+    * and 0/0 would be NaN, not 0. */
+  private val simSelfGating: Boolean = spec.similarity match {
+    case _: BM25 => true
+    case _ => false
+  }
+  private def gatedSim(tf: Column, dl: Column, idfV: Double,
+      avgdl: Double): (Column, Column) =
+    if (simSelfGating) {
+      val s = sim(tf,
+        greatest(coalesce(dl, lit(avgdl)), lit(1e-9)), idfV, avgdl)
+      (tf > 0, s)
+    } else {
+      val s = sim(tf, dl, idfV, avgdl)
+      (tf > 0, when(tf > 0, s).otherwise(lit(0.0)))
+    }
+
   // ------------------------------------------------------------------
   // compilation: AST -> (predicate Column, score Column)
   // ------------------------------------------------------------------
@@ -305,8 +334,7 @@ final class SearchIndex private (
     val (dl, avgdl) =
       if (spec.textFields.contains(field)) (dlCol(field).cast("double"), fieldStats(field).avgDl)
       else (lit(1.0), 1.0)
-    val s = sim(tf.cast("double"), dl, idf(field -> term), avgdl)
-    (tf > 0, when(tf > 0, s).otherwise(lit(0.0)))
+    gatedSim(tf.cast("double"), dl, idf(field -> term), avgdl)
   }
 
   /** Compiles the AST to (match predicate, score expression). Both are
@@ -379,8 +407,7 @@ final class SearchIndex private (
         val tf = coalesce(call_function("phrase_count", tokensCol(f),
           array(terms.map(lit): _*), lit(slop)).cast("double"), lit(0.0))
         val phraseIdf = terms.map(term => idf(f -> term)).sum
-        val s = sim(tf, dlCol(f).cast("double"), phraseIdf, fieldStats(f).avgDl)
-        (tf > 0, when(tf > 0, s).otherwise(lit(0.0)))
+        gatedSim(tf, dlCol(f).cast("double"), phraseIdf, fieldStats(f).avgDl)
       }
     case MatchNear(f, a, b, dist) =>
       // span-near scoring mirrors the phrase case: tf = proximity
@@ -388,8 +415,7 @@ final class SearchIndex private (
       val tf = coalesce(call_function("near_count", tokensCol(f),
         lit(a), lit(b), lit(dist)).cast("double"), lit(0.0))
       val nearIdf = idf(f -> a) + idf(f -> b)
-      val s = sim(tf, dlCol(f).cast("double"), nearIdf, fieldStats(f).avgDl)
-      (tf > 0, when(tf > 0, s).otherwise(lit(0.0)))
+      gatedSim(tf, dlCol(f).cast("double"), nearIdf, fieldStats(f).avgDl)
     case MatchAllTerms(f, ts) =>
       if (ts.isEmpty) (lit(true), lit(0.0))
       else {
@@ -406,16 +432,37 @@ final class SearchIndex private (
       if (qs.isEmpty) noMatch
       else {
         // Lucene DisjunctionMaxQuery: best matching clause plus
-        // tieBreaker x the rest; per-clause scores are already gated
-        // to 0 on non-match (and BM25 scores are non-negative), so
-        // max/sum over ALL clauses equals max/sum over matching ones
+        // tieBreaker x the rest, 0.0 when NO clause matches (composite
+        // clauses like a half-matched And carry score mass without a
+        // match — the gate keeps that mass from leaking through
+        // Should/Or parents; DslQueryScore gates identically). The
+        // (match, score) pairs fold over ONE materialized struct
+        // array in ONE aggregate pass: naming mx/total/anyMatch
+        // directly over the raw clause expressions would inline each
+        // clause's token-array scans four times over (greatest twice
+        // + the sum + the gate), and CASE branches keep codegen from
+        // hoisting them (measured 6x slower on the 4-term dismax
+        // shape). mx seeds at -Inf (greatest(-Inf, s) = s) and the
+        // running sum at 0.0 (0.0 + s1 = s1 bit-exact), so the fold
+        // replays the interpreter's loop exactly — scores are
+        // bit-identical to it even for all-negative clause scores
+        // (e.g. a negative Boost factor).
         val parts = qs.map(compileWith(_, idf))
         val anyMatch = parts.map(_._1).reduceLeft(_ || _)
-        val scores = parts.map(_._2)
-        val mx = scores.reduceLeft(greatest(_, _))
-        val total = scores.reduceLeft(_ + _)
-        val s = mx + lit(tie) * (total - mx)
-        (anyMatch, when(anyMatch, s).otherwise(lit(0.0)))
+        val arr = array(parts.map { case (p, s) =>
+          struct(p.as("p"), s.as("s"))
+        }: _*)
+        val s = aggregate(arr,
+          struct(lit(false).as("any"),
+            lit(Double.NegativeInfinity).as("mx"), lit(0.0).as("tot")),
+          (a, x) => struct(
+            (a.getField("any") || x.getField("p")).as("any"),
+            greatest(a.getField("mx"), x.getField("s")).as("mx"),
+            (a.getField("tot") + x.getField("s")).as("tot")),
+          a => when(a.getField("any"), a.getField("mx") +
+            lit(tie) * (a.getField("tot") - a.getField("mx")))
+            .otherwise(lit(0.0)))
+        (anyMatch, s)
       }
     case ConstScore(inner, boost) =>
       val (p, _) = compileWith(inner, idf)
@@ -443,8 +490,7 @@ final class SearchIndex private (
         val (dl, avgdl) =
           if (spec.textFields.contains(f)) (dlCol(f).cast("double"), fieldStats(f).avgDl)
           else (lit(1.0), 1.0)
-        val s = sim(tf, dl, ts.map(t => idf(f -> t)).min, avgdl)
-        (tf > 0, when(tf > 0, s).otherwise(lit(0.0)))
+        gatedSim(tf, dl, ts.map(t => idf(f -> t)).min, avgdl)
       }
     case MatchMin(f, min, ts) =>
       val parts = ts.map(t => termScore(f, t, idf))
