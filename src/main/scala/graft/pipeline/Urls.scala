@@ -427,15 +427,22 @@ object Urls {
           .select(col("dst").as("dom"), col("src"),
             (col("rank_s") * col("w")).as("c")),
         "dom", "src", "c", "in_mass")
+      // carry the PREVIOUS rank into the checkpointed frame: the
+      // delta action then folds over one cached scan instead of
+      // re-joining two |V| vectors — one fewer exchange+join job per
+      // iteration, which is pure fixed latency at bench SFs and a
+      // full extra shuffle at web scale. The extra join here rides
+      // the same per-iteration job that materializes `next`.
       val next = doms.join(contrib, Seq("dom"), "left")
+        .join(rank.select(col("dom"), col("rank").as("rank_o")), Seq("dom"))
         .select(col("dom"),
           (lit(1.0 - damping) * pCol +
-            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"),
+          col("rank_o"))
         .localCheckpoint()
-      delta = orderedGlobalSum(next.withColumnRenamed("rank", "rank_n")
-        .join(rank.withColumnRenamed("rank", "rank_o"), Seq("dom"))
-        .select(col("dom"), abs(col("rank_n") - col("rank_o")).as("v")))
-      rank = next
+      delta = orderedGlobalSum(
+        next.select(col("dom"), abs(col("rank") - col("rank_o")).as("v")))
+      rank = next.select(col("dom"), col("rank"))
     }
     (rank, it)
   }
