@@ -283,7 +283,12 @@ object Urls {
         .select(col("dom"), coalesce(col("v"), lit(0.0)).as("v"))
         .localCheckpoint()
       val total = foldSum(raw, "v")
-      raw.select(col("dom"), (col("v") / lit(total)).as("v")).localCheckpoint()
+      // the normalized vector is a literal-scalar division over the
+      // ALREADY-cached raw frame — checkpointing it again would spend
+      // a third job per half-step materializing a projection; every
+      // downstream reference re-reads the cache and re-applies one
+      // division, never the contrib shuffle
+      raw.select(col("dom"), (col("v") / lit(total)).as("v"))
     }
     var hubs = doms.select(col("dom"), lit(1.0 / nDoms).as("v")).localCheckpoint()
     var auths = hubs
