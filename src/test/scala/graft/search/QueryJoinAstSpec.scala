@@ -180,6 +180,33 @@ class QueryJoinAstSpec extends AnyFunSuite {
     }
   }
 
+  test("DisMax gates a half-matched And clause's score mass (interpreter parity)") {
+    // A failed And clause still carries its matched side's score mass
+    // (the engine's And/Or convention: only LEAVES gate score on
+    // match). DisMax must gate the WHOLE combine on any-clause-match,
+    // or that mass leaks through a Should/Or parent — the exact
+    // divergence the seeded fuzz caught when the scan compiler
+    // briefly dropped the gate while the serialized interpreter kept
+    // it. Docs with "spark" but neither clause matching (And needs
+    // the unknown term too; "dog" absent) must score the DisMax at
+    // exactly 0 through Should on BOTH paths.
+    check(_ => Should(DisMax(Seq(
+      And(MatchTerm("text", "spark"), MatchTerm("text", "zzz_not_in_corpus")),
+      MatchTerm("text", "dog")), 0.5)), k = 7, minHits = 7)
+    // same shape under Or with a matching sibling: the sibling's
+    // score must be the ONLY contribution for spark-only docs
+    check(_ => Or(
+      DisMax(Seq(
+        And(MatchTerm("text", "spark"), MatchTerm("text", "zzz_not_in_corpus")),
+        MatchTerm("text", "dog")), 0.25),
+      MatchTerm("text", "join")), minHits = 1)
+    // negative boost inside DisMax: max semantics need the -Inf seed
+    // (a 0-seeded fold would clamp the best clause at 0)
+    check(_ => Should(DisMax(Seq(
+      Boost(MatchTerm("text", "spark"), -1.0),
+      Boost(MatchTerm("text", "dog"), -2.0)), 0.5)), k = 7, minHits = 1)
+  }
+
   test("dictionary-expansion leaves distribute: wildcard/fuzzy/regex vs driver path") {
     // text-field expansions (constant-score rewrite, probe = the
     // expanded term set)
