@@ -31,6 +31,8 @@ object PipelineQueries {
     // HITS hubs & authorities over the domain graph (L1-normalized
     // half-steps, ordered folds; oracle unrolls the iterations)
     "link_hits" -> ((s, dir) => Urls.domainHits(s, dir)),
+    // HITS at the grain link-farm detection runs at: the page graph
+    "link_hits_pages" -> ((s, dir) => Urls.pageHits(s, dir)),
     // L1-delta convergence stop instead of a fixed iteration count
     // (one extra bounded agg per iteration); oracle replays the same
     // stop rule over unrolled iterations
@@ -606,21 +608,20 @@ object PipelineQueries {
         // answers exactly — same oracles, by construction
         "warc_url_dedup" -> staticOracles("dedup_url"),
         "warc_domain_stats" -> staticOracles("domain_stats"),
-        "link_hits" -> hitsSql(3))
+        "link_hits" -> hitsSql(3),
+        "link_hits_pages" ->
+          hitsSql(3, rawEdges = pageRawEdgesSql, outName = "url"))
 
   /** Unrolled HITS oracle: per iteration an authority half-step
     * (fold over in-edges in src order, missing nodes 0, L1-normalize
     * by the dom-ordered total) then the hub half-step with the ends
     * swapped — exactly [[Urls.domainHits]]'s arithmetic. */
-  private def hitsSql(iterations: Int): String = {
+  private def hitsSql(iterations: Int,
+      rawEdges: String = domainRawEdgesSql,
+      outName: String = "dom"): String = {
     val head =
       s"""u AS (SELECT doc_id, doc_id // 2 AS pg FROM documents),
-         |raw_edges AS (
-         |  SELECT 'ex' || (pg % 16) || '.com' AS src,
-         |    'ex' || ((((doc_id*7+3) % 1024) * ((doc_id*7+3) % 1024)) % 16) || '.com' AS dst FROM u
-         |  UNION ALL
-         |  SELECT 'ex' || (pg % 16) || '.com',
-         |    'ex' || (((doc_id*13+5) % 1024) % 16) || '.com' FROM u),
+         |raw_edges AS ($rawEdges),
          |e AS MATERIALIZED (SELECT src, dst, count(*) AS cnt FROM raw_edges GROUP BY 1, 2),
          |doms AS MATERIALIZED (SELECT src AS dom FROM e UNION SELECT dst FROM e),
          |n AS (SELECT count(*) AS nd FROM doms),
@@ -642,9 +643,10 @@ object PipelineQueries {
     }
     (Seq(head) ++ iters).mkString("WITH ", ",\n", "") +
       s"""
-         |SELECT h$iterations.dom, round(h$iterations.v * 1e6, 0) / 1e6 AS hub,
+         |SELECT h$iterations.dom AS $outName,
+         |  round(h$iterations.v * 1e6, 0) / 1e6 AS hub,
          |  round(a$iterations.v * 1e6, 0) / 1e6 AS authority
-         |FROM h$iterations JOIN a$iterations USING (dom) ORDER BY dom""".stripMargin
+         |FROM h$iterations JOIN a$iterations USING (dom) ORDER BY $outName""".stripMargin
   }
 
   /** Unrolled convergence-stopped PageRank oracle: maxIter iteration

@@ -262,8 +262,22 @@ object Urls {
     * localCheckpoint keeps the lineage flat. Output:
     * (dom, hub, authority). */
   def domainHits(spark: SparkSession, dir: String,
-      iterations: Int = 3): DataFrame = {
-    val e = cachedEdges(spark, dir)
+      iterations: Int = 3): DataFrame =
+    hits(cachedEdges(spark, dir), iterations).orderBy("dom")
+
+  /** HITS over the PAGE-level (canonical-URL) graph — the granularity
+    * link-farm detection actually runs at (a farm is a page cluster,
+    * not a domain): same half-step arithmetic as [[domainHits]] on
+    * [[cachedPageEdges]]'s count column. Output:
+    * (url, hub, authority). */
+  def pageHits(spark: SparkSession, dir: String,
+      iterations: Int = 3): DataFrame =
+    hits(cachedPageEdges(spark, dir), iterations)
+      .withColumnRenamed("dom", "url").orderBy("url")
+
+  /** The HITS core over a weighted edge frame carrying integer link
+    * counts (src, dst, cnt, ...). */
+  private def hits(e: DataFrame, iterations: Int): DataFrame = {
     val doms = e.select(col("src").as("dom"))
       .union(e.select(col("dst").as("dom"))).distinct().localCheckpoint()
     val nDoms = doms.count()
@@ -301,7 +315,6 @@ object Urls {
       .select(col("dom"),
         (round(col("hv") * 1e6, 0) / 1e6).as("hub"),
         (round(col("av") * 1e6, 0) / 1e6).as("authority"))
-      .orderBy("dom")
   }
 
   /** PageRank over the PAGE-level (canonical-URL) link graph — the
@@ -365,7 +378,7 @@ object Urls {
           .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
         val outDeg = edges.groupBy(col("src")).agg(sum(col("cnt")).as("out"))
         edges.join(outDeg, Seq("src"))
-          .select(col("src"), col("dst"),
+          .select(col("src"), col("dst"), col("cnt"),
             (col("cnt").cast("double") / col("out")).as("w"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
