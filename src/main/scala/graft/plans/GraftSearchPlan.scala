@@ -198,12 +198,37 @@ object GraftSearchPlan {
     GraftAnnNode(dir, int(args(1), "n_queries"), int(args(2), "k"))
   }
 
+  private val statsFnName = FunctionIdentifier("graft_term_stats")
+
+  private val statsInfo = new ExpressionInfo(GraftTermStatsNode.getClass.getName,
+    null, "graft_term_stats", "graft_term_stats(dir[, field]) - the " +
+      "index's per-term statistics: document frequency, collection " +
+      "frequency, and global IDF, optionally restricted to one indexed " +
+      "field. Output (field, term, df, cf, idf).", "")
+
+  /** TVF builder for the stats surface (SURVEY §2.2 getTermCounts /
+    * getTermIDFs / getDocumentCounts from SQL): literal args
+    * (dir[, field]). */
+  private def buildStats(args: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"graft_term_stats(dir[, field]): $msg")
+    if (args.isEmpty || args.length > 2)
+      fail(s"expected 1-2 arguments, got ${args.length}")
+    def str(e: Expression, what: String): String = e match {
+      case Literal(v, StringType) if v != null => v.toString
+      case other => fail(s"$what must be a string literal, got $other")
+    }
+    GraftTermStatsNode(str(args.head, "dir"),
+      if (args.length == 2) Some(str(args(1), "field")) else None)
+  }
+
   /** Entry point for [[graft.GraftExtensions]]. */
   def install(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectTableFunction((fnName, info, build))
     ext.injectTableFunction((joinFnName, joinInfo, buildJoin))
     ext.injectTableFunction((batchFnName, batchInfo, buildBatch))
     ext.injectTableFunction((annFnName, annInfo, buildAnn))
+    ext.injectTableFunction((statsFnName, statsInfo, buildStats))
     ext.injectPlannerStrategy(_ => new GraftSearchStrategy)
   }
 
@@ -328,6 +353,30 @@ object GraftAnnNode {
     AttributeReference("cos", DoubleType, nullable = false)())
 }
 
+/** Logical leaf for a `graft_term_stats` call: the index's per-term
+  * (df, cf, idf) statistics, optionally restricted to one field. */
+final case class GraftTermStatsNode(dir: String, field: Option[String],
+    output: Seq[Attribute] = GraftTermStatsNode.freshOutput())
+    extends LeafNode {
+  // vocabulary-sized, unknown at plan time: report a deliberately
+  // LARGE estimate so the optimizer never auto-broadcasts a joined
+  // web-scale dictionary (users broadcast() explicitly when they
+  // know their vocab is small)
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = BigInt(1L) << 40)
+  override def simpleString(maxFields: Int): String =
+    s"GraftTermStatsNode dir=$dir" + field.map(f => s", field=$f").getOrElse("")
+}
+
+object GraftTermStatsNode {
+  private[plans] def freshOutput(): Seq[Attribute] = Seq(
+    AttributeReference("field", StringType, nullable = false)(),
+    AttributeReference("term", StringType, nullable = false)(),
+    AttributeReference("df", LongType, nullable = false)(),
+    AttributeReference("cf", LongType, nullable = false)(),
+    AttributeReference("idf", DoubleType, nullable = false)())
+}
+
 /** Plans [[GraftSearchNode]] / [[GraftQueryJoinNode]] /
   * [[GraftBatchSearchNode]] / [[GraftAnnNode]] into the fused
   * operators. */
@@ -345,6 +394,8 @@ final class GraftSearchStrategy extends SparkStrategy {
       GraftBatchSearchExec(dir, queries, k, field, minMatch, out) :: Nil
     case GraftAnnNode(dir, nQueries, k, out) =>
       GraftAnnExec(dir, nQueries, k, out) :: Nil
+    case GraftTermStatsNode(dir, field, out) =>
+      GraftTermStatsExec(dir, field, out) :: Nil
     case _ => Nil
   }
 }
@@ -459,6 +510,31 @@ final case class GraftAnnExec(dir: String, nQueries: Int, k: Int,
       .select(col("qid").cast("long"), col("rank").cast("long"),
         col("vec_id").cast("long"), col("cos").cast("double"))
       .queryExecution.toRdd
+}
+
+/** The fused stats physical operator: streams the index's
+  * vocabulary-bounded (field, term, df, cf, idf) frame as its RDD —
+  * a distributed projection of the persisted stats table joined with
+  * the broadcast per-field doc counts, never a driver collect. */
+final case class GraftTermStatsExec(dir: String, field: Option[String],
+    output: Seq[Attribute]) extends LeafExecNode {
+  override def simpleString(maxFields: Int): String =
+    s"GraftTermStats dir=$dir" + field.map(f => s", field=$f").getOrElse("")
+  override protected def doExecute(): RDD[InternalRow] = {
+    val idx = graft.search.SearchQueries.indexFor(session, dir)
+    field.foreach { f =>
+      require(idx.spec.textFields.contains(f) ||
+          idx.spec.keywordFields.contains(f),
+        s"graft_term_stats: '$f' is not an indexed field (has: " +
+          s"${(idx.spec.textFields ++ idx.spec.keywordFields).mkString(", ")})")
+    }
+    val base = idx.getTermStats
+    val sliced = field.map(f => base.where(col("field") === f)).getOrElse(base)
+    sliced.select(col("field").cast("string"), col("term").cast("string"),
+        col("df").cast("long"), col("cf").cast("long"),
+        col("idf").cast("double"))
+      .queryExecution.toRdd
+  }
 }
 
 final case class GraftQueryJoinExec(dir: String, maxQid: Int, nTerms: Int,

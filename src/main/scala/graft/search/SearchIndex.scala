@@ -873,6 +873,17 @@ final class SearchIndex private (
         log(lit(1.0) + (col("num_docs") - col("df") + 0.5) / (col("df") + 0.5)).as("idf"))
   }
 
+  /** One-stop per-term statistics: document frequency, collection
+    * frequency, and global IDF in one vocabulary-bounded frame — the
+    * combined form of [[getDocumentCounts]] / [[getTermCounts]] /
+    * [[getTermIDFs]] backing the `graft_term_stats` SQL table
+    * function (reference stats family, SearchableRDD.scala:306-352).
+    * Output: (field, term, df, cf, idf). */
+  def getTermStats: DataFrame =
+    stats.join(broadcast(fieldStatsDf), "field")
+      .select(col("field"), col("term"), col("df"), col("cf"),
+        log(lit(1.0) + (col("num_docs") - col("df") + 0.5) / (col("df") + 0.5)).as("idf"))
+
   /** Did-you-mean term suggestions (the Lucene DirectSpellChecker /
     * FuzzySuggester surface): for each input term, the top-`k`
     * dictionary terms of `field` within `maxEdits` Levenshtein edits,

@@ -273,6 +273,13 @@ object SearchQueries {
       s.sql("SELECT doc_id, round(score, 4) AS score " +
         s"FROM graft_search('$dir', 'spark join', 10)")),
 
+    // the stats family (getTermCounts/getTermIDFs/getDocumentCounts)
+    // from pure SQL: one vocabulary-bounded (field, term, df, cf,
+    // idf) table through the fused GraftTermStats node
+    "term_stats_sql" -> ((s, dir) =>
+      s.sql("SELECT field, term, df, cf, round(idf, 6) AS idf " +
+        s"FROM graft_term_stats('$dir') ORDER BY field, term")),
+
     // the flagship search JOIN from pure SQL: graft_query_join plans
     // into the fused GraftQueryJoin node (GraftSqlSpec pins the
     // EXPLAIN) and must hash-match the Scala path's query_join
@@ -1038,6 +1045,34 @@ object SearchQueries {
     // graft_search('dir', 'spark join', 10): two bare optional terms
     // of the Parsed grammar — the matchAny scoring shape
     "search_sql" -> termQueryOracle(Seq("spark", "join"), 1, 10),
+
+    "term_stats_sql" ->
+      s"""$toksCte,
+         |text_df AS (
+         |  SELECT term, count(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, unnest(tokens) AS term FROM toks) GROUP BY term
+         |), text_cf AS (
+         |  SELECT term, count(*) AS cf
+         |  FROM (SELECT unnest(tokens) AS term FROM toks) GROUP BY term
+         |), lang_df AS (
+         |  SELECT lang AS term, count(*) AS df FROM documents WHERE lang IS NOT NULL GROUP BY lang
+         |), source_df AS (
+         |  SELECT source AS term, count(*) AS df FROM documents WHERE source IS NOT NULL GROUP BY source
+         |), nn AS (
+         |  SELECT (SELECT count(*) FROM documents) AS n_total,
+         |    (SELECT count(lang) FROM documents) AS n_lang,
+         |    (SELECT count(source) FROM documents) AS n_source
+         |)
+         |SELECT field, term, df, cf, round(idf, 6) AS idf FROM (
+         |  SELECT 'text' AS field, text_df.term, text_df.df AS df, text_cf.cf AS cf,
+         |    ln(1 + (nn.n_total - text_df.df + 0.5) / (text_df.df + 0.5)) AS idf
+         |  FROM text_df JOIN text_cf USING (term), nn
+         |  UNION ALL
+         |  SELECT 'lang', term, df, df, ln(1 + (nn.n_lang - df + 0.5) / (df + 0.5)) FROM lang_df, nn
+         |  UNION ALL
+         |  SELECT 'source', term, df, df, ln(1 + (nn.n_source - df + 0.5) / (df + 0.5)) FROM source_df, nn
+         |)
+         |ORDER BY field, term""".stripMargin,
 
     // per-(hit, term) breakdown: the top-10 of the two-term OR
     // unpivoted to matched terms, each with tf/df/idf/contribution

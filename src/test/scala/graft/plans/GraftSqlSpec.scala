@@ -177,6 +177,39 @@ class GraftSqlSpec extends AnyFunSuite {
       s"bad-field error unhelpful: ${e.getMessage.take(160)}")
   }
 
+  test("graft_term_stats plans fused and equals the Scala stats APIs") {
+    val df = spark.sql(s"SELECT * FROM graft_term_stats('$dir')")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftTermStats"),
+      s"fused stats node missing from plan:\n$plan")
+    val sql = spark.sql(
+      s"""SELECT field, term, df, cf, round(idf, 6) AS idf
+         |FROM graft_term_stats('$dir') ORDER BY field, term""".stripMargin)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    val idx = graft.search.SearchQueries.indexFor(spark, dir)
+    val api = idx.getTermCounts
+      .join(idx.getTermIDFs, Seq("field", "term"))
+      .join(idx.getTermStats.select(col("field"), col("term"), col("df")),
+        Seq("field", "term"))
+      .select(col("field"), col("term"), col("df").cast("long"),
+        col("cf").cast("long"), round(col("idf"), 6))
+      .orderBy("field", "term")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(sql == api)
+    assert(sql.nonEmpty)
+    // field slice: only that field's rows, same values
+    val text = spark.sql(
+      s"""SELECT field, term, df, cf, round(idf, 6) AS idf
+         |FROM graft_term_stats('$dir', 'text') ORDER BY term""".stripMargin)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(text == sql.filter(_._1 == "text"))
+    // unknown field fails with the function's own message
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_term_stats('$dir', 'nope')").collect()
+    }
+    assert(e.getMessage.contains("graft_term_stats"))
+  }
+
   test("graft_search argument validation") {
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_search('$dir', 'q')").collect()
