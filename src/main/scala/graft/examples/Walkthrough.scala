@@ -174,6 +174,22 @@ object Walkthrough {
     spark.sql(
       s"SELECT * FROM graft_batch_search('$dir', 'spark join; vector', 3)").show(false)
     spark.sql(s"SELECT * FROM graft_query_join('$dir', 10, 5, 3)").show(false)
+    // the flagship join over the USER'S OWN table (TABLE form), and
+    // the index's term statistics — both pure SQL
+    spark.read.parquet(s"$dir/documents.parquet").limit(5)
+      .selectExpr("doc_id AS qid", "text").createOrReplaceTempView("my_queries")
+    spark.sql(
+      s"SELECT * FROM graft_query_join('$dir', 'my_queries', 'qid', 'text', 5, 3)")
+      .show(false)
+    println("SQL term statistics (df / cf / global IDF):")
+    spark.sql(s"SELECT * FROM graft_term_stats('$dir', 'text') ORDER BY df DESC")
+      .show(5, false)
+    // DataSource V2: WHERE + ORDER BY score DESC LIMIT push into the
+    // index probe (EXPLAIN shows PushedFilters on the graft scan)
+    println("DSv2 read with pushdown:")
+    spark.read.format("graft").option("dir", dir)
+      .option("query", "spark join").option("k", "5").load()
+      .where(col("doc_id") > 10).show(false)
 
     idx.unpersist()
     spark.stop()
