@@ -591,17 +591,54 @@ object Curation {
     * zero and the fingerprint equals md5(text) — the expression chain
     * still runs end-to-end in both engines; CurationSpec drives the
     * patterns with real PII-shaped fixtures. */
-  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
-    val redacted = PiiPatterns.foldLeft(col("text")) { case (c, (_, re, tok)) =>
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubbed(spark.read.parquet(s"$dir/documents.parquet"), col("text"))
+      .orderBy("doc_id")
+
+  /** The scrub projection over an arbitrary text column: per-pattern
+    * counts on the INPUT text, replacements applied in [[PiiPatterns]]
+    * order. Shared by [[piiScrub]] and [[piiScrubLive]] so the two
+    * entries exercise the identical expression chain. */
+  private def piiScrubbed(d: DataFrame, text: Column): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(text) { case (c, (_, re, tok)) =>
       regexp_replace(c, re, tok)
     }
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id") +:
-        PiiPatterns.map { case (name, re, _) =>
-          regexp_count(col("text"), lit(re)).cast("long").as(s"n_$name")
-        } :+
-        md5(redacted).as("fp_redacted") :+
-        length(redacted).cast("long").as("n_chars_redacted"): _*)
+    d.select(col("doc_id") +:
+      PiiPatterns.map { case (name, re, _) =>
+        regexp_count(text, lit(re)).cast("long").as(s"n_$name")
+      } :+
+      md5(redacted).as("fp_redacted") :+
+      length(redacted).cast("long").as("n_chars_redacted"): _*)
+  }
+
+  /** [[piiScrub]] with the patterns actually FIRING through the
+    * cross-engine gate: the synthetic corpus is digit-free, so the
+    * plain entry's counts are all zero and the DuckDB oracle never
+    * proves the two regex engines agree on a real match. This variant
+    * appends deterministic PII spans — an email per doc (a second one
+    * on even ids), a phone-shaped number on ids not divisible by 5,
+    * an IPv4 — as pure doc_id arithmetic BOTH engines rebuild
+    * byte-identically, then runs the same scrub. Nonzero, id-varying
+    * counts and a live redaction fingerprint make regex-dialect drift
+    * (Java regex here vs RE2 in the oracle) hash-visible. Still one
+    * codegen scan, no shuffle: at 100 TB this is a pure map. */
+  def piiScrubLive(spark: SparkSession, dir: String): DataFrame = {
+    def s(c: Column): Column = c.cast("string")
+    val enriched = concat(
+      col("text"),
+      lit(" contact user"), s(col("doc_id")),
+      lit("@mail"), s(col("doc_id") % 7), lit(".example.com"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" cc admin"), s(col("doc_id")), lit("@corp.example.org")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 =!= 0,
+        concat(lit(" or call +1-555-"),
+          lpad(s((col("doc_id") * 37) % 10000), 4, "0")))
+        .otherwise(lit("")),
+      lit(" from 10."), s(col("doc_id") % 256),
+      lit("."), s((col("doc_id") * 3) % 256),
+      lit("."), s(col("doc_id") % 254 + 1))
+    piiScrubbed(spark.read.parquet(s"$dir/documents.parquet"), enriched)
       .orderBy("doc_id")
   }
 
@@ -763,5 +800,57 @@ object Curation {
       .select(col("doc_id"), col("chunk_idx"),
         size(col("chunk")).cast("long").as("n_tokens"),
         concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
+
+  /** Temperature-scaled domain-mixture weights — the
+    * `(n_tokens_d)^α / Σ_d (n_tokens_d)^α` rule of multilingual/
+    * multi-corpus sampling (α < 1 upweighting small domains; XLM-R's
+    * α=0.3 sampling, arXiv:1911.02116 §3.1). Complements
+    * [[mixWeights]], which reports the natural share and a
+    * uniform-cap rate: temperature scaling is the CONTINUOUS
+    * interpolation between those two extremes (α=1 natural, α=0
+    * uniform) that production mixes actually tune.
+    *
+    * Shape at 100 TB: per-source doc/token counts are ONE partial
+    * aggregation keyed by `source` (map-side combine, |domains| rows
+    * out), and everything after operates on that domains-bounded
+    * frame. The α-power normalizer is a float sum, so it folds via
+    * [[Urls.orderedGlobalSum]]'s two-level md5-bucketed ordered fold —
+    * bit-identical on any partitioning, replayed term-for-term by the
+    * DuckDB oracle (plain SUM would hash-drift on float association).
+    *
+    * Output: (source, n_docs, n_tokens, weight, epochs_at_budget) —
+    * `weight` the normalized sampling probability, `epochs_at_budget`
+    * how many passes over the domain one full-corpus token budget
+    * implies (weight · Σ n_tokens / n_tokens_d > 1 means the domain
+    * repeats; the standard up-sampling diagnostic). */
+  def domainMixture(spark: SparkSession, dir: String,
+      alpha: Double = 0.7): DataFrame = {
+    val stats = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), size(toks(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      // n^α spelled exp(α·ln n), NOT pow: libm pow is not guaranteed
+      // correctly rounded and may differ between the JVM and the
+      // oracle engine by an ulp (enough to flip a half-even round at
+      // the output scale); exp/ln parity is already load-bearing in
+      // the green logprob/classifier oracles
+      .withColumn("raw_w",
+        exp(lit(alpha) * log(col("n_tokens").cast("double"))))
+      .persist()
+    // ordered two-level fold for the float normalizer (hash-exact on
+    // any partitioning); token total is integer arithmetic, so a
+    // plain associative sum is already deterministic
+    val denom = Urls.orderedGlobalSum(
+      stats.select(col("source").as("dom"), col("raw_w").as("v")))
+    val totalTokens = stats.agg(sum(col("n_tokens"))).first().getLong(0)
+    // stats stays cached: it is domains-bounded (one row per source)
+    // and the returned frame still reads it lazily
+    stats.select(col("source"), col("n_docs"), col("n_tokens"),
+        graft.functions.Rounding.roundEven(col("raw_w") / denom, 6).as("weight"),
+        graft.functions.Rounding.roundEven(
+          col("raw_w") / denom * totalTokens / col("n_tokens"), 4)
+          .as("epochs_at_budget"))
+      .orderBy("source")
   }
 }

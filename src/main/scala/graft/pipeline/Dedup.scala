@@ -781,4 +781,79 @@ object Dedup {
       .withColumn("nrm", Similarity.norm(col("v")))
     blockedCosinePairs(e, "label", threshold)
   }
+
+  /** The `kHashes` Bloom bit positions of a fingerprint column:
+    * position i = first 8 hex chars of md5(fp + "#" + i), mod
+    * `mBits`. Pure integer/md5 arithmetic both engines replay
+    * bit-exactly (the [[md5Bucket]] discipline). */
+  private def bloomPositions(fp: Column, mBits: Int, kHashes: Int): Seq[Column] =
+    (0 until kHashes).map { i =>
+      conv(substring(md5(concat(fp, lit(s"#$i"))), 1, 8), 16, 10)
+        .cast("long") % mBits
+    }
+
+  /** Bloom-filter membership against a corpus — the bounded-memory
+    * approximate-membership primitive (Bloom 1970; the paragraph/
+    * document dedup backbone of Dolma's dedupe tooling, which keys a
+    * Bloom filter by content hash — public). Where the streaming
+    * dedup dictionaries cap hot buckets (an observable truncation,
+    * see [[corpusBandCandidates]]), a Bloom filter holds EVERY
+    * member in m bits with a tunable false-positive rate and zero
+    * misses: `in_bloom` is always true for members; a non-member
+    * reads true with p ≈ (1-e^(-kn/m))^k.
+    *
+    * Scale shape: the filter is DATA, not driver state — a
+    * (word, bits) DataFrame of m/64 rows built by one `bit_or`
+    * aggregation over the members' k bit positions (integer ops:
+    * associative, commutative, partitioning-proof). Probing is an
+    * equi-join of the probes' k positions with that table on the
+    * word index followed by a per-probe `bool_and` — no broadcast
+    * required (though at typical m the table is broadcast-sized),
+    * no collect, no per-task state beyond a join row. At 100 TB:
+    * size m to the member count (1.2 GB per 10⁹ members at p≈1%),
+    * and the word-keyed join stays shuffle-bounded either way.
+    *
+    * The entry probes each document's exact fingerprint (id % 2 == 0)
+    * or a perturbed one (id % 2 == 1, a guaranteed non-member), so
+    * the output exposes both the no-miss guarantee and any false
+    * positives: (doc_id, is_member, in_bloom). */
+  def bloomMembership(spark: SparkSession, dir: String,
+      mBits: Int = 1 << 14, kHashes: Int = 3): DataFrame = {
+    require(mBits > 0 && (mBits & (mBits - 1)) == 0, "mBits must be a power of two")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    // build: every member fingerprint sets its k bits; one shuffle,
+    // m/64 rows out
+    val bitset = docs
+      .select(explode(array(bloomPositions(col("fp"), mBits, kHashes): _*)).as("pos"))
+      // 32-bit words: the shift never reaches the sign bit, so the
+      // oracle engine's checked BIGINT shift can replay it (1 << 63
+      // overflows there; Spark would wrap silently - avoid both)
+      .select(shiftright(col("pos"), 5).as("word"),
+        call_function("shiftleft", lit(1L),
+          col("pos").bitwiseAND(lit(31L)).cast("int")).as("mask"))
+      .groupBy("word")
+      .agg(call_function("bit_or", col("mask")).as("bits"))
+    // probe: even ids ask for their own fingerprint (member), odd ids
+    // for a perturbed one (non-member) — false positives observable
+    val probes = docs
+      .withColumn("is_member", col("doc_id") % 2 === 0)
+      .withColumn("probe_fp",
+        when(col("is_member"), col("fp"))
+          .otherwise(md5(concat(col("fp"), lit("!absent")))))
+      .select(col("doc_id"), col("is_member"),
+        posexplode(array(bloomPositions(col("probe_fp"), mBits, kHashes): _*))
+          .as(Seq("i", "pos")))
+      .select(col("doc_id"), col("is_member"),
+        shiftright(col("pos"), 5).as("word"),
+        call_function("shiftleft", lit(1L),
+          col("pos").bitwiseAND(lit(31L)).cast("int")).as("mask"))
+    probes.join(bitset, Seq("word"), "left")
+      .groupBy("doc_id", "is_member")
+      .agg(call_function("bool_and",
+        (coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) =!= 0L))
+        .as("in_bloom"))
+      .select(col("doc_id"), col("is_member"), col("in_bloom"))
+      .orderBy("doc_id")
+  }
 }

@@ -70,6 +70,10 @@ object PipelineQueries {
           s.read.parquet(s"$dir/documents.parquet"),
           Dedup.clusters(s, dir), "doc_id")
         .select("doc_id").orderBy("doc_id")),
+    // bounded-memory approximate membership: the Bloom bitset is a
+    // (word, bits) DataFrame, probes are an equi-join on word — the
+    // uncapped-scale alternative to the capped stream dictionaries
+    "dedup_bloom" -> ((s, dir) => Dedup.bloomMembership(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingPairs(s, dir)),
@@ -86,6 +90,23 @@ object PipelineQueries {
     "ann_sql" -> ((s, dir) =>
       s.sql("SELECT qid, rank, vec_id, cos " +
         s"FROM graft_ann('$dir', 5, 10) ORDER BY qid, rank")),
+    // the TABLE form: the query side is a USER view (here a vec_id
+    // prefix of the corpus, which is what lets the recorded-run
+    // oracle rebuild the same query set); probe-cell selection runs
+    // distributed, no self-exclusion (opaque qids)
+    "ann_sql_table" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qvec"))
+        .createOrReplaceTempView("graft_ann_queries")
+      Similarity.recordIvfRun(s, dir, "ann_sql_table",
+        nQueries = 8, k = 10, nProbe = 4, excludeSelf = false)
+      s.sql("SELECT qid, rank, vec_id, cos " +
+        s"FROM graft_ann('$dir', 'graft_ann_queries', 'qid', 'qvec', 10) " +
+        "ORDER BY qid, rank")
+    }),
     // IVF-PQ: coarse probe + product-quantized asymmetric distance +
     // exact re-rank of the ADC shortlist; oracle generated from the
     // recorded centroids AND codebooks (ann_ivf pattern)
@@ -187,7 +208,13 @@ object PipelineQueries {
       Curation.qualityClassifier(s, dir, recordAs = Some("quality_classifier"))),
     "ccnet_buckets" -> ((s, dir) => Curation.ccnetBuckets(s, dir)),
     "mix_weights" -> ((s, dir) => Curation.mixWeights(s, dir)),
+    // temperature-scaled (n^α) sampling weights — the tunable
+    // interpolation between mix_weights' natural share and uniform
+    "mix_temperature" -> ((s, dir) => Curation.domainMixture(s, dir)),
     "pii_scrub" -> ((s, dir) => Curation.piiScrub(s, dir)),
+    // the PII patterns firing for real through the cross-engine gate
+    // (deterministically enriched text; nonzero, id-varying counts)
+    "pii_scrub_live" -> ((s, dir) => Curation.piiScrubLive(s, dir)),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "lang_id_ngram" -> ((s, dir) => TextAnalysis.langIdNgram(s, dir)),
     "quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -350,7 +377,7 @@ object PipelineQueries {
     * cosine rerank are recomputed in SQL. Verifies everything
     * downstream of the KMeans fit. */
   private def ivfOracle: Map[String, String] =
-    Seq("ann_ivf", "ann_sql").flatMap(ivfOracleFor).toMap
+    Seq("ann_ivf", "ann_sql", "ann_sql_table").flatMap(ivfOracleFor).toMap
 
   private def ivfOracleFor(tag: String): Option[(String, String)] =
     Similarity.recordedIvfRun(tag) match {
@@ -379,7 +406,8 @@ object PipelineQueries {
              |  WHERE rn <= ${run.nProbe}
              |), s AS (
              |  SELECT p.qid, c.vec_id, list_cosine_similarity(ev.v, eq.v) AS cos
-             |  FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.qid
+             |  FROM probes p JOIN cells c ON c.cell = p.cell${
+               if (run.excludeSelf) " AND c.vec_id <> p.qid" else ""}
              |  JOIN e ev ON ev.vec_id = c.vec_id
              |  JOIN e eq ON eq.vec_id = p.qid
              |), r AS (
@@ -1006,6 +1034,59 @@ object PipelineQueries {
          |FROM ps, tot
          |ORDER BY source""".stripMargin,
 
+    // the α-power normalizer is a float sum: replicate the two-level
+    // md5-bucketed ordered fold (Urls.orderedGlobalSum) term-for-term,
+    // and spell n^α as exp(α·ln n) exactly like the Spark side (libm
+    // pow is not correctly-rounded; exp/ln parity is already proven
+    // by the logprob/classifier oracles)
+    "mix_temperature" ->
+      s"""$toksCte,
+         |ps AS (
+         |  SELECT d.source, count(*) AS n_docs, sum(len(t.tokens))::BIGINT AS n_tokens
+         |  FROM toks t JOIN documents d USING (doc_id)
+         |  GROUP BY 1
+         |), w AS (
+         |  SELECT *, exp(0.7 * ln(CAST(n_tokens AS DOUBLE))) AS raw_w FROM ps
+         |), dz AS (
+         |  SELECT substr(md5(source), 1, 2) AS bk,
+         |    list_sum(list(raw_w ORDER BY source)) AS s
+         |  FROM w GROUP BY 1
+         |), dn AS (SELECT list_sum(list(s ORDER BY bk)) AS d FROM dz),
+         |tot AS (SELECT sum(n_tokens) AS total FROM ps)
+         |SELECT source, n_docs, n_tokens,
+         |  round_even(raw_w / (SELECT d FROM dn) * 1e6, 0) / 1e6 AS weight,
+         |  round_even(raw_w / (SELECT d FROM dn) * (SELECT total FROM tot)
+         |    / n_tokens * 1e4, 0) / 1e4 AS epochs_at_budget
+         |FROM w
+         |ORDER BY source""".stripMargin,
+
+    // pii_scrub with the patterns firing: the enrichment is pure
+    // doc_id arithmetic rebuilt here with `||`, then the exact
+    // pii_scrub projection over it
+    "pii_scrub_live" -> {
+      val enriched = "text || ' contact user' || doc_id || '@mail' || " +
+        "(doc_id % 7) || '.example.com' || " +
+        "CASE WHEN doc_id % 2 = 0 THEN ' cc admin' || doc_id || '@corp.example.org' ELSE '' END || " +
+        "CASE WHEN doc_id % 5 <> 0 THEN ' or call +1-555-' || " +
+        "lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0') ELSE '' END || " +
+        "' from 10.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256) || '.' || (doc_id % 254 + 1)"
+      val redacted = Curation.PiiPatterns.foldLeft("etext") { case (e, (_, re, tok)) =>
+        s"regexp_replace($e, '$re', '$tok', 'g')"
+      }
+      val counts = Curation.PiiPatterns
+        .map { case (name, re, _) =>
+          s"len(regexp_extract_all(etext, '$re'))::BIGINT AS n_$name"
+        }
+        .mkString(",\n         |  ")
+      s"""WITH enriched AS (SELECT doc_id, $enriched AS etext FROM documents)
+         |SELECT doc_id,
+         |  $counts,
+         |  md5($redacted) AS fp_redacted,
+         |  length($redacted)::BIGINT AS n_chars_redacted
+         |FROM enriched
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // patterns come from the same Curation.PiiPatterns table the
     // Spark side folds over (counts on the raw text, replacements in
     // declaration order; DuckDB needs the 'g' flag for global replace)
@@ -1515,6 +1596,35 @@ object PipelineQueries {
          |LEFT JOIN (SELECT doc_id, top2_chars FROM top2 WHERE rn = 1) t USING (doc_id)
          |LEFT JOIN dup5 d USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // pure integer/md5 arithmetic end-to-end (positions, 32-bit
+    // words, bit_or, bool_and) — both engines replay the filter
+    // bit-exactly, false positives included
+    "dedup_bloom" ->
+      """WITH docs AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |mpos AS (
+        |  SELECT ('0x' || substr(md5(fp || '#' || i), 1, 8))::BIGINT % 16384 AS pos
+        |  FROM docs, range(3) t(i)
+        |),
+        |bitset AS (
+        |  SELECT pos >> 5 AS word, bit_or(1::BIGINT << CAST(pos & 31 AS INT)) AS bits
+        |  FROM mpos GROUP BY 1
+        |),
+        |probes AS (
+        |  SELECT doc_id, doc_id % 2 = 0 AS is_member,
+        |    CASE WHEN doc_id % 2 = 0 THEN fp ELSE md5(fp || '!absent') END AS probe_fp
+        |  FROM docs
+        |),
+        |ppos AS (
+        |  SELECT doc_id, is_member,
+        |    ('0x' || substr(md5(probe_fp || '#' || i), 1, 8))::BIGINT % 16384 AS pos
+        |  FROM probes, range(3) t(i)
+        |)
+        |SELECT p.doc_id, p.is_member,
+        |  bool_and((coalesce(b.bits, 0) & (1::BIGINT << CAST(p.pos & 31 AS INT))) <> 0) AS in_bloom
+        |FROM ppos p LEFT JOIN bitset b ON b.word = p.pos >> 5
+        |GROUP BY 1, 2
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""$toksCte,

@@ -117,7 +117,10 @@ object Similarity {
     * can never drift from the parameters the entry actually used. */
   private[pipeline] final case class IvfRun(
       centroids: Array[Array[Double]], dim: Int,
-      nQueries: Int, k: Int, nProbe: Int)
+      nQueries: Int, k: Int, nProbe: Int,
+      // TABLE-form runs probe a user query table: qids are opaque, so
+      // no self-exclusion; the oracle drops its `vec_id <> qid` clause
+      excludeSelf: Boolean = true)
 
   /** Runs recorded by [[ivfTopKWithRun]], keyed by the caller's
     * chosen tag — consumed by [[PipelineQueries]] to generate a
@@ -133,6 +136,22 @@ object Similarity {
 
   private[pipeline] def recordedIvfRun(tag: String): Option[IvfRun] =
     ivfRuns.get(tag)
+
+  /** Record an IVF oracle run for a probe the caller drove through a
+    * front door that cannot know the query-set definition (the
+    * TABLE-form `graft_ann` TVF sees only a view name). The harness
+    * entry, which DOES know its view is a `vec_id < nQueries` prefix,
+    * records the parameters here; the centroids come from the same
+    * cached fit the probe used, so the generated SQL can never see a
+    * different quantizer. */
+  private[graft] def recordIvfRun(spark: SparkSession, dir: String,
+      tag: String, nQueries: Int, k: Int, nProbe: Int,
+      nCentroids: Int = 16, excludeSelf: Boolean = true): Unit = {
+    val (_, centroids) = assignedCells(spark, dir, nCentroids)
+    ivfRuns(tag) = IvfRun(centroids,
+      centroids.headOption.map(_.length).getOrElse(0),
+      nQueries, k, nProbe, excludeSelf)
+  }
 
   /** Cell-affinity score for assignment/probing: `argmin_i |v-c_i|^2 =
     * argmin_i (|c_i|^2 - 2 v.c_i)` — the |v|^2 term is constant per
@@ -298,6 +317,46 @@ object Similarity {
       .join(broadcast(probes), "cell")
       .join(broadcast(q), "qid")
       .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (call_function("vec_dot", col("v"), col("qv")) /
+          (col("nrm") * col("qnrm"))).as("cos"))
+    val topk = TopKAgg.topk(k)
+    scored.groupBy("qid")
+      .agg(topk(col("vec_id"), col("cos")).as("hits"))
+      .select(col("qid"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("hit.key").as("vec_id"), round(col("hit.score"), 4).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** The IVF probe for a USER query table — the TABLE form behind
+    * `graft_ann(dir, query_view, ...)`. Unlike [[ivfTopK]], which
+    * serves a small fixed query set and may collect it for driver-side
+    * probe selection, the query side here is arbitrary, so probe-cell
+    * selection runs DISTRIBUTED: the nCentroids cell scores are one
+    * codegen'd expression array per row, the nProbe smallest
+    * (score, cell) pairs come out of an `array_sort`+`slice` (ties on
+    * the cell index, matching the oracle's ORDER BY d, i), and the
+    * query vector rides along into the cell equi-join — no collect,
+    * no broadcast of the query side, no shuffle keyed on anything but
+    * `cell`. qids are the caller's (opaque), so no self-exclusion.
+    * Output: (qid, rank, vec_id, cos). */
+  def ivfTopKFor(spark: SparkSession, dir: String, queries: DataFrame,
+      qidCol: String, vecCol: String, k: Int = 10, nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val (assigned, centroids) = assignedCells(spark, dir, nCentroids)
+    val q = queries.select(
+      col(qidCol).cast("long").as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qnrm", norm(col("qv")))
+    val cellScores = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(cellScore(col("qv"), c).as("d"), lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    val probed = q
+      .withColumn("pc", slice(array_sort(cellScores), 1, nProbe))
+      .select(col("qid"), col("qv"), col("qnrm"),
+        explode(col("pc.cell")).as("cell"))
+    val scored = assigned.join(probed, Seq("cell"))
       .select(col("qid"), col("vec_id"),
         (call_function("vec_dot", col("v"), col("qv")) /
           (col("nrm") * col("qnrm"))).as("cos"))

@@ -418,4 +418,5 @@ object TextAnalysis {
         md5(concat_ws(",", transform(col("sel"), h => h.cast("string")))).as("fp_winnow"))
       .orderBy("doc_id")
   }
+
 }

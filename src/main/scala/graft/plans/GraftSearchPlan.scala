@@ -178,24 +178,57 @@ object GraftSearchPlan {
     null, "graft_ann", "graft_ann(dir, n_queries, k) - approximate " +
       "nearest neighbors: the first n_queries corpus vectors each " +
       "retrieve their top-k cosine neighbors through the IVF probe. " +
-      "Output (qid, rank, vec_id, cos).", "")
+      "Output (qid, rank, vec_id, cos). TABLE form: graft_ann(dir, " +
+      "query_view, qid_col, vec_col, k[, n_probe]) - each row of the " +
+      "registered view/table `query_view` retrieves the top-k cosine " +
+      "neighbors of its vec_col vector (no self-exclusion; probe-cell " +
+      "selection is fully distributed).", "")
 
-  /** TVF builder for the ANN surface (vector search from SQL):
-    * literal args (dir, n_queries, k). */
+  /** TVF builder for the ANN surface (vector search from SQL). Two
+    * arities, mirroring `graft_query_join`:
+    *  - `(dir, n_queries, k)` — the corpus-prefix probe (the r11 form);
+    *  - `(dir, query_view, qid_col, vec_col, k[, n_probe])` — the
+    *    production shape: the query side is the USER'S registered
+    *    view/table of (id, vector) rows, resolved here at build time
+    *    so an unknown view or missing column fails during analysis. */
   private def buildAnn(args: Seq[Expression]): LogicalPlan = {
     def fail(msg: String) = throw new IllegalArgumentException(
-      s"graft_ann(dir, n_queries, k): $msg")
-    if (args.length != 3) fail(s"expected 3 arguments, got ${args.length}")
-    val dir = args.head match {
+      "graft_ann(dir, n_queries, k) | graft_ann(dir, query_view, " +
+        s"qid_col, vec_col, k[, n_probe]): $msg")
+    def str(e: Expression, what: String): String = e match {
       case Literal(v, StringType) if v != null => v.toString
-      case e => fail(s"dir must be a string literal, got $e")
+      case other => fail(s"$what must be a string literal, got $other")
     }
     def int(e: Expression, what: String): Int = e match {
       case Literal(v: Int, _) => v
       case Literal(v: Long, _) => v.toInt
       case other => fail(s"$what must be an integer literal, got $other")
     }
-    GraftAnnNode(dir, int(args(1), "n_queries"), int(args(2), "k"))
+    args.length match {
+      case 3 =>
+        GraftAnnNode(str(args.head, "dir"), int(args(1), "n_queries"),
+          int(args(2), "k"))
+      case n if n == 5 || n == 6 =>
+        val dir = str(args.head, "dir")
+        val view = str(args(1), "query_view")
+        val qidCol = str(args(2), "qid_col")
+        val vecCol = str(args(3), "vec_col")
+        val schema = try {
+          SparkSession.active.table(view).schema
+        } catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            fail(s"query_view '$view' does not resolve: ${e.getMessage}")
+        }
+        Seq(qidCol -> "qid_col", vecCol -> "vec_col").foreach {
+          case (c, what) =>
+            if (!schema.fieldNames.contains(c))
+              fail(s"$what '$c' is not a column of '$view' " +
+                s"(has: ${schema.fieldNames.mkString(", ")})")
+        }
+        GraftAnnTableNode(dir, view, qidCol, vecCol, int(args(4), "k"),
+          if (n == 6) int(args(5), "n_probe") else 4)
+      case n => fail(s"expected 3 or 5-6 arguments, got $n")
+    }
   }
 
   private val statsFnName = FunctionIdentifier("graft_term_stats")
@@ -353,6 +386,25 @@ object GraftAnnNode {
     AttributeReference("cos", DoubleType, nullable = false)())
 }
 
+/** Logical leaf for the TABLE form of `graft_ann`: the user's
+  * registered view/table is the query side; each row's vec_col vector
+  * retrieves its top-k cosine neighbors through the fully distributed
+  * IVF probe. Carried by NAME (re-resolved at execution), validated
+  * at build time. */
+final case class GraftAnnTableNode(dir: String, queryView: String,
+    qidCol: String, vecCol: String, k: Int, nProbe: Int,
+    output: Seq[Attribute] = GraftAnnNode.freshOutput())
+    extends LeafNode {
+  // |queries| is unknown until execution — same deliberately large
+  // estimate as GraftQueryJoinTableNode so the optimizer never
+  // broadcasts this node's result on a guess
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = BigInt(Long.MaxValue) >> 8)
+  override def simpleString(maxFields: Int): String =
+    s"GraftAnnTableNode dir=$dir, queries=$queryView, qid=$qidCol, " +
+      s"vec=$vecCol, k=$k, nProbe=$nProbe"
+}
+
 /** Logical leaf for a `graft_term_stats` call: the index's per-term
   * (df, cf, idf) statistics, optionally restricted to one field. */
 final case class GraftTermStatsNode(dir: String, field: Option[String],
@@ -394,6 +446,8 @@ final class GraftSearchStrategy extends SparkStrategy {
       GraftBatchSearchExec(dir, queries, k, field, minMatch, out) :: Nil
     case GraftAnnNode(dir, nQueries, k, out) =>
       GraftAnnExec(dir, nQueries, k, out) :: Nil
+    case GraftAnnTableNode(dir, view, qidCol, vecCol, k, nProbe, out) =>
+      GraftAnnTableExec(dir, view, qidCol, vecCol, k, nProbe, out) :: Nil
     case GraftTermStatsNode(dir, field, out) =>
       GraftTermStatsExec(dir, field, out) :: Nil
     case _ => Nil
@@ -507,6 +561,28 @@ final case class GraftAnnExec(dir: String, nQueries: Int, k: Int,
   override protected def doExecute(): RDD[InternalRow] =
     graft.pipeline.Similarity.ivfTopK(session, dir, nQueries, k,
         recordAs = Some("ann_sql"))
+      .select(col("qid").cast("long"), col("rank").cast("long"),
+        col("vec_id").cast("long"), col("cos").cast("double"))
+      .queryExecution.toRdd
+}
+
+/** The TABLE-form ANN physical operator — vector search from SQL over
+  * the USER'S query table, re-resolved by name at execution. Executes
+  * [[graft.pipeline.Similarity.ivfTopKFor]]: probe-cell selection is
+  * a per-row codegen'd expression over the broadcast-literal
+  * centroids (never a driver collect of the query side), candidates
+  * come from one cell equi-join, and the rerank is exact cosine with
+  * a bounded per-query top-k. No self-exclusion — the view's qids are
+  * opaque, not corpus keys. */
+final case class GraftAnnTableExec(dir: String, queryView: String,
+    qidCol: String, vecCol: String, k: Int, nProbe: Int,
+    output: Seq[Attribute]) extends LeafExecNode {
+  override def simpleString(maxFields: Int): String =
+    s"GraftAnnTable dir=$dir, queries=$queryView, qid=$qidCol, " +
+      s"vec=$vecCol, k=$k, nProbe=$nProbe"
+  override protected def doExecute(): RDD[InternalRow] =
+    graft.pipeline.Similarity.ivfTopKFor(session, dir,
+        session.table(queryView), qidCol, vecCol, k = k, nProbe = nProbe)
       .select(col("qid").cast("long"), col("rank").cast("long"),
         col("vec_id").cast("long"), col("cos").cast("double"))
       .queryExecution.toRdd

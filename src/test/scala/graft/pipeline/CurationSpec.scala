@@ -327,6 +327,57 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("domainMixture: temperature interpolates between natural and uniform") {
+    val out = Curation.domainMixture(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(out.nonEmpty)
+    // weights are a distribution
+    assert(math.abs(out.map(_._4).sum - 1.0) < 1e-4)
+    assert(out.forall(_._4 > 0.0))
+    // α=0.7 compresses toward uniform: every domain's weight sits
+    // strictly between its natural share and the uniform share
+    // (unless the two coincide)
+    val total = out.map(_._3).sum.toDouble
+    val uniform = 1.0 / out.length
+    out.foreach { case (s, _, nTok, w, epochs) =>
+      val natural = nTok / total
+      if (math.abs(natural - uniform) > 1e-9) {
+        val lo = math.min(natural, uniform) - 1e-6
+        val hi = math.max(natural, uniform) + 1e-6
+        assert(w > lo && w < hi, s"$s: weight $w outside ($natural, $uniform)")
+      }
+      // epochs_at_budget = weight * total / n_tokens (4dp)
+      assert(math.abs(epochs - w * total / nTok) < 2e-3, s"$s epochs")
+      // small domains repeat (epochs > 1), large ones are subsampled
+      if (natural < uniform * 0.999) assert(epochs > 1.0, s"$s should repeat")
+      if (natural > uniform * 1.001) assert(epochs < 1.0, s"$s should subsample")
+    }
+    // α is honored: α=1 reproduces the natural shares exactly
+    val nat = Curation.domainMixture(spark, dir, alpha = 1.0)
+      .as[(String, Long, Long, Double, Double)].collect()
+    nat.foreach { case (s, _, nTok, w, _) =>
+      assert(math.abs(w - nTok / total) < 1e-5, s"$s: α=1 weight drifted")
+    }
+  }
+
+  test("piiScrubLive: enrichment fires every pattern with id-determined counts") {
+    val out = Curation.piiScrubLive(spark, dir)
+      .as[(Long, Long, Long, Long, String, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, nEmail, nIp, nPhone, fp, _) =>
+      assert(nEmail == (if (id % 2 == 0) 2L else 1L), s"doc $id emails")
+      assert(nIp == 1L, s"doc $id ips")
+      assert(nPhone == (if (id % 5 == 0) 0L else 1L), s"doc $id phones")
+      assert(fp.nonEmpty)
+    }
+    // the redaction actually rewrote the text: live fingerprints
+    // differ from the plain entry's raw-content hashes
+    val plain = Curation.piiScrub(spark, dir)
+      .as[(Long, Long, Long, Long, String, Long)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(out.forall(r => plain(r._1) != r._5))
+  }
+
   test("ccnetBuckets: per-lang buckets are ordered, exhaustive and roughly balanced") {
     import org.apache.spark.sql.functions._
     val out = Curation.ccnetBuckets(spark, dir)

@@ -486,6 +486,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(top(df.repartition(13)) == exact)
   }
 
+  test("bloomMembership: no misses, bounded false positives, m sizes the rate") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Dedup.bloomMembership(spark, dir)
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(out.nonEmpty)
+    val (members, nonMembers) = out.partition(_._2)
+    assert(members.nonEmpty && nonMembers.nonEmpty)
+    // the Bloom guarantee: a member NEVER reads absent
+    assert(members.forall(_._3), "a member fingerprint read absent")
+    // non-members read present only at the false-positive rate:
+    // p ≈ (1 - e^(-kn/m))^k — with n=|corpus|, k=3, m=2^14 that is
+    // well under 1% at this SF; allow generous slack over ~30 probes
+    val fp = nonMembers.count(_._3).toDouble / nonMembers.length
+    assert(fp < 0.2, s"false-positive rate $fp implausibly high")
+    // a filter 64x smaller saturates: the FP rate must rise strictly
+    val tiny = Dedup.bloomMembership(spark, dir, mBits = 1 << 8)
+      .as[(Long, Boolean, Boolean)].collect()
+    val tinyFp = tiny.filter(!_._2).count(_._3).toDouble /
+      tiny.count(!_._2)
+    assert(tinyFp > fp, s"shrinking m did not raise the FP rate ($fp -> $tinyFp)")
+    // members still never miss, even saturated
+    assert(tiny.filter(_._2).forall(_._3))
+  }
+
   test("language profiles are distinct and lowercase") {
     val langs = TextAnalysis.LangProfiles.map(_._1)
     assert(langs == langs.sorted && langs.distinct == langs)

@@ -103,6 +103,71 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(sql.nonEmpty)
   }
 
+  test("TABLE-form graft_ann plans fused, matches the Scala probes") {
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") < 4)
+      .selectExpr("vec_id AS qid", "CAST(embedding AS ARRAY<DOUBLE>) AS qv")
+      .createOrReplaceTempView("ann_spec_queries")
+    val df = spark.sql(
+      s"SELECT * FROM graft_ann('$dir', 'ann_spec_queries', 'qid', 'qv', 6)")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftAnnTable"),
+      s"fused table-ANN node missing from plan:\n$plan")
+    assert(!plan.contains("FileScan"), s"unfused scan leaked:\n$plan")
+    val sql = spark.sql(
+      s"SELECT qid, rank, vec_id, cos FROM graft_ann('$dir', " +
+        "'ann_spec_queries', 'qid', 'qv', 6) ORDER BY qid, rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // parity with the Scala TABLE-form API
+    val api = graft.pipeline.Similarity.ivfTopKFor(spark, dir,
+        spark.table("ann_spec_queries"), "qid", "qv", k = 6)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(sql == api)
+    assert(sql.nonEmpty)
+    // no self-exclusion: each query's own vector sits at rank 1 with
+    // cos rounding to 1.0 (its assigned cell is by definition the
+    // closest, hence always probed)
+    val rank1 = sql.filter(_._2 == 1L)
+    assert(rank1.map(r => (r._1, r._3)).toSet == (0L until 4L).map(q => (q, q)).toSet)
+    assert(rank1.forall(_._4 == 1.0))
+    // dropping the self rows and re-ranking reproduces the
+    // corpus-prefix probe exactly (same centroids cache, same probe
+    // parameters): distributed probe-cell selection == driver-side
+    val deSelfed = sql.filter(r => r._1 != r._3)
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(_._2).zipWithIndex.map { case (r, i) =>
+          (qid, i + 1L, r._3, r._4)
+        }
+      }.sortBy(r => (r._1, r._2))
+    val prefix = graft.pipeline.Similarity.ivfTopK(spark, dir,
+        nQueries = 4, k = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(deSelfed == prefix)
+  }
+
+  test("TABLE-form graft_ann fails fast on bad view / column / arity") {
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_ann('$dir', 'no_such_view_ann', " +
+        "'qid', 'qv', 5)").collect()
+    }
+    assert(e1.getMessage.contains("no_such_view_ann"),
+      s"unknown-view error unhelpful: ${e1.getMessage.take(160)}")
+    spark.range(3).selectExpr("id AS qid", "CAST(id AS STRING) AS body")
+      .createOrReplaceTempView("ann_spec_cols")
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_ann('$dir', 'ann_spec_cols', " +
+        "'qid', 'qv', 5)").collect()
+    }
+    assert(e2.getMessage.contains("vec_col") &&
+      e2.getMessage.contains("ann_spec_cols"),
+      s"missing-column error unhelpful: ${e2.getMessage.take(160)}")
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_ann('$dir', 'a', 'b', 'c')").collect()
+    }
+    assert(e3.getMessage.contains("graft_ann"),
+      s"arity error unhelpful: ${e3.getMessage.take(160)}")
+  }
+
   test("TABLE-form graft_query_join plans fused and equals the Scala path") {
     spark.read.parquet(s"$dir/documents.parquet")
       .where(col("doc_id") < 10)
