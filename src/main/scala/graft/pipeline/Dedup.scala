@@ -817,37 +817,58 @@ object Dedup {
     * or a perturbed one (id % 2 == 1, a guaranteed non-member), so
     * the output exposes both the no-miss guarantee and any false
     * positives: (doc_id, is_member, in_bloom). */
-  def bloomMembership(spark: SparkSession, dir: String,
+  /** 32-bit word index of a bit position: the shift below never
+    * reaches the sign bit, so the oracle engine's checked BIGINT
+    * shift can replay it (1 << 63 overflows there; Spark would wrap
+    * silently — avoid both). */
+  private def bloomWord(pos: Column): Column = shiftright(pos, 5)
+
+  private def bloomMask(pos: Column): Column =
+    call_function("shiftleft", lit(1L),
+      pos.bitwiseAND(lit(31L)).cast("int"))
+
+  /** The corpus Bloom bitset as DATA: a (word, bits) frame of
+    * mBits/32 rows built by one `bit_or` aggregation over the member
+    * fingerprints' k bit positions (integer ops — associative,
+    * commutative, partitioning-proof). Persisted per (dir, m, k):
+    * it is the static "index" side of ingest-time membership, the
+    * same build-once contract as [[corpusLshTables]]. */
+  private[graft] def corpusBloomBitset(spark: SparkSession, dir: String,
       mBits: Int = 1 << 14, kHashes: Int = 3): DataFrame = {
     require(mBits > 0 && (mBits & (mBits - 1)) == 0, "mBits must be a power of two")
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), md5(col("text")).as("fp"))
-    // build: every member fingerprint sets its k bits; one shuffle,
-    // m/64 rows out
-    val bitset = docs
-      .select(explode(array(bloomPositions(col("fp"), mBits, kHashes): _*)).as("pos"))
-      // 32-bit words: the shift never reaches the sign bit, so the
-      // oracle engine's checked BIGINT shift can replay it (1 << 63
-      // overflows there; Spark would wrap silently - avoid both)
-      .select(shiftright(col("pos"), 5).as("word"),
-        call_function("shiftleft", lit(1L),
-          col("pos").bitwiseAND(lit(31L)).cast("int")).as("mask"))
-      .groupBy("word")
-      .agg(call_function("bit_or", col("mask")).as("bits"))
-    // probe: even ids ask for their own fingerprint (member), odd ids
-    // for a perturbed one (non-member) — false positives observable
-    val probes = docs
+    persistOnce(s"bloom#$dir#$mBits#$kHashes") {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(md5(col("text")).as("fp"))
+        .select(explode(array(bloomPositions(col("fp"), mBits, kHashes): _*)).as("pos"))
+        .select(bloomWord(col("pos")).as("word"), bloomMask(col("pos")).as("mask"))
+        .groupBy("word")
+        .agg(call_function("bit_or", col("mask")).as("bits"))
+    }
+  }
+
+  /** The standard probe frame: even ids ask for their own fingerprint
+    * (member), odd ids for a perturbed one (guaranteed non-member) —
+    * so the no-miss guarantee AND the false-positive rate are both
+    * observable in the output. Shared by the batch entry and the
+    * streaming form (same rows → same oracle). */
+  private[graft] def bloomProbeFrame(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), md5(col("text")).as("fp"))
       .withColumn("is_member", col("doc_id") % 2 === 0)
       .withColumn("probe_fp",
         when(col("is_member"), col("fp"))
           .otherwise(md5(concat(col("fp"), lit("!absent")))))
+      .select(col("doc_id"), col("is_member"), col("probe_fp"))
+
+  def bloomMembership(spark: SparkSession, dir: String,
+      mBits: Int = 1 << 14, kHashes: Int = 3): DataFrame = {
+    val bitset = corpusBloomBitset(spark, dir, mBits, kHashes)
+    val probes = bloomProbeFrame(
+        spark.read.parquet(s"$dir/documents.parquet"))
       .select(col("doc_id"), col("is_member"),
         posexplode(array(bloomPositions(col("probe_fp"), mBits, kHashes): _*))
           .as(Seq("i", "pos")))
       .select(col("doc_id"), col("is_member"),
-        shiftright(col("pos"), 5).as("word"),
-        call_function("shiftleft", lit(1L),
-          col("pos").bitwiseAND(lit(31L)).cast("int")).as("mask"))
+        bloomWord(col("pos")).as("word"), bloomMask(col("pos")).as("mask"))
     probes.join(bitset, Seq("word"), "left")
       .groupBy("doc_id", "is_member")
       .agg(call_function("bool_and",
@@ -855,5 +876,32 @@ object Dedup {
         .as("in_bloom"))
       .select(col("doc_id"), col("is_member"), col("in_bloom"))
       .orderBy("doc_id")
+  }
+
+  /** The streaming form of [[bloomMembership]]'s probe: each arriving
+    * document checks its k bits with k STREAM-STATIC LEFT JOINS
+    * against the (word, bits) bitset — the k positions stay COLUMNS
+    * (no explode), the verdict is an in-row conjunction, and the plan
+    * carries no aggregation, so the query is completely STATELESS
+    * (the e2e-ingest-DAG join discipline). This is the uncapped
+    * answer to the capped per-bucket candidate dictionaries
+    * ([[corpusBandCandidates]]'s observable truncation): a Bloom
+    * bitset holds EVERY member in fixed memory — exact misses, FP-only
+    * divergence, no hot-bucket cap to silently cross at scale. */
+  private[graft] def bloomVsCorpus(docs: DataFrame, bitset: DataFrame,
+      mBits: Int = 1 << 14, kHashes: Int = 3): DataFrame = {
+    val base = bloomProbeFrame(docs)
+    val withBits = (0 until kHashes).foldLeft(
+      (0 until kHashes).foldLeft(base) { (d, i) =>
+        val pos = bloomPositions(col("probe_fp"), mBits, kHashes)(i)
+        d.withColumn(s"w$i", bloomWord(pos)).withColumn(s"m$i", bloomMask(pos))
+      }) { (d, i) =>
+      d.join(bitset.select(col("word").as(s"w$i"), col("bits").as(s"b$i")),
+        Seq(s"w$i"), "left")
+    }
+    val inBloom = (0 until kHashes)
+      .map(i => coalesce(col(s"b$i"), lit(0L)).bitwiseAND(col(s"m$i")) =!= 0L)
+      .reduceLeft(_ && _)
+    withBits.select(col("doc_id"), col("is_member"), inBloom.as("in_bloom"))
   }
 }

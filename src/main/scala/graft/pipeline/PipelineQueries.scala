@@ -340,6 +340,38 @@ object PipelineQueries {
        |  SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id)
        |)""".stripMargin
 
+  /** DuckDB replica of [[Dedup.bloomMembership]] (m=2^14, k=3): build
+    * the (word, bits) bitset with the identical integer/md5
+    * arithmetic, probe the same even-member / odd-perturbed frame.
+    * Also the oracle of the STREAMING form ([[Dedup.bloomVsCorpus]]),
+    * which produces the same rows through k stateless stream-static
+    * joins — shared like [[annVsCorpusOracleSql]]. */
+  private[graft] val bloomMembershipOracleSql: String =
+    """WITH docs AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |mpos AS (
+      |  SELECT ('0x' || substr(md5(fp || '#' || i), 1, 8))::BIGINT % 16384 AS pos
+      |  FROM docs, range(3) t(i)
+      |),
+      |bitset AS (
+      |  SELECT pos >> 5 AS word, bit_or(1::BIGINT << CAST(pos & 31 AS INT)) AS bits
+      |  FROM mpos GROUP BY 1
+      |),
+      |probes AS (
+      |  SELECT doc_id, doc_id % 2 = 0 AS is_member,
+      |    CASE WHEN doc_id % 2 = 0 THEN fp ELSE md5(fp || '!absent') END AS probe_fp
+      |  FROM docs
+      |),
+      |ppos AS (
+      |  SELECT doc_id, is_member,
+      |    ('0x' || substr(md5(probe_fp || '#' || i), 1, 8))::BIGINT % 16384 AS pos
+      |  FROM probes, range(3) t(i)
+      |)
+      |SELECT p.doc_id, p.is_member,
+      |  bool_and((coalesce(b.bits, 0) & (1::BIGINT << CAST(p.pos & 31 AS INT))) <> 0) AS in_bloom
+      |FROM ppos p LEFT JOIN bitset b ON b.word = p.pos >> 5
+      |GROUP BY 1, 2
+      |ORDER BY doc_id""".stripMargin
+
   /** DuckDB replica of the ingest-time streaming ANN probe
     * ([[graft.streaming.EventStreams.annVsCorpusStream]]): every
     * vector replayed as the arriving side against the LSH-bucketed
@@ -1600,31 +1632,7 @@ object PipelineQueries {
     // pure integer/md5 arithmetic end-to-end (positions, 32-bit
     // words, bit_or, bool_and) — both engines replay the filter
     // bit-exactly, false positives included
-    "dedup_bloom" ->
-      """WITH docs AS (SELECT doc_id, md5(text) AS fp FROM documents),
-        |mpos AS (
-        |  SELECT ('0x' || substr(md5(fp || '#' || i), 1, 8))::BIGINT % 16384 AS pos
-        |  FROM docs, range(3) t(i)
-        |),
-        |bitset AS (
-        |  SELECT pos >> 5 AS word, bit_or(1::BIGINT << CAST(pos & 31 AS INT)) AS bits
-        |  FROM mpos GROUP BY 1
-        |),
-        |probes AS (
-        |  SELECT doc_id, doc_id % 2 = 0 AS is_member,
-        |    CASE WHEN doc_id % 2 = 0 THEN fp ELSE md5(fp || '!absent') END AS probe_fp
-        |  FROM docs
-        |),
-        |ppos AS (
-        |  SELECT doc_id, is_member,
-        |    ('0x' || substr(md5(probe_fp || '#' || i), 1, 8))::BIGINT % 16384 AS pos
-        |  FROM probes, range(3) t(i)
-        |)
-        |SELECT p.doc_id, p.is_member,
-        |  bool_and((coalesce(b.bits, 0) & (1::BIGINT << CAST(p.pos & 31 AS INT))) <> 0) AS in_bloom
-        |FROM ppos p LEFT JOIN bitset b ON b.word = p.pos >> 5
-        |GROUP BY 1, 2
-        |ORDER BY doc_id""".stripMargin,
+    "dedup_bloom" -> bloomMembershipOracleSql,
 
     "dedup_simhash" ->
       s"""$toksCte,

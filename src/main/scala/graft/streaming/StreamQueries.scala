@@ -304,6 +304,22 @@ object StreamQueries {
         .select(col("band"), col("doc_id"), col("corpus_id"), col("jaccard"))
         .orderBy("band", "doc_id", "corpus_id")
     }),
+    // ingest-time Bloom membership: each arriving doc checks its k
+    // filter bits via k stateless stream-static left joins against
+    // the (word, bits) bitset frame — fixed memory for ANY corpus
+    // size, exact misses, FP-only divergence (the uncapped
+    // counterpart of the capped candidate dictionaries). Rows equal
+    // the batch dedup_bloom entry's, so the oracle is shared.
+    "stream_bloom_vs_corpus" -> ((s, dir) => {
+      val name = s"stream_bloom_${sinkId.incrementAndGet()}"
+      val bitset = graft.pipeline.Dedup.corpusBloomBitset(s, dir)
+      EventStreams.runToMemorySink(
+        graft.pipeline.Dedup.bloomVsCorpus(stagedDocs(s, dir), bitset),
+        name, OutputMode.Append())
+      s.table(name)
+        .select(col("doc_id"), col("is_member"), col("in_bloom"))
+        .orderBy("doc_id")
+    }),
     // ingest-time exact-substring detection: arriving windows hashed
     // map-side, stream-static joined to the corpus gram stats; a
     // window flags when some OTHER corpus doc contains it. Stateless.
@@ -809,5 +825,9 @@ object StreamQueries {
   val oracles: Map[String, String] = oraclesBase +
     ("stream_dedup_vs_corpus_bucketed" -> oraclesBase("stream_dedup_vs_corpus")) +
     ("stream_ann_vs_corpus" ->
-      graft.pipeline.PipelineQueries.annVsCorpusOracleSql(minCos = 0.3))
+      graft.pipeline.PipelineQueries.annVsCorpusOracleSql(minCos = 0.3)) +
+    // the streaming Bloom probe produces the batch entry's rows (same
+    // probe frame, same bitset) through k stateless joins
+    ("stream_bloom_vs_corpus" ->
+      graft.pipeline.PipelineQueries.bloomMembershipOracleSql)
 }

@@ -155,6 +155,35 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming Bloom probe matches the batch entry and stays stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    val dir = "/root/testdata/sf0.001"
+    val batch = Dedup.bloomMembership(spark, dir)
+      .as[(Long, Boolean, Boolean)].collect().toSet
+    val bitset = Dedup.corpusBloomBitset(spark, dir)
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val out = Dedup.bloomVsCorpus(docs, bitset)
+    val q = out.writeStream.format("memory").queryName("bloom_sink")
+      .outputMode(OutputMode.Append()).start()
+    // replay the corpus as the arriving stream in two batches
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val (a, b) = rows.splitAt(rows.length / 2)
+    mem.addData(a.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(b.toIndexedSeq)
+    q.processAllAvailable()
+    val got = spark.table("bloom_sink")
+      .as[(Long, Boolean, Boolean)].collect().toSet
+    assert(got == batch, "stream rows diverge from the batch Bloom entry")
+    // stateless: k joins, no aggregation, no state store
+    assert(q.lastProgress.stateOperators.isEmpty,
+      q.lastProgress.stateOperators.mkString(","))
+    q.stop()
+  }
+
   test("ingest substring detection flags only cross-doc windows, stays stateless") {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.Dedup
