@@ -85,6 +85,12 @@ object PipelineQueries {
     // oracle generated at runtime from the fitted centroids (see
     // ivfOracle below); KMeans quality itself is covered by IvfSpec
     "ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir, recordAs = Some("ann_ivf"))),
+    // index-quality measurement: recall@k of the IVF probe against the
+    // exact brute-force top-k over the same queries — a live
+    // cross-check of the two pipelines, and the monitoring op every
+    // vector deployment runs (recorded-run oracle replays BOTH legs)
+    "ann_recall" -> ((s, dir) =>
+      Similarity.ivfRecall(s, dir, recordAs = Some("ann_recall"))),
     // vector search from pure SQL: the IVF probe through the fused
     // graft_ann table function (recorded-run oracle, ann_ivf pattern)
     "ann_sql" -> ((s, dir) =>
@@ -409,7 +415,58 @@ object PipelineQueries {
     * cosine rerank are recomputed in SQL. Verifies everything
     * downstream of the KMeans fit. */
   private def ivfOracle: Map[String, String] =
-    Seq("ann_ivf", "ann_sql", "ann_sql_table").flatMap(ivfOracleFor).toMap
+    Seq("ann_ivf", "ann_sql", "ann_sql_table").flatMap(ivfOracleFor).toMap ++
+      ivfRecallOracle
+
+  /** DuckDB replica of [[Similarity.ivfRecall]]: BOTH legs — the
+    * exact brute-force top-k and the IVF probe (from the recorded
+    * centroids, [[ivfOracleFor]]'s pipeline) — joined on
+    * (qid, vec_id) and folded to per-query hit counts. */
+  private def ivfRecallOracle: Map[String, String] =
+    Similarity.recordedIvfRun("ann_recall") match {
+      case None => Map.empty
+      case Some(run) =>
+        val values = run.centroids.zipWithIndex.map { case (c, i) =>
+          val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+          s"($i, [${c.mkString(", ")}]::DOUBLE[], $cc)"
+        }.mkString(",\n    ")
+        Map("ann_recall" ->
+          s"""$embCte,
+             |cents(i, c, cc) AS (VALUES
+             |    $values
+             |), sc AS (
+             |  SELECT e.vec_id, cents.i,
+             |    cents.cc - 2 * list_sum(list_transform(range(1, ${run.dim + 1}), j -> e.v[j] * cents.c[j])) AS d
+             |  FROM e, cents
+             |), cells AS (
+             |  SELECT vec_id, i AS cell FROM (
+             |    SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rn FROM sc)
+             |  WHERE rn = 1
+             |), probes AS (
+             |  SELECT vec_id AS qid, i AS cell FROM (
+             |    SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY d, i) AS rn
+             |    FROM sc WHERE vec_id < ${run.nQueries})
+             |  WHERE rn <= ${run.nProbe}
+             |), iv AS (
+             |  SELECT p.qid, c.vec_id, list_cosine_similarity(ev.v, eq.v) AS cos
+             |  FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.qid
+             |  JOIN e ev ON ev.vec_id = c.vec_id
+             |  JOIN e eq ON eq.vec_id = p.qid
+             |), ivr AS (
+             |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM iv
+             |), ivf AS (SELECT qid, vec_id FROM ivr WHERE rank <= ${run.k}),
+             |bfs AS (
+             |  SELECT q.vec_id AS qid, e2.vec_id, list_cosine_similarity(e2.v, q.v) AS cos
+             |  FROM e q, e e2 WHERE q.vec_id < ${run.nQueries} AND e2.vec_id <> q.vec_id
+             |), bfr AS (
+             |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM bfs
+             |), bf AS (SELECT qid, vec_id FROM bfr WHERE rank <= ${run.k})
+             |SELECT b.qid, count(i.vec_id)::BIGINT AS n_hit,
+             |  round_even((count(i.vec_id) / ${run.k}.0) * 1e4, 0) / 1e4 AS recall
+             |FROM bf b LEFT JOIN ivf i ON i.qid = b.qid AND i.vec_id = b.vec_id
+             |GROUP BY 1
+             |ORDER BY b.qid""".stripMargin)
+    }
 
   private def ivfOracleFor(tag: String): Option[(String, String)] =
     Similarity.recordedIvfRun(tag) match {

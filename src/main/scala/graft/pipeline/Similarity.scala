@@ -369,6 +369,33 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** ANN recall@k — the index-quality measurement every vector-search
+    * deployment monitors: for each query, the fraction of the EXACT
+    * cosine top-k the IVF probe retrieved. Both legs are the
+    * library's own operators ([[bruteForce]], [[ivfTopK]]) over the
+    * same query set, so this is also a live cross-check of the two
+    * pipelines against each other. Scale shape: two k-bounded result
+    * frames joined on (qid, vec_id) — cost is the probes themselves;
+    * the recall arithmetic is integer counts over nQueries·k rows.
+    * On a 100 TB corpus this runs over a SAMPLED query set by
+    * construction (nQueries bounds it). Output: (qid, n_hit, recall),
+    * recall = n_hit / k. */
+  def ivfRecall(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 10, nCentroids: Int = 16, nProbe: Int = 4,
+      recordAs: Option[String] = None): DataFrame = {
+    val exact = bruteForce(spark, dir, nQueries, k)
+      .select(col("qid"), col("vec_id"))
+    val approx = ivfTopK(spark, dir, nQueries, k, nCentroids, nProbe, recordAs)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(count(col("hit")).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        graft.functions.Rounding.roundEven(
+          col("n_hit").cast("double") / k, 4).as("recall"))
+      .orderBy("qid")
+  }
+
   /** Everything the SemDeDup oracle needs: the fitted centroids plus
     * the threshold they were deduped at (same capture discipline as
     * [[IvfRun]]). */

@@ -32,6 +32,28 @@ class IvfSpec extends AnyFunSuite {
       s"mean recall too low: ${recalls.mkString(",")}")
   }
 
+  test("ivfRecall agrees with a driver-side recount of both legs") {
+    import org.apache.spark.sql.functions.col
+    val out = Similarity.ivfRecall(spark, dir, nQueries = 4, k = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == (0L until 4L).toSeq)
+    assert(out.forall(r => r._2 >= 0 && r._2 <= 8))
+    assert(out.forall(r => math.abs(r._3 - r._2 / 8.0) < 1e-9))
+    // recount: intersect the two operators' id sets directly
+    val exact = Similarity.bruteForce(spark, dir, nQueries = 4, k = 8)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.ivfTopK(spark, dir, nQueries = 4, k = 8)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { case (qid, nHit, _) =>
+      assert(nHit == exact(qid).intersect(approx.getOrElse(qid, Set.empty)).size,
+        s"qid $qid hit count")
+    }
+    // the default probe budget recalls most of the exact set here
+    assert(out.map(_._3).sum / out.length > 0.5)
+  }
+
   test("IVF-PQ recall at equal probe budget matches the plain-IVF baseline") {
     val nQ = 3; val k = 10; val nc = 8; val np = 3
     val exact = Similarity.bruteForce(spark, dir, nQueries = nQ, k = k)
