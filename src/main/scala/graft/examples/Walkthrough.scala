@@ -191,6 +191,28 @@ object Walkthrough {
       .option("query", "spark join").option("k", "5").load()
       .where(col("doc_id") > 10).show(false)
 
+    // 15. vector search over YOUR OWN query table from SQL (TABLE-form
+    // graft_ann: distributed probe-cell selection, no self-exclusion)
+    println("SQL vector search over a user query view:")
+    spark.read.parquet(s"$dir/embeddings.parquet").limit(3)
+      .selectExpr("vec_id AS qid", "CAST(embedding AS ARRAY<DOUBLE>) AS qv")
+      .createOrReplaceTempView("my_vectors")
+    spark.sql(s"SELECT * FROM graft_ann('$dir', 'my_vectors', 'qid', 'qv', 5)")
+      .show(false)
+    println("IVF probe quality (recall@k vs exact top-k):")
+    graft.pipeline.Similarity.ivfRecall(spark, dir).show(false)
+
+    // 16. Bloom membership: the bitset is a DataFrame; the streaming
+    // probe is k stateless stream-static joins (see dedup_bloom /
+    // stream_bloom_vs_corpus entries)
+    println("Bloom membership (even ids = members, odd ids = perturbed):")
+    graft.pipeline.Dedup.bloomMembership(spark, dir).show(6, false)
+
+    // 17. domain mixing: natural share + uniform cap, and the
+    // temperature-scaled weights between them
+    println("temperature-scaled domain sampling weights:")
+    graft.pipeline.Curation.domainMixture(spark, dir).show(5, false)
+
     idx.unpersist()
     spark.stop()
   }

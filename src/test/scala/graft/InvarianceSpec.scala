@@ -27,7 +27,12 @@ class InvarianceSpec extends AnyFunSuite {
     // r10 additions + the previously-uncovered AST-join and
     // percolation families
     "query_join_ast", "stream_percolate", "search_constructor",
-    "ann_ivfpq", "dedup_url", "domain_stats")
+    "ann_ivfpq", "dedup_url", "domain_stats",
+    // r12 additions: the float-fold normalizer (mix_temperature),
+    // the bit_or bitset + FP arithmetic (dedup_bloom), the
+    // distributed probe-cell selection (ann_sql_table's core), and
+    // the two-leg join (ann_recall)
+    "mix_temperature", "dedup_bloom", "ann_recall", "ann_sql_table")
 
   test("entry results are invariant to the shuffle partition count") {
     val key = "spark.sql.shuffle.partitions"
