@@ -233,6 +233,9 @@ object PipelineQueries {
     // decode(encode(x)) == analyze(x): distributed tokenizer inversion
     "bpe_roundtrip" -> ((s, dir) => Bpe.decodeRoundtrip(s, dir)),
     "distinct_hll" -> ((s, dir) => TextAnalysis.distinctTokensHll(s, dir)),
+    // Count-Min frequency sketch: every corpus term + absent probes
+    // estimated from d*w counters; one-sided error hash-visible
+    "cms_counts" -> ((s, dir) => TextAnalysis.cmsTermCounts(s, dir)),
     // frequent-items sketch heavy hitters (bounded merge state)
     "topk_terms_sketch" -> ((s, dir) => TextAnalysis.topTermsSketch(s, dir)),
     "select_budget" -> ((s, dir) => Curation.selectBudget(s, dir)),
@@ -1871,6 +1874,34 @@ object PipelineQueries {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_ish_tokens,
         |  length(text) AS n_chars_utf8
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Count-Min sketch replayed cell-exactly: same md5 cells, same
+    // integer counters, same min fold — one-sided error included
+    "cms_counts" ->
+      s"""$toksCte,
+         |terms AS (SELECT unnest(tokens) AS term FROM toks),
+         |truth AS (SELECT term, count(*) AS cf FROM terms GROUP BY 1),
+         |tcell AS (
+         |  SELECT i AS r, ('0x' || substr(md5(term || '@' || i), 1, 8))::BIGINT % 1024 AS idx
+         |  FROM terms, range(3) t(i)
+         |),
+         |sketch AS (SELECT r, idx, count(*) AS cnt FROM tcell GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT term, cf FROM truth
+         |  UNION ALL
+         |  SELECT 'absent_probe_' || i AS term, 0 AS cf FROM range(5) t(i)
+         |),
+         |pcell AS (
+         |  SELECT term, cf, i AS r,
+         |    ('0x' || substr(md5(term || '@' || i), 1, 8))::BIGINT % 1024 AS idx
+         |  FROM probes, range(3) t2(i)
+         |)
+         |SELECT p.term, p.cf::BIGINT AS cf,
+         |  min(coalesce(s.cnt, 0))::BIGINT AS est,
+         |  min(coalesce(s.cnt, 0)) = p.cf AS exact
+         |FROM pcell p LEFT JOIN sketch s ON s.r = p.r AND s.idx = p.idx
+         |GROUP BY p.term, p.cf
+         |ORDER BY p.term""".stripMargin,
 
     // BPE pair-mining count: non-distinct adjacent 2-grams, total +
     // doc-frequency counts, deterministic (n_occ desc, pair) top-30

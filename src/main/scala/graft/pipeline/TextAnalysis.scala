@@ -331,6 +331,55 @@ object TextAnalysis {
       .orderBy("lang", "rank")
   }
 
+  /** Count-Min sketch term-frequency estimation (Cormode &
+    * Muthukrishnan 2005) — the frequency sibling of the Bloom filter
+    * ([[Dedup.bloomMembership]]) and the last member of the bounded
+    * sketch family (HLL distincts, frequent-items top-k, Bloom
+    * membership, CMS frequencies): collection frequencies for an
+    * UNBOUNDED vocabulary in d·w counters, one-sided error
+    * (estimate >= truth, always).
+    *
+    * Scale shape: the sketch is DATA — a (row, idx, cnt) frame of at
+    * most d·w rows from ONE aggregation over the exploded token
+    * stream (counts: associative integers, partitioning-proof).
+    * Estimation is a (row, idx)-keyed equi-join of the probe terms'
+    * d hash cells with that frame and a `min` fold per term; the
+    * sketch broadcasts at any practical (d, w). Merging shards =
+    * summing counters cell-wise — the property that makes CMS the
+    * standard distributed frequency sketch.
+    *
+    * The entry probes EVERY corpus term (truth joined alongside) plus
+    * `nAbsent` synthetic absent terms, so the one-sided guarantee and
+    * the collision overestimates are both hash-visible. All-integer
+    * md5 arithmetic — the oracle replays the sketch cell-exactly.
+    * Output: (term, cf, est, exact) with est >= cf by construction. */
+  def cmsTermCounts(spark: SparkSession, dir: String, w: Int = 1024,
+      d: Int = 3, nAbsent: Int = 5): DataFrame = {
+    def cell(term: Column, i: Int): Column =
+      conv(substring(md5(concat(term, lit(s"@$i"))), 1, 8), 16, 10)
+        .cast("long") % w
+    val terms = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(toks(col("text"))).as("term"))
+    val truth = terms.groupBy("term").agg(count(lit(1)).as("cf"))
+    val sketch = terms
+      .select(posexplode(array((0 until d).map(i => cell(col("term"), i)): _*))
+        .as(Seq("row", "idx")))
+      .groupBy("row", "idx").agg(count(lit(1)).as("cnt"))
+    val absent = spark.range(nAbsent.toLong)
+      .select(concat(lit("absent_probe_"), col("id").cast("string")).as("term"),
+        lit(0L).as("cf"))
+    val probes = truth.unionByName(absent)
+      .select(col("term"), col("cf"),
+        posexplode(array((0 until d).map(i => cell(col("term"), i)): _*))
+          .as(Seq("row", "idx")))
+    probes.join(sketch, Seq("row", "idx"), "left")
+      .groupBy("term", "cf")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .select(col("term"), col("cf"), col("est"),
+        (col("est") === col("cf")).as("exact"))
+      .orderBy("term")
+  }
+
   /** Document fingerprints: full-content md5, winnowing-style minimum
     * 5-shingle md5 (content-shift tolerant, via the native
     * [[graft.functions.MinShingleMd5]] — the Column form

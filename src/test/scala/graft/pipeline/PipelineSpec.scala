@@ -510,6 +510,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(tiny.filter(_._2).forall(_._3))
   }
 
+  test("cmsTermCounts: one-sided error, exact at low load, absent probes present") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.cmsTermCounts(spark, dir)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    // CMS guarantee: NEVER underestimates
+    assert(out.forall(r => r._3 >= r._2), "CMS underestimated a count")
+    assert(out.forall(r => r._4 == (r._3 == r._2)))
+    // absent probes are present with cf 0
+    val absent = out.filter(_._1.startsWith("absent_probe_"))
+    assert(absent.length == 5 && absent.forall(_._2 == 0L))
+    // the corpus vocabulary is far below d*w: most estimates exact
+    val exactFrac = out.count(_._4).toDouble / out.length
+    assert(exactFrac > 0.8, s"too many collisions at this load: $exactFrac")
+    // truth side matches a direct recount for a spot term
+    val truth = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(graft.analysis.Analyzers.default.tokensCol(col("text"))).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect().toMap
+    out.filterNot(_._1.startsWith("absent_probe_")).take(20).foreach { r =>
+      assert(truth(r._1) == r._2, s"cf mismatch for ${r._1}")
+    }
+    // a 16x smaller sketch must saturate: exactness strictly drops
+    val tiny = TextAnalysis.cmsTermCounts(spark, dir, w = 64)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(tiny.forall(r => r._3 >= r._2))
+    assert(tiny.count(_._4) < out.count(_._4),
+      "shrinking w did not increase collisions")
+  }
+
   test("language profiles are distinct and lowercase") {
     val langs = TextAnalysis.LangProfiles.map(_._1)
     assert(langs == langs.sorted && langs.distinct == langs)
