@@ -144,19 +144,26 @@ object GraftSearchPlan {
       "(0-based qid) returns its top-k BM25 hits. `field` selects the " +
       "indexed text field to probe (default: the first); min_match <= 0 " +
       "requires ALL terms, n >= 1 at least n (default 1 = any). Output " +
-      "(qid, rank, key, score).", "")
+      "(qid, rank, key, score). TABLE form: graft_batch_search(dir, " +
+      "queries_view, qid_col, query_col, k[, field[, min_match]]) - " +
+      "each row of the registered view/table runs its query_col text " +
+      "as a batch query (analyzed with the index's query-time " +
+      "analyzer).", "")
 
-  /** TVF builder for the batch search (SURVEY §2.2 from SQL): literal
-    * args (dir, queries, k[, field[, min_match]]) — the optional
-    * field / min_match pair closes the gap to the Scala
-    * [[graft.search.SearchIndex.batchSearch]] surface (field
-    * selection + ALL-terms mode, reference batch family
-    * SearchableRDD.scala:194-250). */
+  /** TVF builder for the batch search (SURVEY §2.2 from SQL). Two
+    * forms, disambiguated by the THIRD argument's type (integer k =
+    * literal form; string qid_col = TABLE form — the arities overlap
+    * at 5):
+    *  - `(dir, queries, k[, field[, min_match]])` — literal
+    *    ';'-separated query list;
+    *  - `(dir, queries_view, qid_col, query_col, k[, field
+    *    [, min_match]])` — the user's registered view/table of
+    *    (id, query text) rows, resolved at build time. */
   private def buildBatch(args: Seq[Expression]): LogicalPlan = {
     def fail(msg: String) = throw new IllegalArgumentException(
-      s"graft_batch_search(dir, queries, k[, field[, min_match]]): $msg")
-    if (args.length < 3 || args.length > 5)
-      fail(s"expected 3-5 arguments, got ${args.length}")
+      "graft_batch_search(dir, queries, k[, field[, min_match]]) | " +
+        "graft_batch_search(dir, queries_view, qid_col, query_col, k" +
+        s"[, field[, min_match]]): $msg")
     def str(e: Expression, what: String): String = e match {
       case Literal(v, StringType) if v != null => v.toString
       case other => fail(s"$what must be a string literal, got $other")
@@ -166,10 +173,38 @@ object GraftSearchPlan {
       case Literal(v: Long, _) => v.toInt
       case other => fail(s"$what must be an integer literal, got $other")
     }
-    GraftBatchSearchNode(str(args.head, "dir"), str(args(1), "queries"),
-      int(args(2), "k"),
-      field = if (args.length >= 4) Some(str(args(3), "field")) else None,
-      minMatch = if (args.length >= 5) int(args(4), "min_match") else 1)
+    val isTable = args.length >= 5 &&
+      (args(2) match { case Literal(_, StringType) => true; case _ => false })
+    if (isTable) {
+      if (args.length > 7) fail(s"expected 5-7 arguments, got ${args.length}")
+      val dir = str(args.head, "dir")
+      val view = str(args(1), "queries_view")
+      val qidCol = str(args(2), "qid_col")
+      val queryCol = str(args(3), "query_col")
+      val schema = try {
+        SparkSession.active.table(view).schema
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          fail(s"queries_view '$view' does not resolve: ${e.getMessage}")
+      }
+      Seq(qidCol -> "qid_col", queryCol -> "query_col").foreach {
+        case (c, what) =>
+          if (!schema.fieldNames.contains(c))
+            fail(s"$what '$c' is not a column of '$view' " +
+              s"(has: ${schema.fieldNames.mkString(", ")})")
+      }
+      GraftBatchSearchTableNode(dir, view, qidCol, queryCol,
+        int(args(4), "k"),
+        field = if (args.length >= 6) Some(str(args(5), "field")) else None,
+        minMatch = if (args.length >= 7) int(args(6), "min_match") else 1)
+    } else {
+      if (args.length < 3 || args.length > 5)
+        fail(s"expected 3-5 arguments, got ${args.length}")
+      GraftBatchSearchNode(str(args.head, "dir"), str(args(1), "queries"),
+        int(args(2), "k"),
+        field = if (args.length >= 4) Some(str(args(3), "field")) else None,
+        minMatch = if (args.length >= 5) int(args(4), "min_match") else 1)
+    }
   }
 
   private val annFnName = FunctionIdentifier("graft_ann")
@@ -386,6 +421,26 @@ object GraftAnnNode {
     AttributeReference("cos", DoubleType, nullable = false)())
 }
 
+/** Logical leaf for the TABLE form of `graft_batch_search`: the
+  * user's registered view/table supplies (qid, query text) rows;
+  * each row's text is analyzed with the index's query-time analyzer
+  * and probed as one distributed batch. Carried by NAME (re-resolved
+  * at execution), validated at build time. */
+final case class GraftBatchSearchTableNode(dir: String, queriesView: String,
+    qidCol: String, queryCol: String, k: Int,
+    field: Option[String], minMatch: Int,
+    output: Seq[Attribute] = GraftBatchSearchNode.freshOutput())
+    extends LeafNode {
+  // |queries| unknown until execution — same deliberately large
+  // estimate as the other TABLE-form nodes
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = BigInt(Long.MaxValue) >> 8)
+  override def simpleString(maxFields: Int): String =
+    s"GraftBatchSearchTableNode dir=$dir, queries=$queriesView, " +
+      s"qid=$qidCol, query=$queryCol, k=$k" +
+      field.map(f => s", field=$f").getOrElse("") + s", minMatch=$minMatch"
+}
+
 /** Logical leaf for the TABLE form of `graft_ann`: the user's
   * registered view/table is the query side; each row's vec_col vector
   * retrieves its top-k cosine neighbors through the fully distributed
@@ -444,6 +499,10 @@ final class GraftSearchStrategy extends SparkStrategy {
         field, minMatch, out) :: Nil
     case GraftBatchSearchNode(dir, queries, k, field, minMatch, out) =>
       GraftBatchSearchExec(dir, queries, k, field, minMatch, out) :: Nil
+    case GraftBatchSearchTableNode(dir, view, qidCol, queryCol, k,
+        field, minMatch, out) =>
+      GraftBatchSearchTableExec(dir, view, qidCol, queryCol, k,
+        field, minMatch, out) :: Nil
     case GraftAnnNode(dir, nQueries, k, out) =>
       GraftAnnExec(dir, nQueries, k, out) :: Nil
     case GraftAnnTableNode(dir, view, qidCol, vecCol, k, nProbe, out) =>
@@ -506,6 +565,40 @@ final case class GraftBatchSearchExec(dir: String, queries: String, k: Int,
     }
     import idx.spark.implicits._
     val qdf = qs.toDF("qid", "field", "terms", "min_match")
+    idx.batchSearch(qdf, k)
+      .select(col("qid").cast("long"), col("rank").cast("long"),
+        col("key").cast("long"), col("score").cast("double"))
+      .queryExecution.toRdd
+  }
+}
+
+/** The TABLE-form batch-search physical operator: the user's query
+  * table is re-resolved by name at execution; each row's query text
+  * is analyzed IN THE PLAN (the index's query-time analyzer as a
+  * Column pipeline — no driver collect of the query side, unlike the
+  * literal form's tiny fixed list) and the whole set probes the
+  * postings index as one distributed batch with per-query top-k. */
+final case class GraftBatchSearchTableExec(dir: String, queriesView: String,
+    qidCol: String, queryCol: String, k: Int,
+    fieldOpt: Option[String], minMatch: Int,
+    output: Seq[Attribute]) extends LeafExecNode {
+  override def simpleString(maxFields: Int): String =
+    s"GraftBatchSearchTable dir=$dir, queries=$queriesView, qid=$qidCol, " +
+      s"query=$queryCol, k=$k" +
+      fieldOpt.map(f => s", field=$f").getOrElse("") + s", minMatch=$minMatch"
+  override protected def doExecute(): RDD[InternalRow] = {
+    import org.apache.spark.sql.functions.lit
+    val idx = graft.search.SearchQueries.indexFor(session, dir)
+    val field = fieldOpt.getOrElse(idx.spec.textFields.head)
+    require(idx.spec.textFields.contains(field),
+      s"graft_batch_search: '$field' is not an indexed text field " +
+        s"(has: ${idx.spec.textFields.mkString(", ")})")
+    val an = graft.analysis.Analyzers(idx.spec.queryAnalyzer)
+    val qdf = session.table(queriesView).select(
+      col(qidCol).cast("long").as("qid"),
+      lit(field).as("field"),
+      an.tokensCol(col(queryCol)).as("terms"),
+      lit(minMatch).as("min_match"))
     idx.batchSearch(qdf, k)
       .select(col("qid").cast("long"), col("rank").cast("long"),
         col("key").cast("long"), col("score").cast("double"))

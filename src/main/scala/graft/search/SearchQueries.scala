@@ -296,6 +296,18 @@ object SearchQueries {
       s.sql("SELECT qid, rank, key, round(score, 4) AS score " +
         s"FROM graft_batch_search('$dir', 'spark join; window batch; vector', 5) " +
         "ORDER BY qid, rank")),
+    // the TABLE form over a user view of (qid, query text) rows —
+    // same queries as the literal entry, so the oracle is shared by
+    // construction; the query side is analyzed in the plan, never
+    // collected
+    "batch_search_sql_table" -> ((s, dir) => {
+      import s.implicits._
+      Seq((0L, "spark join"), (1L, "window batch"), (2L, "vector"))
+        .toDF("qid", "q").createOrReplaceTempView("graft_batch_queries")
+      s.sql("SELECT qid, rank, key, round(score, 4) AS score " +
+        s"FROM graft_batch_search('$dir', 'graft_batch_queries', 'qid', 'q', 5) " +
+        "ORDER BY qid, rank")
+    }),
 
     // DataSource V2 front door: spark.read.format("graft") — WHERE
     // clauses on keyword/numeric columns push INTO the index probe
@@ -1744,6 +1756,12 @@ object SearchQueries {
     // the SQL front doors must land on the very same answers
     "query_join_sql" -> queryJoinOracleSql,
     "batch_search_sql" -> batchOracle(
+      "(0, 'spark', 1, 2), (0, 'join', 1, 2), (1, 'window', 1, 2), " +
+        "(1, 'batch', 1, 2), (2, 'vector', 1, 1)",
+      k = 5, excludeSelf = false, outCols = "qid"),
+    // TABLE form over the same three queries: identical rows by
+    // construction
+    "batch_search_sql_table" -> batchOracle(
       "(0, 'spark', 1, 2), (0, 'join', 1, 2), (1, 'window', 1, 2), " +
         "(1, 'batch', 1, 2), (2, 'vector', 1, 1)",
       k = 5, excludeSelf = false, outCols = "qid"),

@@ -103,6 +103,47 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(sql.nonEmpty)
   }
 
+  test("TABLE-form graft_batch_search equals the literal form row-for-row") {
+    spark.createDataFrame(Seq((0L, "spark join"), (1L, "vector table")))
+      .toDF("qid", "qtext").createOrReplaceTempView("bst_spec_queries")
+    val df = spark.sql(
+      s"SELECT * FROM graft_batch_search('$dir', 'bst_spec_queries', 'qid', 'qtext', 4)")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftBatchSearchTable"),
+      s"fused table-batch node missing from plan:\n$plan")
+    assert(!plan.contains("FileScan"), s"unfused scan leaked:\n$plan")
+    val table = spark.sql(
+      "SELECT qid, rank, key, round(score, 4) AS score FROM " +
+        s"graft_batch_search('$dir', 'bst_spec_queries', 'qid', 'qtext', 4) " +
+        "ORDER BY qid, rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val literal = spark.sql(
+      "SELECT qid, rank, key, round(score, 4) AS score FROM " +
+        s"graft_batch_search('$dir', 'spark join; vector table', 4) " +
+        "ORDER BY qid, rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(table == literal)
+    assert(table.nonEmpty)
+    // field + min_match thread through the TABLE form too: ALL-terms
+    // results are a subset of ANY-terms
+    val all = spark.sql(
+      "SELECT qid, key FROM graft_batch_search(" +
+        s"'$dir', 'bst_spec_queries', 'qid', 'qtext', 4, 'text', 0)")
+      .as[(Long, Long)].collect().toSet
+    assert(all.subsetOf(table.map(r => (r._1, r._3)).toSet))
+    // bad view / column fail fast at analysis
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_batch_search('$dir', " +
+        "'no_such_view_bst', 'qid', 'qtext', 4)").collect()
+    }
+    assert(e.getMessage.contains("no_such_view_bst"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_batch_search('$dir', " +
+        "'bst_spec_queries', 'qid', 'body', 4)").collect()
+    }
+    assert(e2.getMessage.contains("query_col"))
+  }
+
   test("TABLE-form graft_ann plans fused, matches the Scala probes") {
     spark.read.parquet(s"$dir/embeddings.parquet")
       .where(col("vec_id") < 4)
