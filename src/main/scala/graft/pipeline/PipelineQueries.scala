@@ -133,6 +133,21 @@ object PipelineQueries {
       Similarity.loadedIvfPqTopK(s, dir, store,
         recordAs = Some("ann_ivfpq_reloaded"))
     }),
+    // the persisted store probed from PURE SQL (the serving path):
+    // the fused graft_ann_store TVF runs the same loadedIvfPqTopK
+    // plan, so this must equal ann_ivfpq_reloaded row-for-row
+    "ann_store_sql" -> ((s, dir) => {
+      val store = "/tmp/graft_fixtures/pq_index_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      pqStoreWritten.synchronized {
+        if (!pqStoreWritten.contains(store)) {
+          Similarity.savePqIndex(s, dir, store)
+          pqStoreWritten += store
+        }
+      }
+      s.sql("SELECT qid, rank, vec_id, cos " +
+        s"FROM graft_ann_store('$dir', '$store', 5, 10) ORDER BY qid, rank")
+    }),
     // encode-only incremental ingest: the store starts with 90% of
     // the corpus, the last tenth is APPENDED against the frozen
     // centroids/codebooks (no refit, existing codes untouched) — the
@@ -523,7 +538,7 @@ object PipelineQueries {
 
   private def ivfPqOracle: Map[String, String] =
     Seq("ann_ivfpq", "ann_ivfpq_reloaded", "ann_ivfpq_appended",
-      "ann_ivfpq_removed").flatMap(ivfPqOracleFor).toMap
+      "ann_ivfpq_removed", "ann_store_sql").flatMap(ivfPqOracleFor).toMap
 
   /** Per-tag candidate-set restriction: a store that REMOVED a slice
     * must not surface it — the oracle replays the removal as a

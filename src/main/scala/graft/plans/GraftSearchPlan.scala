@@ -266,6 +266,36 @@ object GraftSearchPlan {
     }
   }
 
+  private val annStoreFnName = FunctionIdentifier("graft_ann_store")
+
+  private val annStoreInfo = new ExpressionInfo(GraftAnnStoreNode.getClass.getName,
+    null, "graft_ann_store", "graft_ann_store(corpus_dir, store_path, " +
+      "n_queries, k) - vector search against a PERSISTED IVF-PQ store " +
+      "(the serving path): the first n_queries corpus vectors probe the " +
+      "saved centroids/codebooks/codes at store_path with asymmetric-" +
+      "distance shortlisting and exact re-rank. Output (qid, rank, " +
+      "vec_id, cos).", "")
+
+  /** TVF builder for the persisted-store ANN surface — SQL access to
+    * the saved IVF-PQ index lifecycle (save/load/append/remove/
+    * compact): literal args (corpus_dir, store_path, n_queries, k). */
+  private def buildAnnStore(args: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"graft_ann_store(corpus_dir, store_path, n_queries, k): $msg")
+    if (args.length != 4) fail(s"expected 4 arguments, got ${args.length}")
+    def str(e: Expression, what: String): String = e match {
+      case Literal(v, StringType) if v != null => v.toString
+      case other => fail(s"$what must be a string literal, got $other")
+    }
+    def int(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case other => fail(s"$what must be an integer literal, got $other")
+    }
+    GraftAnnStoreNode(str(args.head, "corpus_dir"), str(args(1), "store_path"),
+      int(args(2), "n_queries"), int(args(3), "k"))
+  }
+
   private val statsFnName = FunctionIdentifier("graft_term_stats")
 
   private val statsInfo = new ExpressionInfo(GraftTermStatsNode.getClass.getName,
@@ -296,6 +326,7 @@ object GraftSearchPlan {
     ext.injectTableFunction((joinFnName, joinInfo, buildJoin))
     ext.injectTableFunction((batchFnName, batchInfo, buildBatch))
     ext.injectTableFunction((annFnName, annInfo, buildAnn))
+    ext.injectTableFunction((annStoreFnName, annStoreInfo, buildAnnStore))
     ext.injectTableFunction((statsFnName, statsInfo, buildStats))
     ext.injectPlannerStrategy(_ => new GraftSearchStrategy)
   }
@@ -421,6 +452,19 @@ object GraftAnnNode {
     AttributeReference("cos", DoubleType, nullable = false)())
 }
 
+/** Logical leaf for a `graft_ann_store` call: ADC probe + exact
+  * re-rank against a PERSISTED IVF-PQ store. */
+final case class GraftAnnStoreNode(dir: String, store: String,
+    nQueries: Int, k: Int,
+    output: Seq[Attribute] = GraftAnnNode.freshOutput())
+    extends LeafNode {
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes =
+      BigInt(nQueries.toLong.max(1L) * k.toLong.max(1L) * 32L))
+  override def simpleString(maxFields: Int): String =
+    s"GraftAnnStoreNode dir=$dir, store=$store, nQueries=$nQueries, k=$k"
+}
+
 /** Logical leaf for the TABLE form of `graft_batch_search`: the
   * user's registered view/table supplies (qid, query text) rows;
   * each row's text is analyzed with the index's query-time analyzer
@@ -507,6 +551,8 @@ final class GraftSearchStrategy extends SparkStrategy {
       GraftAnnExec(dir, nQueries, k, out) :: Nil
     case GraftAnnTableNode(dir, view, qidCol, vecCol, k, nProbe, out) =>
       GraftAnnTableExec(dir, view, qidCol, vecCol, k, nProbe, out) :: Nil
+    case GraftAnnStoreNode(dir, store, nQueries, k, out) =>
+      GraftAnnStoreExec(dir, store, nQueries, k, out) :: Nil
     case GraftTermStatsNode(dir, field, out) =>
       GraftTermStatsExec(dir, field, out) :: Nil
     case _ => Nil
@@ -676,6 +722,25 @@ final case class GraftAnnTableExec(dir: String, queryView: String,
   override protected def doExecute(): RDD[InternalRow] =
     graft.pipeline.Similarity.ivfTopKFor(session, dir,
         session.table(queryView), qidCol, vecCol, k = k, nProbe = nProbe)
+      .select(col("qid").cast("long"), col("rank").cast("long"),
+        col("vec_id").cast("long"), col("cos").cast("double"))
+      .queryExecution.toRdd
+}
+
+/** The persisted-store ANN physical operator — SQL serving path for
+  * the saved IVF-PQ index: executes [[graft.pipeline.Similarity
+  * .loadedIvfPqTopK]] (crash-recovery check, frozen centroids/
+  * codebooks/codes read from parquet, ADC shortlist, exact re-rank)
+  * and records the run for the oracle like the Scala
+  * `ann_ivfpq_reloaded` entry does. */
+final case class GraftAnnStoreExec(dir: String, store: String,
+    nQueries: Int, k: Int,
+    output: Seq[Attribute]) extends LeafExecNode {
+  override def simpleString(maxFields: Int): String =
+    s"GraftAnnStore dir=$dir, store=$store, nQueries=$nQueries, k=$k"
+  override protected def doExecute(): RDD[InternalRow] =
+    graft.pipeline.Similarity.loadedIvfPqTopK(session, dir, store,
+        nQueries, k, recordAs = Some("ann_store_sql"))
       .select(col("qid").cast("long"), col("rank").cast("long"),
         col("vec_id").cast("long"), col("cos").cast("double"))
       .queryExecution.toRdd

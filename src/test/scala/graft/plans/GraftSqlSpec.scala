@@ -186,6 +186,29 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(deSelfed == prefix)
   }
 
+  test("graft_ann_store probes the persisted PQ store from SQL") {
+    val store = java.nio.file.Files.createTempDirectory("pq_sql").toString
+    graft.pipeline.Similarity.savePqIndex(spark, dir, store)
+    val df = spark.sql(
+      s"SELECT * FROM graft_ann_store('$dir', '$store', 3, 5)")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftAnnStore"),
+      s"fused store-ANN node missing from plan:\n$plan")
+    val sql = spark.sql(
+      s"SELECT qid, rank, vec_id, cos FROM graft_ann_store('$dir', " +
+        s"'$store', 3, 5) ORDER BY qid, rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val api = graft.pipeline.Similarity.loadedIvfPqTopK(spark, dir, store,
+        nQueries = 3, k = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(sql == api)
+    assert(sql.nonEmpty)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_ann_store('$dir', '$store', 3)").collect()
+    }
+    assert(e.getMessage.contains("graft_ann_store"))
+  }
+
   test("TABLE-form graft_ann fails fast on bad view / column / arity") {
     val e1 = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_ann('$dir', 'no_such_view_ann', " +
