@@ -454,4 +454,33 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally
       spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
   }
+
+  test("bloom probe broadcasts the bitset; CMS estimate broadcasts the sketch") {
+    // the membership/frequency sketches are tiny data-side tables —
+    // their probe joins must be broadcasts (no shuffle of the probe
+    // stream beyond its own aggregation), the 100 TB shape
+    val pb = finalPlan(pipeline.Dedup.bloomMembership(spark, sf))
+    assert(pb.contains("BroadcastHashJoin"), pb.take(800))
+    assert(!pb.contains("SortMergeJoin"), pb.take(800))
+    val pc = finalPlan(pipeline.TextAnalysis.cmsTermCounts(spark, sf))
+    assert(pc.contains("BroadcastHashJoin"), pc.take(800))
+    assert(!pc.contains("SortMergeJoin"), pc.take(800))
+  }
+
+  test("TVF results compose with ordinary SQL: join + aggregate over graft_search") {
+    // the front door is a real relation: join the probe's top-k with
+    // the raw corpus table and aggregate — one plan, no collect
+    spark.read.parquet(s"$sf/documents.parquet")
+      .createOrReplaceTempView("plan_shape_docs")
+    val df = spark.sql(
+      s"""SELECT d.lang, count(*) AS hits, round(avg(s.score), 3) AS avg_score
+         |FROM graft_search('$sf', 'spark join', 10) s
+         |JOIN plan_shape_docs d ON d.doc_id = s.doc_id
+         |GROUP BY d.lang""".stripMargin)
+    val p = finalPlan(df)
+    assert(p.contains("GraftSearch"), p.take(600))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == 10L)
+  }
 }
