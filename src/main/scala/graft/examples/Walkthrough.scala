@@ -191,6 +191,15 @@ object Walkthrough {
       .option("query", "spark join").option("k", "5").load()
       .where(col("doc_id") > 10).show(false)
 
+    // batch search over YOUR OWN query table (TABLE form — the query
+    // text is analyzed in the plan, never collected)
+    println("SQL batch search over a user query view:")
+    spark.createDataFrame(Seq((0L, "spark join"), (1L, "vector")))
+      .toDF("qid", "q").createOrReplaceTempView("my_batch")
+    spark.sql(
+      s"SELECT * FROM graft_batch_search('$dir', 'my_batch', 'qid', 'q', 3)")
+      .show(false)
+
     // 15. vector search over YOUR OWN query table from SQL (TABLE-form
     // graft_ann: distributed probe-cell selection, no self-exclusion)
     println("SQL vector search over a user query view:")
@@ -201,6 +210,10 @@ object Walkthrough {
       .show(false)
     println("IVF probe quality (recall@k vs exact top-k):")
     graft.pipeline.Similarity.ivfRecall(spark, dir).show(false)
+    // ... and the PERSISTED store probed from SQL (the serving path)
+    println("SQL vector search against the persisted IVF-PQ store:")
+    spark.sql(s"SELECT * FROM graft_ann_store('$dir', '$store', 3, 5)")
+      .show(false)
 
     // 16. Bloom membership: the bitset is a DataFrame; the streaming
     // probe is k stateless stream-static joins (see dedup_bloom /
