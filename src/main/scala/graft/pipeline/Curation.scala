@@ -837,15 +837,18 @@ object Curation {
       // the green logprob/classifier oracles
       .withColumn("raw_w",
         exp(lit(alpha) * log(col("n_tokens").cast("double"))))
-      .persist()
+      // eager localCheckpoint, not persist: the |domains|-row
+      // aggregate is materialized ONCE (one corpus scan) for its
+      // three consumers, and the blocks are GC-released with the
+      // frame — a bare persist() would pin one copy per call for the
+      // process lifetime (the PageRank doms/ranks discipline)
+      .localCheckpoint()
     // ordered two-level fold for the float normalizer (hash-exact on
     // any partitioning); token total is integer arithmetic, so a
     // plain associative sum is already deterministic
     val denom = Urls.orderedGlobalSum(
       stats.select(col("source").as("dom"), col("raw_w").as("v")))
     val totalTokens = stats.agg(sum(col("n_tokens"))).first().getLong(0)
-    // stats stays cached: it is domains-bounded (one row per source)
-    // and the returned frame still reads it lazily
     stats.select(col("source"), col("n_docs"), col("n_tokens"),
         graft.functions.Rounding.roundEven(col("raw_w") / denom, 6).as("weight"),
         graft.functions.Rounding.roundEven(
