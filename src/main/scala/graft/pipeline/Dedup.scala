@@ -896,7 +896,13 @@ object Dedup {
         val pos = bloomPositions(col("probe_fp"), mBits, kHashes)(i)
         d.withColumn(s"w$i", bloomWord(pos)).withColumn(s"m$i", bloomMask(pos))
       }) { (d, i) =>
-      d.join(bitset.select(col("word").as(s"w$i"), col("bits").as(s"b$i")),
+      // explicit broadcast: a streaming query gets no AQE, so the
+      // planner would fall back to size estimates of the bitset's
+      // parquet lineage and could shuffle the DOC STREAM into a
+      // sort-merge join per micro-batch; the filter is mBits/32 rows
+      // by construction — broadcast-sized at any m a deployment
+      // would pick for one broadcastable filter
+      d.join(broadcast(bitset.select(col("word").as(s"w$i"), col("bits").as(s"b$i"))),
         Seq(s"w$i"), "left")
     }
     val inBloom = (0 until kHashes)

@@ -340,7 +340,13 @@ object Similarity {
     * query vector rides along into the cell equi-join — no collect,
     * no broadcast of the query side, no shuffle keyed on anything but
     * `cell`. qids are the caller's (opaque), so no self-exclusion.
-    * Output: (qid, rank, vec_id, cos). */
+    * Output: (qid, rank, vec_id, cos).
+    *
+    * Scale note: the candidate join's key cardinality IS nCentroids,
+    * so parallelism beyond nCentroids comes only from AQE splitting
+    * cell partitions — at deployment scale fit nCentroids at or above
+    * the shuffle-partition count (the usual IVF sizing, O(sqrt n)
+    * cells), exactly as a production IVF would. */
   def ivfTopKFor(spark: SparkSession, dir: String, queries: DataFrame,
       qidCol: String, vecCol: String, k: Int = 10, nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
