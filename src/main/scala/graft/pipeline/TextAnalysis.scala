@@ -353,18 +353,30 @@ object TextAnalysis {
     * the collision overestimates are both hash-visible. All-integer
     * md5 arithmetic — the oracle replays the sketch cell-exactly.
     * Output: (term, cf, est, exact) with est >= cf by construction. */
+  /** CMS cell index of a term for hash row i (md5 prefix mod w — the
+    * [[graft.pipeline.Dedup]] md5Bucket discipline, oracle-exact). */
+  private[graft] def cmsCell(term: Column, i: Int, w: Int): Column =
+    conv(substring(md5(concat(term, lit(s"@$i"))), 1, 8), 16, 10)
+      .cast("long") % w
+
+  /** The corpus CMS sketch as DATA: (row, idx, cnt), ≤ d·w rows from
+    * one aggregation over the exploded token stream. Shared by the
+    * batch estimator and the streaming frequency service. */
+  private[graft] def cmsSketch(spark: SparkSession, dir: String,
+      w: Int, d: Int): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(toks(col("text"))).as("term"))
+      .select(posexplode(array((0 until d).map(i => cmsCell(col("term"), i, w)): _*))
+        .as(Seq("row", "idx")))
+      .groupBy("row", "idx").agg(count(lit(1)).as("cnt"))
+
   def cmsTermCounts(spark: SparkSession, dir: String, w: Int = 1024,
       d: Int = 3, nAbsent: Int = 5): DataFrame = {
-    def cell(term: Column, i: Int): Column =
-      conv(substring(md5(concat(term, lit(s"@$i"))), 1, 8), 16, 10)
-        .cast("long") % w
+    def cell(term: Column, i: Int): Column = cmsCell(term, i, w)
     val terms = spark.read.parquet(s"$dir/documents.parquet")
       .select(explode(toks(col("text"))).as("term"))
     val truth = terms.groupBy("term").agg(count(lit(1)).as("cf"))
-    val sketch = terms
-      .select(posexplode(array((0 until d).map(i => cell(col("term"), i)): _*))
-        .as(Seq("row", "idx")))
-      .groupBy("row", "idx").agg(count(lit(1)).as("cnt"))
+    val sketch = cmsSketch(spark, dir, w, d)
     val absent = spark.range(nAbsent.toLong)
       .select(concat(lit("absent_probe_"), col("id").cast("string")).as("term"),
         lit(0L).as("cf"))
@@ -378,6 +390,37 @@ object TextAnalysis {
       .select(col("term"), col("cf"), col("est"),
         (col("est") === col("cf")).as("exact"))
       .orderBy("term")
+  }
+
+  /** The CMS as a streaming-side frequency service: each arriving
+    * document's DISTINCT terms are annotated with their corpus
+    * collection-frequency estimate — the ingest-time rarity/novelty
+    * signal (rare-term ratios feed quality gates and OOD detection)
+    * without touching the corpus at query time. Stateless by
+    * construction: explode to (doc, term) grain, compute the d cell
+    * indices as columns, and resolve each against ITS row-slice of
+    * the sketch with one stream-static broadcast LEFT join (no
+    * re-aggregation — the min over d estimates is an in-row `least`),
+    * so the plan carries no state store and the only corpus-sized
+    * work happened at sketch build. One-sided error carries over:
+    * est >= true cf, always. Output: (doc_id, term, est). */
+  def cmsEstimateStream(docs: DataFrame, sketch: DataFrame,
+      w: Int = 1024, d: Int = 3): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      explode(array_distinct(toks(col("text")))).as("term"))
+    val withCells = (0 until d).foldLeft(
+      (0 until d).foldLeft(base) { (df, i) =>
+        df.withColumn(s"c$i", cmsCell(col("term"), i, w))
+      }) { (df, i) =>
+      // broadcast each row-slice explicitly: streaming plans get no
+      // AQE (the bloomVsCorpus discipline)
+      df.join(broadcast(sketch.where(col("row") === i)
+          .select(col("idx").as(s"c$i"), col("cnt").as(s"n$i"))),
+        Seq(s"c$i"), "left")
+    }
+    val est = (0 until d).map(i => coalesce(col(s"n$i"), lit(0L)))
+      .reduceLeft(least(_, _))
+    withCells.select(col("doc_id"), col("term"), est.as("est"))
   }
 
   /** Document fingerprints: full-content md5, winnowing-style minimum

@@ -320,6 +320,19 @@ object StreamQueries {
         .select(col("doc_id"), col("is_member"), col("in_bloom"))
         .orderBy("doc_id")
     }),
+    // ingest-time term-rarity annotation: each arriving doc's distinct
+    // terms resolve their corpus-frequency ESTIMATE against the CMS
+    // sketch — d broadcast stream-static joins, min in-row, stateless
+    "stream_cms_estimate" -> ((s, dir) => {
+      val name = s"stream_cms_${sinkId.incrementAndGet()}"
+      val sketch = graft.pipeline.TextAnalysis.cmsSketch(s, dir, 1024, 3)
+      EventStreams.runToMemorySink(
+        graft.pipeline.TextAnalysis.cmsEstimateStream(stagedDocs(s, dir), sketch),
+        name, OutputMode.Append())
+      s.table(name)
+        .select(col("doc_id"), col("term"), col("est"))
+        .orderBy("doc_id", "term")
+    }),
     // ingest-time exact-substring detection: arriving windows hashed
     // map-side, stream-static joined to the corpus gram stats; a
     // window flags when some OTHER corpus doc contains it. Stateless.
@@ -829,5 +842,25 @@ object StreamQueries {
     // the streaming Bloom probe produces the batch entry's rows (same
     // probe frame, same bitset) through k stateless joins
     ("stream_bloom_vs_corpus" ->
-      graft.pipeline.PipelineQueries.bloomMembershipOracleSql)
+      graft.pipeline.PipelineQueries.bloomMembershipOracleSql) +
+    // CMS sketch rebuilt cell-exactly; per-doc DISTINCT terms, min
+    // over the d counters (missing cell = 0, the coalesce in the plan)
+    ("stream_cms_estimate" ->
+      s"""${graft.pipeline.PipelineQueries.toksCte},
+         |terms AS (SELECT unnest(tokens) AS term FROM toks),
+         |tcell AS (
+         |  SELECT i AS r, ('0x' || substr(md5(term || '@' || i), 1, 8))::BIGINT % 1024 AS idx
+         |  FROM terms, range(3) t(i)
+         |),
+         |sketch AS (SELECT r, idx, count(*) AS cnt FROM tcell GROUP BY 1, 2),
+         |dterms AS (SELECT doc_id, unnest(list_distinct(tokens)) AS term FROM toks),
+         |pcell AS (
+         |  SELECT doc_id, term, i AS r,
+         |    ('0x' || substr(md5(term || '@' || i), 1, 8))::BIGINT % 1024 AS idx
+         |  FROM dterms, range(3) t2(i)
+         |)
+         |SELECT p.doc_id, p.term, min(coalesce(s.cnt, 0))::BIGINT AS est
+         |FROM pcell p LEFT JOIN sketch s ON s.r = p.r AND s.idx = p.idx
+         |GROUP BY p.doc_id, p.term
+         |ORDER BY p.doc_id, p.term""".stripMargin)
 }

@@ -184,6 +184,41 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming CMS annotation matches the batch form and stays stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val sketch = TextAnalysis.cmsSketch(spark, dir, 1024, 3)
+    // the same column pipeline over a BATCH frame is the reference
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val batch = TextAnalysis.cmsEstimateStream(docs, sketch)
+      .as[(Long, String, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    // every corpus term's estimate is >= its true corpus frequency
+    val truth = docs
+      .select(explode(graft.analysis.Analyzers.default.tokensCol(col("text"))).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect().toMap
+    assert(batch.forall { case (_, t, est) => est >= truth(t) })
+    val mem = MemoryStream[(Long, String)]
+    val out = TextAnalysis.cmsEstimateStream(
+      mem.toDF().toDF("doc_id", "text"), sketch)
+    val q = out.writeStream.format("memory").queryName("cms_sink")
+      .outputMode(OutputMode.Append()).start()
+    val rows = docs.as[(Long, String)].collect()
+    val (a, b) = rows.splitAt(rows.length / 2)
+    mem.addData(a.toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(b.toIndexedSeq)
+    q.processAllAvailable()
+    val got = spark.table("cms_sink")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == batch, "stream rows diverge from the batch CMS annotation")
+    assert(q.lastProgress.stateOperators.isEmpty,
+      q.lastProgress.stateOperators.mkString(","))
+    q.stop()
+  }
+
   test("ingest substring detection flags only cross-doc windows, stays stateless") {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.Dedup
