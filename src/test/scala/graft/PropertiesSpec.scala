@@ -354,4 +354,42 @@ class PropertiesSpec extends AnyFunSuite {
       if (xs.size >= 3) assert(got.nonEmpty) else assert(got.isEmpty)
     }
   }
+
+  test("ivfTopKFor probing ALL cells equals exact top-k for random queries") {
+    // with nProbe = nCentroids every cell is probed, so the TABLE-form
+    // IVF pipeline (distributed probe-cell selection + cell join +
+    // rerank) degenerates to exact search — a random-query end-to-end
+    // check that the selection/join/top-k machinery loses nothing.
+    // The driver reference replays vec_dot's sequential left fold
+    // bit-exactly, so rankings cannot drift on float association.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .as[(Long, Seq[Double])].collect()
+    val dim = corpus.head._2.length
+    val coord: Gen[Double] = Gen.chooseNum(-1.0, 1.0)
+    val qvecs = samples(Gen.listOfN(dim, coord), 20).map(_.toArray)
+    val qdf = qvecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("qid", "qv")
+    val got = graft.pipeline.Similarity
+      .ivfTopKFor(spark, dir, qdf, "qid", "qv", k = 5, nProbe = 16)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    def dot(a: Array[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    qvecs.zipWithIndex.foreach { case (q, i) =>
+      val qn = math.sqrt(dot(q, q.toSeq))
+      val expected = corpus
+        .map { case (id, v) =>
+          (id, dot(q, v) / (math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)) * qn))
+        }
+        .sortBy { case (id, cos) => (-cos, id) }
+        .take(5).map(_._1).toSeq
+      assert(got(i.toLong) == expected, s"query $i diverged from exact top-k")
+    }
+  }
 }
