@@ -848,7 +848,10 @@ object Curation {
     // plain associative sum is already deterministic
     val denom = Urls.orderedGlobalSum(
       stats.select(col("source").as("dom"), col("raw_w").as("v")))
-    val totalTokens = stats.agg(sum(col("n_tokens"))).first().getLong(0)
+    // SUM over zero rows is SQL NULL — coalesce so an empty corpus
+    // yields an empty mixture frame instead of an NPE here
+    val totalTokens = stats
+      .agg(coalesce(sum(col("n_tokens")), lit(0L))).first().getLong(0)
     stats.select(col("source"), col("n_docs"), col("n_tokens"),
         graft.functions.Rounding.roundEven(col("raw_w") / denom, 6).as("weight"),
         graft.functions.Rounding.roundEven(

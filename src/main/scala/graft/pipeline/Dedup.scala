@@ -803,15 +803,21 @@ object Dedup {
     * reads true with p ≈ (1-e^(-kn/m))^k.
     *
     * Scale shape: the filter is DATA, not driver state — a
-    * (word, bits) DataFrame of m/64 rows built by one `bit_or`
+    * (word, bits) DataFrame of m/32 rows built by one `bit_or`
     * aggregation over the members' k bit positions (integer ops:
-    * associative, commutative, partitioning-proof). Probing is an
+    * associative, commutative, partitioning-proof). Words are
+    * 32-bit on purpose: the top half of each long stays clear so
+    * the oracle engine's CHECKED BigInt shift can replay every mask
+    * (1 << 63 overflows there; see [[bloomWord]]) — the price is 2×
+    * storage (each long carries 32 payload bits). Probing is an
     * equi-join of the probes' k positions with that table on the
     * word index followed by a per-probe `bool_and` — no broadcast
     * required (though at typical m the table is broadcast-sized),
     * no collect, no per-task state beyond a join row. At 100 TB:
-    * size m to the member count (1.2 GB per 10⁹ members at p≈1%),
-    * and the word-keyed join stays shuffle-bounded either way.
+    * size m to the member count (m ≈ 9.6n bits at p≈1%, stored as
+    * m/32 longs ≈ 2.4 GB per 10⁹ members under the 32-bit-word
+    * encoding), and the word-keyed join stays shuffle-bounded
+    * either way.
     *
     * The entry probes each document's exact fingerprint (id % 2 == 0)
     * or a perturbed one (id % 2 == 1, a guaranteed non-member), so
@@ -836,13 +842,37 @@ object Dedup {
   private[graft] def corpusBloomBitset(spark: SparkSession, dir: String,
       mBits: Int = 1 << 14, kHashes: Int = 3): DataFrame = {
     require(mBits > 0 && (mBits & (mBits - 1)) == 0, "mBits must be a power of two")
+    // stamp the build parameters onto the artifact: a probe with a
+    // different modulus computes the wrong positions SILENTLY, so
+    // [[bloomVsCorpus]] verifies these against its own arguments
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.bloom.mBits", mBits.toLong)
+      .putLong("graft.bloom.kHashes", kHashes.toLong).build()
     persistOnce(s"bloom#$dir#$mBits#$kHashes") {
       spark.read.parquet(s"$dir/documents.parquet")
         .select(md5(col("text")).as("fp"))
         .select(explode(array(bloomPositions(col("fp"), mBits, kHashes): _*)).as("pos"))
         .select(bloomWord(col("pos")).as("word"), bloomMask(col("pos")).as("mask"))
         .groupBy("word")
-        .agg(call_function("bit_or", col("mask")).as("bits"))
+        .agg(call_function("bit_or", col("mask")).as("bits", meta))
+    }
+  }
+
+  /** Require that an artifact frame's stamped build parameters match
+    * the probe's arguments — catches the silent-wrong-answer case
+    * where a bitset/sketch built at one (m, k)/(w, d) is probed with
+    * another (the positions are modular hashes: a different modulus
+    * yields valid-looking garbage, not an error). Lenient when the
+    * stamp is absent (hand-built frames in specs). */
+  private[pipeline] def requireArtifactParams(frame: DataFrame,
+      colName: String, expected: Seq[(String, Long)], what: String): Unit = {
+    val md = frame.schema(colName).metadata
+    expected.foreach { case (key, v) =>
+      if (md.contains(key))
+        require(md.getLong(key) == v,
+          s"$what was built with $key=${md.getLong(key)} but is being " +
+            s"probed with $key=$v — positions would be computed with the " +
+            "wrong modulus; rebuild the artifact or pass matching parameters")
     }
   }
 
@@ -890,6 +920,9 @@ object Dedup {
     * divergence, no hot-bucket cap to silently cross at scale. */
   private[graft] def bloomVsCorpus(docs: DataFrame, bitset: DataFrame,
       mBits: Int = 1 << 14, kHashes: Int = 3): DataFrame = {
+    requireArtifactParams(bitset, "bits",
+      Seq("graft.bloom.mBits" -> mBits.toLong,
+        "graft.bloom.kHashes" -> kHashes.toLong), "Bloom bitset")
     val base = bloomProbeFrame(docs)
     val withBits = (0 until kHashes).foldLeft(
       (0 until kHashes).foldLeft(base) { (d, i) =>

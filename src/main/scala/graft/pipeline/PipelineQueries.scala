@@ -145,6 +145,11 @@ object PipelineQueries {
           pqStoreWritten += store
         }
       }
+      // the exec records nothing (any graft_ann_store call would
+      // clobber a constant tag) — THIS entry knows its parameters,
+      // so it records them explicitly from the same frozen store
+      Similarity.recordPqStoreRun(s, store, "ann_store_sql",
+        nQueries = 5, k = 10)
       s.sql("SELECT qid, rank, vec_id, cos " +
         s"FROM graft_ann_store('$dir', '$store', 5, 10) ORDER BY qid, rank")
     }),

@@ -458,14 +458,14 @@ object Similarity {
     * residual codebooks, and the query parameters (same capture
     * discipline as [[IvfRun]]). codebooks(m)(j) is the j-th code
     * vector of subspace m (length dim/m). */
-  private[pipeline] final case class IvfPqRun(
+  private[graft] final case class IvfPqRun(
       centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
       dim: Int, m: Int, ks: Int,
       nQueries: Int, k: Int, nProbe: Int, rerank: Int)
   private val ivfPqRuns =
     scala.collection.concurrent.TrieMap.empty[String, IvfPqRun]
-  private[pipeline] def recordedIvfPqRun(tag: String): Option[IvfPqRun] =
+  private[graft] def recordedIvfPqRun(tag: String): Option[IvfPqRun] =
     ivfPqRuns.get(tag)
 
   /** PQ codes cache per (dir, nCentroids, m, ks): the encoded corpus
@@ -870,6 +870,34 @@ object Similarity {
       .write.mode("overwrite").parquet(s"${stagedDir(path)}/meta")
     commitStagedPq(path)
     true
+  }
+
+  /** Record the IVF-PQ oracle run for a PERSISTED store without
+    * executing a probe — the explicit recorder for front doors that
+    * cannot know the query-set definition (the `graft_ann_store` TVF
+    * sees only a path, so its exec records nothing; a constant tag
+    * there would let any unrelated call clobber the harness entry's
+    * recorded run). Mirrors [[recordIvfRun]]: the entry that knows
+    * its parameters records them, reading the SAME frozen artifacts
+    * the probe will use, so the generated oracle can never see a
+    * different quantizer. */
+  private[graft] def recordPqStoreRun(spark: SparkSession, path: String,
+      tag: String, nQueries: Int = 5, k: Int = 10, nProbe: Int = 4,
+      rerank: Int = 32): Unit = {
+    recoverPqStore(path)
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("i").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val cbRows = spark.read.parquet(s"$path/codebooks")
+      .orderBy("m", "j").collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val ks = cbRows.map(_.getInt(1)).max + 1
+    val codebooks = Array.tabulate(m, ks) { (mm, j) =>
+      cbRows(mm * ks + j).getSeq[Double](2).toArray
+    }
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    ivfPqRuns(tag) =
+      IvfPqRun(centroids, codebooks, dim, m, ks, nQueries, k, nProbe, rerank)
   }
 
   /** Runs the IVF-PQ probe from PERSISTED artifacts ([[savePqIndex]])

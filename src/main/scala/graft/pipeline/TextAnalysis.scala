@@ -363,12 +363,19 @@ object TextAnalysis {
     * one aggregation over the exploded token stream. Shared by the
     * batch estimator and the streaming frequency service. */
   private[graft] def cmsSketch(spark: SparkSession, dir: String,
-      w: Int, d: Int): DataFrame =
+      w: Int, d: Int): DataFrame = {
+    // stamp (w, d) onto the artifact — a probe with a different
+    // width hashes into the wrong cells silently, so
+    // [[cmsEstimateStream]] verifies the stamp against its arguments
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.cms.w", w.toLong)
+      .putLong("graft.cms.d", d.toLong).build()
     spark.read.parquet(s"$dir/documents.parquet")
       .select(explode(toks(col("text"))).as("term"))
       .select(posexplode(array((0 until d).map(i => cmsCell(col("term"), i, w)): _*))
         .as(Seq("row", "idx")))
-      .groupBy("row", "idx").agg(count(lit(1)).as("cnt"))
+      .groupBy("row", "idx").agg(count(lit(1)).as("cnt", meta))
+  }
 
   def cmsTermCounts(spark: SparkSession, dir: String, w: Int = 1024,
       d: Int = 3, nAbsent: Int = 5): DataFrame = {
@@ -406,6 +413,9 @@ object TextAnalysis {
     * est >= true cf, always. Output: (doc_id, term, est). */
   def cmsEstimateStream(docs: DataFrame, sketch: DataFrame,
       w: Int = 1024, d: Int = 3): DataFrame = {
+    graft.pipeline.Dedup.requireArtifactParams(sketch, "cnt",
+      Seq("graft.cms.w" -> w.toLong, "graft.cms.d" -> d.toLong),
+      "CMS sketch")
     val base = docs.select(col("doc_id"),
       explode(array_distinct(toks(col("text")))).as("term"))
     val withCells = (0 until d).foldLeft(

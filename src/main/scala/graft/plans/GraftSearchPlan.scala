@@ -40,6 +40,23 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
   */
 object GraftSearchPlan {
 
+  /** Resolve a view/table name for a TABLE-form exec. Temp views are
+    * SESSION-scoped: the TVF builder validates the name against
+    * `SparkSession.active` at analysis time, but the exec node
+    * carries the session that planned the query — and cloned
+    * sessions (streaming micro-batches, `cloneSession()`) share the
+    * persistent catalog but NOT local temp views, so the two lookups
+    * can diverge. Try the exec's session first, then fall back to
+    * the active one, so a name that passed build-time validation
+    * also resolves at execution. */
+  private[plans] def resolveView(session: SparkSession,
+      view: String): org.apache.spark.sql.DataFrame =
+    try session.table(view) catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        val active = SparkSession.active
+        if (active ne session) active.table(view) else throw e
+    }
+
   private val fnName = FunctionIdentifier("graft_search")
 
   private val info = new ExpressionInfo(GraftSearchNode.getClass.getName,
@@ -175,6 +192,19 @@ object GraftSearchPlan {
     }
     val isTable = args.length >= 5 &&
       (args(2) match { case Literal(_, StringType) => true; case _ => false })
+    // The arities overlap at 5 and the forms are told apart by the
+    // third argument's TYPE — so a literal-form call that quotes k
+    // ('5' instead of 5) would silently reroute to the TABLE form
+    // and die on an unrelated "queries_view does not resolve". Catch
+    // the integer-shaped string here with a targeted message.
+    if (isTable && args.length == 5) {
+      val third = args(2) match { case Literal(v, StringType) => v.toString }
+      if (third.nonEmpty && third.forall(_.isDigit))
+        fail(s"ambiguous call: third argument '$third' is a STRING that " +
+          "looks like k — in the literal form k must be an unquoted " +
+          s"integer (graft_batch_search(dir, queries, $third, field, " +
+          "min_match)); in the TABLE form the third argument is qid_col")
+    }
     if (isTable) {
       if (args.length > 7) fail(s"expected 5-7 arguments, got ${args.length}")
       val dir = str(args.head, "dir")
@@ -640,7 +670,7 @@ final case class GraftBatchSearchTableExec(dir: String, queriesView: String,
       s"graft_batch_search: '$field' is not an indexed text field " +
         s"(has: ${idx.spec.textFields.mkString(", ")})")
     val an = graft.analysis.Analyzers(idx.spec.queryAnalyzer)
-    val qdf = session.table(queriesView).select(
+    val qdf = GraftSearchPlan.resolveView(session, queriesView).select(
       col(qidCol).cast("long").as("qid"),
       lit(field).as("field"),
       an.tokensCol(col(queryCol)).as("terms"),
@@ -677,7 +707,7 @@ final case class GraftQueryJoinTableExec(dir: String, leftView: String,
       s"graft_query_join: '$field' is not an indexed text field " +
         s"(has: ${idx.spec.textFields.mkString(", ")})")
     val an = graft.analysis.Analyzers(idx.spec.queryAnalyzer)
-    val left = session.table(leftView)
+    val left = GraftSearchPlan.resolveView(session, leftView)
     idx.queryJoin(left, qidCol,
         array_distinct(org.apache.spark.sql.functions.slice(
           an.tokensCol(col(textCol)), 1, nTerms)),
@@ -721,7 +751,8 @@ final case class GraftAnnTableExec(dir: String, queryView: String,
       s"vec=$vecCol, k=$k, nProbe=$nProbe"
   override protected def doExecute(): RDD[InternalRow] =
     graft.pipeline.Similarity.ivfTopKFor(session, dir,
-        session.table(queryView), qidCol, vecCol, k = k, nProbe = nProbe)
+        GraftSearchPlan.resolveView(session, queryView), qidCol, vecCol,
+        k = k, nProbe = nProbe)
       .select(col("qid").cast("long"), col("rank").cast("long"),
         col("vec_id").cast("long"), col("cos").cast("double"))
       .queryExecution.toRdd
@@ -730,9 +761,14 @@ final case class GraftAnnTableExec(dir: String, queryView: String,
 /** The persisted-store ANN physical operator — SQL serving path for
   * the saved IVF-PQ index: executes [[graft.pipeline.Similarity
   * .loadedIvfPqTopK]] (crash-recovery check, frozen centroids/
-  * codebooks/codes read from parquet, ADC shortlist, exact re-rank)
-  * and records the run for the oracle like the Scala
-  * `ann_ivfpq_reloaded` entry does. */
+  * codebooks/codes read from parquet, ADC shortlist, exact re-rank).
+  * Records NOTHING: the exec cannot know whether it is the harness
+  * entry or an unrelated call in the same process (a spec with
+  * different parameters, a walkthrough probing a mutated store), so
+  * a constant tag here would defeat the run registry's keyed
+  * protection — the entry that wants an oracle records its own
+  * parameters explicitly via [[graft.pipeline.Similarity
+  * .recordPqStoreRun]], mirroring `recordIvfRun` for `graft_ann`. */
 final case class GraftAnnStoreExec(dir: String, store: String,
     nQueries: Int, k: Int,
     output: Seq[Attribute]) extends LeafExecNode {
@@ -740,7 +776,7 @@ final case class GraftAnnStoreExec(dir: String, store: String,
     s"GraftAnnStore dir=$dir, store=$store, nQueries=$nQueries, k=$k"
   override protected def doExecute(): RDD[InternalRow] =
     graft.pipeline.Similarity.loadedIvfPqTopK(session, dir, store,
-        nQueries, k, recordAs = Some("ann_store_sql"))
+        nQueries, k, recordAs = None)
       .select(col("qid").cast("long"), col("rank").cast("long"),
         col("vec_id").cast("long"), col("cos").cast("double"))
       .queryExecution.toRdd

@@ -43,6 +43,26 @@ object SearchQueries {
       SearchIndex.build(spark.read.parquet(s"$dir/documents.parquet"), spec)
     }
 
+  /** Incremental-maintenance hook for the DSv2 append path: when a
+    * live default index exists for `dir` AND it described the corpus
+    * exactly as it stood before the write (`preTag`), merge ONLY the
+    * newly-written files in via [[SearchIndex.addDocuments]] — the
+    * delta build tokenizes just the appended batch, and the merged
+    * index scores bit-identically to a fresh build of the union — and
+    * re-key the cache at the post-write signature so the next read
+    * serves it. At 100 TB this is the difference between analyzing a
+    * day's crawl and re-tokenizing the archive on every INSERT.
+    * Returns true when the in-place merge happened; false falls back
+    * to the ordinary evict-and-rebuild staleness path (no index yet,
+    * or an external mutation intervened — then a full rebuild is the
+    * only safe answer). */
+  def appendedToCorpus(spark: SparkSession, dir: String, preTag: String,
+      newFiles: Seq[String]): Boolean =
+    newFiles.nonEmpty && cache.refreshIfCurrent(dir, "", preTag,
+        graft.sources.CorpusRegistry.signature(dir)) { idx =>
+      idx.addDocuments(spark.read.parquet(newFiles: _*))
+    }
+
   /** Two-text-field index (text + source as TEXT) for the
     * cross-field query-join entry: "source" is analyzed like any
     * text field (its single token is the value), so secondary-field

@@ -16,10 +16,16 @@ package graft.sources
   * O(listing).
   *
   * Scale note: on an object store a recursive listing of a huge
-  * corpus costs RPCs, but it is the *minimum* evidence that the
-  * artifact still describes the data; deployments that version
-  * corpus directories immutably (the recommended layout) pay it only
-  * on first build per directory name.
+  * corpus costs RPCs — and per-QUERY listing is latency and money. A
+  * serving deployment sets [[CorpusRegistry.signatureTtlMs]] (or
+  * `-Dgraft.signature.ttl.ms=...`) to amortize: within the window the
+  * memoized signature answers without touching the filesystem, so
+  * staleness detection costs one LIST per window per corpus instead
+  * of one per lookup. The default TTL is 0 — every lookup re-lists —
+  * which is what the correctness suite and any strict-freshness
+  * deployment want. Writers that mutate a corpus through our own
+  * paths call [[CorpusRegistry.invalidateSignature]] so their next
+  * read re-lists immediately even inside a window.
   */
 final class CorpusRegistry[V](onEvict: V => Unit) {
 
@@ -45,6 +51,28 @@ final class CorpusRegistry[V](onEvict: V => Unit) {
       }
     }
 
+  /** Atomically refresh the artifact for `dir` after a write through
+    * OUR OWN paths (the DSv2 append): when the cached entry was built
+    * at `preTag` — i.e. it described the corpus exactly as it stood
+    * before the write — replace it with `update(old)` keyed at
+    * `postTag`, so the next lookup serves the incrementally-updated
+    * artifact instead of evicting and rebuilding from scratch. The
+    * release hook is NOT run on the old artifact: `update` is
+    * expected to take ownership (an incrementally-merged index keeps
+    * the base as a parent). Returns false — and touches nothing —
+    * when no entry exists or the entry pre-dates some OTHER mutation
+    * (then the ordinary signature check forces the safe full
+    * rebuild). */
+  def refreshIfCurrent(dir: String, variant: String, preTag: String,
+      postTag: String)(update: V => V): Boolean = synchronized {
+    val key = if (variant.isEmpty) dir else s"$dir#$variant"
+    entries.get(key) match {
+      case Some((t, v)) if t == preTag =>
+        entries(key) = (postTag, update(v)); true
+      case _ => false
+    }
+  }
+
   /** Evicts everything (running the release hook on each artifact). */
   def clear(): Unit = synchronized {
     entries.values.foreach { case (_, v) => onEvict(v) }
@@ -54,11 +82,53 @@ final class CorpusRegistry[V](onEvict: V => Unit) {
 
 object CorpusRegistry {
 
+  /** Serving-mode memoization window for [[signature]], in
+    * milliseconds. 0 (default, and what tests run under) disables
+    * memoization: every lookup performs the recursive listing, so a
+    * concurrent external write is seen immediately. A serving
+    * deployment on an object store sets this to a few seconds: the
+    * freshness guarantee weakens to "external mutations are seen
+    * within TTL", and per-query LIST RPCs collapse to one per window
+    * per corpus. Settable via `-Dgraft.signature.ttl.ms` or directly. */
+  @volatile var signatureTtlMs: Long =
+    java.lang.Long.getLong("graft.signature.ttl.ms", 0L)
+
+  /** path -> (memoized-at millis, signature). */
+  private val sigMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
+  /** Number of actual filesystem listings performed — the observable
+    * for the one-LIST-per-window contract (and its spec). */
+  private[sources] val listingsPerformed =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Drop the memoized signature for `path` — called by writers that
+    * mutate a corpus through our own paths (e.g. the DSv2 write
+    * builder), so their next read re-lists immediately instead of
+    * serving a stale signature for up to a TTL window. */
+  def invalidateSignature(path: String): Unit = sigMemo.remove(path)
+
   /** Content signature of a file or directory: file count, total
     * byte length, and max modification time folded into one hex tag.
     * Hadoop-FS so it works on any supported filesystem; `absent` for
-    * a missing path (the build itself will raise the real error). */
+    * a missing path (the build itself will raise the real error).
+    * Memoized for [[signatureTtlMs]] when that is positive. */
   def signature(path: String): String = {
+    val ttl = signatureTtlMs
+    if (ttl > 0L) {
+      val now = System.currentTimeMillis()
+      sigMemo.get(path) match {
+        case Some((at, s)) if now - at < ttl => return s
+        case _ =>
+      }
+      val s = listSignature(path)
+      sigMemo(path) = (now, s)
+      s
+    } else listSignature(path)
+  }
+
+  private def listSignature(path: String): String = {
+    listingsPerformed.incrementAndGet()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     if (!fs.exists(p)) return "absent"

@@ -93,10 +93,28 @@ final class GraftDataSource extends TableProvider with DataSourceRegister {
     val options = new CaseInsensitiveStringMap(properties)
     val k = Option(options.get("k")).map(_.toInt).getOrElse(10)
     require(k > 0, s"graft source: k must be positive, got $k")
+    // fail fast on driver-memory-event k: the scan materializes all k
+    // rows on the driver at planning time (k-bounded by construction
+    // is the whole design), so an unguarded k=10^7 would OOM the
+    // driver with no warning — the queryJoinDslMaxLeft discipline
+    val maxK = GraftDataSource.maxK
+    require(k <= maxK,
+      s"graft source: k=$k exceeds the driver-side cap $maxK (the DSv2 " +
+        "scan collects k rows on the driver at planning time). For " +
+        "larger result sets use the distributed Scala path — " +
+        "SearchIndex.search / batchSearch / queryJoin — or raise " +
+        "-Dgraft.dsv2.max.k if the driver is sized for it.")
     GraftTable(schema, dirOf(options), Option(options.get("query")), k)
   }
 
   override def supportsExternalMetadata(): Boolean = true
+}
+
+object GraftDataSource {
+  /** Driver-side k cap for the DSv2 scan ([[GraftScan
+    * .planInputPartitions]] collects k rows into one partition):
+    * generous for top-k serving, a fail-fast for misuse. */
+  def maxK: Long = java.lang.Long.getLong("graft.dsv2.max.k", 100000L)
 }
 
 final case class GraftTable(tableSchema: StructType, dir: String,
@@ -119,21 +137,68 @@ final case class GraftTable(tableSchema: StructType, dir: String,
 /** Append/Overwrite into `dir/documents.parquet` through the V1
   * insert fallback: the incoming frame is written by an ordinary
   * distributed parquet job (executor-parallel; nothing corpus-sized
-  * crosses the driver). */
+  * crosses the driver).
+  *
+  * An APPEND with a live index is INCREMENTAL index maintenance, not
+  * invalidation: the newly-written files (post-listing minus
+  * pre-listing — exact, because a parquet append only adds part
+  * files) are merged into the cached index via
+  * [[graft.search.SearchIndex.addDocuments]], which tokenizes only
+  * the appended batch and scores bit-identically to a fresh build of
+  * the union. At 100 TB that is the difference between analyzing a
+  * day's crawl and re-tokenizing the archive on every `INSERT INTO`.
+  * The merge is signature-fenced ([[CorpusRegistry.refreshIfCurrent]]):
+  * if anything ELSE mutated the corpus since the index was built, the
+  * hook declines and the ordinary evict-and-rebuild staleness path
+  * takes over. Overwrite always invalidates (a replaced corpus shares
+  * nothing with the old index). */
 final class GraftWriteBuilder(dir: String) extends WriteBuilder
     with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  /** Data files currently under the corpus parquet dir (hidden and
+    * commit-marker files excluded — the set a parquet read sees). */
+  private def dataFiles(dest: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(dest)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(p)) Set.empty
+    else {
+      val out = scala.collection.mutable.Set.empty[String]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val s = it.next()
+        val name = s.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith("."))
+          out += s.getPath.toString
+      }
+      out.toSet
+    }
+  }
+
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwriteParam: Boolean): Unit = {
           val clean =
             if (data.columns.contains("score")) data.drop("score") else data
-          clean.write
-            .mode(if (overwrite || overwriteParam) SaveMode.Overwrite
-                  else SaveMode.Append)
-            .parquet(s"$dir/documents.parquet")
+          val dest = s"$dir/documents.parquet"
+          val ow = overwrite || overwriteParam
+          if (ow) {
+            clean.write.mode(SaveMode.Overwrite).parquet(dest)
+            CorpusRegistry.invalidateSignature(dir)
+          } else {
+            // fresh pre-write signature (bypass any TTL memo): the
+            // fence that proves the cached index described THIS state
+            CorpusRegistry.invalidateSignature(dir)
+            val pre = CorpusRegistry.signature(dir)
+            val before = dataFiles(dest)
+            clean.write.mode(SaveMode.Append).parquet(dest)
+            CorpusRegistry.invalidateSignature(dir)
+            val fresh = (dataFiles(dest) -- before).toSeq.sorted
+            graft.search.SearchQueries.appendedToCorpus(
+              SparkSession.active, dir, pre, fresh)
+          }
         }
       }
   }

@@ -327,6 +327,14 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("domainMixture: empty corpus yields an empty frame, not an NPE") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_empty_corpus").toString
+    spark.read.parquet(s"$dir/documents.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(Curation.domainMixture(spark, tmp).count() == 0)
+  }
+
   test("domainMixture: temperature interpolates between natural and uniform") {
     val out = Curation.domainMixture(spark, dir)
       .as[(String, Long, Long, Double, Double)].collect()

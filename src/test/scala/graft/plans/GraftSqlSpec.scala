@@ -368,4 +368,34 @@ class GraftSqlSpec extends AnyFunSuite {
       e2.getMessage.contains("literal"),
       s"non-literal arg error unhelpful: ${e2.getMessage.take(120)}")
   }
+
+  test("graft_batch_search rejects a quoted k with a targeted message") {
+    // 5-arg literal-form call with k as a STRING: the arity overlaps
+    // the TABLE form, which keys on the third argument's type — this
+    // must NOT reroute to "queries_view does not resolve"
+    val e = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM graft_batch_search('$dir', 'spark', '5', 'text', 1)")
+        .collect()
+    }
+    assert(e.getMessage.contains("unquoted"),
+      s"quoted-k error not targeted: ${e.getMessage.take(200)}")
+    assert(!e.getMessage.contains("does not resolve"),
+      s"quoted-k still rerouted to the TABLE form: ${e.getMessage.take(200)}")
+  }
+
+  test("graft_ann_store calls do not clobber the harness oracle tag") {
+    val store = "/tmp/graft_spec_pq_guard"
+    graft.pipeline.Similarity.savePqIndex(spark, dir, store)
+    // the harness records its run explicitly with (nQueries=5, k=10)
+    graft.pipeline.Similarity.recordPqStoreRun(spark, store,
+      "ann_store_sql_guard_tag", nQueries = 5, k = 10)
+    // an unrelated SQL call with DIFFERENT parameters must not touch it
+    spark.sql(s"SELECT * FROM graft_ann_store('$dir', '$store', 3, 5)")
+      .collect()
+    val run = graft.pipeline.Similarity
+      .recordedIvfPqRun("ann_store_sql_guard_tag")
+    assert(run.exists(r => r.nQueries == 5 && r.k == 10),
+      s"recorded run clobbered or missing: $run")
+  }
 }

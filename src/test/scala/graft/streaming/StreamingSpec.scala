@@ -184,6 +184,28 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("bloom/CMS probes reject artifacts built with other parameters") {
+    import graft.pipeline.{Dedup, TextAnalysis}
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    // a bitset built at m=2^14 probed at m=2^12: the positions would
+    // be computed with the wrong modulus — must fail, not mis-answer
+    val bitset = Dedup.corpusBloomBitset(spark, dir)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.bloomVsCorpus(docs, bitset, mBits = 1 << 12)
+    }
+    assert(e1.getMessage.contains("mBits"), e1.getMessage.take(200))
+    // same for the CMS sketch's width
+    val sketch = TextAnalysis.cmsSketch(spark, dir, 1024, 3)
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.cmsEstimateStream(docs, sketch, w = 512)
+    }
+    assert(e2.getMessage.contains("cms.w"), e2.getMessage.take(200))
+    // matching parameters still pass (the stamped frame round-trips)
+    assert(Dedup.bloomVsCorpus(docs, bitset).columns.contains("in_bloom"))
+  }
+
   test("streaming CMS annotation matches the batch form and stays stateless") {
     implicit val sqlCtx = spark.sqlContext
     import graft.pipeline.TextAnalysis
