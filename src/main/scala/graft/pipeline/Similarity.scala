@@ -617,17 +617,25 @@ object Similarity {
     * `|c|^2 - 2 x.c`); `PqAppendSpec`-style parity is pinned in
     * IvfSpec so the duplicated expressions cannot drift. */
   def appendToPqIndex(spark: SparkSession, dir: String, path: String,
-      filter: Column): Unit = {
+      filter: Column): Unit =
+    appendBatchToPqIndex(spark, path, corpus(spark, dir).where(filter))
+
+  /** The batch form of [[appendToPqIndex]]: encode-only append of an
+    * ARBITRARY (vec_id, v) frame — the unit a streaming foreachBatch
+    * ingest hands over per micro-batch ([[graft.streaming
+    * .StreamQueries]]' `stream_ann_store`). Every call starts with
+    * [[recoverPqStore]], so a crash window left by a concurrent
+    * mutation (or a previous batch's death) is rolled to a
+    * self-consistent state before the new codes land; the frozen
+    * centroids/codebooks are re-read per call, so the encode always
+    * matches the artifacts CURRENTLY live at the path (the
+    * signature-guard equivalent for a store whose quantizer a
+    * compaction may have refit between batches). */
+  def appendBatchToPqIndex(spark: SparkSession, path: String,
+      batch: DataFrame): Unit = {
     recoverPqStore(path)
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("i").collect().map(_.getSeq[Double](1).toArray)
-    val cbRows = spark.read.parquet(s"$path/codebooks")
-      .orderBy("m", "j").collect()
-    val m = cbRows.map(_.getInt(0)).max + 1
-    val ks = cbRows.map(_.getInt(1)).max + 1
-    val codebooks = Array.tabulate(m, ks) { (mm, j) =>
-      cbRows(mm * ks + j).getSeq[Double](2).toArray
-    }
+    val (centroids, codebooks) = loadPqArtifacts(spark, path)
+    val m = codebooks.length
     val dim = centroids.headOption.map(_.length).getOrElse(0)
     val sub = dim / m
     val cellScores = array(centroids.toIndexedSeq.map(c =>
@@ -643,7 +651,7 @@ object Similarity {
       }: _*)
       (array_position(scores, array_min(scores)) - 1).cast("int")
     }
-    corpus(spark, dir).where(filter)
+    batch
       .withColumn("cell",
         (array_position(cellScores, array_min(cellScores)) - 1).cast("int"))
       .withColumn("cent", element_at(centArr, col("cell") + 1))

@@ -2255,6 +2255,12 @@ final class SearchIndex private (
   private var parents: Seq[SearchIndex] = Nil
   private var extraFrames: Seq[DataFrame] = Nil
 
+  /** The lineage of an incrementally-derived index (base + delta for
+    * [[addDocuments]], base for [[removeDocuments]]) — exposed so
+    * specs can assert that maintenance paths really shared the base
+    * (identity, not recomputation). Empty for a fresh build. */
+  private[graft] def lineageParents: Seq[SearchIndex] = parents
+
   /** Per-call persisted helper frames (queryJoinPhrase's analyzed
     * query batch, queryJoinBool's canon/qinfo): registered so
     * [[unpersist]] releases them with the index — a long-lived

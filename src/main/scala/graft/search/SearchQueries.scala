@@ -38,9 +38,28 @@ object SearchQueries {
     * sections. */
   def clearCache(): Unit = cache.clear()
 
+  /** The corpus read PINNED to its current data-file set (explicit
+    * leaf paths, not the directory). Spark's parquet insert command
+    * refreshes every cached plan rooted under the written DIRECTORY
+    * (`refreshByPath`), so a directory-rooted index whose frames
+    * materialize after an in-place append silently re-lists the
+    * grown corpus — inside an incremental merge that double-counts
+    * the appended batch (df summed once from the refreshed base and
+    * once from the delta; negative IDFs follow). Explicit file roots
+    * re-list to themselves, so the index keeps describing the corpus
+    * AS OF ITS BUILD, which is what the registry's signature key
+    * asserts it does. Falls back to the directory read when the
+    * listing is empty (missing dir — let the read raise the standard
+    * error). */
+  private[graft] def snapshotDocs(spark: SparkSession, dir: String) = {
+    val files = graft.sources.CorpusRegistry.dataFiles(s"$dir/documents.parquet")
+    if (files.isEmpty) spark.read.parquet(s"$dir/documents.parquet")
+    else spark.read.parquet(files: _*)
+  }
+
   def indexFor(spark: SparkSession, dir: String): SearchIndex =
     cache.get(dir) {
-      SearchIndex.build(spark.read.parquet(s"$dir/documents.parquet"), spec)
+      SearchIndex.build(snapshotDocs(spark, dir), spec)
     }
 
   /** Incremental-maintenance hook for the DSv2 append path: when a
@@ -60,7 +79,11 @@ object SearchQueries {
       newFiles: Seq[String]): Boolean =
     newFiles.nonEmpty && cache.refreshIfCurrent(dir, "", preTag,
         graft.sources.CorpusRegistry.signature(dir)) { idx =>
-      idx.addDocuments(spark.read.parquet(newFiles: _*))
+      // the lineage-tracking overload: the delta stays persisted and
+      // the merged index records (base, delta) as parents, so the
+      // registry's eventual evict cascades the unpersist correctly
+      idx.addDocuments(spark.read.parquet(newFiles: _*),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** Two-text-field index (text + source as TEXT) for the
@@ -69,7 +92,7 @@ object SearchQueries {
     * leaves score with tf/dl/avgdl of the source field. */
   def xfieldIndexFor(spark: SparkSession, dir: String): SearchIndex =
     cache.get(dir, "xfield") {
-      SearchIndex.build(spark.read.parquet(s"$dir/documents.parquet"),
+      SearchIndex.build(snapshotDocs(spark, dir),
         IndexSpec(keyCol = "doc_id", textFields = Seq("text", "source"),
           keywordFields = Seq("lang"), similarity = BM25(K1, B),
           // non-default pluggable constructor: raw strings become a
@@ -89,7 +112,7 @@ object SearchQueries {
   def incrementalIndexFor(spark: SparkSession, dir: String): SearchIndex =
     cache.get(dir, "incremental") {
       {
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val docs = snapshotDocs(spark, dir)
       SearchIndex.build(docs.where(col("doc_id") % 10 =!= 9), spec)
         .addDocuments(docs.where(col("doc_id") % 10 === 9))
         .removeDocuments(docs.where(col("doc_id") % 7 === 0).select("doc_id"))
@@ -103,7 +126,7 @@ object SearchQueries {
     * AnalyzersSpec/PorterStemmerSpec goldens. */
   def englishIndexFor(spark: SparkSession, dir: String): SearchIndex =
     cache.get(dir, "english") {
-      SearchIndex.build(spark.read.parquet(s"$dir/documents.parquet"),
+      SearchIndex.build(snapshotDocs(spark, dir),
         spec.copy(indexAnalyzer = "english", queryAnalyzer = "english"))
     }
 
@@ -120,7 +143,7 @@ object SearchQueries {
   def splitIndexFor(spark: SparkSession, dir: String): SearchIndex =
     cache.get(dir, "split") {
       {
-      val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      val corpus = snapshotDocs(spark, dir)
         .withColumn("src_opt",
           when(length(col("source")) === 4, lit(null).cast("string"))
             .otherwise(col("source")))
@@ -135,7 +158,7 @@ object SearchQueries {
     * through the postings probe, phrase queries throw. */
   def noPositionsIndexFor(spark: SparkSession, dir: String): SearchIndex =
     cache.get(dir, "nopos") {
-      SearchIndex.build(spark.read.parquet(s"$dir/documents.parquet"),
+      SearchIndex.build(snapshotDocs(spark, dir),
         spec.copy(storePositions = false))
     }
 

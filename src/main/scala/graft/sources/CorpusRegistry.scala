@@ -102,6 +102,32 @@ object CorpusRegistry {
   private[sources] val listingsPerformed =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** The data files currently under `path` (hidden and commit-marker
+    * files excluded — the set a parquet read sees), sorted. Used by
+    * the DSv2 write path to diff pre/post-append file sets, and by
+    * index builders to PIN a corpus read to its build-time file set:
+    * Spark's own parquet insert refreshes every cached plan rooted
+    * under the written DIRECTORY (`refreshByPath`), so a
+    * directory-rooted base index would silently re-list an in-place
+    * append and double-count it inside an incremental merge —
+    * explicit file roots re-list to themselves. */
+  def dataFiles(path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val s = it.next()
+        val name = s.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith("."))
+          out += s.getPath.toString
+      }
+      out.sorted.toSeq
+    }
+  }
+
   /** Drop the memoized signature for `path` — called by writers that
     * mutate a corpus through our own paths (e.g. the DSv2 write
     * builder), so their next read re-lists immediately instead of

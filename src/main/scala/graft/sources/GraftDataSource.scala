@@ -157,24 +157,8 @@ final class GraftWriteBuilder(dir: String) extends WriteBuilder
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
-  /** Data files currently under the corpus parquet dir (hidden and
-    * commit-marker files excluded — the set a parquet read sees). */
-  private def dataFiles(dest: String): Set[String] = {
-    val p = new org.apache.hadoop.fs.Path(dest)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    if (!fs.exists(p)) Set.empty
-    else {
-      val out = scala.collection.mutable.Set.empty[String]
-      val it = fs.listFiles(p, true)
-      while (it.hasNext) {
-        val s = it.next()
-        val name = s.getPath.getName
-        if (!name.startsWith("_") && !name.startsWith("."))
-          out += s.getPath.toString
-      }
-      out.toSet
-    }
-  }
+  private def dataFiles(dest: String): Set[String] =
+    CorpusRegistry.dataFiles(dest).toSet
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =

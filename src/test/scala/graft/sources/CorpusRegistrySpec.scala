@@ -23,6 +23,33 @@ class CorpusRegistrySpec extends AnyFunSuite {
     assert(CorpusRegistry.signature(s"$d/nope") == "absent")
   }
 
+  test("TTL memoization: one LIST per window, invalidation re-lists") {
+    val d = java.nio.file.Files.createTempDirectory("reg_ttl").toString
+    spark.range(10).write.mode("overwrite").parquet(s"$d/t.parquet")
+    assert(CorpusRegistry.signatureTtlMs == 0L,
+      "tests must run with the TTL off by default")
+    try {
+      CorpusRegistry.signatureTtlMs = 60000L
+      CorpusRegistry.invalidateSignature(d)
+      val n0 = CorpusRegistry.listingsPerformed.get()
+      val s1 = CorpusRegistry.signature(d)
+      (1 to 10).foreach(_ => assert(CorpusRegistry.signature(d) == s1))
+      assert(CorpusRegistry.listingsPerformed.get() == n0 + 1,
+        "eleven lookups inside one window must cost exactly one listing")
+      // a writer through our own paths invalidates: next lookup lists
+      CorpusRegistry.invalidateSignature(d)
+      CorpusRegistry.signature(d)
+      assert(CorpusRegistry.listingsPerformed.get() == n0 + 2)
+    } finally {
+      CorpusRegistry.signatureTtlMs = 0L
+      CorpusRegistry.invalidateSignature(d)
+    }
+    // with the TTL back off, every lookup lists (strict freshness)
+    val n1 = CorpusRegistry.listingsPerformed.get()
+    CorpusRegistry.signature(d); CorpusRegistry.signature(d)
+    assert(CorpusRegistry.listingsPerformed.get() == n1 + 2)
+  }
+
   test("registry rebuilds on corpus change and runs the evict hook") {
     val d = java.nio.file.Files.createTempDirectory("reg_evict").toString
     spark.range(5).write.mode("overwrite").parquet(s"$d/t.parquet")

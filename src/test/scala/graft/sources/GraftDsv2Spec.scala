@@ -133,6 +133,57 @@ class GraftDsv2Spec extends AnyFunSuite {
     assert(!cols.contains("score"), "score must not leak into the corpus")
   }
 
+  test("append with a live index is INCREMENTAL: lineage shared, scores exact") {
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_dsv2_incr_spec").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.where(col("doc_id") % 2 === 0).write.format("graft")
+      .option("dir", out).mode("overwrite").save()
+    // force the index build for the half corpus, keep its identity
+    val idx1 = graft.search.SearchQueries.indexFor(spark, out)
+    idx1.search(graft.dsl.Parsed("text", "spark"), 3).collect()
+    // INSERT the other half through the DSv2 write path
+    docs.where(col("doc_id") % 2 === 1).write.format("graft")
+      .option("dir", out).mode("append").save()
+    // the cached index was MERGED in place, not evicted + rebuilt:
+    // the post-insert index's lineage holds the pre-insert index BY
+    // IDENTITY (addDocuments sets parents = (base, delta)), which a
+    // full re-tokenize of the archive could never have
+    val idx2 = graft.search.SearchQueries.indexFor(spark, out)
+    assert(idx2 ne idx1, "registry still serving the pre-insert index")
+    assert(idx2.lineageParents.headOption.exists(_ eq idx1),
+      "post-INSERT index does not share the base index's lineage — " +
+        "the append fell back to a full rebuild")
+    // and it scores EXACTLY like the source corpus's fresh index
+    val a = spark.read.format("graft")
+      .option("dir", out).option("query", "spark join").option("k", "10").load()
+      .select(col("doc_id").cast("long"), round(col("score"), 4))
+      .as[(Long, Double)].collect().toSet
+    val b = rel.select(col("doc_id").cast("long"), round(col("score"), 4))
+      .as[(Long, Double)].collect().toSet
+    assert(a == b, "incrementally-maintained index diverges from fresh build")
+    // an EXTERNAL mutation still forces the safe full rebuild: write
+    // parquet directly (not through the graft source) and append again
+    docs.where(col("doc_id") === 0).withColumn("doc_id", lit(900001L))
+      .write.mode("append").parquet(s"$out/documents.parquet")
+    docs.where(col("doc_id") === 0).withColumn("doc_id", lit(900002L))
+      .write.format("graft").option("dir", out).mode("append").save()
+    val idx3 = graft.search.SearchQueries.indexFor(spark, out)
+    assert(idx3.lineageParents.isEmpty,
+      "append after an external mutation must rebuild, not merge")
+  }
+
+  test("k is guarded: a driver-memory k fails fast with a pointer") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("dir", dir)
+        .option("query", "spark").option("k", "10000000").load().collect()
+    }
+    assert(e.getMessage.contains("graft.dsv2.max.k") &&
+      e.getMessage.contains("distributed"),
+      s"k guard message unhelpful: ${e.getMessage.take(200)}")
+  }
+
   test("SQL DDL: CREATE TABLE USING graft reads; INSERT INTO writes") {
     val out = new java.io.File(
       sys.props("java.io.tmpdir"), "graft_dsv2_ddl_spec").getAbsolutePath
