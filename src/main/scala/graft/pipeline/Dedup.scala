@@ -163,37 +163,66 @@ object Dedup {
     (bandTable(spark, dir), shingleTable(spark, dir))
 
   /** Per-bucket candidate DICTIONARY over the corpus LSH tables —
-    * (band, bh, cands: array<(corpus_id, ssy)>), the static side of a
-    * GRAIN-PRESERVING ingest near-dup check: an arriving doc LEFT-
-    * joins one row per band (never explodes), so the stream keeps one
-    * row per doc through the whole ingest DAG with no re-aggregation
-    * (which would be a second state store). Candidate lists are
-    * sorted by corpus id and CAPPED (the dedup_ngram hot-shingle
-    * discipline): a degenerate bucket — boilerplate shingle profiles
-    * at crawl scale — bounds to `cap` entries instead of one
-    * unbounded row; at the test SFs no bucket reaches the cap, so
-    * the oracle replays uncapped. */
+    * (band, bh, cands: array<(corpus_id, cnt, ssy)>), the static side
+    * of a GRAIN-PRESERVING ingest near-dup check: an arriving doc
+    * LEFT-joins one row per band (never explodes), so the stream
+    * keeps one row per doc through the whole ingest DAG with no
+    * re-aggregation (which would be a second state store).
+    *
+    * Hot-bucket escape (the r12-verdict stretch): candidates are
+    * DEDUPED BY SHINGLE PROFILE before capping. The Jaccard verify
+    * needs only the candidate's shingle set plus enough identity to
+    * exclude self, and (min corpus_id, member count) carries exactly
+    * that — a probe matches a profile iff `cnt > 1 OR corpus_id <>
+    * doc_id` and the Jaccard clears the threshold (if the probe's own
+    * entry is the group's only member, the group IS the probe; any
+    * other membership implies a real near-duplicate). The decision is
+    * therefore EXACTLY the all-pairs answer, while the degenerate
+    * bucket that made the cap bite hardest — thousands of IDENTICAL
+    * boilerplate docs sharing a band hash at crawl scale — collapses
+    * to a handful of distinct-profile rows. The cap (still applied,
+    * sorted by group-min corpus id) now only truncates a bucket with
+    * more than `cap` DISTINCT near-colliding profiles, and that
+    * residual case stays log-observable. */
   private[graft] def corpusBandCandidates(spark: SparkSession, dir: String,
       cap: Int = 1024): DataFrame =
     persistOnce(s"minhash_bandcands#$dir#$cap") {
       val (bands, sh) = corpusLshTables(spark, dir)
       val grouped = bands
         .join(sh.select(col("doc_id"), col("ss")), Seq("doc_id"))
+        .groupBy(col("band"), col("bh"), col("ss"))
+        .agg(min(col("doc_id")).as("corpus_id"), count(lit(1)).as("cnt"))
         .groupBy(col("band"), col("bh"))
         .agg(sort_array(collect_list(struct(
-          col("doc_id").as("corpus_id"), col("ss").as("ssy")))).as("__all"))
-      // hot-bucket truncation would otherwise be SILENT divergence
-      // from the batch oracle: count affected buckets once at build
-      // time (the frame is build-once) and warn with the count, so
-      // at-scale drift is observable in the logs, not a mystery
+          col("corpus_id"), col("cnt"), col("ss").as("ssy")))).as("__all"))
+      // residual truncation (> cap DISTINCT profiles in one bucket)
+      // would still be silent divergence from the batch oracle: count
+      // affected buckets once at build time (the frame is build-once)
+      // and warn with the count, so at-scale drift is observable in
+      // the logs, not a mystery
       val nOver = grouped.where(size(col("__all")) > cap).count()
       if (nOver > 0)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"corpusBandCandidates($dir): $nOver LSH bucket(s) over cap=$cap — " +
-            "stream-vs-corpus near-dup checks are truncated in those buckets")
+          s"corpusBandCandidates($dir): $nOver LSH bucket(s) over cap=$cap " +
+            "distinct shingle profiles — stream-vs-corpus near-dup checks " +
+            "are truncated in those buckets")
       grouped.select(col("band"), col("bh"),
         slice(col("__all"), 1, cap).as("cands"))
     }
+
+  /** The in-row verify over a [[corpusBandCandidates]] candidate
+    * array: true iff some profile GROUP contains a doc other than the
+    * probe (cnt > 1, or a min id that is not the probe) and its
+    * Jaccard with the probe's shingles clears `thr`. Exactly the
+    * all-pairs decision (see the dictionary's scaladoc), factored so
+    * the ingest DAG and the hot-bucket property spec share it. */
+  private[graft] def profileMatchExpr(cands: Column, ss: Column,
+      docId: Column, thr: Double): Column =
+    coalesce(exists(cands, c =>
+      (c.getField("cnt") > 1 || c.getField("corpus_id") =!= docId) &&
+        size(array_intersect(ss, c.getField("ssy"))).cast("double") /
+          size(array_union(ss, c.getField("ssy"))) >= thr),
+      lit(false))
 
   /** Non-exploded ingest-side banding: adds `ss` plus the four band
     * hashes `bh_0..bh_3` as COLUMNS (same signatures/band hashes as

@@ -173,6 +173,25 @@ object PipelineQueries {
       Similarity.loadedIvfPqTopK(s, dir, store,
         recordAs = Some("ann_ivfpq_appended"))
     }),
+    // the STREAMING ingest face of the persisted store: the store
+    // seeds with 80% of the corpus, the last fifth ARRIVES as a
+    // four-micro-batch file stream, each batch foreachBatch-appended
+    // encode-only (frozen artifacts re-read per batch, recoverPqStore
+    // first) — the probe over the final store must equal the
+    // all-at-once index's, which the shared recorded-run oracle pins.
+    // Rebuilt deterministically on EVERY invocation (fresh seed +
+    // fresh checkpoint): re-running the entry replays the same stream
+    // onto the same seed, so the result is invocation-count-proof.
+    "stream_ann_store" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val store = "/tmp/graft_fixtures/pq_stream_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Similarity.savePqIndex(s, dir, store,
+        codesFilter = Some(col("vec_id") % 5 =!= 4))
+      Similarity.streamIngestPqIndex(s, dir, store, col("vec_id") % 5 === 4)
+      Similarity.loadedIvfPqTopK(s, dir, store,
+        recordAs = Some("stream_ann_store"))
+    }),
     // store maintenance, deletion half: every 7th vector is REMOVED
     // from the persisted store (codes rewrite; centroids/codebooks
     // frozen, surviving codes untouched) — the probe must equal a
@@ -543,7 +562,8 @@ object PipelineQueries {
 
   private def ivfPqOracle: Map[String, String] =
     Seq("ann_ivfpq", "ann_ivfpq_reloaded", "ann_ivfpq_appended",
-      "ann_ivfpq_removed", "ann_store_sql").flatMap(ivfPqOracleFor).toMap
+      "ann_ivfpq_removed", "ann_store_sql", "stream_ann_store")
+      .flatMap(ivfPqOracleFor).toMap
 
   /** Per-tag candidate-set restriction: a store that REMOVED a slice
     * must not surface it — the oracle replays the removal as a

@@ -660,6 +660,46 @@ object Similarity {
       .write.mode("append").parquet(s"$path/codes")
   }
 
+  /** STREAMING ANN-store ingest — the online-vector completion of the
+    * ingest DAG: the arriving slice replays as a genuine multi-batch
+    * file stream (staged as `nFiles` parquet files, consumed with
+    * `maxFilesPerTrigger = 1` under an AvailableNow trigger), and
+    * each micro-batch lands through [[appendBatchToPqIndex]] —
+    * encode-only against the store's FROZEN artifacts, re-read per
+    * batch, with [[recoverPqStore]] run first so a crash window left
+    * by a dying batch (or a concurrent mutation) is rolled to a
+    * self-consistent state before new codes land. The final store is
+    * bit-identical to a single batch [[appendToPqIndex]] of the same
+    * slice: appends are pure code rows, so batch boundaries and
+    * arrival order cannot show in the probe (IvfSpec pins this, plus
+    * the mid-stream-crash window).
+    *
+    * Scale shape: per micro-batch cost is one map-side encode pass
+    * over the batch plus an append write — no state store, no
+    * shuffle, no touch of existing codes; the bounded artifact
+    * re-read (|cells| + m·ks rows) is the price of always encoding
+    * against whatever a concurrent compaction left live. */
+  def streamIngestPqIndex(spark: SparkSession, dir: String, path: String,
+      filter: Column, nFiles: Int = 4): Unit = {
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_pq_stream_src").toString
+    corpus(spark, dir).where(filter).select(col("vec_id"), col("v"))
+      .repartition(nFiles).write.mode("overwrite").parquet(staging)
+    val schema = spark.read.parquet(staging).schema
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_pq_stream_ckpt").toString
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staging)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendBatchToPqIndex(spark, path, batch)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** PQ-store mutation commit protocol (shared by
     * [[removeFromPqIndex]] and [[compactPqIndex]]): a mutation writes
     * its FULL output set under `$path/_staged/<child>`, then calls

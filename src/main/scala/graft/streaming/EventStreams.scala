@@ -621,12 +621,13 @@ object EventStreams {
         bandCands.where(col("band") === b)
           .select(col("bh").as(s"bh_$b"), col("cands").as(s"__cands_$b")),
         Seq(s"bh_$b"), "left"))
+    // candidates are shingle-profile GROUPS (hot-bucket escape, see
+    // corpusBandCandidates): the probe matches a group iff the group
+    // contains some OTHER doc — more than one member, or a min id
+    // that is not the probe itself — and the Jaccard clears
     val nearDup = size(col("ss")) > 0 && (0 until 4).map(b =>
-      coalesce(exists(col(s"__cands_$b"), c =>
-        c.getField("corpus_id") =!= col("doc_id") &&
-          size(array_intersect(col("ss"), c.getField("ssy"))).cast("double") /
-            size(array_union(col("ss"), c.getField("ssy"))) >= jaccardThr),
-        lit(false))).reduce(_ || _)
+      Dedup.profileMatchExpr(col(s"__cands_$b"), col("ss"),
+        col("doc_id"), jaccardThr)).reduce(_ || _)
     // 4. ANN vs corpus, grain-preserving
     val planes = Similarity.hyperplanes(nPlanes, 64)
     val withVec = withBandCands.join(
@@ -664,5 +665,65 @@ object EventStreams {
         .start()
     } finally spark.conf.set(key, saved)
     q.awaitTermination()
+  }
+
+  /** File-sink harness for CORPUS-SIZED streaming outputs: the memory
+    * sink holds every row on the driver for the life of the process,
+    * which caps how far the heavy annotation streams (per-(doc, term)
+    * grain — ~1.5M rows at sf0.1 for the CMS entry, linear beyond)
+    * can scale. Here the stream lands in a temp parquet sink —
+    * executor-parallel, driver-flat — and the returned frame is the
+    * read-back. Append-mode only (the file sink cannot express
+    * Update/Complete), which every stateless annotation stream is. */
+  def runToFileSink(df: DataFrame, streamPartitions: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_stream_sink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_sink_ckpt").toString
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    val q = try {
+      spark.conf.set(key, streamPartitions.toString)
+      df.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set(key, saved)
+    q.awaitTermination()
+    spark.read.parquet(out)
+  }
+
+  /** [[runToFileSink]] for COMPLETE-mode aggregation streams (the
+    * file sink itself cannot express Complete): each trigger's full
+    * result table overwrites the temp parquet dir through
+    * foreachBatch — an executor-parallel write, nothing retained on
+    * the driver — and the read-back after the final trigger is the
+    * stream's answer. */
+  def runCompleteToFileSink(df: DataFrame,
+      streamPartitions: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_stream_csink").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_csink_ckpt").toString
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    val q = try {
+      spark.conf.set(key, streamPartitions.toString)
+      df.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set(key, saved)
+    q.awaitTermination()
+    spark.read.parquet(out)
   }
 }

@@ -149,20 +149,21 @@ object StreamQueries {
           col("n"), round(col("sum_value"), 4).cast("double").as("sum_value"))
         .orderBy("win_start", "event_type")
     }),
+    // file-sink harness (not memory): the full window table is
+    // corpus-sized — |windows|·|types| rows land executor-parallel in
+    // a temp parquet sink and are read back, keeping the driver flat
+    // at any SF (the memory sink pins every row for the process life)
     "stream_sliding_avg" -> ((s, dir) => {
-      val name = s"stream_sliding_${sinkId.incrementAndGet()}"
-      EventStreams.runToMemorySink(
-        EventStreams.slidingAvg(stagedEvents(s, dir)), name, OutputMode.Complete())
-      s.table(name)
+      EventStreams.runCompleteToFileSink(
+          EventStreams.slidingAvg(stagedEvents(s, dir)))
         .select(col("win_start").cast("long").as("win_start"), col("event_type"),
           graft.functions.Rounding.roundEven(col("avg_value"), 4).as("avg_value"))
         .orderBy("win_start", "event_type")
     }),
+    // file-sink harness: one row per session grows with the corpus
     "stream_session_counts" -> ((s, dir) => {
-      val name = s"stream_session_${sinkId.incrementAndGet()}"
-      EventStreams.runToMemorySink(
-        EventStreams.sessionize(stagedEvents(s, dir)), name, OutputMode.Complete())
-      s.table(name)
+      EventStreams.runCompleteToFileSink(
+          EventStreams.sessionize(stagedEvents(s, dir)))
         .select(col("user_id"),
           unix_micros(col("session_start")).as("session_start"),
           unix_micros(col("session_end")).as("session_end"),
@@ -323,13 +324,13 @@ object StreamQueries {
     // ingest-time term-rarity annotation: each arriving doc's distinct
     // terms resolve their corpus-frequency ESTIMATE against the CMS
     // sketch — d broadcast stream-static joins, min in-row, stateless
+    // file-sink harness: the per-(doc, term) annotation grain is
+    // CORPUS-SIZED (~1.5M rows at sf0.1, linear beyond) — the one
+    // output shape a driver memory sink cannot carry past small SFs
     "stream_cms_estimate" -> ((s, dir) => {
-      val name = s"stream_cms_${sinkId.incrementAndGet()}"
       val sketch = graft.pipeline.TextAnalysis.cmsSketch(s, dir, 1024, 3)
-      EventStreams.runToMemorySink(
-        graft.pipeline.TextAnalysis.cmsEstimateStream(stagedDocs(s, dir), sketch),
-        name, OutputMode.Append())
-      s.table(name)
+      EventStreams.runToFileSink(
+          graft.pipeline.TextAnalysis.cmsEstimateStream(stagedDocs(s, dir), sketch))
         .select(col("doc_id"), col("term"), col("est"))
         .orderBy("doc_id", "term")
     }),

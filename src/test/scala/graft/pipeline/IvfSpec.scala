@@ -107,6 +107,42 @@ class IvfSpec extends AnyFunSuite {
     assert(codesOf(store) == codesOf(store + "_full"))
   }
 
+  test("streaming PQ ingest equals the all-at-once encode; survives a mid-stream crash") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.hadoop.fs.Path
+    def codesOf(p: String) = spark.read.parquet(s"$p/codes")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2).toList)).sortBy(_._1).toList
+    // ground truth: one save over everything
+    val full = java.nio.file.Files.createTempDirectory("pq_str_full").toString
+    Similarity.savePqIndex(spark, dir, full)
+    // streamed: 80% seed + the last fifth as a 4-micro-batch stream
+    val st = java.nio.file.Files.createTempDirectory("pq_str").toString
+    Similarity.savePqIndex(spark, dir, st,
+      codesFilter = Some(col("vec_id") % 5 =!= 4))
+    Similarity.streamIngestPqIndex(spark, dir, st, col("vec_id") % 5 === 4)
+    assert(codesOf(st) == codesOf(full),
+      "stream-appended codes must be byte-for-byte the full encode")
+    // mid-stream crash: a previous batch died after the marker of a
+    // CONCURRENT removal — the next batch's recoverPqStore must roll
+    // the store forward before its codes land, and the final probe
+    // must equal (full store) minus (removed slice) plus nothing else
+    val cr = java.nio.file.Files.createTempDirectory("pq_str_crash").toString
+    Similarity.savePqIndex(spark, dir, cr,
+      codesFilter = Some(col("vec_id") % 5 =!= 4))
+    // manufacture the post-marker crash window (IvfSpec window B)
+    spark.read.parquet(s"$cr/codes").where(col("vec_id") % 7 =!= 3)
+      .write.parquet(s"$cr/_staged/codes")
+    new Path(s"$cr/_staged_COMMIT")
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .create(new Path(s"$cr/_staged_COMMIT"), true).close()
+    Similarity.streamIngestPqIndex(spark, dir, cr, col("vec_id") % 5 === 4)
+    val want = codesOf(full).filter { case (id, _, _) =>
+      id % 5 == 4 || id % 7 != 3 }
+    assert(codesOf(cr) == want,
+      "ingest after a crashed removal must roll forward, then append")
+  }
+
   test("semDedup threshold extremes pin the within-cell keep rule") {
     import org.apache.spark.sql.functions._
     // cos is never > 1 (+ fp slack): nothing may drop

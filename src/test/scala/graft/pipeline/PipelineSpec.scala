@@ -144,6 +144,53 @@ class PipelineSpec extends AnyFunSuite {
     } finally Dedup.clearCaches()
   }
 
+  test("hot-bucket escape: boilerplate buckets stay bounded, no missed near-dups") {
+    val dir = java.nio.file.Files.createTempDirectory("hotbucket").toString
+    // degenerate boilerplate bucket: 20 IDENTICAL docs share every
+    // band hash — far over cap=4 as raw members, ONE row as a
+    // deduped shingle profile. Plus one duplicated pair and one
+    // genuinely unique doc (the self-exclusion probe).
+    val boiler = "alpha beta gamma delta epsilon zeta eta"
+    val pairTx = "theta iota kappa lambda mu nu xi"
+    val unique = "omicron pi rho sigma tau upsilon phi"
+    val docs = (0L until 20L).map(i => (i, boiler)) ++
+      Seq((100L, pairTx), (101L, pairTx), (200L, unique))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    try {
+      val cands = Dedup.corpusBandCandidates(spark, dir, cap = 4)
+      // bounded: no bucket row exceeds the cap — 20 identical docs
+      // collapse to one profile group carrying (min id, count)
+      val sizes = cands.select(size(col("cands")).as("n"))
+        .as[Int].collect()
+      assert(sizes.nonEmpty && sizes.forall(_ <= 4), sizes.mkString(","))
+      val boilerGroup = cands
+        .select(explode(col("cands")).as("c")).select("c.corpus_id", "c.cnt")
+        .where(col("cnt") === 20).distinct().as[(Long, Long)].collect()
+      assert(boilerGroup.toSeq == Seq((0L, 20L)),
+        s"boilerplate profile not collapsed: ${boilerGroup.mkString(",")}")
+      // no missed near-dups + correct self-exclusion: probe every doc
+      // through the SAME per-band join + verify the ingest DAG runs
+      val probes = Dedup.withBandColumns(
+        docs.toDF("doc_id", "text"),
+        graft.analysis.Analyzers.default.tokensCol(col("text")))
+      val joined = (0 until 4).foldLeft(probes)((acc, b) =>
+        acc.join(
+          cands.where(col("band") === b)
+            .select(col("bh").as(s"bh_$b"), col("cands").as(s"__cands_$b")),
+          Seq(s"bh_$b"), "left"))
+      val flag = (0 until 4).map(b =>
+        Dedup.profileMatchExpr(col(s"__cands_$b"), col("ss"),
+          col("doc_id"), 0.6)).reduce(_ || _)
+      val got = joined.select(col("doc_id"), flag.as("dup"))
+        .as[(Long, Boolean)].collect().toMap
+      // every boilerplate doc flags (even the ones an id-sorted raw
+      // cap would have truncated), the pair flags, the unique doesn't
+      (0L until 20L).foreach(i => assert(got(i), s"missed near-dup $i"))
+      assert(got(100L) && got(101L), "duplicated pair missed")
+      assert(!got(200L), "unique doc must not match itself")
+    } finally Dedup.clearCaches()
+  }
+
   test("resolveClusters: transitive groups collapse to the min id") {
     // two components — a 6-node CHAIN (diameter 5, forces several
     // propagation rounds) and a 2-node pair — plus untouched node ids
