@@ -1210,9 +1210,15 @@ final class SearchIndex private (
       case TFIDF() =>
         sqrt(col("__tf")) * (col("p_idf") * col("p_idf")) / sqrt(col("__dl"))
     }
+    // attach the query terms FIRST (candidates still slim — the qid
+    // exchange never carries token arrays), then the corpus tokens
+    // LAST via a shuffle-hash join so the candidate stream is never
+    // sorted after it turns wide (the 16x scale lesson from
+    // queryJoinAst: SMJ-sorting a wide candidate stream spills
+    // unboundedly; SHJ streams it)
     val scored = cand
-      .join(docSide, cand("key") === col("__doc_key"))
-      .join(queries, Seq("qid"))
+      .join(queries.hint("shuffle_hash"), Seq("qid"))
+      .join(docSide.hint("shuffle_hash"), cand("key") === col("__doc_key"))
       .withColumn("__tf",
         call_function("phrase_count", col("__tokens"), col("terms"), lit(slop)).cast("double"))
       .where(col("__tf") > 0)
@@ -1374,8 +1380,15 @@ final class SearchIndex private (
       case BM25(k1v, bv) => (0, k1v, bv)
       case TFIDF() => (1, 0.0, 0.0)
     }
+    // shuffle-hash, not sort-merge: the corpus side builds a
+    // per-partition hash table (bounded by partition sizing, as for
+    // any hash join of the corpus) while the candidate stream — the
+    // side that reaches |shapes| x min-df rows and carries the clause
+    // arrays — streams through UNSORTED. An SMJ here sorts the wide
+    // candidate stream and is exactly the 13 GB-spill shape the 16x
+    // scale run caught in queryJoinAst.
     val verified = cands
-      .join(docSide, cands("key") === col("__doc_key"))
+      .join(docSide.hint("shuffle_hash"), cands("key") === col("__doc_key"))
       .withColumn("__bq", call_function("bool_query_score",
         col("__tokens"), col("__terms"), col("__roles"), col("__idfs"),
         lit(kind), lit(k1), lit(b), lit(fs.avgDl)))
@@ -1681,9 +1694,17 @@ final class SearchIndex private (
       .persist(StorageLevel.MEMORY_AND_DISK))
     val posts = postings.where(col("field") === lit(field))
       .select(col("term"), col("key"))
+    // SLIM candidate discipline (measured at 16x sf0.1: the previous
+    // shape carried (ops, terms, doubles) on every candidate row
+    // through the term join, a key exchange, and a key SORT feeding a
+    // SortMergeJoin against the corpus — 36M candidates x ~1KB of
+    // program payload = a 13 GB sort spill that filled the disk; the
+    // probe joins below keep candidates as bare (sid, key) pairs and
+    // every wide re-attach is a SHUFFLE_HASH join, which streams the
+    // candidate side with NO sort of it at any width).
     val probed = withDoubles.join(chosen, Seq("sid"))
       .withColumn("probe", element_at(col("alts"), col("ai") + 1))
-      .select(col("sid"), col("ops"), col("terms"), col("doubles"), col("probe"))
+      .select(col("sid"), col("probe"))
     // single-term probes dominate (every AND-led shape) and their
     // (sid, key) is unique by construction — no dedup exchange;
     // multi-term probes (OR/ANY-led) pay one
@@ -1695,15 +1716,17 @@ final class SearchIndex private (
     val single = probed.where(size(col("probe")) === 1)
       .withColumn("term", try_element_at(col("probe"), lit(1))).drop("probe")
       .join(posts, Seq("term")).drop("term")
-    // dedup runs on slim (sid, key) pairs; the shape arrays re-attach
-    // AFTER the exchange via a shapes-sized join (AQE broadcasts it),
-    // so the dedup shuffle never carries program bytecode
     val multi = probed.where(size(col("probe")) > 1)
       .select(col("sid"), explode(col("probe")).as("term"))
       .join(posts, Seq("term")).drop("term")
       .dropDuplicates("sid", "key")
-      .join(withDoubles.select(col("sid"), col("ops"), col("terms"), col("doubles")),
-        Seq("sid"))
+    // program re-attach on the slim stream: shapes-sized build side,
+    // candidates stream through unsorted (AQE would broadcast small
+    // shape batches anyway; the hint keeps the no-sort property when
+    // |shapes| outgrows the broadcast threshold at corpus-scale lefts)
+    val candsSlim = single.unionByName(multi)
+      .join(withDoubles.select(col("sid"), col("ops"), col("terms"),
+        col("doubles")).hint("shuffle_hash"), Seq("sid"))
     // doc side: token array + the numeric and string attr maps
     // (filter columns resp. keyword-field values), one corpus join
     def nameMap(fields: Seq[String], value: String => Column, vType: String) =
@@ -1730,8 +1753,13 @@ final class SearchIndex private (
       nameMap(attrFields, numAttrExpr, "double").as("__attrs"),
       nameMap(strAttrFields, f => col(f).cast("string"), "string").as("__attrs_str"),
       xTokensMap.as("__xtokens"), xAvgdlMap.as("__xavgdl"))
-    val probeCands = single.unionByName(multi)
-      .join(docSide, col("key") === col("__doc_key"))
+    // corpus attach LAST, as a shuffle-hash join: the build side is a
+    // corpus partition (sized by the shuffle-partition count exactly
+    // like any hash join of the corpus), the probe-candidate side —
+    // the one that can reach |left| x df rows — streams through with
+    // no sort at any scale
+    val probeCands = candsSlim
+      .join(docSide.hint("shuffle_hash"), col("key") === col("__doc_key"))
     // TOTAL shapes: no sound probe set exists — full corpus pass
     // (AQE collapses this branch when the batch has no total shape)
     val totalCands = withDoubles.where(size(col("alts")) === 0)

@@ -104,13 +104,21 @@ object ScaleCorpus {
     val ev = spark.read.parquet(s"$base/events.parquet")
     val nEv = 1L + ev.agg(max(col("event_id"))).head().getLong(0)
     val nUsers = 1L + ev.agg(max(col("user_id"))).head().getLong(0)
+    // ts arrives as nanos-LongType, TIMESTAMP_NTZ, or TimestampType
+    // depending on the writer (graft.relational.Tables normalizes all
+    // three on the read side) — shift each copy by k days in whatever
+    // type it came in as, so the written copy keeps the base flavor.
+    val tsIsLong = ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    def shiftTs(k: Int) =
+      if (tsIsLong) col("ts") + lit(k * 86400L * 1000000000L)
+      else col("ts") + expr(s"INTERVAL '${k}' DAY")
     val evCopies = (0 until factor).map { k =>
       if (k == 0) ev
       else ev
         .withColumn("event_id", col("event_id") + k * nEv)
         .withColumn("user_id", col("user_id") + k * nUsers)
-        // nanos-as-long ts: shift each copy by k days
-        .withColumn("ts", col("ts") + lit(k * 86400L * 1000000000L))
+        .withColumn("ts", shiftTs(k))
     }
     writeSingleFile(evCopies.reduce(_ unionByName _),
       s"$out/events.parquet")
