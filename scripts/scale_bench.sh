@@ -1,18 +1,32 @@
 #!/bin/bash
 # Scaling-curve measurement (r12 verdict lead item): run the top-floor
-# bench entries at 1x (sf0.1), 4x, 16x, 64x synthesized corpora and
-# capture per-entry best-of-2 timings. Subset runs never write
-# BENCH_FULL history (Bench guards that), so this cannot poison the
-# driver's revisit thresholds.
+# bench entries at 1x (sf0.1) and 4x/16x/64x synthesized corpora
+# (graft.tools.ScaleCorpus output under target/scale) and capture
+# per-entry timings. Subset runs never write BENCH_FULL history (Bench
+# guards that), so this cannot poison the driver's revisit thresholds.
+#
+# query_join_ast_expand / query_join_ast_xfield are measured to 16x
+# only: on the dense synthetic vocabulary every query of theirs matches
+# a constant FRACTION of the corpus, so their exact-top-k work grows
+# ~quadratically in corpus size by construction (SCALE.md discusses
+# the bound) — at 64x that is hours of pure verify compute, not signal.
 set -u
-ONLY=$(paste -sd, /tmp/entries.txt)
+ENTRIES="ann_bruteforce,ann_ivf,ann_ivfpq,dedup_minhash,dedup_substring_keep,cms_counts,bigram_logprob,stream_ingest_e2e,stream_cms_estimate,stream_dedup_vs_corpus_bucketed,stream_simhash_pairs,stream_join_clicks,stream_session_counts,pii_scrub_live,link_pagerank_pages_converged,link_pagerank_pages_personalized,link_hits_pages,query_join_ast,query_join_bool,search_topk,search_incremental,search_dsv2_write"
+DENSE="query_join_ast_expand,query_join_ast_xfield"
 OUT=${1:-/root/repo/target/scale/results}
 mkdir -p "$OUT"
-for sc in "1x:/root/testdata/sf0.1" "4x:/root/repo/target/scale/x4" "16x:/root/repo/target/scale/x16" "64x:/root/repo/target/scale/x64"; do
-  name=${sc%%:*}; dir=${sc#*:}
-  echo "=== $name ($dir)"
-  SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_RUNS=2 \
-    SPARK_GRAFT_ONLY="$ONLY" \
+run_one() {
+  local name=$1 dir=$2 only=$3 runs=$4
+  echo "=== $name ($dir, runs=$runs)"
+  SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_RUNS="$runs" \
+    SPARK_GRAFT_ONLY="$only" \
     sbt -batch "runMain graft.Bench" 2>"$OUT/$name.err" | grep -F '"metric"' > "$OUT/$name.json"
   tail -c 300 "$OUT/$name.json"; echo
-done
+  sbt -batch "runMain graft.tools.IndexBuildBench $dir" 2>>"$OUT/$name.err" \
+    | grep -F '"index_build"' > "$OUT/${name}_build.json"
+  cat "$OUT/${name}_build.json"
+}
+run_one 1x  /root/testdata/sf0.1          "$ENTRIES,$DENSE" 2
+run_one 4x  /root/repo/target/scale/x4    "$ENTRIES,$DENSE" 2
+run_one 16x /root/repo/target/scale/x16   "$ENTRIES,$DENSE" 2
+run_one 64x /root/repo/target/scale/x64   "$ENTRIES"        1

@@ -51,6 +51,22 @@ def main():
         vs = [v for v in data[s].values() if v is not None and v >= 0]
         if vs:
             print(f"\n- {s}: {len(vs)} entries, sum {sum(vs):.1f}s")
+    # cold-build table (IndexBuildBench output)
+    builds = {}
+    for s in SCALES:
+        p = os.path.join(RESULTS, f"{s}_build.json")
+        if os.path.exists(p) and open(p).read().strip():
+            builds[s] = json.loads(open(p).read())
+    if builds:
+        print("\n| build | " + " | ".join(builds) + " |")
+        print("|---|" + "---|" * len(builds))
+        for kcol, label in [("search_build_sec", "search index (cold)"),
+                            ("search_warm_probe_sec", "search probe (warm)"),
+                            ("ivfpq_build_sec", "IVF-PQ train+encode (cold)"),
+                            ("ivfpq_warm_probe_sec", "IVF-PQ probe (warm)"),
+                            ("n_docs", "docs"), ("n_vecs", "vectors")]:
+            print(f"| {label} | " +
+                  " | ".join(str(builds[s].get(kcol, "—")) for s in builds) + " |")
 
 
 if __name__ == "__main__":

@@ -55,6 +55,40 @@ class TopKAgg[K: TypeTag](k: Int)(implicit ord: Ordering[K])
   override def outputEncoder: Encoder[Array[ScoredDoc[K]]] = ExpressionEncoder()
 }
 
+/** Bounded per-group bottom-n DISTINCT keys — the candidate-side
+  * early-termination aggregate behind `maxCandidatesPerShape`
+  * (SearchIndex.queryJoinAst): keeps the n smallest distinct keys of
+  * a group, so a dense shape's Theta(corpus) candidate stream — with
+  * duplicate (shape, key) rows from multi-term probes — reduces
+  * map-side into O(n) buffers and exchanges |groups| rows of <= n
+  * keys, with no global dedup exchange anywhere. Once a partial
+  * buffer is full, every key >= its worst rejects in O(1), which is
+  * the common case on a dense stream. Ordering/dedup by `K`'s own
+  * ordering, so the kept set is deterministic (partition-independent)
+  * and an external oracle can replay it. */
+class BottomKDistinctAgg[K: TypeTag: scala.reflect.ClassTag](n: Int)(
+    implicit ord: Ordering[K])
+    extends Aggregator[K, List[K], Array[K]] {
+  require(n > 0, "n must be positive")
+
+  override def zero: List[K] = Nil
+
+  private def bound(xs: List[K]): List[K] = xs.distinct.sorted.take(n)
+
+  override def reduce(buf: List[K], k: K): List[K] =
+    // full buffer: k beyond (or equal to) the worst kept key can
+    // neither enter nor change the set — reject without resorting
+    if (buf.lengthCompare(n) >= 0 && ord.gteq(k, buf.last)) buf
+    else bound(k :: buf)
+
+  override def merge(a: List[K], b: List[K]): List[K] = bound(a ::: b)
+
+  override def finish(buf: List[K]): Array[K] = buf.toArray
+
+  override def bufferEncoder: Encoder[List[K]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Array[K]] = ExpressionEncoder()
+}
+
 object TopKAgg {
   /** Code-point string ordering == UTF-8 binary order, the order
     * Spark SQL sorts strings in. Java's natural `String` ordering
@@ -93,4 +127,15 @@ object TopKAgg {
   /** Optionally expose as a SQL function `topk_agg`. */
   def register(spark: SparkSession, k: Int, name: String = "topk_agg"): Unit =
     spark.udf.register(name, topk(k))
+
+  /** Long-keyed bottom-n distinct keys (see [[BottomKDistinctAgg]]). */
+  def bottomkDistinct(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new BottomKDistinctAgg[Long](n), ExpressionEncoder[Long]())
+
+  /** String-keyed variant, UTF-8 binary order like [[topkString]]. */
+  def bottomkDistinctString(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new BottomKDistinctAgg[String](n)(
+      scala.reflect.runtime.universe.typeTag[String],
+      scala.reflect.classTag[String], Utf8Ordering),
+      ExpressionEncoder[String]())
 }

@@ -1492,13 +1492,30 @@ final class SearchIndex private (
     * share an entry only when `sameResult` holds for the left AND
     * the generators serialize byte-identically — a generator whose
     * captured state changed fingerprints differently and misses.
-    * Memoized frames are released with the index ([[unpersist]]). */
+    * Memoized frames are released with the index ([[unpersist]]).
+    *
+    * @param maxCandidatesPerShape pre-VERIFY early termination for
+    *   DENSE queries (default exact). A query whose probe terms match
+    *   a constant fraction of the corpus (match-most wildcards, tiny
+    *   vocabularies, stop-word-ish terms) has `Theta(|corpus|)` true
+    *   candidates per shape, and exact top-k must score them all —
+    *   measured at 267M verified rows for 8k wildcard queries on a
+    *   16x corpus (SCALE.md). This cap keeps only the first N
+    *   candidates per shape in DOC-KEY ORDER before scoring — the
+    *   distributed analog of Lucene's docid-order early termination —
+    *   so verify cost is bounded by |shapes| x N regardless of match
+    *   density, at the documented accuracy cost (hits beyond the
+    *   first N matching keys are unreachable). Deterministic: the
+    *   kept set depends only on (shape, corpus), not partitioning. */
   def queryJoinAst(left: DataFrame, qidCol: String, queryGen: Row => SearchQuery,
       field: String, k: Int, excludeSelf: Boolean = false,
-      maxHitsPerIndex: Int = Int.MaxValue): DataFrame = {
+      maxHitsPerIndex: Int = Int.MaxValue,
+      maxCandidatesPerShape: Int = Int.MaxValue): DataFrame = {
     require(spec.textFields.contains(field), s"$field is not an indexed text field")
+    require(maxCandidatesPerShape >= 1, "maxCandidatesPerShape must be >= 1")
     val leftPlan = left.queryExecution.analyzed
-    val memoKey = (leftPlan.semanticHash(), closureFingerprint(queryGen), qidCol, field)
+    val memoKey = (leftPlan.semanticHash(),
+      closureFingerprint(queryGen) + s"#cap=$maxCandidatesPerShape", qidCol, field)
     val scored = astJoinMemo.synchronized {
       astJoinMemo.get(memoKey) match {
         case Some(e @ (plan, df, _)) if plan.sameResult(leftPlan) =>
@@ -1507,7 +1524,8 @@ final class SearchIndex private (
           astJoinMemo(memoKey) = e
           df
         case _ =>
-          val (df, frames) = buildAstScored(left, qidCol, queryGen, field)
+          val (df, frames) = buildAstScored(left, qidCol, queryGen, field,
+            maxCandidatesPerShape)
           astJoinMemo(memoKey) = (leftPlan, df, frames)
           // bounded memo (ADVICE r10): a long-lived index serving many
           // distinct (left, generator) joins would otherwise pin an
@@ -1570,7 +1588,8 @@ final class SearchIndex private (
     * persisted setup frames scoped to the memo entry (released on
     * eviction, not at index teardown). */
   private def buildAstScored(left: DataFrame, qidCol: String,
-      queryGen: Row => SearchQuery, field: String): (DataFrame, Seq[DataFrame]) = {
+      queryGen: Row => SearchQuery, field: String,
+      maxCandidatesPerShape: Int = Int.MaxValue): (DataFrame, Seq[DataFrame]) = {
     val entryFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def keepFrame(df: DataFrame): DataFrame = { entryFrames += df; df }
     val fs = fieldStats(field)
@@ -1716,17 +1735,53 @@ final class SearchIndex private (
     val single = probed.where(size(col("probe")) === 1)
       .withColumn("term", try_element_at(col("probe"), lit(1))).drop("probe")
       .join(posts, Seq("term")).drop("term")
-    val multi = probed.where(size(col("probe")) > 1)
+    val exactCap = maxCandidatesPerShape == Int.MaxValue
+    val multiRaw = probed.where(size(col("probe")) > 1)
       .select(col("sid"), explode(col("probe")).as("term"))
       .join(posts, Seq("term")).drop("term")
-      .dropDuplicates("sid", "key")
-    // program re-attach on the slim stream: shapes-sized build side,
-    // candidates stream through unsorted (AQE would broadcast small
-    // shape batches anyway; the hint keeps the no-sort property when
-    // |shapes| outgrows the broadcast threshold at corpus-scale lefts)
-    val candsSlim = single.unionByName(multi)
-      .join(withDoubles.select(col("sid"), col("ops"), col("terms"),
-        col("doubles")).hint("shuffle_hash"), Seq("sid"))
+    // the capped path's distinct bottom-k (below) dedups implicitly,
+    // so it skips the (sid, key) dedup exchange entirely — on a dense
+    // batch that exchange moves Sum(df) rows and was MEASURED to
+    // dominate the capped run (CappedExpandBench, SCALE.md)
+    val multi = if (exactCap) multiRaw.dropDuplicates("sid", "key") else multiRaw
+    // pre-verify early termination for dense shapes (see the
+    // queryJoinAst scaladoc): keep only the first N DISTINCT
+    // candidate keys per shape BEFORE any exchange, wide attach or
+    // scoring — a bounded distinct bottom-k aggregate
+    // ([[graft.functions.BottomKDistinctAgg]]): per-partition
+    // partials hold <= N keys with O(1) rejection once full, the map
+    // side combines, and the only exchange is |shapes| rows of <= N
+    // keys. (A row_number window would concentrate each dense
+    // shape's full Theta(corpus) candidate set on a single reducer's
+    // sort — the exact single-point bottleneck this cap exists to
+    // avoid.)
+    val candsRaw = single.unionByName(multi)
+    val candsBounded =
+      if (exactCap) candsRaw
+      else candsRaw
+        .groupBy(col("sid"))
+        .agg(bottomKFor(candsRaw, maxCandidatesPerShape)(col("key"))
+          .as("__ckeys"))
+        .select(col("sid"), explode(col("__ckeys")).as("key"))
+    val progs = withDoubles.select(col("sid"), col("ops"), col("terms"),
+      col("doubles"))
+    // Program attach ORDER is a measured decision (16x receipts in
+    // SCALE.md): attaching the ~1KB serialized programs BEFORE the
+    // key exchange makes that exchange materialize candidates x 1KB
+    // (10.7 GB written for the dense-expansion batch — pure
+    // serialization CPU). When the shape batch is small enough to
+    // broadcast (bounded action on the persisted shapes frame — one
+    // cached-scan count), attach it AFTER the corpus join instead:
+    // the candidate stream then crosses its ONLY exchange as bare
+    // (sid, key) pairs, the corpus attaches via shuffle-hash, and the
+    // programs ride a broadcast — zero wide exchanges anywhere.
+    // Corpus-scale shape batches (a million-query left) fall back to
+    // the shuffle-hash attach before the key exchange, which is
+    // wide-but-linear and never sorts.
+    val attachLate = shapes0.count() <= SearchIndex.astBroadcastShapesMax
+    val candsSlim =
+      if (attachLate) candsBounded
+      else candsBounded.join(progs.hint("shuffle_hash"), Seq("sid"))
     // doc side: token array + the numeric and string attr maps
     // (filter columns resp. keyword-field values), one corpus join
     def nameMap(fields: Seq[String], value: String => Column, vType: String) =
@@ -1753,13 +1808,18 @@ final class SearchIndex private (
       nameMap(attrFields, numAttrExpr, "double").as("__attrs"),
       nameMap(strAttrFields, f => col(f).cast("string"), "string").as("__attrs_str"),
       xTokensMap.as("__xtokens"), xAvgdlMap.as("__xavgdl"))
-    // corpus attach LAST, as a shuffle-hash join: the build side is a
+    // corpus attach as a shuffle-hash join: the build side is a
     // corpus partition (sized by the shuffle-partition count exactly
     // like any hash join of the corpus), the probe-candidate side —
     // the one that can reach |left| x df rows — streams through with
-    // no sort at any scale
-    val probeCands = candsSlim
-      .join(docSide.hint("shuffle_hash"), col("key") === col("__doc_key"))
+    // no sort at any scale; the program broadcast (attachLate) adds
+    // no exchange at all
+    val probeCands = {
+      val withDocs = candsSlim
+        .join(docSide.hint("shuffle_hash"), col("key") === col("__doc_key"))
+      if (attachLate) withDocs.join(broadcast(progs), Seq("sid"))
+      else withDocs
+    }
     // TOTAL shapes: no sound probe set exists — full corpus pass
     // (AQE collapses this branch when the batch has no total shape)
     val totalCands = withDoubles.where(size(col("alts")) === 0)
@@ -1963,6 +2023,19 @@ final class SearchIndex private (
       case org.apache.spark.sql.types.StringType => TopKAgg.topkString(n)
       case other => throw new IllegalArgumentException(
         s"batch search supports integral or string keyCol, got $other for ${spec.keyCol}")
+    }
+
+  /** [[graft.functions.BottomKDistinctAgg]] builder for the corpus
+    * key type — same dichotomy as [[topkAggFor]]. */
+  private def bottomKFor(cands: DataFrame, n: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    cands.schema("key").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        TopKAgg.bottomkDistinct(n)
+      case org.apache.spark.sql.types.StringType => TopKAgg.bottomkDistinctString(n)
+      case other => throw new IllegalArgumentException(
+        s"maxCandidatesPerShape supports integral or string keyCol, got $other for ${spec.keyCol}")
     }
 
   /** The engine's `maxHitsPerIndex` (reference SearchableRDD.scala:
@@ -2334,6 +2407,16 @@ object SearchIndex {
     * pointer at `queryJoinAst`. Process-wide and adjustable for the
     * rare intended large collect. */
   @volatile var queryJoinDslMaxLeft: Int = 65536
+
+  /** Largest distinct-shape count for which [[queryJoinAst]] attaches
+    * the serialized query programs by BROADCAST after the corpus join
+    * (so its candidate stream crosses its only exchange as bare
+    * (sid, key) pairs — SCALE.md receipts). ~1 KB per shape, so the
+    * default is ~64 MB of broadcast, the order of a generous
+    * autoBroadcastJoinThreshold; above it the programs attach via a
+    * pre-exchange shuffle-hash join (wide-but-linear, never sorted).
+    * Process-wide, adjustable. */
+  @volatile var astBroadcastShapesMax: Long = 65536L
 
   /** Name of the internal token-array column for `field` — public so
     * callers can build query-generator expressions over the analyzed

@@ -866,6 +866,29 @@ object SearchQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // DENSE query join with pre-verify early termination
+    // (maxCandidatesPerShape — the distributed analog of Lucene's
+    // docid-order early termination, SCALE.md): each left doc matches
+    // any of its two leading tokens, which on this corpus's small
+    // vocabulary makes every query match a constant fraction of the
+    // documents; the cap bounds the verified volume at |shapes| x 8
+    // in deterministic doc-key order, so the oracle can replay the
+    // exact kept set.
+    "query_join_ast_capped" -> ((s, dir) => {
+      val idx = indexFor(s, dir)
+      val tk = col(SearchIndex.tokensColName("text"))
+      val left = idx.docs.where(size(tk) >= 2 && col("doc_id") % 20 === 0)
+        .select(col("doc_id"), element_at(tk, 1).as("t1"),
+          element_at(tk, 2).as("t2"))
+      idx.queryJoinAst(left, "doc_id", { r =>
+          MatchAnyTerms("text",
+            Seq(r.getAs[String]("t1"), r.getAs[String]("t2")).distinct)
+        }, "text", k = 3, excludeSelf = true, maxCandidatesPerShape = 8)
+        .select(col("qid").as("doc_id"), col("rank").cast("long").as("rank"),
+          col("key"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // Nested-AST query join with CROSS-FIELD text leaves — scored
     // leaves on a SECOND text field ("source", indexed as text in
     // xfieldIndexFor): "docs sharing my source that match one of my
@@ -1974,6 +1997,53 @@ object SearchQueries {
          |SELECT sel.qid AS doc_id, sel.rank, sel.doc_id AS key, round(sel.score, 4) AS score
          |FROM sel WHERE rank <= 3
          |ORDER BY sel.qid, sel.rank""".stripMargin
+    },
+
+    "query_join_ast_capped" -> {
+      // any-of-two-leading-tokens per left doc, candidates capped to
+      // the 8 LOWEST matching doc keys per query BEFORE scoring
+      // (maxCandidatesPerShape's deterministic doc-key-order early
+      // termination), self-exclusion and top-3 applied after — the
+      // oracle replays the kept set exactly. Duplicate-token queries
+      // (t1 = t2) dedup to a single ANY term.
+      s"""$toksCte,
+         |$postsCte,
+         |lefts AS (
+         |  SELECT doc_id AS qid, tokens[1] AS t1, tokens[2] AS t2
+         |  FROM toks WHERE len(tokens) >= 2 AND doc_id % 20 = 0
+         |), cand AS (
+         |  SELECT l.qid, l.t1, l.t2, t.doc_id AS key, t.tokens,
+         |    len(t.tokens) AS dl
+         |  FROM lefts l JOIN toks t
+         |    ON (list_contains(t.tokens, l.t1) OR list_contains(t.tokens, l.t2))
+         |), capped AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY key) AS rn
+         |    FROM cand
+         |  ) WHERE rn <= 8
+         |), parts AS (
+         |  SELECT c.qid, c.key, c.t1, c.t2, c.dl, st.avgdl, st.n,
+         |    len(list_filter(c.tokens, x -> x = c.t1)) AS tf1,
+         |    len(list_filter(c.tokens, x -> x = c.t2)) AS tf2,
+         |    d1.df AS df1, d2.df AS df2
+         |  FROM capped c
+         |  JOIN dfs d1 ON d1.term = c.t1
+         |  JOIN dfs d2 ON d2.term = c.t2, st
+         |), s2 AS (
+         |  SELECT qid, key,
+         |    ${bm25Sql("tf1", idfSql("df1"))}
+         |    + CASE WHEN t2 <> t1 THEN ${bm25Sql("tf2", idfSql("df2"))}
+         |      ELSE 0.0 END AS score
+         |  FROM parts
+         |), sel AS (
+         |  SELECT qid, key, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, key) AS rank
+         |  FROM s2 WHERE key <> qid
+         |)
+         |SELECT qid AS doc_id, CAST(rank AS BIGINT) AS rank, key,
+         |  round(score, 4) AS score
+         |FROM sel WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin
     },
 
     "query_join_ast_expand" -> {

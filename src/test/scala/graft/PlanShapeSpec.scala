@@ -483,4 +483,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.map(_.getLong(1)).sum == 10L)
   }
+
+  test("query-join candidate streams are never sorted: corpus attach is shuffle-hash") {
+    // The 16x scale run (SCALE.md) caught queryJoinAst sorting its
+    // candidate stream — |left| x df rows, each carrying ~1KB of
+    // program payload — to feed a SortMergeJoin against the corpus:
+    // a 13+ GB spill from a 9 MB corpus. The fix keeps candidates
+    // slim through the postings probe and attaches every wide side
+    // (query program, corpus tokens) via SHUFFLE_HASH joins, which
+    // stream the candidate side unsorted at any width. Pin that shape
+    // for all three data-driven join families: the corpus (__doc_key)
+    // join must be hash-based, never sort-merge, and no Sort may run
+    // over the candidate stream's key column.
+    for (name <- Seq("query_join_ast", "query_join_bool", "query_join_phrase")) {
+      val p = finalPlan(SparkEntry.queries(name)(spark, sf))
+      assert(!"SortMergeJoin [^\\n]*__doc_key".r.findFirstIn(p).isDefined,
+        s"$name sort-merges the candidate stream against the corpus:\n${p.take(1200)}")
+      assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+        s"$name lost the hash-join corpus attach:\n${p.take(1200)}")
+      // no Sort over the candidate stream's doc-key column (the final
+      // orderBy sorts the k-bounded OUTPUT by qid/rank, never by key)
+      assert(!"Sort \\[key#\\d+L ASC".r.findFirstIn(p).isDefined,
+        s"$name sorts the candidate stream:\n${p.take(1200)}")
+    }
+  }
 }

@@ -431,4 +431,32 @@ class QueryJoinAstSpec extends AnyFunSuite {
       assert(idx2.astJoinMemoEntries == before + 3)
     } finally idx2.unpersist()
   }
+
+  test("maxCandidatesPerShape: doc-key-order early termination for dense queries") {
+    // "the" matches docs 1, 3, 4, 6 — a dense single-term query.
+    // The cap keeps only the first N candidates in DOC-KEY order
+    // before scoring (the distributed analog of Lucene's docid-order
+    // early termination), so hits must come from the N lowest
+    // matching keys, deterministically; a cap at or above the true
+    // candidate count must be EXACTLY the uncapped result.
+    val left = corpus.where(col("doc_id") === 1L).select("doc_id", "text")
+    val gen: Row => SearchQuery = { _ => MatchTerm("text", "the") }
+    def hits(cap: Int): Seq[(Long, Long, Double)] =
+      idx.queryJoinAst(left, "doc_id", gen, "text", k = 10,
+          maxCandidatesPerShape = cap)
+        .select(col("qid"), col("key"), round(col("score"), 6))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sortBy(t => (t._1, t._2))
+    val exact = hits(Int.MaxValue)
+    assert(exact.map(_._2) == Seq(1L, 3L, 4L, 6L))
+    // cap below the match count: only the lowest-keyed candidates
+    // survive, with scores identical to the exact run's
+    val capped = hits(2)
+    assert(capped.map(_._2) == Seq(1L, 3L), capped)
+    assert(capped == exact.take(2), s"\ncapped: $capped\nexact: $exact")
+    // cap >= candidate count degenerates to exact
+    assert(hits(4) == exact)
+    // the memo must NOT serve a differently-capped run's frame
+    assert(hits(2) == capped)
+  }
 }
