@@ -570,6 +570,282 @@ object QueryProgram {
     case _ => None
   }
 
+  /** One additive piece of a program's score upper bound (see
+    * [[scoreBounds]]): the unit contributes at most `ub` to any
+    * document's score, and contributes 0 to a document that —
+    * for `requiresAll = false` (any-of leaves: TERM/ANY/CANY/SYN
+    * members) — contains NONE of `slots`, or — for `requiresAll =
+    * true` (phrase/near leaves) — is missing ANY of `slots`. Slots
+    * index the program's term table and are PROBE-FIELD text slots
+    * only; leaves that score off other fields fold into the constant
+    * part of the bound. */
+  final case class BoundUnit(ub: Double, slots: Seq[Int], requiresAll: Boolean)
+
+  private final class Unboundable extends RuntimeException
+
+  /** Static score-upper-bound analysis of a serialized program — the
+    * WAND/MaxScore ingredient (Broder et al., CIKM 2003; Turtle &
+    * Flood 1995): decomposes the maximum achievable score into a
+    * CONSTANT part (leaves that can contribute regardless of which
+    * probe-field terms the doc contains: keyword/cross-field leaves,
+    * AllDocs, ConstScore) plus per-probe-slot [[BoundUnit]]s, such
+    * that for EVERY document
+    *
+    *   score(doc) <= const + sum of ub over units "active" for doc
+    *
+    * where an any-of unit is active iff the doc contains >= 1 of its
+    * slots' terms and an all-of unit iff it contains ALL of them.
+    * Soundness leans on the engine's additive combinator discipline
+    * (And/Or/Should/DisMax sum or max child scores; ONLY leaves gate
+    * their own score on their own match — SearchIndex.compileWith /
+    * DslQueryScore), so each leaf's contribution is bounded
+    * independently:
+    *   - probe-field TERM/ALL/ANY/MIN members: the term's measured
+    *     max impact `mis(slot)` (max over its postings of the
+    *     similarity at that posting's tf/dl — exact, not the
+    *     idf*(k1+1) saturation limit)
+    *   - probe-field SYN: saturation bound at the group's min idf;
+    *     PHRASE/NEAR: saturation bound at the summed idf (phrase tf
+    *     is not per-posting measurable) — all-of units
+    *   - CANY (constant-score expansion): 1.0, any-of unit
+    *   - keyword leaves: kwSim(idf) exactly; X* leaves: that field's
+    *     measured max impact; X/KW CANY: 1.0 — all constants
+    *   - filters and Not score 0
+    * Returns None when no sound bound exists (negative Boost,
+    * DisMax tie outside [0,1], FunctionScore with positive factor,
+    * Demote with negative factor, unrewritten EXPAND) — callers then
+    * skip pruning for that shape, which is always safe.
+    *
+    * @param doubles idf prefix (per term slot) ++ consts, exactly the
+    *   interpreter's combined array
+    * @param mis     per-slot measured max impact (0 for slots absent
+    *   from the corpus, unread for attr-name/keyword slots)
+    * @param kind    0 = BM25 (saturation bound idf*(k1+1)),
+    *                1 = TFIDF (tf <= dl so the bound is idf^2) */
+  def scoreBounds(ops: IndexedSeq[Int], termFields: IndexedSeq[String],
+      doubles: IndexedSeq[Double], mis: IndexedSeq[Double],
+      probeField: String, kind: Int, k1: Double): Option[(Double, Seq[BoundUnit])] = {
+    val constOff = termFields.length
+    def idf(slot: Int): Double = doubles(slot)
+    def cst(rel: Int): Double = doubles(constOff + rel)
+    // saturation bound: sim(tf, dl) at any tf <= dl is <= this
+    def sat(i: Double): Double = if (kind == 0) i * (k1 + 1.0) else i * i
+    def kwSim(i: Double): Double = if (kind == 0) i else i * i
+    var pc = 0
+    def next(): Int = { val v = ops(pc); pc += 1; v }
+    def fail(): Nothing = throw new Unboundable
+    // NOT `pc += next()`: compound assignment saves the OLD pc before
+    // evaluating the RHS, so next()'s own increment would be lost
+    def skipN(): Unit = { val n = next(); pc += n }
+    def skip(): Unit = next() match {
+      case Op.AND | Op.OR => skip(); skip()
+      case Op.NOT | Op.SHOULD => skip()
+      case Op.BOOST => pc += 1; skip()
+      case Op.TERM => pc += 1
+      case Op.ALL | Op.ANY | Op.SYN | Op.CANY => skipN()
+      case Op.MIN | Op.PHRASE | Op.INSET => pc += 1; skipN()
+      case Op.NEAR | Op.CMP | Op.RANGE => pc += 3
+      case Op.EXISTS | Op.MISSING => pc += 1
+      case Op.KWTERM | Op.STREQ | Op.XTERM => pc += 2
+      case Op.KWALL | Op.KWANY | Op.KWSYN | Op.KWCANY | Op.STRIN => pc += 1; skipN()
+      case Op.KWMIN | Op.XMIN | Op.XPHRASE => pc += 2; skipN()
+      case Op.XALL | Op.XANY | Op.XCANY | Op.XSYN => pc += 1; skipN()
+      case Op.XNEAR => pc += 4
+      case Op.EXPAND => pc += 4
+      case Op.DISMAX =>
+        val n = next(); pc += 1
+        var j = 0
+        while (j < n) { skip(); j += 1 }
+      case Op.CONSTSC => pc += 1; skip()
+      case Op.FUNCSC => pc += 2; skip()
+      case Op.DEMOTE => pc += 1; skip(); skip()
+      case _ => () // ALLDOCS / NOMATCH / TRUEZERO
+    }
+    def slots(cnt: Int): Seq[Int] = Seq.fill(cnt)(next())
+    def scale(r: (Double, List[BoundUnit]), f: Double): (Double, List[BoundUnit]) =
+      (r._1 * f, r._2.map(u => u.copy(ub = u.ub * f)))
+    def merge(l: (Double, List[BoundUnit]), r: (Double, List[BoundUnit]))
+        : (Double, List[BoundUnit]) = (l._1 + r._1, l._2 ::: r._2)
+    val zero = (0.0, List.empty[BoundUnit])
+    // per-slot attribution for additive multi-term leaves (per-present
+    // -term score sums): probe-field slots become units, others fold
+    // into the constant (a doc may contain them freely)
+    def perTerm(ss: Seq[Int], ub: Int => Double): (Double, List[BoundUnit]) =
+      ss.foldLeft(zero) { (acc, s) =>
+        if (termFields(s) == probeField) (acc._1, BoundUnit(ub(s), Seq(s), false) :: acc._2)
+        else (acc._1 + ub(s), acc._2)
+      }
+    // single-value leaves (score bounded once, not per term): a unit
+    // only if EVERY member is a probe-field slot, else constant
+    def singleValue(ss: Seq[Int], ub: Double, requiresAll: Boolean)
+        : (Double, List[BoundUnit]) =
+      if (ss.nonEmpty && ss.forall(s => termFields(s) == probeField))
+        (0.0, List(BoundUnit(ub, ss, requiresAll)))
+      else (ub, Nil)
+    def go(): (Double, List[BoundUnit]) = next() match {
+      case Op.ALLDOCS => (1.0, Nil)
+      case Op.AND | Op.OR => merge(go(), go())
+      case Op.NOT => skip(); zero
+      case Op.SHOULD => go()
+      case Op.BOOST =>
+        val f = cst(next())
+        if (f < 0.0) fail()
+        scale(go(), f)
+      case Op.DISMAX =>
+        // score = best + tie x rest <= sum of children for tie in [0,1]
+        val n = next()
+        val tie = cst(next())
+        if (tie < 0.0 || tie > 1.0) fail()
+        var acc = zero
+        var j = 0
+        while (j < n) { acc = merge(acc, go()); j += 1 }
+        acc
+      case Op.CONSTSC =>
+        val b = cst(next()); skip()
+        (math.max(b, 0.0), Nil)
+      case Op.FUNCSC =>
+        // multiplier 1 + factor*ln(1+max(v,0)): <= 1 iff factor <= 0
+        pc += 1 // field slot
+        val factor = cst(next())
+        if (factor > 0.0) fail()
+        go()
+      case Op.DEMOTE =>
+        val f = cst(next())
+        if (f < 0.0) fail()
+        val pos = go(); skip()
+        scale(pos, math.max(1.0, f))
+      case Op.TERM =>
+        val t = next()
+        perTerm(Seq(t), mis(_))
+      case Op.ALL | Op.ANY => perTerm(slots(next()), mis(_))
+      case Op.MIN => pc += 1; perTerm(slots(next()), mis(_))
+      case Op.SYN =>
+        val ss = slots(next())
+        singleValue(ss, sat(ss.map(idf).min), requiresAll = false)
+      case Op.PHRASE =>
+        pc += 1 // slop
+        val ss = slots(next())
+        singleValue(ss, sat(ss.map(idf).sum), requiresAll = true)
+      case Op.NEAR =>
+        pc += 1 // dist
+        val ss = Seq(next(), next())
+        singleValue(ss, sat(ss.map(idf).sum), requiresAll = true)
+      case Op.CANY => singleValue(slots(next()), 1.0, requiresAll = false)
+      case Op.CMP => pc += 3; zero
+      case Op.RANGE => pc += 3; zero
+      case Op.INSET => pc += 1; skipN(); zero
+      case Op.EXISTS | Op.MISSING => pc += 1; zero
+      case Op.STREQ => pc += 2; zero
+      case Op.STRIN => pc += 1; skipN(); zero
+      case Op.NOMATCH | Op.TRUEZERO => zero
+      case Op.KWTERM => pc += 1; (kwSim(idf(next())), Nil)
+      case Op.KWALL | Op.KWANY =>
+        pc += 1; (slots(next()).map(s => kwSim(idf(s))).sum, Nil)
+      case Op.KWMIN => pc += 2; (slots(next()).map(s => kwSim(idf(s))).sum, Nil)
+      case Op.KWSYN => pc += 1; (kwSim(slots(next()).map(idf).min), Nil)
+      case Op.KWCANY => pc += 1; skipN(); (1.0, Nil)
+      case Op.XTERM => pc += 1; (mis(next()), Nil)
+      case Op.XALL | Op.XANY => pc += 1; (slots(next()).map(mis).sum, Nil)
+      case Op.XMIN => pc += 2; (slots(next()).map(mis).sum, Nil)
+      case Op.XSYN => pc += 1; (sat(slots(next()).map(idf).min), Nil)
+      case Op.XPHRASE => pc += 2; (sat(slots(next()).map(idf).sum), Nil)
+      case Op.XNEAR => pc += 2; (sat(Seq(next(), next()).map(idf).sum), Nil)
+      case Op.EXPAND => fail() // must be substituted before analysis
+      case other => throw new IllegalStateException(
+        s"scoreBounds: corrupt program, opcode $other at ${pc - 1}")
+    }
+    try {
+      val (c, us) = go()
+      Some((math.max(c, 0.0), us.map(u => u.copy(ub = math.max(u.ub, 0.0)))))
+    } catch { case _: Unboundable => None }
+  }
+
+  /** MaxScore-style essential-probe-term selection (the exact,
+    * impact-ordered pruning behind `queryJoinAst(impactPruning)`).
+    * Given the chosen probe alternative's terms with their dfs and a
+    * sound threshold `theta` (a lower bound on the shape's k'-th best
+    * score — the k'-th best EXACT score of any candidate subset),
+    * returns the subset E of `altTerms` to actually probe: every
+    * document scoring >= theta is guaranteed to contain >= 1 E-term,
+    * so candidates generated from E's postings alone preserve the
+    * exact top-k'. Terms are dropped greedily in descending-df order
+    * (densest postings first — maximal candidate-volume savings)
+    * while the bound over E-free documents stays strictly below
+    * theta with a float-slack margin. Falls back to the full
+    * alternative (no pruning) when theta is null (fewer than k'
+    * scored seeds) or the program admits no sound bound. */
+  def essentialTerms(ops: IndexedSeq[Int], terms: IndexedSeq[String],
+      termFields: IndexedSeq[String], doubles: IndexedSeq[Double],
+      mis: IndexedSeq[Double], altTerms: Seq[String], altDfs: Seq[Long],
+      theta: java.lang.Double, probeField: String, kind: Int, k1: Double)
+      : Seq[String] =
+    essentialProbe(ops, terms, termFields, doubles, mis,
+      Seq(altTerms), Seq(altDfs), theta, probeField, kind, k1)
+
+  /** [[essentialTerms]] generalized over EVERY probe alternative: the
+    * per-alt greedy runs for each alternative and the probe with the
+    * minimum essential-postings volume (sum of kept dfs, ties to the
+    * earliest alternative) wins — so an alternative that is dense
+    * but PRUNABLE (a rare scored term among stopword-dense ones)
+    * beats one that is merely min-total-df but whose mass sits in a
+    * single unprunable unit. With a null theta or no sound bound the
+    * greedy keeps everything and the selection degenerates to the
+    * plain min-total-df choice — exactly the unpruned plan's. */
+  def essentialProbe(ops: IndexedSeq[Int], terms: IndexedSeq[String],
+      termFields: IndexedSeq[String], doubles: IndexedSeq[Double],
+      mis: IndexedSeq[Double], alts: Seq[Seq[String]], altDfs: Seq[Seq[Long]],
+      theta: java.lang.Double, probeField: String, kind: Int, k1: Double)
+      : Seq[String] = {
+    if (alts.isEmpty) return Seq.empty
+    val bounds =
+      if (theta == null) None
+      else scoreBounds(ops, termFields, doubles, mis, probeField, kind, k1)
+    // probe-field slot per term string (slots are unique per
+    // (field, term); alt terms without a slot affect no unit)
+    lazy val slotOf = terms.indices.iterator
+      .filter(i => termFields(i) == probeField)
+      .map(i => terms(i) -> i).toMap
+    def greedy(altTerms: Seq[String], dfs: Seq[Long]): Seq[String] = bounds match {
+      case None => altTerms
+      case Some((const, units)) =>
+        val th = theta.doubleValue()
+        // E as a slot set; B(E) = const + sum of units active for a
+        // doc with NO E-term: any-of units with >= 1 slot outside E,
+        // all-of units fully outside E
+        val e = scala.collection.mutable.Set.empty[Int]
+        altTerms.foreach(t => slotOf.get(t).foreach(e += _))
+        def bound(): Double = const + units.iterator.filter { u =>
+          if (u.requiresAll) !u.slots.exists(e.contains)
+          else u.slots.exists(s => !e.contains(s))
+        }.map(_.ub).sum
+        // float-slack margin: the analytical inequality holds in the
+        // reals; keep a safety strip so rounding can never flip a
+        // prune decision against exactness
+        def safe(b: Double): Boolean =
+          b + 1e-7 * (1.0 + math.abs(b) + math.abs(th)) < th
+        val kept = scala.collection.mutable.LinkedHashSet[String](altTerms: _*)
+        val byDfDesc = altTerms.zip(dfs).sortBy(-_._2).map(_._1)
+        byDfDesc.foreach { t =>
+          // keep >= 1 term: an empty probe could only be sound if no
+          // doc reaches theta, which theta's own seed contradicts —
+          // only float slack could get here, and the guard closes it
+          if (kept.size > 1) {
+            val s = slotOf.get(t)
+            s.foreach(e -= _)
+            if (safe(bound())) kept -= t
+            else s.foreach(e += _) // revert: removal would breach theta
+          }
+        }
+        kept.toSeq
+    }
+    val scored = alts.zip(altDfs).zipWithIndex.map { case ((ts, dfs), i) =>
+      val dfOf = ts.zip(dfs).toMap
+      val kept = greedy(ts, dfs)
+      (kept.map(dfOf.getOrElse(_, 0L)).sum, i, kept)
+    }
+    scored.minBy(x => (x._1, x._2))._3
+  }
+
   /** `*`/`?` glob to an (unanchored) Java regex — the regex twin of
     * the scan path's glob-to-LIKE translation, for matching the
     * pattern against a term DICTIONARY COLUMN where LIKE's pattern

@@ -1489,6 +1489,13 @@ object DslQueryScore {
 
     var pc = 0
     def next(): Int = { val v = ops.getInt(pc); pc += 1; v }
+    // NOT `pc += next()`: compound assignment saves the OLD pc before
+    // evaluating the RHS, so next()'s own increment would be lost —
+    // the skip would land one int short (on the last slot), and the
+    // next skip would parse garbage from unchecked UnsafeArrayData
+    // offsets (harmless for results — skips only run after a failed
+    // root conjunct already decided the row — but undefined reads)
+    def skipN(): Unit = { val n = next(); pc += n }
     // advances pc over one subtree without evaluating it (used by the
     // root-AND short-circuit: a failed conjunct discards the row, so
     // the sibling's score can never be observed)
@@ -1497,24 +1504,24 @@ object DslQueryScore {
       case Op.NOT | Op.SHOULD => skip()
       case Op.BOOST => pc += 1; skip()
       case Op.TERM => pc += 1
-      case Op.ALL | Op.ANY | Op.SYN => pc += next()
-      case Op.MIN => pc += 1; pc += next()
-      case Op.PHRASE => pc += 1; pc += next()
+      case Op.ALL | Op.ANY | Op.SYN => skipN()
+      case Op.MIN => pc += 1; skipN()
+      case Op.PHRASE => pc += 1; skipN()
       case Op.NEAR => pc += 3
       case Op.CMP => pc += 3
       case Op.RANGE => pc += 3
-      case Op.INSET => pc += 1; pc += next()
+      case Op.INSET => pc += 1; skipN()
       case Op.EXISTS | Op.MISSING => pc += 1
       case Op.KWTERM => pc += 2
-      case Op.KWALL | Op.KWANY | Op.KWSYN => pc += 1; pc += next()
-      case Op.KWMIN => pc += 2; pc += next()
+      case Op.KWALL | Op.KWANY | Op.KWSYN => pc += 1; skipN()
+      case Op.KWMIN => pc += 2; skipN()
       case Op.STREQ => pc += 2
-      case Op.STRIN => pc += 1; pc += next()
-      case Op.CANY => pc += next()
-      case Op.KWCANY => pc += 1; pc += next()
+      case Op.STRIN => pc += 1; skipN()
+      case Op.CANY => skipN()
+      case Op.KWCANY => pc += 1; skipN()
       case Op.XTERM => pc += 2
-      case Op.XALL | Op.XANY | Op.XCANY | Op.XSYN => pc += 1; pc += next()
-      case Op.XMIN | Op.XPHRASE => pc += 2; pc += next()
+      case Op.XALL | Op.XANY | Op.XCANY | Op.XSYN => pc += 1; skipN()
+      case Op.XMIN | Op.XPHRASE => pc += 2; skipN()
       case Op.XNEAR => pc += 4
       case Op.DISMAX =>
         val n = next(); pc += 1

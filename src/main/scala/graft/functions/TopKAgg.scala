@@ -75,11 +75,33 @@ class BottomKDistinctAgg[K: TypeTag: scala.reflect.ClassTag](n: Int)(
 
   private def bound(xs: List[K]): List[K] = xs.distinct.sorted.take(n)
 
+  /** O(|buf|) sorted-distinct insert (single walk, no re-sort): the
+    * accept path used to rebuild the list with distinct.sorted —
+    * O(n log n) per accepted key, quadratic-ish map-side cost for a
+    * LARGE cap (ADVICE r13). Still O(n) per accept; the dense-stream
+    * common case stays the O(1) full-buffer rejection below. */
+  private def insertSorted(buf: List[K], k: K): List[K] = {
+    val b = List.newBuilder[K]
+    var rest = buf
+    var size = 0
+    while (rest.nonEmpty && ord.lt(rest.head, k)) {
+      b += rest.head; size += 1; rest = rest.tail
+    }
+    if (rest.nonEmpty && ord.equiv(rest.head, k)) buf // duplicate: unchanged
+    else {
+      b += k; size += 1
+      while (rest.nonEmpty && size < n) {
+        b += rest.head; size += 1; rest = rest.tail
+      }
+      b.result()
+    }
+  }
+
   override def reduce(buf: List[K], k: K): List[K] =
     // full buffer: k beyond (or equal to) the worst kept key can
     // neither enter nor change the set — reject without resorting
     if (buf.lengthCompare(n) >= 0 && ord.gteq(k, buf.last)) buf
-    else bound(k :: buf)
+    else insertSorted(buf, k)
 
   override def merge(a: List[K], b: List[K]): List[K] = bound(a ::: b)
 

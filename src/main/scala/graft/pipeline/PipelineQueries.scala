@@ -179,15 +179,27 @@ object PipelineQueries {
     // encode-only (frozen artifacts re-read per batch, recoverPqStore
     // first) — the probe over the final store must equal the
     // all-at-once index's, which the shared recorded-run oracle pins.
-    // Rebuilt deterministically on EVERY invocation (fresh seed +
-    // fresh checkpoint): re-running the entry replays the same stream
-    // onto the same seed, so the result is invocation-count-proof.
+    // Deterministic and invocation-count-proof WITHOUT retraining
+    // (VERDICT r13): the 80% SEED store — k-means train included —
+    // is built once per corpus content signature and frozen (the
+    // Warc fixture discipline); every invocation copies the seed to
+    // a fresh working store and replays the same stream onto it, so
+    // the entry times streaming ingest + probe, not the retrain.
     "stream_ann_store" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
-      val store = "/tmp/graft_fixtures/pq_stream_" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-      Similarity.savePqIndex(s, dir, store,
-        codesFilter = Some(col("vec_id") % 5 =!= 4))
+      val sig = graft.sources.CorpusRegistry.signature(s"$dir/embeddings.parquet")
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val seed = s"/tmp/graft_fixtures/pq_stream_seed_${tag}_$sig"
+      val seedOk = new java.io.File(seed, "_GRAFT_SEED_OK")
+      pqStoreWritten.synchronized {
+        if (!seedOk.exists()) {
+          Similarity.savePqIndex(s, dir, seed,
+            codesFilter = Some(col("vec_id") % 5 =!= 4))
+          seedOk.createNewFile()
+        }
+      }
+      val store = s"/tmp/graft_fixtures/pq_stream_$tag"
+      copyDirTree(seed, store)
       Similarity.streamIngestPqIndex(s, dir, store, col("vec_id") % 5 === 4)
       Similarity.loadedIvfPqTopK(s, dir, store,
         recordAs = Some("stream_ann_store"))
@@ -559,6 +571,25 @@ object PipelineQueries {
     * everything downstream of the two KMeans fits. */
   /** Write-once guard for the persisted PQ index fixture. */
   private val pqStoreWritten = scala.collection.mutable.Set.empty[String]
+
+  /** Local recursive dir copy (fixture seeding: PQ seed store →
+    * fresh working store). Deletes the target first so every
+    * invocation starts from the identical frozen seed. */
+  private def copyDirTree(src: String, dst: String): Unit = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    def rmTree(p: Path): Unit = if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    }
+    val s0 = Paths.get(src)
+    val d0 = Paths.get(dst)
+    rmTree(d0)
+    Files.walk(s0).forEach { p =>
+      val t = d0.resolve(s0.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
 
   private def ivfPqOracle: Map[String, String] =
     Seq("ann_ivfpq", "ann_ivfpq_reloaded", "ann_ivfpq_appended",

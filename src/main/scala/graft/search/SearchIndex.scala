@@ -252,6 +252,41 @@ final class SearchIndex private (
   /** Test hook: the materialized cross-field stats frame. */
   private[graft] def crossFieldStats: DataFrame = xdfStats
 
+  /** Per-(field, term) measured MAX IMPACT — the idf-free part of the
+    * similarity maximized over the term's actual postings (tf, dl
+    * pairs), the per-term upper-bound ingredient of impact-ordered
+    * pruning (Lucene's `Impacts` / MaxScore metadata made a stats
+    * column). The full bound is idf * mi_raw (BM25) or idf^2 * mi_raw
+    * (TFIDF), assembled where the idf is already joined so the frame
+    * stays similarity-parameter-specific but idf-free. Materialized
+    * lazily ONCE per index (|vocab|-bounded aggregate over the
+    * persisted postings, same discipline as [[xdfStats]]); released
+    * by [[unpersist]]. Exact by construction: the maximum is over
+    * the postings that exist, not the tf -> infinity saturation
+    * limit, so bounds are as tight as the corpus allows. */
+  @volatile private var maxImpactFrame: DataFrame = _
+  private[graft] def maxImpactStats: DataFrame = {
+    var f = maxImpactFrame
+    if (f == null) synchronized {
+      f = maxImpactFrame
+      if (f == null) {
+        val part = spec.similarity match {
+          case BM25(k1, b) =>
+            (col("tf") * lit(k1 + 1.0)) /
+              (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avg_dl")))
+          case TFIDF() => sqrt(col("tf")) / sqrt(col("dl"))
+        }
+        f = trackPersist(postings
+          .join(broadcast(fieldStatsDf.select(col("field"), col("avg_dl"))), Seq("field"))
+          .groupBy(col("field"), col("term"))
+          .agg(max(part).as("mi_raw"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        maxImpactFrame = f
+      }
+    }
+    f
+  }
+
   /** Whole-document df for the given terms — a |terms|-row filtered
     * collect on [[xdfStats]]; terms absent from every text field are
     * simply missing from the map (df 0). */
@@ -1506,16 +1541,47 @@ final class SearchIndex private (
     *   so verify cost is bounded by |shapes| x N regardless of match
     *   density, at the documented accuracy cost (hits beyond the
     *   first N matching keys are unreachable). Deterministic: the
-    *   kept set depends only on (shape, corpus), not partitioning. */
+    *   kept set depends only on (shape, corpus), not partitioning.
+    * @param impactPruning EXACT early termination for DENSE queries —
+    *   the impact-ordered (MaxScore-family) alternative to
+    *   `maxCandidatesPerShape`'s accuracy trade. Per shape the plan
+    *   first scores a BOUNDED seed set — the [[astSeedsPerShape]]
+    *   highest-single-term-impact postings of the shape's MIN-DF
+    *   probe term; the rarest term is (almost always) the
+    *   highest-impact one, so its postings hold the top-score
+    *   population at Sum(min-df) seed-scan cost instead of the
+    *   exact probe's own Sum(df) — takes the (k+1)-th best seed
+    *   score as a sound threshold, and then probes ONLY the
+    *   "essential" probe terms — the subset outside which no
+    *   document's score upper bound ([[graft.dsl.QueryProgram
+    *   .scoreBounds]]: measured per-term max impacts from
+    *   [[maxImpactStats]] plus the program's constant mass) can
+    *   reach the threshold. Documents matching only non-essential
+    *   terms are provably outside the top-(k+1) of their shape, so
+    *   the result is BIT-IDENTICAL to the exact join while the
+    *   verified candidate volume drops from Sum(df over probe
+    *   terms) to Sum(df over essential terms) — on dense scored
+    *   disjunctions that is the difference between Theta(corpus)
+    *   and one rare term's postings. Shapes with no usable bound
+    *   (negative boosts, < k+1 scored seeds) fall back to the full
+    *   probe, which is always exact. Mutually exclusive with
+    *   `maxCandidatesPerShape`. */
   def queryJoinAst(left: DataFrame, qidCol: String, queryGen: Row => SearchQuery,
       field: String, k: Int, excludeSelf: Boolean = false,
       maxHitsPerIndex: Int = Int.MaxValue,
-      maxCandidatesPerShape: Int = Int.MaxValue): DataFrame = {
+      maxCandidatesPerShape: Int = Int.MaxValue,
+      impactPruning: Boolean = false): DataFrame = {
     require(spec.textFields.contains(field), s"$field is not an indexed text field")
     require(maxCandidatesPerShape >= 1, "maxCandidatesPerShape must be >= 1")
+    require(!(impactPruning && maxCandidatesPerShape != Int.MaxValue),
+      "impactPruning is exact and replaces maxCandidatesPerShape — pass one, not both")
+    // +1 covers excludeSelf: keeping each shape's exact top-(k+1)
+    // keeps every qid's exact top-k after removing at most itself
+    val pruneK = if (impactPruning) k + 1 else 0
     val leftPlan = left.queryExecution.analyzed
     val memoKey = (leftPlan.semanticHash(),
-      closureFingerprint(queryGen) + s"#cap=$maxCandidatesPerShape", qidCol, field)
+      closureFingerprint(queryGen) + s"#cap=$maxCandidatesPerShape#prune=$pruneK",
+      qidCol, field)
     val scored = astJoinMemo.synchronized {
       astJoinMemo.get(memoKey) match {
         case Some(e @ (plan, df, _)) if plan.sameResult(leftPlan) =>
@@ -1525,7 +1591,7 @@ final class SearchIndex private (
           df
         case _ =>
           val (df, frames) = buildAstScored(left, qidCol, queryGen, field,
-            maxCandidatesPerShape)
+            maxCandidatesPerShape, pruneK)
           astJoinMemo(memoKey) = (leftPlan, df, frames)
           // bounded memo (ADVICE r10): a long-lived index serving many
           // distinct (left, generator) joins would otherwise pin an
@@ -1583,13 +1649,26 @@ final class SearchIndex private (
   private[graft] def astJoinMemoEntries: Int =
     astJoinMemo.synchronized(astJoinMemo.size)
 
+  /** Seeds scored per shape for the impact-pruning threshold (see
+    * [[queryJoinAst]]'s `impactPruning`): more seeds cost more
+    * bounded verifies but yield a tighter threshold and therefore
+    * more pruning. Var is a test hook. */
+  private[graft] var astSeedsPerShape: Int = 64
+
+  /** Test hook: the (sid, key) candidate frame the most recent
+    * [[buildAstScored]] admitted to verification — lets plan-shape
+    * specs pin that impact pruning admits FEWER candidates than the
+    * full probe (counting it re-runs the bounded candidate stages). */
+  @volatile private[graft] var lastAstCandsFrame: DataFrame = _
+
   /** The setup + probe + verify pipeline behind [[queryJoinAst]],
     * producing the un-capped scored (qid, key, score) frame plus the
     * persisted setup frames scoped to the memo entry (released on
     * eviction, not at index teardown). */
   private def buildAstScored(left: DataFrame, qidCol: String,
       queryGen: Row => SearchQuery, field: String,
-      maxCandidatesPerShape: Int = Int.MaxValue): (DataFrame, Seq[DataFrame]) = {
+      maxCandidatesPerShape: Int = Int.MaxValue,
+      pruneK: Int = 0): (DataFrame, Seq[DataFrame]) = {
     val entryFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def keepFrame(df: DataFrame): DataFrame = { entryFrames += df; df }
     val fs = fieldStats(field)
@@ -1616,26 +1695,36 @@ final class SearchIndex private (
     // shapes0 keeps the SERIALIZED columns (the fan-out join key);
     // `shapes` is its dictionary-expanded rewrite — identical when no
     // shape carries a wildcard/fuzzy/regex leaf
+    // the attr-field arrays are functions of the grouped program
+    // columns, so first() is deterministic; carrying them here lets
+    // the metadata action below aggregate |shapes| rows instead of
+    // |left| AND read off the shape count for the attach decision in
+    // the same single action (no separate shapes0.count() job)
     val shapes0 = keepFrame(canon
       .groupBy("ops", "terms", "term_fields", "consts", "alts")
-      .agg(min(col("qid")).as("sid"))
+      .agg(min(col("qid")).as("sid"),
+        first(col("attr_fields")).as("attr_fields"),
+        first(col("str_attr_fields")).as("str_attr_fields"),
+        first(col("x_text_fields")).as("x_text_fields"))
       .persist(StorageLevel.MEMORY_AND_DISK))
     // distinct filter / keyword / cross-field attr columns plus the
-    // needs-expansion flag, in ONE bounded action (output is field
-    // NAMES — doc-schema-width, never |left|; the opcode scan
-    // over-approximates EXPAND, a false positive only routes through
-    // an identity rewrite)
-    val meta0 = canon.agg(
+    // needs-expansion flag and the shape count, in ONE bounded action
+    // (output is field NAMES — doc-schema-width, never |left|; the
+    // opcode scan over-approximates EXPAND, a false positive only
+    // routes through an identity rewrite)
+    val meta0 = shapes0.agg(
       array_sort(array_distinct(flatten(collect_list(col("attr_fields"))))).as("af"),
       array_sort(array_distinct(flatten(collect_list(col("str_attr_fields"))))).as("sf"),
       array_sort(array_distinct(flatten(collect_list(col("x_text_fields"))))).as("xf"),
       coalesce(max(when(array_contains(col("ops"), lit(QueryProgram.Op.EXPAND)), 1)
-        .otherwise(0)), lit(0)).as("exp")).head()
+        .otherwise(0)), lit(0)).as("exp"),
+      count(lit(1)).as("nshapes")).head()
     def fieldSeq(i: Int): Seq[String] =
       if (meta0.isNullAt(i)) Seq.empty else meta0.getSeq[String](i).toSeq
     val attrFields = fieldSeq(0)
     val strAttrFields = fieldSeq(1)
     val xFields = fieldSeq(2)
+    val nShapes = meta0.getLong(4)
     val shapes = expandShapes(shapes0, field, meta0.getInt(3) > 0, keepFrame)
     val docSchema = docs.schema
     // doc-side encoding matching QueryProgram.numVal: numerics cast,
@@ -1669,7 +1758,8 @@ final class SearchIndex private (
     // and their idf is never read. The program's consts are appended
     // after the idf prefix — DslQueryScore reads const operands at
     // |terms| + idx.
-    val termIdf = shapes
+    val pruning = pruneK > 0
+    val termIdf0 = shapes
       .select(col("sid"), col("term_fields"),
         posexplode(col("terms")).as(Seq("pos", "term")))
       .withColumn("field", element_at(col("term_fields"), col("pos") + 1))
@@ -1680,13 +1770,38 @@ final class SearchIndex private (
       .withColumn("idf", log(lit(1.0) +
         (coalesce(col("num_docs").cast("double"), lit(0.0)) - col("df") + 0.5) /
           (col("df") + 0.5)))
-      .groupBy(col("sid"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("idf")))).as("pi"))
-      .select(col("sid"), transform(col("pi"), x => x.getField("idf")).as("idfs"))
+    // pruning also needs the per-slot MEASURED max impact, aligned
+    // like the idf vector: idf^p x mi_raw with the same idf the
+    // scoring uses (p = 1 BM25 / 2 TFIDF, see [[maxImpactStats]]);
+    // slots absent from the corpus bound to 0 (they match nothing)
+    val termIdf =
+      if (!pruning)
+        termIdf0.groupBy(col("sid"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("idf")))).as("pi"))
+          .select(col("sid"), transform(col("pi"), x => x.getField("idf")).as("idfs"))
+      else {
+        val p = spec.similarity match { case _: BM25 => 1.0; case TFIDF() => 2.0 }
+        termIdf0
+          .join(maxImpactStats, Seq("field", "term"), "left")
+          .withColumn("mi", pow(col("idf"), lit(p)) *
+            coalesce(col("mi_raw"), lit(0.0)))
+          .groupBy(col("sid"))
+          .agg(sort_array(collect_list(
+            struct(col("pos"), col("idf"), col("mi")))).as("pi"))
+          .select(col("sid"),
+            transform(col("pi"), x => x.getField("idf")).as("idfs"),
+            transform(col("pi"), x => x.getField("mi")).as("mis"))
+      }
+    val withDoublesCols =
+      Seq(col("sid"), col("ops"), col("terms"), col("doubles"), col("alts")) ++
+        (if (pruning)
+          Seq(col("term_fields"),
+            coalesce(col("mis"), array().cast("array<double>")).as("mis"))
+        else Nil)
     val withDoubles = keepFrame(shapes.join(termIdf, Seq("sid"), "left")
       .withColumn("doubles",
         concat(coalesce(col("idfs"), array().cast("array<double>")), col("consts")))
-      .select(col("sid"), col("ops"), col("terms"), col("doubles"), col("alts"))
+      .select(withDoublesCols: _*)
       .persist(StorageLevel.MEMORY_AND_DISK))
     // probe-alternative selection by total df — the nested-AST
     // generalization of queryJoinBool's rarest-required-term probe.
@@ -1721,48 +1836,14 @@ final class SearchIndex private (
     // probe joins below keep candidates as bare (sid, key) pairs and
     // every wide re-attach is a SHUFFLE_HASH join, which streams the
     // candidate side with NO sort of it at any width).
-    val probed = withDoubles.join(chosen, Seq("sid"))
+    val probed0 = withDoubles.join(chosen, Seq("sid"))
       .withColumn("probe", element_at(col("alts"), col("ai") + 1))
       .select(col("sid"), col("probe"))
-    // single-term probes dominate (every AND-led shape) and their
-    // (sid, key) is unique by construction — no dedup exchange;
-    // multi-term probes (OR/ANY-led) pay one
-    // try_element_at, not element_at: a "matches nothing" probe (an
-    // EMPTY alt — unknown-field leaf, or a dictionary expansion that
-    // matched no terms) is filtered out by the size predicate, but
-    // constraint inference can reorder isnotnull(element_at(..)) in
-    // front of it, which under ANSI throws on the empty array
-    val single = probed.where(size(col("probe")) === 1)
-      .withColumn("term", try_element_at(col("probe"), lit(1))).drop("probe")
-      .join(posts, Seq("term")).drop("term")
     val exactCap = maxCandidatesPerShape == Int.MaxValue
-    val multiRaw = probed.where(size(col("probe")) > 1)
-      .select(col("sid"), explode(col("probe")).as("term"))
-      .join(posts, Seq("term")).drop("term")
-    // the capped path's distinct bottom-k (below) dedups implicitly,
-    // so it skips the (sid, key) dedup exchange entirely — on a dense
-    // batch that exchange moves Sum(df) rows and was MEASURED to
-    // dominate the capped run (CappedExpandBench, SCALE.md)
-    val multi = if (exactCap) multiRaw.dropDuplicates("sid", "key") else multiRaw
-    // pre-verify early termination for dense shapes (see the
-    // queryJoinAst scaladoc): keep only the first N DISTINCT
-    // candidate keys per shape BEFORE any exchange, wide attach or
-    // scoring — a bounded distinct bottom-k aggregate
-    // ([[graft.functions.BottomKDistinctAgg]]): per-partition
-    // partials hold <= N keys with O(1) rejection once full, the map
-    // side combines, and the only exchange is |shapes| rows of <= N
-    // keys. (A row_number window would concentrate each dense
-    // shape's full Theta(corpus) candidate set on a single reducer's
-    // sort — the exact single-point bottleneck this cap exists to
-    // avoid.)
-    val candsRaw = single.unionByName(multi)
-    val candsBounded =
-      if (exactCap) candsRaw
-      else candsRaw
-        .groupBy(col("sid"))
-        .agg(bottomKFor(candsRaw, maxCandidatesPerShape)(col("key"))
-          .as("__ckeys"))
-        .select(col("sid"), explode(col("__ckeys")).as("key"))
+    val (kind, k1v, bv) = spec.similarity match {
+      case BM25(a, c) => (0, a, c)
+      case TFIDF() => (1, 0.0, 0.0)
+    }
     val progs = withDoubles.select(col("sid"), col("ops"), col("terms"),
       col("doubles"))
     // Program attach ORDER is a measured decision (16x receipts in
@@ -1770,18 +1851,15 @@ final class SearchIndex private (
     // key exchange makes that exchange materialize candidates x 1KB
     // (10.7 GB written for the dense-expansion batch — pure
     // serialization CPU). When the shape batch is small enough to
-    // broadcast (bounded action on the persisted shapes frame — one
-    // cached-scan count), attach it AFTER the corpus join instead:
-    // the candidate stream then crosses its ONLY exchange as bare
-    // (sid, key) pairs, the corpus attaches via shuffle-hash, and the
-    // programs ride a broadcast — zero wide exchanges anywhere.
-    // Corpus-scale shape batches (a million-query left) fall back to
-    // the shuffle-hash attach before the key exchange, which is
+    // broadcast (the count rode the one bounded metadata action
+    // above), attach it AFTER the corpus join instead: the candidate
+    // stream then crosses its ONLY exchange as bare (sid, key)
+    // pairs, the corpus attaches via shuffle-hash, and the programs
+    // ride a broadcast — zero wide exchanges anywhere. Corpus-scale
+    // shape batches (a million-query left) fall back to the
+    // shuffle-hash attach before the key exchange, which is
     // wide-but-linear and never sorts.
-    val attachLate = shapes0.count() <= SearchIndex.astBroadcastShapesMax
-    val candsSlim =
-      if (attachLate) candsBounded
-      else candsBounded.join(progs.hint("shuffle_hash"), Seq("sid"))
+    val attachLate = nShapes <= SearchIndex.astBroadcastShapesMax
     // doc side: token array + the numeric and string attr maps
     // (filter columns resp. keyword-field values), one corpus join
     def nameMap(fields: Seq[String], value: String => Column, vType: String) =
@@ -1808,33 +1886,217 @@ final class SearchIndex private (
       nameMap(attrFields, numAttrExpr, "double").as("__attrs"),
       nameMap(strAttrFields, f => col(f).cast("string"), "string").as("__attrs_str"),
       xTokensMap.as("__xtokens"), xAvgdlMap.as("__xavgdl"))
-    // corpus attach as a shuffle-hash join: the build side is a
-    // corpus partition (sized by the shuffle-partition count exactly
-    // like any hash join of the corpus), the probe-candidate side —
-    // the one that can reach |left| x df rows — streams through with
-    // no sort at any scale; the program broadcast (attachLate) adds
-    // no exchange at all
+    def scoreExpr: Column = call_function("dsl_query_score", col("__tokens"),
+      col("ops"), col("terms"), col("doubles"), col("__attrs"), col("__attrs_str"),
+      col("__xtokens"), col("__xavgdl"),
+      lit(kind), lit(k1v), lit(bv), lit(fs.avgDl))
+    // attach + verify for a bare (sid, key) candidate frame, keeping
+    // the unsorted slim-candidate discipline (shuffle-hash corpus
+    // attach, broadcast-or-shuffle-hash program attach)
+    def attachAndScore(cands: DataFrame): DataFrame = {
+      val slim =
+        if (attachLate) cands
+        else cands.join(progs.hint("shuffle_hash"), Seq("sid"))
+      val withDocs = slim
+        .join(docSide.hint("shuffle_hash"), col("key") === col("__doc_key"))
+      val full =
+        if (attachLate) withDocs.join(broadcast(progs), Seq("sid"))
+        else withDocs
+      full.withColumn("__r", scoreExpr)
+        .select(col("sid"), col("key"),
+          col("__r.ok").as("ok"), col("__r.score").as("score"))
+    }
+    // impact-ordered EXACT pruning (see the queryJoinAst scaladoc):
+    // score a bounded per-shape seed set chosen by measured
+    // single-term impact, take the pruneK-th best exact seed score
+    // as the threshold, and shrink each shape's probe to the terms
+    // outside which no document can reach it
+    // (QueryProgram.essentialTerms). Every stage is bounded: seeds
+    // are |shapes| x astSeedsPerShape rows through the same
+    // shuffle-hash verify as the main path, the threshold and the
+    // per-alt df table are |shapes|-row aggregates, and the bound
+    // analysis is a per-shape UDF over the already-joined idf/mi
+    // vectors. Seeds are unioned back into the candidates, so even
+    // a degenerate bound can never lose the hits the threshold came
+    // from.
+    val (probed, seedCands) =
+      if (!pruning) (probed0, None)
+      else {
+        val sPosts = postings.where(col("field") === lit(field))
+          .select(col("term"), col("key"), col("tf"), col("dl"))
+        val idfC = log(lit(1.0) +
+          (lit(fs.numDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+        val prio = spec.similarity match {
+          case BM25(a, c) =>
+            col("__idf") * (col("tf") * lit(a + 1.0)) /
+              (col("tf") + lit(a) * (lit(1.0 - c) + lit(c) * col("dl") / lit(fs.avgDl)))
+          case TFIDF() =>
+            sqrt(col("tf")) * col("__idf") * col("__idf") / sqrt(col("dl"))
+        }
+        // seed from each shape's MIN-DF probe term only: the rarest
+        // term is (almost always) the highest-impact one, so its
+        // postings hold the top-score population the threshold needs,
+        // and the seed scan costs Sum(min-df) rows instead of
+        // Sum(df over all probe terms) — the latter is the exact
+        // probe's own volume, which would make the seed pass as
+        // expensive as the thing it prunes. Absent terms (df 0) have
+        // no postings and are excluded; a shape whose terms are all
+        // absent gets no seeds, a null threshold, and no pruning.
+        val minTerm = probed0
+          .select(col("sid"), explode(col("probe")).as("term"))
+          .join(stProbe, Seq("term"))
+          .where(col("df") > 0)
+          .groupBy(col("sid"))
+          .agg(min(struct(col("df"), col("term"))).as("m"))
+          .select(col("sid"), col("m.term").as("term"))
+        val seeds = keepFrame(minTerm
+          .join(sPosts, Seq("term"))
+          .join(stProbe, Seq("term"), "left").na.fill(0L, Seq("df"))
+          .withColumn("__idf", idfC)
+          .groupBy(col("sid"))
+          .agg(topkAggFor(posts, math.max(astSeedsPerShape, pruneK))(
+            col("key"), prio).as("__s"))
+          .select(col("sid"), explode(col("__s")).as("h"))
+          .select(col("sid"), col("h.key").as("key"))
+          .dropDuplicates("sid", "key")
+          .persist(StorageLevel.MEMORY_AND_DISK))
+        val theta = attachAndScore(seeds).where(col("ok"))
+          .groupBy(col("sid"))
+          .agg(topkAggFor(posts, pruneK)(col("key"), col("score")).as("__top"))
+          .select(col("sid"),
+            when(size(col("__top")) >= pruneK,
+              element_at(col("__top"), pruneK).getField("score")).as("__theta"))
+        // per-(shape, alternative) df tables over EVERY alternative,
+        // not just the min-total-df one: the essential-probe
+        // selection below may find that a denser alternative prunes
+        // to a cheaper essential set (explode_outer keeps the
+        // "matches nothing" empty alt at cost 0, which it rightly
+        // wins with)
+        val altStats = withDoubles
+          .select(col("sid"), posexplode(col("alts")).as(Seq("__ai", "__alt")))
+          .select(col("sid"), col("__ai"),
+            posexplode_outer(col("__alt")).as(Seq("__tp", "term")))
+          .join(stProbe, Seq("term"), "left").na.fill(0L, Seq("df"))
+          .groupBy(col("sid"), col("__ai"))
+          .agg(sort_array(collect_list(
+            struct(col("__tp"), col("term"), col("df")))).as("__a"))
+          .groupBy(col("sid"))
+          .agg(sort_array(collect_list(struct(col("__ai"),
+            transform(col("__a"), x => x.getField("term")).as("ts"),
+            transform(col("__a"), x => x.getField("df")).as("dfs")))).as("__alts"))
+          .select(col("sid"),
+            transform(col("__alts"), x => x.getField("ts")).as("__alt_terms"),
+            transform(col("__alts"), x => x.getField("dfs")).as("__alt_dfs"))
+        val probeF = field
+        val essUdf = udf((ops: Seq[Int], terms: Seq[String], tfs: Seq[String],
+            dbl: Seq[Double], mis: Seq[Double], altT: Seq[Seq[String]],
+            altD: Seq[Seq[Long]], th: java.lang.Double) => {
+          // drop the null placeholder row an EMPTY alt's outer
+          // explode produced, keeping term/df alignment
+          val pairs = altT.zip(altD).map { case (ts, ds) =>
+            ts.zip(ds).filter(_._1 != null)
+          }
+          QueryProgram.essentialProbe(ops.toIndexedSeq, terms.toIndexedSeq,
+            tfs.toIndexedSeq, dbl.toIndexedSeq, mis.toIndexedSeq,
+            pairs.map(_.map(_._1)), pairs.map(_.map(_._2)),
+            th, probeF, kind, k1v)
+        })
+        // persisted with the memo entry: the single/multi split below
+        // consumes the probe frame twice, and repeat invocations
+        // re-execute the memoized scored plan — without this persist
+        // the whole seed/threshold/essential pipeline (a handful of
+        // bounded but latency-bearing stages) would re-run twice per
+        // call. |shapes| rows of term lists once materialized.
+        val pruned = keepFrame(withDoubles.where(size(col("alts")) > 0)
+          .join(altStats, Seq("sid"))
+          .join(theta, Seq("sid"), "left")
+          .withColumn("probe", essUdf(col("ops"), col("terms"),
+            col("term_fields"), col("doubles"), col("mis"),
+            col("__alt_terms"), col("__alt_dfs"), col("__theta")))
+          .select(col("sid"), col("probe"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+        (pruned, Some(seeds))
+      }
+    // single-term probes dominate (every AND-led shape) and their
+    // (sid, key) is unique by construction — no dedup exchange;
+    // multi-term probes (OR/ANY-led) pay one
+    // try_element_at, not element_at: a "matches nothing" probe (an
+    // EMPTY alt — unknown-field leaf, or a dictionary expansion that
+    // matched no terms) is filtered out by the size predicate, but
+    // constraint inference can reorder isnotnull(element_at(..)) in
+    // front of it, which under ANSI throws on the empty array
+    val single = probed.where(size(col("probe")) === 1)
+      .withColumn("term", try_element_at(col("probe"), lit(1))).drop("probe")
+      .join(posts, Seq("term")).drop("term")
+    val multiRaw = probed.where(size(col("probe")) > 1)
+      .select(col("sid"), explode(col("probe")).as("term"))
+      .join(posts, Seq("term")).drop("term")
+    // the capped path's distinct bottom-k (below) dedups implicitly,
+    // so it skips the (sid, key) dedup exchange entirely — on a dense
+    // batch that exchange moves Sum(df) rows and was MEASURED to
+    // dominate the capped run (CappedExpandBench, SCALE.md); the
+    // pruning path dedups the seed union below instead
+    val multi =
+      if (exactCap && !pruning) multiRaw.dropDuplicates("sid", "key") else multiRaw
+    // pre-verify early termination for dense shapes (see the
+    // queryJoinAst scaladoc): keep only the first N DISTINCT
+    // candidate keys per shape BEFORE any exchange, wide attach or
+    // scoring — a bounded distinct bottom-k aggregate
+    // ([[graft.functions.BottomKDistinctAgg]]): per-partition
+    // partials hold <= N keys with O(1) rejection once full, the map
+    // side combines, and the only exchange is |shapes| rows of <= N
+    // keys. (A row_number window would concentrate each dense
+    // shape's full Theta(corpus) candidate set on a single reducer's
+    // sort — the exact single-point bottleneck this cap exists to
+    // avoid.)
+    val candsRaw = seedCands match {
+      case Some(s) => single.unionByName(multi).unionByName(s)
+        .dropDuplicates("sid", "key")
+      case None => single.unionByName(multi)
+    }
+    val candsBounded =
+      if (exactCap) candsRaw
+      else candsRaw
+        .groupBy(col("sid"))
+        .agg(bottomKFor(candsRaw, maxCandidatesPerShape)(col("key"))
+          .as("__ckeys"))
+        .select(col("sid"), explode(col("__ckeys")).as("key"))
+    lastAstCandsFrame = candsBounded // test hook (pruning-volume pins)
+    // TOTAL shapes: no sound probe set exists — full corpus pass,
+    // honoring maxCandidatesPerShape like the probed branch (ADVICE
+    // r13: the first N corpus keys in doc-key order, the same
+    // deterministic kept set for every total shape). AQE collapses
+    // this branch when the batch has no total shape.
+    val totalDocSide =
+      if (exactCap) docSide
+      else {
+        val keptKeys = docSide
+          .agg(bottomKFor(posts, maxCandidatesPerShape)(col("__doc_key")).as("__k"))
+          .select(explode(col("__k")).as("__kept_key"))
+        docSide.join(broadcast(keptKeys), col("__doc_key") === col("__kept_key"))
+          .drop("__kept_key")
+      }
+    val totalCands = withDoubles.where(size(col("alts")) === 0)
+      .select(col("sid"), col("ops"), col("terms"), col("doubles"))
+      .crossJoin(totalDocSide)
+      .withColumn("key", col("__doc_key"))
     val probeCands = {
+      val candsSlim =
+        if (attachLate) candsBounded
+        else candsBounded.join(progs.hint("shuffle_hash"), Seq("sid"))
+      // corpus attach as a shuffle-hash join: the build side is a
+      // corpus partition (sized by the shuffle-partition count
+      // exactly like any hash join of the corpus), the
+      // probe-candidate side — the one that can reach |left| x df
+      // rows — streams through with no sort at any scale; the
+      // program broadcast (attachLate) adds no exchange at all
       val withDocs = candsSlim
         .join(docSide.hint("shuffle_hash"), col("key") === col("__doc_key"))
       if (attachLate) withDocs.join(broadcast(progs), Seq("sid"))
       else withDocs
     }
-    // TOTAL shapes: no sound probe set exists — full corpus pass
-    // (AQE collapses this branch when the batch has no total shape)
-    val totalCands = withDoubles.where(size(col("alts")) === 0)
-      .select(col("sid"), col("ops"), col("terms"), col("doubles"))
-      .crossJoin(docSide)
-      .withColumn("key", col("__doc_key"))
-    val (kind, k1v, bv) = spec.similarity match {
-      case BM25(a, c) => (0, a, c)
-      case TFIDF() => (1, 0.0, 0.0)
-    }
     val verified = probeCands.unionByName(totalCands)
-      .withColumn("__r", call_function("dsl_query_score", col("__tokens"),
-        col("ops"), col("terms"), col("doubles"), col("__attrs"), col("__attrs_str"),
-        col("__xtokens"), col("__xavgdl"),
-        lit(kind), lit(k1v), lit(bv), lit(fs.avgDl)))
+      .withColumn("__r", scoreExpr)
       .where(col("__r.ok"))
       .select(col("sid"), col("key"), col("__r.score").as("score"))
     // persisted with the memo entry: the qid fan-out joins canon to
@@ -2386,6 +2648,7 @@ final class SearchIndex private (
       callFrames.clear()
     }
     xdfStatsFrame = null // tracked in callFrames; rebuild on next use
+    maxImpactFrame = null // likewise
     astJoinMemo.synchronized {
       astJoinMemo.values.foreach(_._3.foreach(_.unpersist(blocking)))
       astJoinMemo.clear()

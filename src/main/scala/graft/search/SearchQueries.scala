@@ -866,6 +866,33 @@ object SearchQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // The SAME dictionary-expansion query under impact-ordered EXACT
+    // pruning (impactPruning — see query_join_ast_pruned below for
+    // the pure-disjunction form): the oracle is the plain exact
+    // semantics, so a hash match PROVES pruning is invisible in the
+    // results even across the wildcard/fuzzy rewrite (CANY leaves,
+    // constant-score units, keyword-field constants). Left is a
+    // quarter of the expand entry's so the seed/threshold stages —
+    // the thing this entry times — stay a bounded slice of the
+    // bench floor; CappedExpandBench + SCALE.md carry the 16x
+    // exact-vs-pruned headline on the dense synthetic corpus.
+    "query_join_ast_expand_pruned" -> ((s, dir) => {
+      val idx = indexFor(s, dir)
+      val tk = col(SearchIndex.tokensColName("text"))
+      val left = idx.docs.where(size(tk) >= 4 && col("doc_id") % 40 === 0)
+        .select(col("doc_id") +: (1 to 3).map(i => element_at(tk, i).as(s"t$i")): _*)
+      idx.queryJoinAst(left, "doc_id", { r =>
+          def t(i: Int) = r.getAs[String](s"t$i")
+          And(
+            Boost(MatchWildcard("text", t(1).take(2) + "*"), 2.0),
+            And(Or(MatchFuzzy("text", t(2), 1), MatchTerm("text", t(3))),
+              Should(MatchWildcard("lang", "e*"))))
+        }, "text", k = 3, excludeSelf = true, impactPruning = true)
+        .select(col("qid").as("doc_id"), col("rank").cast("long").as("rank"),
+          col("key"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // DENSE query join with pre-verify early termination
     // (maxCandidatesPerShape — the distributed analog of Lucene's
     // docid-order early termination, SCALE.md): each left doc matches
@@ -884,6 +911,30 @@ object SearchQueries {
           MatchAnyTerms("text",
             Seq(r.getAs[String]("t1"), r.getAs[String]("t2")).distinct)
         }, "text", k = 3, excludeSelf = true, maxCandidatesPerShape = 8)
+        .select(col("qid").as("doc_id"), col("rank").cast("long").as("rank"),
+          col("key"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
+    // DENSE query join with impact-ordered EXACT pruning — the
+    // MaxScore-family alternative to the docid-order cap above: the
+    // same match-a-constant-fraction-of-the-corpus disjunctions, but
+    // instead of truncating candidates (an accuracy trade) the plan
+    // scores a bounded per-shape seed set, takes the (k+1)-th best
+    // seed score as a threshold, and probes only the terms outside
+    // which no document can reach it — results are bit-identical to
+    // the exact join (this oracle is the plain exact semantics).
+    "query_join_ast_pruned" -> ((s, dir) => {
+      val idx = indexFor(s, dir)
+      val tk = col(SearchIndex.tokensColName("text"))
+      val left = idx.docs.where(size(tk) >= 3 && col("doc_id") % 20 === 0)
+        .select(col("doc_id"), element_at(tk, 1).as("t1"),
+          element_at(tk, 2).as("t2"), element_at(tk, 3).as("t3"))
+      idx.queryJoinAst(left, "doc_id", { r =>
+          MatchAnyTerms("text",
+            Seq(r.getAs[String]("t1"), r.getAs[String]("t2"),
+              r.getAs[String]("t3")).distinct)
+        }, "text", k = 3, excludeSelf = true, impactPruning = true)
         .select(col("qid").as("doc_id"), col("rank").cast("long").as("rank"),
           col("key"), round(col("score"), 4).as("score"))
         .orderBy("doc_id", "rank")
@@ -1111,7 +1162,7 @@ object SearchQueries {
        |FROM sel WHERE rank <= 3
        |ORDER BY sel.qid, sel.rank""".stripMargin
 
-  def oracles: Map[String, String] = staticOracles ++ stemmedOracle +
+  def oracles: Map[String, String] = staticOracles ++ staticOracles2 ++ stemmedOracle +
     // same query shape and output as query_join_dsl — the data-driven
     // phrase join must reproduce the scan path's result exactly
     ("query_join_phrase" -> staticOracles("query_join_dsl"))
@@ -2046,19 +2097,71 @@ object SearchQueries {
          |ORDER BY doc_id, rank""".stripMargin
     },
 
-    "query_join_ast_expand" -> {
-      // And(Boost(wildcard t1[0:2]*, 2.0), And(Or(fuzzy(t2, 1),
-      // term(t3)), Should(wildcard lang e*))). Expansion leaves are
-      // CONSTANT-SCORE (matched -> 1.0, scaled by boosts); with the
-      // synthetic 31-term vocabulary the maxClauseCount cap never
-      // binds, so dictionary expansion + doc match reduces to a
-      // direct predicate over the doc's tokens (resp. lang value).
+    "query_join_ast_pruned" -> {
+      // any-of-three-leading-tokens per left doc, impact-pruned on
+      // the Spark side — EXACT semantics, so the oracle is the plain
+      // unpruned BM25 any-terms join (pruning must be invisible in
+      // the results). Duplicate tokens dedup to a single ANY term.
+      s"""$toksCte,
+         |$postsCte,
+         |lefts AS (
+         |  SELECT doc_id AS qid, tokens[1] AS t1, tokens[2] AS t2, tokens[3] AS t3
+         |  FROM toks WHERE len(tokens) >= 3 AND doc_id % 20 = 0
+         |), parts AS (
+         |  SELECT l.qid, t.doc_id AS key, l.t1, l.t2, l.t3,
+         |    len(t.tokens) AS dl, st.avgdl, st.n,
+         |    len(list_filter(t.tokens, x -> x = l.t1)) AS tf1,
+         |    len(list_filter(t.tokens, x -> x = l.t2)) AS tf2,
+         |    len(list_filter(t.tokens, x -> x = l.t3)) AS tf3,
+         |    coalesce(d1.df, 0) AS df1, coalesce(d2.df, 0) AS df2,
+         |    coalesce(d3.df, 0) AS df3
+         |  FROM lefts l
+         |  JOIN toks t ON (list_contains(t.tokens, l.t1)
+         |    OR list_contains(t.tokens, l.t2) OR list_contains(t.tokens, l.t3))
+         |  LEFT JOIN dfs d1 ON d1.term = l.t1
+         |  LEFT JOIN dfs d2 ON d2.term = l.t2
+         |  LEFT JOIN dfs d3 ON d3.term = l.t3, st
+         |), s2 AS (
+         |  SELECT qid, key,
+         |    ${bm25Sql("tf1", idfSql("df1"))}
+         |    + CASE WHEN t2 <> t1 THEN ${bm25Sql("tf2", idfSql("df2"))}
+         |      ELSE 0.0 END
+         |    + CASE WHEN t3 <> t1 AND t3 <> t2 THEN ${bm25Sql("tf3", idfSql("df3"))}
+         |      ELSE 0.0 END AS score
+         |  FROM parts
+         |), sel AS (
+         |  SELECT qid, key, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, key) AS rank
+         |  FROM s2 WHERE key <> qid
+         |)
+         |SELECT qid AS doc_id, CAST(rank AS BIGINT) AS rank, key,
+         |  round(score, 4) AS score
+         |FROM sel WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin
+    },
+
+    "query_join_ast_expand" -> expandOracleSql(10),
+    // the impact-pruned twin: IDENTICAL exact semantics on a quarter
+    // of the queries — a hash match proves the pruning invisible
+    "query_join_ast_expand_pruned" -> expandOracleSql(40),
+  )
+
+  /** Exact-semantics oracle for the dictionary-expansion query join,
+    * parameterized by the left-side modulus (shared by the exact and
+    * impact-pruned entries — pruning must be invisible).
+    * And(Boost(wildcard t1[0:2]*, 2.0), And(Or(fuzzy(t2, 1),
+    * term(t3)), Should(wildcard lang e*))). Expansion leaves are
+    * CONSTANT-SCORE (matched -> 1.0, scaled by boosts); with the
+    * synthetic 31-term vocabulary the maxClauseCount cap never
+    * binds, so dictionary expansion + doc match reduces to a
+    * direct predicate over the doc's tokens (resp. lang value). */
+  private def expandOracleSql(mod: Int): String = {
       s"""$toksCte,
          |$postsCte,
          |lefts AS (
          |  SELECT doc_id AS qid,
          |    tokens[1] AS t1, tokens[2] AS t2, tokens[3] AS t3
-         |  FROM toks WHERE len(tokens) >= 4 AND doc_id % 10 = 0
+         |  FROM toks WHERE len(tokens) >= 4 AND doc_id % $mod = 0
          |), scored AS (
          |  SELECT l.qid, t.doc_id,
          |    len(list_filter(t.tokens, x -> x LIKE substr(l.t1, 1, 2) || '%')) > 0 AS w,
@@ -2086,7 +2189,9 @@ object SearchQueries {
          |SELECT sel.qid AS doc_id, sel.rank, sel.doc_id AS key, round(sel.score, 4) AS score
          |FROM sel WHERE rank <= 3
          |ORDER BY sel.qid, sel.rank""".stripMargin
-    },
+  }
+
+  private val staticOracles2: Map[String, String] = Map(
 
     "query_join_ast_xfield" -> {
       // And(Or(term(t1), term(t2)), And(term(source = my src),

@@ -309,8 +309,17 @@ final case class GraftScan(readSchema: StructType, dir: String,
       else readSchema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col)
     val rows: Array[Array[Any]] = hits.select(cols: _*).collect()
       .map(r => (0 until r.length).map(r.get).toArray)
-    Array(GraftResultPartition(
-      if (readSchema.isEmpty) rows.map(_ => Array.empty[Any]) else rows))
+    val out = if (readSchema.isEmpty) rows.map(_ => Array.empty[Any]) else rows
+    // large k: emit CONTIGUOUS RANK RANGES as separate partitions so
+    // downstream processing of a big serving read parallelizes
+    // instead of funneling through one task. Per-partition rows stay
+    // (score DESC, key ASC)-sorted, which is exactly the contract
+    // SupportsReportOrdering describes (ordering WITHIN a partition),
+    // so the TopN/ORDER BY pushdowns stay valid.
+    val perPart = math.max(1,
+      Integer.getInteger("graft.dsv2.rows.per.partition", 4096))
+    if (out.length <= perPart) Array(GraftResultPartition(out))
+    else out.grouped(perPart).map(GraftResultPartition(_)).toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

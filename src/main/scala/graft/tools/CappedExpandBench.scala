@@ -3,17 +3,29 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Measures the bounded-accuracy escape hatch for dense expansion
-  * queries (SCALE.md): the same wildcard/fuzzy AST join as the
-  * `query_join_ast_expand` entry, run exact vs with
-  * `maxCandidatesPerShape` — pre-verify early termination in doc-key
-  * order, the distributed analog of Lucene's docid-order early
-  * termination. On a corpus where every expansion matches a constant
-  * fraction of the documents, the exact run pays
-  * |left| x Theta(corpus) verify work while the capped run's verified
-  * volume is |shapes| x cap — this main prints both times and the
-  * overlap of their top-1 hits so the cost/recall trade is a number,
-  * not a claim.
+/** Measures the two escape hatches for dense expansion queries
+  * (SCALE.md): the same wildcard/fuzzy AST join as the
+  * `query_join_ast_expand` entry, run three ways —
+  *
+  *   - EXACT: full candidate verify, |left| x Theta(corpus) work on
+  *     a corpus where every expansion matches a constant fraction
+  *   - CAPPED: `maxCandidatesPerShape` pre-verify early termination
+  *     in doc-key order (the accuracy trade — Lucene's docid-order
+  *     early termination distributed)
+  *   - PRUNED: `impactPruning` — impact-ordered EXACT pruning
+  *     (MaxScore-family): bounded seed pass sets a per-shape
+  *     threshold, only essential probe terms generate candidates,
+  *     results bit-identical to EXACT
+  *
+  * and prints times plus top-1 overlap vs EXACT for both, so the
+  * cost/recall trade is a number, not a claim (pruned overlap must
+  * be 100% by construction).
+  *
+  * Timing discipline (ADVICE r13): a small UNTIMED warmup run of
+  * each path first (JIT + the index's persisted frames), then the
+  * timed runs ordered cheapest-first with EXACT LAST — any residual
+  * warm-cache advantage then favors the baseline, making the
+  * reported speedups conservative.
   *
   * Usage: runMain graft.tools.CappedExpandBench <sfDir> [cap]
   */
@@ -37,8 +49,9 @@ object CappedExpandBench {
     import graft.search.SearchIndex
     val idx = graft.search.SearchQueries.indexFor(spark, dir)
     val tk = col(SearchIndex.tokensColName("text"))
-    val left = idx.docs.where(size(tk) >= 4 && col("doc_id") % 10 === 0)
+    def leftFor(mod: Int) = idx.docs.where(size(tk) >= 4 && col("doc_id") % mod === 0)
       .select(col("doc_id") +: (1 to 3).map(i => element_at(tk, i).as(s"t$i")): _*)
+    val left = leftFor(10)
     def gen(r: org.apache.spark.sql.Row): SearchQuery = {
       def t(i: Int) = r.getAs[String](s"t$i")
       And(
@@ -46,25 +59,36 @@ object CappedExpandBench {
         And(Or(MatchFuzzy("text", t(2), 1), MatchTerm("text", t(3))),
           Should(MatchWildcard("lang", "e*"))))
     }
-    def run(candCap: Int): (Double, Map[Long, Long]) = {
+    def run(l: org.apache.spark.sql.DataFrame, candCap: Int,
+        pruned: Boolean): (Double, Map[Long, Long]) = {
       val t0 = System.nanoTime()
-      val rows = idx.queryJoinAst(left, "doc_id", gen, "text", k = 3,
-          excludeSelf = true, maxCandidatesPerShape = candCap)
+      val rows = idx.queryJoinAst(l, "doc_id", gen, "text", k = 3,
+          excludeSelf = true, maxCandidatesPerShape = candCap,
+          impactPruning = pruned)
         .where(col("rank") === 1)
         .select(col("qid"), col("key")).collect()
       val sec = (System.nanoTime() - t0) / 1e9
       (sec, rows.map(r => r.getLong(0) -> r.getLong(1)).toMap)
     }
-    val (exactSec, exactTop) = run(Int.MaxValue)
-    val (cappedSec, cappedTop) = run(cap)
-    val overlap = exactTop.count { case (q, k) => cappedTop.get(q).contains(k) }
+    // untimed warmup: a tiny left through every path (JIT, codegen
+    // caches, the index's persisted canon/shape frames)
+    val tiny = leftFor(50000).limit(4)
+    run(tiny, cap, pruned = false)
+    run(tiny, Int.MaxValue, pruned = true)
+    run(tiny, Int.MaxValue, pruned = false)
+    // timed, cheapest first, exact LAST (conservative ordering)
+    val (cappedSec, cappedTop) = run(left, cap, pruned = false)
+    val (prunedSec, prunedTop) = run(left, Int.MaxValue, pruned = true)
+    val (exactSec, exactTop) = run(left, Int.MaxValue, pruned = false)
+    val overlapCap = exactTop.count { case (q, k) => cappedTop.get(q).contains(k) }
+    val overlapPr = exactTop.count { case (q, k) => prunedTop.get(q).contains(k) }
     spark.stop()
     def f(v: Double) = BigDecimal(v).setScale(3,
       BigDecimal.RoundingMode.HALF_UP).toString
     println(s"""{"metric":"capped_expand","dir":"$dir","cap":$cap,""" +
       s""""n_queries":${exactTop.size},"exact_sec":${f(exactSec)},""" +
-      s""""capped_sec":${f(cappedSec)},""" +
-      s""""top1_overlap":$overlap}""")
+      s""""capped_sec":${f(cappedSec)},"pruned_sec":${f(prunedSec)},""" +
+      s""""top1_overlap":$overlapCap,"pruned_top1_overlap":$overlapPr}""")
     System.out.flush()
   }
 }

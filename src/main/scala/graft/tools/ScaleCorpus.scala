@@ -29,14 +29,28 @@ import org.apache.spark.sql.functions._
   *    and windows see a longer, denser stream).
   *  - region.parquet copies verbatim (the Bench warmup touches it).
   *
-  * Usage: runMain graft.tools.ScaleCorpus <baseDir> <outDir> <factor>
+  * ZIPF text mode (4th arg `zipf`, r13 verdict #2): instead of
+  * suffix-islanding the base tokens — which makes EVERY probe term
+  * dense (df = a constant fraction of the corpus) and therefore
+  * measures only the worst case — every document's tokens are
+  * REDRAWN from a shared power-law vocabulary: token i of doc d maps
+  * to rank `V^u` (u = uniform hash of (doc_id, i)), so term density
+  * falls off ~1/rank like a real crawl, the vocabulary grows with
+  * the corpus (V ~ 10·N^0.8, Heaps-ish), and rarest-term probe
+  * alternatives are genuinely df-bounded. Token COUNTS per doc stay
+  * the base corpus's, so dl/avgdl distributions carry over. Used by
+  * the SCALE.md Zipf appendix to measure the query-join cohort in
+  * the regime the 31-term corpus cannot reach.
+  *
+  * Usage: runMain graft.tools.ScaleCorpus <baseDir> <outDir> <factor> [zipf]
   */
 object ScaleCorpus {
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3,
-      "usage: ScaleCorpus <baseDir> <outDir> <factor>")
-    val Array(base, out, factorS) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleCorpus <baseDir> <outDir> <factor> [zipf]")
+    val base = args(0); val out = args(1); val factorS = args(2)
+    val zipf = args.length == 4 && args(3) == "zipf"
     val factor = factorS.toInt
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val spark = SparkSession.builder()
@@ -47,7 +61,7 @@ object ScaleCorpus {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    synthesize(spark, base, out, factor)
+    synthesize(spark, base, out, factor, zipf)
     spark.stop()
   }
 
@@ -68,19 +82,35 @@ object ScaleCorpus {
   }
 
   def synthesize(spark: SparkSession, base: String, out: String,
-      factor: Int): Unit = {
+      factor: Int, zipf: Boolean = false): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val nDocs = 1L + docs.agg(max(col("doc_id"))).head().getLong(0)
+    // Zipf vocabulary: V ~ 10 * totalDocs^0.8 (Heaps-ish growth);
+    // token i of doc d -> rank floor(V^u), u = hash(d, i) uniform in
+    // [0,1) — P(rank <= r) = ln(r)/ln(V), i.e. density ~ 1/r
+    val zipfV = math.max(1000L,
+      math.ceil(10.0 * math.pow((nDocs * factor).toDouble, 0.8)).toLong)
+    def zipfText: org.apache.spark.sql.Column =
+      array_join(transform(split(col("text"), " "), (_, i) =>
+        concat(lit("z"), greatest(lit(1L),
+          floor(pow(lit(zipfV.toDouble),
+            pmod(xxhash64(col("doc_id"), i), lit(1000000L)).cast("double")
+              / lit(1000000.0))).cast("long")))), " ")
     val docCopies = (0 until factor).map { k =>
-      if (k == 0) docs
-      else docs.select(
-        (col("doc_id") + k * nDocs).as("doc_id"),
-        array_join(transform(split(col("text"), " "),
-          t => concat(t, lit(s"x$k"))), " ").as("text"),
-        col("lang"),
-        concat(col("source"), lit(s"x$k")).as("source"),
-        lit(0L).as("n_chars"))
+      val shifted =
+        if (k == 0) docs
+        else docs.select(
+          (col("doc_id") + k * nDocs).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(s"x$k"))), " ").as("text"),
+          col("lang"),
+          concat(col("source"), lit(s"x$k")).as("source"),
+          lit(0L).as("n_chars"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      if (!zipf) shifted
+      else shifted
+        .withColumn("text", zipfText)
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
     writeSingleFile(docCopies.reduce(_ unionByName _),

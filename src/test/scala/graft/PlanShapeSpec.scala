@@ -328,9 +328,11 @@ class PlanShapeSpec extends AnyFunSuite {
         df.collect()
         // constant per call (bounded driver actions + AQE stage
         // jobs); a per-shape or per-pattern driver loop would scale
-        // with |left| into the hundreds
+        // with |left| into the hundreds. The impact-pruned expand
+        // entry adds a bounded handful (seed top-k, threshold, the
+        // once-per-index max-impact build) — still constant in |left|.
         val firstJobs = jobs.get()
-        assert(firstJobs <= 60, s"$name launched $firstJobs jobs")
+        assert(firstJobs <= 80, s"$name launched $firstJobs jobs")
         // REPEAT invocation: the cross-invocation memo must serve the
         // scored frame from the cached setup (no metadata action, no
         // re-materialization of the canon/shape/doubles persists) —
@@ -495,7 +497,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // for all three data-driven join families: the corpus (__doc_key)
     // join must be hash-based, never sort-merge, and no Sort may run
     // over the candidate stream's key column.
-    for (name <- Seq("query_join_ast", "query_join_bool", "query_join_phrase")) {
+    // query_join_ast_pruned: the impact-pruned path must keep the
+    // same discipline — its seed/threshold stages and the essential
+    // probe all move candidates as bare (sid, key) pairs
+    for (name <- Seq("query_join_ast", "query_join_bool", "query_join_phrase",
+        "query_join_ast_pruned")) {
       val p = finalPlan(SparkEntry.queries(name)(spark, sf))
       assert(!"SortMergeJoin [^\\n]*__doc_key".r.findFirstIn(p).isDefined,
         s"$name sort-merges the candidate stream against the corpus:\n${p.take(1200)}")

