@@ -579,7 +579,8 @@ object QueryProgram {
     * index the program's term table and are PROBE-FIELD text slots
     * only; leaves that score off other fields fold into the constant
     * part of the bound. */
-  final case class BoundUnit(ub: Double, slots: Seq[Int], requiresAll: Boolean)
+  final case class BoundUnit(ub: Double, slots: Seq[Int], requiresAll: Boolean,
+      additive: Boolean = false)
 
   private final class Unboundable extends RuntimeException
 
@@ -672,7 +673,9 @@ object QueryProgram {
     // into the constant (a doc may contain them freely)
     def perTerm(ss: Seq[Int], ub: Int => Double): (Double, List[BoundUnit]) =
       ss.foldLeft(zero) { (acc, s) =>
-        if (termFields(s) == probeField) (acc._1, BoundUnit(ub(s), Seq(s), false) :: acc._2)
+        if (termFields(s) == probeField)
+          (acc._1, BoundUnit(ub(s), Seq(s), requiresAll = false,
+            additive = true) :: acc._2)
         else (acc._1 + ub(s), acc._2)
       }
     // single-value leaves (score bounded once, not per term): a unit
@@ -844,6 +847,66 @@ object QueryProgram {
       (kept.map(dfOf.getOrElse(_, 0L)).sum, i, kept)
     }
     scored.minBy(x => (x._1, x._2))._3
+  }
+
+  /** [[essentialProbe]] plus the BLOCK-MAX refinement: each kept term
+    * also carries a `minPart` — the minimum idf-free similarity part
+    * (the per-posting `part(tf, dl)` the max-impact table maximizes)
+    * a candidate row must reach, below which the row's score upper
+    * bound cannot reach theta even with every OTHER leaf at max.
+    * Derivation per kept term t: its single-slot any-of ("additive")
+    * units contribute EXACTLY `scale * part(tf, dl)` per row with
+    * `scale = sum of their ubs * idf(t)^p / mi(t)` (the boost mass
+    * over the measured max impact, re-expressed per posting); every
+    * other unit plus the constant folds into `resid`. A row is
+    * droppable iff `resid + scale * part < theta` (with the same
+    * float-slack margin), i.e. keep iff `part >= minPart =
+    * (theta - resid - slack) / scale`. Rows of terms with no
+    * additive unit, no sound bound, or a null theta get
+    * `minPart = -Inf` (prefilter off — always sound). This is the
+    * posting-grain analog of Lucene's block-max skipping: the
+    * essential term's own postings thin out to the rows whose tf/dl
+    * can still matter. */
+  def essentialProbeBounds(ops: IndexedSeq[Int], terms: IndexedSeq[String],
+      termFields: IndexedSeq[String], doubles: IndexedSeq[Double],
+      mis: IndexedSeq[Double], alts: Seq[Seq[String]], altDfs: Seq[Seq[Long]],
+      theta: java.lang.Double, probeField: String, kind: Int, k1: Double)
+      : Seq[(String, Double)] = {
+    val kept = essentialProbe(ops, terms, termFields, doubles, mis,
+      alts, altDfs, theta, probeField, kind, k1)
+    val noFilter = kept.map(_ -> Double.NegativeInfinity)
+    if (theta == null) return noFilter
+    scoreBounds(ops, termFields, doubles, mis, probeField, kind, k1) match {
+      case None => noFilter
+      case Some((const, units)) =>
+        val th = theta.doubleValue()
+        val slotOf = terms.indices.iterator
+          .filter(i => termFields(i) == probeField)
+          .map(i => terms(i) -> i).toMap
+        val p = if (kind == 0) 1.0 else 2.0
+        val total = const + units.iterator.map(_.ub).sum
+        kept.map { t =>
+          val mp = slotOf.get(t) match {
+            case Some(s) if mis(s) > 0.0 =>
+              // only per-term-ADDITIVE units scale with the row's
+              // tf/dl; a 1-member constant-score CANY would match on
+              // shape alone but its contribution is flat — the tag
+              // keeps it in `resid` where it is sound
+              val additive = units.filter(u => u.additive && u.slots == Seq(s))
+              val ubA = additive.map(_.ub).sum
+              if (ubA <= 0.0) Double.NegativeInfinity
+              else {
+                val resid = total - ubA
+                val scale = ubA * math.pow(doubles(s), p) / mis(s)
+                val slack = 1e-7 * (1.0 + math.abs(th) + math.abs(resid))
+                if (resid + slack >= th || scale <= 0.0) Double.NegativeInfinity
+                else (th - resid - slack) / scale
+              }
+            case _ => Double.NegativeInfinity
+          }
+          t -> mp
+        }
+    }
   }
 
   /** `*`/`?` glob to an (unanchored) Java regex — the regex twin of

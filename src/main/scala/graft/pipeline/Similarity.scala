@@ -920,6 +920,64 @@ object Similarity {
     true
   }
 
+  /** Sampled ADC-vs-exact recall proxy for a persisted PQ store —
+    * the operational drift signal [[maintainPqIndex]] gates on
+    * (r13 verdict stretch): how much of the TRUE cosine top-k (over
+    * the store's current members, self excluded — the probe's own
+    * conventions) survives in the store's IVF-PQ answer when the
+    * exact re-rank is held to the shortlist the ADC actually
+    * produced (`rerank = k`, so a degraded quantizer cannot hide
+    * behind a generous re-rank). Bounded work: nQueries x k rows on
+    * each leg beyond one ADC fold over the codes and one exact
+    * top-k over the members. */
+  def pqAdcRecall(spark: SparkSession, dir: String, path: String,
+      nQueries: Int = 5, k: Int = 10, nProbe: Int = 4): Double = {
+    import spark.implicits._
+    val approx = loadedIvfPqTopK(spark, dir, path, nQueries, k, nProbe,
+        rerank = k)
+      .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val members = spark.read.parquet(s"$path/codes").select("vec_id")
+    val c = corpus(spark, dir)
+    val q = c.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val topk = TopKAgg.topk(k)
+    val exact = c.join(members, Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (call_function("vec_dot", col("v"), col("qv")) /
+          (col("nrm") * col("qnrm"))).as("cos"))
+      .groupBy("qid")
+      .agg(topk(col("vec_id"), col("cos")).as("hits"))
+      .select(col("qid"), explode(col("hits")).as("hit"))
+      .select(col("qid"), col("hit.key").as("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    if (exact.isEmpty) 1.0
+    else approx.intersect(exact).size.toDouble / exact.size
+  }
+
+  /** Drift-triggered PQ maintenance, the RECALL-gated face of
+    * [[compactPqIndex]]: encode-only appends keep ingest cheap but
+    * never refit the codebooks, so vectors from a distribution the
+    * quantizer never saw degrade ADC fidelity silently — the
+    * reconstruction-error trigger catches gross drift, and this one
+    * catches what operators actually care about (answer quality).
+    * Measures [[pqAdcRecall]]; below `minRecall` it forces one
+    * codebook refit + re-encode over the store's CURRENT membership
+    * (compactPqIndex with a zero error ratio) and re-measures.
+    * Returns (recallBefore, retrained, recallAfter) — the FAISS
+    * operational loop as one call. */
+  def maintainPqIndex(spark: SparkSession, dir: String, path: String,
+      minRecall: Double = 0.8, nQueries: Int = 5, k: Int = 10,
+      nProbe: Int = 4): (Double, Boolean, Double) = {
+    val before = pqAdcRecall(spark, dir, path, nQueries, k, nProbe)
+    if (before >= minRecall) (before, false, before)
+    else {
+      compactPqIndex(spark, dir, path, maxErrorRatio = 0.0)
+      (before, true, pqAdcRecall(spark, dir, path, nQueries, k, nProbe))
+    }
+  }
+
   /** Record the IVF-PQ oracle run for a PERSISTED store without
     * executing a probe — the explicit recorder for front doors that
     * cannot know the query-set definition (the `graft_ann_store` TVF

@@ -1919,8 +1919,8 @@ final class SearchIndex private (
     // vectors. Seeds are unioned back into the candidates, so even
     // a degenerate bound can never lose the hits the threshold came
     // from.
-    val (probed, seedCands) =
-      if (!pruning) (probed0, None)
+    val (probedPruned, seedCands) =
+      if (!pruning) (None, None)
       else {
         val sPosts = postings.where(col("field") === lit(field))
           .select(col("term"), col("key"), col("tf"), col("dl"))
@@ -1996,7 +1996,7 @@ final class SearchIndex private (
           val pairs = altT.zip(altD).map { case (ts, ds) =>
             ts.zip(ds).filter(_._1 != null)
           }
-          QueryProgram.essentialProbe(ops.toIndexedSeq, terms.toIndexedSeq,
+          QueryProgram.essentialProbeBounds(ops.toIndexedSeq, terms.toIndexedSeq,
             tfs.toIndexedSeq, dbl.toIndexedSeq, mis.toIndexedSeq,
             pairs.map(_.map(_._1)), pairs.map(_.map(_._2)),
             th, probeF, kind, k1v)
@@ -2015,7 +2015,7 @@ final class SearchIndex private (
             col("__alt_terms"), col("__alt_dfs"), col("__theta")))
           .select(col("sid"), col("probe"))
           .persist(StorageLevel.MEMORY_AND_DISK))
-        (pruned, Some(seeds))
+        (Some(pruned), Some(seeds))
       }
     // single-term probes dominate (every AND-led shape) and their
     // (sid, key) is unique by construction — no dedup exchange;
@@ -2025,19 +2025,7 @@ final class SearchIndex private (
     // matched no terms) is filtered out by the size predicate, but
     // constraint inference can reorder isnotnull(element_at(..)) in
     // front of it, which under ANSI throws on the empty array
-    val single = probed.where(size(col("probe")) === 1)
-      .withColumn("term", try_element_at(col("probe"), lit(1))).drop("probe")
-      .join(posts, Seq("term")).drop("term")
-    val multiRaw = probed.where(size(col("probe")) > 1)
-      .select(col("sid"), explode(col("probe")).as("term"))
-      .join(posts, Seq("term")).drop("term")
-    // the capped path's distinct bottom-k (below) dedups implicitly,
-    // so it skips the (sid, key) dedup exchange entirely — on a dense
-    // batch that exchange moves Sum(df) rows and was MEASURED to
-    // dominate the capped run (CappedExpandBench, SCALE.md); the
-    // pruning path dedups the seed union below instead
-    val multi =
-      if (exactCap && !pruning) multiRaw.dropDuplicates("sid", "key") else multiRaw
+    //
     // pre-verify early termination for dense shapes (see the
     // queryJoinAst scaladoc): keep only the first N DISTINCT
     // candidate keys per shape BEFORE any exchange, wide attach or
@@ -2048,11 +2036,53 @@ final class SearchIndex private (
     // keys. (A row_number window would concentrate each dense
     // shape's full Theta(corpus) candidate set on a single reducer's
     // sort — the exact single-point bottleneck this cap exists to
-    // avoid.)
-    val candsRaw = seedCands match {
-      case Some(s) => single.unionByName(multi).unionByName(s)
-        .dropDuplicates("sid", "key")
-      case None => single.unionByName(multi)
+    // avoid. The capped path's distinct bottom-k also dedups
+    // implicitly, so it skips the (sid, key) dedup exchange — on a
+    // dense batch that exchange moves Sum(df) rows and was MEASURED
+    // to dominate the capped run, CappedExpandBench/SCALE.md.)
+    val candsRaw = probedPruned match {
+      case None =>
+        val single = probed0.where(size(col("probe")) === 1)
+          .withColumn("term", try_element_at(col("probe"), lit(1))).drop("probe")
+          .join(posts, Seq("term")).drop("term")
+        val multiRaw = probed0.where(size(col("probe")) > 1)
+          .select(col("sid"), explode(col("probe")).as("term"))
+          .join(posts, Seq("term")).drop("term")
+        val multi =
+          if (exactCap) multiRaw.dropDuplicates("sid", "key") else multiRaw
+        single.unionByName(multi)
+      case Some(pruned) =>
+        // BLOCK-MAX candidate prefilter (QueryProgram
+        // .essentialProbeBounds): each kept probe term carries the
+        // minimum idf-free similarity part a posting must reach for
+        // the row's score upper bound to touch theta — rows below it
+        // drop BEFORE the dedup exchange and the wide attach, on tf/dl
+        // the postings row already carries. Seeds union back in, so
+        // the threshold's own witnesses are never lost.
+        val sPostsTfDl = postings.where(col("field") === lit(field))
+          .select(col("term"), col("key"), col("tf"), col("dl"))
+        val partE = spec.similarity match {
+          case BM25(a, c) =>
+            (col("tf") * lit(a + 1.0)) /
+              (col("tf") + lit(a) * (lit(1.0 - c) + lit(c) * col("dl") / lit(fs.avgDl)))
+          case TFIDF() => sqrt(col("tf")) / sqrt(col("dl"))
+        }
+        val single = pruned.where(size(col("probe")) === 1)
+          .withColumn("pt", try_element_at(col("probe"), lit(1)))
+          .select(col("sid"), col("pt").getField("_1").as("term"),
+            col("pt").getField("_2").as("__mp"))
+          .join(sPostsTfDl, Seq("term"))
+          .where(partE >= col("__mp"))
+          .select(col("sid"), col("key"))
+        val multi = pruned.where(size(col("probe")) > 1)
+          .select(col("sid"), explode(col("probe")).as("pt"))
+          .select(col("sid"), col("pt").getField("_1").as("term"),
+            col("pt").getField("_2").as("__mp"))
+          .join(sPostsTfDl, Seq("term"))
+          .where(partE >= col("__mp"))
+          .select(col("sid"), col("key"))
+        single.unionByName(multi).unionByName(seedCands.get)
+          .dropDuplicates("sid", "key")
     }
     val candsBounded =
       if (exactCap) candsRaw

@@ -143,6 +143,43 @@ class IvfSpec extends AnyFunSuite {
       "ingest after a crashed removal must roll forward, then append")
   }
 
+  test("drift-triggered PQ maintenance: injected drift fires the recall trigger and a refit recovers it") {
+    import org.apache.spark.sql.functions.col
+    import scala.util.Random
+    // two well-separated clusters in R^8: A (all-positive, unit-ish)
+    // trains the store; B (all-negative, 5x magnitude — a
+    // distribution the quantizer never saw) arrives later through the
+    // encode-only append. Queries are B members (vec_id < 5), so
+    // their true neighbors are B — exactly the vectors the frozen
+    // codebooks encode worst.
+    val rnd = new Random(11)
+    def vec(center: Double, spread: Double) =
+      Seq.fill(8)(center + spread * (rnd.nextDouble() - 0.5)).map(_.toFloat)
+    val bRows = (0L until 100L).map(i => (i, vec(-5.0, 1.0), 0L))
+    val aRows = (100L until 200L).map(i => (i, vec(1.0, 0.2), 0L))
+    def writeDir(rows: Seq[(Long, Seq[Float], Long)]): String = {
+      val d = java.nio.file.Files.createTempDirectory("pq_drift").toString
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      d
+    }
+    val dirA = writeDir(aRows)
+    val dirAll = writeDir(bRows ++ aRows)
+    val store = java.nio.file.Files.createTempDirectory("pq_drift_store").toString
+    Similarity.savePqIndex(spark, dirA, store) // trains on A only
+    Similarity.appendToPqIndex(spark, dirAll, store, col("vec_id") < 100)
+    val (before, retrained, after) =
+      Similarity.maintainPqIndex(spark, dirAll, store, minRecall = 0.8)
+    assert(retrained, s"drifted store must trigger a refit (recall $before)")
+    assert(before < 0.8, s"injected drift should degrade recall, got $before")
+    assert(after > before + 0.15 && after > 0.5,
+      s"refit must recover recall: before=$before after=$after")
+    // steady state: a second maintenance pass measures healthy recall
+    // and must NOT retrain again
+    val (b2, r2, _) = Similarity.maintainPqIndex(spark, dirAll, store, minRecall = 0.8)
+    assert(!r2 && b2 >= 0.8, s"post-refit store must pass the gate, got $b2")
+  }
+
   test("semDedup threshold extremes pin the within-cell keep rule") {
     import org.apache.spark.sql.functions._
     // cos is never > 1 (+ fp slack): nothing may drop

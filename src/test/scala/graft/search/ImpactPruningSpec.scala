@@ -134,6 +134,63 @@ class ImpactPruningSpec extends AnyFunSuite {
     }
   }
 
+  test("block-max posting prefilter: low-tf rows of the essential term drop, results stay exact") {
+    import spark.implicits._
+    // "ss" planted with VARYING tf (1..4) in 1/6 of the docs: the
+    // threshold (set by high-tf seeds) makes low-tf ss-postings
+    // provably unable to reach the top-k, so the per-posting part
+    // filter thins the essential term's own postings
+    val rnd = new Random(5)
+    val vocab = Array("aa", "bb", "cc", "dd")
+    val c2 = (0L until 360L).map { id =>
+      val toks = Seq.fill(10)(vocab(rnd.nextInt(vocab.length)))
+      val withS = if (id % 6 == 0) toks ++ Seq.fill(1 + (id % 4).toInt)("ss") else toks
+      (id, withS.mkString(" "), 0L)
+    }.toDF("doc_id", "text", "n_chars")
+    val idx2 = SearchIndex.build(c2, IndexSpec("doc_id", Seq("text")))
+    idx2.astSeedsPerShape = 8 // small seed set so the union cannot mask the filter
+    val left = c2.where(col("doc_id") % 60 === 0).select("doc_id")
+    val gen: Row => SearchQuery = _ => MatchAnyTerms("text", Seq("aa", "bb", "ss"))
+    val exact = norm(idx2.queryJoinAst(left, "doc_id", gen, "text", 3,
+      excludeSelf = true))
+    val exactCands = idx2.lastAstCandsFrame.count()
+    val pruned = norm(idx2.queryJoinAst(left, "doc_id", gen, "text", 3,
+      excludeSelf = true, impactPruning = true))
+    val prunedCands = idx2.lastAstCandsFrame.count()
+    assert(pruned == exact)
+    assert(exact.nonEmpty)
+    // df(ss) = 60; the part filter + 8 seeds must admit well below it
+    assert(prunedCands < 50,
+      s"posting prefilter should thin the essential term's postings: $prunedCands")
+    assert(prunedCands < exactCands / 6, s"$prunedCands vs $exactCands")
+  }
+
+  test("essentialProbeBounds: minPart is -inf without theta and positive when the threshold binds") {
+    import graft.dsl.QueryProgram
+    val p = QueryProgram.compile(MatchAnyTerms("text", Seq("aa", "rr")),
+      "text", "default", Set("text"), Set("text"))
+    val idfs = IndexedSeq(0.3, 3.0)
+    val mis = IndexedSeq(0.5, 4.5)
+    val alt = Seq(Seq("aa", "rr"))
+    val dfs = Seq(Seq(300L, 15L))
+    // no theta: every kept term unfiltered
+    val open = QueryProgram.essentialProbeBounds(p.ops.toIndexedSeq,
+      p.terms.toIndexedSeq, p.termFields.toIndexedSeq, idfs ++ p.consts,
+      mis, alt, dfs, null, "text", 0, 1.2)
+    assert(open.map(_._1).toSet == Set("aa", "rr"))
+    assert(open.forall(_._2 == Double.NegativeInfinity))
+    // theta 2.0 > mi(aa): aa drops entirely; rr kept with a BINDING
+    // minPart: rows need scale*part >= theta - resid (resid = mi(aa))
+    val bound = QueryProgram.essentialProbeBounds(p.ops.toIndexedSeq,
+      p.terms.toIndexedSeq, p.termFields.toIndexedSeq, idfs ++ p.consts,
+      mis, alt, dfs, java.lang.Double.valueOf(2.0), "text", 0, 1.2)
+    assert(bound.map(_._1) == Seq("rr"))
+    val mp = bound.head._2
+    assert(mp > 0.0 && mp.isFinite)
+    // scale = ub*idf/mi = mi*idf/mi = idf = 3.0; minPart ~ (2.0 - 0.5)/3.0
+    assert(math.abs(mp - (2.0 - 0.5) / 3.0) < 1e-3, s"minPart $mp")
+  }
+
   test("scoreBounds: additive units for any-terms, constant mass for keyword/x leaves, None on negative boost") {
     import graft.dsl.QueryProgram
     val indexed = Set("text", "lang")
