@@ -613,9 +613,12 @@ object QueryProgram {
     *     measured max impact; X/KW CANY: 1.0 — all constants
     *   - filters and Not score 0
     * Returns None when no sound bound exists (negative Boost,
-    * DisMax tie outside [0,1], FunctionScore with positive factor,
-    * Demote with negative factor, unrewritten EXPAND) — callers then
-    * skip pruning for that shape, which is always safe.
+    * DisMax tie outside [0,1], FunctionScore with positive factor or
+    * a negative-factor one nesting another FunctionScore, Demote
+    * with negative factor, NEAR/XNEAR on a TFIDF index — the pair
+    * count can exceed dl, breaking the tf<=dl bound — and
+    * unrewritten EXPAND) — callers then skip pruning for that
+    * shape, which is always safe.
     *
     * @param doubles idf prefix (per term slot) ++ consts, exactly the
     *   interpreter's combined array
@@ -633,6 +636,7 @@ object QueryProgram {
     def sat(i: Double): Double = if (kind == 0) i * (k1 + 1.0) else i * i
     def kwSim(i: Double): Double = if (kind == 0) i else i * i
     var pc = 0
+    var funcScSeen = 0 // nested-FUNCSC detector (see Op.FUNCSC case)
     def next(): Int = { val v = ops(pc); pc += 1; v }
     def fail(): Nothing = throw new Unboundable
     // NOT `pc += next()`: compound assignment saves the OLD pc before
@@ -707,11 +711,20 @@ object QueryProgram {
         val b = cst(next()); skip()
         (math.max(b, 0.0), Nil)
       case Op.FUNCSC =>
-        // multiplier 1 + factor*ln(1+max(v,0)): <= 1 iff factor <= 0
+        // multiplier 1 + factor*ln(1+max(v,0)): <= 1 iff factor <= 0.
+        // A factor < 0 multiplier is UNBOUNDED BELOW, so if the child
+        // subtree can itself go negative (another factor<0 FUNCSC),
+        // the product of two negatives is an unbounded POSITIVE score
+        // — no finite bound exists. Conservative: a factor<0 FUNCSC
+        // containing ANY other FUNCSC is unboundable.
         pc += 1 // field slot
         val factor = cst(next())
         if (factor > 0.0) fail()
-        go()
+        funcScSeen += 1
+        val mark = funcScSeen
+        val child = go()
+        if (factor < 0.0 && funcScSeen > mark) fail()
+        child
       case Op.DEMOTE =>
         val f = cst(next())
         if (f < 0.0) fail()
@@ -732,6 +745,12 @@ object QueryProgram {
       case Op.NEAR =>
         pc += 1 // dist
         val ss = Seq(next(), next())
+        // TFIDF only: NEAR's tf is NearCount's PAIR count, which can
+        // exceed dl (up to tf_a*min(2*dist, tf_b) for interleaved
+        // tokens), so the tf<=dl saturation bound idf^2 is UNSOUND
+        // there — unboundable. BM25's sat is the tf->inf supremum
+        // and stays sound for any tf.
+        if (kind == 1) fail()
         singleValue(ss, sat(ss.map(idf).sum), requiresAll = true)
       case Op.CANY => singleValue(slots(next()), 1.0, requiresAll = false)
       case Op.CMP => pc += 3; zero
@@ -746,13 +765,16 @@ object QueryProgram {
         pc += 1; (slots(next()).map(s => kwSim(idf(s))).sum, Nil)
       case Op.KWMIN => pc += 2; (slots(next()).map(s => kwSim(idf(s))).sum, Nil)
       case Op.KWSYN => pc += 1; (kwSim(slots(next()).map(idf).min), Nil)
-      case Op.KWCANY => pc += 1; skipN(); (1.0, Nil)
+      case Op.KWCANY | Op.XCANY => pc += 1; skipN(); (1.0, Nil)
       case Op.XTERM => pc += 1; (mis(next()), Nil)
       case Op.XALL | Op.XANY => pc += 1; (slots(next()).map(mis).sum, Nil)
       case Op.XMIN => pc += 2; (slots(next()).map(mis).sum, Nil)
       case Op.XSYN => pc += 1; (sat(slots(next()).map(idf).min), Nil)
       case Op.XPHRASE => pc += 2; (sat(slots(next()).map(idf).sum), Nil)
-      case Op.XNEAR => pc += 2; (sat(Seq(next(), next()).map(idf).sum), Nil)
+      case Op.XNEAR =>
+        // same TFIDF pair-count unsoundness as Op.NEAR above
+        if (kind == 1) fail()
+        pc += 2; (sat(Seq(next(), next()).map(idf).sum), Nil)
       case Op.EXPAND => fail() // must be substituted before analysis
       case other => throw new IllegalStateException(
         s"scoreBounds: corrupt program, opcode $other at ${pc - 1}")

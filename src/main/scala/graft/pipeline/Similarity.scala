@@ -634,7 +634,7 @@ object Similarity {
   def appendBatchToPqIndex(spark: SparkSession, path: String,
       batch: DataFrame): Unit = {
     recoverPqStore(path)
-    val (centroids, codebooks) = loadPqArtifacts(spark, path)
+    val (centroids, codebooks) = cachedPqArtifacts(spark, path)
     val m = codebooks.length
     val dim = centroids.headOption.map(_.length).getOrElse(0)
     val sub = dim / m
@@ -766,18 +766,67 @@ object Similarity {
     }
   }
 
+  /** [[loadPqArtifacts]] behind a SIGNATURE-guarded driver cache —
+    * the per-micro-batch artifact re-read of a streaming ingest (and
+    * the probe's load) costs two small Spark jobs each time, which
+    * dominates tiny batches. The cache key is the live
+    * centroids/codebooks FILE LISTING (name, length, mtime), read
+    * with plain FS calls (no job): any mutation that swaps the frozen
+    * artifacts (a compaction's refit, a fresh save) changes the
+    * listing and forces a re-read, so a hit is always the artifacts
+    * CURRENTLY live at the path — the same guarantee the uncached
+    * re-read gave, minus the redundant jobs. At 100 TB an ingest of
+    * thousands of micro-batches re-reads only after real mutations. */
+  private val pqArtifactCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, (Array[Array[Double]], Array[Array[Array[Double]]]))]
+
+  private def frozenPqSignature(path: String): String = {
+    val fs = pqFs(path)
+    Seq("centroids", "codebooks").map { child =>
+      val p = pqStorePath(s"$path/$child")
+      if (!fs.exists(p)) s"$child:absent"
+      else fs.listStatus(p).map(st =>
+          s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString(s"$child[", ",", "]")
+    }.mkString("|")
+  }
+
+  private[graft] def cachedPqArtifacts(spark: SparkSession, path: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val sig = frozenPqSignature(path)
+    pqArtifactCache.get(path) match {
+      case Some((s, arts)) if s == sig => arts
+      case _ =>
+        val arts = loadPqArtifacts(spark, path)
+        pqArtifactCache.put(path, (sig, arts))
+        arts
+    }
+  }
+
   /** Loads the frozen (centroids, codebooks) artifacts of a persisted
-    * PQ index — two bounded reads (|cells| resp. m·ks rows). */
+    * PQ index — two bounded reads (|cells| resp. ≤m·ks rows). The
+    * codebook table may be RAGGED: k-means on a small or tight
+    * training cluster can converge with fewer than `ks` distinct
+    * codes in some subspace (and codes were argmin-encoded against
+    * exactly those), so the grid is keyed by (m, j) rather than
+    * assumed rectangular. Within each subquantizer the code ids must
+    * still be the contiguous prefix 0..len-1 — a gap means the store
+    * is corrupt and the load fails loudly rather than mis-indexing. */
   private def loadPqArtifacts(spark: SparkSession, path: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy("i").collect().map(_.getSeq[Double](1).toArray)
-    val cbRows = spark.read.parquet(s"$path/codebooks")
-      .orderBy("m", "j").collect()
-    val m = cbRows.map(_.getInt(0)).max + 1
-    val ks = cbRows.map(_.getInt(1)).max + 1
-    val codebooks = Array.tabulate(m, ks) { (mm, j) =>
-      cbRows(mm * ks + j).getSeq[Double](2).toArray
+    val cbRows = spark.read.parquet(s"$path/codebooks").collect()
+    val byM = cbRows.groupBy(_.getInt(0))
+    val m = byM.keySet.max + 1
+    require(byM.keySet == (0 until m).toSet,
+      s"corrupt PQ store at $path: codebook subquantizers ${byM.keySet.toSeq.sorted} are not contiguous")
+    val codebooks = Array.tabulate(m) { mm =>
+      val rows = byM(mm).sortBy(_.getInt(1))
+      val js = rows.map(_.getInt(1))
+      require(js.sameElements(rows.indices),
+        s"corrupt PQ store at $path: subquantizer $mm has code ids ${js.mkString(",")} (expected 0..${rows.length - 1})")
+      rows.map(_.getSeq[Double](2).toArray)
     }
     (centroids, codebooks)
   }
@@ -1015,16 +1064,11 @@ object Similarity {
       nQueries: Int = 5, k: Int = 10, nProbe: Int = 4, rerank: Int = 32,
       recordAs: Option[String] = None): DataFrame = {
     recoverPqStore(path)
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("i").collect()
-      .map(r => r.getSeq[Double](1).toArray)
-    val cbRows = spark.read.parquet(s"$path/codebooks")
-      .orderBy("m", "j").collect()
-    val m = cbRows.map(_.getInt(0)).max + 1
-    val ks = cbRows.map(_.getInt(1)).max + 1
-    val codebooks = Array.tabulate(m, ks) { (mm, j) =>
-      cbRows(mm * ks + j).getSeq[Double](2).toArray
-    }
+    val (centroids, codebooks) = cachedPqArtifacts(spark, path)
+    // ragged codebooks (k-means convergence on a small subspace) make
+    // the LUT stride the LONGEST subquantizer, not a stored constant
+    val m = codebooks.length
+    val ks = codebooks.map(_.length).max
     val codes = spark.read.parquet(s"$path/codes")
     // the query path only needs RAW vectors (query set + rerank
     // shortlist) — corpus cells come from the saved codes table, so
@@ -1069,9 +1113,14 @@ object Similarity {
           val rr = dot(r, r)
           val lut = Array.tabulate(m * ks) { idx =>
             val mm = idx / ks; val j = idx % ks
-            val cb = codebooks(mm)(j)
-            val rm = java.util.Arrays.copyOfRange(r, mm * sub, (mm + 1) * sub)
-            dot(cb, cb) - 2.0 * dot(rm, cb)
+            // ragged subquantizer: codes never reference a j beyond
+            // the trained codebook, so the padding slot is never read
+            if (j >= codebooks(mm).length) 0.0
+            else {
+              val cb = codebooks(mm)(j)
+              val rm = java.util.Arrays.copyOfRange(r, mm * sub, (mm + 1) * sub)
+              dot(cb, cb) - 2.0 * dot(rm, cb)
+            }
           }
           (qid, cell, rr, lut.toSeq)
         }

@@ -92,10 +92,12 @@ object GraftSearchPlan {
       "with its first n_terms distinct terms (self excluded) and keeps its " +
       "top-k BM25 hits; output (qid, rank, key, score). TABLE form: " +
       "graft_query_join(dir, left_view, qid_col, text_col, n_terms, k" +
-      "[, field[, min_match]]) - each row of the registered view/table " +
-      "`left_view` queries the corpus with the distinct terms among the " +
-      "first n_terms analyzed tokens of its text_col (no self-exclusion; " +
-      "min_match <= 0 requires ALL terms).", "")
+      "[, field[, min_match[, impact_pruning]]]) - each row of the " +
+      "registered view/table `left_view` queries the corpus with the " +
+      "distinct terms among the first n_terms analyzed tokens of its " +
+      "text_col (no self-exclusion; min_match <= 0 requires ALL terms; " +
+      "impact_pruning <> 0 routes through the exact MaxScore pipeline " +
+      "— identical results, bounded candidate volume on dense terms).", "")
 
   /** TVF builder for the flagship search JOIN (SURVEY §2.4 from SQL).
     * Two arities:
@@ -110,7 +112,8 @@ object GraftSearchPlan {
   private def buildJoin(args: Seq[Expression]): LogicalPlan = {
     def fail(msg: String) = throw new IllegalArgumentException(
       "graft_query_join(dir, max_qid, n_terms, k) | graft_query_join(dir, " +
-        s"left_view, qid_col, text_col, n_terms, k[, field[, min_match]]): $msg")
+        "left_view, qid_col, text_col, n_terms, k[, field[, min_match" +
+        s"[, impact_pruning]]]): $msg")
     def str(e: Expression, what: String): String = e match {
       case Literal(v, StringType) if v != null => v.toString
       case other => fail(s"$what must be a string literal, got $other")
@@ -124,7 +127,7 @@ object GraftSearchPlan {
       case 4 =>
         GraftQueryJoinNode(str(args.head, "dir"), int(args(1), "max_qid"),
           int(args(2), "n_terms"), int(args(3), "k"))
-      case n if n >= 6 && n <= 8 =>
+      case n if n >= 6 && n <= 9 =>
         val dir = str(args.head, "dir")
         val view = str(args(1), "left_view")
         val qidCol = str(args(2), "qid_col")
@@ -147,8 +150,9 @@ object GraftSearchPlan {
         GraftQueryJoinTableNode(dir, view, qidCol, textCol,
           int(args(4), "n_terms"), int(args(5), "k"),
           if (n >= 7) Some(str(args(6), "field")) else None,
-          if (n >= 8) int(args(7), "min_match") else 1)
-      case n => fail(s"expected 4 or 6-8 arguments, got $n")
+          if (n >= 8) int(args(7), "min_match") else 1,
+          impactPruning = n >= 9 && int(args(8), "impact_pruning") != 0)
+      case n => fail(s"expected 4 or 6-9 arguments, got $n")
     }
   }
 
@@ -439,7 +443,7 @@ final case class GraftBatchSearchNode(dir: String, queries: String, k: Int,
   * execution), validated at build time. */
 final case class GraftQueryJoinTableNode(dir: String, leftView: String,
     qidCol: String, textCol: String, nTerms: Int, k: Int,
-    field: Option[String], minMatch: Int,
+    field: Option[String], minMatch: Int, impactPruning: Boolean = false,
     output: Seq[Attribute] = GraftQueryJoinNode.freshOutput())
     extends LeafNode {
   // |left| is unknown until execution — report a deliberately large
@@ -451,7 +455,8 @@ final case class GraftQueryJoinTableNode(dir: String, leftView: String,
   override def simpleString(maxFields: Int): String =
     s"GraftQueryJoinTableNode dir=$dir, left=$leftView, qid=$qidCol, " +
       s"text=$textCol, nTerms=$nTerms, k=$k" +
-      field.map(f => s", field=$f").getOrElse("") + s", minMatch=$minMatch"
+      field.map(f => s", field=$f").getOrElse("") + s", minMatch=$minMatch" +
+      (if (impactPruning) ", impactPruning" else "")
 }
 
 object GraftBatchSearchNode {
@@ -568,9 +573,9 @@ final class GraftSearchStrategy extends SparkStrategy {
     case GraftQueryJoinNode(dir, maxQid, nTerms, k, out) =>
       GraftQueryJoinExec(dir, maxQid, nTerms, k, out) :: Nil
     case GraftQueryJoinTableNode(dir, view, qidCol, textCol, nTerms, k,
-        field, minMatch, out) =>
+        field, minMatch, pruning, out) =>
       GraftQueryJoinTableExec(dir, view, qidCol, textCol, nTerms, k,
-        field, minMatch, out) :: Nil
+        field, minMatch, pruning, out) :: Nil
     case GraftBatchSearchNode(dir, queries, k, field, minMatch, out) =>
       GraftBatchSearchExec(dir, queries, k, field, minMatch, out) :: Nil
     case GraftBatchSearchTableNode(dir, view, qidCol, queryCol, k,
@@ -693,12 +698,13 @@ final case class GraftBatchSearchTableExec(dir: String, queriesView: String,
   * user's business). */
 final case class GraftQueryJoinTableExec(dir: String, leftView: String,
     qidCol: String, textCol: String, nTerms: Int, k: Int,
-    fieldOpt: Option[String], minMatch: Int,
+    fieldOpt: Option[String], minMatch: Int, impactPruning: Boolean,
     output: Seq[Attribute]) extends LeafExecNode {
   override def simpleString(maxFields: Int): String =
     s"GraftQueryJoinTable dir=$dir, left=$leftView, qid=$qidCol, " +
       s"text=$textCol, nTerms=$nTerms, k=$k" +
-      fieldOpt.map(f => s", field=$f").getOrElse("") + s", minMatch=$minMatch"
+      fieldOpt.map(f => s", field=$f").getOrElse("") + s", minMatch=$minMatch" +
+      (if (impactPruning) ", impactPruning" else "")
   override protected def doExecute(): RDD[InternalRow] = {
     import org.apache.spark.sql.functions.array_distinct
     val idx = graft.search.SearchQueries.indexFor(session, dir)
@@ -711,7 +717,7 @@ final case class GraftQueryJoinTableExec(dir: String, leftView: String,
     idx.queryJoin(left, qidCol,
         array_distinct(org.apache.spark.sql.functions.slice(
           an.tokensCol(col(textCol)), 1, nTerms)),
-        field, k = k, minMatch = minMatch)
+        field, k = k, minMatch = minMatch, impactPruning = impactPruning)
       .select(col(qidCol).cast("long").as("qid"), col("rank").cast("long"),
         col("key").cast("long"), col("score").cast("double"))
       .queryExecution.toRdd

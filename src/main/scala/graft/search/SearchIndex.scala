@@ -1122,7 +1122,32 @@ final class SearchIndex private (
   def queryJoin(left: DataFrame, qidCol: String, termsCol: Column, field: String,
       k: Int, minMatch: Int = 1, excludeSelf: Boolean = false,
       broadcastHits: Boolean = false,
-      maxHitsPerIndex: Int = Int.MaxValue): DataFrame = {
+      maxHitsPerIndex: Int = Int.MaxValue,
+      impactPruning: Boolean = false): DataFrame = {
+    // impact-ordered EXACT pruning (see queryJoinAst): the flat term
+    // set rewrites to MatchAllTerms (minMatch <= 0) / MatchMin and
+    // runs through the MaxScore pipeline — bit-identical hits, probe
+    // volume bounded by the essential terms instead of Sum(df over
+    // all query terms). Terms are deduped (each distinct term scores
+    // once, the postings-probe path's own aggregate discipline).
+    if (impactPruning) {
+      require(maxHitsPerIndex == Int.MaxValue && !broadcastHits,
+        "impactPruning is exact and replaces maxHitsPerIndex/broadcastHits tuning — pass one, not both")
+      val prepared = left.select(col(qidCol).cast("long").as("__qid"),
+        sort_array(array_distinct(coalesce(termsCol, array().cast("array<string>"))))
+          .as("__terms"))
+      val f = field
+      val mm = minMatch
+      val gen: Row => SearchQuery = { r =>
+        val ts = r.getSeq[String](1)
+        if (ts.isEmpty) MatchAnyTerms(f, Nil) // NOMATCH
+        else if (mm <= 0) MatchAllTerms(f, ts)
+        else MatchMin(f, mm, ts)
+      }
+      val hits0 = queryJoinAst(prepared, "__qid", gen, field, k, excludeSelf,
+        impactPruning = true)
+      return left.join(hits0, left(qidCol) === hits0("qid")).drop(hits0("qid"))
+    }
     val queries = left.select(col(qidCol).as("qid"), termsCol.as("terms"))
       .withColumn("field", lit(field))
       .withColumn("min_match", lit(minMatch))
@@ -1159,7 +1184,20 @@ final class SearchIndex private (
     *   per-query top-k is re-ranked after the exclusion so each query
     *   still yields up to k hits */
   def queryJoinDsl(left: DataFrame, qidCol: String, queryGen: Row => SearchQuery,
-      k: Int, excludeSelf: Boolean = false): DataFrame = {
+      k: Int, excludeSelf: Boolean = false,
+      impactPruning: Boolean = false): DataFrame = {
+    // impact-ordered EXACT pruning: the generator contract is
+    // identical to queryJoinAst's, so pruning routes there (fully
+    // distributed, nothing collected, MaxScore candidate pruning) and
+    // also lifts this path's driver-small left cap. Generators whose
+    // filter values fall outside the serialized program's encodable
+    // set (numerics, strings, booleans, dates, timestamps) fail at
+    // plan time there — keep those on the unpruned driver-batch path.
+    if (impactPruning) {
+      val hits0 = queryJoinAst(left, qidCol, queryGen, spec.textFields.head, k,
+        excludeSelf, impactPruning = true)
+      return left.join(hits0, left(qidCol) === hits0("qid")).drop(hits0("qid"))
+    }
     // hard left-size guard: this path COLLECTS the left to the driver
     // (the documented bounded-left fallback for generators outside
     // [[queryJoinAst]]'s serializable value set). Fail fast with a
@@ -1311,19 +1349,81 @@ final class SearchIndex private (
     *   (per qid at the final merge when an attrFilter or excludeSelf
     *   would need the capped rows), shrinking the fan join's input at
     *   the reference's documented accuracy cost. Default = exact.
+    * @param impactPruning EXACT early termination for DENSE boolean
+    *   queries — routes the join through [[queryJoinAst]]'s
+    *   impact-ordered (MaxScore-family) pipeline by rewriting each
+    *   row's clause arrays into the equivalent AST
+    *   (`And(MatchAllTerms(req), MatchMin(minOpt', opt),
+    *   Not(MatchAnyTerms(exc)), attr range)`), whose per-clause
+    *   scoring is node-for-node this path's `bool_query_score`.
+    *   Results are BIT-IDENTICAL to the exact join (pinned in
+    *   ImpactPruningSpec); the win is on SHOULD-only shapes, whose
+    *   exact candidate volume is Sum(df over optional terms) —
+    *   Theta(corpus) per shape on dense terms — while the pruned
+    *   plan probes only the terms that can reach the per-shape
+    *   threshold. Per-row attr bounds become part of the shape key,
+    *   so shape dedup is coarser than the exact path's (correct,
+    *   mildly less shared work). Mutually exclusive with
+    *   `maxHitsPerIndex`.
     * Output is (qid, rank, key, score) like [[lightQueryJoin]]. */
   def queryJoinBool(left: DataFrame, qidCol: String,
       requiredCol: Column, optionalCol: Column, excludedCol: Column,
       field: String, k: Int, minOptMatch: Int = 0,
       attrFilter: Option[(String, Column, Column)] = None,
       excludeSelf: Boolean = false,
-      maxHitsPerIndex: Int = Int.MaxValue): DataFrame = {
+      maxHitsPerIndex: Int = Int.MaxValue,
+      impactPruning: Boolean = false): DataFrame = {
     require(spec.textFields.contains(field), s"$field is not an indexed text field")
+    require(!(impactPruning && maxHitsPerIndex != Int.MaxValue),
+      "impactPruning is exact and replaces the maxHitsPerIndex accuracy trade — pass one, not both")
     val fs = fieldStats(field)
     val empty = array().cast("array<string>")
     val (loSel, hiSel) = attrFilter match {
       case Some((_, lo, hi)) => (lo.cast("double").as("__lo"), hi.cast("double").as("__hi"))
       case None => (lit(null).cast("double").as("__lo"), lit(null).cast("double").as("__hi"))
+    }
+    if (impactPruning) {
+      val prepared = left.select(
+        col(qidCol).cast("long").as("__qid"),
+        sort_array(array_distinct(coalesce(requiredCol, empty))).as("__req"),
+        sort_array(array_distinct(coalesce(optionalCol, empty))).as("__opt"),
+        sort_array(array_distinct(coalesce(excludedCol, empty))).as("__exc"),
+        loSel, hiSel)
+      val f = field
+      val minOpt = minOptMatch
+      val attrName = attrFilter.map(_._1)
+      val gen: Row => SearchQuery = { r =>
+        val req = r.getSeq[String](1)
+        val opt = r.getSeq[String](2)
+        val exc = r.getSeq[String](3)
+        // clause algebra — exactly bool_query_score's gates: all
+        // required present, >= max(minOpt, req.isEmpty ? 1 : 0)
+        // optional present (present optionals always score), zero
+        // excluded; MatchMin(0, opt) matches everything and scores
+        // the present optionals, so And anchors its probe on the
+        // required side
+        val core: SearchQuery =
+          if (opt.isEmpty) {
+            if (req.nonEmpty && minOpt <= 0) MatchAllTerms(f, req)
+            else MatchAnyTerms(f, Nil) // compiles to NOMATCH
+          } else {
+            val mm = MatchMin(f, math.max(minOpt, if (req.isEmpty) 1 else 0), opt)
+            if (req.isEmpty) mm else And(MatchAllTerms(f, req), mm)
+          }
+        val withExc =
+          if (exc.isEmpty) core else And(core, Not(MatchAnyTerms(f, exc)))
+        val lo = if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4))
+        val hi = if (r.isNullAt(5)) null else java.lang.Double.valueOf(r.getDouble(5))
+        attrName match {
+          case Some(a) if lo != null && hi != null =>
+            And(withExc, RangeFilter(a, lo, hi))
+          case Some(a) if lo != null => And(withExc, GeFilter(a, lo))
+          case Some(a) if hi != null => And(withExc, LeFilter(a, hi))
+          case _ => withExc
+        }
+      }
+      return queryJoinAst(prepared, "__qid", gen, field, k, excludeSelf,
+        impactPruning = true)
     }
     // canonical query rows: role arrays sorted+deduped so textually
     // different but equal queries share a shape. Persisted: two plan
@@ -1565,7 +1665,11 @@ final class SearchIndex private (
     *   and one rare term's postings. Shapes with no usable bound
     *   (negative boosts, < k+1 scored seeds) fall back to the full
     *   probe, which is always exact. Mutually exclusive with
-    *   `maxCandidatesPerShape`. */
+    *   `maxCandidatesPerShape`. Passing false does NOT disable the
+    *   machinery: by default ([[autoImpactPruning]]) the engine
+    *   still runs it with a per-shape density gate, so dense
+    *   batches prune without the caller asking — `true` merely
+    *   forces the seed pass for every shape with a sound bound. */
   def queryJoinAst(left: DataFrame, qidCol: String, queryGen: Row => SearchQuery,
       field: String, k: Int, excludeSelf: Boolean = false,
       maxHitsPerIndex: Int = Int.MaxValue,
@@ -1575,12 +1679,17 @@ final class SearchIndex private (
     require(maxCandidatesPerShape >= 1, "maxCandidatesPerShape must be >= 1")
     require(!(impactPruning && maxCandidatesPerShape != Int.MaxValue),
       "impactPruning is exact and replaces maxCandidatesPerShape — pass one, not both")
+    // AUTO mode (see [[autoImpactPruning]]): an unforced, uncapped
+    // call still runs the pruning pipeline, density-gated per shape
+    val autoPrune = !impactPruning && autoImpactPruning &&
+      maxCandidatesPerShape == Int.MaxValue
     // +1 covers excludeSelf: keeping each shape's exact top-(k+1)
     // keeps every qid's exact top-k after removing at most itself
-    val pruneK = if (impactPruning) k + 1 else 0
+    val pruneK = if (impactPruning || autoPrune) k + 1 else 0
     val leftPlan = left.queryExecution.analyzed
     val memoKey = (leftPlan.semanticHash(),
-      closureFingerprint(queryGen) + s"#cap=$maxCandidatesPerShape#prune=$pruneK",
+      closureFingerprint(queryGen) +
+        s"#cap=$maxCandidatesPerShape#prune=$pruneK#auto=$autoPrune",
       qidCol, field)
     val scored = astJoinMemo.synchronized {
       astJoinMemo.get(memoKey) match {
@@ -1591,7 +1700,7 @@ final class SearchIndex private (
           df
         case _ =>
           val (df, frames) = buildAstScored(left, qidCol, queryGen, field,
-            maxCandidatesPerShape, pruneK)
+            maxCandidatesPerShape, pruneK, autoGate = autoPrune)
           astJoinMemo(memoKey) = (leftPlan, df, frames)
           // bounded memo (ADVICE r10): a long-lived index serving many
           // distinct (left, generator) joins would otherwise pin an
@@ -1655,11 +1764,30 @@ final class SearchIndex private (
     * more pruning. Var is a test hook. */
   private[graft] var astSeedsPerShape: Int = 64
 
+  /** AUTO impact pruning (default ON): when a [[queryJoinAst]] call
+    * doesn't force `impactPruning` (or a candidate cap), the engine
+    * still runs the MaxScore pipeline but pays the per-shape seed
+    * pass ONLY for shapes whose chosen probe alternative is DENSE —
+    * Σdf above max(4·astSeedsPerShape, numDocs/8). Sparse shapes
+    * get no seeds, a null threshold, and the full (exact) probe, so
+    * a sparse batch's extra cost is a handful of |shapes|-row
+    * aggregates while a dense batch gets the pruned plan without
+    * the caller knowing the flag exists — the engine picks the
+    * physical strategy, as the reference's API promises. Set false
+    * to restore the always-exact-probe plan. */
+  var autoImpactPruning: Boolean = true
+
   /** Test hook: the (sid, key) candidate frame the most recent
     * [[buildAstScored]] admitted to verification — lets plan-shape
     * specs pin that impact pruning admits FEWER candidates than the
     * full probe (counting it re-runs the bounded candidate stages). */
   @volatile private[graft] var lastAstCandsFrame: DataFrame = _
+
+  /** Test hook: the (sid, key) seed frame of the most recent pruned/
+    * auto [[buildAstScored]] (null when the pipeline ran unpruned) —
+    * lets specs pin that a SPARSE batch under auto mode skips the
+    * seed pass (empty frame) while a dense one pays it. */
+  @volatile private[graft] var lastAstSeedsFrame: DataFrame = _
 
   /** The setup + probe + verify pipeline behind [[queryJoinAst]],
     * producing the un-capped scored (qid, key, score) frame plus the
@@ -1668,7 +1796,7 @@ final class SearchIndex private (
   private def buildAstScored(left: DataFrame, qidCol: String,
       queryGen: Row => SearchQuery, field: String,
       maxCandidatesPerShape: Int = Int.MaxValue,
-      pruneK: Int = 0): (DataFrame, Seq[DataFrame]) = {
+      pruneK: Int = 0, autoGate: Boolean = false): (DataFrame, Seq[DataFrame]) = {
     val entryFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def keepFrame(df: DataFrame): DataFrame = { entryFrames += df; df }
     val fs = fieldStats(field)
@@ -1824,7 +1952,7 @@ final class SearchIndex private (
       .join(stProbe, Seq("term"), "left").na.fill(0L, Seq("df"))
       .groupBy(col("sid"), col("ai")).agg(sum(col("df")).as("adf"))
       .groupBy(col("sid")).agg(min(struct(col("adf"), col("ai"))).as("c"))
-      .select(col("sid"), col("c.ai").as("ai"))
+      .select(col("sid"), col("c.ai").as("ai"), col("c.adf").as("adf"))
       .persist(StorageLevel.MEMORY_AND_DISK))
     val posts = postings.where(col("field") === lit(field))
       .select(col("term"), col("key"))
@@ -1920,7 +2048,7 @@ final class SearchIndex private (
     // a degenerate bound can never lose the hits the threshold came
     // from.
     val (probedPruned, seedCands) =
-      if (!pruning) (None, None)
+      if (!pruning) { lastAstSeedsFrame = null; (None, None) }
       else {
         val sPosts = postings.where(col("field") === lit(field))
           .select(col("term"), col("key"), col("tf"), col("dl"))
@@ -1942,13 +2070,26 @@ final class SearchIndex private (
         // expensive as the thing it prunes. Absent terms (df 0) have
         // no postings and are excluded; a shape whose terms are all
         // absent gets no seeds, a null threshold, and no pruning.
-        val minTerm = probed0
+        // AUTO density gate: only shapes whose CHOSEN alternative's
+        // Σdf exceeds the break-even pay the seed pass — below it
+        // pruning can save at most Σdf verify rows, less than the
+        // seed scan + threshold aggregates cost. Gated shapes get no
+        // seeds -> null theta -> the full exact probe (the existing
+        // fallback), so the gate is invisible in the results.
+        val denseSids =
+          if (!autoGate) null
+          else chosen.where(col("adf") >
+              greatest(lit(4L * astSeedsPerShape), lit(fs.numDocs / 8)))
+            .select(col("sid"))
+        val minTerm0 = probed0
           .select(col("sid"), explode(col("probe")).as("term"))
           .join(stProbe, Seq("term"))
           .where(col("df") > 0)
           .groupBy(col("sid"))
           .agg(min(struct(col("df"), col("term"))).as("m"))
           .select(col("sid"), col("m.term").as("term"))
+        val minTerm =
+          if (autoGate) minTerm0.join(denseSids, Seq("sid")) else minTerm0
         val seeds = keepFrame(minTerm
           .join(sPosts, Seq("term"))
           .join(stProbe, Seq("term"), "left").na.fill(0L, Seq("df"))
@@ -2015,6 +2156,7 @@ final class SearchIndex private (
             col("__alt_terms"), col("__alt_dfs"), col("__theta")))
           .select(col("sid"), col("probe"))
           .persist(StorageLevel.MEMORY_AND_DISK))
+        lastAstSeedsFrame = seeds // test hook (auto-gate pins)
         (Some(pruned), Some(seeds))
       }
     // single-term probes dominate (every AND-led shape) and their

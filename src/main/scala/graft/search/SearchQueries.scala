@@ -416,6 +416,20 @@ object SearchQueries {
         "ORDER BY qid, rank")
     }),
 
+    // the TABLE-form SQL join with impact_pruning=1 — the MaxScore
+    // pipeline through the pure-SQL front door (9th TVF argument):
+    // same left, same oracle as query_join_sql_table, so a hash match
+    // proves the SQL flag is result-invisible too
+    "query_join_sql_pruned_table" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") < 15)
+        .selectExpr("doc_id + 1000 AS qid", "text")
+        .createOrReplaceTempView("graft_qjp_left")
+      s.sql("SELECT qid, rank, key, round(score, 4) AS score " +
+        s"FROM graft_query_join('$dir', 'graft_qjp_left', 'qid', 'text', 4, 3, " +
+        "'text', 1, 1) ORDER BY qid, rank")
+    }),
+
     // batch search from SQL with explicit field selection + ALL-terms
     // mode (min_match 0) — the Scala batchSearch surface's remaining
     // knobs through the TVF
@@ -813,6 +827,31 @@ object SearchQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // The SAME boolean join under impact-ordered EXACT pruning
+    // (r15): the clause arrays rewrite per row to the equivalent AST
+    // (And(MatchAllTerms(req), MatchMin(opt), Not(MatchAnyTerms(exc)),
+    // attr bound)) and run through queryJoinAst's MaxScore pipeline.
+    // The oracle is query_join_bool's own SQL, so a hash match proves
+    // the rewrite AND the pruning are invisible in the results — the
+    // bounded escape for the Zipf-measured 13.8x/step dense
+    // query_join_bool regime (SCALE.md).
+    "query_join_bool_pruned" -> ((s, dir) => {
+      val idx = indexFor(s, dir)
+      val tk = col(SearchIndex.tokensColName("text"))
+      val req = array(element_at(tk, 1))
+      val opt = array_except(array_distinct(slice(tk, 2, 2)), req)
+      val left = idx.docs.where(size(tk) >= 4 && col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("n_chars"), req.as("req"), opt.as("opt"),
+          array_except(array(element_at(tk, 4)), concat(req, opt)).as("exc"))
+      idx.queryJoinBool(left, "doc_id", col("req"), col("opt"), col("exc"),
+          "text", k = 3,
+          attrFilter = Some(("n_chars", lit(null).cast("long"), col("n_chars"))),
+          excludeSelf = true, impactPruning = true)
+        .select(col("qid").as("doc_id"), col("rank").cast("long").as("rank"),
+          col("key"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // ARBITRARY nested-AST query join, fully distributed (the
     // reference's queryGenerator: T => DslQuery regime at corpus
     // scale, SearchableRDD.scala:257-298): same corpus-proportional
@@ -1162,10 +1201,17 @@ object SearchQueries {
        |FROM sel WHERE rank <= 3
        |ORDER BY sel.qid, sel.rank""".stripMargin
 
-  def oracles: Map[String, String] = staticOracles ++ staticOracles2 ++ stemmedOracle +
-    // same query shape and output as query_join_dsl — the data-driven
-    // phrase join must reproduce the scan path's result exactly
-    ("query_join_phrase" -> staticOracles("query_join_dsl"))
+  def oracles: Map[String, String] = {
+    val base = staticOracles ++ staticOracles2 ++ stemmedOracle +
+      // same query shape and output as query_join_dsl — the data-driven
+      // phrase join must reproduce the scan path's result exactly
+      ("query_join_phrase" -> staticOracles("query_join_dsl"))
+    // the pruned twins share their exact twins' oracles VERBATIM —
+    // a hash match is the proof that pruning is result-invisible
+    base +
+      ("query_join_bool_pruned" -> base("query_join_bool")) +
+      ("query_join_sql_pruned_table" -> base("query_join_sql_table"))
+  }
 
   private val staticOracles: Map[String, String] = Map(
     "search_topk" -> termQueryOracle(Seq("spark"), 1, 10),

@@ -52,6 +52,17 @@ import graft.dsl.{And, EqFilter, ExistsFilter, GeFilter, GtFilter, InSetFilter, 
   * ([[SupportsReportOrdering]]), so a bare `ORDER BY score DESC`
   * costs no Sort node.
   *
+  * ORDERING CAVEAT (multi-partition reads): when k exceeds
+  * `graft.dsv2.rows.per.partition` the scan emits contiguous
+  * rank-range partitions, and both the fully-pushed TopN and the
+  * reported ordering describe order WITHIN each partition plus the
+  * partition INDEX order. Consumers that preserve partition order —
+  * collect, CollectLimit, write without repartition — see the global
+  * (score DESC, key ASC) order; an explicit downstream
+  * `repartition`/`coalesce(shuffle=true)` destroys it, exactly as it
+  * would after any sorted source. A downstream `ORDER BY` re-sorts
+  * and is always safe (pinned in GraftDataSourceSpec).
+  *
   * The source is also WRITABLE ({{{df.write.format("graft")
   * .option("dir", d).mode("overwrite").save()}}}): rows land in
   * `dir/documents.parquet` (Append appends; Overwrite replaces) via

@@ -48,7 +48,12 @@ class ImpactPruningSpec extends AnyFunSuite {
   private def bothWithCands(left: DataFrame, gen: Row => SearchQuery, k: Int,
       excludeSelf: Boolean = false)
       : (Set[(Long, Int, Long, Double)], Set[(Long, Int, Long, Double)], Long, Long) = {
-    val exact = norm(idx.queryJoinAst(left, "doc_id", gen, "text", k, excludeSelf))
+    // the exact BASELINE must really be the unpruned plan — auto
+    // mode (default on) would otherwise prune the dense fixture too
+    idx.autoImpactPruning = false
+    val exact =
+      try norm(idx.queryJoinAst(left, "doc_id", gen, "text", k, excludeSelf))
+      finally idx.autoImpactPruning = true
     val exactCands = idx.lastAstCandsFrame.count()
     val pruned = norm(idx.queryJoinAst(left, "doc_id", gen, "text", k, excludeSelf,
       impactPruning = true))
@@ -151,8 +156,10 @@ class ImpactPruningSpec extends AnyFunSuite {
     idx2.astSeedsPerShape = 8 // small seed set so the union cannot mask the filter
     val left = c2.where(col("doc_id") % 60 === 0).select("doc_id")
     val gen: Row => SearchQuery = _ => MatchAnyTerms("text", Seq("aa", "bb", "ss"))
+    idx2.autoImpactPruning = false // true unpruned baseline (auto would prune)
     val exact = norm(idx2.queryJoinAst(left, "doc_id", gen, "text", 3,
       excludeSelf = true))
+    idx2.autoImpactPruning = true
     val exactCands = idx2.lastAstCandsFrame.count()
     val pruned = norm(idx2.queryJoinAst(left, "doc_id", gen, "text", 3,
       excludeSelf = true, impactPruning = true))
@@ -227,6 +234,157 @@ class ImpactPruningSpec extends AnyFunSuite {
     assert(c4 == 0.0)
     assert(u4.size == 1 && u4.head.requiresAll && u4.head.slots.size == 2)
     assert(math.abs(u4.head.ub - 3.0 * 2.2) < 1e-12) // sat(idf sum) = (1+2)*(k1+1)
+  }
+
+  test("auto pruning (default on): dense shapes prune, sparse batches skip the seed pass, results exact") {
+    val left = corpus.where(col("doc_id") % 16 === 0).select("doc_id")
+    val dGen: Row => SearchQuery = _ => MatchAnyTerms("text", Seq("aa", "bb", "rr"))
+    idx.autoImpactPruning = false
+    val base = norm(idx.queryJoinAst(left, "doc_id", dGen, "text", 3,
+      excludeSelf = true))
+    val baseCands = idx.lastAstCandsFrame.count()
+    idx.autoImpactPruning = true
+    // plain call, no flag: auto mode must prune the dense shape
+    // (Σdf ~767 > max(4*64, 400/8) = 256) without the caller asking
+    val auto = norm(idx.queryJoinAst(left, "doc_id", dGen, "text", 3,
+      excludeSelf = true))
+    val autoCands = idx.lastAstCandsFrame.count()
+    assert(auto == base, "auto pruning must be result-invisible")
+    assert(autoCands < baseCands,
+      s"auto mode should prune the dense shape: $autoCands vs $baseCands")
+    assert(idx.lastAstSeedsFrame != null && idx.lastAstSeedsFrame.count() > 0,
+      "dense shape pays the seed pass")
+    // sparse shape (df(rr) = 15 << 256): auto must SKIP the seed pass
+    val sGen: Row => SearchQuery = _ => MatchTerm("text", "rr")
+    val sparse = norm(idx.queryJoinAst(left, "doc_id", sGen, "text", 3,
+      excludeSelf = true))
+    assert(sparse.nonEmpty)
+    assert(idx.lastAstSeedsFrame.count() == 0,
+      "sparse batch must skip the seed pass under auto mode")
+  }
+
+  test("queryJoinBool(impactPruning): bit-identical on SHOULD-only dense, mixed, and attr-filtered shapes") {
+    val empty = array().cast("array<string>")
+    // SHOULD-only dense disjunction — the Zipf-measured 13.8x/step
+    // regime: every optional term matches most of the corpus
+    val left1 = corpus.where(col("doc_id") % 16 === 0)
+      .select(col("doc_id"), empty.as("req"),
+        array(lit("aa"), lit("bb"), lit("rr")).as("opt"), empty.as("exc"))
+    def both(l: DataFrame, attr: Option[(String,
+        org.apache.spark.sql.Column, org.apache.spark.sql.Column)] = None) = {
+      def run(p: Boolean) = idx.queryJoinBool(l, "doc_id", col("req"),
+          col("opt"), col("exc"), "text", k = 5, attrFilter = attr,
+          excludeSelf = true, impactPruning = p)
+        .select(col("qid").cast("long"), col("rank").cast("int"),
+          col("key").cast("long"), round(col("score"), 6))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      (run(false), run(true))
+    }
+    val (e1, p1) = both(left1)
+    assert(p1 == e1 && e1.nonEmpty, "SHOULD-only parity")
+    // mixed: required + optional + excluded
+    val left2 = corpus.where(col("doc_id") % 16 === 0)
+      .select(col("doc_id"), array(lit("cc")).as("req"),
+        array(lit("aa"), lit("rr")).as("opt"), array(lit("dd")).as("exc"))
+    val (e2, p2) = both(left2)
+    assert(p2 == e2 && e2.nonEmpty, "mixed-clause parity")
+    // per-row attr bound (hi = n_chars, lo unbounded) — the
+    // query_join_bool harness shape
+    val left3 = corpus.where(col("doc_id") % 16 === 0)
+      .select(col("doc_id"), col("n_chars"), empty.as("req"),
+        array(lit("aa"), lit("bb")).as("opt"), empty.as("exc"))
+    val (e3, p3) = both(left3,
+      attr = Some(("n_chars", lit(null).cast("long"), col("n_chars"))))
+    assert(p3 == e3 && e3.nonEmpty, "attr-filtered parity")
+  }
+
+  test("queryJoin/queryJoinDsl(impactPruning): parity with their exact paths") {
+    val left = corpus.where(col("doc_id") % 16 === 0)
+      .select(col("doc_id"), col("text"))
+    def normJoin(df: DataFrame) =
+      df.select(col("doc_id").cast("long"), col("rank").cast("int"),
+        col("key").cast("long"), round(col("score"), 6))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val terms = array_distinct(slice(split(col("text"), " "), 1, 3))
+    val exactF = normJoin(idx.queryJoin(left, "doc_id", terms, "text",
+      k = 4, minMatch = 1, excludeSelf = true))
+    val prunedF = normJoin(idx.queryJoin(left, "doc_id", terms, "text",
+      k = 4, minMatch = 1, excludeSelf = true, impactPruning = true))
+    assert(prunedF == exactF && exactF.nonEmpty, "flat queryJoin parity")
+    // ALL-terms mode (minMatch <= 0 -> MatchAllTerms)
+    val exactA = normJoin(idx.queryJoin(left, "doc_id", terms, "text",
+      k = 4, minMatch = 0, excludeSelf = true))
+    val prunedA = normJoin(idx.queryJoin(left, "doc_id", terms, "text",
+      k = 4, minMatch = 0, excludeSelf = true, impactPruning = true))
+    assert(prunedA == exactA && exactA.nonEmpty, "all-terms queryJoin parity")
+    // queryJoinDsl: same generator through the driver-batch exact
+    // path and the distributed pruned path
+    val gen: Row => SearchQuery = { r =>
+      val ts = r.getAs[String]("text").split(" ").take(3).distinct.toSeq
+      MatchAnyTerms("text", ts)
+    }
+    val exactD = normJoin(idx.queryJoinDsl(left, "doc_id", gen, k = 4,
+      excludeSelf = true))
+    val prunedD = normJoin(idx.queryJoinDsl(left, "doc_id", gen, k = 4,
+      excludeSelf = true, impactPruning = true))
+    assert(prunedD == exactD && exactD.nonEmpty, "queryJoinDsl parity")
+  }
+
+  test("scoreBounds: NEAR/XNEAR unboundable under TFIDF (pair count can exceed dl), bounded under BM25") {
+    import graft.dsl.QueryProgram
+    val p = QueryProgram.compile(MatchNear("text", "aa", "bb", 3),
+      "text", "default", Set("text"), Set("text"))
+    val n = p.termFields.length
+    val idfs = IndexedSeq.fill(n)(1.0)
+    val mis = IndexedSeq.fill(n)(0.0)
+    // BM25 (kind 0): sat is the tf->inf supremum — sound for any tf
+    assert(QueryProgram.scoreBounds(p.ops.toIndexedSeq, p.termFields.toIndexedSeq,
+      idfs ++ p.consts, mis, "text", 0, 1.2).isDefined)
+    // TFIDF (kind 1): NEAR tf is the pair count, which exceeds dl on
+    // interleaved tokens — sat assumes tf<=dl, so no sound bound
+    assert(QueryProgram.scoreBounds(p.ops.toIndexedSeq, p.termFields.toIndexedSeq,
+      idfs ++ p.consts, mis, "text", 1, 0.0).isEmpty)
+  }
+
+  test("scoreBounds: nested negative-factor FunctionScore is unboundable; a single one is fine") {
+    import graft.dsl.QueryProgram
+    def bounds(q: SearchQuery) = {
+      val p = QueryProgram.compile(q, "text", "default", Set("text"), Set("text"))
+      val n = p.termFields.length
+      QueryProgram.scoreBounds(p.ops.toIndexedSeq, p.termFields.toIndexedSeq,
+        IndexedSeq.fill(n)(1.0) ++ p.consts,
+        IndexedSeq.fill(n)(1.5), "text", 0, 1.2)
+    }
+    val single = FunctionScore(MatchTerm("text", "aa"), "n_chars", -0.5)
+    assert(bounds(single).isDefined)
+    // two nested factor<0 multipliers: negative x negative = positive
+    // and unbounded above — must be rejected
+    val nested = FunctionScore(single, "n_chars", -0.5)
+    assert(bounds(nested).isEmpty)
+    // a factor=0 inner multiplier is exactly 1 — but the conservative
+    // rule rejects any FUNCSC under a factor<0 FUNCSC
+    val zeroInner = FunctionScore(
+      FunctionScore(MatchTerm("text", "aa"), "n_chars", 0.0), "n_chars", -0.5)
+    assert(bounds(zeroInner).isEmpty)
+    // factor=0 OUTER is safe to nest over (multiplier exactly 1)
+    val zeroOuter = FunctionScore(single, "n_chars", 0.0)
+    assert(bounds(zeroOuter).isDefined)
+  }
+
+  test("TFIDF index: NEAR under impactPruning falls back and stays exact") {
+    val tfidfIdx = SearchIndex.build(corpus,
+      IndexSpec("doc_id", Seq("text"), similarity = TFIDF()))
+    val left = corpus.where(col("doc_id") % 16 === 0).select("doc_id")
+    val gen: Row => SearchQuery = _ =>
+      Or(MatchNear("text", "aa", "bb", 4), MatchAnyTerms("text", Seq("cc", "dd")))
+    val exact = norm(tfidfIdx.queryJoinAst(left, "doc_id", gen, "text", 5))
+    val pruned = norm(tfidfIdx.queryJoinAst(left, "doc_id", gen, "text", 5,
+      impactPruning = true))
+    assert(pruned == exact,
+      "TFIDF NEAR must not lose hits under pruning (unboundable -> full probe)")
+    assert(exact.nonEmpty)
   }
 
   test("essentialTerms: drops dense terms under a high threshold, keeps everything under null") {

@@ -129,6 +129,31 @@ class GraftDsv2Spec extends AnyFunSuite {
     }
   }
 
+  test("multi-partition read: an explicit downstream orderBy still returns globally sorted rows") {
+    // ADVICE r14 (low): with fully-pushed TopN the plan-time Sort is
+    // removed and GLOBAL order rests on consumers reading rank-range
+    // partitions in index order. Pin that an explicit orderBy over
+    // the multi-partition read re-sorts correctly — the always-safe
+    // recovery the GraftScan scaladoc points users at — including
+    // after a repartition that scrambles partition order.
+    val prev = System.getProperty("graft.dsv2.rows.per.partition")
+    System.setProperty("graft.dsv2.rows.per.partition", "3")
+    try {
+      val big = spark.read.format("graft")
+        .option("dir", dir).option("query", "spark join").option("k", "10").load()
+      assert(big.rdd.getNumPartitions > 1)
+      val resorted = big.repartition(5)
+        .orderBy(col("score").desc, col("doc_id"))
+        .select("score").as[Double].collect().toSeq
+      assert(resorted == resorted.sorted.reverse,
+        "downstream orderBy must restore global score order")
+      assert(resorted.nonEmpty)
+    } finally {
+      if (prev == null) System.clearProperty("graft.dsv2.rows.per.partition")
+      else System.setProperty("graft.dsv2.rows.per.partition", prev)
+    }
+  }
+
   test("write path: overwrite + append land in documents.parquet; reads rebuild") {
     val out = new java.io.File(
       sys.props("java.io.tmpdir"), "graft_dsv2_write_spec").getAbsolutePath
