@@ -1350,21 +1350,25 @@ final class SearchIndex private (
     *   would need the capped rows), shrinking the fan join's input at
     *   the reference's documented accuracy cost. Default = exact.
     * @param impactPruning EXACT early termination for DENSE boolean
-    *   queries — routes the join through [[queryJoinAst]]'s
-    *   impact-ordered (MaxScore-family) pipeline by rewriting each
-    *   row's clause arrays into the equivalent AST
-    *   (`And(MatchAllTerms(req), MatchMin(minOpt', opt),
-    *   Not(MatchAnyTerms(exc)), attr range)`), whose per-clause
-    *   scoring is node-for-node this path's `bool_query_score`.
-    *   Results are BIT-IDENTICAL to the exact join (pinned in
-    *   ImpactPruningSpec); the win is on SHOULD-only shapes, whose
-    *   exact candidate volume is Sum(df over optional terms) —
-    *   Theta(corpus) per shape on dense terms — while the pruned
-    *   plan probes only the terms that can reach the per-shape
-    *   threshold. Per-row attr bounds become part of the shape key,
-    *   so shape dedup is coarser than the exact path's (correct,
-    *   mildly less shared work). Mutually exclusive with
-    *   `maxHitsPerIndex`.
+    *   queries — a NATIVE MaxScore stage in this pipeline (an AST
+    *   rewrite was measured 2x slower: per-row attr bounds inside
+    *   the program split every shared shape, SCALE.md r15). Per
+    *   shape the plan scores a bounded seed set (the top
+    *   [[astSeedsPerShape]] highest-impact postings of the min-df
+    *   probe term, through the full verify gates), takes as
+    *   threshold the MINIMUM over the shape's qids of each qid's
+    *   (k+1)-th best ATTR-FILTERED seed score (binding only when
+    *   every qid produced one — per-qid bounds stay honored; k+1
+    *   absorbs excludeSelf), drops provably-unreachable probe terms
+    *   ([[SearchIndex.boolEssentialProbes]]), and block-max-filters
+    *   the kept terms' postings. Results are BIT-IDENTICAL to the
+    *   exact join (pinned in ImpactPruningSpec; the
+    *   `query_join_bool_pruned` harness entry hash-matches the
+    *   exact twin's oracle). The win is on scored disjunctions:
+    *   SHOULD-only shapes' exact candidate volume is Sum(df over
+    *   optional terms) — Theta(corpus) per shape on dense terms —
+    *   while the pruned probe touches only the terms a top-k hit
+    *   can come from. Mutually exclusive with `maxHitsPerIndex`.
     * Output is (qid, rank, key, score) like [[lightQueryJoin]]. */
   def queryJoinBool(left: DataFrame, qidCol: String,
       requiredCol: Column, optionalCol: Column, excludedCol: Column,
@@ -1382,49 +1386,14 @@ final class SearchIndex private (
       case Some((_, lo, hi)) => (lo.cast("double").as("__lo"), hi.cast("double").as("__hi"))
       case None => (lit(null).cast("double").as("__lo"), lit(null).cast("double").as("__hi"))
     }
-    if (impactPruning) {
-      val prepared = left.select(
-        col(qidCol).cast("long").as("__qid"),
-        sort_array(array_distinct(coalesce(requiredCol, empty))).as("__req"),
-        sort_array(array_distinct(coalesce(optionalCol, empty))).as("__opt"),
-        sort_array(array_distinct(coalesce(excludedCol, empty))).as("__exc"),
-        loSel, hiSel)
-      val f = field
-      val minOpt = minOptMatch
-      val attrName = attrFilter.map(_._1)
-      val gen: Row => SearchQuery = { r =>
-        val req = r.getSeq[String](1)
-        val opt = r.getSeq[String](2)
-        val exc = r.getSeq[String](3)
-        // clause algebra — exactly bool_query_score's gates: all
-        // required present, >= max(minOpt, req.isEmpty ? 1 : 0)
-        // optional present (present optionals always score), zero
-        // excluded; MatchMin(0, opt) matches everything and scores
-        // the present optionals, so And anchors its probe on the
-        // required side
-        val core: SearchQuery =
-          if (opt.isEmpty) {
-            if (req.nonEmpty && minOpt <= 0) MatchAllTerms(f, req)
-            else MatchAnyTerms(f, Nil) // compiles to NOMATCH
-          } else {
-            val mm = MatchMin(f, math.max(minOpt, if (req.isEmpty) 1 else 0), opt)
-            if (req.isEmpty) mm else And(MatchAllTerms(f, req), mm)
-          }
-        val withExc =
-          if (exc.isEmpty) core else And(core, Not(MatchAnyTerms(f, exc)))
-        val lo = if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4))
-        val hi = if (r.isNullAt(5)) null else java.lang.Double.valueOf(r.getDouble(5))
-        attrName match {
-          case Some(a) if lo != null && hi != null =>
-            And(withExc, RangeFilter(a, lo, hi))
-          case Some(a) if lo != null => And(withExc, GeFilter(a, lo))
-          case Some(a) if hi != null => And(withExc, LeFilter(a, hi))
-          case _ => withExc
-        }
-      }
-      return queryJoinAst(prepared, "__qid", gen, field, k, excludeSelf,
-        impactPruning = true)
-    }
+    // impactPruning is implemented NATIVELY in this pipeline (below),
+    // not by rewriting to queryJoinAst: per-row attr bounds would
+    // have to live inside the rewritten program and every bound value
+    // would split an otherwise-shared shape — measured 2x SLOWER than
+    // the exact join on the z16 Zipf corpus (SCALE.md r15). Here the
+    // shapes stay clause-only and the threshold honors the per-qid
+    // bounds instead (min over the shape's qids of each qid's
+    // (k+1)-th best FILTERED seed score).
     // canonical query rows: role arrays sorted+deduped so textually
     // different but equal queries share a shape. Persisted: two plan
     // branches read it (shape dedup + fan-out join); lifetime is tied
@@ -1463,6 +1432,14 @@ final class SearchIndex private (
       .na.fill(0L, Seq("df"))
       .withColumn("idf", log(lit(1.0) +
         (lit(fs.numDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+      // full per-term max impact (idf^p x the measured idf-free max
+      // over the term's postings) — the pruning bound's raw material;
+      // joined here so the aligned arrays below carry it per shape
+      .join(maxImpactStats.where(col("field") === lit(field))
+        .select(col("term"), col("mi_raw")), Seq("term"), "left")
+      .na.fill(0.0, Seq("mi_raw"))
+      .withColumn("mi", pow(col("idf"),
+        lit(if (spec.similarity == TFIDF()) 2.0 else 1.0)) * col("mi_raw"))
     // per-shape clause info: ALIGNED term/role/idf arrays (sorted —
     // deterministic score summation order) + the probe term set:
     // the minimum-df required term (Lucene: lead with the rarest
@@ -1473,7 +1450,8 @@ final class SearchIndex private (
     val qinfo = trackPersist(withIdf
       .groupBy(col("sid"))
       .agg(
-        sort_array(collect_list(struct(col("term"), col("role"), col("idf")))).as("__q"),
+        sort_array(collect_list(struct(col("term"), col("role"), col("idf"),
+          col("mi"), col("df")))).as("__q"),
         first(col("n_req")).as("n_req"),
         min(when(col("role") === 1, struct(col("df"), col("term")))).as("__rarest"),
         collect_list(when(col("role") === 0, col("term"))).as("__optTerms"))
@@ -1481,6 +1459,8 @@ final class SearchIndex private (
         transform(col("__q"), x => x.getField("term")).as("__terms"),
         transform(col("__q"), x => x.getField("role")).as("__roles"),
         transform(col("__q"), x => x.getField("idf")).as("__idfs"),
+        transform(col("__q"), x => x.getField("mi")).as("__mis"),
+        transform(col("__q"), x => x.getField("df")).as("__dfs"),
         when(col("n_req") > 0, array(col("__rarest.term")))
           .otherwise(col("__optTerms")).as("__probes"))
       .persist(StorageLevel.MEMORY_AND_DISK))
@@ -1494,14 +1474,6 @@ final class SearchIndex private (
     // SHOULD-only shapes probe every optional term and pay a
     // distinct; the branch is empty (and AQE-pruned) when every query
     // has a required clause.
-    val probes = qinfo.select(col("sid"), col("n_req"), col("__terms"),
-      col("__roles"), col("__idfs"), explode(col("__probes")).as("term"))
-    val reqCand = probes.where(col("n_req") > 0)
-      .join(posts, Seq("term")).drop("term")
-    val optCand = probes.where(col("n_req") === 0)
-      .join(posts, Seq("term")).drop("term")
-      .dropDuplicates("sid", "key")
-    val cands = reqCand.unionByName(optCand)
     // in-row verification + scoring: join the candidates' token
     // arrays (and the attr column, same join — no second corpus
     // join) and run one codegen'd pass per (query, candidate)
@@ -1522,7 +1494,7 @@ final class SearchIndex private (
     // arrays — streams through UNSORTED. An SMJ here sorts the wide
     // candidate stream and is exactly the 13 GB-spill shape the 16x
     // scale run caught in queryJoinAst.
-    val verified = cands
+    def verify(cands: DataFrame): DataFrame = cands
       .join(docSide.hint("shuffle_hash"), cands("key") === col("__doc_key"))
       .withColumn("__bq", call_function("bool_query_score",
         col("__tokens"), col("__terms"), col("__roles"), col("__idfs"),
@@ -1532,6 +1504,172 @@ final class SearchIndex private (
           when(col("n_req") === 0, lit(1)).otherwise(lit(0))))
       .select((Seq(col("sid"), col("key"), col("__bq.score").as("score")) ++
         attrSel.map(_ => col("__attr"))): _*)
+    val fan = canon.join(shapes, Seq("__req", "__opt", "__exc"))
+      .select(col("qid"), col("sid"), col("__lo"), col("__hi"))
+    val probes = qinfo.select(col("sid"), col("n_req"), col("__terms"),
+      col("__roles"), col("__idfs"), explode(col("__probes")).as("term"))
+    // impact-ordered EXACT pruning, native (MaxScore adapted to
+    // per-qid attr bounds — see the method comment):
+    //   1. per shape, score a bounded seed set: the top
+    //      [[astSeedsPerShape]] highest-impact postings of the
+    //      MIN-DF probe term, through the same verify gates;
+    //   2. per (shape, qid), the threshold is the qid's (k+1)-th
+    //      best seed score AFTER its own attr bounds (k+1 absorbs
+    //      excludeSelf); the SHAPE threshold is the minimum over
+    //      its qids, and only binds when EVERY qid produced one —
+    //      a doc below it scores below every qid's k-th best, so
+    //      dropping it is invisible in each qid's filtered top-k;
+    //   3. per shape, keep only probe terms outside which no
+    //      document's score upper bound (measured per-term max
+    //      impacts) reaches the threshold, and attach each kept
+    //      term's BLOCK-MAX minimum posting part — rows below it
+    //      provably cannot lift any containing doc to the
+    //      threshold (every posting row of every above-threshold
+    //      doc survives its own term's filter, so no seed union
+    //      is needed: pruned candidates remain a superset of every
+    //      qid's filtered top-k).
+    // Shapes with a null threshold keep the exact probe below.
+    val thetaBySid: Option[DataFrame] =
+      if (!impactPruning) None
+      else {
+        val stProbe = stats.where(col("field") === lit(field))
+          .select(col("term"), col("df"))
+        val sPostsTfDl = postings.where(col("field") === lit(field))
+          .select(col("term"), col("key"), col("tf"), col("dl"))
+        val idfC = log(lit(1.0) +
+          (lit(fs.numDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+        val prio = spec.similarity match {
+          case BM25(a, c) =>
+            col("__idf") * (col("tf") * lit(a + 1.0)) /
+              (col("tf") + lit(a) * (lit(1.0 - c) + lit(c) * col("dl") / lit(fs.avgDl)))
+          case TFIDF() =>
+            sqrt(col("tf")) * col("__idf") * col("__idf") / sqrt(col("dl"))
+        }
+        // prunability gate (see [[SearchIndex.boolPrunable]]): only
+        // shapes where the threshold machinery has leverage pay the
+        // seed scan; the rest keep the exact probe untouched
+        val minDfGate = astSeedsPerShape.toLong
+        val prunableUdf = udf((terms: Seq[String], roles: Seq[Int],
+            mis: Seq[Double], dfs: Seq[Long], nReq: Int,
+            probeTs: Seq[String]) => SearchIndex.boolPrunable(
+          terms, roles, mis, dfs, nReq, probeTs, minDfGate))
+        val prunableSids = qinfo
+          .where(size(col("__probes")) > 0 &&
+            prunableUdf(col("__terms"), col("__roles"), col("__mis"),
+              col("__dfs"), col("n_req"), col("__probes")))
+          .select(col("sid"))
+        // seed from the rarest SCORING term (required or optional),
+        // not the rarest PROBE term: for a dense-required shape the
+        // probe is the head term whose top-impact postings are
+        // opt-poor — a threshold seeded there never clears the
+        // residual mass, while the rarest optional's postings hold
+        // the opt-rich docs the true top-k comes from (and its scan
+        // is the cheapest of any scoring term's)
+        val seedTerm = withIdf.where(col("role") >= 0 && col("df") > 0)
+          .select(col("sid"), col("term"), col("df"))
+          .join(prunableSids, Seq("sid"))
+          .groupBy(col("sid"))
+          .agg(min(struct(col("df"), col("term"))).as("m"))
+          .select(col("sid"), col("m.term").as("term"))
+        val seeds = seedTerm
+          .join(sPostsTfDl, Seq("term"))
+          .join(stProbe, Seq("term"))
+          .withColumn("__idf", idfC)
+          .groupBy(col("sid"))
+          .agg(topkAggFor(posts, math.max(astSeedsPerShape, k + 1))(
+            col("key"), prio).as("__s"))
+          .select(col("sid"), explode(col("__s")).as("h"))
+          .select(col("sid"), col("h.key").as("key"))
+          .dropDuplicates("sid", "key")
+        val seedScored = verify(seeds
+          .join(qinfo.select(col("sid"), col("n_req"), col("__terms"),
+            col("__roles"), col("__idfs")), Seq("sid")))
+        val seedFan = seedScored.join(fan, Seq("sid"))
+        val seedPass =
+          if (attrFilter.isDefined)
+            seedFan.where((col("__lo").isNull || col("__attr") >= col("__lo")) &&
+              (col("__hi").isNull || col("__attr") <= col("__hi")))
+          else seedFan
+        val thetaQ = seedPass
+          .groupBy(col("sid"), col("qid"))
+          .agg(topkAggFor(posts, k + 1)(col("key"), col("score")).as("__top"))
+          .select(col("sid"),
+            when(size(col("__top")) >= k + 1,
+              element_at(col("__top"), k + 1).getField("score")).as("__thq"))
+        val nQids = fan.groupBy(col("sid")).agg(count(lit(1)).as("__nq"))
+        Some(trackPersist(thetaQ
+          .groupBy(col("sid"))
+          .agg(count(lit(1)).as("__ng"),
+            count(col("__thq")).as("__nb"),
+            min(col("__thq")).as("__min_th"))
+          .join(nQids, Seq("sid"))
+          .select(col("sid"),
+            when(col("__ng") === col("__nq") && col("__nb") === col("__nq"),
+              col("__min_th")).as("__theta"))
+          .where(col("__theta").isNotNull)
+          .persist(StorageLevel.MEMORY_AND_DISK)))
+      }
+    val cands = thetaBySid match {
+      case None =>
+        val reqCand = probes.where(col("n_req") > 0)
+          .join(posts, Seq("term")).drop("term")
+        val optCand = probes.where(col("n_req") === 0)
+          .join(posts, Seq("term")).drop("term")
+          .dropDuplicates("sid", "key")
+        reqCand.unionByName(optCand)
+      case Some(theta) =>
+        val sPostsTfDl = postings.where(col("field") === lit(field))
+          .select(col("term"), col("key"), col("tf"), col("dl"))
+        val partE = spec.similarity match {
+          case BM25(a, c) =>
+            (col("tf") * lit(a + 1.0)) /
+              (col("tf") + lit(a) * (lit(1.0 - c) + lit(c) * col("dl") / lit(fs.avgDl)))
+          case TFIDF() => sqrt(col("tf")) / sqrt(col("dl"))
+        }
+        val pExp = if (spec.similarity == TFIDF()) 2.0 else 1.0
+        val essUdf = udf((terms: Seq[String], roles: Seq[Int], idfsA: Seq[Double],
+            mis: Seq[Double], dfs: Seq[Long], nReq: Int, probeTs: Seq[String],
+            th: Double) => SearchIndex.boolEssentialProbes(
+          terms, roles, idfsA, mis, dfs, nReq, probeTs, th, pExp))
+        // an empty kept set = "no bite" (see boolEssentialProbes):
+        // those shapes fall through to the exact branch below
+        val withTheta = qinfo.join(theta, Seq("sid"))
+          .withColumn("__kept", essUdf(col("__terms"), col("__roles"),
+            col("__idfs"), col("__mis"), col("__dfs"), col("n_req"),
+            col("__probes"), col("__theta")))
+          .where(size(col("__kept")) > 0)
+        // a single-term probe's (sid, key) is unique by construction;
+        // multi-term probes (a coverage set K, or SHOULD-only
+        // optionals) dedup — the split keys on the KEPT set's size,
+        // not n_req, since a req-led dense shape may probe its
+        // optionals (boolEssentialProbes' coverage switch)
+        val prunedProbes = withTheta
+          .select(col("sid"), col("n_req"), col("__terms"), col("__roles"),
+            col("__idfs"), size(col("__kept")).as("__nk"),
+            explode(col("__kept")).as("pt"))
+          .select(col("sid"), col("n_req"), col("__terms"), col("__roles"),
+            col("__idfs"), col("__nk"),
+            col("pt.term").as("term"), col("pt.mp").as("__mp"))
+        val prunedSingle = prunedProbes.where(col("__nk") === 1)
+          .join(sPostsTfDl, Seq("term"))
+          .where(partE >= col("__mp"))
+          .drop("term", "tf", "dl", "__mp", "__nk")
+        val prunedMulti = prunedProbes.where(col("__nk") > 1)
+          .join(sPostsTfDl, Seq("term"))
+          .where(partE >= col("__mp"))
+          .drop("term", "tf", "dl", "__mp", "__nk")
+          .dropDuplicates("sid", "key")
+        // exact branch for shapes whose threshold did not bind OR
+        // whose essential set came back empty ("no bite")
+        val unpruned = probes.join(withTheta.select("sid"), Seq("sid"), "left_anti")
+        val uReq = unpruned.where(col("n_req") > 0)
+          .join(posts, Seq("term")).drop("term")
+        val uOpt = unpruned.where(col("n_req") === 0)
+          .join(posts, Seq("term")).drop("term")
+          .dropDuplicates("sid", "key")
+        prunedSingle.unionByName(prunedMulti).unionByName(uReq).unionByName(uOpt)
+    }
+    val verified = verify(cands)
     // probe-depth cap (the per-SHAPE form of maxHitsPerIndex): bound
     // each partition's verified hits per shape before the qid fan-out,
     // shrinking the fan join's input at the documented accuracy cost.
@@ -1543,8 +1681,6 @@ final class SearchIndex private (
       if (maxHitsPerIndex < k && preFanCap)
         perPartitionTopK(verified, "sid", maxHitsPerIndex)
       else verified
-    val fan = canon.join(shapes, Seq("__req", "__opt", "__exc"))
-      .select(col("qid"), col("sid"), col("__lo"), col("__hi"))
     val joined = capped.join(fan, Seq("sid"))
     val filtered =
       if (attrFilter.isDefined)
@@ -1767,8 +1903,13 @@ final class SearchIndex private (
   /** AUTO impact pruning (default ON): when a [[queryJoinAst]] call
     * doesn't force `impactPruning` (or a candidate cap), the engine
     * still runs the MaxScore pipeline but pays the per-shape seed
-    * pass ONLY for shapes whose chosen probe alternative is DENSE —
-    * Σdf above max(4·astSeedsPerShape, numDocs/8). Sparse shapes
+    * pass ONLY for shapes where it measurably wins: PURE scored
+    * disjunctions — one probe alternative of >= 2 terms (whole
+    * dense terms can drop) with more postings than the seed set
+    * itself (Σdf > astSeedsPerShape). Single-term probes (part
+    * filter only) and multi-alternative nested shapes measured as
+    * losses under auto (SCALE.md r15 receipts) and skip. Other
+    * shapes
     * get no seeds, a null threshold, and the full (exact) probe, so
     * a sparse batch's extra cost is a handful of |shapes|-row
     * aggregates while a dense batch gets the pruned plan without
@@ -2070,17 +2211,38 @@ final class SearchIndex private (
         // expensive as the thing it prunes. Absent terms (df 0) have
         // no postings and are excluded; a shape whose terms are all
         // absent gets no seeds, a null threshold, and no pruning.
-        // AUTO density gate: only shapes whose CHOSEN alternative's
-        // Σdf exceeds the break-even pay the seed pass — below it
-        // pruning can save at most Σdf verify rows, less than the
-        // seed scan + threshold aggregates cost. Gated shapes get no
-        // seeds -> null theta -> the full exact probe (the existing
-        // fallback), so the gate is invisible in the results.
+        // AUTO gate, MEASURED low (SCALE.md r15): per-candidate
+        // verify (doc attach + program interpreter) costs an order
+        // of magnitude more than a seed-scan row, so pruning pays
+        // for itself on any shape with more postings than the seed
+        // set — the z16 Zipf sweep measured forced-everything at
+        // 8.3s vs 43.8s for a 4x-seeds gate vs 34.5s exact (the
+        // sub-gate shapes' 2M verifies WERE the exact cost). The
+        // gate therefore only skips shapes whose postings fit
+        // INSIDE the seed set, where the "threshold" would be
+        // computed from the full candidate set it is meant to
+        // avoid scoring — pure overhead, zero possible savings.
+        // Gated-out shapes get no seeds -> null theta -> the full
+        // exact probe (the existing fallback), so the gate is
+        // invisible in the results.
+        // ...and only PURE SCORED DISJUNCTIONS: a single probe
+        // alternative with >= 2 terms (MatchAny/MatchMin-led shapes)
+        // — the regime with measured 8-20x wins (SCALE.md r15). A
+        // single-term probe's only lever is the block-max part
+        // filter (measured near-zero bite on dense terms), and
+        // multi-ALTERNATIVE nested shapes measured 1.7-2.7x LOSSES
+        // under every auto gate tried (the z16 nested-AST entry:
+        // 57-93s under three gate designs vs its 34.5s exact plan)
+        // because plan-time heuristics cannot see whether theta will
+        // bite. Forced mode (impactPruning = true) still seeds every
+        // shape with a sound bound — the caller asked.
         val denseSids =
           if (!autoGate) null
-          else chosen.where(col("adf") >
-              greatest(lit(4L * astSeedsPerShape), lit(fs.numDocs / 8)))
-            .select(col("sid"))
+          else probed0.where(size(col("probe")) >= 2).select(col("sid"))
+            .join(withDoubles.where(size(col("alts")) === 1)
+              .select(col("sid")), Seq("sid"))
+            .join(chosen.where(col("adf") > lit(astSeedsPerShape.toLong))
+              .select(col("sid")), Seq("sid"))
         val minTerm0 = probed0
           .select(col("sid"), explode(col("probe")).as("term"))
           .join(stProbe, Seq("term"))
@@ -2154,7 +2316,15 @@ final class SearchIndex private (
           .withColumn("probe", essUdf(col("ops"), col("terms"),
             col("term_fields"), col("doubles"), col("mis"),
             col("__alt_terms"), col("__alt_dfs"), col("__theta")))
-          .select(col("sid"), col("probe"))
+          // __th: did the threshold BIND for this shape? Unbound
+          // shapes (no/too-few seeds — every auto-gated sparse shape,
+          // every unboundable program) take the exact branch's slim
+          // probe below: bare (term, key) postings, no part filter,
+          // no seed union, no global dedup — the full-volume
+          // candidate stream must never pay the pruned path's
+          // dedup exchange just because pruning was AVAILABLE.
+          .withColumn("__th", col("__theta").isNotNull)
+          .select(col("sid"), col("probe"), col("__th"))
           .persist(StorageLevel.MEMORY_AND_DISK))
         lastAstSeedsFrame = seeds // test hook (auto-gate pins)
         (Some(pruned), Some(seeds))
@@ -2209,22 +2379,61 @@ final class SearchIndex private (
               (col("tf") + lit(a) * (lit(1.0 - c) + lit(c) * col("dl") / lit(fs.avgDl)))
           case TFIDF() => sqrt(col("tf")) / sqrt(col("dl"))
         }
-        val single = pruned.where(size(col("probe")) === 1)
+        // EFFECTIVENESS split: a thresholded shape whose essential
+        // set came back as the full chosen alternative with every
+        // part bound at -inf gained NOTHING from pruning — routing
+        // it through the tf/dl-widened join + dedup below costs the
+        // full candidate volume for zero benefit (the z16 nested-AST
+        // receipt: 77-93s vs the 34.5s exact plan, SCALE.md r15).
+        // Only shapes where pruning BITES (a smaller or different
+        // probe set, or a finite block-max bound) take this branch.
+        val exactProbe = probed0.select(col("sid"), col("probe").as("__ep"))
+        val prunedX = pruned.join(exactProbe, Seq("sid"))
+          .withColumn("__eff", col("__th") && (
+            exists(col("probe"),
+              pt => pt.getField("_2") > lit(Double.NegativeInfinity)) ||
+            size(col("probe")) < size(col("__ep")) ||
+            size(array_except(
+              transform(col("probe"), pt => pt.getField("_1")),
+              col("__ep"))) > 0))
+        val bound = prunedX.where(col("__eff"))
+        val single = bound.where(size(col("probe")) === 1)
           .withColumn("pt", try_element_at(col("probe"), lit(1)))
           .select(col("sid"), col("pt").getField("_1").as("term"),
             col("pt").getField("_2").as("__mp"))
           .join(sPostsTfDl, Seq("term"))
           .where(partE >= col("__mp"))
           .select(col("sid"), col("key"))
-        val multi = pruned.where(size(col("probe")) > 1)
+        val multi = bound.where(size(col("probe")) > 1)
           .select(col("sid"), explode(col("probe")).as("pt"))
           .select(col("sid"), col("pt").getField("_1").as("term"),
             col("pt").getField("_2").as("__mp"))
           .join(sPostsTfDl, Seq("term"))
           .where(partE >= col("__mp"))
           .select(col("sid"), col("key"))
-        single.unionByName(multi).unionByName(seedCands.get)
+        // only the THRESHOLDED stream needs the seed union and its
+        // dedup — post-prune it is the small one. Seeds of unbound
+        // shapes are a subset of their full probe (the seed term is
+        // a probe term and null theta keeps the full alternative),
+        // so dropping them loses nothing.
+        val boundCands = single.unionByName(multi)
+          .unionByName(seedCands.get.join(bound.select("sid"), Seq("sid")))
           .dropDuplicates("sid", "key")
+        // UNBOUND or INEFFECTIVE shapes: the exact branch's slim
+        // discipline — bare (term, key) postings, single-term probes
+        // unique by construction (no exchange), only multi-term
+        // probes dedup
+        val unbound = prunedX.where(!col("__eff"))
+        val uSingle = unbound.where(size(col("probe")) === 1)
+          .withColumn("pt", try_element_at(col("probe"), lit(1)))
+          .select(col("sid"), col("pt").getField("_1").as("term"))
+          .join(posts, Seq("term")).drop("term")
+        val uMulti = unbound.where(size(col("probe")) > 1)
+          .select(col("sid"), explode(col("probe")).as("pt"))
+          .select(col("sid"), col("pt").getField("_1").as("term"))
+          .join(posts, Seq("term")).drop("term")
+          .dropDuplicates("sid", "key")
+        boundCands.unionByName(uSingle).unionByName(uMulti)
     }
     val candsBounded =
       if (exactCap) candsRaw
@@ -2835,6 +3044,121 @@ object SearchIndex {
     * layout (~a few hundred MB of (field, term, key, tf, dl) rows —
     * the same order as a generous autoBroadcastJoinThreshold). */
   val AutoBroadcastMaxPostings: Long = 2L * 1000 * 1000
+
+  /** One kept probe term of a pruned boolean shape + the block-max
+    * minimum posting part a row must reach to matter. */
+  private[graft] case class BoolProbe(term: String, mp: Double)
+
+  /** Can impact pruning possibly pay for this boolean shape? Yes
+    * whenever the EXACT probe volume (df of the rarest required
+    * term, or Sum df over the optionals for SHOULD-only shapes)
+    * exceeds the seed set — below that the threshold machinery has
+    * nothing to save. The seed scan itself costs only the rarest
+    * SCORING term's postings (see the seed-term selection), so the
+    * gate needs no finer economics. Unseeded shapes keep the exact
+    * probe — the gate is invisible in the results. */
+  private[graft] def boolPrunable(terms: Seq[String], roles: Seq[Int],
+      mis: Seq[Double], dfs: Seq[Long], nReq: Int, probeTs: Seq[String],
+      minDf: Long): Boolean = {
+    val probeSet = probeTs.toSet
+    var exactVol = 0L
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    var i = 0
+    while (i < terms.length) {
+      if (probeSet.contains(terms(i)) && seen.add(terms(i))) exactVol += dfs(i)
+      i += 1
+    }
+    exactVol > minDf
+  }
+
+  /** MaxScore essential-probe selection for the BOOLEAN clause
+    * algebra — [[SearchIndex.queryJoinBool]]'s native analog of
+    * [[graft.dsl.QueryProgram.essentialTerms]] +
+    * `essentialProbeBounds`, specialized to the bool verifier's
+    * additive score model (sum of per-present-term similarities over
+    * role >= 0 rows; excluded terms score 0; a term both required
+    * and optional scores once per row, exactly as `bool_query_score`
+    * sums). Given a SOUND threshold `th` (a lower bound on every
+    * qid's k-th best filtered score for this shape), a probe set P
+    * is sound when every doc scoring >= th must contain a member:
+    *   - the EXACT probe (rarest required term, or all optionals
+    *     for SHOULD-only shapes) is sound unconditionally;
+    *   - ANY subset K of the shape's scoring terms is sound when
+    *     `total - Sum unit(K) < th` — a doc containing none of K
+    *     scores at most the uncovered mass. Built greedily by
+    *     dropping densest-first. This is what beats req-led DENSE
+    *     shapes: when the required term is a corpus-head term its
+    *     own mass is tiny, th clears `total - opt mass` easily, and
+    *     the probe switches from df(req) ~ corpus to the optionals'
+    *     postings (the verifier still gates req in-row) — the z16
+    *     Zipf receipt's 113M-row candidate stream collapses.
+    * Each kept term also carries its block-max minimum posting part
+    * (rows below it cannot lift any containing doc to th). Aligned
+    * inputs come from the shape's qinfo arrays; `p` is the
+    * similarity's idf exponent (1 BM25, 2 TFIDF). */
+  private[graft] def boolEssentialProbes(terms: Seq[String], roles: Seq[Int],
+      idfs: Seq[Double], mis: Seq[Double], dfs: Seq[Long], nReq: Int,
+      probeTs: Seq[String], th: Double, p: Double): Seq[BoolProbe] = {
+    val neg = Double.NegativeInfinity
+    val unit = scala.collection.mutable.HashMap.empty[String, Double]
+    val miRaw = scala.collection.mutable.HashMap.empty[String, Double]
+    val dfOf = scala.collection.mutable.HashMap.empty[String, Long]
+    val scoring = scala.collection.mutable.LinkedHashSet.empty[String]
+    var total = 0.0
+    var i = 0
+    while (i < terms.length) {
+      if (roles(i) >= 0) {
+        unit.update(terms(i), unit.getOrElse(terms(i), 0.0) + mis(i))
+        total += mis(i)
+        scoring += terms(i)
+        if (mis(i) > 0.0 && idfs(i) > 0.0)
+          miRaw.update(terms(i), mis(i) / math.pow(idfs(i), p))
+      }
+      if (!dfOf.contains(terms(i))) dfOf.update(terms(i), dfs(i))
+      i += 1
+    }
+    def bound(t: String): BoolProbe = {
+      val u = unit.getOrElse(t, 0.0)
+      val raw = miRaw.getOrElse(t, 0.0)
+      if (u <= 0.0 || raw <= 0.0) BoolProbe(t, neg)
+      else {
+        val resid = total - u
+        val slack = 1e-7 * (1.0 + math.abs(th) + math.abs(resid))
+        if (resid + slack >= th) BoolProbe(t, neg)
+        // row contribution through t is unit(t) * part / mi_raw(t),
+        // so part must reach (th - resid) * mi_raw / unit
+        else BoolProbe(t, (th - resid - slack) * raw / u)
+      }
+    }
+    // coverage-greedy K over ALL scoring terms: drop densest-first
+    // while the uncovered mass (score ceiling of a doc containing
+    // no kept term) stays provably below th
+    val byDf = scoring.toSeq.sortBy(t => (-dfOf.getOrElse(t, 0L), t))
+    var uncovered = 0.0
+    val dropped = scala.collection.mutable.HashSet.empty[String]
+    for (t <- byDf) {
+      val m = uncovered + unit.getOrElse(t, 0.0)
+      val slack = 1e-7 * (1.0 + math.abs(th) + m)
+      if (m + slack < th && dropped.size < byDf.size - 1) {
+        dropped += t; uncovered = m
+      }
+    }
+    val kept = byDf.filterNot(dropped)
+    def vol(ts: Seq[String]): Long =
+      ts.map(t => dfOf.getOrElse(t, 0L)).sum
+    // both sets are sound (every gate-passing match contains a
+    // scoring term, and K's uncovered mass is below th) — pick the
+    // cheaper postings volume. An EMPTY result signals "pruning has
+    // no bite here" (exact set, every part bound -inf): the caller
+    // must route the shape through the slim exact branch instead of
+    // paying the widened pruned join for nothing.
+    val exact = probeTs.distinct
+    val chosen =
+      if (kept.nonEmpty && vol(kept) < vol(exact)) kept.map(bound)
+      else exact.map(bound)
+    val isExactSet = chosen.map(_.term).toSet == exact.toSet
+    if (isExactSet && chosen.forall(_.mp == neg)) Seq.empty else chosen
+  }
 
   /** Hard cap on the left-side row count [[SearchIndex.queryJoinDsl]]
     * will collect to the driver — the one API a naive caller could

@@ -59,7 +59,13 @@ object SearchQueries {
 
   def indexFor(spark: SparkSession, dir: String): SearchIndex =
     cache.get(dir) {
-      SearchIndex.build(snapshotDocs(spark, dir), spec)
+      val idx = SearchIndex.build(snapshotDocs(spark, dir), spec)
+      // measurement/ops escape hatch: SPARK_GRAFT_AUTO_PRUNE=0 pins
+      // the harness indexes to the always-exact-probe plan so A/B
+      // receipts of the auto MaxScore mode need no code edits
+      if (sys.env.get("SPARK_GRAFT_AUTO_PRUNE").contains("0"))
+        idx.autoImpactPruning = false
+      idx
     }
 
   /** Incremental-maintenance hook for the DSv2 append path: when a
@@ -827,14 +833,52 @@ object SearchQueries {
         .orderBy("doc_id", "rank")
     }),
 
-    // The SAME boolean join under impact-ordered EXACT pruning
-    // (r15): the clause arrays rewrite per row to the equivalent AST
-    // (And(MatchAllTerms(req), MatchMin(opt), Not(MatchAnyTerms(exc)),
-    // attr bound)) and run through queryJoinAst's MaxScore pipeline.
-    // The oracle is query_join_bool's own SQL, so a hash match proves
-    // the rewrite AND the pruning are invisible in the results — the
-    // bounded escape for the Zipf-measured 13.8x/step dense
-    // query_join_bool regime (SCALE.md).
+    // SHOULD-only dense boolean join — the scored-disjunction regime
+    // (no required clause, every optional term dense) where exact
+    // candidate volume is Theta(Sum df(opt)) per shape; the pruned
+    // twin below is the bounded escape. Kept separate from
+    // query_join_bool (req-led + attr-filtered), whose candidates
+    // are LOWER-bounded by df(req) for any exact algorithm.
+    "query_join_bool_dense" -> ((s, dir) => {
+      val idx = indexFor(s, dir)
+      val tk = col(SearchIndex.tokensColName("text"))
+      val left = idx.docs.where(size(tk) >= 3 && col("doc_id") % 40 === 0)
+        .select(col("doc_id"), array_distinct(slice(tk, 1, 3)).as("opt"))
+      idx.queryJoinBool(left, "doc_id",
+          lit(null).cast("array<string>"), col("opt"),
+          lit(null).cast("array<string>"), "text", k = 3, excludeSelf = true)
+        .select(col("qid").as("doc_id"), col("rank").cast("long").as("rank"),
+          col("key"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
+    // ...and the SAME join under native impact pruning: per-shape
+    // seed threshold + essential-term drop + block-max posting
+    // filter (SearchIndex.boolEssentialProbes). Shares the exact
+    // twin's oracle, so a hash match proves pruning is invisible.
+    "query_join_bool_dense_pruned" -> ((s, dir) => {
+      val idx = indexFor(s, dir)
+      val tk = col(SearchIndex.tokensColName("text"))
+      val left = idx.docs.where(size(tk) >= 3 && col("doc_id") % 40 === 0)
+        .select(col("doc_id"), array_distinct(slice(tk, 1, 3)).as("opt"))
+      idx.queryJoinBool(left, "doc_id",
+          lit(null).cast("array<string>"), col("opt"),
+          lit(null).cast("array<string>"), "text", k = 3, excludeSelf = true,
+          impactPruning = true)
+        .select(col("qid").as("doc_id"), col("rank").cast("long").as("rank"),
+          col("key"), round(col("score"), 4).as("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
+    // The req-led attr-filtered boolean join under impact pruning
+    // (r15, native in the bool pipeline): the per-shape threshold is
+    // the MIN over the shape's qids of each qid's (k+1)-th best
+    // ATTR-FILTERED seed score, and a prunability gate skips shapes
+    // where the machinery has no leverage (this entry's req-led
+    // shapes mostly skip — candidates are bounded below by df(req)
+    // for ANY exact algorithm; see query_join_bool_dense_pruned for
+    // the regime pruning wins). The oracle is query_join_bool's own
+    // SQL, so a hash match proves the whole stage is invisible.
     "query_join_bool_pruned" -> ((s, dir) => {
       val idx = indexFor(s, dir)
       val tk = col(SearchIndex.tokensColName("text"))
@@ -1210,6 +1254,7 @@ object SearchQueries {
     // a hash match is the proof that pruning is result-invisible
     base +
       ("query_join_bool_pruned" -> base("query_join_bool")) +
+      ("query_join_bool_dense_pruned" -> base("query_join_bool_dense")) +
       ("query_join_sql_pruned_table" -> base("query_join_sql_table"))
   }
 
@@ -1997,6 +2042,34 @@ object SearchQueries {
          |SELECT sel.qid AS doc_id, sel.rank, sel.doc_id AS key, round(sel.score, 4) AS score
          |FROM sel WHERE rank <= 3
          |ORDER BY sel.qid, sel.rank""".stripMargin,
+
+    "query_join_bool_dense" -> {
+      // SHOULD-only: three distinct leading tokens, all optional;
+      // score sums BM25 over the matched terms, >= 1 must match,
+      // self excluded, top 3 per qid
+      s"""$toksCte,
+         |$postsCte,
+         |lefts AS (
+         |  SELECT doc_id AS qid, list_distinct(tokens[1:3]) AS opt
+         |  FROM toks WHERE len(tokens) >= 3 AND doc_id % 40 = 0
+         |), qt AS (
+         |  SELECT qid, unnest(opt) AS term FROM lefts
+         |), scored AS (
+         |  SELECT q.qid, p.doc_id,
+         |    sum(ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) * (p.tf * ${K1 + 1.0})
+         |      / (p.tf + $K1 * (${1.0 - B} + $B * p.dl / st.avgdl))) AS score,
+         |    count(*) AS nm
+         |  FROM qt q JOIN posts p USING (term) JOIN dfs d USING (term), st
+         |  WHERE p.doc_id <> q.qid
+         |  GROUP BY 1, 2
+         |), sel AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored WHERE nm >= 1
+         |)
+         |SELECT sel.qid AS doc_id, sel.rank, sel.doc_id AS key, round(sel.score, 4) AS score
+         |FROM sel WHERE rank <= 3
+         |ORDER BY sel.qid, sel.rank""".stripMargin
+    },
 
     "query_join_bool" -> {
       // roles: required tokens[1] / optional distinct tokens[2:3]

@@ -22,6 +22,11 @@ object IndexBuildBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // bounded top-k aggregates (TopKAgg) over thousands of groups:
+      // the 128-key default forces the sort-based object-agg fallback,
+      // which serializes each group buffer per row (measured 155s /
+      // 7.3GB spill on a 3.7M-row seed aggregate, SCALE.md r15)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")

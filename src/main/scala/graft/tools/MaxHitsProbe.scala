@@ -12,6 +12,11 @@ object MaxHitsProbe {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // bounded top-k aggregates (TopKAgg) over thousands of groups:
+      // the 128-key default forces the sort-based object-agg fallback,
+      // which serializes each group buffer per row (measured 155s /
+      // 7.3GB spill on a 3.7M-row seed aggregate, SCALE.md r15)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -9,6 +9,11 @@ object TestSpark {
       .master("local[4]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
+      // bounded top-k aggregates (TopKAgg) over thousands of groups:
+      // the 128-key default forces the sort-based object-agg fallback,
+      // which serializes each group buffer per row (measured 155s /
+      // 7.3GB spill on a 3.7M-row seed aggregate, SCALE.md r15)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .config("spark.sql.session.timeZone", "UTC")
       // match Verify/Bench: events.parquet is TIMESTAMP(NANOS), which
       // Spark 4 only reads under this flag (Tables normalizes back)

@@ -245,7 +245,7 @@ class ImpactPruningSpec extends AnyFunSuite {
     val baseCands = idx.lastAstCandsFrame.count()
     idx.autoImpactPruning = true
     // plain call, no flag: auto mode must prune the dense shape
-    // (Σdf ~767 > max(4*64, 400/8) = 256) without the caller asking
+    // (Σdf ~767 > astSeedsPerShape = 64) without the caller asking
     val auto = norm(idx.queryJoinAst(left, "doc_id", dGen, "text", 3,
       excludeSelf = true))
     val autoCands = idx.lastAstCandsFrame.count()
@@ -254,7 +254,8 @@ class ImpactPruningSpec extends AnyFunSuite {
       s"auto mode should prune the dense shape: $autoCands vs $baseCands")
     assert(idx.lastAstSeedsFrame != null && idx.lastAstSeedsFrame.count() > 0,
       "dense shape pays the seed pass")
-    // sparse shape (df(rr) = 15 << 256): auto must SKIP the seed pass
+    // sparse shape (df(rr) = 15 < 64 = astSeedsPerShape): auto must
+    // SKIP the seed pass
     val sGen: Row => SearchQuery = _ => MatchTerm("text", "rr")
     val sparse = norm(idx.queryJoinAst(left, "doc_id", sGen, "text", 3,
       excludeSelf = true))
