@@ -34,6 +34,9 @@ argv = sys.argv[1:]
 scale = "4x"
 if "--scale" in argv:
     i = argv.index("--scale")
+    if i + 1 >= len(argv):
+        print("FATAL: --scale needs a value (e.g. --scale z4)")
+        sys.exit(2)
     scale = argv[i + 1]
     argv = argv[:i] + argv[i + 2:]
 args = [a for a in argv if a != "--update"]
@@ -45,6 +48,16 @@ floor_key = "floors" if scale == "4x" else f"floors_{scale}"
 
 with open(FLOOR_PATH) as f:
     floor_doc = json.load(f)
+# a typoed --scale must not silently pass by treating every entry as
+# "new" against an empty floor table (ADVICE r15): only --update may
+# CREATE a floor table, and then says so loudly
+if floor_key not in floor_doc:
+    known = ", ".join(k for k in sorted(floor_doc) if k.startswith("floors"))
+    if not update:
+        print(f"FATAL: no '{floor_key}' table in SCALE_FLOOR.json "
+              f"(known: {known}) — typoed --scale? Use --update to create it.")
+        sys.exit(2)
+    print(f"CREATING new floor table '{floor_key}' (known: {known})")
 floors = floor_doc.setdefault(floor_key, {})
 
 line = open(run_path).read().strip().splitlines()[-1]

@@ -200,7 +200,8 @@ object PipelineQueries {
       }
       val store = s"/tmp/graft_fixtures/pq_stream_$tag"
       workingStoreFromSeed(seed, store)
-      Similarity.streamIngestPqIndex(s, dir, store, col("vec_id") % 5 === 4)
+      Similarity.streamIngestPqIndex(s, dir, store, col("vec_id") % 5 === 4,
+        stagingCache = Some(s"/tmp/graft_fixtures/pq_stream_src_${tag}_$sig"))
       Similarity.loadedIvfPqTopK(s, dir, store,
         recordAs = Some("stream_ann_store"))
     }),

@@ -1133,7 +1133,12 @@ final class SearchIndex private (
     if (impactPruning) {
       require(maxHitsPerIndex == Int.MaxValue && !broadcastHits,
         "impactPruning is exact and replaces maxHitsPerIndex/broadcastHits tuning — pass one, not both")
-      val prepared = left.select(col(qidCol).cast("long").as("__qid"),
+      // null qids produce no hits on the unpruned path (the fan-out
+      // join just misses); the pruned path's executor-side serialize
+      // would NPE on getAs[Number].longValue instead — filter them so
+      // the flag stays result-invisible (ADVICE r15)
+      val prepared = left.where(col(qidCol).isNotNull)
+        .select(col(qidCol).cast("long").as("__qid"),
         sort_array(array_distinct(coalesce(termsCol, array().cast("array<string>"))))
           .as("__terms"))
       val f = field
@@ -1185,7 +1190,8 @@ final class SearchIndex private (
     *   still yields up to k hits */
   def queryJoinDsl(left: DataFrame, qidCol: String, queryGen: Row => SearchQuery,
       k: Int, excludeSelf: Boolean = false,
-      impactPruning: Boolean = false): DataFrame = {
+      impactPruning: Boolean = false,
+      pruneField: Option[String] = None): DataFrame = {
     // impact-ordered EXACT pruning: the generator contract is
     // identical to queryJoinAst's, so pruning routes there (fully
     // distributed, nothing collected, MaxScore candidate pruning) and
@@ -1193,8 +1199,18 @@ final class SearchIndex private (
     // filter values fall outside the serialized program's encodable
     // set (numerics, strings, booleans, dates, timestamps) fail at
     // plan time there — keep those on the unpruned driver-batch path.
+    //
+    // PROBE FIELD (ADVICE r15): the pruned rewrite compiles against
+    // ONE probe field. The default is the first indexed text field;
+    // a generator whose queries lead on a DIFFERENT text field then
+    // compiles to cross-field leaves with no probe alternatives, so
+    // every shape becomes a TOTAL (full-corpus) pass — correct, but
+    // it defeats the pruning the caller asked for. Pass `pruneField`
+    // when the generated queries' scored leaves live on a secondary
+    // text field.
     if (impactPruning) {
-      val hits0 = queryJoinAst(left, qidCol, queryGen, spec.textFields.head, k,
+      val pf = pruneField.getOrElse(spec.textFields.head)
+      val hits0 = queryJoinAst(left, qidCol, queryGen, pf, k,
         excludeSelf, impactPruning = true)
       return left.join(hits0, left(qidCol) === hits0("qid")).drop(hits0("qid"))
     }
@@ -1529,8 +1545,21 @@ final class SearchIndex private (
     //      is needed: pruned candidates remain a superset of every
     //      qid's filtered top-k).
     // Shapes with a null threshold keep the exact probe below.
+    //
+    // AUTO gate (r16, [[autoImpactPruning]] — default OFF): an
+    // unforced, uncapped call may still run this native MaxScore
+    // pipeline, but ONLY when the batch holds SHOULD-only prunable
+    // shapes whose total optional-postings volume clears the
+    // measured break-even ([[autoPruneMinTotalDf]]). Req-led shapes
+    // never auto-prune: their candidate volume is lower-bounded by
+    // df(rarest required) and pruning measured at exact cost
+    // (SCALE.md r15). The gate costs one |shapes|-row aggregate
+    // action, and when it fails the plan is BIT-IDENTICAL to the
+    // exact one — no seed stages, no extra persists.
+    val autoPrune = !impactPruning && autoImpactPruning &&
+      maxHitsPerIndex == Int.MaxValue
     val thetaBySid: Option[DataFrame] =
-      if (!impactPruning) None
+      if (!impactPruning && !autoPrune) None
       else {
         val stProbe = stats.where(col("field") === lit(field))
           .select(col("term"), col("df"))
@@ -1553,11 +1582,25 @@ final class SearchIndex private (
             mis: Seq[Double], dfs: Seq[Long], nReq: Int,
             probeTs: Seq[String]) => SearchIndex.boolPrunable(
           terms, roles, mis, dfs, nReq, probeTs, minDfGate))
-        val prunableSids = qinfo
+        val prunable0 = qinfo
           .where(size(col("__probes")) > 0 &&
             prunableUdf(col("__terms"), col("__roles"), col("__mis"),
               col("__dfs"), col("n_req"), col("__probes")))
-          .select(col("sid"))
+        val admitted: Option[DataFrame] =
+          if (!autoPrune) Some(prunable0.select(col("sid")))
+          else {
+            val eligible = prunable0.where(col("n_req") === 0)
+              .select(col("sid"), aggregate(
+                zip_with(col("__dfs"), col("__roles"),
+                  (d, r) => when(r === lit(0), d).otherwise(lit(0L))),
+                lit(0L), (acc, x) => acc + x).as("adf"))
+              .where(col("adf") > lit(astSeedsPerShape.toLong))
+            val tdf = eligible.agg(coalesce(sum(col("adf")), lit(0L)))
+              .head().getLong(0)
+            if (tdf <= autoPruneMinTotalDf) None
+            else Some(eligible.select(col("sid")))
+          }
+        admitted.map { prunableSids =>
         // seed from the rarest SCORING term (required or optional),
         // not the rarest PROBE term: for a dense-required shape the
         // probe is the head term whose top-impact postings are
@@ -1597,7 +1640,7 @@ final class SearchIndex private (
             when(size(col("__top")) >= k + 1,
               element_at(col("__top"), k + 1).getField("score")).as("__thq"))
         val nQids = fan.groupBy(col("sid")).agg(count(lit(1)).as("__nq"))
-        Some(trackPersist(thetaQ
+        trackPersist(thetaQ
           .groupBy(col("sid"))
           .agg(count(lit(1)).as("__ng"),
             count(col("__thq")).as("__nb"),
@@ -1607,7 +1650,8 @@ final class SearchIndex private (
             when(col("__ng") === col("__nq") && col("__nb") === col("__nq"),
               col("__min_th")).as("__theta"))
           .where(col("__theta").isNotNull)
-          .persist(StorageLevel.MEMORY_AND_DISK)))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+        } // admitted.map
       }
     val cands = thetaBySid match {
       case None =>
@@ -1900,23 +1944,41 @@ final class SearchIndex private (
     * more pruning. Var is a test hook. */
   private[graft] var astSeedsPerShape: Int = 64
 
-  /** AUTO impact pruning (default ON): when a [[queryJoinAst]] call
-    * doesn't force `impactPruning` (or a candidate cap), the engine
-    * still runs the MaxScore pipeline but pays the per-shape seed
-    * pass ONLY for shapes where it measurably wins: PURE scored
-    * disjunctions — one probe alternative of >= 2 terms (whole
-    * dense terms can drop) with more postings than the seed set
-    * itself (Σdf > astSeedsPerShape). Single-term probes (part
-    * filter only) and multi-alternative nested shapes measured as
-    * losses under auto (SCALE.md r15 receipts) and skip. Other
-    * shapes
-    * get no seeds, a null threshold, and the full (exact) probe, so
-    * a sparse batch's extra cost is a handful of |shapes|-row
-    * aggregates while a dense batch gets the pruned plan without
-    * the caller knowing the flag exists — the engine picks the
-    * physical strategy, as the reference's API promises. Set false
-    * to restore the always-exact-probe plan. */
-  var autoImpactPruning: Boolean = true
+  /** Batch-level break-even for AUTO impact pruning: the gate turns
+    * the MaxScore pipeline on only when the TOTAL postings volume
+    * (Σ df over probe terms) of the eligible shapes exceeds this.
+    * Below it the pipeline's fixed stage latency — seed scan, seed
+    * verify, threshold + essential-bounds aggregates, two persists —
+    * exceeds any verify savings: at sf0.1 the dense-bool bench entry
+    * measured exact 5.1s vs forced-pruned 8.1s (Σdf ~1M), while the
+    * 16x Zipf corpus measured exact 140.8s vs pruned 17.5s (Σdf
+    * ~56M). Applies to both [[queryJoinAst]] and [[queryJoinBool]]
+    * auto gates; forced pruning ignores it. Var is a test/ops hook. */
+  var autoPruneMinTotalDf: Long = 4000000L
+
+  /** AUTO impact pruning — default OFF (r16). When enabled, an
+    * uncapped, unforced [[queryJoinAst]] call still runs the
+    * MaxScore pipeline, paying the per-shape seed pass ONLY for
+    * shapes the gate predicts a win for: PURE scored disjunctions —
+    * one probe alternative of >= 2 terms with more postings than the
+    * seed set itself (Σdf > astSeedsPerShape) — whose score bound is
+    * INFORMATIVE: no cross-field text legs and no keyword/string
+    * legs, because those bound at a constant the threshold can never
+    * beat, so the seed/verify machinery would be pure overhead
+    * (the r15 `query_join_ast_xfield` 38-52s-vs-3.5-9.9s receipt).
+    * A batch where NO shape passes the gate skips the entire
+    * seed/stats pipeline — the plan is bit-identical to the exact
+    * one, not merely result-identical.
+    *
+    * Default OFF because r15 shipped it ON and the bench measured
+    * the auto plan slower than the exact fallback on every
+    * nested/cross-field workload (BENCH_r15 400s vs the 167s floor
+    * set; VERDICT r15). Opt in per index with this var, or fleet-wide
+    * with `SPARK_GRAFT_AUTO_PRUNE=1` (any other value, or unset,
+    * keeps the exact-probe default; `impactPruning = true` on the
+    * call still forces the seed pass for every shape regardless). */
+  var autoImpactPruning: Boolean =
+    sys.env.get("SPARK_GRAFT_AUTO_PRUNE").contains("1")
 
   /** Test hook: the (sid, key) candidate frame the most recent
     * [[buildAstScored]] admitted to verification — lets plan-shape
@@ -2027,7 +2089,43 @@ final class SearchIndex private (
     // and their idf is never read. The program's consts are appended
     // after the idf prefix — DslQueryScore reads const operands at
     // |terms| + idx.
-    val pruning = pruneK > 0
+    // AUTO gate, decided LAZILY and UP FRONT (r16 — VERDICT r15
+    // "what's wrong #1/#2"): before building ANY pruning machinery,
+    // auto mode selects the shapes whose MaxScore bound is
+    // INFORMATIVE — a single probe alternative of >= 2 terms, denser
+    // than the seed set, with NO cross-field text legs, NO
+    // keyword/string legs (both bound at constants the threshold
+    // can't beat — the r15 xfield 38-52s-vs-3.5-9.9s receipt) and NO
+    // dictionary expansion (constant-score units, flat impact
+    // spread) — and runs the seed/stats pipeline only when their
+    // TOTAL postings volume clears [[autoPruneMinTotalDf]], the
+    // measured break-even against the pipeline's fixed stage
+    // latency. A batch that fails the gate takes the plain exact
+    // plan: zero extra frames, zero extra persists, the plan
+    // BIT-IDENTICAL to autoImpactPruning=false (not merely
+    // result-identical). Cost of the gate itself: one |shapes|-row
+    // aggregate action in auto mode only.
+    val stGate = stats.where(col("field") === lit(field))
+      .select(col("term"), col("df"))
+    val autoAdmitted: Option[DataFrame] =
+      if (!autoGate) None
+      else {
+        val eligible = shapes0.where(
+            size(col("x_text_fields")) === 0 &&
+            size(col("str_attr_fields")) === 0 &&
+            !array_contains(col("ops"), lit(QueryProgram.Op.EXPAND)) &&
+            size(col("alts")) === 1 &&
+            size(element_at(col("alts"), 1)) >= 2)
+          .select(col("sid"), explode(element_at(col("alts"), 1)).as("term"))
+          .join(stGate, Seq("term"), "left").na.fill(0L, Seq("df"))
+          .groupBy(col("sid")).agg(sum(col("df")).as("adf"))
+          .where(col("adf") > lit(astSeedsPerShape.toLong))
+        val tdf = eligible.agg(coalesce(sum(col("adf")), lit(0L))).head().getLong(0)
+        if (tdf <= autoPruneMinTotalDf) None
+        else Some(keepFrame(eligible.select(col("sid"))
+          .persist(StorageLevel.MEMORY_AND_DISK)))
+      }
+    val pruning = pruneK > 0 && (!autoGate || autoAdmitted.isDefined)
     val termIdf0 = shapes
       .select(col("sid"), col("term_fields"),
         posexplode(col("terms")).as(Seq("pos", "term")))
@@ -2189,7 +2287,17 @@ final class SearchIndex private (
     // a degenerate bound can never lose the hits the threshold came
     // from.
     val (probedPruned, seedCands) =
-      if (!pruning) { lastAstSeedsFrame = null; (None, None) }
+      if (!pruning) {
+        // test-hook semantics: null = pruning never considered;
+        // EMPTY = auto mode ran and the gate admitted nothing (the
+        // seed pass was skipped, per the lazy-gate contract)
+        lastAstSeedsFrame =
+          if (autoGate) {
+            import spark.implicits._
+            Seq.empty[(Long, Long)].toDF("sid", "key")
+          } else null
+        (None, None)
+      }
       else {
         val sPosts = postings.where(col("field") === lit(field))
           .select(col("term"), col("key"), col("tf"), col("dl"))
@@ -2211,38 +2319,13 @@ final class SearchIndex private (
         // expensive as the thing it prunes. Absent terms (df 0) have
         // no postings and are excluded; a shape whose terms are all
         // absent gets no seeds, a null threshold, and no pruning.
-        // AUTO gate, MEASURED low (SCALE.md r15): per-candidate
-        // verify (doc attach + program interpreter) costs an order
-        // of magnitude more than a seed-scan row, so pruning pays
-        // for itself on any shape with more postings than the seed
-        // set — the z16 Zipf sweep measured forced-everything at
-        // 8.3s vs 43.8s for a 4x-seeds gate vs 34.5s exact (the
-        // sub-gate shapes' 2M verifies WERE the exact cost). The
-        // gate therefore only skips shapes whose postings fit
-        // INSIDE the seed set, where the "threshold" would be
-        // computed from the full candidate set it is meant to
-        // avoid scoring — pure overhead, zero possible savings.
-        // Gated-out shapes get no seeds -> null theta -> the full
-        // exact probe (the existing fallback), so the gate is
-        // invisible in the results.
-        // ...and only PURE SCORED DISJUNCTIONS: a single probe
-        // alternative with >= 2 terms (MatchAny/MatchMin-led shapes)
-        // — the regime with measured 8-20x wins (SCALE.md r15). A
-        // single-term probe's only lever is the block-max part
-        // filter (measured near-zero bite on dense terms), and
-        // multi-ALTERNATIVE nested shapes measured 1.7-2.7x LOSSES
-        // under every auto gate tried (the z16 nested-AST entry:
-        // 57-93s under three gate designs vs its 34.5s exact plan)
-        // because plan-time heuristics cannot see whether theta will
-        // bite. Forced mode (impactPruning = true) still seeds every
-        // shape with a sound bound — the caller asked.
-        val denseSids =
-          if (!autoGate) null
-          else probed0.where(size(col("probe")) >= 2).select(col("sid"))
-            .join(withDoubles.where(size(col("alts")) === 1)
-              .select(col("sid")), Seq("sid"))
-            .join(chosen.where(col("adf") > lit(astSeedsPerShape.toLong))
-              .select(col("sid")), Seq("sid"))
+        // AUTO mode reaches here only when the up-front gate
+        // admitted >= 1 informative dense shape clearing the batch
+        // break-even (see `autoAdmitted` above) — every pruning
+        // stage below is then restricted to the admitted shapes;
+        // everything else rides the exact branch untouched. Forced
+        // mode (impactPruning = true) still seeds every shape with
+        // a sound bound — the caller asked.
         val minTerm0 = probed0
           .select(col("sid"), explode(col("probe")).as("term"))
           .join(stProbe, Seq("term"))
@@ -2250,8 +2333,10 @@ final class SearchIndex private (
           .groupBy(col("sid"))
           .agg(min(struct(col("df"), col("term"))).as("m"))
           .select(col("sid"), col("m.term").as("term"))
-        val minTerm =
-          if (autoGate) minTerm0.join(denseSids, Seq("sid")) else minTerm0
+        val minTerm = autoAdmitted match {
+          case Some(adm) => minTerm0.join(adm, Seq("sid"))
+          case None => minTerm0
+        }
         val seeds = keepFrame(minTerm
           .join(sPosts, Seq("term"))
           .join(stProbe, Seq("term"), "left").na.fill(0L, Seq("df"))
@@ -2269,13 +2354,24 @@ final class SearchIndex private (
           .select(col("sid"),
             when(size(col("__top")) >= pruneK,
               element_at(col("__top"), pruneK).getField("score")).as("__theta"))
+        // the base frame every remaining pruning stage derives from:
+        // auto mode restricts to the gate-admitted shapes (everything
+        // else rides the exact branch and must not pay the altStats
+        // aggregates or the essential-bounds UDF — the r15 version
+        // computed both for EVERY shape, a measured 2x forced-path
+        // regression and the auto plan bloat that OOM'd
+        // executedPlan.toString, VERDICT r15)
+        val pruneBase = autoAdmitted match {
+          case Some(adm) => withDoubles.join(adm, Seq("sid"))
+          case None => withDoubles.where(size(col("alts")) > 0)
+        }
         // per-(shape, alternative) df tables over EVERY alternative,
         // not just the min-total-df one: the essential-probe
         // selection below may find that a denser alternative prunes
         // to a cheaper essential set (explode_outer keeps the
         // "matches nothing" empty alt at cost 0, which it rightly
         // wins with)
-        val altStats = withDoubles
+        val altStats = pruneBase
           .select(col("sid"), posexplode(col("alts")).as(Seq("__ai", "__alt")))
           .select(col("sid"), col("__ai"),
             posexplode_outer(col("__alt")).as(Seq("__tp", "term")))
@@ -2310,7 +2406,7 @@ final class SearchIndex private (
         // the whole seed/threshold/essential pipeline (a handful of
         // bounded but latency-bearing stages) would re-run twice per
         // call. |shapes| rows of term lists once materialized.
-        val pruned = keepFrame(withDoubles.where(size(col("alts")) > 0)
+        val pruned = keepFrame(pruneBase
           .join(altStats, Seq("sid"))
           .join(theta, Seq("sid"), "left")
           .withColumn("probe", essUdf(col("ops"), col("terms"),
@@ -2352,17 +2448,19 @@ final class SearchIndex private (
     // implicitly, so it skips the (sid, key) dedup exchange — on a
     // dense batch that exchange moves Sum(df) rows and was MEASURED
     // to dominate the capped run, CappedExpandBench/SCALE.md.)
+    def exactCandsFor(probe: DataFrame): DataFrame = {
+      val single = probe.where(size(col("probe")) === 1)
+        .withColumn("term", try_element_at(col("probe"), lit(1))).drop("probe")
+        .join(posts, Seq("term")).drop("term")
+      val multiRaw = probe.where(size(col("probe")) > 1)
+        .select(col("sid"), explode(col("probe")).as("term"))
+        .join(posts, Seq("term")).drop("term")
+      val multi =
+        if (exactCap) multiRaw.dropDuplicates("sid", "key") else multiRaw
+      single.unionByName(multi)
+    }
     val candsRaw = probedPruned match {
-      case None =>
-        val single = probed0.where(size(col("probe")) === 1)
-          .withColumn("term", try_element_at(col("probe"), lit(1))).drop("probe")
-          .join(posts, Seq("term")).drop("term")
-        val multiRaw = probed0.where(size(col("probe")) > 1)
-          .select(col("sid"), explode(col("probe")).as("term"))
-          .join(posts, Seq("term")).drop("term")
-        val multi =
-          if (exactCap) multiRaw.dropDuplicates("sid", "key") else multiRaw
-        single.unionByName(multi)
+      case None => exactCandsFor(probed0)
       case Some(pruned) =>
         // BLOCK-MAX candidate prefilter (QueryProgram
         // .essentialProbeBounds): each kept probe term carries the
@@ -2433,7 +2531,15 @@ final class SearchIndex private (
           .select(col("sid"), col("pt").getField("_1").as("term"))
           .join(posts, Seq("term")).drop("term")
           .dropDuplicates("sid", "key")
-        boundCands.unionByName(uSingle).unionByName(uMulti)
+        val prunedSide = boundCands.unionByName(uSingle).unionByName(uMulti)
+        // auto mode: `pruned` covers only the gate-admitted shapes —
+        // everything else takes the exact branch VERBATIM (bare
+        // postings, no tf/dl widening, no effectiveness join)
+        autoAdmitted match {
+          case Some(adm) => prunedSide.unionByName(
+            exactCandsFor(probed0.join(adm, Seq("sid"), "left_anti")))
+          case None => prunedSide
+        }
     }
     val candsBounded =
       if (exactCap) candsRaw

