@@ -2477,51 +2477,38 @@ final class SearchIndex private (
               (col("tf") + lit(a) * (lit(1.0 - c) + lit(c) * col("dl") / lit(fs.avgDl)))
           case TFIDF() => sqrt(col("tf")) / sqrt(col("dl"))
         }
-        // EFFECTIVENESS split: a thresholded shape whose essential
-        // set came back as the full chosen alternative with every
-        // part bound at -inf gained NOTHING from pruning — routing
-        // it through the tf/dl-widened join + dedup below costs the
-        // full candidate volume for zero benefit (the z16 nested-AST
-        // receipt: 77-93s vs the 34.5s exact plan, SCALE.md r15).
-        // Only shapes where pruning BITES (a smaller or different
-        // probe set, or a finite block-max bound) take this branch.
-        val exactProbe = probed0.select(col("sid"), col("probe").as("__ep"))
-        val prunedX = pruned.join(exactProbe, Seq("sid"))
-          .withColumn("__eff", col("__th") && (
-            exists(col("probe"),
-              pt => pt.getField("_2") > lit(Double.NegativeInfinity)) ||
-            size(col("probe")) < size(col("__ep")) ||
-            size(array_except(
-              transform(col("probe"), pt => pt.getField("_1")),
-              col("__ep"))) > 0))
-        val bound = prunedX.where(col("__eff"))
-        val single = bound.where(size(col("probe")) === 1)
-          .withColumn("pt", try_element_at(col("probe"), lit(1)))
-          .select(col("sid"), col("pt").getField("_1").as("term"),
-            col("pt").getField("_2").as("__mp"))
-          .join(sPostsTfDl, Seq("term"))
-          .where(partE >= col("__mp"))
-          .select(col("sid"), col("key"))
-        val multi = bound.where(size(col("probe")) > 1)
+        // THRESHOLD split (r16, simplified from r15's four-way
+        // "effectiveness" split): shapes whose threshold BOUND take
+        // the block-max probe; null-theta shapes take the exact
+        // branch's slim discipline. r15 additionally joined each
+        // shape's exact probe back in to detect bound-but-toothless
+        // shapes — that |shapes| join plus the extra single/multi
+        // branch pair doubled the probe phase's stage count and
+        // measured ~2x on the forced bench entries at sf0.1 (VERDICT
+        // r15 #3) while only protecting AUTO mode from shapes its
+        // plan-time gate now rejects outright (cross-field/constant
+        // bounds). A bound-but-toothless shape here pays one tf/dl
+        // widening + a never-firing filter over its full volume —
+        // the same dedup it would pay on the exact branch — which is
+        // the r14 shape that measured 3.0s/5.9s floors.
+        // The bound stream dedups ONCE over probe + seed union (the
+        // threshold's witnesses are never lost; single-term probes
+        // ride the same dedup, so one explode branch covers all).
+        val bound = pruned.where(col("__th"))
+        val boundProbe = bound
           .select(col("sid"), explode(col("probe")).as("pt"))
           .select(col("sid"), col("pt").getField("_1").as("term"),
             col("pt").getField("_2").as("__mp"))
           .join(sPostsTfDl, Seq("term"))
           .where(partE >= col("__mp"))
           .select(col("sid"), col("key"))
-        // only the THRESHOLDED stream needs the seed union and its
-        // dedup — post-prune it is the small one. Seeds of unbound
-        // shapes are a subset of their full probe (the seed term is
-        // a probe term and null theta keeps the full alternative),
-        // so dropping them loses nothing.
-        val boundCands = single.unionByName(multi)
+        val boundCands = boundProbe
           .unionByName(seedCands.get.join(bound.select("sid"), Seq("sid")))
           .dropDuplicates("sid", "key")
-        // UNBOUND or INEFFECTIVE shapes: the exact branch's slim
-        // discipline — bare (term, key) postings, single-term probes
-        // unique by construction (no exchange), only multi-term
-        // probes dedup
-        val unbound = prunedX.where(!col("__eff"))
+        // UNBOUND shapes: the exact branch's slim discipline — bare
+        // (term, key) postings, single-term probes unique by
+        // construction (no exchange), only multi-term probes dedup
+        val unbound = pruned.where(!col("__th"))
         val uSingle = unbound.where(size(col("probe")) === 1)
           .withColumn("pt", try_element_at(col("probe"), lit(1)))
           .select(col("sid"), col("pt").getField("_1").as("term"))

@@ -482,18 +482,27 @@ object EventStreams {
     * broadcast and one narrow stage per batch.
     *
     * Output: (query_id, doc_id, score) — unrounded; callers round. */
+  /** The percolate scoring expression, shared by the join-based and
+    * the driver-compiled percolators so the two are arithmetically
+    * IDENTICAL (same op order, bit-equal scores): BM25 of one query
+    * term against the arriving doc's token array, with df / n /
+    * avgdl supplied either as registry columns or as literals. */
+  private def percolateBm25(tfc: Column, dfc: Column, nC: Column,
+      avgdlC: Column, k1: Double, b: Double): Column = {
+    val idf = log(lit(1.0) + (nC - dfc + lit(0.5)) / (dfc + lit(0.5)))
+    when(tfc > 0,
+      idf * (tfc * lit(k1 + 1.0)) /
+        (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * size(col("__toks")) / avgdlC)))
+      .otherwise(lit(0.0))
+  }
+
   def percolateStream(docs: DataFrame, registry: DataFrame,
       textCol: String = "text",
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = graft.analysis.Analyzers.default.tokensCol(col(textCol))
     def tf(t: Column) = size(filter(col("__toks"), x => x === t))
-    def idf(dfc: Column) =
-      log(lit(1.0) + (col("n") - dfc + lit(0.5)) / (dfc + lit(0.5)))
     def bm25(tfc: Column, dfc: Column) =
-      when(tfc > 0,
-        idf(dfc) * (tfc * lit(k1 + 1.0)) /
-          (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * size(col("__toks")) / col("avgdl"))))
-        .otherwise(lit(0.0))
+      percolateBm25(tfc, dfc, col("n"), col("avgdl"), k1, b)
     docs.select(col("doc_id"), toks.as("__toks"))
       .select(col("doc_id"), col("__toks"),
         explode(array_distinct(col("__toks"))).as("__tok"))
@@ -501,6 +510,49 @@ object EventStreams {
       .where(array_contains(col("__toks"), col("t2")))
       .select(col("query_id"), col("doc_id"),
         (bm25(tf(col("t1")), col("df1")) + bm25(tf(col("t2")), col("df2"))).as("score"))
+  }
+
+  /** Driver-COMPILED percolator for bounded registries (r15 verdict
+    * stretch): the registry — already |queries| rows with collected
+    * corpus stats — is collected once and compiled into ONE map-side
+    * pass: per arriving doc, an array of per-query
+    * (query_id, score-or-null) structs evaluated directly on the
+    * token array, exploded, nulls dropped. Versus
+    * [[percolateStream]] this removes the per-batch token explode
+    * (|doc| x |distinct tokens| rows), the broadcast hash join and
+    * its exchange — the per-batch plan is scan -> project ->
+    * explode(|queries|) -> filter, and a query whose terms are
+    * absent from the arriving doc short-circuits in the codegen'd
+    * array_contains instead of producing join probes. Scores are
+    * BIT-IDENTICAL to the join form (shared [[percolateBm25]], same
+    * op order; pinned in StreamingSpec). Use the join form when the
+    * registry is too large to compile into a plan (thousands of
+    * standing queries); this form when it is dashboard-sized. */
+  def percolateStreamCompiled(docs: DataFrame, registry: DataFrame,
+      textCol: String = "text",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = graft.analysis.Analyzers.default.tokensCol(col(textCol))
+    def tf(t: String) = size(filter(col("__toks"), x => x === lit(t)))
+    val rows = registry
+      .select(col("query_id"), col("t1"), col("t2"), col("df1"),
+        col("df2"), col("n"), col("avgdl"))
+      .collect()
+    val qStructs = rows.toSeq.map { r =>
+      val (qid, t1, t2) = (r.getLong(0), r.getString(1), r.getString(2))
+      val score =
+        percolateBm25(tf(t1), lit(r.getLong(3)), lit(r.getLong(5)),
+          lit(r.getDouble(6)), k1, b) +
+        percolateBm25(tf(t2), lit(r.getLong(4)), lit(r.getLong(5)),
+          lit(r.getDouble(6)), k1, b)
+      struct(lit(qid).as("query_id"),
+        when(array_contains(col("__toks"), lit(t1)) &&
+          array_contains(col("__toks"), lit(t2)), score).as("score"))
+    }
+    docs.select(col("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), explode(array(qStructs: _*)).as("__q"))
+      .where(col("__q.score").isNotNull)
+      .select(col("__q.query_id").as("query_id"), col("doc_id"),
+        col("__q.score").as("score"))
   }
 
   /** Builds the [[percolateStream]] registry from a static corpus:

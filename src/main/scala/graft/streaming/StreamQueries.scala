@@ -391,10 +391,15 @@ object StreamQueries {
       // bounded replay): the static side of a stream-static join
       // re-evaluates per micro-batch, and the corpus stats
       // aggregation must not re-run per batch
+      // COMPILED percolator (r16): the registry is dashboard-sized,
+      // so it collects once (one bounded action over the persisted
+      // frame) and the per-batch plan is a pure map — no token
+      // explode, no broadcast join re-evaluated per micro-batch.
+      // Scores bit-identical to the join form (StreamingSpec pin).
       val reg = EventStreams.percolateRegistry(corpus, PercolateQueries)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try EventStreams.runToMemorySink(
-        EventStreams.percolateStream(stagedDocs(s, dir), reg),
+        EventStreams.percolateStreamCompiled(stagedDocs(s, dir), reg),
         name, OutputMode.Append())
       finally reg.unpersist()
       s.table(name)

@@ -349,6 +349,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(q.lastProgress.stateOperators.isEmpty,
       q.lastProgress.stateOperators.mkString(","))
     q.stop()
+
+    // COMPILED percolator parity: identical rows and BIT-identical
+    // scores to the join form (shared scoring expression), via one
+    // map-side pass with no join in the per-batch plan
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.percolateStreamCompiled(
+        mem2.toDF().toDF("doc_id", "text"), reg)
+      .writeStream.format("memory").queryName("perc_sink_compiled")
+      .outputMode(OutputMode.Append()).start()
+    mem2.addData(
+      (1L, "alpha beta"),
+      (2L, "alpha gamma"),
+      (3L, "beta beta alpha beta"))
+    q2.processAllAvailable()
+    val got2 = spark.table("perc_sink_compiled")
+      .select($"query_id", $"doc_id", $"score")
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    assert(got2.toSeq == got.toSeq, s"compiled ${got2.toSeq} vs join ${got.toSeq}")
+    assert(q2.lastProgress.stateOperators.isEmpty)
+    q2.stop()
   }
 
   test("transformWithState keeps a bounded running top-k per user") {
