@@ -41,4 +41,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // profiling hatch: extra -D flags for the forked run JVM (e.g.
+  // -Dspark.eventLog.enabled=true for stage-level bench attribution);
+  // empty by default, so the driver contract is unchanged
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -27,31 +27,53 @@ case class ScoredDoc[K](key: K, score: Double)
   * cases). Ordering is deterministic: score descending, then key
   * ascending by `K`'s own ordering.
   */
+/** [[TopKAgg]] buffer: `sorted` holds the last compaction's top-≤k in
+  * WORST-first order (so the O(1) rejection threshold is `head`),
+  * `extra` the since-accepted rows, unsorted. List lengths are carried
+  * (List.length is O(n)). */
+case class TopKBuf[K](sorted: List[ScoredDoc[K]], nSorted: Int,
+    extra: List[ScoredDoc[K]], nExtra: Int)
+
 class TopKAgg[K: TypeTag](k: Int)(implicit ord: Ordering[K])
-    extends Aggregator[ScoredDoc[K], List[ScoredDoc[K]], Array[ScoredDoc[K]]] {
+    extends Aggregator[ScoredDoc[K], TopKBuf[K], Array[ScoredDoc[K]]] {
   require(k > 0, "k must be positive")
 
-  override def zero: List[ScoredDoc[K]] = Nil
+  override def zero: TopKBuf[K] = TopKBuf(Nil, 0, Nil, 0)
 
-  private def bound(xs: List[ScoredDoc[K]]): List[ScoredDoc[K]] =
-    xs.sortBy(d => (-d.score, d.key)).take(k)
+  // BEST-first top-<=k of everything buffered (same ordering — score
+  // desc, key asc — as the original sortBy-per-insert implementation)
+  private def top(buf: TopKBuf[K]): List[ScoredDoc[K]] =
+    (buf.sorted ::: buf.extra).sortBy(d => (-d.score, d.key)).take(k)
 
-  override def reduce(buf: List[ScoredDoc[K]], d: ScoredDoc[K]): List[ScoredDoc[K]] = {
-    // fast reject without sorting when the buffer is full and d is
-    // not better than the current worst
-    if (buf.lengthCompare(k) >= 0) {
-      val worst = buf.last
-      if (d.score < worst.score || (d.score == worst.score && ord.gt(d.key, worst.key))) buf
-      else bound(d :: buf)
-    } else bound(d :: buf)
+  private def compact(buf: TopKBuf[K]): TopKBuf[K] = {
+    val t = top(buf)
+    TopKBuf(t.reverse, t.length, Nil, 0)
   }
 
-  override def merge(a: List[ScoredDoc[K]], b: List[ScoredDoc[K]]): List[ScoredDoc[K]] =
-    bound(a ::: b)
+  override def reduce(buf: TopKBuf[K], d: ScoredDoc[K]): TopKBuf[K] = {
+    // O(1) reject once the compacted prefix is full: d not better than
+    // the worst of k already-kept rows can never make the top-k. The
+    // old buffer (a List re-sortBy'd on EVERY accepted insert) was
+    // O(B log B) per row while growing — quadratic-ish on partial
+    // buffers that never fill, measured 106s of aggregation-build CPU
+    // on a 1.9M-row seed scan spread over 96 partitions (r16).
+    if (buf.nSorted >= k) {
+      val worst = buf.sorted.head
+      if (d.score < worst.score || (d.score == worst.score && ord.gt(d.key, worst.key)))
+        return buf
+    }
+    val grown = TopKBuf(buf.sorted, buf.nSorted, d :: buf.extra, buf.nExtra + 1)
+    // amortized O(log k)/row: one O(2k log 2k) sort per <=k accepts
+    if (grown.nExtra >= math.max(k, 16)) compact(grown) else grown
+  }
 
-  override def finish(buf: List[ScoredDoc[K]]): Array[ScoredDoc[K]] = buf.toArray
+  override def merge(a: TopKBuf[K], b: TopKBuf[K]): TopKBuf[K] =
+    compact(TopKBuf(a.sorted ::: b.sorted, a.nSorted + b.nSorted,
+      a.extra ::: b.extra, a.nExtra + b.nExtra))
 
-  override def bufferEncoder: Encoder[List[ScoredDoc[K]]] = ExpressionEncoder()
+  override def finish(buf: TopKBuf[K]): Array[ScoredDoc[K]] = top(buf).toArray
+
+  override def bufferEncoder: Encoder[TopKBuf[K]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Array[ScoredDoc[K]]] = ExpressionEncoder()
 }
 

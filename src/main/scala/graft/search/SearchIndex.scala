@@ -1614,9 +1614,15 @@ final class SearchIndex private (
           .groupBy(col("sid"))
           .agg(min(struct(col("df"), col("term"))).as("m"))
           .select(col("sid"), col("m.term").as("term"))
-        val seeds = seedTerm
-          .join(sPostsTfDl, Seq("term"))
-          .join(stProbe, Seq("term"))
+        // stream the postings side and broadcast the |shapes|-row
+        // seed-term frame (pre-joined with its df): left to the
+        // planner, sf-scale postings fit under the auto-broadcast
+        // threshold and the whole fan-out + partial top-k lands in
+        // the seed frame's single AQE-coalesced partition (measured
+        // ~3.4s single-task stage); at real scale postings can never
+        // broadcast, so this is the only plan that survives anyway
+        val seeds = sPostsTfDl
+          .join(broadcast(seedTerm.join(stProbe, Seq("term"))), Seq("term"))
           .withColumn("__idf", idfC)
           .groupBy(col("sid"))
           .agg(topkAggFor(posts, math.max(astSeedsPerShape, k + 1))(
@@ -2337,9 +2343,12 @@ final class SearchIndex private (
           case Some(adm) => minTerm0.join(adm, Seq("sid"))
           case None => minTerm0
         }
-        val seeds = keepFrame(minTerm
-          .join(sPosts, Seq("term"))
-          .join(stProbe, Seq("term"), "left").na.fill(0L, Seq("df"))
+        // broadcast the tiny (sid, term, df) seed frame and stream
+        // postings — same single-task-fan-out fix as the bool
+        // pipeline's seed scan above (minTerm's terms all came from
+        // stProbe with df > 0, so the inner pre-join loses nothing)
+        val seeds = keepFrame(sPosts
+          .join(broadcast(minTerm.join(stProbe, Seq("term"))), Seq("term"))
           .withColumn("__idf", idfC)
           .groupBy(col("sid"))
           .agg(topkAggFor(posts, math.max(astSeedsPerShape, pruneK))(
@@ -3298,6 +3307,21 @@ object SearchIndex {
     val an = Analyzers(spec.indexAnalyzer)
 
     var docs = df
+    // SPARK_GRAFT_BUILD_SPREAD=1: repartition an under-parallel source
+    // to defaultParallelism before tokenization (a small-SF corpus
+    // parquet arrives in ~3 partitions and every persisted index frame
+    // inherits that cap). Default OFF: measured A/B at sf0.1/local[32]
+    // (3 runs, back-to-back) the extra tasks cost more than the
+    // parallelism buys — query_join_ast_expand_pruned 19-22s spread vs
+    // 13s unspread, query_join_bool_pruned ~equal — because these
+    // entries run ~100 short stages whose per-task overhead scales
+    // with the partition count while the per-partition work is tiny.
+    // At real scale input partitions >> cores, so the spread is a
+    // no-op there by construction; the hatch exists for mid-size
+    // deployments where one wave of tasks can't cover the input.
+    val minPar = spark.sparkContext.defaultParallelism
+    if (sys.env.get("SPARK_GRAFT_BUILD_SPREAD").contains("1") &&
+        df.rdd.getNumPartitions < minPar) docs = docs.repartition(minPar)
     spec.textFields.foreach { f =>
       // array<string> columns are indexed per element (each element is
       // a term) — the reference's SeqField flattens arrays to one text
