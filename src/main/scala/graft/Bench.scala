@@ -95,6 +95,10 @@ object Bench {
       case _ => ()
     }
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // label jobs per entry (guide §1.5) so event-log/UI attribution
+      // maps stages back to bench entries; description is metadata
+      // only — no effect on the timed plan
+      spark.sparkContext.setJobDescription(s"bench:$name")
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9 }
@@ -103,6 +107,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
       }
+      finally spark.sparkContext.setJobDescription(null)
     }
     val ordered = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }

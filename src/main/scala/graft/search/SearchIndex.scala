@@ -1411,16 +1411,18 @@ final class SearchIndex private (
     // bounds instead (min over the shape's qids of each qid's
     // (k+1)-th best FILTERED seed score).
     // canonical query rows: role arrays sorted+deduped so textually
-    // different but equal queries share a shape. Persisted: two plan
-    // branches read it (shape dedup + fan-out join); lifetime is tied
-    // to the returned plan, as in queryJoinPhrase.
-    val canon = trackPersist(left.select(
+    // different but equal queries share a shape. Materialized behind
+    // a lineage barrier ([[SearchIndex.cutLineage]]): two plan
+    // branches read it (shape dedup + fan-out join), and every
+    // downstream stage would otherwise re-embed the left derivation
+    // in its plan and task closures.
+    val canon = trackPersist(SearchIndex.cutLineage(left.select(
         col(qidCol).cast("long").as("qid"),
         sort_array(array_distinct(coalesce(requiredCol, empty))).as("__req"),
         sort_array(array_distinct(coalesce(optionalCol, empty))).as("__opt"),
         sort_array(array_distinct(coalesce(excludedCol, empty))).as("__exc"),
-        loSel, hiSel)
-      .persist(StorageLevel.MEMORY_AND_DISK))
+        loSel, hiSel),
+      StorageLevel.MEMORY_AND_DISK))
     // QUERY DEDUPLICATION: generated queries repeat (many left rows
     // produce the same clause sets — the data-driven analog of a
     // query cache), so the postings probe, scoring and verification
@@ -1460,10 +1462,10 @@ final class SearchIndex private (
     // deterministic score summation order) + the probe term set:
     // the minimum-df required term (Lucene: lead with the rarest
     // MUST clause), or every optional term when no clause is
-    // required. Persisted like canon: |shapes| rows, read by both
+    // required. Lineage-cut like canon: |shapes| rows, read by both
     // probe branches — without it each branch re-runs the
     // collect_list aggregate and its upstream stats join.
-    val qinfo = trackPersist(withIdf
+    val qinfo = trackPersist(SearchIndex.cutLineage(withIdf
       .groupBy(col("sid"))
       .agg(
         sort_array(collect_list(struct(col("term"), col("role"), col("idf"),
@@ -1478,8 +1480,8 @@ final class SearchIndex private (
         transform(col("__q"), x => x.getField("mi")).as("__mis"),
         transform(col("__q"), x => x.getField("df")).as("__dfs"),
         when(col("n_req") > 0, array(col("__rarest.term")))
-          .otherwise(col("__optTerms")).as("__probes"))
-      .persist(StorageLevel.MEMORY_AND_DISK))
+          .otherwise(col("__optTerms")).as("__probes")),
+      StorageLevel.MEMORY_AND_DISK))
     val posts = postings.where(col("field") === lit(field))
       .select(col("term"), col("key"))
     // candidate generation: one postings probe per shape on the
@@ -1646,7 +1648,10 @@ final class SearchIndex private (
             when(size(col("__top")) >= k + 1,
               element_at(col("__top"), k + 1).getField("score")).as("__thq"))
         val nQids = fan.groupBy(col("sid")).agg(count(lit(1)).as("__nq"))
-        trackPersist(thetaQ
+        // lineage-cut: the threshold frame is |shapes| rows, and
+        // every candidate-branch plan below would otherwise carry
+        // the whole seed/verify subtree
+        trackPersist(SearchIndex.cutLineage(thetaQ
           .groupBy(col("sid"))
           .agg(count(lit(1)).as("__ng"),
             count(col("__thq")).as("__nb"),
@@ -1655,8 +1660,8 @@ final class SearchIndex private (
           .select(col("sid"),
             when(col("__ng") === col("__nq") && col("__nb") === col("__nq"),
               col("__min_th")).as("__theta"))
-          .where(col("__theta").isNotNull)
-          .persist(StorageLevel.MEMORY_AND_DISK))
+          .where(col("__theta").isNotNull),
+          StorageLevel.MEMORY_AND_DISK))
         } // admitted.map
       }
     val cands = thetaBySid match {
@@ -1896,7 +1901,7 @@ final class SearchIndex private (
           while (astJoinMemo.size > astJoinMemoCap) {
             val (_, (_, _, evicted)) = astJoinMemo.head
             astJoinMemo.remove(astJoinMemo.head._1)
-            evicted.foreach(_.unpersist(blocking = false))
+            evicted.foreach(SearchIndex.releaseFrame(_, blocking = false))
           }
           df
       }
@@ -2026,9 +2031,12 @@ final class SearchIndex private (
         p.attrFields, p.strAttrFields, p.xTextFields, p.probeAlts.getOrElse(Seq.empty))
     }.toDF("qid", "ops", "terms", "term_fields", "consts",
       "attr_fields", "str_attr_fields", "x_text_fields", "alts")
-    // persisted: the shape dedup and the qid fan-out both read it
-    // (lifetime tracking as in queryJoinPhrase/queryJoinBool)
-    val canon = keepFrame(serialized.persist(StorageLevel.MEMORY_AND_DISK))
+    // materialized behind a lineage barrier: the shape dedup and the
+    // qid fan-out both read it, and the opaque generator map would
+    // otherwise ride every downstream task closure (lifetime
+    // tracking as in queryJoinPhrase/queryJoinBool)
+    val canon = keepFrame(SearchIndex.cutLineage(serialized,
+      StorageLevel.MEMORY_AND_DISK))
     // shapes0 keeps the SERIALIZED columns (the fan-out join key);
     // `shapes` is its dictionary-expanded rewrite — identical when no
     // shape carries a wildcard/fuzzy/regex leaf
@@ -2037,13 +2045,13 @@ final class SearchIndex private (
     // the metadata action below aggregate |shapes| rows instead of
     // |left| AND read off the shape count for the attach decision in
     // the same single action (no separate shapes0.count() job)
-    val shapes0 = keepFrame(canon
+    val shapes0 = keepFrame(SearchIndex.cutLineage(canon
       .groupBy("ops", "terms", "term_fields", "consts", "alts")
       .agg(min(col("qid")).as("sid"),
         first(col("attr_fields")).as("attr_fields"),
         first(col("str_attr_fields")).as("str_attr_fields"),
-        first(col("x_text_fields")).as("x_text_fields"))
-      .persist(StorageLevel.MEMORY_AND_DISK))
+        first(col("x_text_fields")).as("x_text_fields")),
+      StorageLevel.MEMORY_AND_DISK))
     // distinct filter / keyword / cross-field attr columns plus the
     // needs-expansion flag and the shape count, in ONE bounded action
     // (output is field NAMES — doc-schema-width, never |left|; the
@@ -2128,8 +2136,8 @@ final class SearchIndex private (
           .where(col("adf") > lit(astSeedsPerShape.toLong))
         val tdf = eligible.agg(coalesce(sum(col("adf")), lit(0L))).head().getLong(0)
         if (tdf <= autoPruneMinTotalDf) None
-        else Some(keepFrame(eligible.select(col("sid"))
-          .persist(StorageLevel.MEMORY_AND_DISK)))
+        else Some(keepFrame(SearchIndex.cutLineage(
+          eligible.select(col("sid")), StorageLevel.MEMORY_AND_DISK)))
       }
     val pruning = pruneK > 0 && (!autoGate || autoAdmitted.isDefined)
     val termIdf0 = shapes
@@ -2171,11 +2179,12 @@ final class SearchIndex private (
           Seq(col("term_fields"),
             coalesce(col("mis"), array().cast("array<double>")).as("mis"))
         else Nil)
-    val withDoubles = keepFrame(shapes.join(termIdf, Seq("sid"), "left")
+    val withDoubles = keepFrame(SearchIndex.cutLineage(
+      shapes.join(termIdf, Seq("sid"), "left")
       .withColumn("doubles",
         concat(coalesce(col("idfs"), array().cast("array<double>")), col("consts")))
-      .select(withDoublesCols: _*)
-      .persist(StorageLevel.MEMORY_AND_DISK))
+      .select(withDoublesCols: _*),
+      StorageLevel.MEMORY_AND_DISK))
     // probe-alternative selection by total df — the nested-AST
     // generalization of queryJoinBool's rarest-required-term probe.
     // Probe terms are PROBE-FIELD terms by construction (probeAlts
@@ -2191,14 +2200,15 @@ final class SearchIndex private (
     // candidate keys — measured SLOWER: the cached leaf changes the
     // postings-join strategy and a repeat call degenerates to one
     // 8s sort-merge job; the selection aggregate is the sweet spot.)
-    val chosen = keepFrame(withDoubles.where(size(col("alts")) > 0)
+    val chosen = keepFrame(SearchIndex.cutLineage(
+      withDoubles.where(size(col("alts")) > 0)
       .select(col("sid"), posexplode(col("alts")).as(Seq("ai", "alt")))
       .select(col("sid"), col("ai"), explode_outer(col("alt")).as("term"))
       .join(stProbe, Seq("term"), "left").na.fill(0L, Seq("df"))
       .groupBy(col("sid"), col("ai")).agg(sum(col("df")).as("adf"))
       .groupBy(col("sid")).agg(min(struct(col("adf"), col("ai"))).as("c"))
-      .select(col("sid"), col("c.ai").as("ai"), col("c.adf").as("adf"))
-      .persist(StorageLevel.MEMORY_AND_DISK))
+      .select(col("sid"), col("c.ai").as("ai"), col("c.adf").as("adf")),
+      StorageLevel.MEMORY_AND_DISK))
     val posts = postings.where(col("field") === lit(field))
       .select(col("term"), col("key"))
     // SLIM candidate discipline (measured at 16x sf0.1: the previous
@@ -2347,7 +2357,7 @@ final class SearchIndex private (
         // postings — same single-task-fan-out fix as the bool
         // pipeline's seed scan above (minTerm's terms all came from
         // stProbe with df > 0, so the inner pre-join loses nothing)
-        val seeds = keepFrame(sPosts
+        val seeds = keepFrame(SearchIndex.cutLineage(sPosts
           .join(broadcast(minTerm.join(stProbe, Seq("term"))), Seq("term"))
           .withColumn("__idf", idfC)
           .groupBy(col("sid"))
@@ -2355,8 +2365,8 @@ final class SearchIndex private (
             col("key"), prio).as("__s"))
           .select(col("sid"), explode(col("__s")).as("h"))
           .select(col("sid"), col("h.key").as("key"))
-          .dropDuplicates("sid", "key")
-          .persist(StorageLevel.MEMORY_AND_DISK))
+          .dropDuplicates("sid", "key"),
+          StorageLevel.MEMORY_AND_DISK))
         val theta = attachAndScore(seeds).where(col("ok"))
           .groupBy(col("sid"))
           .agg(topkAggFor(posts, pruneK)(col("key"), col("score")).as("__top"))
@@ -2415,7 +2425,7 @@ final class SearchIndex private (
         // the whole seed/threshold/essential pipeline (a handful of
         // bounded but latency-bearing stages) would re-run twice per
         // call. |shapes| rows of term lists once materialized.
-        val pruned = keepFrame(pruneBase
+        val pruned = keepFrame(SearchIndex.cutLineage(pruneBase
           .join(altStats, Seq("sid"))
           .join(theta, Seq("sid"), "left")
           .withColumn("probe", essUdf(col("ops"), col("terms"),
@@ -2429,8 +2439,8 @@ final class SearchIndex private (
           // candidate stream must never pay the pruned path's
           // dedup exchange just because pruning was AVAILABLE.
           .withColumn("__th", col("__theta").isNotNull)
-          .select(col("sid"), col("probe"), col("__th"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
+          .select(col("sid"), col("probe"), col("__th")),
+          StorageLevel.MEMORY_AND_DISK))
         lastAstSeedsFrame = seeds // test hook (auto-gate pins)
         (Some(pruned), Some(seeds))
       }
@@ -2585,10 +2595,10 @@ final class SearchIndex private (
     // persisted with the memo entry: the qid fan-out joins canon to
     // shapes0 on FIVE array columns — materialized it is |left| slim
     // (qid, sid) rows, and repeat calls skip the array-keyed join
-    val fan = keepFrame(canon
+    val fan = keepFrame(SearchIndex.cutLineage(canon
       .join(shapes0, Seq("ops", "terms", "term_fields", "consts", "alts"))
-      .select(col("qid"), col("sid"))
-      .persist(StorageLevel.MEMORY_AND_DISK))
+      .select(col("qid"), col("sid")),
+      StorageLevel.MEMORY_AND_DISK))
     (verified.join(fan, Seq("sid"))
       .select(col("qid"), col("key"), col("score")), entryFrames.toSeq)
   }
@@ -2666,7 +2676,7 @@ final class SearchIndex private (
     // two downstream readers (idf table + doubles assembly) — persist
     // so the dictionary join runs once; released with the memo
     // entry's other frames (LRU eviction or index unpersist)
-    keep(rewritten.persist(StorageLevel.MEMORY_AND_DISK))
+    keep(SearchIndex.cutLineage(rewritten, StorageLevel.MEMORY_AND_DISK))
   }
 
   /** Ids-only query join (reference lightQueryJoin,
@@ -2961,7 +2971,12 @@ final class SearchIndex private (
   def addDocuments(df: DataFrame): SearchIndex = {
     val tmp = SearchIndex.build(df, spec)
     val merged = merge(tmp)
-    tmp.unpersist()
+    // the merged unions materialize LAZILY from tmp's checkpointed
+    // frames — releasing tmp here would destroy blocks the merged
+    // plans still read (with the old bare persist that was a silent
+    // recompute; behind the lineage barrier it is fatal). Tie tmp to
+    // the merged index's lifecycle instead: unpersist() cascades.
+    merged.parents = merged.parents :+ tmp
     merged
   }
 
@@ -3122,18 +3137,19 @@ final class SearchIndex private (
     * incrementally-derived lineage ([[addDocuments]] /
     * [[removeDocuments]]). */
   def unpersist(blocking: Boolean = true): Unit = {
-    docs.unpersist(blocking)
-    postings.unpersist(blocking)
-    stats.unpersist(blocking)
-    extraFrames.foreach(_.unpersist(blocking))
+    SearchIndex.releaseFrame(docs, blocking)
+    SearchIndex.releaseFrame(postings, blocking)
+    SearchIndex.releaseFrame(stats, blocking)
+    extraFrames.foreach(SearchIndex.releaseFrame(_, blocking))
     callFrames.synchronized {
-      callFrames.foreach(_.unpersist(blocking))
+      callFrames.foreach(SearchIndex.releaseFrame(_, blocking))
       callFrames.clear()
     }
     xdfStatsFrame = null // tracked in callFrames; rebuild on next use
     maxImpactFrame = null // likewise
     astJoinMemo.synchronized {
-      astJoinMemo.values.foreach(_._3.foreach(_.unpersist(blocking)))
+      astJoinMemo.values.foreach(
+        _._3.foreach(SearchIndex.releaseFrame(_, blocking)))
       astJoinMemo.clear()
     }
     parents.foreach(_.unpersist(blocking))
@@ -3300,11 +3316,59 @@ object SearchIndex {
     * shuffle for stats, plus one small collect for per-field numDocs
     * and avgdl. All downstream queries reuse the cached artifacts.
     */
+  /** Lineage barrier for a long-lived engine frame: materialize it
+    * once (localCheckpoint) and hand back a LEAF-planned frame over
+    * the stored blocks. A plain `persist` keeps the builder's full
+    * logical lineage inside the InMemoryRelation, and every query
+    * referencing docs/postings/stats re-embeds that subtree — the
+    * measured bool-join physical plan was 3.1 MB of tree (365 nested
+    * InMemoryRelations), driver planning/AQE re-planning walk it per
+    * stage, and each task serializes the narrow RDD chain behind the
+    * cache (60-300 ms of PER-TASK deserialize on stages with zero
+    * compute; 40-50 s of total deser on the pruned bool entries at
+    * sf0.1 — r16 event-log receipts). After the cut the frame plans
+    * as one leaf: plans shrink ~100x, and planning, codegen size and
+    * task-binary deser shrink with them. At 100 TB the same frames
+    * arrive via [[load]] (parquet leaves), so production plans
+    * already have this shape; the barrier gives the in-memory build
+    * path the same property. Storage cost is the same blocks the
+    * persist held (row format instead of columnar — the frames are
+    * scanned whole by every query, so batch pruning was not load-
+    * bearing). Trade-off: checkpointed blocks do not recompute on
+    * executor loss — the documented localCheckpoint contract; an
+    * HA deployment uses save/load. */
+  private[search] def cutLineage(df: DataFrame,
+      storageLevel: StorageLevel): DataFrame =
+    df.localCheckpoint(true, storageLevel)
+
+  /** The checkpointed RDD behind a [[cutLineage]] frame, for explicit
+    * block release at index teardown (Dataset.unpersist is a no-op on
+    * a checkpointed frame — the blocks belong to the RDD). */
+  private[search] def checkpointedRdd(
+      df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
+  /** Release a frame whether it is cache-persisted or lineage-cut. */
+  private[search] def releaseFrame(df: DataFrame, blocking: Boolean): Unit = {
+    df.unpersist(blocking)
+    checkpointedRdd(df).foreach(_.unpersist(blocking))
+  }
+
   def build(df: DataFrame, spec: IndexSpec,
       storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): SearchIndex = {
     val spark = df.sparkSession
     SearchExpressions.register(spark)
     val an = Analyzers(spec.indexAnalyzer)
+    // StorageLevel.NONE = pass-through build: no materialization, no
+    // lineage barrier — frames stay logical views over the source, so
+    // source-scan properties (bucket pruning for point lookups over a
+    // bucketed corpus table, partition pruning) survive. The default
+    // materializes: every query replans the tokenize/postings subtree
+    // otherwise.
+    def mat(d: DataFrame): DataFrame =
+      if (storageLevel == StorageLevel.NONE) d else cutLineage(d, storageLevel)
 
     var docs = df
     // SPARK_GRAFT_BUILD_SPREAD=1: repartition an under-parallel source
@@ -3344,7 +3408,9 @@ object SearchIndex {
         internalCols(spec)
       docs = docs.select(keep.map(col): _*)
     }
-    docs = docs.persist(storageLevel)
+    // lineage barrier, not a bare persist (see [[cutLineage]]):
+    // every downstream plan sees a leaf instead of the tokenize tree
+    docs = mat(docs)
 
     // postings are built MAP-SIDE: explode the distinct terms of each
     // doc and count tf per row with the codegen array_count_eq — one
@@ -3372,13 +3438,11 @@ object SearchIndex {
         lit(1).as("dl"),
         lit(1).as("tf"))
     }
-    val postings = perFieldPostings.reduceLeft(_ unionAll _)
-      .persist(storageLevel)
+    val postings = mat(perFieldPostings.reduceLeft(_ unionAll _))
 
-    val stats = postings
+    val stats = mat(postings
       .groupBy(col("field"), col("term"))
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
-      .persist(storageLevel)
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf")))
 
     // per-field numDocs + avgdl in ONE small action — the analog of
     // the reference's build-time stats treeReduce
@@ -3400,16 +3464,12 @@ object SearchIndex {
     }
 
     if (!spec.storePositions) {
-      // NoPositions trade-off: materialize postings + stats while the
-      // tokenized corpus is still cached, then swap the stored docs
-      // for the token-free projection (doc lengths kept — they cost
-      // one long per field). The build pays one extra cache pass;
-      // the stored corpus drops to key + payload.
-      stats.count()
-      val slim = docs.drop(spec.textFields.map(tokensColName): _*)
-        .persist(storageLevel)
-      slim.count() // copy out of the parent cache before releasing it
-      docs.unpersist()
+      // NoPositions trade-off: postings + stats are already
+      // materialized (eager lineage cut above), so swap the stored
+      // docs for the token-free projection (doc lengths kept — they
+      // cost one long per field) and release the tokenized blocks.
+      val slim = mat(docs.drop(spec.textFields.map(tokensColName): _*))
+      releaseFrame(docs, blocking = false)
       docs = slim
     }
 
