@@ -27,7 +27,8 @@ object Urls {
     * ([[graft.sources.CorpusRegistry]]), so a refreshed directory is
     * never served from a stale frame. */
   private val edgeCache = new graft.sources.CorpusRegistry[
-    org.apache.spark.sql.DataFrame](_.unpersist(blocking = true))
+    org.apache.spark.sql.DataFrame](
+    graft.sources.Frames.release(_, blocking = true))
 
   /** Build-once canonicalized pages frame (doc_id, cu, outlinks,
     * dom) — [[domainStats]] aggregates it three ways (docs, out- and
@@ -35,7 +36,8 @@ object Urls {
     * urlTable + normalize regexp pipeline over the corpus. Same
     * staleness guard as [[edgeCache]]. */
   private val pagesCache = new graft.sources.CorpusRegistry[
-    org.apache.spark.sql.DataFrame](_.unpersist(blocking = true))
+    org.apache.spark.sql.DataFrame](
+    graft.sources.Frames.release(_, blocking = true))
 
   /** Drops all cached URL-side artifacts (releasing their persists). */
   def clearCaches(): Unit = {
@@ -46,10 +48,14 @@ object Urls {
 
   private def cachedPages(spark: SparkSession, dir: String): DataFrame =
     pagesCache.get(dir) {
-      withUrlColumns(spark.read.parquet(s"$dir/documents.parquet"))
-        .select(col("doc_id"), normalizeUrl(col("url")).as("cu"), col("outlinks"))
-        .withColumn("dom", registeredDomain(hostOf(col("cu"))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // lineage-cut, not bare persist (graft.sources.Frames): the
+      // page-level pagerank/hits loops re-plan a query PER ITERATION
+      // that references this frame — a leaf keeps those plans flat
+      graft.sources.Frames.cutLineage(
+        withUrlColumns(spark.read.parquet(s"$dir/documents.parquet"))
+          .select(col("doc_id"), normalizeUrl(col("url")).as("cu"), col("outlinks"))
+          .withColumn("dom", registeredDomain(hostOf(col("cu")))),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
   /** RFC-3986-flavored URL canonicalization as ONE composed codegen
@@ -244,10 +250,11 @@ object Urls {
           .withColumn("dst", registeredDomain(hostOf(normalizeUrl(col("ol")))))
           .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
         val outDeg = edges.groupBy(col("src")).agg(sum(col("cnt")).as("out"))
-        edges.join(outDeg, Seq("src"))
-          .select(col("src"), col("dst"), col("cnt"),
-            (col("cnt").cast("double") / col("out")).as("w"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.sources.Frames.cutLineage(
+          edges.join(outDeg, Seq("src"))
+            .select(col("src"), col("dst"), col("cnt"),
+              (col("cnt").cast("double") / col("out")).as("w")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
     }
 
@@ -278,8 +285,15 @@ object Urls {
   /** The HITS core over a weighted edge frame carrying integer link
     * counts (src, dst, cnt, ...). */
   private def hits(e: DataFrame, iterations: Int): DataFrame = {
+    // LAZY checkpoints throughout the iteration (r16): the lineage
+    // cut is what matters (flat plans per half-step); eager
+    // materialization added one standalone job per checkpoint, and
+    // each half-step already has an unavoidable action (the L1
+    // normalization fold) that materializes the blocks in the same
+    // job — measured ~128 jobs/run on the converged page entries,
+    // mostly scheduling latency, before the fusion.
     val doms = e.select(col("src").as("dom"))
-      .union(e.select(col("dst").as("dom"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("dom"))).distinct().localCheckpoint(false)
     val nDoms = doms.count()
     def foldSum(df: DataFrame, valueCol: String): Double =
       orderedGlobalSum(df.select(col("dom"), col(valueCol).as("v")))
@@ -295,7 +309,7 @@ object Urls {
         "dom", "other", "c", "v")
       val raw = doms.join(contrib, Seq("dom"), "left")
         .select(col("dom"), coalesce(col("v"), lit(0.0)).as("v"))
-        .localCheckpoint()
+        .localCheckpoint(false) // materialized by the fold below
       val total = foldSum(raw, "v")
       // the normalized vector is a literal-scalar division over the
       // ALREADY-cached raw frame — checkpointing it again would spend
@@ -304,7 +318,7 @@ object Urls {
       // division, never the contrib shuffle
       raw.select(col("dom"), (col("v") / lit(total)).as("v"))
     }
-    var hubs = doms.select(col("dom"), lit(1.0 / nDoms).as("v")).localCheckpoint()
+    var hubs = doms.select(col("dom"), lit(1.0 / nDoms).as("v")).localCheckpoint(false)
     var auths = hubs
     for (_ <- 1 to iterations) {
       auths = halfStep(hubs, "src", "dst") // authority: weighted in-hub mass
@@ -377,10 +391,11 @@ object Urls {
           .withColumn("dst", normalizeUrl(col("ol")))
           .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
         val outDeg = edges.groupBy(col("src")).agg(sum(col("cnt")).as("out"))
-        edges.join(outDeg, Seq("src"))
-          .select(col("src"), col("dst"), col("cnt"),
-            (col("cnt").cast("double") / col("out")).as("w"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.sources.Frames.cutLineage(
+          edges.join(outDeg, Seq("src"))
+            .select(col("src"), col("dst"), col("cnt"),
+              (col("cnt").cast("double") / col("out")).as("w")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
     }
 
@@ -424,8 +439,11 @@ object Urls {
     * the same 1/N init [[pageRank]] uses. */
   private[graft] def pageRankUntil(e: DataFrame, tol: Double, maxIter: Int,
       damping: Double, seeds: Option[Seq[String]]): (DataFrame, Int) = {
+    // LAZY checkpoints (see [[hits]]): each iteration's delta fold is
+    // the action that materializes the iteration's rank blocks — one
+    // job per iteration instead of two
     val doms = e.select(col("src").as("dom"))
-      .union(e.select(col("dst").as("dom"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("dom"))).distinct().localCheckpoint(false)
     val nDoms = doms.count()
     val pCol: Column = seeds match {
       case Some(ss) =>
@@ -433,7 +451,7 @@ object Urls {
           .otherwise(lit(0.0))
       case None => lit(1.0 / nDoms)
     }
-    var rank = doms.select(col("dom"), pCol.as("rank")).localCheckpoint()
+    var rank = doms.select(col("dom"), pCol.as("rank")).localCheckpoint(false)
     var it = 0
     var delta = Double.MaxValue
     while (it < maxIter && delta >= tol) {
@@ -457,7 +475,7 @@ object Urls {
           (lit(1.0 - damping) * pCol +
             lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"),
           col("rank_o"))
-        .localCheckpoint()
+        .localCheckpoint(false) // materialized by the delta fold below
       delta = orderedGlobalSum(
         next.select(col("dom"), abs(col("rank") - col("rank_o")).as("v")))
       rank = next.select(col("dom"), col("rank"))
@@ -531,7 +549,7 @@ object Urls {
     // the page-level graph (|URLs| nodes) re-ran its distinct+joins
     // ~2x per iteration (measured 2.4s → 1.3s at sf0.1)
     val doms = e.select(col("src").as("dom"))
-      .union(e.select(col("dst").as("dom"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("dom"))).distinct().localCheckpoint(false)
     val nDoms = doms.count()
     val base = (1.0 - damping) / nDoms
     var rank = doms.withColumn("rank", lit(1.0 / nDoms))
@@ -541,10 +559,15 @@ object Urls {
           .select(col("dst").as("dom"), col("src"),
             (col("rank") * col("w")).as("c")),
         "dom", "src", "c", "in_mass")
+      // LAZY checkpoint: the lineage still cuts (flat per-iteration
+      // plans), but with no convergence action in this fixed-count
+      // loop the caller's ONE final action materializes the whole
+      // chain — iterations eager-checkpointing here paid one
+      // standalone job each for nothing
       rank = doms.join(contrib, Seq("dom"), "left")
         .select(col("dom"),
           (lit(base) + lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     rank
   }

@@ -3339,22 +3339,11 @@ object SearchIndex {
     * HA deployment uses save/load. */
   private[search] def cutLineage(df: DataFrame,
       storageLevel: StorageLevel): DataFrame =
-    df.localCheckpoint(true, storageLevel)
-
-  /** The checkpointed RDD behind a [[cutLineage]] frame, for explicit
-    * block release at index teardown (Dataset.unpersist is a no-op on
-    * a checkpointed frame — the blocks belong to the RDD). */
-  private[search] def checkpointedRdd(
-      df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-    df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }
+    graft.sources.Frames.cutLineage(df, storageLevel)
 
   /** Release a frame whether it is cache-persisted or lineage-cut. */
-  private[search] def releaseFrame(df: DataFrame, blocking: Boolean): Unit = {
-    df.unpersist(blocking)
-    checkpointedRdd(df).foreach(_.unpersist(blocking))
-  }
+  private[search] def releaseFrame(df: DataFrame, blocking: Boolean): Unit =
+    graft.sources.Frames.release(df, blocking)
 
   def build(df: DataFrame, spec: IndexSpec,
       storageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): SearchIndex = {
