@@ -639,29 +639,64 @@ object Similarity {
       batch: DataFrame): Unit = {
     recoverPqStore(path)
     val (centroids, codebooks) = cachedPqArtifacts(spark, path)
+    // COMPILED row encoder, not the in-plan literal expression tree
+    // (r16): the expression form embeds |cells|·dim + m·ks·sub
+    // literals (~10k nodes), and a streaming ingest pays Catalyst
+    // analysis + codegen of that tree PER MICRO-BATCH — measured as
+    // driver-side gap dominating the tiny-batch bench entry. The
+    // closure does the identical arithmetic in the identical order
+    // (index-ordered dots, first-min argmin), so codes are
+    // bit-identical to the in-plan encode savePqIndex used (IvfSpec's
+    // append-equals-all-at-once pin covers this).
+    val enc = pqEncodeUdf(centroids, codebooks)
+    batch
+      .withColumn("__e", enc(col("v")))
+      .select(col("vec_id"), col("__e._1").as("cell"),
+        col("__e._2").as("codes"))
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Row encoder for a frozen PQ store: v → (cell, codes) with the
+    * exact arithmetic of the in-plan encode ([[cellScore]] +
+    * `vec_dot` are index-ordered folds; argmin is first-min like
+    * `array_position(scores, array_min(scores))`). One closure node
+    * instead of an ~|cells|·dim + m·ks·sub literal tree — bit-equal
+    * codes, constant-size plan. */
+  private[graft] def pqEncodeUdf(centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val m = codebooks.length
     val dim = centroids.headOption.map(_.length).getOrElse(0)
-    val sub = dim / m
-    val cellScores = array(centroids.toIndexedSeq.map(c =>
-      cellScore(col("v"), c)): _*)
-    val centArr = array(centroids.toIndexedSeq.map(c =>
-      array(c.toIndexedSeq.map(lit): _*)): _*)
-    val codeCols = (0 until m).map { mm =>
-      val rm = slice(col("r"), mm * sub + 1, sub)
-      val scores = array(codebooks(mm).toIndexedSeq.map { c =>
-        val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
-        lit(cc) - lit(2.0) * call_function("vec_dot", rm,
-          array(c.toIndexedSeq.map(lit): _*))
-      }: _*)
-      (array_position(scores, array_min(scores)) - 1).cast("int")
-    }
-    batch
-      .withColumn("cell",
-        (array_position(cellScores, array_min(cellScores)) - 1).cast("int"))
-      .withColumn("cent", element_at(centArr, col("cell") + 1))
-      .withColumn("r", zip_with(col("v"), col("cent"), (a, b) => a - b))
-      .select(col("vec_id"), col("cell"), array(codeCols: _*).as("codes"))
-      .write.mode("append").parquet(s"$path/codes")
+    val sub = if (m == 0) 0 else dim / m
+    val cellCc = centroids.map(_.foldLeft(0.0)((a, x) => a + x * x))
+    val cbCc = codebooks.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
+    udf((v: Seq[Double]) => {
+      val vv = v.toArray
+      // vec_dot semantics: accumulate over min(|a|,|b|) in index order
+      def dotSeg(a: Array[Double], off: Int, b: Array[Double]): Double = {
+        val n = math.min(a.length - off, b.length)
+        var acc = 0.0; var i = 0
+        while (i < n) { acc += a(off + i) * b(i); i += 1 }
+        acc
+      }
+      def firstMin(s: Array[Double]): Int = {
+        var mn = s(0); var i = 1
+        while (i < s.length) { if (s(i) < mn) mn = s(i); i += 1 }
+        var j = 0; while (s(j) != mn) j += 1
+        j
+      }
+      val cs = Array.tabulate(centroids.length)(i =>
+        cellCc(i) - 2.0 * dotSeg(vv, 0, centroids(i)))
+      val cell = firstMin(cs)
+      val cent = centroids(cell)
+      val r = Array.tabulate(vv.length)(i => vv(i) - cent(i))
+      val codes = Array.tabulate(m) { mm =>
+        val ss = Array.tabulate(codebooks(mm).length)(j =>
+          cbCc(mm)(j) - 2.0 * dotSeg(r, mm * sub, codebooks(mm)(j)))
+        firstMin(ss)
+      }
+      (cell, codes)
+    })
   }
 
   /** STREAMING ANN-store ingest — the online-vector completion of the
