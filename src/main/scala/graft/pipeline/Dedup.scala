@@ -46,14 +46,20 @@ object Dedup {
 
   private def persistOnce(key: String)(build: => DataFrame): DataFrame =
     persistRegistry.synchronized {
-      persistRegistry.getOrElseUpdate(key, build.persist(StorageLevel.MEMORY_AND_DISK))
+      // lineage-cut, not bare persist (graft.sources.Frames): the
+      // stream-static ingest joins re-plan the static side per
+      // MICRO-BATCH, and batch dedup plans reference these frames
+      // several times — a leaf keeps those plans and task closures
+      // flat (r16; same barrier as the search index frames)
+      persistRegistry.getOrElseUpdate(key,
+        graft.sources.Frames.cutLineage(build, StorageLevel.MEMORY_AND_DISK))
     }
 
-  /** Unpersists every registered dedup intermediate — required after
+  /** Releases every registered dedup intermediate — required after
     * mutating a corpus dir in-place (mirror of
     * [[Similarity.clearIvfCache]]). */
   def clearCaches(): Unit = persistRegistry.synchronized {
-    persistRegistry.values.foreach(_.unpersist(blocking = true))
+    persistRegistry.values.foreach(graft.sources.Frames.release(_, blocking = true))
     persistRegistry.clear()
   }
 

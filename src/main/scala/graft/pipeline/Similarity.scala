@@ -200,7 +200,7 @@ object Similarity {
 
   /** Drops all cached LSH bucket assignments. */
   def clearLshCache(): Unit = lshCache.synchronized {
-    lshCache.values.foreach(_.unpersist(blocking = true))
+    lshCache.values.foreach(graft.sources.Frames.release(_, blocking = true))
     lshCache.clear()
   }
 
@@ -215,10 +215,12 @@ object Similarity {
   def corpusLshBuckets(spark: SparkSession, dir: String, nPlanes: Int = 8): DataFrame = {
     val planes = hyperplanes(nPlanes, 64)
     lshCache.synchronized {
+      // lineage-cut (graft.sources.Frames): the streaming ANN probe
+      // re-plans this static side per micro-batch
       lshCache.getOrElseUpdate(s"$dir#$nPlanes",
-        corpus(spark, dir)
-          .withColumn("bucket", lshBucket(col("v"), planes))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        graft.sources.Frames.cutLineage(
+          corpus(spark, dir).withColumn("bucket", lshBucket(col("v"), planes)),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
   }
 
@@ -243,8 +245,9 @@ object Similarity {
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"corpusBucketCandidates($dir): $nOver LSH bucket(s) over " +
               s"cap=$cap — stream-vs-corpus ANN checks are truncated there")
-        grouped.select(col("bucket"), slice(col("__all"), 1, cap).as("cands"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.sources.Frames.cutLineage(
+          grouped.select(col("bucket"), slice(col("__all"), 1, cap).as("cands")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
     }
 

