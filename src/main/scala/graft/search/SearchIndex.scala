@@ -3464,7 +3464,23 @@ object SearchIndex {
         lit(1).as("dl"),
         lit(1).as("tf"))
     }
-    val postings = mat(perFieldPostings.reduceLeft(_ unionAll _))
+    // scale-adaptive postings parallelism: the candidate fan-out of
+    // every probe join streams the postings side (termJoin), so its
+    // parallelism IS the postings partition count. A small-SF corpus
+    // parquet arrives in ~3 partitions and the union inherits that;
+    // at real scale input partitions >> cores and this is a no-op by
+    // construction. Keyless round-robin is safe: every downstream
+    // aggregate is partitioning-invariant by the repo's determinism
+    // discipline (InvarianceSpec pins it). Unlike the rejected
+    // SPARK_GRAFT_BUILD_SPREAD (which spread the DOCS frame and with
+    // it every short metadata stage), this touches only the
+    // fan-out-bearing frame.
+    val postings0 = perFieldPostings.reduceLeft(_ unionAll _)
+    val postings = mat(
+      if (storageLevel != StorageLevel.NONE &&
+          docs.rdd.getNumPartitions * perFieldPostings.size < minPar)
+        postings0.repartition(minPar)
+      else postings0)
 
     val stats = mat(postings
       .groupBy(col("field"), col("term"))
