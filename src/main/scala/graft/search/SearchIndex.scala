@@ -1396,12 +1396,69 @@ final class SearchIndex private (
     require(spec.textFields.contains(field), s"$field is not an indexed text field")
     require(!(impactPruning && maxHitsPerIndex != Int.MaxValue),
       "impactPruning is exact and replaces the maxHitsPerIndex accuracy trade — pass one, not both")
-    val fs = fieldStats(field)
+    // REPEATED invocations are memoized exactly like [[queryJoinAst]]
+    // (same memo, same LRU + sameResult discipline): the scored
+    // (qid, key, score) frame — everything up to the per-call
+    // top-k/self-exclusion tail — is cached keyed on the ANALYZED
+    // canonical-query projection (left plus the resolved clause/attr
+    // expressions — resolution strips the per-construction Origin
+    // identity raw Columns carry, which would otherwise never hash
+    // equal) and every plan-shaping parameter; re-issuing the same
+    // join reuses the persisted canon/qinfo/threshold frames and
+    // only the probe+verify re-runs.
     val empty = array().cast("array<string>")
     val (loSel, hiSel) = attrFilter match {
       case Some((_, lo, hi)) => (lo.cast("double").as("__lo"), hi.cast("double").as("__hi"))
       case None => (lit(null).cast("double").as("__lo"), lit(null).cast("double").as("__hi"))
     }
+    val canonRaw = left.select(
+      col(qidCol).cast("long").as("qid"),
+      sort_array(array_distinct(coalesce(requiredCol, empty))).as("__req"),
+      sort_array(array_distinct(coalesce(optionalCol, empty))).as("__opt"),
+      sort_array(array_distinct(coalesce(excludedCol, empty))).as("__exc"),
+      loSel, hiSel)
+    val canonPlan = canonRaw.queryExecution.analyzed
+    val memoKey = (canonPlan.semanticHash(),
+      s"bool#af=${attrFilter.map(_._1).getOrElse("-")}#k=$k#mom=$minOptMatch" +
+        s"#mh=$maxHitsPerIndex#es=$excludeSelf#ip=$impactPruning" +
+        s"#auto=$autoImpactPruning",
+      qidCol, field)
+    val scored = astJoinMemo.synchronized {
+      astJoinMemo.get(memoKey) match {
+        case Some(e @ (plan, df, _)) if plan.sameResult(canonPlan) =>
+          astJoinMemo.remove(memoKey)
+          astJoinMemo(memoKey) = e
+          df
+        case _ =>
+          val (df, frames) = buildBoolScored(canonRaw, field, k,
+            minOptMatch, attrFilter.map(_._1), excludeSelf,
+            maxHitsPerIndex, impactPruning)
+          astJoinMemo(memoKey) = (canonPlan, df, frames)
+          while (astJoinMemo.size > astJoinMemoCap) {
+            val (_, (_, _, evicted)) = astJoinMemo.head
+            astJoinMemo.remove(astJoinMemo.head._1)
+            evicted.foreach(SearchIndex.releaseFrame(_, blocking = false))
+          }
+          df
+      }
+    }
+    val preFanCap = attrFilter.isEmpty && !excludeSelf
+    perQueryTopK(
+      if (excludeSelf) scored.where(col("qid") =!= col("key")) else scored, k,
+      if (preFanCap) Int.MaxValue else maxHitsPerIndex)
+  }
+
+  /** The setup + probe + verify pipeline behind [[queryJoinBool]],
+    * producing the un-capped scored (qid, key, score) frame plus the
+    * persisted setup frames scoped to the memo entry (released on
+    * eviction or index [[unpersist]]). */
+  private def buildBoolScored(canonRaw: DataFrame,
+      field: String, k: Int, minOptMatch: Int, attrField: Option[String],
+      excludeSelf: Boolean, maxHitsPerIndex: Int,
+      impactPruning: Boolean): (DataFrame, Seq[DataFrame]) = {
+    val entryFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def keep(df: DataFrame): DataFrame = { entryFrames += df; df }
+    val fs = fieldStats(field)
     // impactPruning is implemented NATIVELY in this pipeline (below),
     // not by rewriting to queryJoinAst: per-row attr bounds would
     // have to live inside the rewritten program and every bound value
@@ -1416,12 +1473,7 @@ final class SearchIndex private (
     // branches read it (shape dedup + fan-out join), and every
     // downstream stage would otherwise re-embed the left derivation
     // in its plan and task closures.
-    val canon = trackPersist(SearchIndex.cutLineage(left.select(
-        col(qidCol).cast("long").as("qid"),
-        sort_array(array_distinct(coalesce(requiredCol, empty))).as("__req"),
-        sort_array(array_distinct(coalesce(optionalCol, empty))).as("__opt"),
-        sort_array(array_distinct(coalesce(excludedCol, empty))).as("__exc"),
-        loSel, hiSel),
+    val canon = keep(SearchIndex.cutLineage(canonRaw,
       StorageLevel.MEMORY_AND_DISK))
     // QUERY DEDUPLICATION: generated queries repeat (many left rows
     // produce the same clause sets — the data-driven analog of a
@@ -1465,7 +1517,7 @@ final class SearchIndex private (
     // required. Lineage-cut like canon: |shapes| rows, read by both
     // probe branches — without it each branch re-runs the
     // collect_list aggregate and its upstream stats join.
-    val qinfo = trackPersist(SearchIndex.cutLineage(withIdf
+    val qinfo = keep(SearchIndex.cutLineage(withIdf
       .groupBy(col("sid"))
       .agg(
         sort_array(collect_list(struct(col("term"), col("role"), col("idf"),
@@ -1495,8 +1547,8 @@ final class SearchIndex private (
     // in-row verification + scoring: join the candidates' token
     // arrays (and the attr column, same join — no second corpus
     // join) and run one codegen'd pass per (query, candidate)
-    val attrSel = attrFilter match {
-      case Some((attrField, _, _)) => Seq(col(attrField).cast("double").as("__attr"))
+    val attrSel = attrField match {
+      case Some(f) => Seq(col(f).cast("double").as("__attr"))
       case None => Seq.empty
     }
     val docSide = docs.select(
@@ -1646,7 +1698,7 @@ final class SearchIndex private (
             col("__roles"), col("__idfs")), Seq("sid")))
         val seedFan = seedScored.join(fan, Seq("sid"))
         val seedPass =
-          if (attrFilter.isDefined)
+          if (attrField.isDefined)
             seedFan.where((col("__lo").isNull || col("__attr") >= col("__lo")) &&
               (col("__hi").isNull || col("__attr") <= col("__hi")))
           else seedFan
@@ -1660,7 +1712,7 @@ final class SearchIndex private (
         // lineage-cut: the threshold frame is |shapes| rows, and
         // every candidate-branch plan below would otherwise carry
         // the whole seed/verify subtree
-        trackPersist(SearchIndex.cutLineage(thetaQ
+        keep(SearchIndex.cutLineage(thetaQ
           .groupBy(col("sid"))
           .agg(count(lit(1)).as("__ng"),
             count(col("__thq")).as("__nb"),
@@ -1751,23 +1803,19 @@ final class SearchIndex private (
     // Applies pre-fan only when nothing downstream (attr filter,
     // self-exclusion) would need the capped-away rows; otherwise the
     // cap moves to the qid-grained final merge.
-    val preFanCap = attrFilter.isEmpty && !excludeSelf
+    val preFanCap = attrField.isEmpty && !excludeSelf
     val capped =
       if (maxHitsPerIndex < k && preFanCap)
         perPartitionTopK(verified, "sid", maxHitsPerIndex)
       else verified
     val joined = capped.join(fan, Seq("sid"))
     val filtered =
-      if (attrFilter.isDefined)
+      if (attrField.isDefined)
         joined.where((col("__lo").isNull || col("__attr") >= col("__lo")) &&
           (col("__hi").isNull || col("__attr") <= col("__hi")))
       else joined
-    val scored = filtered.select(col("qid"), col("key"), col("score"))
-    perQueryTopK(
-      if (excludeSelf) scored.where(col("qid") =!= col("key")) else scored, k,
-      // when the pre-fan shape cap is off (see above), the
-      // qid-grained cap still bounds the final merge
-      if (preFanCap) Int.MaxValue else maxHitsPerIndex)
+    (filtered.select(col("qid"), col("key"), col("score")),
+      entryFrames.toSeq)
   }
 
   /** Fully DISTRIBUTED query join for an ARBITRARY nested query
@@ -1962,8 +2010,10 @@ final class SearchIndex private (
 
   /** Memo capacity — small: an entry pins ~3 persisted frames sized
     * by |left| and |shapes|, and real workloads cycle few distinct
-    * (left, generator) pairs. Test hook is the var. */
-  private[graft] var astJoinMemoCap: Int = 8
+    * (left, generator) pairs. 16 since the bool pipeline shares the
+    * memo (r16): a workload alternating the ast and bool front doors
+    * must not thrash either's entries. Test hook is the var. */
+  private[graft] var astJoinMemoCap: Int = 16
 
   /** Test hook: distinct memoized AST-join setups on this index. */
   private[graft] def astJoinMemoEntries: Int =
