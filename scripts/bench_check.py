@@ -80,6 +80,35 @@ if floor_total and floor_total > 0:
     else:
         print(f"OK {line}")
 
+# COLD ratchet (r17, VERDICT r16 #2): the warm best-of-N min hides a
+# cold setup regression (memoized query-join setups skip ~15 jobs on
+# run 2); first-attempt readings get the same treatment against their
+# own min-merged cold floors. Entry checks reuse ENTRY_MARGIN; the
+# cold total gets a slightly wider margin because first attempts
+# carry one-off section-cache builds that jitter more than mins.
+first = doc.get("first_queries") or {}
+cold_floors = doc.get("cold_floor_queries") or {}
+cold_total = doc.get("cold_floor_total")
+if first and cold_floors:
+    for name, sec in sorted(first.items()):
+        fl = cold_floors.get(name)
+        if fl is None or fl <= MIN_FLOOR or sec < 0:
+            continue
+        if sec / fl > ENTRY_MARGIN:
+            print(f"COLD-REGRESS {name}: first {sec:.2f}s vs cold floor "
+                  f"{fl:.2f}s ({sec/fl:.2f}x)")
+            fails += 1
+    ftotal = sum(v for v in first.values() if v >= 0)
+    if cold_total and cold_total > 0:
+        cratio = ftotal / cold_total
+        cline = (f"first_total {ftotal:.1f}s vs cold_floor_total "
+                 f"{cold_total:.1f}s ({cratio:.2f}x)")
+        if cratio > TOTAL_MARGIN * 1.15:
+            print(f"COLD-REGRESS {cline}")
+            fails += 1
+        else:
+            print(f"OK {cline}")
+
 print(f"\n{len(queries)} entries, {fails} raw regressions "
       f"(entry>{ENTRY_MARGIN}x floor>{MIN_FLOOR}s, total>{TOTAL_MARGIN}x)")
 sys.exit(1 if fails else 0)

@@ -128,34 +128,38 @@ object Bench {
       if (sfName == "sf0.1") "/root/repo/BENCH_FULL.json"
       else s"/root/repo/BENCH_FULL_$sfName.json"
     })
-    val history: Map[String, Double] = {
+    val (history: Map[String, Double], coldHistory: Map[String, Double]) = {
       val path = fullPath
+      def asMap(q: com.fasterxml.jackson.databind.JsonNode): Map[String, Double] =
+        if (q == null) Map.empty
+        else {
+          val b = Map.newBuilder[String, Double]
+          val it = q.fields()
+          while (it.hasNext) {
+            val e = it.next()
+            b += e.getKey -> e.getValue.asDouble()
+          }
+          b.result()
+        }
       try {
         val f = new java.io.File(path)
-        if (!f.exists()) Map.empty
+        if (!f.exists()) (Map.empty[String, Double], Map.empty[String, Double])
         else {
           val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
           // floor history lives under "floor_queries" (r11+); older
           // dumps kept the floors in "queries" — read either, so a
-          // pre-rename file still seeds the thresholds
+          // pre-rename file still seeds the thresholds. Cold floors
+          // (first-attempt ratchet, r17) live under
+          // "cold_floor_queries".
           val q = {
             val fq = root.get("floor_queries")
             if (fq != null) fq else root.get("queries")
           }
-          if (q == null) Map.empty
-          else {
-            val b = Map.newBuilder[String, Double]
-            val it = q.fields()
-            while (it.hasNext) {
-              val e = it.next()
-              b += e.getKey -> e.getValue.asDouble()
-            }
-            b.result()
-          }
+          (asMap(q), asMap(root.get("cold_floor_queries")))
         }
       } catch { case e: Exception =>
         System.err.println(s"[bench] history load failed ($e) — absolute thresholds only")
-        Map.empty
+        (Map.empty[String, Double], Map.empty[String, Double])
       }
     }
     // Transient-burst revisit, per SECTION and BEFORE its teardown:
@@ -171,10 +175,17 @@ object Bench {
     // history (>1s absolute when no history exists), slowest first,
     // bounded at 4 per section. Keeping the min makes totals a
     // steady-state floor — the documented intent.
+    // firstRun: the entry's FIRST attempt in this process — the cold
+    // (un-memoized, registry-cold within its section) cost. Emitted
+    // to the full dump so a setup-cost regression the warm best-of-N
+    // min would hide stays machine-visible (VERDICT r16 #2); never
+    // replaced by revisits (those chase steady-state, not cold).
+    val firstRun = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = ordered.groupBy { case (n, _) => section(n) }.toSeq.sortBy(_._1)
       .flatMap { case (sec, entries) =>
         val first = entries.map { case (name, fn) =>
           val times = (1 to runs).map(_ => timeOnce(name, fn))
+          if (times.head >= 0) firstRun(name) = times.head
           val nErr = times.count(_ < 0)
           (name, if (nErr < runs) times.filter(_ >= 0).min else -1.0, nErr)
         }
@@ -259,9 +270,29 @@ object Bench {
       .mkString("{", ",", "}")
     val lastQs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // cold (first-attempt) readings + their own min-merged ratchet
+    // (VERDICT r16 #2): the warm best-of-N "queries" can no longer
+    // hide a cold setup regression — bench_check.py ratchets
+    // first_total against cold_floor_total like the raw total.
+    val firstQs = results.flatMap { case (k, _, _) =>
+      firstRun.get(k).map(v => "\"" + k + "\":" + v)
+    }.mkString("{", ",", "}")
+    val firstTotal = results.flatMap { case (k, _, _) => firstRun.get(k) }.sum
+    val coldFloorsMap: Seq[(String, Double)] = results.flatMap { case (k, _, _) =>
+      (firstRun.get(k) match {
+        case Some(v) => Some(coldHistory.get(k).filter(_ > 0)
+          .fold(v)(h => math.min(h, v)))
+        case None => coldHistory.get(k).filter(_ > 0) // errored: carry history
+      }).map(k -> _)
+    }
+    val coldFloorQs = coldFloorsMap.map { case (k, fl) => "\"" + k + "\":" + fl }
+      .mkString("{", ",", "}")
+    val coldFloorTotal = coldFloorsMap.map(_._2).sum
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$lastQs,""" +
         s""""floor_total":$allFloorTotal,"floor_queries":$fullFloorQs,""" +
+        s""""first_total":$firstTotal,"first_queries":$firstQs,""" +
+        s""""cold_floor_total":$coldFloorTotal,"cold_floor_queries":$coldFloorQs,""" +
         s""""errs":$errs,"sf":"$sfDir"}"""
     val fullOut = fullPath
     // subset runs (SPARK_GRAFT_ONLY) are local iteration, not

@@ -50,7 +50,14 @@ object Dedup {
       // stream-static ingest joins re-plan the static side per
       // MICRO-BATCH, and batch dedup plans reference these frames
       // several times — a leaf keeps those plans and task closures
-      // flat (r16; same barrier as the search index frames)
+      // flat (r16; same barrier as the search index frames).
+      // Deliberately built INSIDE the lock (ADVICE r16): cutLineage
+      // runs Spark jobs while holding it, so a first-touch build
+      // serializes concurrent lookups of OTHER keys — accepted,
+      // because these are build-once-per-corpus registries (a miss
+      // is paid once per process) and the alternative per-key
+      // future/placeholder machinery buys nothing afterward. Same
+      // policy in Similarity's lshCache and Urls' registries.
       persistRegistry.getOrElseUpdate(key,
         graft.sources.Frames.cutLineage(build, StorageLevel.MEMORY_AND_DISK))
     }

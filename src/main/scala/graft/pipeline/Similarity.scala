@@ -674,6 +674,11 @@ object Similarity {
     val cellCc = centroids.map(_.foldLeft(0.0)((a, x) => a + x * x))
     val cbCc = codebooks.map(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))
     udf((v: Seq[Double]) => {
+      // null-guard (ADVICE r16): the replaced in-plan expression
+      // pipeline propagated null codes for a null vector; v.toArray
+      // here would NPE and fail the whole append job for one bad row
+      if (v == null) Option.empty[(Int, Array[Int])]
+      else {
       val vv = v.toArray
       // vec_dot semantics: accumulate over min(|a|,|b|) in index order
       def dotSeg(a: Array[Double], off: Int, b: Array[Double]): Double = {
@@ -682,11 +687,14 @@ object Similarity {
         while (i < n) { acc += a(off + i) * b(i); i += 1 }
         acc
       }
+      // first-min argmin tracking the index IN the min loop: the old
+      // re-scan with `!= mn` over-ran on all-NaN scores (NaN != NaN);
+      // identical index for any non-NaN input (strict < keeps the
+      // earliest minimum, as array_position(.., array_min(..)) did)
       def firstMin(s: Array[Double]): Int = {
-        var mn = s(0); var i = 1
-        while (i < s.length) { if (s(i) < mn) mn = s(i); i += 1 }
-        var j = 0; while (s(j) != mn) j += 1
-        j
+        var mn = s(0); var bi = 0; var i = 1
+        while (i < s.length) { if (s(i) < mn) { mn = s(i); bi = i }; i += 1 }
+        bi
       }
       val cs = Array.tabulate(centroids.length)(i =>
         cellCc(i) - 2.0 * dotSeg(vv, 0, centroids(i)))
@@ -698,7 +706,8 @@ object Similarity {
           cbCc(mm)(j) - 2.0 * dotSeg(r, mm * sub, codebooks(mm)(j)))
         firstMin(ss)
       }
-      (cell, codes)
+      Some((cell, codes))
+      }
     })
   }
 

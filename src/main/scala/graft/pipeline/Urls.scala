@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** URL canonicalization + URL-keyed dedup + domain-level corpus
   * statistics — the first dedup pass and the quality prior of every
@@ -292,9 +293,18 @@ object Urls {
     // normalization fold) that materializes the blocks in the same
     // job — measured ~128 jobs/run on the converged page entries,
     // mostly scheduling latency, before the fusion.
+    // HONEST SIZES (r17, see [[pageRankUntil]]): doms and each
+    // half-step's raw vector carry a persist over the lazy
+    // checkpoint, materialized by the SAME normalization fold — the
+    // next half-step then plans against actual cached sizes
+    // (broadcast-sized at bench SFs, honest-large at web scale)
+    // instead of the frozen pre-materialization estimates that
+    // forced every join onto its own exchange + AQE stage job.
     val doms = e.select(col("src").as("dom"))
-      .union(e.select(col("dst").as("dom"))).distinct().localCheckpoint(false)
+      .union(e.select(col("dst").as("dom"))).distinct()
+      .localCheckpoint(false).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDoms = doms.count()
+    val cachedRaws = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def foldSum(df: DataFrame, valueCol: String): Double =
       orderedGlobalSum(df.select(col("dom"), col(valueCol).as("v")))
     // one half-step: value(dom) = Σ_edges cnt * other(otherEnd),
@@ -310,6 +320,8 @@ object Urls {
       val raw = doms.join(contrib, Seq("dom"), "left")
         .select(col("dom"), coalesce(col("v"), lit(0.0)).as("v"))
         .localCheckpoint(false) // materialized by the fold below
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cachedRaws += raw
       val total = foldSum(raw, "v")
       // the normalized vector is a literal-scalar division over the
       // ALREADY-cached raw frame — checkpointing it again would spend
@@ -324,6 +336,11 @@ object Urls {
       auths = halfStep(hubs, "src", "dst") // authority: weighted in-hub mass
       hubs = halfStep(auths, "dst", "src") // hub: weighted out-authority mass
     }
+    // superseded half-step caches drop here (cache only — checkpoint
+    // blocks stay for the final join); the LAST two vectors stay
+    // cached for the caller's hub⋈authority action
+    doms.unpersist(blocking = false)
+    cachedRaws.dropRight(2).foreach(_.unpersist(blocking = false))
     hubs.withColumnRenamed("v", "hv")
       .join(auths.withColumnRenamed("v", "av"), Seq("dom"))
       .select(col("dom"),
@@ -441,9 +458,27 @@ object Urls {
       damping: Double, seeds: Option[Seq[String]]): (DataFrame, Int) = {
     // LAZY checkpoints (see [[hits]]): each iteration's delta fold is
     // the action that materializes the iteration's rank blocks — one
-    // job per iteration instead of two
+    // job per iteration instead of two.
+    // HONEST SIZES (r17): a bare lazy-checkpoint LogicalRDD freezes
+    // the PRE-materialization size estimate (garbage-large for
+    // join/aggregate outputs — the same stats trap Frames.cutLineage
+    // documents), so every per-iteration join planned as sort-merge/
+    // shuffled-hash even when the rank vector is tiny, and each of
+    // those exchanges ran as its own sequential AQE stage job
+    // (measured ~115 jobs/run, ~60ms fixed cost each, on the page
+    // entries at sf0.1). Layering a persist over the lazy checkpoint
+    // — materialized by the SAME delta-fold action, no extra job —
+    // lets the next iteration plan against the ACTUAL cached size:
+    // a |V|-small vector broadcasts into the edge join and the
+    // doms/contrib joins, while a web-scale vector reports
+    // honest-large and keeps the shuffle plans. Join strategy cannot
+    // change values (the folds are content-defined), so ranks and
+    // n_iters stay bit-identical. The superseded iteration's cache
+    // is dropped once its successor lands (checkpoint blocks stay —
+    // a previously returned frame must remain executable).
     val doms = e.select(col("src").as("dom"))
-      .union(e.select(col("dst").as("dom"))).distinct().localCheckpoint(false)
+      .union(e.select(col("dst").as("dom"))).distinct()
+      .localCheckpoint(false).persist(StorageLevel.MEMORY_AND_DISK)
     val nDoms = doms.count()
     val pCol: Column = seeds match {
       case Some(ss) =>
@@ -454,6 +489,7 @@ object Urls {
     var rank = doms.select(col("dom"), pCol.as("rank")).localCheckpoint(false)
     var it = 0
     var delta = Double.MaxValue
+    var prevCached: DataFrame = null
     while (it < maxIter && delta >= tol) {
       it += 1
       val contrib = orderedKeyedSum(
@@ -469,17 +505,29 @@ object Urls {
       // iteration, which is pure fixed latency at bench SFs and a
       // full extra shuffle at web scale. The extra join here rides
       // the same per-iteration job that materializes `next`.
-      val next = doms.join(contrib, Seq("dom"), "left")
-        .join(rank.select(col("dom"), col("rank").as("rank_o")), Seq("dom"))
+      // The rank vector IS the node set (invariant: rank_0 is built
+      // over doms and every iteration left-joins onto it), so the
+      // old doms⋈contrib⋈rank three-way collapses to rank⋈contrib —
+      // one join (and its exchange/broadcast-build job) fewer per
+      // iteration, identical rows.
+      val next = rank.withColumnRenamed("rank", "rank_o")
+        .join(contrib, Seq("dom"), "left")
         .select(col("dom"),
           (lit(1.0 - damping) * pCol +
             lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"),
           col("rank_o"))
         .localCheckpoint(false) // materialized by the delta fold below
+        .persist(StorageLevel.MEMORY_AND_DISK)
       delta = orderedGlobalSum(
         next.select(col("dom"), abs(col("rank") - col("rank_o")).as("v")))
+      if (prevCached != null) prevCached.unpersist(blocking = false)
+      prevCached = next
       rank = next.select(col("dom"), col("rank"))
     }
+    // cache releases only — the checkpoint blocks behind the returned
+    // rank stay alive (the caller's action reads them directly)
+    doms.unpersist(blocking = false)
+    if (prevCached != null) prevCached.unpersist(blocking = false)
     (rank, it)
   }
 
@@ -500,6 +548,13 @@ object Urls {
     * does not concentrate on one reducer. */
   private[graft] def orderedKeyedSum(kv: DataFrame, key: String,
       sub: String, v: String, out: String): DataFrame =
+    // Two exchanges by design: partitioning level 1 by (key, _bk)
+    // shears a web-scale hub key across 256 reducers (skew + memory
+    // protection); a single exchange by key alone would both fold
+    // levels into one stage (one fewer AQE job per power iteration)
+    // and concentrate a hot target's whole in-degree on one task —
+    // measured the job saving at sf0.1 (~60ms/iteration) and
+    // rejected it as a scale trade (r17).
     kv.groupBy(col(key),
         substring(md5(col(sub).cast("binary")), 1, 2).as("_bk"))
       .agg(aggregate(
@@ -517,15 +572,24 @@ object Urls {
     * and no task ever materializes more than one bucket. (A plain
     * sort_array(collect_list(...)) over the whole node set — the
     * previous shape — is a scale-killer at |URLs| nodes.) */
-  private[graft] def orderedGlobalSum(dv: DataFrame): Double =
-    dv.groupBy(substring(md5(col("dom").cast("binary")), 1, 2).as("b"))
+  private[graft] def orderedGlobalSum(dv: DataFrame): Double = {
+    // level 2 folds the ≤256 bucket sums on the DRIVER, in bucket
+    // order — the collect is bounded by the bucket alphabet at ANY
+    // corpus size (this is not a driver-loop-over-data shape), and
+    // it removes the single-row second aggregation exchange that
+    // cost one more sequential AQE stage job per power iteration
+    // (r17; the iterative entries pay this fold every iteration).
+    // Arithmetic identical to the in-plan sort_array fold it
+    // replaces: buckets are distinct, so ordering by bucket and
+    // summing left-to-right reproduces the fold bit-exactly.
+    val buckets = dv
+      .groupBy(substring(md5(col("dom").cast("binary")), 1, 2).as("b"))
       .agg(aggregate(
         sort_array(collect_list(struct(col("dom"), col("v")))),
         lit(0.0), (a, x) => a + x.getField("v")).as("s"))
-      .agg(aggregate(
-        sort_array(collect_list(struct(col("b"), col("s")))),
-        lit(0.0), (a, x) => a + x.getField("s")).as("t"))
-      .first().getDouble(0)
+      .collect()
+    buckets.sortBy(_.getString(0)).foldLeft(0.0)((a, r) => a + r.getDouble(1))
+  }
 
   /** The power-iteration core over a normalized edge frame
     * (src, dst, w) with Σ_dst w(src, dst) = 1 per src. The rank

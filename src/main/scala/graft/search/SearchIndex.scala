@@ -1423,21 +1423,34 @@ final class SearchIndex private (
         s"#mh=$maxHitsPerIndex#es=$excludeSelf#ip=$impactPruning" +
         s"#auto=$autoImpactPruning",
       qidCol, field)
-    val scored = astJoinMemo.synchronized {
+    val scored =
+      if (!memoEnabled) {
+        // memo hatch (SPARK_GRAFT_MEMO=0): build fresh, frames live in
+        // callFrames (released at unpersist) — cold-cost measurement
+        val (df, frames) = buildBoolScored(canonRaw, field, k,
+          minOptMatch, attrFilter.map(_._1), excludeSelf,
+          maxHitsPerIndex, impactPruning)
+        frames.foreach(trackPersist)
+        df
+      } else astJoinMemo.synchronized {
       astJoinMemo.get(memoKey) match {
         case Some(e @ (plan, df, _)) if plan.sameResult(canonPlan) =>
           astJoinMemo.remove(memoKey)
           astJoinMemo(memoKey) = e
           df
-        case _ =>
+        case existing =>
           val (df, frames) = buildBoolScored(canonRaw, field, k,
             minOptMatch, attrFilter.map(_._1), excludeSelf,
             maxHitsPerIndex, impactPruning)
+          // a semanticHash collision whose sameResult failed displaces
+          // the old entry — park its frames (see parkDisplaced), don't
+          // leak them untracked (ADVICE r16)
+          existing.foreach { case (_, _, old) => parkDisplaced(old) }
           astJoinMemo(memoKey) = (canonPlan, df, frames)
           while (astJoinMemo.size > astJoinMemoCap) {
             val (_, (_, _, evicted)) = astJoinMemo.head
             astJoinMemo.remove(astJoinMemo.head._1)
-            evicted.foreach(SearchIndex.releaseFrame(_, blocking = false))
+            parkDisplaced(evicted)
           }
           df
       }
@@ -1950,26 +1963,36 @@ final class SearchIndex private (
       closureFingerprint(queryGen) +
         s"#cap=$maxCandidatesPerShape#prune=$pruneK#auto=$autoPrune",
       qidCol, field)
-    val scored = astJoinMemo.synchronized {
+    val scored =
+      if (!memoEnabled) {
+        // memo hatch (SPARK_GRAFT_MEMO=0): build fresh, frames live in
+        // callFrames (released at unpersist) — cold-cost measurement
+        val (df, frames) = buildAstScored(left, qidCol, queryGen, field,
+          maxCandidatesPerShape, pruneK, autoGate = autoPrune)
+        frames.foreach(trackPersist)
+        df
+      } else astJoinMemo.synchronized {
       astJoinMemo.get(memoKey) match {
         case Some(e @ (plan, df, _)) if plan.sameResult(leftPlan) =>
           // LRU refresh: re-insert at the tail of the access order
           astJoinMemo.remove(memoKey)
           astJoinMemo(memoKey) = e
           df
-        case _ =>
+        case existing =>
           val (df, frames) = buildAstScored(left, qidCol, queryGen, field,
             maxCandidatesPerShape, pruneK, autoGate = autoPrune)
+          // hash-collision displacement: park the old entry's frames
+          // (see parkDisplaced) instead of leaking them (ADVICE r16)
+          existing.foreach { case (_, _, old) => parkDisplaced(old) }
           astJoinMemo(memoKey) = (leftPlan, df, frames)
           // bounded memo (ADVICE r10): a long-lived index serving many
           // distinct (left, generator) joins would otherwise pin an
           // unbounded set of persisted canon/shape/probe frames.
-          // Eviction releases the entry's OWN persisted frames (they
-          // are scoped to the entry, not to callFrames).
+          // Eviction PARKS the entry's own frames until unpersist.
           while (astJoinMemo.size > astJoinMemoCap) {
             val (_, (_, _, evicted)) = astJoinMemo.head
             astJoinMemo.remove(astJoinMemo.head._1)
-            evicted.foreach(SearchIndex.releaseFrame(_, blocking = false))
+            parkDisplaced(evicted)
           }
           df
       }
@@ -2060,6 +2083,17 @@ final class SearchIndex private (
     * call still forces the seed pass for every shape regardless). */
   var autoImpactPruning: Boolean =
     sys.env.get("SPARK_GRAFT_AUTO_PRUNE").contains("1")
+
+  /** Cross-invocation query-join memoization — default ON.
+    * `SPARK_GRAFT_MEMO=0` disables it so a bench run measures COLD
+    * per-invocation setup cost (VERDICT r16 #2: the best-of-2 min
+    * otherwise reports repeat-invocation latency for the query-join
+    * family, and a cold setup regression would be invisible). When
+    * off, every invocation builds fresh setup frames tracked in
+    * callFrames (released at index unpersist — the pre-memo regime).
+    * Result-invisible either way. */
+  private[graft] val memoEnabled: Boolean =
+    !sys.env.get("SPARK_GRAFT_MEMO").contains("0")
 
   /** Test hook: the (sid, key) candidate frame the most recent
     * [[buildAstScored]] admitted to verification — lets plan-shape
@@ -3050,11 +3084,16 @@ final class SearchIndex private (
     * this is the batch face of the streaming index maintenance in
     * [[graft.streaming.EventStreams.incrementalTermStats]]).
     *
-    * The temporary index built for `df` is unpersisted before
-    * returning — its caches are unreachable once merged, and a loop
-    * of addDocuments calls would otherwise pin O(N) corpus copies in
-    * storage memory. Cost: the new batch re-tokenizes once when the
-    * merged artifacts first materialize. */
+    * Lifecycle (ADVICE r16): the temporary index built for `df` is
+    * tied to the returned index's parent chain and released by its
+    * `unpersist()` — NOT released eagerly, because the merged unions
+    * materialize lazily from tmp's checkpointed frames and a
+    * localCheckpoint'd block cannot recompute once unpersisted. A
+    * LOOP of addDocuments calls therefore pins every intermediate
+    * delta until the final unpersist; loops that must stay bounded
+    * should batch their additions (one addDocuments per batch) or
+    * periodically save+load the index, which roots the frames in
+    * parquet and frees the chain. */
   def addDocuments(df: DataFrame): SearchIndex = {
     val tmp = SearchIndex.build(df, spec)
     val merged = merge(tmp)
@@ -3217,6 +3256,20 @@ final class SearchIndex private (
   private val callFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   private def trackPersist(df: DataFrame): DataFrame =
     callFrames.synchronized { callFrames += df; df }
+
+  /** Frames displaced from the AST-join memo (LRU eviction past
+    * [[astJoinMemoCap]], or a semanticHash-collision overwrite) are
+    * PARKED in [[callFrames]] and released at index [[unpersist]],
+    * NOT released immediately: a caller-held result DataFrame still
+    * references its entry's checkpointed setup frames, and a
+    * localCheckpoint'd RDD cannot recompute after unpersist — the
+    * old immediate release broke any re-execution of a previously
+    * returned frame with "checkpoint block not found" (ADVICE r16,
+    * medium; MemoLifecycleSpec pins the survival). Storage growth is
+    * bounded by the number of DISTINCT displaced setups, each
+    * |left|/|shapes|-sized — the pre-memo callFrames regime. */
+  private def parkDisplaced(frames: Seq[DataFrame]): Unit =
+    callFrames.synchronized { callFrames ++= frames }
 
   /** Blocking so a caller tearing down one index (bench section
     * transitions, corpus replacement) doesn't leave block removal

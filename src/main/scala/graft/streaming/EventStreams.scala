@@ -408,7 +408,22 @@ object EventStreams {
   def nearDupVsCorpusStream(docs: DataFrame, corpusBands: DataFrame,
       corpusShingles: DataFrame, textCol: String = "text",
       threshold: Double = 0.6): DataFrame = {
-    val sb = graft.pipeline.Dedup.streamBands(docs, textCol)
+    // spread the arriving slice before the banding map (guide §2.5's
+    // unsplittable-input remedy): a file-per-trigger source delivers
+    // each micro-batch as ONE task, and the per-doc work here
+    // (tokenize → shingle → 16 minhash passes → band md5s) is the
+    // batch's dominant cost — measured a single 1.22s task per batch
+    // with 31 cores idle at sf0.1. Hash-repartitioning the narrow
+    // (doc_id, text) rows by the deterministic doc key costs one
+    // exchange of the raw slice and buys full-width compute. The
+    // width is pinned to defaultParallelism (the cluster's core
+    // count — scale-adaptive, not a local constant) because AQE
+    // coalesces an unpinned repartition by BYTES (advisory 64MB) and
+    // folded the sub-MB slice back onto one core — the wrong call
+    // when per-row compute, not bytes, is the cost.
+    val sb = graft.pipeline.Dedup.streamBands(
+      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id")), textCol)
     val cand = sb.join(
         corpusBands.select(col("doc_id").as("corpus_id"), col("band"), col("bh")),
         Seq("band", "bh"))
