@@ -223,6 +223,31 @@ object Dedup {
         slice(col("__all"), 1, cap).as("cands"))
     }
 
+  /** [[corpusBandCandidates]] pre-split into its four per-band
+    * dictionaries, each lineage-cut with an honest size and
+    * pre-partitioned + sorted by the probe join key `bh` (r17).
+    * Why: the ingest DAG's four stream-static band joins re-planned
+    * against the ONE whole-dictionary frame, whose honest size
+    * (4 bands together) sat above the broadcast threshold — so every
+    * micro-batch re-shuffled AND re-sorted the static dictionary
+    * four times (measured: four 13-task ~4MB exchange stages per
+    * batch). Per band the frame is a quarter the size: at bench SFs
+    // it broadcasts (zero exchange on either side of the join) and
+    * at corpus scale, where it cannot, the baked-in hash
+    * partitioning + bh ordering make the static side exchange- and
+    * sort-free anyway. Width is defaultParallelism — explicit so
+    * AQE's byte-based coalescing cannot fold it (scale-adaptive, not
+    * a local constant). */
+  private[graft] def corpusBandCandidatesByBand(spark: SparkSession,
+      dir: String, cap: Int = 1024): IndexedSeq[DataFrame] = {
+    val full = corpusBandCandidates(spark, dir, cap)
+    (0 until 4).map(b => persistOnce(s"minhash_bandcands#$dir#$cap#band$b") {
+      full.where(col("band") === b).select(col("bh"), col("cands"))
+        .repartition(spark.sparkContext.defaultParallelism, col("bh"))
+        .sortWithinPartitions("bh")
+    })
+  }
+
   /** The in-row verify over a [[corpusBandCandidates]] candidate
     * array: true iff some profile GROUP contains a doc other than the
     * probe (cnt > 1, or a min id that is not the probe) and its

@@ -245,8 +245,16 @@ object Similarity {
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"corpusBucketCandidates($dir): $nOver LSH bucket(s) over " +
               s"cap=$cap — stream-vs-corpus ANN checks are truncated there")
+        // pre-partitioned + sorted by the probe join key (r17, see
+        // Dedup.corpusBandCandidatesByBand): when the dictionary is
+        // too big to broadcast, the per-micro-batch stream-static
+        // join finds the static side already exchanged and sorted;
+        // explicit width so AQE's byte-based coalescing cannot fold
+        // the partitioning away
         graft.sources.Frames.cutLineage(
-          grouped.select(col("bucket"), slice(col("__all"), 1, cap).as("cands")),
+          grouped.select(col("bucket"), slice(col("__all"), 1, cap).as("cands"))
+            .repartition(spark.sparkContext.defaultParallelism, col("bucket"))
+            .sortWithinPartitions("bucket"),
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
     }

@@ -1573,24 +1573,53 @@ final class SearchIndex private (
     // shuffle-hash, not sort-merge: the corpus side builds a
     // per-partition hash table (bounded by partition sizing, as for
     // any hash join of the corpus) while the candidate stream — the
-    // side that reaches |shapes| x min-df rows and carries the clause
-    // arrays — streams through UNSORTED. An SMJ here sorts the wide
-    // candidate stream and is exactly the 13 GB-spill shape the 16x
-    // scale run caught in queryJoinAst.
-    def verify(cands: DataFrame): DataFrame = cands
-      .join(docSide.hint("shuffle_hash"), cands("key") === col("__doc_key"))
-      .withColumn("__bq", call_function("bool_query_score",
-        col("__tokens"), col("__terms"), col("__roles"), col("__idfs"),
-        lit(kind), lit(k1), lit(b), lit(fs.avgDl)))
-      .where(col("__bq.req") === col("n_req") && col("__bq.exc") === 0 &&
-        col("__bq.opt") >= greatest(lit(minOptMatch),
-          when(col("n_req") === 0, lit(1)).otherwise(lit(0))))
-      .select((Seq(col("sid"), col("key"), col("__bq.score").as("score")) ++
-        attrSel.map(_ => col("__attr"))): _*)
+    // side that reaches |shapes| x min-df rows — streams through
+    // UNSORTED. An SMJ here sorts the wide candidate stream and is
+    // exactly the 13 GB-spill shape the 16x scale run caught in
+    // queryJoinAst.
+    // Candidates cross that exchange as BARE (sid, key) pairs (r17):
+    // the clause arrays re-attach AFTER the corpus shuffle from the
+    // |shapes|-bounded qinfo (broadcast under the same
+    // astBroadcastShapesMax gate as the probe joins; the planner's
+    // choice beyond it). Carrying __terms/__roles/__idfs on every
+    // candidate row shuffled 93 MB where the pairs are ~3 MB at
+    // sf0.1 (§2.3 — the r13 bare-pair discipline, which the native
+    // pruning pipeline had lost).
+    // probe-join ORIENTATION is forced, not left to size estimates
+    // (r16): stream the POSTINGS side (it keeps its partitioning, so
+    // the candidate fan-out parallelizes across the postings cache)
+    // and broadcast the |shapes|-bounded query side — the shape this
+    // pipeline's design always assumed. Left to the planner, an
+    // sf-scale postings cache fits under the auto-broadcast
+    // threshold and the whole fan-out lands on the query side's ONE
+    // AQE-coalesced partition (measured: a 2.5s single-task stage
+    // doing the entire probe+verify). Corpus-scale query batches
+    // (beyond astBroadcastShapesMax) keep the planner's choice.
+    val bcProbes = qinfo.count() <= SearchIndex.astBroadcastShapesMax
+    val qSlim = qinfo.select(col("sid"), col("n_req"), col("__terms"),
+      col("__roles"), col("__idfs"))
+    def verify(cands: DataFrame): DataFrame = {
+      val scored = cands
+        .join(docSide.hint("shuffle_hash"), cands("key") === col("__doc_key"))
+        // beyond the broadcast gate the attach stays a SHUFFLE_HASH
+        // with qinfo as build side — the candidate stream must never
+        // be sorted (PlanShapeSpec pin; the 16x SMJ-spill lesson)
+        .join(if (bcProbes) broadcast(qSlim) else qSlim.hint("shuffle_hash"),
+          Seq("sid"))
+        .withColumn("__bq", call_function("bool_query_score",
+          col("__tokens"), col("__terms"), col("__roles"), col("__idfs"),
+          lit(kind), lit(k1), lit(b), lit(fs.avgDl)))
+      scored
+        .where(col("__bq.req") === col("n_req") && col("__bq.exc") === 0 &&
+          col("__bq.opt") >= greatest(lit(minOptMatch),
+            when(col("n_req") === 0, lit(1)).otherwise(lit(0))))
+        .select((Seq(col("sid"), col("key"), col("__bq.score").as("score")) ++
+          attrSel.map(_ => col("__attr"))): _*)
+    }
     val fan = canon.join(shapes, Seq("__req", "__opt", "__exc"))
       .select(col("qid"), col("sid"), col("__lo"), col("__hi"))
-    val probes = qinfo.select(col("sid"), col("n_req"), col("__terms"),
-      col("__roles"), col("__idfs"), explode(col("__probes")).as("term"))
+    val probes = qinfo.select(col("sid"), col("n_req"),
+      explode(col("__probes")).as("term"))
     // impact-ordered EXACT pruning, native (MaxScore adapted to
     // per-qid attr bounds — see the method comment):
     //   1. per shape, score a bounded seed set: the top
@@ -1706,9 +1735,7 @@ final class SearchIndex private (
           .select(col("sid"), explode(col("__s")).as("h"))
           .select(col("sid"), col("h.key").as("key"))
           .dropDuplicates("sid", "key")
-        val seedScored = verify(seeds
-          .join(qinfo.select(col("sid"), col("n_req"), col("__terms"),
-            col("__roles"), col("__idfs")), Seq("sid")))
+        val seedScored = verify(seeds) // bare pairs; verify attaches qinfo
         val seedFan = seedScored.join(fan, Seq("sid"))
         val seedPass =
           if (attrField.isDefined)
@@ -1738,26 +1765,15 @@ final class SearchIndex private (
           StorageLevel.MEMORY_AND_DISK))
         } // admitted.map
       }
-    // probe-join ORIENTATION is forced, not left to size estimates
-    // (r16): stream the POSTINGS side (it keeps its partitioning, so
-    // the candidate fan-out parallelizes across the postings cache)
-    // and broadcast the |shapes|-bounded query side — the shape this
-    // pipeline's design always assumed. Left to the planner, an
-    // sf-scale postings cache fits under the auto-broadcast
-    // threshold and the whole fan-out lands on the query side's ONE
-    // AQE-coalesced partition (measured: a 2.5s single-task stage
-    // doing the entire probe+verify). Corpus-scale query batches
-    // (beyond astBroadcastShapesMax) keep the planner's choice.
-    val bcProbes = qinfo.count() <= SearchIndex.astBroadcastShapesMax
     def termJoin(p: DataFrame, big: DataFrame): DataFrame =
       if (bcProbes) big.join(broadcast(p), Seq("term"))
       else p.join(big, Seq("term"))
     val cands = thetaBySid match {
       case None =>
         val reqCand = termJoin(probes.where(col("n_req") > 0), posts)
-          .drop("term")
+          .select(col("sid"), col("key"))
         val optCand = termJoin(probes.where(col("n_req") === 0), posts)
-          .drop("term")
+          .select(col("sid"), col("key"))
           .dropDuplicates("sid", "key")
         reqCand.unionByName(optCand)
       case Some(theta) =>
@@ -1787,25 +1803,24 @@ final class SearchIndex private (
         // not n_req, since a req-led dense shape may probe its
         // optionals (boolEssentialProbes' coverage switch)
         val prunedProbes = withTheta
-          .select(col("sid"), col("n_req"), col("__terms"), col("__roles"),
-            col("__idfs"), size(col("__kept")).as("__nk"),
+          .select(col("sid"), size(col("__kept")).as("__nk"),
             explode(col("__kept")).as("pt"))
-          .select(col("sid"), col("n_req"), col("__terms"), col("__roles"),
-            col("__idfs"), col("__nk"),
+          .select(col("sid"), col("__nk"),
             col("pt.term").as("term"), col("pt.mp").as("__mp"))
         val prunedSingle = termJoin(prunedProbes.where(col("__nk") === 1), sPostsTfDl)
           .where(partE >= col("__mp"))
-          .drop("term", "tf", "dl", "__mp", "__nk")
+          .select(col("sid"), col("key"))
         val prunedMulti = termJoin(prunedProbes.where(col("__nk") > 1), sPostsTfDl)
           .where(partE >= col("__mp"))
-          .drop("term", "tf", "dl", "__mp", "__nk")
+          .select(col("sid"), col("key"))
           .dropDuplicates("sid", "key")
         // exact branch for shapes whose threshold did not bind OR
         // whose essential set came back empty ("no bite")
         val unpruned = probes.join(withTheta.select("sid"), Seq("sid"), "left_anti")
-        val uReq = termJoin(unpruned.where(col("n_req") > 0), posts).drop("term")
+        val uReq = termJoin(unpruned.where(col("n_req") > 0), posts)
+          .select(col("sid"), col("key"))
         val uOpt = termJoin(unpruned.where(col("n_req") === 0), posts)
-          .drop("term")
+          .select(col("sid"), col("key"))
           .dropDuplicates("sid", "key")
         prunedSingle.unionByName(prunedMulti).unionByName(uReq).unionByName(uOpt)
     }

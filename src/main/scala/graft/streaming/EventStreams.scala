@@ -356,6 +356,11 @@ object EventStreams {
       watermark: String = "10 minutes", maxHamming: Int = 3): DataFrame = {
     graft.functions.SearchExpressions.register(docs.sparkSession)
     val toks = graft.analysis.Analyzers.default.tokensCol(col(textCol))
+    // NOT repartitioned before the fingerprint map (unlike
+    // [[nearDupVsCorpusStream]]): measured best-of-4 3.8 → 4.4s at
+    // sf0.1 — the simhash64 pass is one expression (vs 16 minhash
+    // passes there), and the exchange is paid TWICE (both self-join
+    // sides re-plan this subtree) before the state shuffle repays it
     val bands = docs
       .select(col(tsCol).as("__ts"), col("doc_id"), toks.as("__toks"))
       // tokenless docs carry no fingerprint evidence — drop them like
@@ -664,11 +669,12 @@ object EventStreams {
     * shuffles) + map-side signatures/predicates; state = one
     * canonical-URL dedup store. Output: (doc_id, chunk_idx,
     * n_tokens, chunk_text) chunk rows. */
-  def ingestE2eStream(docs: DataFrame, bandCands: DataFrame,
+  def ingestE2eStream(docs: DataFrame, bandCandsByBand: Seq[DataFrame],
       embeddings: DataFrame, bucketCands: DataFrame,
       nPlanes: Int = 8, minCos: Double = 0.3, jaccardThr: Double = 0.6,
       minTokens: Int = 16, minQuality: Double = 0.05,
       watermark: String = "3650 days"): DataFrame = {
+    require(bandCandsByBand.size == 4, "one candidate dictionary per band")
     graft.functions.SearchExpressions.register(docs.sparkSession)
     import graft.pipeline.{Curation, Dedup, Similarity, TextAnalysis, Urls}
     // 1. online URL dedup (the one stateful op)
@@ -683,9 +689,14 @@ object EventStreams {
         TextAnalysis.qualityExpr(col("__toks")) >= minQuality)
     // 3. near-dup vs corpus, grain-preserving
     val banded = Dedup.withBandColumns(curated, col("__toks"))
+    // per-band dictionaries (r17): each is lineage-cut with an honest
+    // quarter-size estimate — at bench SFs the planner broadcasts it
+    // (no exchange on either side of the per-batch join); at corpus
+    // scale the registry's baked-in bh partitioning + ordering keep
+    // the static side exchange- and sort-free under the fallback SMJ
     val withBandCands = (0 until 4).foldLeft(banded)((acc, b) =>
       acc.join(
-        bandCands.where(col("band") === b)
+        bandCandsByBand(b)
           .select(col("bh").as(s"bh_$b"), col("cands").as(s"__cands_$b")),
         Seq(s"bh_$b"), "left"))
     // candidates are shingle-profile GROUPS (hot-bucket escape, see

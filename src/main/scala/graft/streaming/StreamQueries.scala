@@ -227,7 +227,7 @@ object StreamQueries {
     // survivor set; oracle replays every stage in batch.
     "stream_ingest_e2e" -> ((s, dir) => {
       val name = s"stream_e2e_${sinkId.incrementAndGet()}"
-      val bandCands = graft.pipeline.Dedup.corpusBandCandidates(s, dir)
+      val bandCands = graft.pipeline.Dedup.corpusBandCandidatesByBand(s, dir)
       val bucketCands = graft.pipeline.Similarity.corpusBucketCandidates(s, dir)
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       EventStreams.runToMemorySink(

@@ -602,7 +602,7 @@ class StreamingSpec extends AnyFunSuite {
   test("ingest e2e DAG runs with exactly ONE state store (the URL dedup)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
-    val bandCands = graft.pipeline.Dedup.corpusBandCandidates(spark, dir)
+    val bandCands = graft.pipeline.Dedup.corpusBandCandidatesByBand(spark, dir)
     val bucketCands = graft.pipeline.Similarity.corpusBucketCandidates(spark, dir)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
