@@ -64,6 +64,37 @@ class MemoLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("astBroadcastShapesMax boundary: forcing the non-broadcast orientation is result-identical") {
+    // A/B at the gate (VERDICT r16 #1): below the gate the probe and
+    // qinfo sides broadcast; at/over it the planner keeps its choice
+    // and the qinfo attach falls back to shuffle-hash. Both
+    // orientations must produce identical hits on the same batch.
+    val saved = SearchIndex.astBroadcastShapesMax
+    val left = corpus.select(col("doc_id"), col("text"))
+    val genA: Row => SearchQuery =
+      r => MatchAnyTerms("text", r.getAs[String]("text").split(" ").take(3).toSeq)
+    def runBoth(): (Set[(Long, Int, Long, Double)], Set[(Long, Int, Long, Double)]) = {
+      val idx = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
+      try {
+        val ast = norm(idx.queryJoinAst(left, "doc_id", genA, "text", 3))
+        val l = corpus.select(col("doc_id"), split(col("text"), " ").as("req"))
+        val bool = norm(idx.queryJoinBool(l, "doc_id",
+          slice(col("req"), 1, 1), slice(col("req"), 2, 2),
+          array().cast("array<string>"), "text", 3))
+        (ast, bool)
+      } finally idx.unpersist()
+    }
+    try {
+      SearchIndex.astBroadcastShapesMax = 65536L
+      val (bcAst, bcBool) = runBoth()
+      SearchIndex.astBroadcastShapesMax = 0L // every batch is "over the gate"
+      val (shAst, shBool) = runBoth()
+      assert(shAst == bcAst)
+      assert(shBool == bcBool)
+      assert(bcAst.nonEmpty && bcBool.nonEmpty)
+    } finally SearchIndex.astBroadcastShapesMax = saved
+  }
+
   test("null qids on the pruned flat queryJoin are filtered, not NPE'd; flag stays result-invisible") {
     val idx = SearchIndex.build(corpus, IndexSpec("doc_id", Seq("text")))
     try {
